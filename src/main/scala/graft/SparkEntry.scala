@@ -1,13 +1,196 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analytics.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a
+  * beyond-reference LLM-pipeline operator), implemented in the graft library
+  * and verified against the matching `oracleSql` by the driver's DuckDB
+  * compare. Column names and types are aligned between both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.multiAgg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 projections / filters / scalar expressions
+    "q01_scan_project_filter" -> (Relational.scanProjectFilter _),
+    "q02_filter_range_set"    -> (Relational.filterRangeSet _),
+    "q03_conditional_impute"  -> (Relational.conditionalImpute _),
+    // §2.3 temporal scalar functions
+    "q04_temporal_features"   -> (Relational.temporalFeatures _),
+    // §2.4 aggregations
+    "q05_group_count"         -> (Relational.groupCount _),
+    "q06_multi_agg"           -> (Relational.multiAgg _),
+    "q07_global_means"        -> (Relational.globalMeans _),
+    "q08_medians"             -> (Relational.medians _),
+    "q09_null_census"         -> (Relational.nullCensus _),
+    "q10_describe_stats"      -> (Relational.describeStats _),
+    // joins / set ops (§2.5 — required by the generalized oracle)
+    "q11_join_revenue_nation" -> (Relational.joinRevenuePerNation _),
+    "q12_join_left_outer"     -> (Relational.joinLeftOuter _),
+    "q13_join_semi_anti"      -> (Relational.joinSemiAnti _),
+    "q14_union_distinct"      -> (Relational.unionDistinct _),
+    // §2.6 sorts / limits / windows
+    "q15_orderby_limit"       -> (Relational.orderByLimit _),
+    "q16_window_topk"         -> (Relational.windowTopKPerGroup _),
+    "q17_window_running_sum"  -> (Relational.windowRunningSum _),
+    "q18_window_lag"          -> (Relational.windowLag _),
+    // reshaping / semi-structured / event-time
+    "q19_pivot_matrix"        -> (Relational.pivotMatrix _),
+    "q20_json_extract"        -> (Relational.jsonExtract _),
+    "q21_tumbling_window"     -> (Relational.tumblingWindowAgg _),
+  )
+
+  /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
+    * through DECIMAL(18,4) sums on BOTH sides so results are bit-identical
+    * regardless of accumulation order (see Relational.dsum). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_shipdate,
+        |  CAST(l_linenumber - 1 AS INTEGER) AS line_idx,
+        |  CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_filter_range_set" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 1000.0 AND 50000.0
+        |  AND o_orderstatus IN ('F', 'O')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q03_conditional_impute" ->
+      """WITH nulled AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_nulled,
+        |    CASE WHEN user_id % 7 = 0 THEN NULL ELSE event_type END AS ty_nulled
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CASE WHEN v_nulled IS NULL OR isnan(v_nulled) THEN 0.0 ELSE v_nulled END AS v_imputed,
+        |  COALESCE(ty_nulled, 'Unknown') AS ty_nulled
+        |FROM nulled ORDER BY event_id""".stripMargin,
+    "q04_temporal_features" ->
+      """SELECT o_orderkey,
+        |  CAST(hour(o_orderdate) AS INTEGER) AS hour_of_day,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS day_of_week,
+        |  CAST(month(o_orderdate) AS INTEGER) AS month_of_year,
+        |  CAST(year(o_orderdate) AS INTEGER) AS year_of_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q05_group_count" ->
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q06_multi_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  ROUND(SQRT((CAST(SUM(CAST(CAST(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE)
+        |    - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1)), 4) AS std_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q07_global_means" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS mean_quantity,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS DOUBLE) AS mean_extendedprice,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS DOUBLE) AS mean_discount,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_tax) AS DOUBLE) AS mean_tax
+        |FROM lineitem""".stripMargin,
+    "q08_medians" ->
+      """SELECT
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_totalprice,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25_totalprice,
+        |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75_totalprice
+        |FROM orders""".stripMargin,
+    "q09_null_census" ->
+      """WITH ev AS (
+        |  SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_nulled
+        |  FROM events)
+        |SELECT
+        |  COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS nulls_event_id,
+        |  COUNT(CASE WHEN ts IS NULL THEN 1 END) AS nulls_ts,
+        |  COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS nulls_user_id,
+        |  COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS nulls_event_type,
+        |  COUNT(CASE WHEN value IS NULL THEN 1 END) AS nulls_value,
+        |  COUNT(CASE WHEN props IS NULL THEN 1 END) AS nulls_props,
+        |  COUNT(CASE WHEN v_nulled IS NULL THEN 1 END) AS nulls_v_nulled
+        |FROM ev""".stripMargin,
+    "q10_describe_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS DOUBLE) AS mean_acctbal,
+        |  MIN(c_acctbal) AS min_acctbal,
+        |  MAX(c_acctbal) AS max_acctbal,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments
+        |FROM customer""".stripMargin,
+    "q11_join_revenue_nation" ->
+      """SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY nation""".stripMargin,
+    "q12_join_left_outer" ->
+      """SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "q13_join_semi_anti" ->
+      """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 40000.0)
+        |SELECT c_custkey, 'has_big_order' AS bucket FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM big)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big_order' AS bucket FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM big)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_union_distinct" ->
+      """SELECT DISTINCT o_orderkey FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 45000.0
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q15_orderby_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q16_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q17_window_running_sum" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q18_window_lag" ->
+      """SELECT user_id, event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(LAG(ts, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS DOUBLE) / 1e6 AS gap_s
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q19_pivot_matrix" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q20_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q21_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+  )
 }

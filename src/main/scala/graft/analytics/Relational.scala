@@ -1,0 +1,283 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Relational operator surface (SURVEY.md §2.2-§2.6) generalized from the
+  * reference's accidents pipeline to arbitrary relational inputs, expressed
+  * as declarative DataFrame plans so Catalyst does pushdown/pruning/reorder.
+  *
+  * Determinism-for-oracle notes: every floating aggregate that the DuckDB
+  * oracle re-computes goes through exact decimal sums (`dsum`) so the result
+  * is independent of partitioning/accumulation order — a requirement at any
+  * scale (a 100 TB sum must not change when the cluster re-partitions).
+  */
+object Relational {
+
+  /** Order-insensitive exact sum of a double column: per-row values are cast
+    * to DECIMAL(18,4) (exact, deterministic) and summed in decimal space,
+    * then converted back to double. Matches
+    * CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) in ANSI SQL. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Exact decimal mean: exact sum / exact count, one double division. */
+  def davg(c: Column): Column = (dsum(c) / count(c)).cast(DoubleType)
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // --- §2.2 projections / filters / scalar predicates -----------------------
+
+  /** P1+P4+P7+P9: defensive projection (intersection of wanted ∩ present,
+    * data_cleaning.py:34-46), not-null filter, cast, arithmetic. */
+  def scanProjectFilter(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val wanted = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate", "no_such_column")
+    val present = wanted.filter(li.columns.contains)
+    li.select(present.map(col): _*)
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+      .withColumn("line_idx", (col("l_linenumber") - 1).cast(IntegerType))
+      .withColumn("revenue",
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4)).cast(DoubleType))
+      .drop("l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P5: range + set-membership predicates (Severity BETWEEN 1 AND 4 /
+    * isin, data_cleaning.py:97 generalized). */
+  def filterRangeSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_totalprice").between(1000.0, 50000.0) &&
+        col("o_orderstatus").isin("F", "O"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** P6+P8+P10: when/otherwise conditional imputation + fillna
+    * (data_cleaning.py:69-86). TESTDATA has no nulls, so nulls are first
+    * injected deterministically with nullif, then repaired — exercising the
+    * same expressions the cleaning stage uses. */
+  def conditionalImpute(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v_nulled",
+        when(col("event_type") === "error", lit(null).cast(DoubleType))
+          .otherwise(col("value")))
+      .withColumn("ty_nulled",
+        when(col("user_id") % 7 === 0, lit(null).cast(StringType))
+          .otherwise(col("event_type")))
+    ev.withColumn("v_imputed",
+        when(col("v_nulled").isNull || isnan(col("v_nulled")), lit(0.0))
+          .otherwise(col("v_nulled")))
+      .na.fill(Map("ty_nulled" -> "Unknown"))
+      .select("event_id", "user_id", "v_imputed", "ty_nulled")
+      .orderBy("event_id")
+  }
+
+  // --- §2.3 date/time scalar functions --------------------------------------
+
+  /** F1-F4: hour/dayofweek/month/year extraction (data_cleaning.py:90-93).
+    * dayofweek keeps Spark/Hive semantics: 1 = Sunday (SURVEY §7.4 quirk). */
+  def temporalFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        hour(col("o_orderdate")).as("hour_of_day"),
+        dayofweek(col("o_orderdate")).as("day_of_week"),
+        month(col("o_orderdate")).as("month_of_year"),
+        year(col("o_orderdate")).as("year_of_date"))
+      .orderBy("o_orderkey")
+
+  // --- §2.4 aggregations -----------------------------------------------------
+
+  /** A1: groupBy(col).count() ordered — severity-distribution pattern
+    * (data_cleaning.py:144). Hash aggregate: partial map-side combine, one
+    * shuffle on the (low-cardinality) key; scale-safe. */
+  def groupCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n")).orderBy("o_orderstatus")
+
+  /** A2 (+TPC-H Q1 shape): multi-aggregate groupBy — count/sum/avg/min/max +
+    * stddev (kmeans_clustering.py:198-225 generalized). stddev is composed
+    * from exact decimal sums so the result is partitioning-independent. */
+  def multiAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val n = count(lit(1))
+    val sx = dsum(col("l_extendedprice"))
+    val sxx = dsum((col("l_extendedprice") * col("l_extendedprice"))
+      .cast(DecimalType(28, 4)).cast(DoubleType))
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        n.as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        round(sqrt((sxx - sx * sx / n) / (n - lit(1))), 4).as("std_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A3: global aggregate — per-column means batched in ONE pass/ONE job
+    * (nb cell 19 runs one job per column; at scale that is k full scans). */
+  def globalMeans(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      davg(col("l_quantity")).as("mean_quantity"),
+      davg(col("l_extendedprice")).as("mean_extendedprice"),
+      davg(col("l_discount")).as("mean_discount"),
+      davg(col("l_tax")).as("mean_tax"))
+
+  /** A4: median — exact percentile for oracle parity (SURVEY §7.4 risk 4:
+    * GK approxQuantile is merge-order-dependent; the approximate variant is
+    * exposed separately in Cleaning.imputeMedian). */
+  def medians(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_totalprice"),
+      round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25_totalprice"),
+      round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75_totalprice"))
+
+  /** A5: one-pass null census over all columns (nb cell 17) — single job
+    * regardless of column count. */
+  def nullCensus(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("v_nulled",
+      when(col("event_type") === "error", lit(null).cast(DoubleType))
+        .otherwise(col("value")))
+    ev.select(ev.columns.toIndexedSeq.map(c =>
+      sum(when(col(c).isNull, 1).otherwise(0)).as(s"nulls_$c")): _*)
+  }
+
+  /** A6: describe()-style summary as an explicit, oracle-checkable query
+    * (count/mean/min/max per column; one aggregation job). */
+  def describeStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").agg(
+      count(lit(1)).as("n_rows"),
+      davg(col("c_acctbal")).as("mean_acctbal"),
+      min(col("c_acctbal")).as("min_acctbal"),
+      max(col("c_acctbal")).as("max_acctbal"),
+      countDistinct(col("c_mktsegment")).as("n_segments"))
+
+  // --- joins / set ops (required by TESTDATA oracle; SURVEY §2.5) ------------
+
+  /** Inner join chain with explicit broadcast of the small dims — revenue per
+    * nation. At 100 TB, nation/customer-side dims stay broadcast; the only
+    * shuffle is the final low-cardinality aggregation. */
+  def joinRevenuePerNation(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("nation")
+  }
+
+  /** Left outer join + agg: order counts per customer INCLUDING zero-order
+    * customers. */
+  def joinLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi + left-anti joins (EXISTS / NOT EXISTS). */
+  def joinSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 40000.0)
+    val withBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("bucket"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_big_order").as("bucket"))
+    withBig.unionAll(without).orderBy("c_custkey")
+  }
+
+  /** Union + distinct set semantics. */
+  def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val high = o.filter(col("o_totalprice") > 45000.0).select("o_orderkey")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    high.union(urgent).distinct().orderBy("o_orderkey")
+  }
+
+  // --- §2.6 sorts / limits / top-k -------------------------------------------
+
+  /** O1+O2: total order + limit with deterministic tie-break. */
+  def orderByLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** O4 generalized: per-group top-k via row_number window — the scalable
+    * form of the reference's driver-side `sortBy.take(k)`
+    * (random_forest.py:119-123). */
+  def windowTopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Running-sum window (event-time cumulative value per user). */
+  def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast(DoubleType))
+      .select("user_id", "event_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** lag/lead window: inter-event gap per user in seconds. */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).cast(DoubleType) / 1e6)
+      .select("user_id", "event_id", "gap_s")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** M12 pattern as a relational query: contingency/confusion matrix via
+    * groupBy().pivot() (random_forest.py:143-164 reshaped — SURVEY §2.8 M12
+    * chooses the DataFrame pivot form). Pivot domain passed explicitly so no
+    * extra distinct-values job runs. */
+  def pivotMatrix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_orderpriority")
+
+  /** JSON scalar extraction (events.props is a JSON string; counterpart of
+    * the Kafka-producer JSON encode, SURVEY §2.3 note). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .orderBy("event_id")
+
+  /** Tumbling-window event-time aggregation (batch form of the §2.10
+    * streaming demonstration query; same plan Structured Streaming runs). */
+  def tumblingWindowAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources (SURVEY.md §2.1 S1,S2,S8,S12): parquet/CSV/JSON readers over the
+  * driver's TESTDATA layout plus generic paths.
+  *
+  * Reference behavior: `spark.read...csv` with inferSchema
+  * (data_cleaning.py:27-30); here we prefer explicit schemas (SURVEY §1.3 —
+  * removes the extra inference pass over the file, which at 100 TB would be a
+  * full second scan of the input).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan (S2). Column pruning + predicate pushdown are free:
+    * downstream select/filter reach the FileScan via Catalyst.
+    *
+    * TIMESTAMP(NANOS) parquet columns are not a native Spark type: sessions
+    * set spark.sql.legacy.parquet.nanosAsLong=true (see [[sessionConfigs]])
+    * and the loader converts nanos → microsecond timestamps here, so every
+    * downstream operator sees a plain TimestampType. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Session configs every graft SparkSession needs. */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true")
+
+  /** CSV scan with explicit schema (S1) — one pass, no inference job. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).schema(schema).csv(path)
+
+  /** CSV scan with inference, the reference's exact semantics
+    * (data_cleaning.py:29) — kept as an escape hatch for schema drift. */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** JSON-lines scan (counterpart of sink S4). */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Register all TESTDATA tables as temp views so spark.sql works
+    * (SURVEY §3 "SQL entry": mirrors the Hive catalog role of
+    * create_tables.hql without a metastore). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** Sinks (SURVEY §2.1 S3-S7). MongoDB (S7) is modeled as a pluggable trait
+  * with a JSON-file default so the engine builds offline (SURVEY §7.4 risk 6).
+  */
+object Sinks {
+  /** Parquet sink, overwrite + snappy (S3; data_cleaning.py:133). */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Distributed JSON-lines sink (S4; nb cells 62-64). */
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Sampled CSV sink (S6; complete_pipeline.py:99) — explicit limit before
+    * the single-file coalesce so the driver never pulls unbounded data. */
+  def csvSample(df: DataFrame, path: String, n: Int): Unit =
+    df.limit(n).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
+  /** Result-document sink (S5/S7): reference writes metric docs to MongoDB +
+    * local JSON (knn_classification.py:267-279). Offline default: JSON file. */
+  trait ResultSink { def write(collection: String, df: DataFrame): Unit }
+  final class JsonDirSink(baseDir: String) extends ResultSink {
+    def write(collection: String, df: DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").json(s"$baseDir/$collection")
+  }
+}
