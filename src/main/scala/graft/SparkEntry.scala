@@ -44,6 +44,22 @@ object SparkEntry {
     "q19_pivot_matrix"        -> (Relational.pivotMatrix _),
     "q20_json_extract"        -> (Relational.jsonExtract _),
     "q21_tumbling_window"     -> (Relational.tumblingWindowAgg _),
+    // text analysis (training-data pipeline ops over `documents`)
+    "q22_token_stats"         -> (graft.text.TextOps.tokenStats _),
+    "q23_quality_score"       -> (graft.text.TextOps.qualityScore _),
+    "q24_lang_id"             -> (graft.text.TextOps.langId _),
+    "q25_fingerprint"         -> (graft.text.TextOps.fingerprint _),
+    // deduplication (exact, MinHash+LSH, Jaccard verify, SimHash)
+    "q26_dedup_exact"         -> (graft.dedup.Dedup.dedupExact _),
+    "q27_minhash_sig"         -> (graft.dedup.Dedup.minhashSignatures _),
+    "q28_lsh_band_pairs"      -> (graft.dedup.Dedup.lshCandidatePairs _),
+    "q29_ngram_jaccard"       -> (graft.dedup.Dedup.ngramJaccard _),
+    "q30_simhash"             -> (graft.dedup.Dedup.simhash _),
+    // similarity search over `embeddings` (brute-force, LSH-ANN, kNN)
+    "q31_cosine_topk"         -> (graft.similarity.Similarity.cosineTopK _),
+    "q32_ann_lsh"             -> (graft.similarity.Similarity.annLsh _),
+    "q33_knn_classify"        -> (graft.similarity.Similarity.knnClassify _),
+    "q34_embed_neardup"       -> (graft.similarity.Similarity.embedNearDup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -192,5 +208,6 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
-  )
+  ) ++ graft.text.TextOps.oracleSql ++ graft.dedup.Dedup.oracleSql ++
+    graft.similarity.Similarity.oracleSql
 }

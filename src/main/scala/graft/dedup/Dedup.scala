@@ -1,0 +1,212 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextPrims._
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table: exact (hash-groupBy),
+  * MinHash signatures, LSH band-bucket candidate pairs, exact n-gram Jaccard
+  * verification, and SimHash fingerprints.
+  *
+  * Scale design: the LSH path is the 100 TB shape — per-doc signatures are a
+  * narrow map (no shuffle), banding explodes to (bandKey, docId) and the only
+  * shuffle is the equi-join on bandKey, whose buckets stay small by
+  * construction (band collisions ≈ near-dups only). Exact Jaccard runs only
+  * on LSH candidates, never all pairs. Everything is built-in expressions
+  * (whole-stage codegen), no UDFs.
+  *
+  * TESTDATA has no duplicate texts, so the dedup corpora inject
+  * deterministic duplicates/near-duplicates first — exercising the exact
+  * semantics a real crawl-dedup would.
+  */
+object Dedup {
+  val NumHashes = 8
+  val BandSize = 2
+  val ShingleN = 3
+  val JaccardThreshold = 0.5
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** documents ∪ exact copies of every 10th doc (id offset +10,000,000). */
+  def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+  }
+  private val dupCorpusS =
+    """SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0"""
+      .stripMargin.replace("\n", " ")
+
+  /** documents ∪ near-dup variants (last token dropped) of every 20th doc. */
+  def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val t = tokensC(col("text"))
+    val variant = when(size(t) > 1, concat_ws(" ", slice(t, lit(1), size(t) - 1)))
+      .otherwise(col("text"))
+    d.unionByName(d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), variant.as("text")))
+  }
+  private val nearDupCorpusS =
+    s"""SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 10000000,
+       |   CASE WHEN len(t) > 1
+       |     THEN array_to_string(list_slice(t, 1, len(t) - 1), ' ')
+       |     ELSE text END
+       | FROM (SELECT doc_id, text, ${tokensS("text")} AS t FROM documents)
+       | WHERE doc_id % 20 = 0""".stripMargin.replace("\n", " ")
+
+  /** Exact dedup: md5 of whitespace-normalized text → groupBy hash →
+    * canonical = min doc_id per content group. One hash-agg shuffle on a
+    * 128-bit key; at 100 TB this is the cheapest possible exact dedup (no
+    * sort, map-side partial agg). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    dupCorpus(s, dir)
+      .withColumn("h",
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).cast(IntegerType).as("n_copies"))
+      .select("canonical_id", "n_copies")
+      .orderBy("canonical_id")
+
+  private def withSignature(df: DataFrame): DataFrame = {
+    val sh = array_distinct(shinglesC(tokensC(col("text")), ShingleN))
+    val sigs = (0 until NumHashes).map(i => minhashC(col("sh"), i).as(s"sig$i"))
+    df.withColumn("sh", sh).select(col("doc_id") +: sigs: _*)
+  }
+
+  /** MinHash signatures (k=8) over 3-gram shingles — per-doc narrow map. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    withSignature(docs(s, dir)).orderBy("doc_id")
+
+  private def bandKeys: Column = {
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      md5(concat_ws("|",
+        lit(b.toString) +: (0 until BandSize).map(i => col(s"sig${b * BandSize + i}")): _*))
+    }
+    array(bands: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing ≥1 MinHash band bucket. The shuffle
+    * key is the band hash; the self-join is equi (sort-merge/hash), never a
+    * cross product. */
+  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = withSignature(nearDupCorpus(s, dir))
+      .select(col("doc_id"), explode(bandKeys).as("bk"))
+    e.alias("a").join(e.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard on the LSH candidates (verify step of the
+    * candidate→verify dedup pipeline). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val shs = nearDupCorpus(s, dir)
+      .select(col("doc_id"),
+        array_distinct(shinglesC(tokensC(col("text")), ShingleN)).as("sh"))
+    lshCandidatePairs(s, dir)
+      .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
+          size(array_union(col("sa.sh"), col("sb.sh"))), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash-32 fingerprint: per-token md5-derived bits, frequency-weighted
+    * ±1 sums per bit position, sign → fingerprint bit. Near-identical docs
+    * differ in few bits (Hamming). One hash-agg shuffle on doc_id. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tk = docs(s, dir)
+      .select(col("doc_id"), explode(tokensC(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until 32).map { j =>
+      val v = conv(substring(col("h"), 1 + j / 4, 1), 16, 10).cast(IntegerType)
+      sum(shiftright(v, j % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"s_$j")
+    }
+    val fp = (0 until 32).map(j =>
+      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    tk.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- oracles
+  private def sigSelectS(corpus: String): String = {
+    val t = tokensS("text")
+    val sigs = (0 until NumHashes)
+      .map(i => s"${minhashS("sh", i)} AS sig$i").mkString(", ")
+    s"""WITH corpus AS ($corpus),
+       |shs AS (SELECT doc_id, list_distinct(${shinglesS(t, ShingleN)}) AS sh
+       |        FROM corpus),
+       |sig AS (SELECT doc_id, $sigs FROM shs)""".stripMargin
+  }
+
+  private def bandUnnestS: String = {
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(i => s"sig${b * BandSize + i}")
+      s"md5('$b' || '|' || ${parts.mkString(" || '|' || ")})"
+    }
+    s"SELECT doc_id, unnest([${bands.mkString(", ")}]) AS bk FROM sig"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q26_dedup_exact" ->
+      s"""WITH corpus AS ($dupCorpusS)
+         |SELECT min(doc_id) AS canonical_id,
+         |  CAST(count(*) AS INTEGER) AS n_copies
+         |FROM (SELECT doc_id,
+         |        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+         |      FROM corpus)
+         |GROUP BY h ORDER BY canonical_id""".stripMargin,
+    "q27_minhash_sig" -> {
+      val cols = (0 until NumHashes).map(i => s"sig$i").mkString(", ")
+      s"""${sigSelectS("SELECT doc_id, text FROM documents")}
+         |SELECT doc_id, $cols FROM sig ORDER BY doc_id""".stripMargin
+    },
+    "q28_lsh_band_pairs" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q29_ngram_jaccard" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+         |FROM pairs
+         |JOIN shs sa ON pairs.doc_a = sa.doc_id
+         |JOIN shs sb ON pairs.doc_b = sb.doc_id
+         |WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q30_simhash" -> {
+      val sums = (0 until 32).map { j =>
+        s"""SUM((((strpos('$HexDigits', substr(h, ${1 + j / 4}, 1)) - 1)
+           | >> ${j % 4}) & 1) * 2 - 1) AS s_$j"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val fp = (0 until 32)
+        .map(j => s"CASE WHEN s_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, md5(unnest(${tokensS("text")})) AS h
+         |  FROM documents),
+         |b AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b
+         |ORDER BY doc_id""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,226 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextPrims
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>[64]`): brute-force cosine top-k as the exact baseline, a
+  * sign-random-projection LSH-bucketed variant as the scale path, kNN label
+  * classification, and embedding-cosine near-dup pairs.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * scans candidates once — O(|C|·|Q|) with no all-pairs shuffle; the LSH
+  * variant turns the cross product into an equi-join on a bucket key, which
+  * is the only shape that survives 100 TB. All float math is widened to
+  * double and folded in a FIXED sequential order (aggregate over zip_with),
+  * so cosine values are bit-identical across engines and partitionings.
+  *
+  * Generalizes the reference's hand-rolled broadcast kNN
+  * (knn_classification.py:124-164) to relational form:
+  * broadcast-join + window top-k + vote aggregation (SURVEY.md §2.9).
+  */
+object Similarity {
+  val K = 5
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** Deterministic LSH hyperplanes — md5-derived, identical on JVM and in
+    * the oracle SQL (TextPrims.unitFromKey). */
+  lazy val planes: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, Dim)((p, d) => TextPrims.unitFromKey(s"plane$p#$d"))
+
+  // ------------------------------------------------------- double-exact math
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+  /** Sequential-fold dot product (left fold, zero 0.0) — order-pinned. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def planeLit(p: Int): Column = array(planes(p).map(lit): _*)
+  /** LSH bucket id: concatenated signs of projections onto the planes. */
+  def bucket(e: Column): Column =
+    concat((0 until NumPlanes).map(p =>
+      when(dot(e, planeLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .withColumn("e", asDouble(col("embedding")))
+
+  /** Brute-force cosine top-k: exact ANN baseline. Queries (vec_id < 10)
+    * broadcast against all candidates; window top-k per query. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val cand = all.select(col("vec_id").as("neighbor_id"), col("e").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast(IntegerType).as("rk"), round(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** LSH-bucketed ANN: same queries, but candidates restricted to the
+    * query's sign-random-projection bucket — the cross product becomes an
+    * equi-join on the bucket key (the 100 TB shape; recall < 1 by design). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).withColumn("bkt", bucket(col("e")))
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bkt"))
+    val cand = all.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+      col("bkt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(broadcast(q), "bkt")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast(IntegerType).as("rk"), round(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Distributed kNN classification (SURVEY.md §2.9 relational form):
+    * test = vec_id % 7 == 0, train = rest; k=5 cosine neighbors; majority
+    * vote with (count desc, label asc) tie-break. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val test = all.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("label").as("true_label"))
+    val train = all.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("label").as("n_label"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val neighbors = train.crossJoin(broadcast(test))
+      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= K)
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    neighbors
+      .groupBy(col("query_id"), col("n_label"), col("true_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id").as("vec_id"),
+        col("n_label").cast(IntegerType).as("pred_label"),
+        (col("n_label") === col("true_label")).cast(IntegerType).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** Embedding-cosine near-dup pairs: corpus ∪ scaled (×2, cosine-identical)
+    * copies of every 25th vector; candidate pairs from shared LSH bucket,
+    * verified by exact cosine ≥ 0.9999. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("e"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("e"), x => x * lit(2.0)).as("e")))
+      .withColumn("bkt", bucket(col("e")))
+    val a = corpus.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bkt"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cosine") >= 0.9999)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ------------------------------------------------------------- oracles
+  private def dotS(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |  list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+       |  (x, y) -> x + y)""".stripMargin.replace("\n", " ")
+  private def cosS(a: String, b: String): String =
+    s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
+  private val embS =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings"
+  private def planeS(p: Int): String =
+    "[" + planes(p).map(_.toString).mkString(", ") + "]"
+  private def bucketS(e: String): String =
+    (0 until NumPlanes).map(p =>
+      s"(CASE WHEN ${dotS(e, s"pl$p")} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+  private val planesCte =
+    s"pl AS (SELECT ${(0 until NumPlanes).map(p => s"${planeS(p)} AS pl$p").mkString(", ")})"
+
+  def oracleSql: Map[String, String] = Map(
+    "q31_cosine_topk" ->
+      s"""WITH e AS ($embS),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 10),
+         |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    ${cosS("q.qe", "n.e")} AS sim
+         |  FROM q CROSS JOIN e n WHERE n.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM c)
+         |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q32_ann_lsh" ->
+      s"""WITH e0 AS ($embS), $planesCte,
+         |e AS (SELECT vec_id, e, ${bucketS("e")} AS bkt FROM e0, pl),
+         |q AS (SELECT vec_id AS query_id, e AS qe, bkt FROM e WHERE vec_id < 10),
+         |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    ${cosS("q.qe", "n.e")} AS sim
+         |  FROM q JOIN e n USING (bkt) WHERE n.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM c)
+         |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q33_knn_classify" ->
+      s"""WITH e AS ($embS),
+         |test AS (SELECT vec_id AS query_id, e AS qe, label AS true_label
+         |  FROM e WHERE vec_id % 7 = 0),
+         |train AS (SELECT vec_id AS neighbor_id, e AS ne, label AS n_label
+         |  FROM e WHERE vec_id % 7 <> 0),
+         |c AS (SELECT query_id, true_label, neighbor_id, n_label,
+         |    ${cosS("qe", "ne")} AS sim
+         |  FROM test CROSS JOIN train),
+         |nb AS (SELECT query_id, true_label, n_label,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rk
+         |  FROM c),
+         |votes AS (SELECT query_id, true_label, n_label, count(*) AS votes
+         |  FROM nb WHERE rk <= $K GROUP BY query_id, true_label, n_label),
+         |win AS (SELECT query_id, n_label, true_label,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, n_label) AS vr
+         |  FROM votes)
+         |SELECT query_id AS vec_id, CAST(n_label AS INTEGER) AS pred_label,
+         |  CAST(n_label = true_label AS INTEGER) AS correct
+         |FROM win WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q34_embed_neardup" ->
+      s"""WITH e0 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |corpus AS (SELECT vec_id, e FROM e0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(e, x -> x * 2.0)
+         |  FROM e0 WHERE vec_id % 25 = 0),
+         |$planesCte,
+         |cb AS (SELECT vec_id, e, ${bucketS("e")} AS bkt FROM corpus, pl),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${cosS("a.e", "b.e")}, 6) AS cosine
+         |  FROM cb a JOIN cb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM p
+         |WHERE cosine >= 0.9999 ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

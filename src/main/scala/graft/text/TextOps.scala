@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextPrims._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the building blocks
+  * of a large-scale training-data pipeline (token counting, quality scoring,
+  * language ID, document fingerprinting).
+  *
+  * All operators are pure narrow transformations (projection + scalar
+  * expressions): no shuffle except the presentation orderBy, so they scale
+  * linearly with input splits at 100 TB. Everything is codegen'd built-in
+  * functions — no UDFs (SURVEY.md §2.11 engine rule).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, chars,
+    * distinct-token ratio (type-token ratio). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("t", tokensC(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
+          .as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_m"),
+        round(size(array_distinct(col("t"))).cast(DoubleType) /
+          size(col("t")), 6).as("ttr"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/punctuation/stopword ratios combined into a
+    * deterministic [0,1] score (rational arithmetic only — no libm
+    * transcendentals, so the score is bit-stable across platforms). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = tokensC(col("text"))
+    val words = size(t).cast(DoubleType)
+    val chars = length(col("text")).cast(DoubleType)
+    val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+      .cast(DoubleType)
+    val stops = countInSetC(t, Stopwords).cast(DoubleType)
+    val score = least(words / lit(100.0), lit(1.0)) * lit(0.4) +
+      (stops / words) * lit(0.4) + (lit(1.0) - punct / chars) * lit(0.2)
+    docs(s, dir).select(
+      col("doc_id"),
+      round(chars / words, 6).as("avg_token_len"),
+      round(punct / chars, 6).as("punct_ratio"),
+      round(stops / words, 6).as("stopword_ratio"),
+      round(score, 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: marker-stopword count per language, argmax with a fixed
+    * priority tie-break; 'und' (undetermined) when no marker hits. Includes
+    * agreement with the table's labeled `lang` for eyeballing accuracy. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val withScores = LangMarkers.foldLeft(
+      docs(s, dir).withColumn("t", tokensC(col("text")))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang", countInSetC(col("t"), markers))
+    }
+    val pred = LangMarkers.map(_._1).foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case (lang, elseExpr) =>
+        val beats = LangMarkers.map(_._1).filter(_ != lang)
+          .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+        when(col(s"s_$lang") > 0 && beats, lit(lang)).otherwise(elseExpr)
+    }
+    withScores
+      .select(col("doc_id"), pred.as("pred_lang"),
+        (pred === col("lang")).cast(IntegerType).as("agrees"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: polynomial rolling hash over per-token md5-derived
+    * 32-bit values, mod 1e9+7 — an order-sensitive content fingerprint
+    * (reordered tokens → different fingerprint, unlike MinHash). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("t", tokensC(col("text")))
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("t"), x => hex32C(md5(x))),
+          lit(0L),
+          (acc, v) => (acc * lit(31L) + v) % lit(1000000007L))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------- oracles
+  private val T = tokensS("text")
+
+  def oracleSql: Map[String, String] = Map(
+    "q22_token_stats" ->
+      s"""WITH d AS (SELECT doc_id, text, $T AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(t) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '$BpeTokenRe')) AS INTEGER) AS n_bpe_tokens,
+         |  CAST(length(text) AS INTEGER) AS n_chars_m,
+         |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS ttr
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "q23_quality_score" ->
+      s"""WITH d AS (SELECT doc_id, text, $T AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(t) AS DOUBLE) AS words,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
+         |  FROM d)
+         |SELECT doc_id,
+         |  round(chars / words, 6) AS avg_token_len,
+         |  round(punct / chars, 6) AS punct_ratio,
+         |  round(stops / words, 6) AS stopword_ratio,
+         |  round(least(words / 100.0, 1.0) * 0.4 + (stops / words) * 0.4
+         |    + (1.0 - punct / chars) * 0.2, 6) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q24_lang_id" -> {
+      val scores = LangMarkers.map { case (l, ms) =>
+        s"${countInSetS("t", ms)} AS s_$l" }.mkString(",\n    ")
+      val pred = LangMarkers.map(_._1).foldRight("'und'") { case (l, e) =>
+        val beats = LangMarkers.map(_._1).filter(_ != l)
+          .map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN s_$l > 0 AND $beats THEN '$l' ELSE $e END"
+      }
+      s"""WITH d AS (SELECT doc_id, lang, $T AS t FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM d),
+         |p AS (SELECT doc_id, lang, $pred AS pred_lang FROM sc)
+         |SELECT doc_id, pred_lang,
+         |  CAST(pred_lang = lang AS INTEGER) AS agrees
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "q25_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, $T AS t FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(t, x -> ${hex32S("md5(x)")})),
+         |    (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+         |FROM d ORDER BY doc_id""".stripMargin,
+  )
+}
