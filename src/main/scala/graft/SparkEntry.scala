@@ -60,6 +60,18 @@ object SparkEntry {
     "q32_ann_lsh"             -> (graft.similarity.Similarity.annLsh _),
     "q33_knn_classify"        -> (graft.similarity.Similarity.knnClassify _),
     "q34_embed_neardup"       -> (graft.similarity.Similarity.embedNearDup _),
+    "q35_knn_confusion"       -> (graft.similarity.Similarity.knnConfusion _),
+    // MLlib jobs (not SQL-expressible — rows-only driver check; metric
+    // bands asserted in ScalaTest specs)
+    "q36_kmeans_stats"        -> ((s, d) => graft.ml.KMeansJob.embeddingClusterStats(s, d)),
+    "q37_rf_metrics"          -> ((s, d) => graft.ml.RandomForestJob.embeddingRfMetrics(s, d)),
+    "q38_kmeans_elbow"        -> (graft.ml.KMeansJob.embeddingElbow _),
+    "q39_knn_broadcast"       -> ((s, d) => graft.ml.Knn.embeddingKnnConfusion(s, d)),
+    // multimodal binary-column plumbing
+    "q40_media_metadata"      -> (graft.multimodal.Multimodal.mediaMetadata _),
+    "q41_media_features"      -> ((s, d) => graft.multimodal.Multimodal
+      .extractFeatures(graft.multimodal.Multimodal.fromDocuments(s, d))
+      .toDF.select("media_id", "kind", "n_bytes").orderBy("media_id")),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -209,5 +221,5 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
   ) ++ graft.text.TextOps.oracleSql ++ graft.dedup.Dedup.oracleSql ++
-    graft.similarity.Similarity.oracleSql
+    graft.similarity.Similarity.oracleSql ++ graft.multimodal.Multimodal.oracleSql
 }

@@ -125,8 +125,12 @@ object Dedup {
   /** SimHash-32 fingerprint: per-token md5-derived bits, frequency-weighted
     * ±1 sums per bit position, sign → fingerprint bit. Near-identical docs
     * differ in few bits (Hamming). One hash-agg shuffle on doc_id. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val tk = docs(s, dir)
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashOf(docs(s, dir))
+
+  /** SimHash over any (doc_id, text) frame. */
+  def simhashOf(input: DataFrame): DataFrame = {
+    val tk = input
       .select(col("doc_id"), explode(tokensC(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val sums = (0 until 32).map { j =>

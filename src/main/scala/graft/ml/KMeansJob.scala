@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** K-Means clustering job (SURVEY.md §2.8 M7-M10): elbow sweep over k with
+  * WSSSE + silhouette, best-k selection, final fit, and per-cluster stats —
+  * the reference's kmeans_clustering.py:97-225 / full_scale_pipeline.py
+  * 196-230 re-expressed.
+  *
+  * Scale notes: the input is persisted once across the k sequential fits
+  * (the elbow loop re-reads its input k times otherwise — SURVEY §7.4 risk
+  * 5); Lloyd iterations broadcast centers and aggregate partials, so cost is
+  * O(iters · rows · k) with no shuffle growth in k. Silhouette evaluation on
+  * the full set is O(rows · k); for very large inputs pass `evalFraction`
+  * to score on a seeded sub-sample (the notebook's nb-cell-48 trick).
+  */
+object KMeansJob {
+  final case class ElbowPoint(k: Int, wssse: Double, silhouette: Double)
+
+  def fit(df: DataFrame, k: Int, featuresCol: String = "features",
+          seed: Long = 42L, maxIter: Int = 30): KMeansModel =
+    new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol(featuresCol).setPredictionCol("cluster")
+      .fit(df)
+
+  def silhouette(predictions: DataFrame, featuresCol: String = "features"): Double =
+    new ClusteringEvaluator()
+      .setMetricName("silhouette").setDistanceMeasure("squaredEuclidean")
+      .setFeaturesCol(featuresCol).setPredictionCol("cluster")
+      .evaluate(predictions)
+
+  /** M8: elbow sweep — WSSSE (model.summary.trainingCost) + silhouette per
+    * k; caches the input across fits. */
+  def elbow(df: DataFrame, kRange: Seq[Int], featuresCol: String = "features",
+            seed: Long = 42L, maxIter: Int = 30,
+            evalFraction: Double = 1.0): Seq[ElbowPoint] = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try kRange.map { k =>
+      val model = fit(cached, k, featuresCol, seed, maxIter)
+      val preds = model.transform(cached)
+      val evalSet =
+        if (evalFraction >= 1.0) preds
+        else preds.sample(withReplacement = false, evalFraction, seed)
+      ElbowPoint(k, model.summary.trainingCost, silhouette(evalSet, featuresCol))
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Best k = argmax silhouette (kmeans_clustering.py:135). */
+  def bestK(points: Seq[ElbowPoint]): Int = points.maxBy(_.silhouette).k
+
+  /** A2: per-cluster stats — count + avg/stddev of given numeric columns
+    * (kmeans_clustering.py:198-225). One hash-agg shuffle on the
+    * low-cardinality cluster id. */
+  def clusterStats(predictions: DataFrame, statCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("count") +:
+      statCols.flatMap(c => Seq(
+        avg(col(c)).as(s"avg_$c"), stddev(col(c)).as(s"std_$c")))
+    predictions.groupBy("cluster")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("cluster")
+  }
+
+  /** M10: centroids as a DataFrame (cluster_centers Hive table shape,
+    * create_tables.hql:122-138). */
+  def centers(spark: SparkSession, model: KMeansModel): DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("cluster", "center")
+  }
+
+  /** Full job over the embeddings table: scale → elbow-free fixed-k fit →
+    * cluster sizes + centroid norms. Deterministic given the seed. */
+  def embeddingClusterStats(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val feats = FeaturePrep.embeddingFeatures(
+      graft.sources.Tables.load(s, dir, "embeddings"))
+    val model = fit(feats, k)
+    val preds = model.transform(feats)
+    preds.groupBy("cluster")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        avg(col("label")).as("avg_label"))
+      .orderBy("cluster")
+  }
+
+  /** Elbow sweep as a query (rows-only check): k, WSSSE, silhouette. */
+  def embeddingElbow(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val feats = FeaturePrep.embeddingFeatures(
+      graft.sources.Tables.load(s, dir, "embeddings"))
+    elbow(feats, 2 to 6, maxIter = 20).toDF()
+  }
+}

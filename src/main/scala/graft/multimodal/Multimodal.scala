@@ -1,0 +1,134 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / resize / frame-sample
+  * operators.
+  *
+  * The Spark-side plumbing — schema, partitioning, typed mapPartitions
+  * batch shape — is real and tested. The codec step itself is a STUB: this
+  * container has no image/audio libraries, so `decode` derives a
+  * deterministic fake "decoded" representation from the bytes (documented
+  * on each method). Swapping in a real codec changes only the marked
+  * function bodies, not the distributed shape.
+  *
+  * Scale notes: binary payloads ride in parquet row groups; all operators
+  * are narrow per-partition maps (zero shuffle), so they scale with input
+  * splits. Metadata-only queries (q40) never touch `content` thanks to
+  * parquet column pruning.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** Deterministic synthetic media table derived from `documents`: content =
+    * utf-8 bytes of text, kind by doc_id mod 3, metadata from content size.
+    * (TESTDATA carries no real media; this provides a reproducible fixture
+    * with the exact schema a real ingest would produce.) */
+  def fromDocuments(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(
+          (pmod(col("n_chars"), lit(64)) + 16).cast(IntegerType).as("width"),
+          (pmod(col("n_chars"), lit(48)) + 12).cast(IntegerType).as("height"),
+          lit(16000).as("sample_rate"),
+          (pmod(col("n_chars"), lit(30)) + 1).cast(IntegerType).as("n_frames"))
+          .as("meta"))
+
+  /** Metadata extraction — never reads `content` beyond length/hash;
+    * demonstrates column pruning on binary tables. */
+  def mediaMetadata(s: SparkSession, dir: String): DataFrame =
+    fromDocuments(s, dir).select(
+      col("media_id"), col("kind"),
+      length(col("content")).cast(LongType).as("n_bytes"),
+      md5(col("content")).as("content_md5"),
+      col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy("media_id")
+
+  final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String,
+                                 n_bytes: Long, features: Array[Float])
+
+  /** Feature extraction over binary content via typed mapPartitions — the
+    * batch shape a real decoder would use (iterate a partition, run the
+    * codec per element, emit fixed-width features).
+    *
+    * STUB CODEC: features = 16-bin normalized byte histogram (deterministic,
+    * real math on the raw bytes). A real implementation would replace
+    * `byteHistogram` with pixel/spectrogram statistics post-decode. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .mapPartitions { iter =>
+        iter.map { m =>
+          MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+            byteHistogram(m.content))
+        }
+      }
+  }
+
+  private[graft] def byteHistogram(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+    if (bytes.length > 0) { var j = 0
+      while (j < 16) { hist(j) /= bytes.length.toFloat; j += 1 } }
+    hist
+  }
+
+  /** "Resize" — STUB: truncates/pads the payload to the target byte budget
+    * and rewrites metadata, preserving the narrow-map distributed shape of
+    * a real resampler. */
+  def resize(media: DataFrame, targetWidth: Int, targetHeight: Int): DataFrame = {
+    val budget = targetWidth * targetHeight
+    media
+      .withColumn("content", substring(col("content"), 1, budget))
+      .withColumn("meta", struct(
+        lit(targetWidth).as("width"), lit(targetHeight).as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.n_frames").as("n_frames")))
+  }
+
+  /** Frame sampling for `video` rows — STUB: treats each 256-byte block as a
+    * "frame" and keeps every `stride`-th block (posexplode + filter, the
+    * same plan real frame extraction would produce; one narrow explode). */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    val nBlocks = ceil(length(col("content")) / lit(256.0)).cast(IntegerType)
+    media.filter(col("kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nBlocks - 1, lit(0)), lit(stride))))
+      .select(col("media_id"), col("frame_idx"),
+        expr("substring(content, frame_idx * 256 + 1, 256)").as("frame_bytes"))
+  }
+
+  /** q40 oracle: metadata extraction is SQL-expressible (md5 of utf-8 text
+    * bytes = md5 of the blob). */
+  def oracleSql: Map[String, String] = Map(
+    "q40_media_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+        |  CAST(n_chars % 48 + 12 AS INTEGER) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

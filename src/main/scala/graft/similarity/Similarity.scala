@@ -94,7 +94,16 @@ object Similarity {
   /** Distributed kNN classification (SURVEY.md §2.9 relational form):
     * test = vec_id % 7 == 0, train = rest; k=5 cosine neighbors; majority
     * vote with (count desc, label asc) tie-break. */
-  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+  def knnClassify(s: SparkSession, dir: String): DataFrame =
+    knnPredictions(s, dir)
+      .select(col("query_id").as("vec_id"),
+        col("n_label").cast(IntegerType).as("pred_label"),
+        (col("n_label") === col("true_label")).cast(IntegerType).as("correct"))
+      .orderBy("vec_id")
+
+  /** (query_id, true_label, predicted n_label) — shared by classification
+    * output and the confusion-matrix query. */
+  private def knnPredictions(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
     val test = all.filter(col("vec_id") % 7 === 0)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
@@ -115,10 +124,21 @@ object Similarity {
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(wVote))
       .filter(col("vr") === 1)
-      .select(col("query_id").as("vec_id"),
-        col("n_label").cast(IntegerType).as("pred_label"),
-        (col("n_label") === col("true_label")).cast(IntegerType).as("correct"))
-      .orderBy("vec_id")
+  }
+
+  /** Confusion matrix of the relational kNN (M12 pivot form, oracle-checked
+    * end-to-end: join + window + vote + pivot in one plan). */
+  def knnConfusion(s: SparkSession, dir: String): DataFrame = {
+    val preds = knnPredictions(s, dir)
+    preds
+      .groupBy(col("true_label").cast(IntegerType).as("true_label"))
+      .pivot(col("n_label").cast(IntegerType), 0 until 10)
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .withColumnsRenamed((0 until 10).map(i => i.toString -> s"p$i").toMap)
+      .select(col("true_label") +:
+        (0 until 10).map(i => col(s"p$i").cast(IntegerType).as(s"p$i")): _*)
+      .orderBy("true_label")
   }
 
   /** Embedding-cosine near-dup pairs: corpus ∪ scaled (×2, cosine-identical)
@@ -207,6 +227,32 @@ object Similarity {
          |SELECT query_id AS vec_id, CAST(n_label AS INTEGER) AS pred_label,
          |  CAST(n_label = true_label AS INTEGER) AS correct
          |FROM win WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q35_knn_confusion" -> {
+      val pcols = (0 until 10).map(i =>
+        s"CAST(count(CASE WHEN n_label = $i THEN 1 END) AS INTEGER) AS p$i")
+        .mkString(", ")
+      s"""WITH e AS ($embS),
+         |test AS (SELECT vec_id AS query_id, e AS qe, label AS true_label
+         |  FROM e WHERE vec_id % 7 = 0),
+         |train AS (SELECT vec_id AS neighbor_id, e AS ne, label AS n_label
+         |  FROM e WHERE vec_id % 7 <> 0),
+         |c AS (SELECT query_id, true_label, neighbor_id, n_label,
+         |    ${cosS("qe", "ne")} AS sim
+         |  FROM test CROSS JOIN train),
+         |nb AS (SELECT query_id, true_label, n_label,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rk
+         |  FROM c),
+         |votes AS (SELECT query_id, true_label, n_label, count(*) AS votes
+         |  FROM nb WHERE rk <= $K GROUP BY query_id, true_label, n_label),
+         |win AS (SELECT query_id, n_label, true_label,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, n_label) AS vr
+         |  FROM votes)
+         |SELECT CAST(true_label AS INTEGER) AS true_label, $pcols
+         |FROM win WHERE vr = 1
+         |GROUP BY true_label ORDER BY true_label""".stripMargin
+    },
     "q34_embed_neardup" ->
       s"""WITH e0 AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

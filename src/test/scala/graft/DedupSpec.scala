@@ -1,0 +1,59 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("dedupExact: injected exact copies collapse, n_copies == 2") {
+    val res = Dedup.dedupExact(spark, sfDir).collect()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val nInjected = docs.filter(col("doc_id") % 10 === 0).count()
+    // unique texts in base corpus (none duplicate in TESTDATA)
+    assert(res.length === nDocs)
+    assert(res.count(_.getAs[Int]("n_copies") == 2) === nInjected)
+    // canonical id is always the smaller (original) id
+    assert(res.forall(_.getAs[Long]("canonical_id") < 10000000L))
+  }
+
+  test("LSH candidates recover most injected near-dup pairs") {
+    val pairs = Dedup.lshCandidatePairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000000L))
+    val recall = injected.count(pairs.contains).toDouble / injected.length
+    assert(recall >= 0.8, s"LSH recall $recall over ${injected.length} injected pairs")
+  }
+
+  test("ngramJaccard verifies candidates at >= threshold, symmetric bound") {
+    val rows = Dedup.ngramJaccard(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= Dedup.JaccardThreshold && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("simhash is deterministic and near-dups have small Hamming distance") {
+    val a = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // a doc vs itself with one token dropped: hamming << 16 for long docs
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(length(col("text")) > 200).limit(5)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val variants = docs.map { case (id, t) =>
+      (id + 500000L, t.split("\\s+").dropRight(1).mkString(" ")) }
+    val fps = Dedup.simhashOf((docs ++ variants).toSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, _) =>
+      val d = java.lang.Long.bitCount(fps(id) ^ fps(id + 500000L))
+      assert(d <= 8, s"hamming($id)=$d")
+    }
+  }
+}

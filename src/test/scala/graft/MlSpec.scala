@@ -1,0 +1,89 @@
+package graft
+
+import graft.ml._
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class MlSpec extends SparkSpec {
+
+  /** 3 well-separated gaussian blobs in 4-d, deterministic. */
+  private lazy val blobs = {
+    val rnd = new Random(42)
+    val centers = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(10.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 10.0, 10.0, 10.0))
+    val rows = for {
+      (c, label) <- centers.zipWithIndex
+      _ <- 0 until 60
+    } yield (label.toDouble, Vectors.dense(c.map(_ + rnd.nextGaussian() * 0.5).toArray))
+    import spark.implicits._
+    rows.toDF("label", "features")
+  }
+
+  test("KMeans elbow picks k=3 on 3 separable blobs") {
+    val pts = KMeansJob.elbow(blobs, 2 to 5, maxIter = 20)
+    assert(pts.map(_.k) === (2 to 5))
+    assert(KMeansJob.bestK(pts) === 3)
+    // WSSSE decreases monotonically in k
+    assert(pts.map(_.wssse).zip(pts.tail.map(_.wssse)).forall { case (a, b) => b <= a })
+  }
+
+  test("KMeans clusterStats: one row per cluster with exact total count") {
+    val model = KMeansJob.fit(blobs, 3)
+    val stats = KMeansJob.clusterStats(model.transform(blobs), Seq("label")).collect()
+    assert(stats.length === 3)
+    assert(stats.map(_.getAs[Long]("count")).sum === 180L)
+    assert(KMeansJob.centers(spark, model).count() === 3)
+  }
+
+  test("RandomForest separates the blobs (accuracy > 0.95)") {
+    val Array(tr, te) = blobs.randomSplit(Array(0.7, 0.3), 42L)
+    val model = RandomForestJob.classifier(RandomForestJob.RfConfig(numTrees = 20, maxDepth = 5))
+      .fit(tr)
+    val preds = model.transform(te)
+    val m = Metrics.multiclass(preds)
+    assert(m("accuracy") > 0.95, m.toString)
+    val ovr = Metrics.ovrAuc(preds, 3)
+    assert(ovr.forall(_._2 > 0.95), ovr.toString)
+    val imp = RandomForestJob.featureImportances(spark, model, Seq("f0", "f1", "f2", "f3"))
+    assert(imp.count() === 4)
+  }
+
+  test("Metrics.perClass and confusionMatrix agree on hand-built predictions") {
+    import spark.implicits._
+    // true:  0 0 0 1 1 2 ; pred: 0 0 1 1 1 0
+    val preds = Seq((0, 0), (0, 0), (0, 1), (1, 1), (1, 1), (2, 0))
+      .toDF("label", "prediction")
+      .select(col("label").cast("double"), col("prediction").cast("double"))
+    val pc = Metrics.perClass(preds).collect().map(r =>
+      r.getAs[Int]("cls") -> r).toMap
+    assert(pc(0).getAs[Long]("tp") === 2)
+    assert(pc(0).getAs[Double]("precision") === 2.0 / 3.0)
+    assert(pc(0).getAs[Double]("recall") === 2.0 / 3.0)
+    assert(pc(2).getAs[Double]("recall") === 0.0)
+    val cm = Metrics.confusionMatrix(preds, 3).collect()
+    assert(cm.map(_.getAs[Long]("0")).sum === 3) // column of predictions == 0
+  }
+
+  test("scaler standardizes features (mean ~ 0)") {
+    val model = FeaturePrep.assembleAndScale(Seq("x", "y")).fit {
+      import spark.implicits._
+      Seq((1.0, 100.0), (2.0, 200.0), (3.0, 300.0)).toDF("x", "y")
+    }
+    import spark.implicits._
+    val out = model.transform(Seq((2.0, 200.0)).toDF("x", "y"))
+      .select("scaled_features").head.getAs[org.apache.spark.ml.linalg.Vector](0)
+    out.toArray.foreach(v => assert(math.abs(v) < 1e-9)) // the mean row → 0
+  }
+
+  test("fitWithBackoff falls back to smaller samples on failure") {
+    var calls = 0
+    val result = FeaturePrep.fitWithBackoff(blobs, Seq(1.0, 0.5)) { df =>
+      calls += 1
+      if (calls == 1) throw new RuntimeException("simulated OOM")
+      df.count()
+    }
+    assert(calls === 2)
+    assert(result > 0)
+  }
+}

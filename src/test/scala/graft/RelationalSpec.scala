@@ -1,0 +1,48 @@
+package graft
+
+import graft.analytics.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("multiAgg groups by returnflag×linestatus with positive sums") {
+    val rows = Relational.multiAgg(spark, sfDir).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
+    }
+  }
+
+  test("joinRevenuePerNation covers exactly the nations that have orders") {
+    val viaJoin = Relational.joinRevenuePerNation(spark, sfDir).count()
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+    val c = graft.sources.Tables.load(spark, sfDir, "customer")
+    val expected = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("c_nationkey").distinct().count()
+    assert(viaJoin === expected)
+  }
+
+  test("windowTopKPerGroup returns at most 3 rows per customer, ranked") {
+    val df = Relational.windowTopKPerGroup(spark, sfDir)
+    val bad = df.groupBy("o_custkey").agg(count(lit(1)).as("n"), max("rk").as("m"))
+      .filter(col("n") > 3 || col("m") > 3).count()
+    assert(bad === 0)
+  }
+
+  test("left outer join keeps zero-order customers") {
+    val df = Relational.joinLeftOuter(spark, sfDir)
+    val c = graft.sources.Tables.load(spark, sfDir, "customer")
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+    assert(df.count() === c.count())
+    val expectedZero = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(df.filter(col("n_orders") === 0).count() === expectedZero)
+  }
+
+  test("semi+anti partition the customer set") {
+    val df = Relational.joinSemiAnti(spark, sfDir)
+    val customers = graft.sources.Tables.load(spark, sfDir, "customer").count()
+    assert(df.count() === customers)
+    assert(df.select("c_custkey").distinct().count() === customers)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosineTopK: 5 ranked neighbors per query, cosine in [-1, 1]") {
+    val rows = Similarity.cosineTopK(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to rs.length))
+      assert(rs.length <= Similarity.K)
+      // ranks are ordered by decreasing cosine
+      val sims = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      sims.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+  }
+
+  test("annLsh: every ANN hit is at most the brute-force best for its query") {
+    val bf = Similarity.cosineTopK(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getAs[Double]("cosine")).max }
+    val ann = Similarity.annLsh(spark, sfDir).collect()
+    ann.foreach { r =>
+      assert(r.getAs[Double]("cosine") <= bf(r.getLong(0)) + 1e-9)
+    }
+  }
+
+  test("embedNearDup finds exactly the injected cosine-identical copies") {
+    val pairs = Similarity.embedNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cosine")))
+    val expected = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 25 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pairs.map(_._1).toSet === expected)
+    pairs.foreach { case (a, b, c) =>
+      assert(b === a + 1000000L)
+      assert(c >= 0.9999)
+    }
+  }
+
+  test("knnClassify: one prediction per test vector, labels in domain") {
+    val res = Similarity.knnClassify(spark, sfDir).collect()
+    val nTest = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 7 === 0).count()
+    assert(res.length === nTest)
+    res.foreach(r => assert((0 until 10).contains(r.getAs[Int]("pred_label"))))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, UserSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("tumblingCounts aggregates a file-sourced micro-batch like its batch twin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // stage the sf0.001 events as the streamed input
+    graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      // one file → one micro-batch, so the watermark can't drop replayed
+      // out-of-order events between batches
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val q = EventStream.toParquet(
+      EventStream.tumblingCounts(EventStream.fileSource(spark, s"$dir/in")),
+      s"$dir/out", s"$dir/ckpt")
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$dir/out")
+    val batch = graft.sources.Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("bn"), sum(col("value")).as("bsum"))
+    // every EMITTED window agrees exactly with the batch twin...
+    val joined = streamed.join(batch, Seq("window_start", "event_type"))
+    assert(joined.count() === streamed.count())
+    assert(joined.filter(col("n") =!= col("bn") ||
+      abs(col("sum_value") - col("bsum")) > 1e-9).count() === 0)
+    // ...and the only windows withheld are the tail still inside the
+    // watermark horizon (correct Append-mode semantics, not data loss)
+    val maxEmitted = streamed.agg(max("window_start")).first().getTimestamp(0)
+    val withheld = batch.join(streamed, Seq("window_start", "event_type"), "left_anti")
+    assert(withheld.filter(col("window_start") <= maxEmitted).count() === 0)
+  }
+
+  test("sessionize splits on gaps and aggregates within sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "view", 1.0),
+      Event(2, ts(5), 7, "view", 2.0),
+      Event(3, ts(40), 7, "view", 4.0), // 35-min gap → new session
+      Event(4, ts(0), 9, "click", 8.0))
+    val sessions = EventStream.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // only CLOSED sessions are emitted (user 7's first; later ones are open state)
+      val out = spark.table("sessions_out").as[UserSession].collect()
+      assert(out.length === 1)
+      val s7 = out.head
+      assert(s7.user_id === 7 && s7.n_events === 2 && s7.sum_value === 3.0)
+      assert(s7.session_start === ts(0) && s7.session_end === ts(5))
+    } finally q.stop()
+  }
+}

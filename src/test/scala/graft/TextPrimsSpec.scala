@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.TextPrims
+import org.apache.spark.sql.functions._
+
+class TextPrimsSpec extends SparkSpec {
+
+  test("javaMd5Hex32 matches the Spark-side hex32C(md5) exactly") {
+    import spark.implicits._
+    val samples = Seq("", "a", "hello world", "plane3#17", "0#the fast key")
+    val sparkSide = samples.toDF("s")
+      .select(TextPrims.hex32C(md5(col("s"))))
+      .collect().map(_.getLong(0))
+    val jvmSide = samples.map(TextPrims.javaMd5Hex32)
+    assert(sparkSide.toSeq === jvmSide)
+  }
+
+  test("unitFromKey is deterministic and in [-1, 1)") {
+    val vs = (0 until 100).map(i => TextPrims.unitFromKey(s"plane$i#k"))
+    assert(vs.forall(v => v >= -1.0 && v < 1.0))
+    assert(vs === (0 until 100).map(i => TextPrims.unitFromKey(s"plane$i#k")))
+    assert(vs.distinct.size === 100) // no collisions on this small set
+  }
+
+  test("shinglesC: short docs yield the whole text as one shingle") {
+    import spark.implicits._
+    val df = Seq("one two", "a b c d").toDF("text")
+      .select(TextPrims.shinglesC(TextPrims.tokensC(col("text")), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) === Seq("one two"))
+    assert(rows(1) === Seq("a b c", "b c d"))
+  }
+}
