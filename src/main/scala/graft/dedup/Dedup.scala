@@ -74,11 +74,24 @@ object Dedup {
       .select("canonical_id", "n_copies")
       .orderBy("canonical_id")
 
-  private def withSignature(df: DataFrame): DataFrame = {
-    val sh = array_distinct(shinglesC(tokensC(col("text")), ShingleN))
-    val sigs = (0 until NumHashes).map(i => minhashC(col("sh"), i).as(s"sig$i"))
-    df.withColumn("sh", sh).select(col("doc_id") +: sigs: _*)
+  /** Distinct shingles as ROWS (doc_id, shingle) — the scale-correct shape:
+    * seeded hashes become codegen'd projections over exploded rows and the
+    * signature is a hash aggregation, instead of interpreted higher-order
+    * lambdas over per-doc arrays. */
+  private[graft] def shingleRows(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(array_distinct(shinglesC(tokensC(col("text")), ShingleN)))
+        .as("shingle"))
+
+  /** Signatures from shingle ROWS: one partial + final aggregation. */
+  private[graft] def signaturesFrom(shingles: DataFrame): DataFrame = {
+    val sigs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i#"), col("shingle")))).as(s"sig$i"))
+    shingles.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
   }
+
+  private def withSignature(df: DataFrame): DataFrame =
+    signaturesFrom(shingleRows(df))
 
   /** MinHash signatures (k=8) over 3-gram shingles — per-doc narrow map. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
@@ -92,31 +105,55 @@ object Dedup {
     array(bands: _*)
   }
 
-  /** LSH candidate pairs: docs sharing ≥1 MinHash band bucket. The shuffle
-    * key is the band hash; the self-join is equi (sort-merge/hash), never a
-    * cross product. */
-  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val e = withSignature(nearDupCorpus(s, dir))
-      .select(col("doc_id"), explode(bandKeys).as("bk"))
-    e.alias("a").join(e.alias("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** Band-bucket pair expansion: group (bandKey → sorted doc ids), emit all
+    * intra-bucket ordered pairs. One shuffle on the band hash, the input
+    * computed ONCE (a self-join would re-run the whole signature chain for
+    * each side). Bucket sizes are small by construction (band collisions ≈
+    * near-dups), so the quadratic intra-bucket expansion is bounded — the
+    * standard LSH shape at scale. */
+  private[graft] def bandPairsFrom(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(bandKeys).as("bk"))
+      .groupBy("bk").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+
+  /** LSH candidate pairs: docs sharing ≥1 MinHash band bucket. */
+  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    bandPairsFrom(withSignature(nearDupCorpus(s, dir)))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Exact n-gram Jaccard on the LSH candidates (verify step of the
-    * candidate→verify dedup pipeline). */
+    * candidate→verify dedup pipeline), computed RELATIONALLY: intersection
+    * sizes via an equi-join on (doc, shingle) over exploded rows, |A∪B| =
+    * |A|+|B|−|A∩B|. No per-row set arrays — the shape that survives
+    * documents too large to hold shingle sets in memory. Integer counts are
+    * identical to the array_intersect/array_union form, so the division is
+    * bit-identical to the oracle's. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val shs = nearDupCorpus(s, dir)
-      .select(col("doc_id"),
-        array_distinct(shinglesC(tokensC(col("text")), ShingleN)).as("sh"))
-    lshCandidatePairs(s, dir)
+    val corpus = nearDupCorpus(s, dir)
+    // shared scan: shingles cached once; signatures, candidate pairs,
+    // set sizes and intersections all derive from it
+    val shs = shingleRows(corpus).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = bandPairsFrom(signaturesFrom(shs)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = pairs
       .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(shs.as("sb"),
+        col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("ni"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sza")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")), "doc_b")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
-          size(array_union(col("sa.sh"), col("sb.sh"))), 6))
+        col("ni").cast(DoubleType) / (col("sza") + col("szb") - col("ni")), 6))
       .filter(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

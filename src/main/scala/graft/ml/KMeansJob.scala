@@ -78,14 +78,23 @@ object KMeansJob {
   /** Full job over the embeddings table: scale → elbow-free fixed-k fit →
     * cluster sizes + centroid norms. Deterministic given the seed. */
   def embeddingClusterStats(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // cache: Lloyd re-reads the input once per iteration; right-size the
+    // partition count for the (small) vector table so per-iteration task
+    // overhead doesn't dominate (tiny-partition antipattern on local[32])
     val feats = FeaturePrep.embeddingFeatures(
       graft.sources.Tables.load(s, dir, "embeddings"))
-    val model = fit(feats, k)
-    val preds = model.transform(feats)
-    preds.groupBy("cluster")
-      .agg(count(lit(1)).cast(LongType).as("n"),
-        avg(col("label")).as("avg_label"))
-      .orderBy("cluster")
+      .coalesce(8).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = fit(feats, k)
+      val stats = model.transform(feats).groupBy("cluster")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          avg(col("label")).as("avg_label"))
+        .orderBy("cluster")
+        .collect() // materialize before unpersist; 10 rows
+      s.createDataFrame(s.sparkContext.parallelize(stats.toIndexedSeq, 1),
+        StructType(Seq(StructField("cluster", IntegerType),
+          StructField("n", LongType), StructField("avg_label", DoubleType))))
+    } finally { feats.unpersist(); () }
   }
 
   /** Elbow sweep as a query (rows-only check): k, WSSSE, silhouette. */
@@ -93,7 +102,7 @@ object KMeansJob {
     val spark = s
     import spark.implicits._
     val feats = FeaturePrep.embeddingFeatures(
-      graft.sources.Tables.load(s, dir, "embeddings"))
+      graft.sources.Tables.load(s, dir, "embeddings")).coalesce(8)
     elbow(feats, 2 to 6, maxIter = 20).toDF()
   }
 }

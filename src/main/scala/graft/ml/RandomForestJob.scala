@@ -47,9 +47,12 @@ object RandomForestJob {
     * metric-band assertions live in the ScalaTest spec. */
   def embeddingRfMetrics(s: SparkSession, dir: String,
                          cfg: RfConfig = RfConfig()): DataFrame = {
+    // coalesce: tree induction runs ~trees×depth jobs; on a small vector
+    // table 32 near-empty partitions make scheduler overhead dominate
     val feats = FeaturePrep.embeddingFeatures(
       graft.sources.Tables.load(s, dir, "embeddings"))
       .withColumn("label", col("label").cast(DoubleType))
+      .coalesce(8)
     val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42L)
     train.cache(); test.cache()
     try {

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextPrims
+import graft.functions.VectorExprs.dotp
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (`embedding:
@@ -12,12 +13,19 @@ import graft.sources.Tables
   * sign-random-projection LSH-bucketed variant as the scale path, kNN label
   * classification, and embedding-cosine near-dup pairs.
   *
-  * Scale design: brute-force top-k broadcasts the (small) query set and
-  * scans candidates once — O(|C|·|Q|) with no all-pairs shuffle; the LSH
-  * variant turns the cross product into an equi-join on a bucket key, which
-  * is the only shape that survives 100 TB. All float math is widened to
-  * double and folded in a FIXED sequential order (aggregate over zip_with),
-  * so cosine values are bit-identical across engines and partitionings.
+  * Scale design:
+  *  - brute-force top-k broadcasts the (small) query set and scans
+  *    candidates once — O(|C|·|Q|) with no all-pairs shuffle;
+  *  - the LSH variant turns the cross product into an equi-join on a
+  *    bucket key — the only shape that survives 100 TB;
+  *  - dot products run in a custom codegen'd Catalyst expression
+  *    (graft.functions.DotProduct) — the higher-order-function form is
+  *    interpreted and dominates the join otherwise;
+  *  - vector norms are computed ONCE per vector before any join (3 folds
+  *    per pair → 1), the same factorization a production ANN system uses.
+  *
+  * All float math is widened to double and folded in a FIXED sequential
+  * order, so cosine values are bit-identical across engines/partitionings.
   *
   * Generalizes the reference's hand-rolled broadcast kNN
   * (knn_classification.py:124-164) to relational form:
@@ -34,35 +42,37 @@ object Similarity {
     Array.tabulate(NumPlanes, Dim)((p, d) => TextPrims.unitFromKey(s"plane$p#$d"))
 
   // ------------------------------------------------------- double-exact math
-  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
-  /** Sequential-fold dot product (left fold, zero 0.0) — order-pinned. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def cosineFromNorms(d: Column, na: Column, nb: Column): Column = d / (na * nb)
 
-  private def planeLit(p: Int): Column = array(planes(p).map(lit): _*)
+  private def planeLit(p: Int): Column =
+    array(planes(p).map(lit): _*).cast(ArrayType(DoubleType))
   /** LSH bucket id: concatenated signs of projections onto the planes. */
   def bucket(e: Column): Column =
     concat((0 until NumPlanes).map(p =>
-      when(dot(e, planeLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      when(dotp(e, planeLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  /** embeddings with double-cast vector `e` and precomputed norm `nrm`. */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding").cast(ArrayType(DoubleType))
     Tables.load(s, dir, "embeddings")
-      .withColumn("e", asDouble(col("embedding")))
+      .withColumn("e", e)
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+  }
 
   /** Brute-force cosine top-k: exact ANN baseline. Queries (vec_id < 10)
     * broadcast against all candidates; window top-k per query. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
     val q = all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val cand = all.select(col("vec_id").as("neighbor_id"), col("e").as("ne"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val cand = all.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+      col("nrm").as("nn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
       .select(col("query_id"), col("neighbor_id"),
@@ -76,14 +86,16 @@ object Similarity {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir).withColumn("bkt", bucket(col("e")))
     val q = all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bkt"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bkt"))
     val cand = all.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
-      col("bkt"))
+      col("nrm").as("nn"), col("bkt"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand.join(broadcast(q), "bkt")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
       .select(col("query_id"), col("neighbor_id"),
@@ -107,14 +119,15 @@ object Similarity {
     val all = emb(s, dir)
     val test = all.filter(col("vec_id") % 7 === 0)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("label").as("true_label"))
+        col("nrm").as("qn"), col("label").as("true_label"))
     val train = all.filter(col("vec_id") % 7 =!= 0)
       .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
-        col("label").as("n_label"))
+        col("nrm").as("nn"), col("label").as("n_label"))
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     val neighbors = train.crossJoin(broadcast(test))
-      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
       .withColumn("rk", row_number().over(wK))
       .filter(col("rk") <= K)
     val wVote = Window.partitionBy(col("query_id"))
@@ -150,12 +163,16 @@ object Similarity {
       base.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("e"), x => x * lit(2.0)).as("e")))
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
       .withColumn("bkt", bucket(col("e")))
-    val a = corpus.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bkt"))
-    val b = corpus.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bkt"))
+    val a = corpus.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("nrm").as("na"), col("bkt"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("nrm").as("nb"), col("bkt"))
     a.join(b, Seq("bkt"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(cosine(col("ea"), col("eb")), 6))
+      .withColumn("cosine", round(
+        cosineFromNorms(dotp(col("ea"), col("eb")), col("na"), col("nb")), 6))
       .filter(col("cosine") >= 0.9999)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
@@ -166,10 +183,13 @@ object Similarity {
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
        |  list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
        |  (x, y) -> x + y)""".stripMargin.replace("\n", " ")
-  private def cosS(a: String, b: String): String =
-    s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
+  /** embeddings CTE with per-vector norm, matching Spark's factorization. */
   private val embS =
-    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings"
+    s"""SELECT vec_id, label, e, sqrt(${dotS("e", "e")}) AS nrm
+       |FROM (SELECT vec_id, label,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings)""".stripMargin.replace("\n", " ")
+  private def simS(d: String, na: String, nb: String): String = s"$d / ($na * $nb)"
   private def planeS(p: Int): String =
     "[" + planes(p).map(_.toString).mkString(", ") + "]"
   private def bucketS(e: String): String =
@@ -182,9 +202,9 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "q31_cosine_topk" ->
       s"""WITH e AS ($embS),
-         |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM e WHERE vec_id < 10),
          |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-         |    ${cosS("q.qe", "n.e")} AS sim
+         |    ${simS(s"${dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
          |  FROM q CROSS JOIN e n WHERE n.vec_id <> q.query_id),
          |r AS (SELECT query_id, neighbor_id, sim,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -194,10 +214,11 @@ object Similarity {
          |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH e0 AS ($embS), $planesCte,
-         |e AS (SELECT vec_id, e, ${bucketS("e")} AS bkt FROM e0, pl),
-         |q AS (SELECT vec_id AS query_id, e AS qe, bkt FROM e WHERE vec_id < 10),
+         |e AS (SELECT vec_id, e, nrm, ${bucketS("e")} AS bkt FROM e0, pl),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bkt
+         |  FROM e WHERE vec_id < 10),
          |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-         |    ${cosS("q.qe", "n.e")} AS sim
+         |    ${simS(s"${dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
          |  FROM q JOIN e n USING (bkt) WHERE n.vec_id <> q.query_id),
          |r AS (SELECT query_id, neighbor_id, sim,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -207,12 +228,14 @@ object Similarity {
          |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
     "q33_knn_classify" ->
       s"""WITH e AS ($embS),
-         |test AS (SELECT vec_id AS query_id, e AS qe, label AS true_label
+         |test AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+         |    label AS true_label
          |  FROM e WHERE vec_id % 7 = 0),
-         |train AS (SELECT vec_id AS neighbor_id, e AS ne, label AS n_label
+         |train AS (SELECT vec_id AS neighbor_id, e AS ne, nrm AS nn,
+         |    label AS n_label
          |  FROM e WHERE vec_id % 7 <> 0),
          |c AS (SELECT query_id, true_label, neighbor_id, n_label,
-         |    ${cosS("qe", "ne")} AS sim
+         |    ${simS(s"${dotS("qe", "ne")}", "qn", "nn")} AS sim
          |  FROM test CROSS JOIN train),
          |nb AS (SELECT query_id, true_label, n_label,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -232,12 +255,14 @@ object Similarity {
         s"CAST(count(CASE WHEN n_label = $i THEN 1 END) AS INTEGER) AS p$i")
         .mkString(", ")
       s"""WITH e AS ($embS),
-         |test AS (SELECT vec_id AS query_id, e AS qe, label AS true_label
+         |test AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+         |    label AS true_label
          |  FROM e WHERE vec_id % 7 = 0),
-         |train AS (SELECT vec_id AS neighbor_id, e AS ne, label AS n_label
+         |train AS (SELECT vec_id AS neighbor_id, e AS ne, nrm AS nn,
+         |    label AS n_label
          |  FROM e WHERE vec_id % 7 <> 0),
          |c AS (SELECT query_id, true_label, neighbor_id, n_label,
-         |    ${cosS("qe", "ne")} AS sim
+         |    ${simS(s"${dotS("qe", "ne")}", "qn", "nn")} AS sim
          |  FROM test CROSS JOIN train),
          |nb AS (SELECT query_id, true_label, n_label,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -262,9 +287,10 @@ object Similarity {
          |  SELECT vec_id + 1000000, list_transform(e, x -> x * 2.0)
          |  FROM e0 WHERE vec_id % 25 = 0),
          |$planesCte,
-         |cb AS (SELECT vec_id, e, ${bucketS("e")} AS bkt FROM corpus, pl),
+         |cb AS (SELECT vec_id, e, sqrt(${dotS("e", "e")}) AS nrm,
+         |    ${bucketS("e")} AS bkt FROM corpus, pl),
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    round(${cosS("a.e", "b.e")}, 6) AS cosine
+         |    round(${simS(s"${dotS("a.e", "b.e")}", "a.nrm", "b.nrm")}, 6) AS cosine
          |  FROM cb a JOIN cb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM p
          |WHERE cosine >= 0.9999 ORDER BY vec_a, vec_b""".stripMargin,
