@@ -72,6 +72,10 @@ object SparkEntry {
     "q41_media_features"      -> ((s, d) => graft.multimodal.Multimodal
       .extractFeatures(graft.multimodal.Multimodal.fromDocuments(s, d))
       .toDF.select("media_id", "kind", "n_bytes").orderBy("media_id")),
+    // corpus-level analytics
+    "q42_corpus_stats"        -> (graft.text.TextOps.corpusStats _),
+    "q43_top_tokens"          -> (graft.text.TextOps.topTokens _),
+    "q44_embedding_stats"     -> (graft.similarity.Similarity.embeddingStats _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

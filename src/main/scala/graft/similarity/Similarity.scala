@@ -154,6 +154,16 @@ object Similarity {
       .orderBy("true_label")
   }
 
+  /** Embedding corpus stats: per-label count and mean L2 norm (codegen'd
+    * dot product; one pass, one low-cardinality hash agg). */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("nrm").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1)), 6).as("mean_norm"))
+      .orderBy("label")
+
   /** Embedding-cosine near-dup pairs: corpus ∪ scaled (×2, cosine-identical)
     * copies of every 25th vector; candidate pairs from shared LSH bucket,
     * verified by exact cosine ≥ 0.9999. */
@@ -294,5 +304,11 @@ object Similarity {
          |  FROM cb a JOIN cb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM p
          |WHERE cosine >= 0.9999 ORDER BY vec_a, vec_b""".stripMargin,
+    "q44_embedding_stats" ->
+      s"""WITH e AS ($embS)
+         |SELECT label, count(*) AS n,
+         |  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_norm
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
   )
 }

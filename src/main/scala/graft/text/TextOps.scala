@@ -90,6 +90,44 @@ object TextOps {
           .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Corpus composition: per (lang, source) doc counts, char volume, mean
+    * quality score — the "what's in my training mix" query. One hash-agg
+    * shuffle on a low-cardinality composite key. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val t = tokensC(col("text"))
+    val words = size(t).cast(DoubleType)
+    val chars = length(col("text")).cast(DoubleType)
+    val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+      .cast(DoubleType)
+    val stops = countInSetC(t, Stopwords).cast(DoubleType)
+    val score = least(words / lit(100.0), lit(1.0)) * lit(0.4) +
+      (stops / words) * lit(0.4) + (lit(1.0) - punct / chars) * lit(0.2)
+    docs(s, dir)
+      // round BEFORE the decimal cast: round-to-6dp is engine-consistent
+      // (q23), after which the DECIMAL(18,6) representation is exact —
+      // casting the raw double directly hits half-up/half-even boundary
+      // differences between engines
+      .withColumn("q", round(score, 6))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        // no final round: double rounding at .5 boundaries is HALF_UP in
+        // Spark vs HALF_EVEN in DuckDB; the unrounded exact-decimal-sum /
+        // count division is bit-identical in both
+        (sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType) /
+          count(lit(1))).as("mean_quality"))
+      .orderBy("lang", "source")
+  }
+
+  /** Vocabulary head: global token frequencies, top 20 with deterministic
+    * tie-break. Two-phase hash agg on the token, then a tiny top-k. */
+  def topTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokensC(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -142,5 +180,24 @@ object TextOps {
          |      list_transform(t, x -> ${hex32S("md5(x)")})),
          |    (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
          |FROM d ORDER BY doc_id""".stripMargin,
+    "q42_corpus_stats" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars, text, $T AS t
+         |  FROM documents),
+         |m AS (SELECT lang, source, n_chars,
+         |    round(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (CAST(${countInSetS("t", Stopwords)} AS DOUBLE)
+         |         / CAST(len(t) AS DOUBLE)) * 0.4
+         |      + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |         / CAST(length(text) AS DOUBLE)) * 0.2, 6) AS q
+         |  FROM d)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  sum(n_chars) AS total_chars,
+         |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    AS mean_quality
+         |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q43_top_tokens" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($T) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
   )
 }
