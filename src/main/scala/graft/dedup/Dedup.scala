@@ -83,10 +83,13 @@ object Dedup {
       explode(array_distinct(shinglesC(tokensC(col("text")), ShingleN)))
         .as("shingle"))
 
-  /** Signatures from shingle ROWS: one partial + final aggregation. */
+  /** Signatures from shingle ROWS: one partial + final HASH aggregation.
+    * MinHash values are numeric (60-bit md5-prefix longs, hex60C) — a
+    * string min would force SortAggregate (strings aren't supported by the
+    * fixed-width hash-agg buffer) and shuffle 32-char hex per signature. */
   private[graft] def signaturesFrom(shingles: DataFrame): DataFrame = {
     val sigs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i#"), col("shingle")))).as(s"sig$i"))
+      min(hex60C(md5(concat(lit(s"$i#"), col("shingle"))))).as(s"sig$i"))
     shingles.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
   }
 
@@ -100,7 +103,8 @@ object Dedup {
   private def bandKeys: Column = {
     val bands = (0 until NumHashes / BandSize).map { b =>
       md5(concat_ws("|",
-        lit(b.toString) +: (0 until BandSize).map(i => col(s"sig${b * BandSize + i}")): _*))
+        lit(b.toString) +: (0 until BandSize).map(i =>
+          col(s"sig${b * BandSize + i}").cast(StringType)): _*))
     }
     array(bands: _*)
   }
@@ -185,7 +189,8 @@ object Dedup {
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
     val sigs = (0 until NumHashes)
-      .map(i => s"${minhashS("sh", i)} AS sig$i").mkString(", ")
+      .map(i => s"list_min(list_transform(sh, x -> ${hex60S(seededMd5S(i, "x"))})) AS sig$i")
+      .mkString(", ")
     s"""WITH corpus AS ($corpus),
        |shs AS (SELECT doc_id, list_distinct(${shinglesS(t, ShingleN)}) AS sh
        |        FROM corpus),
@@ -194,7 +199,8 @@ object Dedup {
 
   private def bandUnnestS: String = {
     val bands = (0 until NumHashes / BandSize).map { b =>
-      val parts = (0 until BandSize).map(i => s"sig${b * BandSize + i}")
+      val parts = (0 until BandSize)
+        .map(i => s"CAST(sig${b * BandSize + i} AS VARCHAR)")
       s"md5('$b' || '|' || ${parts.mkString(" || '|' || ")})"
     }
     s"SELECT doc_id, unnest([${bands.mkString(", ")}]) AS bk FROM sig"

@@ -66,6 +66,17 @@ object TextPrims {
        |  i -> CAST(strpos('$HexDigits', substr($h, i, 1)) - 1 AS BIGINT)),
        |  (a, b) -> a * 16 + b)""".stripMargin.replace("\n", " ")
 
+  /** First 15 hex chars → non-negative Long in [0, 2^60): a numeric hash
+    * with the same ordering properties as the hex string but hash-aggregable
+    * (MinHash min() stays in HashAggregate; 8-byte shuffle rows instead of
+    * 32-char strings). */
+  def hex60C(h: Column): Column =
+    conv(substring(h, 1, 15), 16, 10).cast(LongType)
+  def hex60S(h: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 15),
+       |  i -> CAST(strpos('$HexDigits', substr($h, i, 1)) - 1 AS BIGINT)),
+       |  (a, b) -> a * 16 + b)""".stripMargin.replace("\n", " ")
+
   /** Deterministic pseudo-random double in [-1, 1) derived from a string
     * key — used for LSH hyperplanes; identical on driver (JVM), executors,
     * and in the oracle. */
