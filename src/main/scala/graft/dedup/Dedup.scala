@@ -143,9 +143,11 @@ object Dedup {
     // set sizes and intersections all derive from it
     val shs = shingleRows(corpus).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shs.count() // materialize eagerly: three downstream branches read this
     val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = bandPairsFrom(signaturesFrom(shs)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // two consumers; lazy fill lets concurrent stages race
     val inter = pairs
       .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shs.as("sb"),
