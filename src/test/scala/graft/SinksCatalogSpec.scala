@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.{Sinks, Tables}
+import graft.sql.Catalog
+import org.apache.spark.sql.functions._
+
+class SinksCatalogSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-sinks").toString
+
+  test("parquet/json/csv sinks round-trip (S3, S4, S6)") {
+    val dir = tmp()
+    val src = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Sinks.parquet(src, s"$dir/p")
+    assert(spark.read.parquet(s"$dir/p").count() === src.count())
+    Sinks.json(src, s"$dir/j")
+    assert(spark.read.json(s"$dir/j").count() === src.count())
+    Sinks.csvSample(src, s"$dir/c", 25)
+    val csv = spark.read.option("header", "true").csv(s"$dir/c")
+    assert(csv.count() === 25)
+    assert(csv.columns.toSeq === src.columns.toSeq)
+  }
+
+  test("partitioned parquet write enables partition pruning (SURVEY §4)") {
+    val dir = tmp()
+    Tables.load(spark, sfDir, "orders")
+      .write.partitionBy("o_orderstatus").parquet(s"$dir/part")
+    val pruned = spark.read.parquet(s"$dir/part")
+      .filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    assert(pruned.count() ===
+      Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("JsonDirSink writes result documents (S5/S7 offline stand-in)") {
+    val dir = tmp()
+    import spark.implicits._
+    val doc = Seq(("rf", 0.81, 42)).toDF("model", "accuracy", "seed")
+    new Sinks.JsonDirSink(dir).write("model_results", doc)
+    val back = spark.read.json(s"$dir/model_results")
+    assert(back.count() === 1)
+    assert(back.head.getAs[Double]("accuracy") === 0.81)
+  }
+
+  test("catalog: external CSV table + managed ORC table + SQL entry (S8, S9)") {
+    val dir = tmp()
+    val src = Tables.load(spark, sfDir, "nation")
+    Sinks.csvSample(src, s"$dir/nation_csv", 1000)
+    Catalog.createExternalCsv(spark, "nation_ext", s"$dir/nation_csv",
+      src.schema)
+    assert(spark.sql("SELECT count(*) FROM nation_ext").head.getLong(0) ===
+      src.count())
+    // default warehouse dir (spark.sql.warehouse.dir is a static conf);
+    // DROP TABLE below removes the managed files
+    Catalog.saveAsManagedTable(src, "nation_orc", "orc")
+    assert(spark.sql("SELECT count(*) FROM nation_orc").head.getLong(0) ===
+      src.count())
+    spark.sql("DROP TABLE nation_orc")
+    spark.sql("DROP TABLE nation_ext")
+  }
+
+  test("registerTestdata exposes all tables to spark.sql (SQL entry)") {
+    Catalog.registerTestdata(spark, sfDir)
+    val n = spark.sql(
+      """SELECT n.n_name, count(*) AS c FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    assert(n.count() > 0)
+  }
+}
