@@ -76,6 +76,7 @@ object SparkEntry {
     "q42_corpus_stats"        -> (graft.text.TextOps.corpusStats _),
     "q43_top_tokens"          -> (graft.text.TextOps.topTokens _),
     "q44_embedding_stats"     -> (graft.similarity.Similarity.embeddingStats _),
+    "q45_knn_topk_agg"        -> (graft.similarity.Similarity.knnClassifyAgg _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -139,6 +139,38 @@ object Similarity {
       .filter(col("vr") === 1)
   }
 
+  /** kNN classification via the bounded top-k AGGREGATOR (graft.ml.TopK) —
+    * identical semantics to [[knnClassify]] (same oracle SQL), but the
+    * neighbor selection is a partial-aggregating top-k instead of a window
+    * sort: the shuffle carries O(queries·k) rows, not O(pairs). The 100 TB
+    * form of SURVEY §2.9. */
+  def knnClassifyAgg(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val test = all.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("label").as("true_label"))
+    val train = all.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("id"), col("e").as("ne"),
+        col("nrm").as("nn"), col("label").as("payload"))
+    val pairs = train.crossJoin(broadcast(test.drop("true_label")))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
+      .select("query_id", "sim", "id", "payload")
+    val neighbors = graft.ml.TopK.topKPerGroup(pairs, "query_id", K)
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("payload"))
+    neighbors
+      .groupBy("query_id", "payload")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .join(test.select(col("query_id"), col("true_label")), "query_id")
+      .select(col("query_id").as("vec_id"),
+        col("payload").cast(IntegerType).as("pred_label"),
+        (col("payload") === col("true_label")).cast(IntegerType).as("correct"))
+      .orderBy("vec_id")
+  }
+
   /** Confusion matrix of the relational kNN (M12 pivot form, oracle-checked
     * end-to-end: join + window + vote + pivot in one plan). */
   def knnConfusion(s: SparkSession, dir: String): DataFrame = {
@@ -236,30 +268,7 @@ object Similarity {
          |  FROM c)
          |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
          |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
-    "q33_knn_classify" ->
-      s"""WITH e AS ($embS),
-         |test AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,
-         |    label AS true_label
-         |  FROM e WHERE vec_id % 7 = 0),
-         |train AS (SELECT vec_id AS neighbor_id, e AS ne, nrm AS nn,
-         |    label AS n_label
-         |  FROM e WHERE vec_id % 7 <> 0),
-         |c AS (SELECT query_id, true_label, neighbor_id, n_label,
-         |    ${simS(s"${dotS("qe", "ne")}", "qn", "nn")} AS sim
-         |  FROM test CROSS JOIN train),
-         |nb AS (SELECT query_id, true_label, n_label,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, neighbor_id) AS rk
-         |  FROM c),
-         |votes AS (SELECT query_id, true_label, n_label, count(*) AS votes
-         |  FROM nb WHERE rk <= $K GROUP BY query_id, true_label, n_label),
-         |win AS (SELECT query_id, n_label, true_label,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY votes DESC, n_label) AS vr
-         |  FROM votes)
-         |SELECT query_id AS vec_id, CAST(n_label AS INTEGER) AS pred_label,
-         |  CAST(n_label = true_label AS INTEGER) AS correct
-         |FROM win WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q33_knn_classify" -> knnOracleSql,
     "q35_knn_confusion" -> {
       val pcols = (0 until 10).map(i =>
         s"CAST(count(CASE WHEN n_label = $i THEN 1 END) AS INTEGER) AS p$i")
@@ -310,5 +319,33 @@ object Similarity {
          |  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
          |    AS mean_norm
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
+  ) ++ Map(
+    // q45 = q33 semantics via the top-k aggregator; same oracle
+    "q45_knn_topk_agg" -> knnOracleSql
   )
+
+  private lazy val knnOracleSql: String =
+    s"""WITH e AS ($embS),
+       |test AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+       |    label AS true_label
+       |  FROM e WHERE vec_id % 7 = 0),
+       |train AS (SELECT vec_id AS neighbor_id, e AS ne, nrm AS nn,
+       |    label AS n_label
+       |  FROM e WHERE vec_id % 7 <> 0),
+       |c AS (SELECT query_id, true_label, neighbor_id, n_label,
+       |    ${simS(s"${dotS("qe", "ne")}", "qn", "nn")} AS sim
+       |  FROM test CROSS JOIN train),
+       |nb AS (SELECT query_id, true_label, n_label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM c),
+       |votes AS (SELECT query_id, true_label, n_label, count(*) AS votes
+       |  FROM nb WHERE rk <= $K GROUP BY query_id, true_label, n_label),
+       |win AS (SELECT query_id, n_label, true_label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, n_label) AS vr
+       |  FROM votes)
+       |SELECT query_id AS vec_id, CAST(n_label AS INTEGER) AS pred_label,
+       |  CAST(n_label = true_label AS INTEGER) AS correct
+       |FROM win WHERE vr = 1 ORDER BY vec_id""".stripMargin
 }
