@@ -36,7 +36,15 @@ object Tables {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // AQE re-renders the physical-plan DESCRIPTION string on every stage
+    // update (even with the UI off, for listener events). Queries whose
+    // expression trees embed large literal arrays (LSH hyperplanes: 8×64
+    // doubles) make that rendering O(minutes) of driver CPU per query —
+    // observed as a single pegged thread in generateTreeString. Capping
+    // the plan string short-circuits the renderer; correctness and the
+    // actual plans are unaffected.
+    "spark.sql.maxPlanStringLength" -> "65536")
 
   /** CSV scan with explicit schema (S1) — one pass, no inference job. */
   def csv(spark: SparkSession, path: String, schema: StructType,
