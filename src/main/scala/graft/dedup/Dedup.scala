@@ -65,7 +65,7 @@ object Dedup {
     * 128-bit key; at 100 TB this is the cheapest possible exact dedup (no
     * sort, map-side partial agg). */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    dupCorpus(s, dir)
+    Tables.fanOut(dupCorpus(s, dir), "doc_id")
       .withColumn("h",
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
       .groupBy("h")
@@ -77,9 +77,11 @@ object Dedup {
   /** Distinct shingles as ROWS (doc_id, shingle) — the scale-correct shape:
     * seeded hashes become codegen'd projections over exploded rows and the
     * signature is a hash aggregation, instead of interpreted higher-order
-    * lambdas over per-doc arrays. */
+    * lambdas over per-doc arrays. The input fans out first: shingling +
+    * seeded hashing is the compute-dense stage of the whole dedup pipeline,
+    * and must never run at single-file parallelism (Tables.fanOut). */
   private[graft] def shingleRows(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
+    Tables.fanOut(df, "doc_id").select(col("doc_id"),
       explode(array_distinct(shinglesC(tokensC(col("text")), ShingleN)))
         .as("shingle"))
 
@@ -173,7 +175,7 @@ object Dedup {
 
   /** SimHash over any (doc_id, text) frame. */
   def simhashOf(input: DataFrame): DataFrame = {
-    val tk = input
+    val tk = Tables.fanOut(input, "doc_id")
       .select(col("doc_id"), explode(tokensC(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val sums = (0 until 32).map { j =>

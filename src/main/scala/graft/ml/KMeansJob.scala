@@ -36,18 +36,36 @@ object KMeansJob {
       .evaluate(predictions)
 
   /** M8: elbow sweep — WSSSE (model.summary.trainingCost) + silhouette per
-    * k; caches the input across fits. */
+    * k; caches the input across fits (materialized eagerly so concurrent
+    * fits never race the lazy cache fill and recompute the subtree).
+    *
+    * `parallel=true` runs the k fits as concurrent Spark jobs — right when
+    * the sweep input is a (sampled) frame far smaller than the cluster, so
+    * one fit can't saturate it and the sweep is scheduler-bound. Leave
+    * sequential when each fit already uses the whole cluster (the 100 TB
+    * full-data case). Results are identical either way: each fit is
+    * independently seeded and Future.sequence preserves k order. */
   def elbow(df: DataFrame, kRange: Seq[Int], featuresCol: String = "features",
             seed: Long = 42L, maxIter: Int = 30,
-            evalFraction: Double = 1.0): Seq[ElbowPoint] = {
+            evalFraction: Double = 1.0, parallel: Boolean = false): Seq[ElbowPoint] = {
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    try kRange.map { k =>
+    cached.count()
+    def point(k: Int): ElbowPoint = {
       val model = fit(cached, k, featuresCol, seed, maxIter)
       val preds = model.transform(cached)
       val evalSet =
         if (evalFraction >= 1.0) preds
         else preds.sample(withReplacement = false, evalFraction, seed)
       ElbowPoint(k, model.summary.trainingCost, silhouette(evalSet, featuresCol))
+    }
+    try {
+      if (parallel) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(Future.sequence(kRange.map(k => Future(point(k)))),
+          Duration.Inf)
+      } else kRange.map(point)
     } finally { cached.unpersist(); () }
   }
 
@@ -78,12 +96,15 @@ object KMeansJob {
   /** Full job over the embeddings table: scale → elbow-free fixed-k fit →
     * cluster sizes + centroid norms. Deterministic given the seed. */
   def embeddingClusterStats(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    // cache: Lloyd re-reads the input once per iteration; right-size the
-    // partition count for the (small) vector table so per-iteration task
-    // overhead doesn't dominate (tiny-partition antipattern on local[32])
+    // cache: Lloyd re-reads the input once per iteration; fan the
+    // single-split scan out to a few balanced partitions (coalesce can't
+    // widen a 1-partition input) and keep row order deterministic so the
+    // seeded k-means|| init is reproducible
     val feats = FeaturePrep.embeddingFeatures(
-      graft.sources.Tables.load(s, dir, "embeddings"))
-      .coalesce(8).persist(StorageLevel.MEMORY_AND_DISK)
+      graft.sources.Tables.fanOut(
+        graft.sources.Tables.load(s, dir, "embeddings"), "vec_id", 8)
+        .sortWithinPartitions("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val model = fit(feats, k)
       val stats = model.transform(feats).groupBy("cluster")
@@ -97,12 +118,15 @@ object KMeansJob {
     } finally { feats.unpersist(); () }
   }
 
-  /** Elbow sweep as a query (rows-only check): k, WSSSE, silhouette. */
+  /** Elbow sweep as a query (rows-only check): k, WSSSE, silhouette.
+    * The sweep input is tiny relative to the cluster → parallel fits. */
   def embeddingElbow(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     val feats = FeaturePrep.embeddingFeatures(
-      graft.sources.Tables.load(s, dir, "embeddings")).coalesce(8)
-    elbow(feats, 2 to 6, maxIter = 20).toDF()
+      graft.sources.Tables.fanOut(
+        graft.sources.Tables.load(s, dir, "embeddings"), "vec_id", 8)
+        .sortWithinPartitions("vec_id"))
+    elbow(feats, 2 to 6, maxIter = 20, parallel = true).toDF()
   }
 }

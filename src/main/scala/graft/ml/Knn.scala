@@ -78,6 +78,10 @@ object Knn {
       .select(col(featuresCol), col(labelCol).cast(IntegerType))
       .collect()
       .map(r => (r.getAs[Vector](0), r.getInt(1)))
+    // an empty broadcast train set must fail loudly here, not flow a fake
+    // label (-1) into the output downstream
+    require(trainArr.nonEmpty,
+      s"Knn.predict: train set is empty (filtered out upstream?)")
     val bc = spark.sparkContext.broadcast(trainArr)
     val outSchema = StructType(test.schema.fields :+
       StructField("prediction", IntegerType, nullable = false))

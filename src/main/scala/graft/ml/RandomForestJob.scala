@@ -47,12 +47,14 @@ object RandomForestJob {
     * metric-band assertions live in the ScalaTest spec. */
   def embeddingRfMetrics(s: SparkSession, dir: String,
                          cfg: RfConfig = RfConfig()): DataFrame = {
-    // coalesce: tree induction runs ~trees×depth jobs; on a small vector
-    // table 32 near-empty partitions make scheduler overhead dominate
+    // fan-out: tree induction's per-node split aggregation is the hot
+    // stage; a single-split scan would run it on ONE core (coalesce can't
+    // widen a 1-partition input). Deterministic order for the seeded split.
     val feats = FeaturePrep.embeddingFeatures(
-      graft.sources.Tables.load(s, dir, "embeddings"))
+      graft.sources.Tables.fanOut(
+        graft.sources.Tables.load(s, dir, "embeddings"), "vec_id", 8)
+        .sortWithinPartitions("vec_id"))
       .withColumn("label", col("label").cast(DoubleType))
-      .coalesce(8)
     val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42L)
     train.cache(); test.cache()
     try {

@@ -46,6 +46,23 @@ object Tables {
     // actual plans are unaffected.
     "spark.sql.maxPlanStringLength" -> "65536")
 
+  /** Fan a small/single-split input out to cluster parallelism before a
+    * compute-dense narrow stage (shingling, hashing, vector math).
+    *
+    * A single-row-group parquet file scans as ONE non-empty task, so every
+    * narrow operator chained on it runs single-threaded no matter how many
+    * cores the cluster has — the per-doc compute, not the I/O, becomes the
+    * bottleneck. At 100 TB inputs arrive in thousands of splits and this is
+    * a no-op (guarded on the actual partition count — never an extra shuffle
+    * on data that is already wide); on a dim-table-sized input the few-MB
+    * hash exchange buys a `target`-way hot stage. */
+  def fanOut(df: DataFrame, keyCol: String, target: Int = 0): DataFrame = {
+    val t = if (target > 0) target
+            else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= t) df
+    else df.repartition(t, org.apache.spark.sql.functions.col(keyCol))
+  }
+
   /** CSV scan with explicit schema (S1) — one pass, no inference job. */
   def csv(spark: SparkSession, path: String, schema: StructType,
           header: Boolean = true): DataFrame =

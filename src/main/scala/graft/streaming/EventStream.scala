@@ -73,32 +73,50 @@ object EventStream {
                                sum_value: Double)
 
   /** Gap-based sessionization: events for a user belong to one session while
-    * gaps stay under `gapMs`; a session is emitted when the gap is exceeded
-    * or the state times out (processing-time timeout keeps the example
-    * deterministic under test). */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    * gaps stay under `gapMs`; a session is emitted when the gap is exceeded,
+    * or — for the trailing open session — when no new events arrive for
+    * `idleTimeout` of processing time (the state times out, the session is
+    * flushed and evicted, so per-user state never lives forever).
+    *
+    * Batch-mode caveat (Spark semantics, not ours): in a batch run of
+    * flatMapGroupsWithState there are no subsequent micro-batches, so
+    * timeouts never fire and the trailing session per user is not emitted. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 idleTimeout: String = "30 seconds"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case (userId, evs, state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption.orNull
-          val out = scala.collection.mutable.ListBuffer.empty[UserSession]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (cur == null) cur = SessionState(t, t, 0, 0.0)
-            else if (t - cur.lastTs > gapMs) {
-              out += UserSession(userId, new java.sql.Timestamp(cur.start),
-                new java.sql.Timestamp(cur.lastTs), cur.nEvents, cur.sumValue)
-              cur = SessionState(t, t, 0, 0.0)
+          def emit(st: SessionState) =
+            UserSession(userId, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.lastTs), st.nEvents, st.sumValue)
+          if (state.hasTimedOut) {
+            // idle user: flush the open session and drop the state
+            val closed = state.getOption.map(emit)
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption.orNull
+            val out = scala.collection.mutable.ListBuffer.empty[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 0, 0.0)
+              else if (t - cur.lastTs > gapMs) {
+                out += emit(cur)
+                cur = SessionState(t, t, 0, 0.0)
+              }
+              cur = cur.copy(lastTs = t, nEvents = cur.nEvents + 1,
+                sumValue = cur.sumValue + e.value)
             }
-            cur = cur.copy(lastTs = t, nEvents = cur.nEvents + 1,
-              sumValue = cur.sumValue + e.value)
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutDuration(idleTimeout)
+            }
+            out.iterator
           }
-          if (cur != null) state.update(cur)
-          out.iterator
       }
   }
 

@@ -191,7 +191,7 @@ object TextOps {
          |         / CAST(length(text) AS DOUBLE)) * 0.2, 6) AS q
          |  FROM d)
          |SELECT lang, source, count(*) AS n_docs,
-         |  sum(n_chars) AS total_chars,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)
          |    AS mean_quality
          |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
