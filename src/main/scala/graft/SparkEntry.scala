@@ -71,12 +71,27 @@ object SparkEntry {
     "q40_media_metadata"      -> (graft.multimodal.Multimodal.mediaMetadata _),
     "q41_media_features"      -> ((s, d) => graft.multimodal.Multimodal
       .extractFeatures(graft.multimodal.Multimodal.fromDocuments(s, d))
-      .toDF.select("media_id", "kind", "n_bytes").orderBy("media_id")),
+      .toDF.select("media_id", "kind", "n_bytes", "top_bin").orderBy("media_id")),
     // corpus-level analytics
     "q42_corpus_stats"        -> (graft.text.TextOps.corpusStats _),
     "q43_top_tokens"          -> (graft.text.TextOps.topTokens _),
     "q44_embedding_stats"     -> (graft.similarity.Similarity.embeddingStats _),
     "q45_knn_topk_agg"        -> (graft.similarity.Similarity.knnClassifyAgg _),
+    // advanced relational surface (beyond-reference warehouse shapes)
+    "q46_rollup"              -> (graft.analytics.Advanced.rollupAgg _),
+    "q47_cube"                -> (graft.analytics.Advanced.cubeAgg _),
+    "q48_asof_join"           -> (graft.analytics.Advanced.asofJoin _),
+    "q49_range_join"          -> (graft.analytics.Advanced.rangeJoinBucketed _),
+    "q50_sessionize_batch"    -> (graft.analytics.Advanced.sessionizeBatch _),
+    "q51_ntile_ranks"         -> (graft.analytics.Advanced.ntileRanks _),
+    "q52_string_funcs"        -> (graft.analytics.Advanced.stringFuncs _),
+    "q53_array_funcs"         -> (graft.analytics.Advanced.arrayFuncs _),
+    "q54_grouped_quantiles"   -> (graft.analytics.Advanced.groupedQuantiles _),
+    "q55_above_cust_avg"      -> (graft.analytics.Advanced.aboveCustomerAvg _),
+    "q56_first_last_window"   -> (graft.analytics.Advanced.firstLastWindow _),
+    // oracle-verified iterative ML + weighted-vote kNN
+    "q57_kmeans_lloyd"        -> (graft.ml.LloydExact.clusterQuery _),
+    "q58_knn_weighted"        -> (graft.similarity.Similarity.knnWeighted _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -226,5 +241,6 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
   ) ++ graft.text.TextOps.oracleSql ++ graft.dedup.Dedup.oracleSql ++
-    graft.similarity.Similarity.oracleSql ++ graft.multimodal.Multimodal.oracleSql
+    graft.similarity.Similarity.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
+    graft.analytics.Advanced.oracleSql ++ graft.ml.LloydExact.oracleSql
 }

@@ -1,0 +1,346 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import Relational.{dsum, davg}
+
+/** Advanced relational operators beyond the reference's surface — the query
+  * shapes a production Spark warehouse relies on that SURVEY.md §2.5 notes
+  * the reference never exercises: multi-level aggregation (ROLLUP/CUBE),
+  * as-of and range joins, batch sessionization (gaps-and-islands), ranking
+  * windows, frame-based first/last, grouped exact quantiles, and the
+  * string/array scalar-function families.
+  *
+  * Every query here is DuckDB-oracle-checked (bit-exact): floating
+  * aggregates go through Relational.dsum; time arithmetic stays in integer
+  * microseconds until one final double division; sort keys are never
+  * nullable (Spark default NULLS FIRST vs DuckDB NULLS LAST would silently
+  * reorder).
+  *
+  * Scale notes per operator live on each method.
+  */
+object Advanced {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** ROLLUP aggregation — detail, per-status subtotal, grand total in ONE
+    * pass (Catalyst expands grouping sets into a single Expand + hash agg:
+    * no extra scans, partial aggregation still applies). Grouping columns
+    * are coalesced to 'ALL' so sort keys stay non-null. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast(IntegerType).as("lvl"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("lvl"), col("n"), col("revenue"))
+      .orderBy("lvl", "status", "priority")
+
+  /** CUBE aggregation — all 2^k grouping-set combinations in one Expand +
+    * hash agg pass. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(IntegerType).as("lvl"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("lvl"), col("n"), col("sum_qty"))
+      .orderBy("lvl", "returnflag", "linestatus")
+
+  /** As-of join: for every `click` event, the most recent `error` event of
+    * the same user at-or-before it — the standard point-in-time lookup.
+    *
+    * Implementation is the UNION + ordered-window form, not a per-row
+    * backward probe: tag both streams, sort within user by (ts, tag), and
+    * carry the last non-null error timestamp forward. One shuffle on
+    * user_id, O(n log n_partition) local sort, no join explosion — at
+    * 100 TB this is the only as-of shape that doesn't build a per-key
+    * index or cross product. Ties (error.ts == click.ts) count as "before",
+    * which ordering by tag (errors first) encodes. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
+        lit(null).cast(TimestampType).as("err_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"),
+        col("ts").as("err_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("last_err_ts", last(col("err_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        ((unix_micros(col("ts")) - unix_micros(col("last_err_ts")))
+          .cast(DoubleType) / 1e6).as("asof_gap_s"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: pairs of same-user events within one hour of each other,
+    * via BUCKETED equi-join — each left row fans out to its hour bucket ± 1
+    * and joins on (user, bucket), then the exact |Δt| ≤ 1h predicate
+    * filters. Turns an inequality join (Spark: broadcast-nested-loop, the
+    * at-scale killer) into a hash join whose fan-out is a constant 3×.
+    * Each qualifying pair matches on exactly one bucket value, so no
+    * dedup pass is needed. */
+  def rangeJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val rangeS = 3600L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bkt", floor(col("us") / (rangeS * 1000000L)))
+    val left = ev.select(col("user_id"), col("event_id").as("event_a"),
+        col("us").as("us_a"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
+    val right = ev.select(col("user_id"), col("event_id").as("event_b"),
+      col("us").as("us_b"), col("bkt").as("jb"))
+    left.join(right, Seq("user_id", "jb"))
+      .filter(col("event_a") < col("event_b") &&
+        abs(col("us_a") - col("us_b")) <= rangeS * 1000000L)
+      .select(col("user_id"), col("event_a"), col("event_b"),
+        ((col("us_b") - col("us_a")).cast(DoubleType) / 1e6).as("gap_s"))
+      .orderBy("user_id", "event_a", "event_b")
+  }
+
+  /** Batch sessionization (gaps-and-islands): a new session starts when the
+    * in-user gap exceeds 2 h; session id = running count of session starts.
+    * Two windows over ONE shuffle on user_id (same partitioning, same
+    * ordering — Spark reuses the sort), then a hash agg. The batch twin of
+    * streaming EventStream.sessionize. */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    val gapS = 7200L
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapS * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("brk")).over(wRun).cast(IntegerType))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Ranking-window family: ntile quartile, percent_rank, cume_dist over a
+    * deterministic total order. One global sort — at scale this is a range
+    * exchange (sampled boundaries), the same machinery orderBy uses. */
+  def ntileRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("o_orderkey")
+  }
+
+  /** String scalar-function family over customer names (length, case,
+    * substring, replace, pad, split, regexp extraction) — all codegen'd
+    * built-ins, no UDFs (SURVEY §2.11 policy). */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        length(col("c_name")).as("name_len"),
+        upper(expr("replace(c_name, 'Customer#', 'C-')")).as("renamed"),
+        expr("right(c_name, 3)").as("last3"),
+        lpad(col("c_custkey").cast(StringType), 8, "0").as("padded"),
+        expr("split_part(c_name, '#', 2)").as("num_part"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))
+      .orderBy("c_custkey")
+
+  /** Array scalar-function family over tokenized documents (size, distinct,
+    * sort, slice, join, membership) — the higher-order-function surface a
+    * text pipeline leans on. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val tk = graft.functions.TextPrims.tokensC(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tk).as("n_tokens"),
+        size(array_distinct(tk)).as("n_distinct"),
+        array_join(slice(array_sort(array_distinct(tk)), 1, 3), " ")
+          .as("first3_sorted"),
+        array_contains(tk, "the").cast(IntegerType).as("has_the"))
+      .orderBy("doc_id")
+  }
+
+  /** Grouped EXACT quantiles (median/p25/p75 per group) — exact percentile
+    * so the result is merge-order-independent (SURVEY §7.4 risk 4), unlike
+    * approxQuantile. */
+  def groupedQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75_price"))
+      .orderBy("o_orderstatus")
+
+  /** Scalar-subquery pattern decorrelated by hand: orders above their
+    * customer's own average price. Aggregate once, join back — the
+    * decorrelation Catalyst itself would apply to the correlated SQL form,
+    * made explicit. Exact decimal mean on both sides. */
+  def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    // NOT rounded: Spark rounds doubles HALF_UP, DuckDB HALF_EVEN — they
+    // disagree at .5 boundaries. The unrounded mean is already bit-exact
+    // on both sides (identical decimal sum, identical single division).
+    val avgs = o.groupBy(col("o_custkey").as("ck"))
+      .agg(davg(col("o_totalprice")).as("cust_avg"))
+    o.join(avgs, o("o_custkey") === avgs("ck"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+      .orderBy("o_orderkey")
+  }
+
+  /** Frame-based first/last window values: each customer's first and last
+    * order key over the full partition frame, emitted once per customer via
+    * row_number — one shuffle + one local sort serves all four windows
+    * (same partitioning and ordering). */
+  def firstLastWindow(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .withColumn("first_order", first(col("o_orderkey")).over(full))
+      .withColumn("last_order", last(col("o_orderkey")).over(full))
+      .withColumn("n_orders", count(lit(1)).over(full))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "first_order", "last_order", "n_orders")
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q46_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS lvl,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY lvl, status, priority""".stripMargin,
+    "q47_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS lvl,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY lvl, returnflag, linestatus""".stripMargin,
+    "q48_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'click'),
+        |  errors AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(epoch_us(CAST(c.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(e.ts AS TIMESTAMP)) AS DOUBLE) / 1e6 AS asof_gap_s
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY event_id""".stripMargin,
+    "q49_range_join" ->
+      """SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |  CAST(epoch_us(CAST(b.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(a.ts AS TIMESTAMP)) AS DOUBLE) / 1e6 AS gap_s
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(CAST(a.ts AS TIMESTAMP))
+        |        - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000
+        |ORDER BY user_id, event_a, event_b""".stripMargin,
+    "q50_sessionize_batch" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 7200000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+        |      AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q51_ntile_ranks" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q52_string_funcs" ->
+      """SELECT c_custkey,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  upper(replace(c_name, 'Customer#', 'C-')) AS renamed,
+        |  right(c_name, 3) AS last3,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  split_part(c_name, '#', 2) AS num_part,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q53_array_funcs" -> {
+      val T = graft.functions.TextPrims.tokensS("text")
+      s"""SELECT doc_id,
+         |  CAST(len($T) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct($T)) AS INTEGER) AS n_distinct,
+         |  array_to_string(list_slice(list_sort(list_distinct($T)), 1, 3), ' ')
+         |    AS first3_sorted,
+         |  CAST(list_contains($T, 'the') AS INTEGER) AS has_the
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q54_grouped_quantiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q55_above_cust_avg" ->
+      """WITH avgs AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      / COUNT(o_totalprice) AS cust_avg
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+        |FROM orders JOIN avgs ON o_custkey = ck
+        |WHERE o_totalprice > cust_avg
+        |ORDER BY o_orderkey""".stripMargin,
+    "q56_first_last_window" ->
+      """SELECT o_custkey, first_order, last_order, n_orders FROM (
+        |  SELECT o_custkey,
+        |    first_value(o_orderkey) OVER wf AS first_order,
+        |    last_value(o_orderkey) OVER wf AS last_order,
+        |    COUNT(*) OVER wf AS n_orders,
+        |    ROW_NUMBER() OVER wo AS rn
+        |  FROM orders
+        |  WINDOW
+        |    wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+  )
+}

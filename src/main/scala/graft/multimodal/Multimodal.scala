@@ -63,7 +63,8 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
   final case class MediaFeatures(media_id: Long, kind: String,
-                                 n_bytes: Long, features: Array[Float])
+                                 n_bytes: Long, features: Array[Float],
+                                 top_bin: Int)
 
   /** Feature extraction over binary content via typed mapPartitions — the
     * batch shape a real decoder would use (iterate a partition, run the
@@ -78,20 +79,37 @@ object Multimodal {
     media.select("media_id", "kind", "content").as[MediaRow]
       .mapPartitions { iter =>
         iter.map { m =>
+          val counts = byteCounts(m.content)
           MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
-            byteHistogram(m.content))
+            normalize(counts, m.content.length), topBin(counts))
         }
       }
   }
 
-  private[graft] def byteHistogram(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
+  private[graft] def byteCounts(bytes: Array[Byte]): Array[Int] = {
+    val counts = new Array[Int](16)
     var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
-    if (bytes.length > 0) { var j = 0
-      while (j < 16) { hist(j) /= bytes.length.toFloat; j += 1 } }
+    while (i < bytes.length) { counts((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+    counts
+  }
+
+  private def normalize(counts: Array[Int], len: Int): Array[Float] = {
+    val hist = new Array[Float](16)
+    if (len > 0) { var j = 0
+      while (j < 16) { hist(j) = counts(j) / len.toFloat; j += 1 } }
     hist
   }
+
+  /** Dominant high-nibble bin, ties toward the smaller bin — integer-exact,
+    * the oracle-checkable projection of the stub features. */
+  private[graft] def topBin(counts: Array[Int]): Int = {
+    var best = 0; var j = 1
+    while (j < 16) { if (counts(j) > counts(best)) best = j; j += 1 }
+    best
+  }
+
+  private[graft] def byteHistogram(bytes: Array[Byte]): Array[Float] =
+    normalize(byteCounts(bytes), bytes.length)
 
   /** "Resize" — STUB: truncates/pads the payload to the target byte budget
     * and rewrites metadata, preserving the narrow-map distributed shape of
@@ -121,6 +139,26 @@ object Multimodal {
   /** q40 oracle: metadata extraction is SQL-expressible (md5 of utf-8 text
     * bytes = md5 of the blob). */
   def oracleSql: Map[String, String] = Map(
+    // q41: the stub features' integer projection (dominant high-nibble bin)
+    // is SQL-expressible because documents are printable ASCII: per-char
+    // code >> 4 == per-utf8-byte nibble.
+    "q41_media_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, length(text)),
+        |    i -> ascii(substr(text, CAST(i AS INTEGER), 1)) >> 4)) AS bin
+        |  FROM documents),
+        |counts AS (SELECT doc_id, bin, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |top AS (SELECT doc_id, bin,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin) AS rn
+        |  FROM counts)
+        |SELECT d.doc_id AS media_id,
+        |  CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(t.bin, 0) AS INTEGER) AS top_bin
+        |FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+        |ORDER BY media_id""".stripMargin,
     "q40_media_metadata" ->
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

@@ -171,6 +171,40 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Distance-WEIGHTED kNN vote (the notebook's weights='distance', SURVEY
+    * §2.8 M15): each of the k cosine neighbors votes with 1/(1−sim+1e-9);
+    * argmax of the per-label weight sum, ties toward the smaller label.
+    * Weight sums go through exact DECIMAL(28,9) so the vote is independent
+    * of accumulation order (doubles are dyadic — the decimal cast has no
+    * cross-engine rounding edge; see LloydExact scaladoc). */
+  def knnWeighted(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val test = all.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("label").as("true_label"))
+    val train = all.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn"), col("label").as("n_label"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("wsum").desc, col("n_label"))
+    train.crossJoin(broadcast(test))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= K)
+      .withColumn("w", lit(1.0) / (lit(1.0) - col("sim") + lit(1e-9)))
+      .groupBy(col("query_id"), col("n_label"), col("true_label"))
+      .agg(sum(col("w").cast(DecimalType(28, 9))).cast(DoubleType).as("wsum"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id").as("vec_id"),
+        col("n_label").cast(IntegerType).as("pred_label"),
+        (col("n_label") === col("true_label")).cast(IntegerType).as("correct"))
+      .orderBy("vec_id")
+  }
+
   /** Confusion matrix of the relational kNN (M12 pivot form, oracle-checked
     * end-to-end: join + window + vote + pivot in one plan). */
   def knnConfusion(s: SparkSession, dir: String): DataFrame = {
@@ -321,7 +355,33 @@ object Similarity {
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
   ) ++ Map(
     // q45 = q33 semantics via the top-k aggregator; same oracle
-    "q45_knn_topk_agg" -> knnOracleSql
+    "q45_knn_topk_agg" -> knnOracleSql,
+    "q58_knn_weighted" ->
+      s"""WITH e AS ($embS),
+         |test AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+         |    label AS true_label
+         |  FROM e WHERE vec_id % 7 = 0),
+         |train AS (SELECT vec_id AS neighbor_id, e AS ne, nrm AS nn,
+         |    label AS n_label
+         |  FROM e WHERE vec_id % 7 <> 0),
+         |c AS (SELECT query_id, true_label, neighbor_id, n_label,
+         |    ${simS(s"${dotS("qe", "ne")}", "qn", "nn")} AS sim
+         |  FROM test CROSS JOIN train),
+         |nb AS (SELECT query_id, true_label, n_label, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rk
+         |  FROM c),
+         |votes AS (SELECT query_id, true_label, n_label,
+         |    CAST(SUM(CAST(1.0 / (1.0 - sim + 1e-9) AS DECIMAL(28,9)))
+         |      AS DOUBLE) AS wsum
+         |  FROM nb WHERE rk <= $K GROUP BY query_id, true_label, n_label),
+         |win AS (SELECT query_id, n_label, true_label,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY wsum DESC, n_label) AS vr
+         |  FROM votes)
+         |SELECT query_id AS vec_id, CAST(n_label AS INTEGER) AS pred_label,
+         |  CAST(n_label = true_label AS INTEGER) AS correct
+         |FROM win WHERE vr = 1 ORDER BY vec_id""".stripMargin
   )
 
   private lazy val knnOracleSql: String =

@@ -80,14 +80,23 @@ object EventStream {
     *
     * Batch-mode caveat (Spark semantics, not ours): in a batch run of
     * flatMapGroupsWithState there are no subsequent micro-batches, so
-    * timeouts never fire and the trailing session per user is not emitted. */
+    * timeouts never fire and the trailing session per user is not emitted.
+    *
+    * `idleTimeout = None` disables the flush (NoTimeout): trailing sessions
+    * then stay in state deliberately — the deterministic mode tests use
+    * (with a processing-time timeout the engine keeps scheduling
+    * timeout-check batches, so MemoryStream + processAllAvailable never
+    * quiesces). */
   def sessionize(events: Dataset[Event], gapMs: Long,
-                 idleTimeout: String = "30 seconds"): Dataset[UserSession] = {
+                 idleTimeout: Option[String] = Some("30 seconds")): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (userId, evs, state: GroupState[SessionState]) =>
           def emit(st: SessionState) =
             UserSession(userId, new java.sql.Timestamp(st.start),
@@ -113,7 +122,7 @@ object EventStream {
             }
             if (cur != null) {
               state.update(cur)
-              state.setTimeoutDuration(idleTimeout)
+              idleTimeout.foreach(state.setTimeoutDuration)
             }
             out.iterator
           }

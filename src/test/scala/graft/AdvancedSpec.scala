@@ -1,0 +1,76 @@
+package graft
+
+import graft.analytics.Advanced
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the advanced relational surface (q46-q56). The
+  * DuckDB oracle is the exactness gate; these assert self-contained
+  * properties that hold at any scale factor. */
+class AdvancedSpec extends SparkSpec {
+
+  test("rollup: detail counts sum to subtotals, subtotals to grand total") {
+    val rows = Advanced.rollupAgg(spark, sfDir).collect()
+    val total = rows.filter(_.getAs[Int]("lvl") === 3)
+    assert(total.length === 1)
+    val detailSum = rows.filter(_.getAs[Int]("lvl") === 0)
+      .map(_.getAs[Long]("n")).sum
+    assert(detailSum === total.head.getAs[Long]("n"))
+    val subSum = rows.filter(_.getAs[Int]("lvl") === 1)
+      .map(_.getAs[Long]("n")).sum
+    assert(subSum === total.head.getAs[Long]("n"))
+  }
+
+  test("cube emits all four grouping levels") {
+    val lvls = Advanced.cubeAgg(spark, sfDir).select("lvl").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(lvls === Set(0, 1, 2, 3))
+  }
+
+  test("asof join: one row per click; gaps non-negative or null") {
+    val df = Advanced.asofJoin(spark, sfDir)
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    assert(df.count() === ev.filter(col("event_type") === "click").count())
+    assert(df.filter(col("asof_gap_s") < 0).count() === 0)
+  }
+
+  test("range join matches the naive inequality join exactly") {
+    val bucketed = Advanced.rangeJoinBucketed(spark, sfDir)
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("user_id"), col("event_id").as("event_a"), col("us").as("ua"))
+    val b = ev.select(col("user_id"), col("event_id").as("event_b"), col("us").as("ub"))
+    val naive = a.join(b, Seq("user_id"))
+      .filter(col("event_a") < col("event_b") &&
+        abs(col("ua") - col("ub")) <= 3600L * 1000000L)
+    assert(bucketed.count() === naive.count())
+    assert(bucketed.join(naive, Seq("user_id", "event_a", "event_b"), "left_anti")
+      .count() === 0)
+  }
+
+  test("sessionize batch: session event counts cover every event; gaps split") {
+    val sess = Advanced.sessionizeBatch(spark, sfDir)
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    assert(sess.agg(sum("n_events")).first().getLong(0) === ev.count())
+    // every session spans <= its events' range and starts at idx 1 per user
+    assert(sess.filter(col("session_start") > col("session_end")).count() === 0)
+    assert(sess.groupBy("user_id").agg(min("session_idx").as("m"))
+      .filter(col("m") =!= 1).count() === 0)
+  }
+
+  test("ntile quartiles are balanced within one row") {
+    val sizes = Advanced.ntileRanks(spark, sfDir)
+      .groupBy("quartile").count().collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("aboveCustomerAvg keeps only strictly-above orders") {
+    val df = Advanced.aboveCustomerAvg(spark, sfDir)
+    assert(df.filter(col("o_totalprice") <= col("cust_avg")).count() === 0)
+  }
+
+  test("firstLastWindow: one row per ordering customer, first<=last date") {
+    val df = Advanced.firstLastWindow(spark, sfDir)
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+    assert(df.count() === o.select("o_custkey").distinct().count())
+  }
+}

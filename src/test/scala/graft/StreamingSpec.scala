@@ -51,7 +51,11 @@ class StreamingSpec extends SparkSpec {
       Event(2, ts(5), 7, "view", 2.0),
       Event(3, ts(40), 7, "view", 4.0), // 35-min gap → new session
       Event(4, ts(0), 9, "click", 8.0))
-    val sessions = EventStream.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+    // idleTimeout=None → deterministic NoTimeout mode: trailing open
+    // sessions stay in state (the default Some(...) flushes them on a
+    // processing-time timeout, which never quiesces under MemoryStream)
+    val sessions = EventStream.sessionize(input.toDS(),
+      gapMs = 30 * 60 * 1000L, idleTimeout = None)
     val q = sessions.writeStream.format("memory").queryName("sessions_out")
       .outputMode(OutputMode.Append()).start()
     try {
