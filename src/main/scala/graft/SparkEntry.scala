@@ -92,6 +92,9 @@ object SparkEntry {
     // oracle-verified iterative ML + weighted-vote kNN
     "q57_kmeans_lloyd"        -> (graft.ml.LloydExact.clusterQuery _),
     "q58_knn_weighted"        -> (graft.similarity.Similarity.knnWeighted _),
+    // skew-mitigation + TPC-H-shaped analytics
+    "q59_salted_agg"          -> ((s, d) => graft.analytics.Advanced.saltedAgg(s, d)),
+    "q60_shipping_priority"   -> (graft.analytics.Advanced.shippingPriority _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

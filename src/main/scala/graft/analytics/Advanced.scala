@@ -223,6 +223,42 @@ object Advanced {
       .orderBy("o_custkey")
   }
 
+  /** Salted two-phase aggregation — the skew-mitigation shape: a hot group
+    * key is sharded across `salts` sub-keys for the first (wide) aggregation,
+    * then the per-salt partials are combined in a second, tiny aggregation.
+    * The result is bit-identical to the direct groupBy because every
+    * aggregate here is decomposable and the sums are exact decimals — which
+    * is exactly what makes salting safe to apply mechanically at 100 TB
+    * (AQE's skew handling does the same thing for joins; for aggregations
+    * over a pathological key this manual form is still the tool). */
+  def saltedAgg(s: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("psum"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("psum")).cast(DoubleType).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** TPC-H Q3-shaped analytical query (shipping-priority analog): two
+    * broadcast-able dimension filters, a fact-side join, revenue aggregation
+    * and top-10 — the canonical join-reorder + pushdown + partial-agg
+    * exercise. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") =!= "F")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Relational.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
@@ -329,6 +365,21 @@ object Advanced {
         |FROM orders JOIN avgs ON o_custkey = ck
         |WHERE o_totalprice > cust_avg
         |ORDER BY o_orderkey""".stripMargin,
+    "q59_salted_agg" ->
+      // oracle = the UNsalted direct aggregation: salting must be invisible
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q60_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q56_first_last_window" ->
       """SELECT o_custkey, first_order, last_order, n_orders FROM (
         |  SELECT o_custkey,

@@ -272,6 +272,18 @@ object Relational {
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
       .orderBy("event_id")
 
+  /** Approximate sketches — HLL++ distinct counts and quantile sketches in
+    * ONE pass. At 100 TB exact distinct counts shuffle every key; the
+    * sketch shuffles a few KB per partition. Approximate ⇒ no bit-exact
+    * oracle; error bounds are asserted in RelationalSpec against the exact
+    * values (rsd=0.02 → HLL error ≤ ~3·rsd with high probability,
+    * approx_percentile accuracy 10000 → rank error ≤ n/10000). */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
+      expr("approx_percentile(o_totalprice, array(0.5, 0.99), 10000)")
+        .as("approx_p50_p99"))
+
   /** Tumbling-window event-time aggregation (batch form of the §2.10
     * streaming demonstration query; same plan Structured Streaming runs). */
   def tumblingWindowAgg(s: SparkSession, dir: String): DataFrame =

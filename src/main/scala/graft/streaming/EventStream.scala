@@ -129,6 +129,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the incremental twin of Dedup.dedupExact:
+    * drops re-deliveries of the same key while the watermark bounds how
+    * long each key is remembered. State size = keys per watermark horizon,
+    * not the full corpus — the only dedup shape that runs forever. */
+  def dedupStream(events: DataFrame, keyCol: String = "event_id",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Parquet sink with checkpointing (S3's streaming twin). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String,
                 trigger: org.apache.spark.sql.streaming.Trigger =

@@ -44,4 +44,44 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("bucketed range join is an equi join — never a nested-loop product") {
+    val plan = planOf(graft.analytics.Advanced.rangeJoinBucketed(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join") || plan.contains("HashJoin"), plan)
+  }
+
+  test("as-of join compiles to a single window pass, no join operator") {
+    val plan = planOf(graft.analytics.Advanced.asofJoin(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window") || plan.contains("WindowGroupLimit") ||
+      plan.contains("RunningWindowFunction"), plan)
+  }
+
+  test("rollup runs as one Expand + two-phase hash aggregate (single scan)") {
+    val plan = planOf(graft.analytics.Advanced.rollupAgg(spark, sfDir))
+    assert(plan.contains("Expand"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert("FileScan".r.findAllIn(plan).length === 1, plan)
+  }
+
+  test("shippingPriority broadcasts the filtered customer dim and pushes filters") {
+    val plan = planOf(graft.analytics.Advanced.shippingPriority(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan) // top-10, no full sort
+  }
+
+  test("saltedAgg equals the direct aggregation bit-for-bit") {
+    val salted = graft.analytics.Advanced.saltedAgg(spark, sfDir).collect()
+    val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        Relational.dsum(org.apache.spark.sql.functions.col("l_extendedprice"))
+          .as("sum_price"))
+      .orderBy("l_returnflag").collect()
+    assert(salted.toSeq === direct.toSeq)
+  }
 }

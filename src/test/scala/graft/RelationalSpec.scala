@@ -45,4 +45,20 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() === customers)
     assert(df.select("c_custkey").distinct().count() === customers)
   }
+
+  test("approx sketches land within their error bounds of the exact values") {
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+    val exactDistinct = o.select("o_custkey").distinct().count().toDouble
+    val exactP50 = o.selectExpr("percentile(o_totalprice, 0.5)").head.getDouble(0)
+    val row = Relational.approxStats(spark, sfDir).head
+    val approxDistinct = row.getAs[Long]("approx_customers").toDouble
+    assert(math.abs(approxDistinct - exactDistinct) / exactDistinct < 0.06,
+      s"HLL: $approxDistinct vs $exactDistinct")
+    val approxP50 = row.getSeq[Double](row.fieldIndex("approx_p50_p99")).head
+    // rank error ≤ n/accuracy; translate to a loose value band via the
+    // exact p45-p55 range
+    val lo = o.selectExpr("percentile(o_totalprice, 0.45)").head.getDouble(0)
+    val hi = o.selectExpr("percentile(o_totalprice, 0.55)").head.getDouble(0)
+    assert(approxP50 >= lo && approxP50 <= hi, s"p50: $approxP50 ∉ [$lo,$hi] (exact $exactP50)")
+  }
 }

@@ -68,4 +68,25 @@ class StreamingSpec extends SparkSpec {
       assert(s7.session_start === ts(0) && s7.session_end === ts(5))
     } finally q.stop()
   }
+
+  test("dedupStream drops in-watermark re-deliveries, keeps distinct keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "view", 1.0),
+      Event(1, ts(1), 7, "view", 1.0), // re-delivery of event 1
+      Event(2, ts(2), 7, "view", 2.0),
+      Event(2, ts(2), 7, "view", 2.0), // exact duplicate of event 2
+      Event(3, ts(3), 9, "click", 3.0))
+    val deduped = EventStream.dedupStream(input.toDS().toDF())
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
