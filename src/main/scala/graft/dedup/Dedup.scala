@@ -86,13 +86,16 @@ object Dedup {
         .as("shingle"))
 
   /** Signatures from shingle ROWS: one partial + final HASH aggregation.
-    * MinHash values are numeric (60-bit md5-prefix longs, hex60C) — a
-    * string min would force SortAggregate (strings aren't supported by the
-    * fixed-width hash-agg buffer) and shuffle 32-char hex per signature. */
+    * ONE md5 per shingle (the expensive part), then NumHashes cheap integer
+    * permutations (TextPrims.permC) — k-permutation MinHash, so the hot
+    * map stage's CPU is O(shingles), not O(shingles × k). Values are
+    * numeric 60-bit longs: a string min would force SortAggregate (strings
+    * aren't supported by the fixed-width hash-agg buffer) and shuffle
+    * 32-char hex per signature. */
   private[graft] def signaturesFrom(shingles: DataFrame): DataFrame = {
-    val sigs = (0 until NumHashes).map(i =>
-      min(hex60C(md5(concat(lit(s"$i#"), col("shingle"))))).as(s"sig$i"))
-    shingles.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    val withH = shingles.withColumn("h", hex60C(md5(col("shingle"))))
+    val sigs = (0 until NumHashes).map(i => min(permC(col("h"), i)).as(s"sig$i"))
+    withH.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
   }
 
   private def withSignature(df: DataFrame): DataFrame =
@@ -193,12 +196,14 @@ object Dedup {
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
     val sigs = (0 until NumHashes)
-      .map(i => s"list_min(list_transform(sh, x -> ${hex60S(seededMd5S(i, "x"))})) AS sig$i")
+      .map(i => s"list_min(list_transform(hl, h -> ${permS("h", i)})) AS sig$i")
       .mkString(", ")
     s"""WITH corpus AS ($corpus),
        |shs AS (SELECT doc_id, list_distinct(${shinglesS(t, ShingleN)}) AS sh
        |        FROM corpus),
-       |sig AS (SELECT doc_id, $sigs FROM shs)""".stripMargin
+       |sigsrc AS (SELECT doc_id,
+       |  list_transform(sh, x -> ${hex60S("md5(x)")}) AS hl FROM shs),
+       |sig AS (SELECT doc_id, $sigs FROM sigsrc)""".stripMargin
   }
 
   private def bandUnnestS: String = {

@@ -77,6 +77,30 @@ object TextPrims {
        |  i -> CAST(strpos('$HexDigits', substr($h, i, 1)) - 1 AS BIGINT)),
        |  (a, b) -> a * 16 + b)""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------- k-permutation MinHash family
+  /** One content hash + k cheap integer permutations — the production
+    * MinHash shape (cf. Spark MinHashLSH's (a·h+b) mod p): hashing the
+    * shingle string k times multiplies the hot stage's CPU by k for no
+    * statistical gain. g_i(h) = ((h₀·Aᵢ + h₁·Bᵢ + Cᵢ) & M60) over the two
+    * 30-bit halves of the 60-bit content hash. All intermediates stay under
+    * 2^62, so the arithmetic is exact signed-64 in every engine — no
+    * overflow, no modulo-semantics divergence. */
+  val Mask30: Long = (1L << 30) - 1
+  val Mask60: Long = (1L << 60) - 1
+  def permConsts(i: Int): (Long, Long, Long) = (
+    (javaMd5Hex32(s"permA#$i") & Mask30) | 1L,
+    (javaMd5Hex32(s"permB#$i") & Mask30) | 1L,
+    javaMd5Hex32(s"permC#$i"))
+  def permC(h: Column, i: Int): Column = {
+    val (a, b, c) = permConsts(i)
+    (h.bitwiseAND(lit(Mask30)) * lit(a) + shiftright(h, 30) * lit(b) + lit(c))
+      .bitwiseAND(lit(Mask60))
+  }
+  def permS(h: String, i: Int): String = {
+    val (a, b, c) = permConsts(i)
+    s"((($h & $Mask30) * $a + ($h >> 30) * $b + $c) & $Mask60)"
+  }
+
   /** Deterministic pseudo-random double in [-1, 1) derived from a string
     * key — used for LSH hyperplanes; identical on driver (JVM), executors,
     * and in the oracle. */
