@@ -95,6 +95,8 @@ object SparkEntry {
     // skew-mitigation + TPC-H-shaped analytics
     "q59_salted_agg"          -> ((s, d) => graft.analytics.Advanced.saltedAgg(s, d)),
     "q60_shipping_priority"   -> (graft.analytics.Advanced.shippingPriority _),
+    // IVF-ANN: coarse-quantizer inverted lists (the non-LSH scale path)
+    "q61_ann_ivf"             -> (graft.similarity.Similarity.annIvf _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

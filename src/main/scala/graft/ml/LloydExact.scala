@@ -34,7 +34,7 @@ object LloydExact {
   val K = 4
   val Iters = 2 // recompute passes; assignment runs Iters+1 times
 
-  private def points(s: SparkSession, dir: String): DataFrame =
+  private[graft] def points(s: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id")
       .select(col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("e"))
@@ -46,8 +46,17 @@ object LloydExact {
         col("e").as("c"))
   }
 
+  /** Deterministic centers after `Iters` exact Lloyd rounds — doubles as
+    * the coarse quantizer for IVF-style ANN (Similarity.annIvf). */
+  private[graft] def centersFor(pts: DataFrame): DataFrame = {
+    var centers = initCenters(pts)
+    for (_ <- 0 until Iters)
+      centers = recompute(assign(pts, centers))
+    centers
+  }
+
   /** Argmin assignment: (vec_id, e, cluster). */
-  private def assign(pts: DataFrame, centers: DataFrame): DataFrame = {
+  private[graft] def assign(pts: DataFrame, centers: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
     pts.crossJoin(broadcast(centers))
       .withColumn("d", dotp(col("c"), col("c")) - lit(2.0) * dotp(col("e"), col("c")))
@@ -70,9 +79,7 @@ object LloydExact {
   /** q57: cluster sizes + center norms after `Iters` exact Lloyd rounds. */
   def clusterQuery(s: SparkSession, dir: String): DataFrame = {
     val pts = points(s, dir)
-    var centers = initCenters(pts)
-    for (_ <- 0 until Iters)
-      centers = recompute(assign(pts, centers))
+    val centers = centersFor(pts)
     val norms = centers.select(col("cluster"),
       round(sqrt(dotp(col("c"), col("c"))), 6).as("center_norm"))
     assign(pts, centers)
@@ -83,7 +90,7 @@ object LloydExact {
   }
 
   // ---------------------------------------------------------------- oracle
-  private def dotS(a: String, b: String): String =
+  private[graft] def dotS(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
        |  list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
        |  (x, y) -> x + y)""".stripMargin.replace("\n", " ")
@@ -107,24 +114,30 @@ object LloydExact {
        |  GROUP BY cluster, pos)
        |GROUP BY cluster""".stripMargin
 
-  def oracleSql: Map[String, String] = {
+  /** Shared CTE chain "e, c0, a1, c1, …, afinal" — afinal = the cell
+    * assignment under the final centers c`Iters`. Reused by the IVF-ANN
+    * oracle (Similarity q61). */
+  private[graft] def lloydCtesS: String = {
     val iterCtes = (1 to Iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       s"""a$i AS (${assignS("e", prev)}),
          |c$i AS (${recomputeS.replace("ASSIGNED", s"a$i")})""".stripMargin
     }.mkString(",\n")
+    s"""e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |    AS cluster, e AS c
+       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $K)),
+       |$iterCtes,
+       |afinal AS (${assignS("e", s"c$Iters")})""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] =
     Map("q57_kmeans_lloyd" ->
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-         |    AS cluster, e AS c
-         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $K)),
-         |$iterCtes,
-         |afinal AS (${assignS("e", s"c$Iters")})
+      s"""WITH $lloydCtesS
          |SELECT a.cluster, COUNT(*) AS n,
          |  round(sqrt(${dotS("c.c", "c.c")}), 6) AS center_norm
          |FROM afinal a JOIN c$Iters c ON a.cluster = c.cluster
          |GROUP BY a.cluster, c.c ORDER BY a.cluster""".stripMargin)
-  }
 }

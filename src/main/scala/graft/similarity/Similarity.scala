@@ -171,6 +171,37 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (graft.ml.LloydExact
+    * centers, K cells) partitions the corpus into inverted lists; each query
+    * probes ONLY its own cell. Complements annLsh: LSH buckets by random
+    * projections, IVF by learned centroids — the two standard scale paths
+    * for embedding search. The cell equi-join replaces the cross product;
+    * at 100 TB the inverted lists are the partitioning scheme itself
+    * (cluster-by cell at write time), so a probe touches 1/K of the data.
+    * Recall < 1 by design (nprobe=1). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val pts = graft.ml.LloydExact.points(s, dir)
+    val cells = graft.ml.LloydExact
+      .assign(pts, graft.ml.LloydExact.centersFor(pts))
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cluster"))
+    val cand = cells.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+      col("nrm").as("nn"), col("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(broadcast(q), "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast(IntegerType).as("rk"), round(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Distance-WEIGHTED kNN vote (the notebook's weights='distance', SURVEY
     * §2.8 M15): each of the k cosine neighbors votes with 1/(1−sim+1e-9);
     * argmax of the per-label weight sum, ties toward the smaller label.
@@ -356,6 +387,24 @@ object Similarity {
   ) ++ Map(
     // q45 = q33 semantics via the top-k aggregator; same oracle
     "q45_knn_topk_agg" -> knnOracleSql,
+    "q61_ann_ivf" -> {
+      val L = graft.ml.LloydExact
+      s"""WITH ${L.lloydCtesS},
+         |cells AS (SELECT vec_id, e, cluster,
+         |    sqrt(${L.dotS("e", "e")}) AS nrm FROM afinal),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster
+         |  FROM cells WHERE vec_id < 10),
+         |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    ${simS(s"${L.dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
+         |  FROM q JOIN cells n USING (cluster)
+         |  WHERE n.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM c)
+         |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+    },
     "q58_knn_weighted" ->
       s"""WITH e AS ($embS),
          |test AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,

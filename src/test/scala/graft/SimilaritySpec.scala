@@ -48,4 +48,19 @@ class SimilaritySpec extends SparkSpec {
     assert(res.length === nTest)
     res.foreach(r => assert((0 until 10).contains(r.getAs[Int]("pred_label"))))
   }
+
+  test("annIvf neighbors are a (recall<1) subset consistent with brute force") {
+    // every IVF hit must carry the true cosine (no approximation of the
+    // METRIC, only of the candidate set), and per query the k-th IVF
+    // neighbor can never beat the brute-force k-th
+    val bf = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rk")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val q = r.getLong(0); val rk = r.getAs[Int]("rk")
+      assert(r.getAs[Double]("cosine") <= bf((q, rk)) + 1e-9)
+    }
+  }
 }
