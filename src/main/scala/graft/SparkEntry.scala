@@ -97,6 +97,11 @@ object SparkEntry {
     "q60_shipping_priority"   -> (graft.analytics.Advanced.shippingPriority _),
     // IVF-ANN: coarse-quantizer inverted lists (the non-LSH scale path)
     "q61_ann_ivf"             -> (graft.similarity.Similarity.annIvf _),
+    // dedup completion: fingerprint→pairs (SimHash path) and
+    // pairs→clusters (connected components)
+    "q62_simhash_pairs"       -> (graft.dedup.Dedup.simhashNearDupPairs _),
+    "q63_dedup_components"    -> (graft.dedup.Dedup.dedupComponents _),
+    "q64_tfidf_topk"          -> (graft.text.TextOps.tfidfTopTerms _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

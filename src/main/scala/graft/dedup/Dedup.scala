@@ -192,6 +192,82 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  val HammingThreshold = 3
+  val SimhashBlocks = 4 // 8-bit blocks of the 32-bit fingerprint
+
+  /** SimHash near-dup PAIRS via pigeonhole blocking: split the 32-bit
+    * fingerprint into `SimhashBlocks` 8-bit blocks — any pair within
+    * Hamming distance `HammingThreshold` (< block count) must agree on at
+    * least one whole block — bucket-join on (block_idx, block_value), and
+    * verify `bit_count(xor) <= t` INSIDE the join before the distinct, so
+    * false candidates never reach a shuffle. One fingerprint pass + one
+    * equi-join; no all-pairs scan. At 100 TB the same shape runs with a
+    * 64-bit fingerprint and 16-bit blocks (t=3), where block collisions —
+    * and hence bucket sizes — drop by ~2^8 per block; the 32-bit variant
+    * here keeps q30's published fingerprint semantics. */
+  def simhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = simhashOf(nearDupCorpus(s, dir))
+    val blockStructs = (0 until SimhashBlocks).map(i =>
+      struct(lit(i).as("bi"),
+        shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv")))
+    val blocks = fp.select(col("doc_id"), col("simhash"),
+        explode(array(blockStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = blocks.select(col("bi"), col("bv"),
+      col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = blocks.select(col("bi"), col("bv"),
+      col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b") &&
+        bit_count(col("sa").bitwiseXOR(col("sb"))) <= HammingThreshold)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType).as("hd"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Duplicate-cluster CONNECTED COMPONENTS over the LSH candidate pairs —
+    * the step that turns pairwise near-dup evidence into "keep one doc per
+    * cluster". Iterative min-label propagation: every doc starts as its own
+    * component; each round takes the min component id over itself and its
+    * neighbors, until a fixpoint (the per-round change count is monotone,
+    * and the sum of labels strictly decreases until convergence, so the
+    * cheap `sum(comp)` fixpoint test is exact). Dedup graphs are
+    * star/chain-shaped with tiny diameter, so rounds ≈ 2-3; each round is
+    * one equi-join + one hash agg — the standard BSP connected-components
+    * shape (large-star/small-star is the same loop with edge rewriting,
+    * worth switching to only for adversarially deep graphs). */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = nearDupCorpus(s, dir)
+    val pairs = bandPairsFrom(withSignature(corpus))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    edges.count() // materialize: re-read every round below
+    var labels = corpus.select(col("doc_id"), col("doc_id").as("comp"))
+      .persist(MEMORY_AND_DISK)
+    var checksum = labels.agg(sum("comp")).first().getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist(MEMORY_AND_DISK)
+      val nextSum = next.agg(sum("comp")).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == checksum
+      checksum = nextSum
+    }
+    val out = labels.orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -249,20 +325,52 @@ object Dedup {
          |WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
          |    len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "q30_simhash" -> {
-      val sums = (0 until 32).map { j =>
-        s"""SUM((((strpos('$HexDigits', substr(h, ${1 + j / 4}, 1)) - 1)
-           | >> ${j % 4}) & 1) * 2 - 1) AS s_$j"""
-          .stripMargin.replace("\n", " ")
-      }.mkString(", ")
-      val fp = (0 until 32)
-        .map(j => s"CASE WHEN s_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH tk AS (SELECT doc_id, md5(unnest(${tokensS("text")})) AS h
-         |  FROM documents),
-         |b AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id)
-         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b
-         |ORDER BY doc_id""".stripMargin
+    "q30_simhash" ->
+      s"""WITH ${simhashCtesS("SELECT doc_id, text FROM documents")}
+         |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin,
+    "q62_simhash_pairs" -> {
+      val idxs = (0 until SimhashBlocks).mkString(", ")
+      s"""WITH ${simhashCtesS(nearDupCorpusS)},
+         |blk AS (SELECT doc_id, simhash, unnest([$idxs]) AS bi FROM s),
+         |blv AS (SELECT doc_id, simhash, bi,
+         |    (simhash >> (bi * 8)) & 255 AS bv FROM blk)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+         |FROM blv a JOIN blv b ON a.bi = b.bi AND a.bv = b.bv
+         |  AND a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q63_dedup_components" ->
+      s"""${sigSelectS(nearDupCorpusS).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS comp FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
   )
+
+  /** DuckDB CTE chain ending in `s AS (SELECT doc_id, simhash)` — the
+    * 32-bit SimHash of `corpus`, bit-identical to [[simhashOf]]. */
+  private def simhashCtesS(corpus: String): String = {
+    val sums = (0 until 32).map { j =>
+      s"""SUM((((strpos('$HexDigits', substr(h, ${1 + j / 4}, 1)) - 1)
+         | >> ${j % 4}) & 1) * 2 - 1) AS s_$j"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    val fp = (0 until 32)
+      .map(j => s"CASE WHEN s_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""corpus AS ($corpus),
+       |tk AS (SELECT doc_id, md5(unnest(${tokensS("text")})) AS h
+       |  FROM corpus),
+       |b AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id),
+       |s AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b)""".stripMargin
+  }
 }

@@ -128,6 +128,36 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  val TfidfTopK = 3
+
+  /** TF-IDF top-`TfidfTopK` terms per document. Two hash aggregations
+    * (term frequency per (doc, token); document frequency per token), an
+    * equi-join on token, and a per-doc top-k window. The RANKING key is
+    * pure integers — (tf desc, df asc, token) — so result membership never
+    * depends on float ULPs; the tfidf double is carried as data
+    * (round(tf·ln(N/df), 6)). N arrives via a broadcast 1-row cross join,
+    * not a driver collect. At 100 TB the df side is vocabulary-sized
+    * (≪ corpus, broadcastable) and the tf side stays partitioned by doc —
+    * no all-corpus shuffle beyond the df agg itself. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.fanOut(docs(s, dir), "doc_id")
+      .select(col("doc_id"), explode(tokensC(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(broadcast(dfc), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6)
+          .as("tfidf"),
+        col("rk").cast(IntegerType).as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -199,5 +229,19 @@ object TextOps {
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest($T) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q64_tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($T) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |r AS (SELECT doc_id, token, tf, df,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tf DESC, df ASC, token ASC) AS rk
+         |  FROM tf JOIN dfc USING (token))
+         |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df,
+         |  round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf,
+         |  CAST(rk AS INTEGER) AS rk
+         |FROM r, n WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin,
   )
 }

@@ -56,4 +56,34 @@ class DedupSpec extends SparkSpec {
       assert(d <= 8, s"hamming($id)=$d")
     }
   }
+
+  test("simhashNearDupPairs: blocking loses no pair under the threshold") {
+    // pigeonhole guarantee: with 4 blocks and t=3 < 4, the blocked join
+    // must find EXACTLY the pairs a brute-force hamming scan finds
+    val fps = Dedup.simhashOf(Dedup.nearDupCorpus(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= Dedup.HammingThreshold
+    } yield (a, b)).toSet
+    val blocked = Dedup.simhashNearDupPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute)
+    assert(Dedup.HammingThreshold < Dedup.SimhashBlocks)
+  }
+
+  test("dedupComponents: labels are a fixpoint partition refining the pairs") {
+    val comp = Dedup.dedupComponents(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = Dedup.lshCandidatePairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every doc labeled; component rep is the min doc id of its class
+    assert(comp.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"edge ($a,$b) crosses components")
+    }
+    comp.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min === rep, s"component $rep rep is not the min id")
+    }
+  }
 }

@@ -30,4 +30,29 @@ class TextPrimsSpec extends SparkSpec {
     assert(rows(0) === Seq("one two"))
     assert(rows(1) === Seq("a b c", "b c d"))
   }
+
+  test("tfidfTopTerms: k rows per doc, ranks dense, score consistent") {
+    val rows = graft.text.TextOps.tfidfTopTerms(spark, sfDir).collect()
+    val n = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to rs.length) && rs.length <= graft.text.TextOps.TfidfTopK)
+      // ranking key is (tf desc, df asc, token): verify monotonicity
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          val kx = (-x.getAs[Long]("tf"), x.getAs[Long]("df"), x.getString(1))
+          val ky = (-y.getAs[Long]("tf"), y.getAs[Long]("df"), y.getString(1))
+          assert(Ordering[(Long, Long, String)].lt(kx, ky))
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("tf") *
+        math.log(n.toDouble / r.getAs[Long]("df"))
+      assert(math.abs(r.getAs[Double]("tfidf") - expect) < 1e-5)
+    }
+  }
 }
