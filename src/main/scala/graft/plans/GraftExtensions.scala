@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{
+  Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal,
+  Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.DotProduct
+
+/** Catalyst optimizer rule: rewrite the declarative higher-order-function
+  * dot product
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+  *
+  * into the codegen'd [[graft.functions.DotProduct]] expression. The HOF
+  * form is what a user writes naturally in SQL; it evaluates interpreted
+  * (no whole-stage codegen) and allocates the zipped array per row — on an
+  * O(|pairs|) similarity join that interpretation dominates the query.
+  * On equal-length arrays of non-null doubles the rewrite is
+  * bit-identical: DotProduct runs the same fixed left fold
+  * ((0+p0)+p1)+… . The rule therefore only fires on
+  * `array<double> NOT NULL`-element inputs (containsNull=false — e.g. any
+  * array built by transform/cast of a non-null source). Known deviation,
+  * engine-defined: on UNEQUAL lengths the HOF form null-pads and returns
+  * NULL, DotProduct folds the common prefix; vector columns are
+  * fixed-dimension so the case is degenerate, and callers needing strict
+  * NULL propagation keep it by disabling the rule
+  * (spark.sql.optimizer.excludedRules).
+  *
+  * This is the (c) extension path of the engine design: optimizations that
+  * need engine internals go through SparkSessionExtensions as proper
+  * Catalyst rules, not through wrappers users must remember to call.
+  */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+
+  private def sameVars(body: (NamedLambdaVariable, NamedLambdaVariable),
+                       args: Seq[NamedLambdaVariable]): Boolean =
+    args.length == 2 &&
+      ((body._1.exprId == args(0).exprId && body._2.exprId == args(1).exprId) ||
+       (body._1.exprId == args(1).exprId && body._2.exprId == args(0).exprId))
+
+  private def isArrayOfDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  private object ProductLambda {
+    def unapply(f: Expression): Boolean = f match {
+      case LambdaFunction(Multiply(x: NamedLambdaVariable,
+          y: NamedLambdaVariable, _), args, _) =>
+        sameVars((x, y), args.collect { case v: NamedLambdaVariable => v })
+      case _ => false
+    }
+  }
+
+  private object SumLambda {
+    def unapply(f: Expression): Boolean = f match {
+      case LambdaFunction(Add(a: NamedLambdaVariable,
+          b: NamedLambdaVariable, _), args, _) =>
+        sameVars((a, b), args.collect { case v: NamedLambdaVariable => v })
+      case _ => false
+    }
+  }
+
+  private object IdentityFinish {
+    def unapply(f: Expression): Boolean = f match {
+      case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+        v.exprId == arg.exprId
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b, ProductLambda()),
+            Literal(0.0, DoubleType),
+            SumLambda(),
+            IdentityFinish())
+          if isArrayOfDouble(a) && isArrayOfDouble(b) =>
+        DotProduct(a, b)
+    }
+}
+
+/** Engine extensions, installed in every graft session via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (see [[graft.sources.Tables.sessionConfigs]]):
+  *
+  *  - `dot_product(array<double>, array<double>)` as a first-class SQL
+  *    function (SQL users get the codegen'd expression directly);
+  *  - [[RewriteHofDotProduct]] so the equivalent HOF spelling optimizes
+  *    to the same physical form.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
+}

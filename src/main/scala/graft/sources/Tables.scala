@@ -34,6 +34,8 @@ object Tables {
 
   /** Session configs every graft SparkSession needs. */
   val sessionConfigs: Map[String, String] = Map(
+    // engine extensions: dot_product SQL function + HOF→DotProduct rule
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",

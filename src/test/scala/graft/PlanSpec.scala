@@ -73,6 +73,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan) // top-10, no full sort
   }
 
+  test("extensions: dot_product is a SQL function and the HOF form rewrites to it") {
+    // SQL function registered by GraftExtensions
+    val direct = spark.sql(
+      "SELECT dot_product(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d")
+    assert(direct.collect().head.getDouble(0) === 32.0)
+    // optimizer rule: aggregate(zip_with(...)) over non-null double arrays
+    // becomes the codegen'd DotProduct expression. Build from a scan (a
+    // local Seq would be constant-folded to a LocalRelation before we can
+    // observe the plan) with coalesce so containsNull=false.
+    val df = graft.sources.Tables.load(spark, sfDir, "lineitem").limit(5)
+      .selectExpr(
+        "array(coalesce(l_quantity, 0d), coalesce(l_extendedprice, 0d)) AS a",
+        "array(coalesce(l_discount, 0d), coalesce(l_tax, 0d)) AS b")
+      .selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS d")
+    assert(df.queryExecution.optimizedPlan.toString.contains("dot_product"),
+      df.queryExecution.optimizedPlan.toString)
+    // rewrite matches the expression the engine would emit via dotp()
+    val manual = graft.sources.Tables.load(spark, sfDir, "lineitem").limit(5)
+      .select(graft.functions.VectorExprs.dotp(
+        org.apache.spark.sql.functions.expr(
+          "array(coalesce(l_quantity, 0d), coalesce(l_extendedprice, 0d))"),
+        org.apache.spark.sql.functions.expr(
+          "array(coalesce(l_discount, 0d), coalesce(l_tax, 0d))")).as("d"))
+    assert(df.collect().map(_.getDouble(0)).toSeq ===
+      manual.collect().map(_.getDouble(0)).toSeq)
+  }
+
   test("saltedAgg equals the direct aggregation bit-for-bit") {
     val salted = graft.analytics.Advanced.saltedAgg(spark, sfDir).collect()
     val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")
