@@ -21,7 +21,7 @@ import graft.sources.Tables
   * deterministic duplicates/near-duplicates first — exercising the exact
   * semantics a real crawl-dedup would.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
   val NumHashes = 8
   val BandSize = 2
   val ShingleN = 3
@@ -210,19 +210,28 @@ object Dedup {
     val blockStructs = (0 until SimhashBlocks).map(i =>
       struct(lit(i).as("bi"),
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv")))
-    val blocks = fp.select(col("doc_id"), col("simhash"),
-        explode(array(blockStructs: _*)).as("b"))
+    // bucket-grouping, not a self-join: the fingerprint chain is computed
+    // ONCE and the only shuffle is the groupBy on (block idx, block value).
+    // A self-join recomputes simhash per side AND needs one side broadcast
+    // or shuffled whole — the build side is corpus-sized, impossible at
+    // 100 TB. Same shape as bandPairsFrom (PERF item 4).
+    val buckets = fp
       .select(col("doc_id"), col("simhash"),
-        col("b.bi").as("bi"), col("b.bv").as("bv"))
-    val a = blocks.select(col("bi"), col("bv"),
-      col("doc_id").as("doc_a"), col("simhash").as("sa"))
-    val b = blocks.select(col("bi"), col("bv"),
-      col("doc_id").as("doc_b"), col("simhash").as("sb"))
-    a.join(b, Seq("bi", "bv"))
-      .filter(col("doc_a") < col("doc_b") &&
-        bit_count(col("sa").bitwiseXOR(col("sb"))) <= HammingThreshold)
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType).as("hd"))
+        explode(array(blockStructs: _*)).as("b"))
+      .groupBy(col("b.bi"), col("b.bv"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+              .cast(IntegerType).as("hd")))))).as("p"))
+      .filter(col("p.hd") <= HammingThreshold)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hd").as("hd"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -244,26 +253,50 @@ object Dedup {
     val pairs = bandPairsFrom(withSignature(corpus))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(MEMORY_AND_DISK) // filled by round 1; rounds are sequential
+    // the loop iterates ONLY over docs that occur in an edge — in a real
+    // crawl-dedup that is a sliver of the corpus; the singleton majority
+    // never enters a round and is unioned back (comp = own id) at the end
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp"))
       .persist(MEMORY_AND_DISK)
-    edges.count() // materialize: re-read every round below
-    var labels = corpus.select(col("doc_id"), col("doc_id").as("comp"))
-      .persist(MEMORY_AND_DISK)
-    var checksum = labels.agg(sum("comp")).first().getLong(0)
+    // one-hop propagation with per-hop-unique edge attributes (the same
+    // edge frame joined twice in one plan would be self-ambiguous)
+    def hop(l: DataFrame, i: Int): DataFrame = {
+      val e = edges.select(col("src").as(s"src_$i"), col("dst").as(s"dst_$i"))
+      val nbrMin = e.join(l, col(s"dst_$i") === l("doc_id"))
+        .groupBy(col(s"src_$i")).agg(min("comp").as(s"nc_$i"))
+      l.join(nbrMin, l("doc_id") === col(s"src_$i"), "left")
+        .select(l("doc_id"),
+          least(col("comp"), coalesce(col(s"nc_$i"), col("comp"))).as("comp"))
+    }
+    // label sums decrease monotonically and strictly until the fixpoint, so
+    // equal consecutive sums IS convergence; -1 sentinel avoids a separate
+    // seed action (every driver action here is a full plan+schedule cycle —
+    // the dominant cost of the whole loop, since post-LSH data is tiny)
+    var checksum = -1L
     var converged = false
+    var round = 0
     while (!converged) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy("src").agg(min("comp").as("nbr_comp"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      val t0 = System.nanoTime()
+      // two hops fused per action: label info travels 2 edges per driver
+      // round-trip, halving the barrier count
+      val next = hop(hop(labels, 2 * round), 2 * round + 1)
         .persist(MEMORY_AND_DISK)
-      val nextSum = next.agg(sum("comp")).first().getLong(0)
+      val sumRow = next.agg(sum("comp")).first()
+      val nextSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == checksum
       checksum = nextSum
+      round += 1
+      logInfo(f"dedupComponents round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val out = labels.orderBy("doc_id")
+    val out = corpus.select(col("doc_id"))
+      .join(labels.withColumnsRenamed(Map("doc_id" -> "eid", "comp" -> "ecomp")),
+        col("doc_id") === col("eid"), "left")
+      .select(col("doc_id"), coalesce(col("ecomp"), col("doc_id")).as("comp"))
+      .orderBy("doc_id")
     edges.unpersist()
     out
   }
