@@ -102,6 +102,9 @@ object SparkEntry {
     "q62_simhash_pairs"       -> (graft.dedup.Dedup.simhashNearDupPairs _),
     "q63_dedup_components"    -> (graft.dedup.Dedup.dedupComponents _),
     "q64_tfidf_topk"          -> (graft.text.TextOps.tfidfTopTerms _),
+    // broadcast+mapPartitions kNN under a deterministic split — the
+    // oracle-checked twin of q39's randomSplit confusion matrix
+    "q65_knn_euclid"          -> ((s, d) => graft.ml.Knn.knnEuclidExact(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -252,5 +255,6 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
   ) ++ graft.text.TextOps.oracleSql ++ graft.dedup.Dedup.oracleSql ++
     graft.similarity.Similarity.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
-    graft.analytics.Advanced.oracleSql ++ graft.ml.LloydExact.oracleSql
+    graft.analytics.Advanced.oracleSql ++ graft.ml.LloydExact.oracleSql ++
+    graft.ml.Knn.oracleSql
 }

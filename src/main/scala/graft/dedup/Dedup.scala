@@ -248,18 +248,24 @@ object Dedup extends org.apache.spark.internal.Logging {
     * shape (large-star/small-star is the same loop with edge rewriting,
     * worth switching to only for adversarially deep graphs). */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpus = nearDupCorpus(s, dir)
     val pairs = bandPairsFrom(withSignature(corpus))
+    // localCheckpoint (not persist): an iterative plan that REUSES a cached
+    // frame still re-analyzes the frame's full logical lineage every round,
+    // and the loop's own lineage grows linearly — by round 5 the plan
+    // string hits tens of MB and the driver spends the round planning, not
+    // computing. Checkpointing truncates the plan to an RDD scan, making
+    // every round's plan O(1). (On a cluster, reliable checkpoint ⇄ same
+    // effect; the data after LSH banding is pairs, i.e. tiny.)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(MEMORY_AND_DISK) // filled by round 1; rounds are sequential
+      .localCheckpoint()
     // the loop iterates ONLY over docs that occur in an edge — in a real
     // crawl-dedup that is a sliver of the corpus; the singleton majority
     // never enters a round and is unioned back (comp = own id) at the end
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("comp"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint()
     // one-hop propagation with per-hop-unique edge attributes (the same
     // edge frame joined twice in one plan would be self-ambiguous)
     def hop(l: DataFrame, i: Int): DataFrame = {
@@ -281,24 +287,20 @@ object Dedup extends org.apache.spark.internal.Logging {
       val t0 = System.nanoTime()
       // two hops fused per action: label info travels 2 edges per driver
       // round-trip, halving the barrier count
-      val next = hop(hop(labels, 2 * round), 2 * round + 1)
-        .persist(MEMORY_AND_DISK)
+      val next = hop(hop(labels, 2 * round), 2 * round + 1).localCheckpoint()
       val sumRow = next.agg(sum("comp")).first()
       val nextSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == checksum
       checksum = nextSum
       round += 1
       logInfo(f"dedupComponents round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val out = corpus.select(col("doc_id"))
+    corpus.select(col("doc_id"))
       .join(labels.withColumnsRenamed(Map("doc_id" -> "eid", "comp" -> "ecomp")),
         col("doc_id") === col("eid"), "left")
       .select(col("doc_id"), coalesce(col("ecomp"), col("doc_id")).as("comp"))
       .orderBy("doc_id")
-    edges.unpersist()
-    out
   }
 
   // ------------------------------------------------------------- oracles

@@ -15,11 +15,22 @@ class KnnSpec extends SparkSpec {
 
   test("topK returns the k nearest by squared distance") {
     val train = Array(
-      (Vectors.dense(0.0), 0), (Vectors.dense(1.0), 1),
-      (Vectors.dense(2.0), 2), (Vectors.dense(10.0), 3))
+      (Vectors.dense(0.0), 0, 0L), (Vectors.dense(1.0), 1, 1L),
+      (Vectors.dense(2.0), 2, 2L), (Vectors.dense(10.0), 3, 3L))
     val (labels, dists) = Knn.topK(train, Vectors.dense(0.2), 2)
     assert(labels.toSet === Set(0, 1))
     assert(dists.forall(_ < 1.0))
+  }
+
+  test("topK breaks distance ties toward the smaller train id") {
+    // two co-located points with different labels: the selected neighbor
+    // must be the smaller id regardless of array order
+    val a = Array(
+      (Vectors.dense(5.0), 9, 7L), (Vectors.dense(5.0), 4, 3L))
+    val (la, _) = Knn.topK(a, Vectors.dense(5.0), 1)
+    assert(la.toSeq === Seq(4))
+    val (lb, _) = Knn.topK(a.reverse, Vectors.dense(5.0), 1)
+    assert(lb.toSeq === Seq(4))
   }
 
   test("broadcast kNN classifies separable blobs perfectly") {
