@@ -47,11 +47,17 @@ object LloydExact {
   }
 
   /** Deterministic centers after `Iters` exact Lloyd rounds — doubles as
-    * the coarse quantizer for IVF-style ANN (Similarity.annIvf). */
+    * the coarse quantizer for IVF-style ANN (Similarity.annIvf).
+    *
+    * Each iteration's K-row centers frame is localCheckpoint'ed: the
+    * consumer plan references centers several times (assignment, final
+    * stats, IVF probe sides), and without truncation every reference
+    * re-nests — and re-executes — the whole iteration chain. Checkpointing
+    * K rows costs nothing and makes each reference an RDD scan. */
   private[graft] def centersFor(pts: DataFrame): DataFrame = {
     var centers = initCenters(pts)
     for (_ <- 0 until Iters)
-      centers = recompute(assign(pts, centers))
+      centers = recompute(assign(pts, centers)).localCheckpoint()
     centers
   }
 
