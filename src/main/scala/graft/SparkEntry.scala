@@ -105,6 +105,8 @@ object SparkEntry {
     // broadcast+mapPartitions kNN under a deterministic split — the
     // oracle-checked twin of q39's randomSplit confusion matrix
     "q65_knn_euclid"          -> ((s, d) => graft.ml.Knn.knnEuclidExact(s, d)),
+    // arbitrary grouping sets (the general form of rollup/cube)
+    "q66_grouping_sets"       -> (graft.analytics.Advanced.groupingSetsAgg _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -54,6 +54,25 @@ object Advanced {
         col("lvl"), col("n"), col("sum_qty"))
       .orderBy("lvl", "returnflag", "linestatus")
 
+  /** Arbitrary GROUPING SETS — the general form rollup/cube specialize
+    * (one Expand + single hash-agg pass, same as ROLLUP/CUBE; no
+    * per-set re-scan). The set list is deliberately asymmetric —
+    * ((status, priority), (priority), ()) — a shape neither rollup nor
+    * cube can produce. */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast(IntegerType).as("lvl"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("lvl"), col("n"), col("revenue"))
+      .orderBy("lvl", "status", "priority")
+
   /** As-of join: for every `click` event, the most recent `error` event of
     * the same user at-or-before it — the standard point-in-time lookup.
     *
@@ -280,6 +299,16 @@ object Advanced {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY lvl, returnflag, linestatus""".stripMargin,
+    "q66_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS lvl,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderpriority), ())
+        |ORDER BY lvl, status, priority""".stripMargin,
     "q48_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'click'),
