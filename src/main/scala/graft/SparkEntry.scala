@@ -107,6 +107,8 @@ object SparkEntry {
     "q65_knn_euclid"          -> ((s, d) => graft.ml.Knn.knnEuclidExact(s, d)),
     // arbitrary grouping sets (the general form of rollup/cube)
     "q66_grouping_sets"       -> (graft.analytics.Advanced.groupingSetsAgg _),
+    // corpus normalization + entity redaction (the PII-scrub shape)
+    "q67_normalize_scrub"     -> (graft.text.TextOps.normalizeScrub _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

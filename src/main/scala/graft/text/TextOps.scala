@@ -158,6 +158,31 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  private val EntRe = "\\b(customer|supplier|part)\\b"
+  private val StopRe = "\\b(a|the)\\b"
+
+  /** Normalization + redaction — the scrub pass a training corpus gets
+    * before tokenization: count + replace entity-like tokens (the exact
+    * shape of PII redaction; the synthetic corpus is digit-free, so
+    * vocabulary entities stand in for emails/phones), strip stopwords,
+    * collapse whitespace. Pure narrow codegen'd regex projections — at
+    * 100 TB this runs at scan speed with zero shuffle. */
+  def normalizeScrub(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(regexp_replace(col("text"), EntRe, "<ENT>"),
+        StopRe, " "),
+      "\\s+", " "))
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EntRe), lit(0)))
+          .cast(IntegerType).as("n_ent"),
+        size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
+          .cast(IntegerType).as("n_stop"),
+        length(norm).cast(LongType).as("norm_len"),
+        md5(norm).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -202,6 +227,17 @@ object TextOps {
          |  CAST(pred_lang = lang AS INTEGER) AS agrees
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    "q67_normalize_scrub" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$EntRe')) AS INTEGER) AS n_ent,
+         |    CAST(len(regexp_extract_all(text, '$StopRe')) AS INTEGER) AS n_stop,
+         |    trim(regexp_replace(regexp_replace(
+         |      regexp_replace(text, '$EntRe', '<ENT>', 'g'),
+         |      '$StopRe', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, n_ent, n_stop,
+         |  CAST(length(norm) AS BIGINT) AS norm_len, md5(norm) AS norm_md5
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q25_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, $T AS t FROM documents)
          |SELECT doc_id,
