@@ -100,6 +100,36 @@ class PlanSpec extends SparkSpec {
       manual.collect().map(_.getDouble(0)).toSeq)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective SMJ") {
+    // at 100 TB the win is real: a selective dim predicate becomes a bloom
+    // filter evaluated inside the fact scan, so most fact rows die before
+    // the shuffle. Thresholds are production-sized, so force injection at
+    // test scale by lowering them (and disabling broadcast, which would
+    // otherwise subsume the join).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val line = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      val joined = line.join(orders,
+        line("l_orderkey") === orders("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        opt)
+      // the filter must land on the FACT side (lineitem), keyed on the join key
+      assert(opt.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_orderkey")), opt)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedAgg equals the direct aggregation bit-for-bit") {
     val salted = graft.analytics.Advanced.saltedAgg(spark, sfDir).collect()
     val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")
