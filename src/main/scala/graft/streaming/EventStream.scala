@@ -139,6 +139,33 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join: every click paired with the errors the
+    * same user raised within `rangeSec` seconds after it — the canonical
+    * streaming correlation/enrichment shape. Watermarks on BOTH sides plus
+    * the bounded time-range condition let Spark evict join state once the
+    * watermark passes the range bound, so state is O(rate × horizon)
+    * regardless of how long the streams run — the property that makes the
+    * join viable on an unbounded 100 TB/day firehose. */
+  def correlateStreams(clicks: DataFrame, errors: DataFrame,
+                       watermark: String = "2 hours",
+                       rangeSec: Long = 30 * 60): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val e = errors.filter(col("event_type") === "error")
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
+        col("ts").as("error_ts"))
+    c.join(e,
+        col("user_id") === col("err_user") &&
+          col("error_ts") >= col("click_ts") &&
+          col("error_ts") <= col("click_ts") +
+            expr(s"INTERVAL $rangeSec SECONDS"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("error_id"), col("error_ts"))
+  }
+
   /** Parquet sink with checkpointing (S3's streaming twin). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String,
                 trigger: org.apache.spark.sql.streaming.Trigger =

@@ -130,6 +130,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the other half of the skew story next to saltedAgg: when one key
+    // carries most of the rows, AQE re-plans the sort-merge join at
+    // runtime and splits the oversized partition across tasks. Thresholds
+    // are production-sized (256 MB), so scale them down to fire at test
+    // size; the mechanism is identical at 100 TB.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~85% of lineitem rows land on key 0; the rest spread out
+      val skewed = graft.sources.Tables.load(spark, sfDir, "lineitem")
+        .withColumn("k",
+          when(col("l_orderkey") % 7 =!= 0, lit(0L))
+            .otherwise(col("l_orderkey")))
+      val dim = spark.range(0, 1000).withColumnRenamed("id", "k")
+      val joined = skewed.join(dim, "k")
+      // execute THIS QueryExecution so its adaptive plan finalizes
+      // (count() would plan+run a separate aggregate query)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedAgg equals the direct aggregation bit-for-bit") {
     val salted = graft.analytics.Advanced.saltedAgg(spark, sfDir).collect()
     val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")

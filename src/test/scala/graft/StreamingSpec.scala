@@ -69,6 +69,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-range errors only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    clicks.addData(
+      Event(10, ts(0), 7, "click", 1.0),
+      Event(11, ts(60), 7, "click", 1.0), // no error within 30 min after
+      Event(12, ts(0), 9, "click", 1.0)) // other user
+    errors.addData(
+      Event(20, ts(10), 7, "error", 0.0), // 10 min after click 10 → match
+      Event(21, ts(200), 7, "error", 0.0), // far future → no match
+      Event(22, ts(5), 8, "error", 0.0)) // user without clicks
+    val joined = EventStream.correlateStreams(
+      clicks.toDS().toDF(), errors.toDS().toDF())
+    val q = joined.writeStream.format("memory").queryName("corr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("corr_out")
+        .select("click_id", "error_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(out.toSeq === Seq((10L, 20L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops in-watermark re-deliveries, keeps distinct keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
