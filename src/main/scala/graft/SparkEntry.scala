@@ -109,6 +109,8 @@ object SparkEntry {
     "q66_grouping_sets"       -> (graft.analytics.Advanced.groupingSetsAgg _),
     // corpus normalization + entity redaction (the PII-scrub shape)
     "q67_normalize_scrub"     -> (graft.text.TextOps.normalizeScrub _),
+    // Levenshtein verify of LSH candidates (third verifier: chars)
+    "q68_edit_distance"       -> (graft.dedup.Dedup.editDistancePairs _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -135,6 +135,25 @@ object Dedup extends org.apache.spark.internal.Logging {
     bandPairsFrom(withSignature(nearDupCorpus(s, dir)))
       .orderBy("doc_a", "doc_b")
 
+  /** Edit-distance (Levenshtein) verification of LSH candidates — the third
+    * verifier in the family (Jaccard on shingle sets, Hamming on SimHash
+    * bits, edit distance on raw text). The O(|a|·|b|) string DP runs ONLY
+    * on candidate pairs, bounded by |candidates|, never |corpus|²; the
+    * candidate side is the small side, so both text lookups broadcast it
+    * against the corpus scan. */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val pairs = bandPairsFrom(withSignature(corpus))
+    val ta = corpus.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = corpus.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    pairs.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast(IntegerType).as("max_len"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram Jaccard on the LSH candidates (verify step of the
     * candidate→verify dedup pipeline), computed RELATIONALLY: intersection
     * sizes via an equi-join on (doc, shingle) over exploded rows, |A∪B| =
@@ -376,6 +395,19 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  AND bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q68_edit_distance" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ca.text, cb.text) AS INTEGER) AS edit_dist,
+         |  CAST(greatest(length(ca.text), length(cb.text)) AS INTEGER)
+         |    AS max_len
+         |FROM pairs
+         |JOIN corpus ca ON pairs.doc_a = ca.doc_id
+         |JOIN corpus cb ON pairs.doc_b = cb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q63_dedup_components" ->
       s"""${sigSelectS(nearDupCorpusS).replaceFirst("WITH ", "WITH RECURSIVE ")},
          |bk AS ($bandUnnestS),
