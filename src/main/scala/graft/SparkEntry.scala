@@ -111,6 +111,9 @@ object SparkEntry {
     "q67_normalize_scrub"     -> (graft.text.TextOps.normalizeScrub _),
     // Levenshtein verify of LSH candidates (third verifier: chars)
     "q68_edit_distance"       -> (graft.dedup.Dedup.editDistancePairs _),
+    // q16 semantics through the custom TopKPerKey physical operator
+    // (LogicalPlan + SparkStrategy + SparkPlan via SparkSessionExtensions)
+    "q69_topk_exec"           -> (Relational.topkExecPerGroup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -234,6 +237,14 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q69_topk_exec" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q17_window_running_sum" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (

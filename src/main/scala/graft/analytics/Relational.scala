@@ -228,6 +228,19 @@ object Relational {
       .orderBy("o_custkey", "rk")
   }
 
+  /** q69: q16's top-k-per-group semantics via the custom TopKPerKey
+    * physical operator (graft.plans.TopKPerKeyNode → partial/final
+    * TopKPerKeyExec). Unlike the window form, no stage sorts a full
+    * partition: map tasks ship ≤ k rows per key into the shuffle and
+    * every stage holds ≤ k rows per key — aggregation-shaped top-k.
+    * Shares q16's oracle semantics (minus the rank column). */
+  def topkExecPerGroup(s: SparkSession, dir: String): DataFrame =
+    org.apache.spark.sql.graft.topk.perKey(
+        t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), orderDesc = "o_totalprice", tieAsc = "o_orderkey",
+        k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   /** Running-sum window (event-time cumulative value per user). */
   def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

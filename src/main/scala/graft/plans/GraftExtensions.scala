@@ -101,5 +101,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    // whole-operator path: TopKPerKeyNode plans to partial→final
+    // TopKPerKeyExec (bounded per-key heaps, no per-partition sort)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
   }
 }

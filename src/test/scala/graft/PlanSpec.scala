@@ -100,6 +100,18 @@ class PlanSpec extends SparkSpec {
       manual.collect().map(_.getDouble(0)).toSeq)
   }
 
+  test("custom TopKPerKeyExec plans partial→exchange→final, no window sort") {
+    val qe = Relational.topkExecPerGroup(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).length === 2, plan)
+    assert(!plan.contains("Window"), plan) // the point: not the window form
+    // partial stage feeds the exchange: at most k rows per key per map task
+    val lines = plan.linesIterator.toSeq
+    val partialIdx = lines.lastIndexWhere(_.contains("TopKPerKey ["))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx, plan)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective SMJ") {
     // at 100 TB the win is real: a selective dim predicate becomes a bloom
     // filter evaluated inside the fact scan, so most fact rows die before
