@@ -114,6 +114,11 @@ object SparkEntry {
     // q16 semantics through the custom TopKPerKey physical operator
     // (LogicalPlan + SparkStrategy + SparkPlan via SparkSessionExtensions)
     "q69_topk_exec"           -> (Relational.topkExecPerGroup _),
+    // multimodal frame sampling (posexplode of payload blocks)
+    "q70_frame_sample"        -> ((s, d) =>
+      graft.multimodal.Multimodal.frameSampleQuery(s, d)),
+    // ANN quality evaluation: recall@k of IVF vs exact brute force
+    "q71_ann_recall"          -> (graft.similarity.Similarity.annRecall _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -136,9 +136,34 @@ object Multimodal {
         expr("substring(content, frame_idx * 256 + 1, 256)").as("frame_bytes"))
   }
 
+  /** q70: frame sampling as a query — every `stride`-th 256-byte block of
+    * each video payload, fingerprinted. The narrow posexplode shape real
+    * frame extraction produces (one input row → n_frames output rows, no
+    * shuffle before the presentation sort). Oracle-able because the stub
+    * content is the documents' ASCII text: byte offsets == char offsets. */
+  def frameSampleQuery(s: SparkSession, dir: String, stride: Int = 2): DataFrame =
+    sampleFrames(fromDocuments(s, dir), stride)
+      .select(col("media_id"),
+        col("frame_idx").cast(IntegerType).as("frame_idx"),
+        md5(col("frame_bytes")).as("frame_md5"),
+        length(col("frame_bytes")).cast(IntegerType).as("frame_len"))
+      .orderBy("media_id", "frame_idx")
+
   /** q40 oracle: metadata extraction is SQL-expressible (md5 of utf-8 text
     * bytes = md5 of the blob). */
   def oracleSql: Map[String, String] = Map(
+    "q70_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id, text FROM documents
+        |    WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, text,
+        |    unnest(range(0, greatest(CAST(ceil(length(text) / 256.0) AS BIGINT), 1), 2))
+        |      AS frame_idx
+        |  FROM v)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  md5(substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_md5,
+        |  CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))
+        |    AS INTEGER) AS frame_len
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     // q41: the stub features' integer projection (dominant high-nibble bin)
     // is SQL-expressible because documents are printable ASCII: per-char
     // code >> 4 == per-utf8-byte nibble.

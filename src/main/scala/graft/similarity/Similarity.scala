@@ -202,6 +202,22 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** q71: recall@k of the IVF-ANN path against exact brute force — the
+    * evaluation loop every production ANN deployment runs (approximation
+    * quality is a number, not a hope). Both sides are deterministic, so
+    * the per-query hit count is oracle-checkable. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = cosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    val iv = annIvf(s, dir)
+      .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+    bf.join(iv, bf("query_id") === iv("qi") &&
+        bf("neighbor_id") === iv("ni"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("qi")).cast(IntegerType).as("n_hits"),
+        (count(col("qi")).cast(DoubleType) / K).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Distance-WEIGHTED kNN vote (the notebook's weights='distance', SURVEY
     * §2.8 M15): each of the k cosine neighbors votes with 1/(1−sim+1e-9);
     * argmax of the per-label weight sum, ties toward the smaller label.
@@ -404,6 +420,34 @@ object Similarity {
          |  FROM c)
          |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
          |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+    },
+    "q71_ann_recall" -> {
+      val L = graft.ml.LloydExact
+      s"""WITH ${L.lloydCtesS},
+         |cells AS (SELECT vec_id, e, cluster,
+         |    sqrt(${L.dotS("e", "e")}) AS nrm FROM afinal),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster
+         |  FROM cells WHERE vec_id < 10),
+         |bfc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    ${simS(s"${L.dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
+         |  FROM q CROSS JOIN cells n WHERE n.vec_id <> q.query_id),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |    FROM bfc) WHERE rk <= $K),
+         |ivfc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    ${simS(s"${L.dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
+         |  FROM q JOIN cells n USING (cluster) WHERE n.vec_id <> q.query_id),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |    FROM ivfc) WHERE rk <= $K)
+         |SELECT bf.query_id,
+         |  CAST(count(ivf.neighbor_id) AS INTEGER) AS n_hits,
+         |  CAST(count(ivf.neighbor_id) AS DOUBLE) / $K AS recall
+         |FROM bf LEFT JOIN ivf ON bf.query_id = ivf.query_id
+         |  AND bf.neighbor_id = ivf.neighbor_id
+         |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
     },
     "q58_knn_weighted" ->
       s"""WITH e AS ($embS),
