@@ -142,7 +142,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * candidate side is the small side, so both text lookups broadcast it
     * against the corpus scan. */
   def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
-    val corpus = nearDupCorpus(s, dir)
+    // one materialization feeds the signature chain AND both text lookups
+    // (three consumers otherwise re-derive the corpus; at warehouse scale
+    // this is a materialized table, locally a checkpoint)
+    val corpus = nearDupCorpus(s, dir).localCheckpoint()
     val pairs = bandPairsFrom(withSignature(corpus))
     val ta = corpus.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = corpus.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
@@ -225,32 +228,32 @@ object Dedup extends org.apache.spark.internal.Logging {
     * and hence bucket sizes — drop by ~2^8 per block; the 32-bit variant
     * here keeps q30's published fingerprint semantics. */
   def simhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val fp = simhashOf(nearDupCorpus(s, dir))
     val blockStructs = (0 until SimhashBlocks).map(i =>
       struct(lit(i).as("bi"),
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv")))
-    // bucket-grouping, not a self-join: the fingerprint chain is computed
-    // ONCE and the only shuffle is the groupBy on (block idx, block value).
-    // A self-join recomputes simhash per side AND needs one side broadcast
-    // or shuffled whole — the build side is corpus-sized, impossible at
-    // 100 TB. Same shape as bandPairsFrom (PERF item 4).
-    val buckets = fp
+    // the fingerprint chain (shingling + 32 bit-position sums) is the
+    // expensive stage: checkpoint the tiny (doc_id, simhash) result so the
+    // self-join's two sides are RDD scans, not two recomputations. The
+    // join itself is a streaming equi-join on (block idx, block value)
+    // with the Hamming verify INSIDE the join condition — no per-bucket
+    // pair array is ever materialized (a collect_list bucket expansion
+    // holds m(m-1)/2 structs of its largest bucket in ONE row — OOM at
+    // crawl scale), and an oversized block value is handled by AQE skew
+    // split like any other skewed join key.
+    val blocks = simhashOf(nearDupCorpus(s, dir)).localCheckpoint()
       .select(col("doc_id"), col("simhash"),
         explode(array(blockStructs: _*)).as("b"))
-      .groupBy(col("b.bi"), col("b.bv"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("ms"))
-      .filter(size(col("ms")) > 1)
-    buckets
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
-            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
-              .cast(IntegerType).as("hd")))))).as("p"))
-      .filter(col("p.hd") <= HammingThreshold)
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.hd").as("hd"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = blocks.select(col("bi"), col("bv"),
+      col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = blocks.select(col("bi"), col("bv"),
+      col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b") &&
+        bit_count(col("sa").bitwiseXOR(col("sb"))) <= HammingThreshold)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType).as("hd"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

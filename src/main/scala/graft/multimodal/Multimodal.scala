@@ -141,7 +141,10 @@ object Multimodal {
     * frame extraction produces (one input row → n_frames output rows, no
     * shuffle before the presentation sort). Oracle-able because the stub
     * content is the documents' ASCII text: byte offsets == char offsets. */
-  def frameSampleQuery(s: SparkSession, dir: String, stride: Int = 2): DataFrame =
+  val FrameStride = 2 // q70 sampling step — interpolated into the oracle SQL
+
+  def frameSampleQuery(s: SparkSession, dir: String,
+                       stride: Int = FrameStride): DataFrame =
     sampleFrames(fromDocuments(s, dir), stride)
       .select(col("media_id"),
         col("frame_idx").cast(IntegerType).as("frame_idx"),
@@ -153,11 +156,11 @@ object Multimodal {
     * bytes = md5 of the blob). */
   def oracleSql: Map[String, String] = Map(
     "q70_frame_sample" ->
-      """WITH v AS (SELECT doc_id AS media_id, text FROM documents
+      s"""WITH v AS (SELECT doc_id AS media_id, text FROM documents
         |    WHERE doc_id % 3 = 2),
         |f AS (SELECT media_id, text,
-        |    unnest(range(0, greatest(CAST(ceil(length(text) / 256.0) AS BIGINT), 1), 2))
-        |      AS frame_idx
+        |    unnest(range(0, greatest(CAST(ceil(length(text) / 256.0) AS BIGINT), 1),
+        |      $FrameStride)) AS frame_idx
         |  FROM v)
         |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  md5(substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_md5,

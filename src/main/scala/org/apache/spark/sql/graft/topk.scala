@@ -47,31 +47,68 @@ case class TopKPerKeyExec(
     val order = sortOrder
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
+    // captured on the DRIVER so the closure ships the value (an object
+    // field read on executors would see that JVM's default)
+    val maxPartialKeys = TopKPerKeyExec.MaxPartialKeys
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
       val better = RowOrdering.create(order, childOutput) // "row a precedes b"
       // heap head = WORST retained row, so head comparison gates admission
       val worstFirst = better.reversed.asInstanceOf[java.util.Comparator[InternalRow]]
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
-          heaps.put(key.copy(), heap)
+      // Streaming output: partial state is BOUNDED — past MaxPartialKeys
+      // distinct keys, retained rows are EMITTED downstream and the map
+      // restarts, the same memory contract as partial aggregation under
+      // pressure. More than k rows per key from the map side is sound;
+      // only the final (clustered) stage must be exact, and its working
+      // set is its own output (≤ k rows per key), so it needs no valve.
+      new Iterator[InternalRow] {
+        private var pending: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator[InternalRow]()
+        private var done = false
+        private def refill(): Unit = {
+          while (!pending.hasNext && !done) {
+            val batch = new java.util.ArrayList[InternalRow]()
+            var flushed = false
+            while (!flushed && iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                if (isPartial && heaps.size() >= maxPartialKeys) {
+                  heaps.values.forEach(h => batch.addAll(h))
+                  heaps.clear()
+                  flushed = true
+                }
+                heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap.size < limit) heap.add(row.copy())
+              else if (better.compare(row, heap.peek()) < 0) {
+                heap.poll(); heap.add(row.copy())
+              }
+            }
+            if (!flushed) { // input exhausted: final drain
+              heaps.values.forEach(h => batch.addAll(h))
+              heaps.clear()
+              done = true
+            }
+            pending = batch.iterator()
+          }
         }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (better.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
+        override def hasNext: Boolean = { refill(); pending.hasNext }
+        override def next(): InternalRow = { refill(); pending.next() }
       }
-      val result = new java.util.ArrayList[InternalRow]()
-      heaps.values.forEach(h => result.addAll(h))
-      import scala.jdk.CollectionConverters._
-      result.iterator().asScala
     }, preservesPartitioning = true)
   }
+}
+
+object TopKPerKeyExec {
+  /** Map-side distinct-key cap before a partial flush (≈ heap entries ×
+    * k rows; tune per executor memory). A var so tests can force the
+    * flush path at small scale. */
+  @volatile var MaxPartialKeys: Int = 1 << 20
 }
 
 /** Plans [[TopKPerKeyNode]] as partial→final [[TopKPerKeyExec]]; the

@@ -112,6 +112,17 @@ class PlanSpec extends SparkSpec {
     assert(exchangeIdx >= 0 && exchangeIdx < partialIdx, plan)
   }
 
+  test("TopKPerKeyExec partial flush (bounded map state) preserves results") {
+    import org.apache.spark.sql.graft.TopKPerKeyExec
+    val expected = Relational.topkExecPerGroup(spark, sfDir).collect()
+    val saved = TopKPerKeyExec.MaxPartialKeys
+    TopKPerKeyExec.MaxPartialKeys = 2 // force many flushes per map task
+    try {
+      val flushed = Relational.topkExecPerGroup(spark, sfDir).collect()
+      assert(flushed.toSeq === expected.toSeq)
+    } finally TopKPerKeyExec.MaxPartialKeys = saved
+  }
+
   test("runtime bloom filter prunes the fact side of a selective SMJ") {
     // at 100 TB the win is real: a selective dim predicate becomes a bloom
     // filter evaluated inside the fact scan, so most fact rows die before
@@ -136,6 +147,15 @@ class PlanSpec extends SparkSpec {
       // the filter must land on the FACT side (lineitem), keyed on the join key
       assert(opt.linesIterator.exists(l =>
         l.contains("might_contain") && l.contains("l_orderkey")), opt)
+      // and it must RUN — pruning is a pure optimization, so the executed
+      // result equals the same join with the bloom rewrite off
+      val withBloom = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = line.join(orders,
+        line("l_orderkey") === orders("o_orderkey")).count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(withBloom === without)
+      assert(withBloom > 0)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
