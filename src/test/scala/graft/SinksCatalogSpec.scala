@@ -36,6 +36,36 @@ class SinksCatalogSpec extends SparkSpec {
         .filter(col("o_orderstatus") === "F").count())
   }
 
+  test("dynamic partition overwrite touches only incoming partitions (backfill)") {
+    // the standard warehouse backfill: rewrite one partition's data in
+    // place without dropping sibling partitions (static overwrite mode
+    // would truncate the whole table)
+    val dir = tmp()
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(s"$dir/t")
+    val before = spark.read.parquet(s"$dir/t").count()
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(s"$dir/t")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(s"$dir/t")
+    assert(after.count() === before) // sibling partitions survived
+    val expectedF = orders.filter(col("o_orderstatus") === "F")
+      .agg(org.apache.spark.sql.functions.sum(col("o_totalprice") * 2))
+      .first().getDouble(0)
+    val gotF = after.filter(col("o_orderstatus") === "F")
+      .agg(org.apache.spark.sql.functions.sum(col("o_totalprice")))
+      .first().getDouble(0)
+    assert(math.abs(gotF - expectedF) < 1e-6) // F partition was rewritten
+  }
+
   test("JsonDirSink writes result documents (S5/S7 offline stand-in)") {
     val dir = tmp()
     import spark.implicits._
