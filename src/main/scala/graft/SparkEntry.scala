@@ -119,6 +119,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.frameSampleQuery(s, d)),
     // ANN quality evaluation: recall@k of IVF vs exact brute force
     "q71_ann_recall"          -> (graft.similarity.Similarity.annRecall _),
+    // dedup output step: canonical selection + survivors per source
+    "q72_dedup_keep"          -> (graft.dedup.Dedup.dedupKeepSummary _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

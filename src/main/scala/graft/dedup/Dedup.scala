@@ -325,6 +325,25 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("doc_id")
   }
 
+  /** q72: the dedup pipeline's OUTPUT step — canonical selection. Keep the
+    * min-id doc per near-dup component (comp label == representative id)
+    * and summarize survivors per source: the "emit the cleaned corpus"
+    * accounting every production dedup publishes. Injected variant ids
+    * map back to their base doc (`% 10M`) for source attribution. */
+  def dedupKeepSummary(s: SparkSession, dir: String): DataFrame = {
+    val srcOf = docs(s, dir).select(col("doc_id").as("base_id"), col("source"))
+    dedupComponents(s, dir)
+      .withColumn("kept", (col("doc_id") === col("comp")).cast(IntegerType))
+      .withColumn("base_id", col("doc_id") % 10000000L)
+      .join(srcOf, "base_id")
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("kept").cast(IntegerType).as("n_kept"))
+      .withColumn("n_dropped",
+        (col("n_docs") - col("n_kept")).cast(IntegerType))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -424,6 +443,26 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
          |SELECT id AS doc_id, min(r) AS comp FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q72_dedup_keep" ->
+      s"""${sigSelectS(nearDupCorpusS).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT d.source,
+         |  CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(sum(CASE WHEN c.doc_id = c.comp THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_kept,
+         |  CAST(count(*) - sum(CASE WHEN c.doc_id = c.comp THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_dropped
+         |FROM comp c JOIN documents d ON c.doc_id % 10000000 = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
   )
 
   /** DuckDB CTE chain ending in `s AS (SELECT doc_id, simhash)` — the
