@@ -72,6 +72,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.HammingThreshold < Dedup.SimhashBlocks)
   }
 
+  test("dedupKeepSummary: per-source accounting is consistent and total") {
+    val rows = Dedup.dedupKeepSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, kept, dropped) =
+        (r.getAs[Int]("n_docs"), r.getAs[Int]("n_kept"), r.getAs[Int]("n_dropped"))
+      assert(kept + dropped === docs)
+      assert(kept >= 1) // a component's representative always survives
+    }
+    // totals cover the whole injected corpus exactly once
+    val total = rows.map(_.getAs[Int]("n_docs")).sum
+    assert(total === Dedup.dedupComponents(spark, sfDir).count())
+  }
+
   test("dedupComponents: labels are a fixpoint partition refining the pairs") {
     val comp = Dedup.dedupComponents(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
