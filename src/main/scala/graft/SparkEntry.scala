@@ -121,6 +121,8 @@ object SparkEntry {
     "q71_ann_recall"          -> (graft.similarity.Similarity.annRecall _),
     // dedup output step: canonical selection + survivors per source
     "q72_dedup_keep"          -> (graft.dedup.Dedup.dedupKeepSummary _),
+    // corpus curation: per-source median quality filter (C4-style)
+    "q73_quality_filter"      -> (graft.text.TextOps.qualityFilterSummary _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -55,6 +55,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q73: percentile-based corpus curation — keep documents at/above their
+    * SOURCE's median quality (the C4-style filter step, applied per source
+    * so one noisy crawl can't drown out a clean one). Ranking runs on the
+    * 6-dp-rounded q23 score with a doc_id tie-break, so the kept set is a
+    * pure function of the data; the window shuffles once on `source`. */
+  def qualityFilterSummary(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("quality_score"), col("doc_id"))
+    scored.join(src, "doc_id")
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum(when(col("pr") >= 0.5, 1).otherwise(0)).cast(IntegerType)
+          .as("n_kept_above_median"))
+      .orderBy("source")
+  }
+
   /** Language ID: marker-stopword count per language, argmax with a fixed
     * priority tie-break; 'und' (undetermined) when no marker hits. Includes
     * agreement with the table's labeled `lang` for eyeballing accuracy. */
@@ -210,6 +229,26 @@ object TextOps {
          |  round(least(words / 100.0, 1.0) * 0.4 + (stops / words) * 0.4
          |    + (1.0 - punct / chars) * 0.2, 6) AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q73_quality_filter" ->
+      s"""WITH d AS (SELECT doc_id, text, $T AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(t) AS DOUBLE) AS words,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
+         |  FROM d),
+         |sc AS (SELECT doc_id,
+         |    round(least(words / 100.0, 1.0) * 0.4 + (stops / words) * 0.4
+         |      + (1.0 - punct / chars) * 0.2, 6) AS quality_score
+         |  FROM m),
+         |p AS (SELECT doc.source, sc.doc_id,
+         |    PERCENT_RANK() OVER (PARTITION BY doc.source
+         |      ORDER BY sc.quality_score, sc.doc_id) AS pr
+         |  FROM sc JOIN documents doc ON sc.doc_id = doc.doc_id)
+         |SELECT source, CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(sum(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_kept_above_median
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "q24_lang_id" -> {
       val scores = LangMarkers.map { case (l, ms) =>
         s"${countInSetS("t", ms)} AS s_$l" }.mkString(",\n    ")
