@@ -123,6 +123,8 @@ object SparkEntry {
     "q72_dedup_keep"          -> (graft.dedup.Dedup.dedupKeepSummary _),
     // corpus curation: per-source median quality filter (C4-style)
     "q73_quality_filter"      -> (graft.text.TextOps.qualityFilterSummary _),
+    // retrieval scoring: BM25 top-N docs per query term
+    "q74_bm25_topk"           -> (graft.text.TextOps.bm25TopDocs _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

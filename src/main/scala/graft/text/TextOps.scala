@@ -74,6 +74,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "customer")
+  val Bm25TopN = 10
+
+  /** q74: BM25 top-N documents per query term — the retrieval scoring an
+    * LLM-data pipeline uses for relevance-weighted sampling. Fully
+    * relational: tf from exploded token rows, document length + corpus
+    * stats from one aggregation each, per-term df broadcast; one window on
+    * the (tiny) term partition ranks by the 6-dp-rounded score with a
+    * doc_id tie-break (deterministic across engines — exact .5 rounding
+    * boundaries don't occur for log-derived scores). */
+  def bm25TopDocs(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.fanOut(docs(s, dir), "doc_id")
+      .select(col("doc_id"), explode(tokensC(col("text"))).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n"),
+      (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("token").agg(count(lit(1)).cast(DoubleType).as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      + lit(1.0))
+    val tfD = col("tf").cast(DoubleType)
+    val dlD = col("dl").cast(DoubleType)
+    val score = idf * ((tfD * lit(Bm25K1 + 1.0)) /
+      (tfD + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * dlD / col("avgdl"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
+      .orderBy(round(score, 6).desc, col("doc_id"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfc), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopN)
+      .select(col("token"), col("doc_id"),
+        col("rk").cast(IntegerType).as("rk"),
+        round(score, 6).as("bm25"))
+      .orderBy("token", "rk")
+  }
+
   /** Language ID: marker-stopword count per language, argmax with a fixed
     * priority tie-break; 'und' (undetermined) when no marker hits. Includes
     * agreement with the table's labeled `lang` for eyeballing accuracy. */
@@ -229,6 +269,30 @@ object TextOps {
          |  round(least(words / 100.0, 1.0) * 0.4 + (stops / words) * 0.4
          |    + (1.0 - punct / chars) * 0.2, 6) AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q74_bm25_topk" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest($T) AS token FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |  WHERE token IN ($terms) GROUP BY doc_id, token),
+         |dfc AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+         |  FROM tf GROUP BY token),
+         |sc AS (SELECT tf.token, tf.doc_id,
+         |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         |        / (CAST(tf.tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B}
+         |          + $Bm25B * CAST(dl.dl AS DOUBLE) / avgdl))) AS score
+         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfc ON tf.token = dfc.token, stats),
+         |r AS (SELECT token, doc_id, round(score, 6) AS bm25,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY token
+         |      ORDER BY round(score, 6) DESC, doc_id) AS INTEGER) AS rk
+         |  FROM sc)
+         |SELECT token, doc_id, rk, bm25 FROM r
+         |WHERE rk <= $Bm25TopN ORDER BY token, rk""".stripMargin
+    },
     "q73_quality_filter" ->
       s"""WITH d AS (SELECT doc_id, text, $T AS t FROM documents),
          |m AS (SELECT doc_id,
