@@ -125,6 +125,8 @@ object SparkEntry {
     "q73_quality_filter"      -> (graft.text.TextOps.qualityFilterSummary _),
     // retrieval scoring: BM25 top-N docs per query term
     "q74_bm25_topk"           -> (graft.text.TextOps.bm25TopDocs _),
+    // decontamination: near-dup pairs crossing source boundaries
+    "q75_contamination"       -> (graft.dedup.Dedup.crossSourceContamination _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -344,6 +344,30 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("source")
   }
 
+  /** q75: cross-source contamination — near-dup pairs whose members come
+    * from DIFFERENT sources: the train/test decontamination check (did
+    * the eval split leak into training data?) every LLM data pipeline
+    * runs before a release. Built on the LSH candidate pairs, so cost is
+    * bounded by candidates, with pair counts reported per unordered
+    * source pair. */
+  def crossSourceContamination(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bandPairsFrom(withSignature(nearDupCorpus(s, dir)))
+    val src = docs(s, dir).select(col("doc_id").as("bid"), col("source"))
+    pairs
+      .withColumn("ba", col("doc_a") % 10000000L)
+      .withColumn("bb", col("doc_b") % 10000000L)
+      .join(src.withColumnsRenamed(Map("bid" -> "ba", "source" -> "source_a")),
+        "ba")
+      .join(src.withColumnsRenamed(Map("bid" -> "bb", "source" -> "source_b")),
+        "bb")
+      .filter(col("source_a") =!= col("source_b"))
+      .select(least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).cast(IntegerType).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -443,6 +467,20 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
          |SELECT id AS doc_id, min(r) AS comp FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q75_contamination" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |x AS (SELECT sa.source AS source_a, sb.source AS source_b
+         |  FROM pairs
+         |  JOIN documents sa ON pairs.doc_a % 10000000 = sa.doc_id
+         |  JOIN documents sb ON pairs.doc_b % 10000000 = sb.doc_id
+         |  WHERE sa.source <> sb.source)
+         |SELECT least(source_a, source_b) AS src_lo,
+         |  greatest(source_a, source_b) AS src_hi,
+         |  CAST(count(*) AS INTEGER) AS n_pairs
+         |FROM x GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
     "q72_dedup_keep" ->
       s"""${sigSelectS(nearDupCorpusS).replaceFirst("WITH ", "WITH RECURSIVE ")},
          |bk AS ($bandUnnestS),
