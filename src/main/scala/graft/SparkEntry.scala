@@ -127,6 +127,8 @@ object SparkEntry {
     "q74_bm25_topk"           -> (graft.text.TextOps.bm25TopDocs _),
     // decontamination: near-dup pairs crossing source boundaries
     "q75_contamination"       -> (graft.dedup.Dedup.crossSourceContamination _),
+    // ordered conversion funnel over the event stream
+    "q76_funnel"              -> (graft.analytics.Advanced.funnel _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

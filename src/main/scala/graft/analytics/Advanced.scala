@@ -73,6 +73,31 @@ object Advanced {
         col("lvl"), col("n"), col("revenue"))
       .orderBy("lvl", "status", "priority")
 
+  /** q76: ordered conversion funnel (view → click → purchase) — each stage
+    * counts users whose first qualifying event happens strictly AFTER
+    * their previous stage's first event. Three aggregate+join rounds, each
+    * shuffling only (user, ts) pairs; the event scan is filtered per stage
+    * so no stage reads more than its own event type. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      col("ts"))
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val tc = ev.filter(col("event_type") === "click").join(tv, "user_id")
+      .filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val tp = ev.filter(col("event_type") === "purchase").join(tc, "user_id")
+      .filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    def stage(df: DataFrame, n: Int, step: String) =
+      df.agg(count(lit(1)).cast(IntegerType).as("n_users"))
+        .select(lit(n).as("stage"), lit(step).as("step"), col("n_users"))
+    stage(tv, 1, "view")
+      .unionByName(stage(tc, 2, "click"))
+      .unionByName(stage(tp, 3, "purchase"))
+      .orderBy("stage")
+  }
+
   /** As-of join: for every `click` event, the most recent `error` event of
     * the same user at-or-before it — the standard point-in-time lookup.
     *
@@ -309,6 +334,22 @@ object Advanced {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderpriority), ())
         |ORDER BY lvl, status, priority""".stripMargin,
+    "q76_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |    FROM events),
+        |tv AS (SELECT user_id, min(ts) AS tv FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (SELECT e.user_id, min(e.ts) AS tc FROM ev e
+        |  JOIN tv ON e.user_id = tv.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > tv.tv GROUP BY e.user_id),
+        |tp AS (SELECT e.user_id, min(e.ts) AS tp FROM ev e
+        |  JOIN tc ON e.user_id = tc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > tc.tc GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS step,
+        |  CAST(count(*) AS INTEGER) AS n_users FROM tv
+        |UNION ALL SELECT 2, 'click', CAST(count(*) AS INTEGER) FROM tc
+        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS INTEGER) FROM tp
+        |ORDER BY stage""".stripMargin,
     "q48_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'click'),
