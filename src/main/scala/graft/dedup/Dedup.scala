@@ -279,15 +279,19 @@ object Dedup extends org.apache.spark.internal.Logging {
     // computing. Checkpointing truncates the plan to an RDD scan, making
     // every round's plan O(1). (On a cluster, reliable checkpoint ⇄ same
     // effect; the data after LSH banding is pairs, i.e. tiny.)
+    // LAZY checkpoints: materialization folds into the next action (the
+    // round's convergence sum) instead of costing a separate driver job —
+    // one job per round, not two, and the fixed per-job overhead is the
+    // dominant cost of the whole loop on post-LSH-sized data
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // the loop iterates ONLY over docs that occur in an edge — in a real
     // crawl-dedup that is a sliver of the corpus; the singleton majority
     // never enters a round and is unioned back (comp = own id) at the end
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // one-hop propagation with per-hop-unique edge attributes (the same
     // edge frame joined twice in one plan would be self-ambiguous)
     def hop(l: DataFrame, i: Int): DataFrame = {
@@ -309,7 +313,8 @@ object Dedup extends org.apache.spark.internal.Logging {
       val t0 = System.nanoTime()
       // two hops fused per action: label info travels 2 edges per driver
       // round-trip, halving the barrier count
-      val next = hop(hop(labels, 2 * round), 2 * round + 1).localCheckpoint()
+      val next = hop(hop(labels, 2 * round), 2 * round + 1)
+        .localCheckpoint(eager = false)
       val sumRow = next.agg(sum("comp")).first()
       val nextSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       labels = next
