@@ -129,6 +129,8 @@ object SparkEntry {
     "q75_contamination"       -> (graft.dedup.Dedup.crossSourceContamination _),
     // ordered conversion funnel over the event stream
     "q76_funnel"              -> (graft.analytics.Advanced.funnel _),
+    // deterministic hash-based stratified sampling (corpus mixing)
+    "q77_data_mixing"         -> (graft.text.TextOps.dataMixingSummary _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

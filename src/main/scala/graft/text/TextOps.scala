@@ -74,6 +74,23 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q77: deterministic data mixing — hash-based stratified sampling with
+    * per-source rates (the corpus-mixing step before training). Unlike RNG
+    * `sampleBy`, membership is a pure function of doc_id (md5 buckets), so
+    * the mix is reproducible across runs, engines, and partitionings, and
+    * incremental re-runs keep/drop the same documents. */
+  def dataMixingSummary(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source") < "src_10", lit(70)).otherwise(lit(30))
+    docs(s, dir)
+      .withColumn("bucket",
+        pmod(hex60C(md5(col("doc_id").cast(StringType))), lit(100L)))
+      .withColumn("keep", (col("bucket") < rate).cast(IntegerType))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("keep").cast(IntegerType).as("n_sampled"))
+      .orderBy("source")
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "customer")
@@ -269,6 +286,15 @@ object TextOps {
          |  round(least(words / 100.0, 1.0) * 0.4 + (stops / words) * 0.4
          |    + (1.0 - punct / chars) * 0.2, 6) AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q77_data_mixing" ->
+      s"""WITH h AS (SELECT source,
+         |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket <
+         |      (CASE WHEN source < 'src_10' THEN 70 ELSE 30 END)
+         |    THEN 1 ELSE 0 END) AS INTEGER) AS n_sampled
+         |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "q74_bm25_topk" -> {
       val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH tok AS (SELECT doc_id, unnest($T) AS token FROM documents),
