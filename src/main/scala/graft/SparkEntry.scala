@@ -131,6 +131,8 @@ object SparkEntry {
     "q76_funnel"              -> (graft.analytics.Advanced.funnel _),
     // deterministic hash-based stratified sampling (corpus mixing)
     "q77_data_mixing"         -> (graft.text.TextOps.dataMixingSummary _),
+    // full outer join with unmatched rows on both sides
+    "q78_join_full_outer"     -> (Relational.joinFullOuter _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -230,6 +232,16 @@ object SparkEntry {
       """SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "q78_join_full_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_nationkey < 5),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_totalprice > 250000.0)
+        |SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |    WHEN o.o_orderkey IS NULL THEN 'customer_only'
+        |    ELSE 'matched' END AS side,
+        |  CAST(count(*) AS INTEGER) AS n
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY side""".stripMargin,
     "q13_join_semi_anti" ->
       """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 40000.0)
         |SELECT c_custkey, 'has_big_order' AS bucket FROM customer

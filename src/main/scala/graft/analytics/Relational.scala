@@ -186,6 +186,24 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** q78: FULL OUTER join with unmatched rows on BOTH sides (filtered
+    * customers vs high-value orders), aggregated into match classes —
+    * completes the join-type family (inner/left/semi/anti/cross are
+    * q11-q13, q31+). */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_nationkey") < 5)
+      .select(col("c_custkey"))
+    // threshold chosen so ALL THREE classes are populated at sf0.01
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(when(col("c_custkey").isNull, "order_only")
+        .when(col("o_orderkey").isNull, "customer_only")
+        .otherwise("matched").as("side"))
+      .groupBy("side").agg(count(lit(1)).cast(IntegerType).as("n"))
+      .orderBy("side")
+  }
+
   /** Left-semi + left-anti joins (EXISTS / NOT EXISTS). */
   def joinSemiAnti(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
