@@ -133,6 +133,8 @@ object SparkEntry {
     "q77_data_mixing"         -> (graft.text.TextOps.dataMixingSummary _),
     // full outer join with unmatched rows on both sides
     "q78_join_full_outer"     -> (Relational.joinFullOuter _),
+    // the SQL-text entry: one dialect-portable string on both engines
+    "q79_sql_parity"          -> (graft.sql.Catalog.sqlParity _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -302,5 +304,6 @@ object SparkEntry {
   ) ++ graft.text.TextOps.oracleSql ++ graft.dedup.Dedup.oracleSql ++
     graft.similarity.Similarity.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
     graft.analytics.Advanced.oracleSql ++ graft.ml.LloydExact.oracleSql ++
-    graft.ml.Knn.oracleSql
+    graft.ml.Knn.oracleSql ++
+    Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText)
 }

@@ -34,4 +34,23 @@ object Catalog {
     graft.sources.Tables.registerAll(spark, sfDir)
     graft.sources.Tables.names
   }
+
+  /** q79: ONE SQL string, two engines. The text below runs unchanged on
+    * Spark (via the catalog's registered views — the `spark.sql` entry the
+    * reference's Hive tables promise, SURVEY §3 SQL entry) and on DuckDB
+    * as its own oracle — API-surface proof that SQL users get the same
+    * engine the DataFrame API drives, with dialect-portable casts. */
+  val SqlParityText: String =
+    """SELECT n_name,
+      |  CAST(count(*) AS INTEGER) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  def sqlParity(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    registerTestdata(spark, sfDir)
+    spark.sql(SqlParityText)
+  }
 }
