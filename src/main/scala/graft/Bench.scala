@@ -1,11 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}. A full warmup pass
-  * runs first so per-query numbers measure the query, not JVM/session/
-  * codegen warmup (without it, whichever query runs first absorbs ~5 s of
-  * one-time cost and the comparison to BASELINE is noise). */
+/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  * Streams ONE JSON line per completed query ({"metric":"query",...}) so a
+  * mid-run kill (host timeout, OOM-killer) still leaves every completed
+  * timing on stdout, then prints the final aggregate line
+  * {"metric":"total","queries":{...}} — consumers that only want the
+  * summary read the last "total" line; consumers recovering a crashed run
+  * replay the per-query lines. A light warmup pass runs first so per-query
+  * numbers measure the query, not JVM/session/codegen warmup (without it,
+  * whichever query runs first absorbs ~5 s of one-time cost and the
+  * comparison to BASELINE is noise). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,7 +43,13 @@ object Bench {
     if (doWarmup)
       Seq("q01_scan_project_filter", "q05_group_count", "q31_cosine_topk")
         .filter(SparkEntry.queries.contains).foreach(runOne)
-    val results = names.map(n => n -> runOne(n))
+    val results = names.map { n =>
+      val sec = runOne(n)
+      // stream each result immediately: a killed run keeps everything done
+      println(s"""{"metric":"query","name":"$n","value":$sec,"unit":"sec"}""")
+      Console.out.flush()
+      n -> sec
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -179,15 +179,65 @@ object Advanced {
   }
 
   /** Ranking-window family: ntile quartile, percent_rank, cume_dist over a
-    * deterministic total order. One global sort — at scale this is a range
-    * exchange (sampled boundaries), the same machinery orderBy uses. */
+    * deterministic total order — WITHOUT the single-partition window trap.
+    *
+    * `Window.orderBy` with no partitionBy compiles to a SinglePartition
+    * WindowExec: every row flows through ONE task (unpartitioned windows do
+    * NOT get the range exchange that global orderBy gets). Instead this is
+    * the classic two-pass distributed ranking:
+    *   1. range-partition on the (unique) order key and stamp each row with
+    *      its physical partition id;
+    *   2. count rows per partition (one tiny O(#partitions) collect) and
+    *      turn the counts into broadcast cumulative offsets;
+    *   3. per-partition local row_number (window partitioned by pid — full
+    *      parallelism) + offset = exact global rank.
+    * ntile/percent_rank/cume_dist are then pure arithmetic on (rank, N).
+    * The frame is localCheckpoint'ed so both passes read ONE materialized
+    * copy — identical partition placement guaranteed, no double scan.
+    *
+    * Requires a tie-broken (globally unique) ordering key, which
+    * (o_totalprice, o_orderkey) is — with unique keys rank == row_number
+    * and cume_dist == rank/N, exactly the window semantics. */
   def ntileRanks(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      .repartitionByRange(parts, col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: per-partition counts → exclusive cumulative offsets (≤ parts
+    // rows on the driver — O(#partitions), never O(rows))
+    val counts = ranged.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+        .init.zip(counts).map { case ((_, off), (pid, _)) => pid -> off }.toMap
+    // ntile(k): first N%k buckets get N/k+1 rows, the rest N/k
+    val k = 4L
+    val q = n / k; val r = n % k
+    val qq = math.max(q, 1L) // else-branch divisor; unreachable when q == 0
+    // pass 2: local ranks at full parallelism + broadcast offsets
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    ranged
+      .withColumn("off",
+        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
+      .withColumn("rn", row_number().over(w).cast(LongType) + col("off"))
+      .withColumn("quartile",
+        when(lit(n) <= k, col("rn").cast(IntegerType)) // degenerate N<=k
+          .when(col("rn") <= lit(r * (q + 1)),
+            (((col("rn") - 1) - pmod(col("rn") - 1, lit(q + 1))) / (q + 1)
+              + 1).cast(IntegerType))
+          .otherwise({
+            val past = col("rn") - lit(r * (q + 1)) - 1
+            (lit(r) + (past - pmod(past, lit(qq))) / qq + 1).cast(IntegerType)
+          }))
+      .withColumn("pct_rank",
+        round((col("rn") - 1).cast(DoubleType) / math.max(n - 1, 1L), 6))
+      .withColumn("cume", round(col("rn").cast(DoubleType) / n, 6))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("quartile"), col("pct_rank"), col("cume"))
       .orderBy("o_orderkey")
   }
 
