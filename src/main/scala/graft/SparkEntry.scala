@@ -135,6 +135,9 @@ object SparkEntry {
     "q78_join_full_outer"     -> (Relational.joinFullOuter _),
     // the SQL-text entry: one dialect-portable string on both engines
     "q79_sql_parity"          -> (graft.sql.Catalog.sqlParity _),
+    // deterministic exact-gini depth-2 tree — the oracle-checked twin of
+    // q37's RNG-dependent RandomForest (as q57 is for q36's K-Means)
+    "q80_gini_stump"          -> (graft.ml.GiniStump.query _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -304,6 +307,7 @@ object SparkEntry {
   ) ++ graft.text.TextOps.oracleSql ++ graft.dedup.Dedup.oracleSql ++
     graft.similarity.Similarity.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
     graft.analytics.Advanced.oracleSql ++ graft.ml.LloydExact.oracleSql ++
+    graft.ml.GiniStump.oracleSql ++
     graft.ml.Knn.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText)
 }

@@ -1,0 +1,267 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Deterministic decision-tree twin of the RandomForest job — the
+  * oracle-checkable counterpart of RandomForestJob (random_forest.py:101-123;
+  * MLlib's forest is RNG-dependent — bootstrap + feature subsets + seeded
+  * binning — so q37 can only be rows-checked). Here: one depth-2 tree with
+  * EXACT gini over quantile-binned candidate thresholds, every step pure
+  * DataFrame algebra with integer-count arithmetic, so the result is
+  * bit-identical on any partitioning and to the DuckDB oracle.
+  *
+  * Design mirrors how distributed tree learners actually scale (Spark ML's
+  * own maxBins): candidate thresholds are computed ONCE at the root as
+  * per-feature quantile bin edges (ntile over a deterministic (val, id)
+  * order), then every node evaluates all candidates from ONE pass of
+  * per-(node, feature, bin, class) counts + a cumulative window — cost per
+  * depth level is one scan + one hash agg + one tiny window, independent of
+  * the number of candidates evaluated.
+  *
+  * Determinism audit:
+  *  - thresholds are raw float values (exact in DOUBLE on both engines);
+  *  - split scores derive only from integer counts: nL, ΣcL², nR, ΣcR²
+  *    (squares summed in DECIMAL(38,0) ≙ DuckDB HUGEINT — no long overflow
+  *    at scale, exact on both engines);
+  *  - the weighted-gini double is ONE fixed-shape expression
+  *    `nL - SL/nL + nR - SR/nR` over exactly-representable integers —
+  *    IEEE-identical on both engines; ties broken by (score, feat, t);
+  *  - leaf majority ties break toward the smaller label.
+  */
+object GiniStump {
+  val MaxBins = 16
+  val NumFeats = 4 // embedding components used as features f0..f3
+
+  private val dec = DecimalType(38, 0)
+  private def featNames = (0 until NumFeats).map(j => s"f$j")
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id")
+      .select(col("vec_id").as("id") +: col("label") +:
+        (0 until NumFeats).map(j =>
+          col("embedding").getItem(j).cast(DoubleType).as(s"f$j")): _*)
+
+  /** wide (id, label, [node,] f0..f3) → long (id, label, [node,] feat, val) */
+  private def toLong(wide: DataFrame): DataFrame = {
+    val keep = wide.columns.filterNot(featNames.contains).map(col).toSeq
+    wide.select(keep :+ explode(array(featNames.map(f =>
+        struct(lit(f).as("feat"), col(f).as("val"))): _*)).as("u"): _*)
+      .select(keep :+ col("u.feat").as("feat") :+ col("u.val").as("val"): _*)
+  }
+
+  /** Per-feature candidate thresholds: the max value of each of MaxBins
+    * quantile buckets (deterministic (val, id) order), deduped. ≤64 rows. */
+  private def thresholds(rootLong: DataFrame): DataFrame = {
+    val w = Window.partitionBy("feat").orderBy(col("val"), col("id"))
+    rootLong.withColumn("b", ntile(MaxBins).over(w))
+      .groupBy("feat", "b").agg(max("val").as("t"))
+      .select("feat", "t").distinct()
+  }
+
+  /** Exact best split per node over the shared candidate set:
+    * (node, feat, t, wg). One scan + one hash agg + one ≤|grid| window. */
+  private def bestSplits(wide: DataFrame, thr: DataFrame,
+                         labels: DataFrame): DataFrame = {
+    val longDf = toLong(wide)
+    // bin assignment: smallest threshold >= val (rows above every threshold
+    // fall to the right of all candidates and drop out here by design)
+    val binned = longDf.alias("r")
+      .join(broadcast(thr).alias("h"),
+        col("r.feat") === col("h.feat") && col("r.val") <= col("h.t"))
+      .groupBy(col("r.node"), col("r.feat"), col("r.label"), col("r.id"))
+      .agg(min(col("h.t")).as("t"))
+    val cnt = binned.groupBy("node", "feat", "t", "label")
+      .agg(count(lit(1)).as("c"))
+    // dense (node × threshold × class) grid so the cumulative window sees
+    // every candidate even where a class has no rows at that bin
+    val grid = wide.select("node").distinct()
+      .crossJoin(broadcast(thr)).crossJoin(broadcast(labels))
+      .join(cnt, Seq("node", "feat", "t", "label"), "left")
+      .na.fill(0, Seq("c"))
+    val cum = grid.withColumn("cum", sum("c").over(
+      Window.partitionBy("node", "feat", "label").orderBy("t")))
+    val tot = wide.groupBy("node", "label").agg(count(lit(1)).as("tc"))
+    val cand = cum.join(tot, Seq("node", "label"))
+      .groupBy("node", "feat", "t")
+      .agg(sum("cum").as("nl"),
+        sum(col("cum").cast(dec) * col("cum").cast(dec)).as("sl"),
+        sum(col("tc") - col("cum")).as("nr"),
+        sum((col("tc") - col("cum")).cast(dec) *
+          (col("tc") - col("cum")).cast(dec)).as("sr"))
+    val wg = cand.filter(col("nl") > 0 && col("nr") > 0)
+      .withColumn("wg",
+        col("nl").cast(DoubleType) -
+          col("sl").cast(DoubleType) / col("nl").cast(DoubleType) +
+          col("nr").cast(DoubleType) -
+          col("sr").cast(DoubleType) / col("nr").cast(DoubleType))
+    wg.withColumn("rn", row_number().over(
+        Window.partitionBy("node").orderBy(col("wg"), col("feat"), col("t"))))
+      .filter(col("rn") === 1)
+      .select("node", "feat", "t", "wg")
+  }
+
+  /** Value of the node's chosen split feature for the current row. */
+  private def chosenVal: Column =
+    coalesce(featNames.map(f => when(col("feat") === f, col(f))): _*)
+
+  /** q80: the full depth-2 tree — 3 split rows (root, L, R: chosen feature,
+    * threshold, weighted gini, node size) + 4 leaf rows (leaf gini, size,
+    * majority class). Tiny intermediate frames (thresholds, labels, best
+    * splits) are localCheckpoint'ed: each is referenced by several downstream
+    * branches, and truncation keeps every reference an RDD scan instead of
+    * re-running the window/agg subtree per reference. */
+  def query(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val root = p.withColumn("node", lit("root"))
+    val thr = thresholds(toLong(root).select("id", "feat", "val"))
+      .localCheckpoint()
+    val labels = p.select("label").distinct().localCheckpoint()
+
+    val best1 = bestSplits(root, thr, labels).localCheckpoint() // 1 row
+    val a2 = p.crossJoin(broadcast(best1.select("feat", "t")))
+      .withColumn("node", when(chosenVal <= col("t"), "L").otherwise("R"))
+      .drop("feat", "t")
+    val best2 = bestSplits(a2, thr, labels).localCheckpoint() // 2 rows
+    val a3 = a2.join(broadcast(best2.select("node", "feat", "t")), "node")
+      .withColumn("leaf",
+        concat(col("node"), when(chosenVal <= col("t"), "L").otherwise("R")))
+      .select(col("id"), col("label"), col("leaf").as("node"))
+
+    val sizes = a2.groupBy("node").agg(count(lit(1)).as("n"))
+      .unionByName(p.agg(count(lit(1)).as("n")).withColumn("node", lit("root")))
+    val splits = best1.unionByName(best2).join(sizes, "node")
+      .select(col("node"), lit("split").as("kind"), col("feat"),
+        col("t").as("thr"), round(col("wg"), 6).as("score"), col("n"),
+        lit(null).cast(IntegerType).as("pred"))
+
+    val leafCnt = a3.groupBy("node", "label").agg(count(lit(1)).as("c"))
+    val leafAgg = leafCnt.groupBy("node").agg(sum("c").as("n"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).as("s"))
+    val maj = leafCnt.withColumn("rn", row_number().over(
+        Window.partitionBy("node").orderBy(col("c").desc, col("label"))))
+      .filter(col("rn") === 1).select("node", "label")
+    val leaves = leafAgg.join(maj, "node")
+      .select(col("node"), lit("leaf").as("kind"),
+        lit(null).cast(StringType).as("feat"),
+        lit(null).cast(DoubleType).as("thr"),
+        round(lit(1.0) - col("s").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("n").cast(DoubleType)), 6)
+          .as("score"),
+        col("n"), col("label").cast(IntegerType).as("pred"))
+
+    splits.unionByName(leaves).orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** CASE expression mirroring `chosenVal` for alias `p` vs best alias `b`. */
+  private def chosenValS(p: String, b: String): String =
+    s"CASE $b.feat " +
+      featNames.map(f => s"WHEN '$f' THEN $p.$f").mkString(" ") + " END"
+
+  /** One level's best-split CTE chain over `wide` (id,label,node,f0..f3)
+    * and its long form `lng` (id,label,node,feat,val). */
+  private def bestS(wide: String, lng: String): String =
+    s"""SELECT node, feat, t, wg FROM (
+       |  SELECT node, feat, t, wg,
+       |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY wg, feat, t) AS rn
+       |  FROM (
+       |    SELECT node, feat, t,
+       |      CAST(nl AS DOUBLE) - CAST(sl AS DOUBLE)/CAST(nl AS DOUBLE)
+       |        + CAST(nr AS DOUBLE) - CAST(sr AS DOUBLE)/CAST(nr AS DOUBLE) AS wg
+       |    FROM (
+       |      SELECT u.node, u.feat, u.t,
+       |        SUM(u.cum) AS nl, SUM(u.cum * u.cum) AS sl,
+       |        SUM(tt.tc - u.cum) AS nr,
+       |        SUM((tt.tc - u.cum) * (tt.tc - u.cum)) AS sr
+       |      FROM (
+       |        SELECT g.node, g.feat, g.t, g.label,
+       |          SUM(COALESCE(c.c, 0)) OVER (
+       |            PARTITION BY g.node, g.feat, g.label ORDER BY g.t) AS cum
+       |        FROM (SELECT n.node, h.feat, h.t, l.label
+       |              FROM (SELECT DISTINCT node FROM $wide) n
+       |              CROSS JOIN thr h CROSS JOIN labels l) g
+       |        LEFT JOIN (
+       |          SELECT node, feat, t, label, COUNT(*) AS c FROM (
+       |            SELECT r.node, r.feat, r.label, r.id, MIN(h.t) AS t
+       |            FROM $lng r JOIN thr h
+       |              ON r.feat = h.feat AND r.val <= h.t
+       |            GROUP BY r.node, r.feat, r.label, r.id)
+       |          GROUP BY node, feat, t, label) c
+       |          ON g.node = c.node AND g.feat = c.feat
+       |            AND g.t = c.t AND g.label = c.label) u
+       |      JOIN (SELECT node, label, COUNT(*) AS tc FROM $wide
+       |            GROUP BY node, label) tt
+       |        ON u.node = tt.node AND u.label = tt.label
+       |      GROUP BY u.node, u.feat, u.t)
+       |    WHERE nl > 0 AND nr > 0))
+       |WHERE rn = 1""".stripMargin
+
+  private def toLongS(wide: String): String =
+    s"""SELECT id, label, node, u['feat'] AS feat, u['val'] AS val FROM (
+       |  SELECT id, label, node, unnest([
+       |    ${featNames.map(f => s"{'feat': '$f', 'val': $f}").mkString(", ")}
+       |  ]) AS u FROM $wide)""".stripMargin
+
+  def oracleSql: Map[String, String] = {
+    val sql =
+      s"""WITH pts AS (
+         |  SELECT vec_id AS id, label,
+         |    ${(0 until NumFeats).map(j =>
+               s"embedding[${j + 1}]::DOUBLE AS f$j").mkString(", ")}
+         |  FROM embeddings),
+         |labels AS (SELECT DISTINCT label FROM pts),
+         |root AS (SELECT *, 'root' AS node FROM pts),
+         |rootlong AS (${toLongS("root")}),
+         |thr AS (
+         |  SELECT DISTINCT feat, t FROM (
+         |    SELECT feat, b, MAX(val) AS t FROM (
+         |      SELECT feat, val, id,
+         |        ntile($MaxBins) OVER (PARTITION BY feat ORDER BY val, id) AS b
+         |      FROM rootlong)
+         |    GROUP BY feat, b)),
+         |best1 AS (${bestS("root", "rootlong")}),
+         |a2 AS (
+         |  SELECT p.*, CASE WHEN ${chosenValS("p", "b")} <= b.t
+         |    THEN 'L' ELSE 'R' END AS node
+         |  FROM pts p CROSS JOIN best1 b),
+         |a2long AS (${toLongS("a2")}),
+         |best2 AS (${bestS("a2", "a2long")}),
+         |a3 AS (
+         |  SELECT p.id, p.label,
+         |    p.node || CASE WHEN ${chosenValS("p", "b")} <= b.t
+         |      THEN 'L' ELSE 'R' END AS node
+         |  FROM a2 p JOIN best2 b ON p.node = b.node),
+         |sizes AS (
+         |  SELECT node, COUNT(*) AS n FROM a2 GROUP BY node
+         |  UNION ALL SELECT 'root', COUNT(*) FROM pts),
+         |leafcnt AS (SELECT node, label, COUNT(*) AS c FROM a3
+         |  GROUP BY node, label)
+         |SELECT node, kind, feat, thr, score, n, pred FROM (
+         |  SELECT b.node, 'split' AS kind, b.feat,
+         |    b.t AS thr, round(b.wg, 6) AS score, sz.n,
+         |    CAST(NULL AS INTEGER) AS pred
+         |  FROM (SELECT * FROM best1 UNION ALL SELECT * FROM best2) b
+         |  JOIN sizes sz ON b.node = sz.node
+         |  UNION ALL
+         |  SELECT la.node, 'leaf', CAST(NULL AS VARCHAR),
+         |    CAST(NULL AS DOUBLE),
+         |    round(1.0 - CAST(la.s AS DOUBLE) /
+         |      (CAST(la.n AS DOUBLE) * CAST(la.n AS DOUBLE)), 6),
+         |    CAST(la.n AS BIGINT), mj.label
+         |  FROM (SELECT node, SUM(c) AS n, SUM(c*c) AS s FROM leafcnt
+         |        GROUP BY node) la
+         |  JOIN (SELECT node, label FROM (
+         |          SELECT node, label,
+         |            ROW_NUMBER() OVER (PARTITION BY node
+         |              ORDER BY c DESC, label) AS rn
+         |          FROM leafcnt) WHERE rn = 1) mj
+         |    ON la.node = mj.node)
+         |ORDER BY node""".stripMargin
+    Map("q80_gini_stump" -> sql)
+  }
+}

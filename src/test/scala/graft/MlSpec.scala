@@ -76,6 +76,28 @@ class MlSpec extends SparkSpec {
     out.toArray.foreach(v => assert(math.abs(v) < 1e-9)) // the mean row → 0
   }
 
+  test("GiniStump: depth-2 tree is structurally sound and exactly partitions the data") {
+    val rows = GiniStump.query(spark, sfDir).collect()
+    assert(rows.length === 7)
+    val (splits, leaves) = rows.partition(_.getAs[String]("kind") === "split")
+    assert(splits.map(_.getAs[String]("node")).sorted === Array("L", "R", "root"))
+    assert(leaves.map(_.getAs[String]("node")).sorted ===
+      Array("LL", "LR", "RL", "RR"))
+    val n = rows.map(r => r.getAs[String]("node") -> r.getAs[Long]("n")).toMap
+    // children exactly partition their parent
+    assert(n("L") + n("R") === n("root"))
+    assert(n("LL") + n("LR") === n("L"))
+    assert(n("RL") + n("RR") === n("R"))
+    // split rows carry a chosen feature+threshold; leaves carry a prediction
+    assert(splits.forall(r => r.getAs[String]("feat") != null
+      && !r.isNullAt(r.fieldIndex("thr")) && r.isNullAt(r.fieldIndex("pred"))))
+    assert(leaves.forall(r => r.getAs[String]("feat") == null
+      && !r.isNullAt(r.fieldIndex("pred"))))
+    // scores are valid ginis (weighted impurity sums are >= 0; leaf gini < 1)
+    assert(rows.forall(r => r.getAs[Double]("score") >= 0.0))
+    assert(leaves.forall(_.getAs[Double]("score") < 1.0))
+  }
+
   test("fitWithBackoff falls back to smaller samples on failure") {
     var calls = 0
     val result = FeaturePrep.fitWithBackoff(blobs, Seq(1.0, 0.5)) { df =>
