@@ -138,6 +138,10 @@ object SparkEntry {
     // deterministic exact-gini depth-2 tree — the oracle-checked twin of
     // q37's RNG-dependent RandomForest (as q57 is for q36's K-Means)
     "q80_gini_stump"          -> (graft.ml.GiniStump.query _),
+    // A4's approximate half: HLL++ distinct count + quantile sketch in one
+    // pass — the actual 100 TB tool (exact twins: q08/q54). Approximate ⇒
+    // rows-only here; error bands asserted in RelationalSpec.
+    "q81_approx_stats"        -> (Relational.approxStats _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
