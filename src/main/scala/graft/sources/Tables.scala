@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array, lit, struct}
 import org.apache.spark.sql.types.StructType
 
 /** Sources (SURVEY.md §2.1 S1,S2,S8,S12): parquet/CSV/JSON readers over the
@@ -111,4 +112,28 @@ object Sinks {
     def write(collection: String, df: DataFrame): Unit =
       df.coalesce(1).write.mode("overwrite").json(s"$baseDir/$collection")
   }
+
+  /** The reference deployment's collection set (scripts/mongo-init.js:8-14)
+    * — ResultSink targets should come from here so an offline JSON dir is
+    * layout-compatible with the Mongo database the reference initializes. */
+  val MongoCollections: Set[String] = Set(
+    "us_accidents_raw", "us_accidents_cleaned", "us_accidents_clustered",
+    "knn_results", "kmeans_results", "random_forest_results", "pipeline_logs")
+
+  /** One-row result document in the reference's exact kNN shape
+    * (knn_classification.py:253-263): `{ model_name, timestamp,
+    * features_used[], metrics{...}, parameters{k, distance_metric} }` —
+    * what the reference appends to the `knn_results` collection. Metrics
+    * keys are sorted so the document schema is deterministic. */
+  def knnResultsDoc(s: SparkSession, timestamp: String,
+                    featuresUsed: Seq[String], metrics: Map[String, Double],
+                    k: Int): DataFrame =
+    s.range(1).select(
+      lit("kNN").as("model_name"),
+      lit(timestamp).as("timestamp"),
+      array(featuresUsed.map(lit(_)): _*).as("features_used"),
+      struct(metrics.toSeq.sortBy(_._1).map { case (m, v) =>
+        lit(v).as(m) }: _*).as("metrics"),
+      struct(lit(k).as("k"),
+        lit("euclidean").as("distance_metric")).as("parameters"))
 }

@@ -76,6 +76,38 @@ class SinksCatalogSpec extends SparkSpec {
     assert(back.head.getAs[Double]("accuracy") === 0.81)
   }
 
+  test("knnResultsDoc matches the reference's knn_results collection shape (S7)") {
+    // field-for-field parity with knn_classification.py:253-263's
+    // results_doc, written to a collection name mongo-init.js creates
+    val dir = tmp()
+    val collection = "knn_results"
+    assert(Sinks.MongoCollections.contains(collection))
+    val doc = Sinks.knnResultsDoc(spark, "2026-08-12T00:00:00",
+      featuresUsed = Seq("Start_Lat", "Start_Lng", "Distance_mi"),
+      metrics = Map("accuracy" -> 0.8054, "f1" -> 0.732, "optimal_k" -> 5.0),
+      k = 5)
+    new Sinks.JsonDirSink(dir).write(collection, doc)
+    val back = spark.read.json(s"$dir/$collection")
+    assert(back.count() === 1)
+    // exact top-level document fields, as the reference builds them
+    assert(back.columns.sorted.toSeq ===
+      Seq("features_used", "metrics", "model_name", "parameters", "timestamp"))
+    val row = back.head
+    assert(row.getAs[String]("model_name") === "kNN")
+    assert(row.getSeq[String](row.fieldIndex("features_used")) ===
+      Seq("Start_Lat", "Start_Lng", "Distance_mi"))
+    // nested parameters: {k, distance_metric="euclidean"} (py:258-261)
+    val params = row.getStruct(row.fieldIndex("parameters"))
+    assert(params.schema.fieldNames.sorted.toSeq === Seq("distance_metric", "k"))
+    assert(params.getAs[String]("distance_metric") === "euclidean")
+    assert(params.getAs[Long]("k") === 5L)
+    // nested metrics carry every supplied metric by name
+    val metrics = row.getStruct(row.fieldIndex("metrics"))
+    assert(metrics.schema.fieldNames.sorted.toSeq ===
+      Seq("accuracy", "f1", "optimal_k"))
+    assert(metrics.getAs[Double]("accuracy") === 0.8054)
+  }
+
   test("catalog: external CSV table + managed ORC table + SQL entry (S8, S9)") {
     val dir = tmp()
     val src = Tables.load(spark, sfDir, "nation")
