@@ -44,10 +44,19 @@ object KMeansJob {
     * one fit can't saturate it and the sweep is scheduler-bound. Leave
     * sequential when each fit already uses the whole cluster (the 100 TB
     * full-data case). Results are identical either way: each fit is
-    * independently seeded and Future.sequence preserves k order. */
+    * independently seeded and Future.sequence preserves k order.
+    *
+    * Concurrency is bounded by a dedicated pool (`maxConcurrent` driver
+    * threads — each pending fit is just a blocked submitter thread, so a
+    * small bound suffices and a runaway kRange can't exhaust the global
+    * pool), and the whole sweep is bounded by `timeout` rather than
+    * awaiting forever on a hung job. */
   def elbow(df: DataFrame, kRange: Seq[Int], featuresCol: String = "features",
             seed: Long = 42L, maxIter: Int = 30,
-            evalFraction: Double = 1.0, parallel: Boolean = false): Seq[ElbowPoint] = {
+            evalFraction: Double = 1.0, parallel: Boolean = false,
+            maxConcurrent: Int = 4,
+            timeout: scala.concurrent.duration.Duration =
+              scala.concurrent.duration.Duration(30, "min")): Seq[ElbowPoint] = {
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
     def point(k: Int): ElbowPoint = {
@@ -61,10 +70,13 @@ object KMeansJob {
     try {
       if (parallel) {
         import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        Await.result(Future.sequence(kRange.map(k => Future(point(k)))),
-          Duration.Inf)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(maxConcurrent, kRange.size)))
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try Await.result(Future.sequence(kRange.map(k => Future(point(k)))),
+          timeout)
+        finally { pool.shutdown(); () }
       } else kRange.map(point)
     } finally { cached.unpersist(); () }
   }
