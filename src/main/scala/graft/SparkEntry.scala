@@ -120,13 +120,13 @@ object SparkEntry {
     // ANN quality evaluation: recall@k of IVF vs exact brute force
     "q71_ann_recall"          -> (graft.similarity.Similarity.annRecall _),
     // dedup output step: canonical selection + survivors per source
-    "q72_dedup_keep"          -> (graft.dedup.Dedup.dedupKeepSummary _),
+    "q72_dedup_keep"          -> ((s, d) => graft.dedup.Dedup.dedupKeepSummary(s, d)),
     // corpus curation: per-source median quality filter (C4-style)
     "q73_quality_filter"      -> (graft.text.TextOps.qualityFilterSummary _),
     // retrieval scoring: BM25 top-N docs per query term
     "q74_bm25_topk"           -> (graft.text.TextOps.bm25TopDocs _),
     // decontamination: near-dup pairs crossing source boundaries
-    "q75_contamination"       -> (graft.dedup.Dedup.crossSourceContamination _),
+    "q75_contamination"       -> ((s, d) => graft.dedup.Dedup.crossSourceContamination(s, d)),
     // ordered conversion funnel over the event stream
     "q76_funnel"              -> (graft.analytics.Advanced.funnel _),
     // deterministic hash-based stratified sampling (corpus mixing)

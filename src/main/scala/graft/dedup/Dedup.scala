@@ -29,11 +29,19 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
-  /** documents ∪ exact copies of every 10th doc (id offset +10,000,000). */
+  /** FIXTURE convention, not an operator property: injected dup/near-dup
+    * variants carry id = base id + VariantIdOffset, so mapping an id back
+    * to its base doc is `% VariantIdOffset`. Operators that need source
+    * attribution take an injectable `baseIdOf` defaulting to this; a
+    * production corpus supplies its own mapping (or `identity`). */
+  val VariantIdOffset = 10000000L
+  val fixtureBaseId: Column => Column = _ % VariantIdOffset
+
+  /** documents ∪ exact copies of every 10th doc (id offset +VariantIdOffset). */
   def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .select((col("doc_id") + VariantIdOffset).as("doc_id"), col("text")))
   }
   private val dupCorpusS =
     """SELECT doc_id, text FROM documents
@@ -48,7 +56,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     val variant = when(size(t) > 1, concat_ws(" ", slice(t, lit(1), size(t) - 1)))
       .otherwise(col("text"))
     d.unionByName(d.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), variant.as("text")))
+      .select((col("doc_id") + VariantIdOffset).as("doc_id"), variant.as("text")))
   }
   private val nearDupCorpusS =
     s"""SELECT doc_id, text FROM documents
@@ -333,13 +341,15 @@ object Dedup extends org.apache.spark.internal.Logging {
   /** q72: the dedup pipeline's OUTPUT step — canonical selection. Keep the
     * min-id doc per near-dup component (comp label == representative id)
     * and summarize survivors per source: the "emit the cleaned corpus"
-    * accounting every production dedup publishes. Injected variant ids
-    * map back to their base doc (`% 10M`) for source attribution. */
-  def dedupKeepSummary(s: SparkSession, dir: String): DataFrame = {
+    * accounting every production dedup publishes. `baseIdOf` maps an id
+    * back to its source-attributed base doc (fixture default:
+    * [[fixtureBaseId]]). */
+  def dedupKeepSummary(s: SparkSession, dir: String,
+                       baseIdOf: Column => Column = fixtureBaseId): DataFrame = {
     val srcOf = docs(s, dir).select(col("doc_id").as("base_id"), col("source"))
     dedupComponents(s, dir)
       .withColumn("kept", (col("doc_id") === col("comp")).cast(IntegerType))
-      .withColumn("base_id", col("doc_id") % 10000000L)
+      .withColumn("base_id", baseIdOf(col("doc_id")))
       .join(srcOf, "base_id")
       .groupBy("source")
       .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
@@ -355,12 +365,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     * runs before a release. Built on the LSH candidate pairs, so cost is
     * bounded by candidates, with pair counts reported per unordered
     * source pair. */
-  def crossSourceContamination(s: SparkSession, dir: String): DataFrame = {
+  def crossSourceContamination(s: SparkSession, dir: String,
+                               baseIdOf: Column => Column = fixtureBaseId): DataFrame = {
     val pairs = bandPairsFrom(withSignature(nearDupCorpus(s, dir)))
     val src = docs(s, dir).select(col("doc_id").as("bid"), col("source"))
     pairs
-      .withColumn("ba", col("doc_a") % 10000000L)
-      .withColumn("bb", col("doc_b") % 10000000L)
+      .withColumn("ba", baseIdOf(col("doc_a")))
+      .withColumn("bb", baseIdOf(col("doc_b")))
       .join(src.withColumnsRenamed(Map("bid" -> "ba", "source" -> "source_a")),
         "ba")
       .join(src.withColumnsRenamed(Map("bid" -> "bb", "source" -> "source_b")),
