@@ -189,19 +189,38 @@ object Advanced {
     *      its physical partition id;
     *   2. count rows per partition (one tiny O(#partitions) collect) and
     *      turn the counts into broadcast cumulative offsets;
-    *   3. per-partition local row_number (window partitioned by pid — full
-    *      parallelism) + offset = exact global rank.
+    *   3. per-partition local sort (sortWithinPartitions — NO exchange) +
+    *      a mapPartitions index stamp + offset = exact global rank, at
+    *      full parallelism.
     * ntile/percent_rank/cume_dist are then pure arithmetic on (rank, N).
     * The frame is localCheckpoint'ed so both passes read ONE materialized
-    * copy — identical partition placement guaranteed, no double scan.
+    * copy — identical partition placement guaranteed, no double scan. The
+    * checkpointed blocks stay cached until the session ends (they cannot
+    * be freed eagerly: the returned lazy DataFrame reads them) — at scale,
+    * callers batching many such queries should unpersist the input's
+    * cached RDDs between batches.
+    *
+    * Step 3 is deliberately mapPartitions, not a pid-partitioned window:
+    * the checkpoint's range layout already co-locates each pid, but its
+    * RANGE partitioning metadata (by price,key) can't prove
+    * hashpartitioning(pid) to Catalyst, so a window would add a redundant
+    * full-data exchange (verified via explain — round-3 finding). A local
+    * running index over already-sorted partitions is genuine per-partition
+    * imperative logic, the one case where mapPartitions is the right tool.
     *
     * Requires a tie-broken (globally unique) ordering key, which
     * (o_totalprice, o_orderkey) is — with unique keys rank == row_number
     * and cume_dist == rank/N, exactly the window semantics. */
-  def ntileRanks(s: SparkSession, dir: String): DataFrame = {
-    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"))
+  def ntileRanks(s: SparkSession, dir: String): DataFrame =
+    ntileRanksOf(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Core of [[ntileRanks]] over any (o_orderkey, o_totalprice) frame —
+    * separated so specs can drive the n%k!=0 and degenerate n<=k branches
+    * against Spark's own window functions as a semantic oracle. */
+  private[graft] def ntileRanksOf(orders: DataFrame, parts: Int): DataFrame = {
+    val ranged = orders
       .repartitionByRange(parts, col("o_totalprice"), col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
@@ -217,13 +236,17 @@ object Advanced {
     val k = 4L
     val q = n / k; val r = n % k
     val qq = math.max(q, 1L) // else-branch divisor; unreachable when q == 0
-    // pass 2: local ranks at full parallelism + broadcast offsets
-    val w = Window.partitionBy(col("pid"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    ranged
+    // pass 2: local sort (no exchange) + running-index stamp + offsets
+    val sorted = ranged
+      .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
+    val stamped = sorted.mapPartitions { it =>
+      var i = 0L
+      it.map { row => i += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) }
+    }(org.apache.spark.sql.Encoders.row(sorted.schema.add("lrn", LongType)))
+    stamped
       .withColumn("off",
         coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
-      .withColumn("rn", row_number().over(w).cast(LongType) + col("off"))
+      .withColumn("rn", col("lrn") + col("off"))
       .withColumn("quartile",
         when(lit(n) <= k, col("rn").cast(IntegerType)) // degenerate N<=k
           .when(col("rn") <= lit(r * (q + 1)),

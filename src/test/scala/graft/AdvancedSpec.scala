@@ -57,6 +57,30 @@ class AdvancedSpec extends SparkSpec {
       .filter(col("m") =!= 1).count() === 0)
   }
 
+  test("two-pass ranking equals Spark's own window functions on n%4!=0 and degenerate n") {
+    // semantic oracle: the single-partition window implementation Spark
+    // ships — exercises the oversized-bucket branch (r = n % k > 0) and
+    // the degenerate n <= k branch that the sf fixtures (n % 4 == 0) miss
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(2, 3, 7, 13, 1001)) {
+      val base = spark.range(1, n + 1)
+        .select(col("id").as("o_orderkey"),
+          // non-monotone values so rank order != key order
+          (col("id") * 37 % 101).cast("double").as("o_totalprice"))
+      val got = Advanced.ntileRanksOf(base, 4)
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3),
+          r.getDouble(4))).sortBy(_._1)
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      val want = base
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3),
+          r.getDouble(4))).sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"n=$n")
+    }
+  }
+
   test("ntile quartiles are balanced within one row") {
     val sizes = Advanced.ntileRanks(spark, sfDir)
       .groupBy("quartile").count().collect().map(_.getLong(1))
