@@ -98,6 +98,10 @@ object GiniStump {
           col("sl").cast(DoubleType) / col("nl").cast(DoubleType) +
           col("nr").cast(DoubleType) -
           col("sr").cast(DoubleType) / col("nr").cast(DoubleType))
+    // note: at the root, `node` is a folded literal, so this window runs
+    // unpartitioned (Spark logs the single-partition warning) — it only
+    // ever sees the candidate rows (≤ nodes × features × MaxBins, i.e.
+    // ≤64/node), never data rows, so the single task is driver-sized
     wg.withColumn("rn", row_number().over(
         Window.partitionBy("node").orderBy(col("wg"), col("feat"), col("t"))))
       .filter(col("rn") === 1)
