@@ -119,7 +119,14 @@ object GiniStump {
     * branches, and truncation keeps every reference an RDD scan instead of
     * re-running the window/agg subtree per reference. */
   def query(s: SparkSession, dir: String): DataFrame = {
-    val p = pts(s, dir)
+    // the per-level frames are each consumed by several downstream
+    // branches (binning, the dense-grid node list, class totals, child
+    // assignment, node sizes) — without a cache every reference re-scans
+    // the full data, 5 scans per depth level at 100 TB. Persist eagerly
+    // (Spark ML caches tree-induction input the same way), materialize
+    // the 7-row result, then release both caches before returning.
+    val p = pts(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
     val root = p.withColumn("node", lit("root"))
     val thr = thresholds(toLong(root).select("id", "feat", "val"))
       .localCheckpoint()
@@ -129,35 +136,39 @@ object GiniStump {
     val a2 = p.crossJoin(broadcast(best1.select("feat", "t")))
       .withColumn("node", when(chosenVal <= col("t"), "L").otherwise("R"))
       .drop("feat", "t")
-    val best2 = bestSplits(a2, thr, labels).localCheckpoint() // 2 rows
-    val a3 = a2.join(broadcast(best2.select("node", "feat", "t")), "node")
-      .withColumn("leaf",
-        concat(col("node"), when(chosenVal <= col("t"), "L").otherwise("R")))
-      .select(col("id"), col("label"), col("leaf").as("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val best2 = bestSplits(a2, thr, labels).localCheckpoint() // 2 rows
+      val a3 = a2.join(broadcast(best2.select("node", "feat", "t")), "node")
+        .withColumn("leaf",
+          concat(col("node"), when(chosenVal <= col("t"), "L").otherwise("R")))
+        .select(col("id"), col("label"), col("leaf").as("node"))
 
-    val sizes = a2.groupBy("node").agg(count(lit(1)).as("n"))
-      .unionByName(p.agg(count(lit(1)).as("n")).withColumn("node", lit("root")))
-    val splits = best1.unionByName(best2).join(sizes, "node")
-      .select(col("node"), lit("split").as("kind"), col("feat"),
-        col("t").as("thr"), round(col("wg"), 6).as("score"), col("n"),
-        lit(null).cast(IntegerType).as("pred"))
+      val sizes = a2.groupBy("node").agg(count(lit(1)).as("n"))
+        .unionByName(p.agg(count(lit(1)).as("n")).withColumn("node", lit("root")))
+      val splits = best1.unionByName(best2).join(sizes, "node")
+        .select(col("node"), lit("split").as("kind"), col("feat"),
+          col("t").as("thr"), round(col("wg"), 6).as("score"), col("n"),
+          lit(null).cast(IntegerType).as("pred"))
 
-    val leafCnt = a3.groupBy("node", "label").agg(count(lit(1)).as("c"))
-    val leafAgg = leafCnt.groupBy("node").agg(sum("c").as("n"),
-      sum(col("c").cast(dec) * col("c").cast(dec)).as("s"))
-    val maj = leafCnt.withColumn("rn", row_number().over(
-        Window.partitionBy("node").orderBy(col("c").desc, col("label"))))
-      .filter(col("rn") === 1).select("node", "label")
-    val leaves = leafAgg.join(maj, "node")
-      .select(col("node"), lit("leaf").as("kind"),
-        lit(null).cast(StringType).as("feat"),
-        lit(null).cast(DoubleType).as("thr"),
-        round(lit(1.0) - col("s").cast(DoubleType) /
-          (col("n").cast(DoubleType) * col("n").cast(DoubleType)), 6)
-          .as("score"),
-        col("n"), col("label").cast(IntegerType).as("pred"))
+      val leafCnt = a3.groupBy("node", "label").agg(count(lit(1)).as("c"))
+      val leafAgg = leafCnt.groupBy("node").agg(sum("c").as("n"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("s"))
+      val maj = leafCnt.withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1).select("node", "label")
+      val leaves = leafAgg.join(maj, "node")
+        .select(col("node"), lit("leaf").as("kind"),
+          lit(null).cast(StringType).as("feat"),
+          lit(null).cast(DoubleType).as("thr"),
+          round(lit(1.0) - col("s").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType)), 6)
+            .as("score"),
+          col("n"), col("label").cast(IntegerType).as("pred"))
 
-    splits.unionByName(leaves).orderBy("node")
+      // 7 rows — materialize so the caches can be released eagerly
+      splits.unionByName(leaves).orderBy("node").localCheckpoint()
+    } finally { a2.unpersist(); p.unpersist(); () }
   }
 
   // ---------------------------------------------------------------- oracle
