@@ -39,14 +39,14 @@ object GiniStump {
   private val dec = DecimalType(38, 0)
   private def featNames = (0 until NumFeats).map(j => s"f$j")
 
-  private def pts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pts(s: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id")
       .select(col("vec_id").as("id") +: col("label") +:
         (0 until NumFeats).map(j =>
           col("embedding").getItem(j).cast(DoubleType).as(s"f$j")): _*)
 
   /** wide (id, label, [node,] f0..f3) → long (id, label, [node,] feat, val) */
-  private def toLong(wide: DataFrame): DataFrame = {
+  private[graft] def toLong(wide: DataFrame): DataFrame = {
     val keep = wide.columns.filterNot(featNames.contains).map(col).toSeq
     wide.select(keep :+ explode(array(featNames.map(f =>
         struct(lit(f).as("feat"), col(f).as("val"))): _*)).as("u"): _*)
@@ -55,7 +55,7 @@ object GiniStump {
 
   /** Per-feature candidate thresholds: the max value of each of MaxBins
     * quantile buckets (deterministic (val, id) order), deduped. ≤64 rows. */
-  private def thresholds(rootLong: DataFrame): DataFrame = {
+  private[graft] def thresholds(rootLong: DataFrame): DataFrame = {
     val w = Window.partitionBy("feat").orderBy(col("val"), col("id"))
     rootLong.withColumn("b", ntile(MaxBins).over(w))
       .groupBy("feat", "b").agg(max("val").as("t"))
@@ -64,8 +64,8 @@ object GiniStump {
 
   /** Exact best split per node over the shared candidate set:
     * (node, feat, t, wg). One scan + one hash agg + one ≤|grid| window. */
-  private def bestSplits(wide: DataFrame, thr: DataFrame,
-                         labels: DataFrame): DataFrame = {
+  private[graft] def bestSplits(wide: DataFrame, thr: DataFrame,
+                                labels: DataFrame): DataFrame = {
     val longDf = toLong(wide)
     // bin assignment: smallest threshold >= val (rows above every threshold
     // fall to the right of all candidates and drop out here by design)
@@ -74,18 +74,22 @@ object GiniStump {
         col("r.feat") === col("h.feat") && col("r.val") <= col("h.t"))
       .groupBy(col("r.node"), col("r.feat"), col("r.label"), col("r.id"))
       .agg(min(col("h.t")).as("t"))
+    // post-aggregation frames are bounded by the candidate grid (≤ nodes ×
+    // features × MaxBins × classes rows) at ANY data scale, but Catalyst
+    // can't know that from stats — broadcast explicitly so nothing after
+    // the one binned→cnt hash agg ever shuffles or sort-merges
     val cnt = binned.groupBy("node", "feat", "t", "label")
       .agg(count(lit(1)).as("c"))
     // dense (node × threshold × class) grid so the cumulative window sees
     // every candidate even where a class has no rows at that bin
     val grid = wide.select("node").distinct()
       .crossJoin(broadcast(thr)).crossJoin(broadcast(labels))
-      .join(cnt, Seq("node", "feat", "t", "label"), "left")
+      .join(broadcast(cnt), Seq("node", "feat", "t", "label"), "left")
       .na.fill(0, Seq("c"))
     val cum = grid.withColumn("cum", sum("c").over(
       Window.partitionBy("node", "feat", "label").orderBy("t")))
     val tot = wide.groupBy("node", "label").agg(count(lit(1)).as("tc"))
-    val cand = cum.join(tot, Seq("node", "label"))
+    val cand = cum.join(broadcast(tot), Seq("node", "label"))
       .groupBy("node", "feat", "t")
       .agg(sum("cum").as("nl"),
         sum(col("cum").cast(dec) * col("cum").cast(dec)).as("sl"),

@@ -100,6 +100,35 @@ class PlanSpec extends SparkSpec {
       manual.collect().map(_.getDouble(0)).toSeq)
   }
 
+  test("two-pass ranking adds no exchange between checkpoint and output sort (q51)") {
+    // round-3 finding: a pid-partitioned window re-shuffled rows the
+    // checkpoint already co-located. The fix (local sort + mapPartitions
+    // stamp) must keep exactly ONE exchange — the final output ordering.
+    val plan = planOf(graft.analytics.Advanced.ntileRanks(spark, sfDir))
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert("Exchange".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("gini-tree bin assignment broadcasts the threshold table (q80)") {
+    // split evaluation must join data rows against the ≤64-row candidate
+    // set via broadcast — a shuffled or nested-loop join over the data
+    // side would not survive 100 TB
+    val p = graft.ml.GiniStump.pts(spark, sfDir)
+    val root = p.withColumn("node", org.apache.spark.sql.functions.lit("root"))
+    val thr = graft.ml.GiniStump.thresholds(
+      graft.ml.GiniStump.toLong(root).select("id", "feat", "val"))
+    val labels = p.select("label").distinct()
+    val plan = planOf(graft.ml.GiniStump.bestSplits(root, thr, labels))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // (the ≤64-row dense grid is built by broadcast nested-loop cross joins
+    // of tiny frames — fine; what must never appear is an unbroadcast
+    // product or a shuffle join keyed on data rows)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("custom TopKPerKeyExec plans partial→exchange→final, no window sort") {
     val qe = Relational.topkExecPerGroup(spark, sfDir).queryExecution
     val plan = qe.executedPlan.toString
