@@ -142,6 +142,10 @@ object SparkEntry {
     // pass — the actual 100 TB tool (exact twins: q08/q54). Approximate ⇒
     // rows-only here; error bands asserted in RelationalSpec.
     "q81_approx_stats"        -> (Relational.approxStats _),
+    // UNPIVOT/melt — the inverse of q19's pivot (one Expand pass)
+    "q82_unpivot"             -> (graft.analytics.Advanced.unpivotMetrics _),
+    // event-time sliding aggregate via a value-based RANGE window frame
+    "q83_range_frame"         -> (graft.analytics.Advanced.rollingRevenue30d _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

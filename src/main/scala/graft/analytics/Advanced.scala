@@ -264,6 +264,45 @@ object Advanced {
       .orderBy("o_orderkey")
   }
 
+  /** UNPIVOT / melt — wide metric columns → (key, metric, value) rows,
+    * the inverse of q19's pivot and the standard step feeding
+    * metric-generic downstream operators (per-metric quantiles, anomaly
+    * scans). Compiles to ONE Expand pass over the scan: no shuffle, no
+    * join, output = rows × #metrics — the only exchange is the final
+    * deterministic output ordering. */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+      // value joins the sort so the output order is total
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+
+  /** Event-time sliding aggregate via a RANGE window frame: per customer,
+    * the rolling 30-day order count/revenue at each order. RANGE frames
+    * are value-based (peers included), so the result is deterministic
+    * under ties without any tie-break column. Time stays in integer epoch
+    * days on BOTH engines (no interval arithmetic to diverge); revenue
+    * sums through DECIMAL(18,4) (dsum). One hash exchange on o_custkey +
+    * one in-partition sort — the standard event-time sliding-window shape
+    * at any scale. */
+  def rollingRevenue30d(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("d")).rangeBetween(-30, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("d", datediff(col("o_orderdate").cast(DateType),
+        to_date(lit("1970-01-01"))))
+      .withColumn("n_30d", count(lit(1)).over(w).cast(IntegerType))
+      .withColumn("rev_30d", // dsum's decimal-sum, windowed
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType))
+      .select("o_orderkey", "o_custkey", "n_30d", "rev_30d")
+      .orderBy("o_orderkey")
+  }
+
   /** String scalar-function family over customer names (length, case,
     * substring, replace, pad, split, regexp extraction) — all codegen'd
     * built-ins, no UDFs (SURVEY §2.11 policy). */
@@ -379,6 +418,23 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q82_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (FROM lineitem) UNPIVOT (value FOR metric IN
+        |  (l_quantity, l_extendedprice, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+    "q83_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(COUNT(*) OVER w AS INTEGER) AS n_30d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS rev_30d
+        |FROM (SELECT *,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS d
+        |  FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q46_rollup" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
