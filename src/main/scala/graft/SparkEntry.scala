@@ -71,7 +71,7 @@ object SparkEntry {
     "q40_media_metadata"      -> (graft.multimodal.Multimodal.mediaMetadata _),
     "q41_media_features"      -> ((s, d) => graft.multimodal.Multimodal
       .extractFeatures(graft.multimodal.Multimodal.fromDocuments(s, d))
-      .toDF.select("media_id", "kind", "n_bytes", "top_bin").orderBy("media_id")),
+      .toDF().select("media_id", "kind", "n_bytes", "top_bin").orderBy("media_id")),
     // corpus-level analytics
     "q42_corpus_stats"        -> (graft.text.TextOps.corpusStats _),
     "q43_top_tokens"          -> (graft.text.TextOps.topTokens _),

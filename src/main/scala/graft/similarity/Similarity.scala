@@ -45,7 +45,7 @@ object Similarity {
   def cosineFromNorms(d: Column, na: Column, nb: Column): Column = d / (na * nb)
 
   private def planeLit(p: Int): Column =
-    array(planes(p).map(lit): _*).cast(ArrayType(DoubleType))
+    array(planes(p).toIndexedSeq.map(lit): _*).cast(ArrayType(DoubleType))
   /** LSH bucket id: concatenated signs of projections onto the planes. */
   def bucket(e: Column): Column =
     concat((0 until NumPlanes).map(p =>
