@@ -146,6 +146,8 @@ object SparkEntry {
     "q82_unpivot"             -> (graft.analytics.Advanced.unpivotMetrics _),
     // event-time sliding aggregate via a value-based RANGE window frame
     "q83_range_frame"         -> (graft.analytics.Advanced.rollingRevenue30d _),
+    // row-level set ops: INTERSECT + EXCEPT (§2.5 completion)
+    "q84_intersect_except"    -> (Relational.intersectExcept _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -272,6 +274,17 @@ object SparkEntry {
     "q15_orderby_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q84_intersect_except" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT o_custkey, 'only_f' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q16_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

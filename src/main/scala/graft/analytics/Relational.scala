@@ -224,6 +224,21 @@ object Relational {
     high.union(urgent).distinct().orderBy("o_orderkey")
   }
 
+  /** Row-level set operations — INTERSECT and EXCEPT (the §2.5 family
+    * members q13/q14 don't cover: semi/anti join on a KEY vs set ops on
+    * whole distinct ROWS). Catalyst plans both as a distinct aggregate
+    * over a left-semi/anti join — one hash exchange per side, the same
+    * asymptotics as the joins they generalize. Customers are tagged by
+    * whether they ordered in BOTH status classes or only the first. */
+  def intersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.intersect(oo).withColumn("tag", lit("both"))
+      .unionByName(f.except(oo).withColumn("tag", lit("only_f")))
+      .orderBy("tag", "o_custkey")
+  }
+
   // --- §2.6 sorts / limits / top-k -------------------------------------------
 
   /** O1+O2: total order + limit with deterministic tie-break. */
