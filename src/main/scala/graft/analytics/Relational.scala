@@ -328,7 +328,12 @@ object Relational {
     t(s, dir, "orders").agg(
       approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
       expr("approx_percentile(o_totalprice, array(0.5, 0.99), 10000)")
-        .as("approx_p50_p99"))
+        .as("pcts"))
+      // scalar columns only: the driver's rows-only comparer pandas-sorts
+      // the result and cannot hash an array<double> cell
+      .select(col("approx_customers"),
+        element_at(col("pcts"), 1).as("approx_p50"),
+        element_at(col("pcts"), 2).as("approx_p99"))
 
   /** Tumbling-window event-time aggregation (batch form of the §2.10
     * streaming demonstration query; same plan Structured Streaming runs). */

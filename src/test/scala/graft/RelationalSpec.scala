@@ -54,7 +54,7 @@ class RelationalSpec extends SparkSpec {
     val approxDistinct = row.getAs[Long]("approx_customers").toDouble
     assert(math.abs(approxDistinct - exactDistinct) / exactDistinct < 0.06,
       s"HLL: $approxDistinct vs $exactDistinct")
-    val approxP50 = row.getSeq[Double](row.fieldIndex("approx_p50_p99")).head
+    val approxP50 = row.getAs[Double]("approx_p50")
     // rank error ≤ n/accuracy; translate to a loose value band via the
     // exact p45-p55 range
     val lo = o.selectExpr("percentile(o_totalprice, 0.45)").head.getDouble(0)

@@ -25,12 +25,20 @@ class SinksCatalogSpec extends SparkSpec {
 
   test("partitioned parquet write enables partition pruning (SURVEY §4)") {
     val dir = tmp()
-    Tables.load(spark, sfDir, "orders")
-      .write.partitionBy("o_orderstatus").parquet(s"$dir/part")
+    Sinks.parquetPartitioned(Tables.load(spark, sfDir, "orders"),
+      s"$dir/part", Seq("o_orderstatus"))
     val pruned = spark.read.parquet(s"$dir/part")
       .filter(col("o_orderstatus") === "F")
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    // pruning is physical, not just a plan annotation: only the o_orderstatus=F
+    // directory's files are selected by the scan
+    val scannedFiles = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.toSeq.map(_.urlEncodedPath)
+    }.flatten
+    assert(scannedFiles.nonEmpty &&
+      scannedFiles.forall(_.contains("o_orderstatus=F")), scannedFiles.take(3))
     assert(pruned.count() ===
       Tables.load(spark, sfDir, "orders")
         .filter(col("o_orderstatus") === "F").count())
@@ -42,19 +50,12 @@ class SinksCatalogSpec extends SparkSpec {
     // would truncate the whole table)
     val dir = tmp()
     val orders = Tables.load(spark, sfDir, "orders")
-    orders.write.partitionBy("o_orderstatus").parquet(s"$dir/t")
+    Sinks.parquetPartitioned(orders, s"$dir/t", Seq("o_orderstatus"))
     val before = spark.read.parquet(s"$dir/t").count()
-    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
+    Sinks.parquetPartitioned(
       orders.filter(col("o_orderstatus") === "F")
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-        .write.mode("overwrite").partitionBy("o_orderstatus")
-        .parquet(s"$dir/t")
-    } finally saved match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      s"$dir/t", Seq("o_orderstatus"), dynamicOverwrite = true)
     val after = spark.read.parquet(s"$dir/t")
     assert(after.count() === before) // sibling partitions survived
     val expectedF = orders.filter(col("o_orderstatus") === "F")
