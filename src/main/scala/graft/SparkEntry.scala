@@ -148,6 +148,10 @@ object SparkEntry {
     "q83_range_frame"         -> (graft.analytics.Advanced.rollingRevenue30d _),
     // row-level set ops: INTERSECT + EXCEPT (§2.5 completion)
     "q84_intersect_except"    -> (Relational.intersectExcept _),
+    // q21's aggregation run INCREMENTALLY by Structured Streaming (file
+    // source → watermark → checkpointed sink → read back); hash-equal to
+    // the batch oracle proves streaming/batch parity
+    "q85_stream_parity"       -> (graft.streaming.EventStream.streamingParity _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -325,7 +329,8 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
-  ) ++ graft.text.TextOps.oracleSql ++ graft.dedup.Dedup.oracleSql ++
+  ) ++ graft.streaming.EventStream.oracleSql ++
+    graft.text.TextOps.oracleSql ++ graft.dedup.Dedup.oracleSql ++
     graft.similarity.Similarity.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
     graft.analytics.Advanced.oracleSql ++ graft.ml.LloydExact.oracleSql ++
     graft.ml.GiniStump.oracleSql ++

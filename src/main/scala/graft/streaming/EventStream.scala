@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming surface (SURVEY.md §2.10). The reference declares a
   * Kafka→Spark path (scripts/kafka_producer.py feeds topic `us_accidents`;
@@ -165,6 +166,86 @@ object EventStream {
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("error_id"), col("error_ts"))
   }
+
+  /** q85 — oracle-checked streaming parity: the SAME hourly aggregation as
+    * q21 (`Relational.tumblingWindowAgg`), executed INCREMENTALLY by
+    * Structured Streaming over a file source into a checkpointed parquet
+    * sink, then read back as a batch frame and compared to q21's DuckDB
+    * oracle. This closes the gap between the streaming suite and the
+    * driver's correctness signal: the hash-match proves the incremental
+    * plan computes the identical result to the batch plan.
+    *
+    * Two mechanics make exact parity possible:
+    *  - Append-mode aggregation only emits a window once the watermark
+    *    passes its end, so staging appends two far-future sentinel rows as
+    *    separate files with strictly increasing mtimes
+    *    (maxFilesPerTrigger=1 ⇒ each is its own micro-batch): the first
+    *    advances the watermark past every real window; the second
+    *    guarantees a subsequent with-data batch performs the eviction even
+    *    where no-data micro-batches are disabled. Sentinel rows themselves
+    *    stay inside the final watermark horizon (never emitted) and are
+    *    filtered on read-back for safety.
+    *  - Sums are routed through DECIMAL(18,4) (the `Relational.dsum`
+    *    shape), so incremental accumulation across micro-batch boundaries
+    *    is bit-identical to the batch/oracle result.
+    *
+    * On a live deployment this is the reference's intended Kafka path
+    * (S10): swap `fileSource` for `kafkaSource` and drop the sentinel
+    * staging — a live stream's own arrivals advance the watermark. */
+  def streamingParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q85")
+    val in = tmp.resolve("in")
+    val events = graft.sources.Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(in.toString)
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    val baseMtime = java.nio.file.Files.list(in).iterator().asScala
+      .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .foldLeft(0L)(math.max)
+    // each sentinel: its own single-file micro-batch, mtime strictly after
+    // the real data (same-millisecond mtimes could let a sentinel batch
+    // lead and mark every real event late → silently empty result)
+    for (idx <- 1 to 2) {
+      val stage = tmp.resolve(s"sentinel$idx")
+      Seq((-idx.toLong,
+           new java.sql.Timestamp(maxTs.getTime + idx * 7L * 86400000L),
+           -1L, "__watermark_sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = in.resolve(s"zz-sentinel-$idx.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(baseMtime + idx * 60000L))
+    }
+    val src = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val agg = src
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = toParquet(agg, tmp.resolve("out").toString,
+      tmp.resolve("ckpt").toString)
+    q.awaitTermination(300000)
+    s.read.parquet(tmp.resolve("out").toString)
+      .filter(col("event_type") =!= "__watermark_sentinel__")
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** q85's oracle is q21's: the streaming path must reproduce the batch
+    * aggregation exactly. */
+  val oracleSql: Map[String, String] = Map(
+    "q85_stream_parity" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
 
   /** Parquet sink with checkpointing (S3's streaming twin). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String,
