@@ -51,9 +51,9 @@ object SparkEntry {
     "q25_fingerprint"         -> (graft.text.TextOps.fingerprint _),
     // deduplication (exact, MinHash+LSH, Jaccard verify, SimHash)
     "q26_dedup_exact"         -> (graft.dedup.Dedup.dedupExact _),
-    "q27_minhash_sig"         -> (graft.dedup.Dedup.minhashSignatures _),
-    "q28_lsh_band_pairs"      -> (graft.dedup.Dedup.lshCandidatePairs _),
-    "q29_ngram_jaccard"       -> (graft.dedup.Dedup.ngramJaccard _),
+    "q27_minhash_sig"         -> ((s, d) => graft.dedup.Dedup.minhashSignatures(s, d)),
+    "q28_lsh_band_pairs"      -> ((s, d) => graft.dedup.Dedup.lshCandidatePairs(s, d)),
+    "q29_ngram_jaccard"       -> ((s, d) => graft.dedup.Dedup.ngramJaccard(s, d)),
     "q30_simhash"             -> (graft.dedup.Dedup.simhash _),
     // similarity search over `embeddings` (brute-force, LSH-ANN, kNN)
     "q31_cosine_topk"         -> (graft.similarity.Similarity.cosineTopK _),
@@ -99,8 +99,8 @@ object SparkEntry {
     "q61_ann_ivf"             -> (graft.similarity.Similarity.annIvf _),
     // dedup completion: fingerprint→pairs (SimHash path) and
     // pairs→clusters (connected components)
-    "q62_simhash_pairs"       -> (graft.dedup.Dedup.simhashNearDupPairs _),
-    "q63_dedup_components"    -> (graft.dedup.Dedup.dedupComponents _),
+    "q62_simhash_pairs"       -> ((s, d) => graft.dedup.Dedup.simhashNearDupPairs(s, d)),
+    "q63_dedup_components"    -> ((s, d) => graft.dedup.Dedup.dedupComponents(s, d)),
     "q64_tfidf_topk"          -> (graft.text.TextOps.tfidfTopTerms _),
     // broadcast+mapPartitions kNN under a deterministic split — the
     // oracle-checked twin of q39's randomSplit confusion matrix
@@ -110,7 +110,7 @@ object SparkEntry {
     // corpus normalization + entity redaction (the PII-scrub shape)
     "q67_normalize_scrub"     -> (graft.text.TextOps.normalizeScrub _),
     // Levenshtein verify of LSH candidates (third verifier: chars)
-    "q68_edit_distance"       -> (graft.dedup.Dedup.editDistancePairs _),
+    "q68_edit_distance"       -> ((s, d) => graft.dedup.Dedup.editDistancePairs(s, d)),
     // q16 semantics through the custom TopKPerKey physical operator
     // (LogicalPlan + SparkStrategy + SparkPlan via SparkSessionExtensions)
     "q69_topk_exec"           -> (Relational.topkExecPerGroup _),

@@ -21,11 +21,38 @@ import graft.sources.Tables
   * deterministic duplicates/near-duplicates first — exercising the exact
   * semantics a real crawl-dedup would.
   */
+/** Scale knobs of the MinHash/LSH/SimHash family. The defaults are the
+  * fixture-scale settings every oracle query is pinned to; the 100 TB
+  * tuning story (more hashes and narrower bands for higher recall, longer
+  * shingles, a 64-bit SimHash split into 16-bit blocks) is then a config
+  * value, not a code edit. Recall math: a pair with Jaccard j collides in
+  * at least one band with probability 1 − (1 − j^bandSize)^numBands. */
+final case class DedupConfig(
+    numHashes: Int = 8,
+    bandSize: Int = 2,
+    shingleN: Int = 3,
+    jaccardThreshold: Double = 0.5,
+    hammingThreshold: Int = 3,
+    simhashBlocks: Int = 4) {
+  require(numHashes > 0 && bandSize > 0 && numHashes % bandSize == 0,
+    s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
+  require(shingleN > 0, s"shingleN must be positive, got $shingleN")
+  // pigeonhole soundness: Hamming-<=t pairs must agree on >=1 whole block
+  require(hammingThreshold < simhashBlocks,
+    s"hammingThreshold ($hammingThreshold) must be < simhashBlocks ($simhashBlocks)")
+  def numBands: Int = numHashes / bandSize
+}
+
+object DedupConfig { val Default: DedupConfig = DedupConfig() }
+
 object Dedup extends org.apache.spark.internal.Logging {
-  val NumHashes = 8
-  val BandSize = 2
-  val ShingleN = 3
-  val JaccardThreshold = 0.5
+  // oracle-pinned defaults (the DuckDB SQL below is generated from these;
+  // operators take a DedupConfig so non-default settings are a call-site
+  // choice that simply has no oracle twin)
+  val NumHashes: Int = DedupConfig.Default.numHashes
+  val BandSize: Int = DedupConfig.Default.bandSize
+  val ShingleN: Int = DedupConfig.Default.shingleN
+  val JaccardThreshold: Double = DedupConfig.Default.jaccardThreshold
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
@@ -88,9 +115,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * lambdas over per-doc arrays. The input fans out first: shingling +
     * seeded hashing is the compute-dense stage of the whole dedup pipeline,
     * and must never run at single-file parallelism (Tables.fanOut). */
-  private[graft] def shingleRows(df: DataFrame): DataFrame =
+  private[graft] def shingleRows(df: DataFrame,
+                                 cfg: DedupConfig = DedupConfig.Default): DataFrame =
     Tables.fanOut(df, "doc_id").select(col("doc_id"),
-      explode(array_distinct(shinglesC(tokensC(col("text")), ShingleN)))
+      explode(array_distinct(shinglesC(tokensC(col("text")), cfg.shingleN)))
         .as("shingle"))
 
   /** Signatures from shingle ROWS: one partial + final HASH aggregation.
@@ -100,24 +128,28 @@ object Dedup extends org.apache.spark.internal.Logging {
     * numeric 60-bit longs: a string min would force SortAggregate (strings
     * aren't supported by the fixed-width hash-agg buffer) and shuffle
     * 32-char hex per signature. */
-  private[graft] def signaturesFrom(shingles: DataFrame): DataFrame = {
+  private[graft] def signaturesFrom(shingles: DataFrame,
+                                    cfg: DedupConfig = DedupConfig.Default): DataFrame = {
     val withH = shingles.withColumn("h", hex60C(md5(col("shingle"))))
-    val sigs = (0 until NumHashes).map(i => min(permC(col("h"), i)).as(s"sig$i"))
+    val sigs = (0 until cfg.numHashes).map(i => min(permC(col("h"), i)).as(s"sig$i"))
     withH.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
   }
 
-  private def withSignature(df: DataFrame): DataFrame =
-    signaturesFrom(shingleRows(df))
+  private def withSignature(df: DataFrame,
+                            cfg: DedupConfig = DedupConfig.Default): DataFrame =
+    signaturesFrom(shingleRows(df, cfg), cfg)
 
-  /** MinHash signatures (k=8) over 3-gram shingles — per-doc narrow map. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    withSignature(docs(s, dir)).orderBy("doc_id")
+  /** MinHash signatures (k=numHashes) over shingleN-gram shingles — per-doc
+    * narrow map. */
+  def minhashSignatures(s: SparkSession, dir: String,
+                        cfg: DedupConfig = DedupConfig.Default): DataFrame =
+    withSignature(docs(s, dir), cfg).orderBy("doc_id")
 
-  private def bandKeys: Column = {
-    val bands = (0 until NumHashes / BandSize).map { b =>
+  private def bandKeys(cfg: DedupConfig): Column = {
+    val bands = (0 until cfg.numBands).map { b =>
       md5(concat_ws("|",
-        lit(b.toString) +: (0 until BandSize).map(i =>
-          col(s"sig${b * BandSize + i}").cast(StringType)): _*))
+        lit(b.toString) +: (0 until cfg.bandSize).map(i =>
+          col(s"sig${b * cfg.bandSize + i}").cast(StringType)): _*))
     }
     array(bands: _*)
   }
@@ -128,8 +160,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     * each side). Bucket sizes are small by construction (band collisions ≈
     * near-dups), so the quadratic intra-bucket expansion is bounded — the
     * standard LSH shape at scale. */
-  private[graft] def bandPairsFrom(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), explode(bandKeys).as("bk"))
+  private[graft] def bandPairsFrom(sigs: DataFrame,
+                                   cfg: DedupConfig = DedupConfig.Default): DataFrame =
+    sigs.select(col("doc_id"), explode(bandKeys(cfg)).as("bk"))
       .groupBy("bk").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -139,8 +172,9 @@ object Dedup extends org.apache.spark.internal.Logging {
       .distinct()
 
   /** LSH candidate pairs: docs sharing ≥1 MinHash band bucket. */
-  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
-    bandPairsFrom(withSignature(nearDupCorpus(s, dir)))
+  def lshCandidatePairs(s: SparkSession, dir: String,
+                        cfg: DedupConfig = DedupConfig.Default): DataFrame =
+    bandPairsFrom(withSignature(nearDupCorpus(s, dir), cfg), cfg)
       .orderBy("doc_a", "doc_b")
 
   /** Edit-distance (Levenshtein) verification of LSH candidates — the third
@@ -149,12 +183,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     * on candidate pairs, bounded by |candidates|, never |corpus|²; the
     * candidate side is the small side, so both text lookups broadcast it
     * against the corpus scan. */
-  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+  def editDistancePairs(s: SparkSession, dir: String,
+                        cfg: DedupConfig = DedupConfig.Default): DataFrame = {
     // one materialization feeds the signature chain AND both text lookups
     // (three consumers otherwise re-derive the corpus; at warehouse scale
     // this is a materialized table, locally a checkpoint)
     val corpus = nearDupCorpus(s, dir).localCheckpoint()
-    val pairs = bandPairsFrom(withSignature(corpus))
+    val pairs = bandPairsFrom(withSignature(corpus, cfg), cfg)
     val ta = corpus.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = corpus.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     pairs.join(ta, "doc_a").join(tb, "doc_b")
@@ -172,15 +207,16 @@ object Dedup extends org.apache.spark.internal.Logging {
     * documents too large to hold shingle sets in memory. Integer counts are
     * identical to the array_intersect/array_union form, so the division is
     * bit-identical to the oracle's. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String,
+                   cfg: DedupConfig = DedupConfig.Default): DataFrame = {
     val corpus = nearDupCorpus(s, dir)
     // shared scan: shingles cached once; signatures, candidate pairs,
     // set sizes and intersections all derive from it
-    val shs = shingleRows(corpus).persist(
+    val shs = shingleRows(corpus, cfg).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     shs.count() // materialize eagerly: three downstream branches read this
     val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = bandPairsFrom(signaturesFrom(shs)).persist(
+    val pairs = bandPairsFrom(signaturesFrom(shs, cfg), cfg).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count() // two consumers; lazy fill lets concurrent stages race
     val inter = pairs
@@ -195,7 +231,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")), "doc_b")
       .withColumn("jaccard", round(
         col("ni").cast(DoubleType) / (col("sza") + col("szb") - col("ni")), 6))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -222,8 +258,8 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("doc_id")
   }
 
-  val HammingThreshold = 3
-  val SimhashBlocks = 4 // 8-bit blocks of the 32-bit fingerprint
+  val HammingThreshold: Int = DedupConfig.Default.hammingThreshold
+  val SimhashBlocks: Int = DedupConfig.Default.simhashBlocks // blocks of the 32-bit fingerprint
 
   /** SimHash near-dup PAIRS via pigeonhole blocking: split the 32-bit
     * fingerprint into `SimhashBlocks` 8-bit blocks — any pair within
@@ -235,10 +271,15 @@ object Dedup extends org.apache.spark.internal.Logging {
     * 64-bit fingerprint and 16-bit blocks (t=3), where block collisions —
     * and hence bucket sizes — drop by ~2^8 per block; the 32-bit variant
     * here keeps q30's published fingerprint semantics. */
-  def simhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val blockStructs = (0 until SimhashBlocks).map(i =>
+  def simhashNearDupPairs(s: SparkSession, dir: String,
+                          cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    require(32 % cfg.simhashBlocks == 0,
+      s"simhashBlocks (${cfg.simhashBlocks}) must divide the 32 fingerprint bits")
+    val blockBits = 32 / cfg.simhashBlocks
+    val blockMask = (1L << blockBits) - 1
+    val blockStructs = (0 until cfg.simhashBlocks).map(i =>
       struct(lit(i).as("bi"),
-        shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv")))
+        shiftright(col("simhash"), blockBits * i).bitwiseAND(lit(blockMask)).as("bv")))
     // the fingerprint chain (shingling + 32 bit-position sums) is the
     // expensive stage: checkpoint the tiny (doc_id, simhash) result so the
     // self-join's two sides are RDD scans, not two recomputations. The
@@ -259,7 +300,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       col("doc_id").as("doc_b"), col("simhash").as("sb"))
     a.join(b, Seq("bi", "bv"))
       .filter(col("doc_a") < col("doc_b") &&
-        bit_count(col("sa").bitwiseXOR(col("sb"))) <= HammingThreshold)
+        bit_count(col("sa").bitwiseXOR(col("sb"))) <= cfg.hammingThreshold)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType).as("hd"))
       .distinct()
@@ -277,9 +318,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * one equi-join + one hash agg — the standard BSP connected-components
     * shape (large-star/small-star is the same loop with edge rewriting,
     * worth switching to only for adversarially deep graphs). */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+  def dedupComponents(s: SparkSession, dir: String,
+                      cfg: DedupConfig = DedupConfig.Default): DataFrame = {
     val corpus = nearDupCorpus(s, dir)
-    val pairs = bandPairsFrom(withSignature(corpus))
+    val pairs = bandPairsFrom(withSignature(corpus, cfg), cfg)
     // localCheckpoint (not persist): an iterative plan that REUSES a cached
     // frame still re-analyzes the frame's full logical lineage every round,
     // and the loop's own lineage grows linearly — by round 5 the plan
@@ -345,9 +387,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * back to its source-attributed base doc (fixture default:
     * [[fixtureBaseId]]). */
   def dedupKeepSummary(s: SparkSession, dir: String,
-                       baseIdOf: Column => Column = fixtureBaseId): DataFrame = {
+                       baseIdOf: Column => Column = fixtureBaseId,
+                       cfg: DedupConfig = DedupConfig.Default): DataFrame = {
     val srcOf = docs(s, dir).select(col("doc_id").as("base_id"), col("source"))
-    dedupComponents(s, dir)
+    dedupComponents(s, dir, cfg)
       .withColumn("kept", (col("doc_id") === col("comp")).cast(IntegerType))
       .withColumn("base_id", baseIdOf(col("doc_id")))
       .join(srcOf, "base_id")
@@ -366,8 +409,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     * bounded by candidates, with pair counts reported per unordered
     * source pair. */
   def crossSourceContamination(s: SparkSession, dir: String,
-                               baseIdOf: Column => Column = fixtureBaseId): DataFrame = {
-    val pairs = bandPairsFrom(withSignature(nearDupCorpus(s, dir)))
+                               baseIdOf: Column => Column = fixtureBaseId,
+                               cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val pairs = bandPairsFrom(withSignature(nearDupCorpus(s, dir), cfg), cfg)
     val src = docs(s, dir).select(col("doc_id").as("bid"), col("source"))
     pairs
       .withColumn("ba", baseIdOf(col("doc_a")))

@@ -72,6 +72,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.HammingThreshold < Dedup.SimhashBlocks)
   }
 
+  test("DedupConfig knobs: non-default settings change recall as the math says") {
+    import graft.dedup.DedupConfig
+    // bandSize=1 (8 bands of 1): agreement on a 2-sig band implies
+    // agreement on each of its sigs, so the candidate set is a SUPERSET of
+    // the default (bandSize=2) one — higher recall from the same signatures
+    def pairSet(cfg: DedupConfig) = Dedup.lshCandidatePairs(spark, sfDir, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val defaults = pairSet(DedupConfig.Default)
+    val narrowBands = pairSet(DedupConfig(bandSize = 1))
+    assert(defaults.subsetOf(narrowBands),
+      s"bandSize=1 lost ${(defaults -- narrowBands).size} default pairs")
+    // signature width follows numHashes
+    val wide = Dedup.minhashSignatures(spark, sfDir, DedupConfig(numHashes = 12))
+    assert(wide.columns.toSeq === "doc_id" +: (0 until 12).map(i => s"sig$i"))
+    // 8 blocks of 4 bits with the same t=3: pigeonhole still sound
+    // (3 < 8) and the verify-inside-join makes the OUTPUT identical —
+    // blocking only shapes the candidate set, never the verified result
+    val blocked8 = Dedup.simhashNearDupPairs(spark, sfDir,
+      DedupConfig(simhashBlocks = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked4 = Dedup.simhashNearDupPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked8 === blocked4)
+    // unsound configs are rejected at construction
+    intercept[IllegalArgumentException](DedupConfig(numHashes = 7, bandSize = 2))
+    intercept[IllegalArgumentException](
+      DedupConfig(hammingThreshold = 4, simhashBlocks = 4))
+  }
+
   test("dedupKeepSummary: per-source accounting is consistent and total") {
     val rows = Dedup.dedupKeepSummary(spark, sfDir).collect()
     assert(rows.nonEmpty)
