@@ -28,7 +28,12 @@ object Bench {
       builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=q80,q29 — comma-separated name prefixes for
+    // focused timing runs; unset = the full suite (the official artifact)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // a crashing query must not report its time-to-failure as a valid
     // measurement: record the sentinel -1 and list it under "failed"
     def runOne(name: String): Double = {

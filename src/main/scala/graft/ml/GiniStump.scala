@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
+import scala.jdk.CollectionConverters._
 
 /** Deterministic decision-tree twin of the RandomForest job — the
   * oracle-checkable counterpart of RandomForestJob (random_forest.py:101-123;
@@ -54,12 +55,37 @@ object GiniStump {
   }
 
   /** Per-feature candidate thresholds: the max value of each of MaxBins
-    * quantile buckets (deterministic (val, id) order), deduped. ≤64 rows. */
+    * quantile buckets (deterministic (val, id) order), deduped. ≤64 rows.
+    *
+    * SCOPE: exact ntile sorts the full dataset in NumFeats tasks — chosen
+    * deliberately so the candidate set (and hence the whole tree) is
+    * bit-identical to the DuckDB oracle, which a sampled/approx binning
+    * cannot be. This is the oracle-twin configuration, sized for fixtures;
+    * the at-scale path is [[thresholdsApprox]] (GK sketch, one pass, no
+    * per-feature global sort — Spark ML's own maxBins sampling analogue),
+    * which plugs into the same downstream grid unchanged. */
   private[graft] def thresholds(rootLong: DataFrame): DataFrame = {
     val w = Window.partitionBy("feat").orderBy(col("val"), col("id"))
     rootLong.withColumn("b", ntile(MaxBins).over(w))
       .groupBy("feat", "b").agg(max("val").as("t"))
       .select("feat", "t").distinct()
+  }
+
+  /** Scale variant of [[thresholds]]: per-feature approximate quantile bin
+    * edges from the wide frame via ONE multi-column GK-sketch pass — no
+    * global sort, no shuffle proportional to data. Candidate quality (not
+    * correctness) depends on the sketch error; the tree remains valid for
+    * any candidate set, it just isn't the oracle's. */
+  private[graft] def thresholdsApprox(wide: DataFrame,
+                                      relErr: Double = 0.001): DataFrame = {
+    val probs = (1 to MaxBins).map(_.toDouble / MaxBins).toArray
+    val qs = wide.stat.approxQuantile(featNames.toArray, probs, relErr)
+    val rows = featNames.zip(qs).flatMap { case (f, ts) =>
+      ts.distinct.map(t => org.apache.spark.sql.Row(f, t)) }
+    wide.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      StructType(Seq(StructField("feat", StringType, nullable = false),
+        StructField("t", DoubleType, nullable = false))))
   }
 
   /** Exact best split per node over the shared candidate set:
@@ -116,12 +142,36 @@ object GiniStump {
   private def chosenVal: Column =
     coalesce(featNames.map(f => when(col("feat") === f, col(f))): _*)
 
+  /** Next-level assignment: rows of nodes WITH a chosen split descend to
+    * node+"L"/"R"; rows of nodes absent from `best` (unsplittable — every
+    * candidate left one side empty, e.g. all feature values identical in
+    * the node) keep their node id and become that node's leaf directly.
+    * LEFT join, so leaves always partition the data — an inner join would
+    * silently drop unsplittable nodes' rows and break the row contract. */
+  private[graft] def assignChildren(wide: DataFrame, best: DataFrame): DataFrame =
+    wide.join(broadcast(best.select("node", "feat", "t")), Seq("node"), "left")
+      .withColumn("leaf",
+        when(col("feat").isNull, col("node"))
+          .otherwise(concat(col("node"),
+            when(chosenVal <= col("t"), "L").otherwise("R"))))
+      .select(col("id"), col("label"), col("leaf").as("node"))
+
+  /** Collect a tiny frame (candidate grid / label domain) into a
+    * LocalRelation: downstream `broadcast()` uses build driver-side with no
+    * job and no lineage — vs localCheckpoint, which still runs one job per
+    * broadcast exchange over the checkpointed RDD. */
+  private def toLocal(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        df.collect().toSeq.asJava), df.schema)
+
   /** q80: the full depth-2 tree — 3 split rows (root, L, R: chosen feature,
     * threshold, weighted gini, node size) + 4 leaf rows (leaf gini, size,
     * majority class). Tiny intermediate frames (thresholds, labels, best
-    * splits) are localCheckpoint'ed: each is referenced by several downstream
-    * branches, and truncation keeps every reference an RDD scan instead of
-    * re-running the window/agg subtree per reference. */
+    * splits) are collected into LocalRelations ([[toLocal]]): each is
+    * referenced by several downstream branches, and a LocalRelation makes
+    * every reference a literal table — no re-running of the window/agg
+    * subtree, and no job per downstream broadcast exchange. */
   def query(s: SparkSession, dir: String): DataFrame = {
     // the per-level frames are each consumed by several downstream
     // branches (binning, the dense-grid node list, class totals, child
@@ -129,24 +179,25 @@ object GiniStump {
     // the full data, 5 scans per depth level at 100 TB. Persist eagerly
     // (Spark ML caches tree-induction input the same way), materialize
     // the 7-row result, then release both caches before returning.
+    // lazy persist: the first consumer (the thresholds job) fills the cache
+    // in-line — an eager count() here would be a whole extra scan job, and
+    // the level runs serially so there is no concurrent-fill race
     val p = pts(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
     val root = p.withColumn("node", lit("root"))
-    val thr = thresholds(toLong(root).select("id", "feat", "val"))
-      .localCheckpoint()
-    val labels = p.select("label").distinct().localCheckpoint()
+    // grid-sized frames (≤64 thresholds, ≤10 labels, 1-2 best splits) go
+    // to LocalRelations: one collect job each, then every downstream
+    // broadcast builds driver-side with no extra job
+    val thr = toLocal(thresholds(toLong(root).select("id", "feat", "val")))
+    val labels = toLocal(p.select("label").distinct())
 
-    val best1 = bestSplits(root, thr, labels).localCheckpoint() // 1 row
+    val best1 = toLocal(bestSplits(root, thr, labels)) // 1 row
     val a2 = p.crossJoin(broadcast(best1.select("feat", "t")))
       .withColumn("node", when(chosenVal <= col("t"), "L").otherwise("R"))
       .drop("feat", "t")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val best2 = bestSplits(a2, thr, labels).localCheckpoint() // 2 rows
-      val a3 = a2.join(broadcast(best2.select("node", "feat", "t")), "node")
-        .withColumn("leaf",
-          concat(col("node"), when(chosenVal <= col("t"), "L").otherwise("R")))
-        .select(col("id"), col("label"), col("leaf").as("node"))
+      val best2 = toLocal(bestSplits(a2, thr, labels)) // 2 rows
+      val a3 = assignChildren(a2, best2)
 
       val sizes = a2.groupBy("node").agg(count(lit(1)).as("n"))
         .unionByName(p.agg(count(lit(1)).as("n")).withColumn("node", lit("root")))
@@ -251,10 +302,13 @@ object GiniStump {
          |a2long AS (${toLongS("a2")}),
          |best2 AS (${bestS("a2", "a2long")}),
          |a3 AS (
+         |  -- LEFT join mirrors assignChildren: unsplittable nodes (absent
+         |  -- from best2) become their own leaf, so leaves partition a2
          |  SELECT p.id, p.label,
-         |    p.node || CASE WHEN ${chosenValS("p", "b")} <= b.t
+         |    p.node || CASE WHEN b.node IS NULL THEN ''
+         |      WHEN ${chosenValS("p", "b")} <= b.t
          |      THEN 'L' ELSE 'R' END AS node
-         |  FROM a2 p JOIN best2 b ON p.node = b.node),
+         |  FROM a2 p LEFT JOIN best2 b ON p.node = b.node),
          |sizes AS (
          |  SELECT node, COUNT(*) AS n FROM a2 GROUP BY node
          |  UNION ALL SELECT 'root', COUNT(*) FROM pts),

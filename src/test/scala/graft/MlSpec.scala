@@ -98,6 +98,40 @@ class MlSpec extends SparkSpec {
     assert(leaves.forall(_.getAs[Double]("score") < 1.0))
   }
 
+  test("GiniStump: unsplittable nodes become leaves, leaves still partition") {
+    import spark.implicits._
+    // node "X": all feature values identical → every candidate split leaves
+    // one side empty → no best2 row; node "Y": cleanly splittable on f0
+    val wide = (
+      (1 to 6).map(i => (i.toLong, i % 2, "X", 1.0, 1.0, 1.0, 1.0)) ++
+      (7 to 12).map(i => (i.toLong, i % 2, "Y", (i % 3).toDouble, 0.0, 0.0, 0.0))
+    ).toDF("id", "label", "node", "f0", "f1", "f2", "f3")
+    val thr = GiniStump.thresholds(
+      GiniStump.toLong(wide).select("id", "feat", "val"))
+    val labels = wide.select("label").distinct()
+    val best = GiniStump.bestSplits(wide, thr, labels)
+    // only the splittable node gets a best split
+    assert(best.select("node").collect().map(_.getString(0)).toSeq === Seq("Y"))
+    val assigned = GiniStump.assignChildren(wide, best)
+    assert(assigned.count() === wide.count()) // nothing silently dropped
+    val byNode = assigned.groupBy("node").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byNode("X") === 6L) // unsplittable node kept as its own leaf
+    assert(byNode.keys.count(_.startsWith("Y")) === 2) // Y split into YL/YR
+  }
+
+  test("GiniStump: approx thresholds plug into the same grid and yield a valid tree") {
+    val wide = GiniStump.pts(spark, sfDir).withColumn("node",
+      org.apache.spark.sql.functions.lit("root"))
+    val thrA = GiniStump.thresholdsApprox(wide)
+    // one threshold set per feature, each within the feature's value range
+    assert(thrA.select("feat").distinct().count() === 4)
+    val best = GiniStump.bestSplits(wide, thrA, wide.select("label").distinct())
+      .collect()
+    assert(best.length === 1) // root found a valid split from approx bins
+    assert(best.head.getAs[Double]("wg") >= 0.0)
+  }
+
   test("fitWithBackoff falls back to smaller samples on failure") {
     var calls = 0
     val result = FeaturePrep.fitWithBackoff(blobs, Seq(1.0, 0.5)) { df =>
