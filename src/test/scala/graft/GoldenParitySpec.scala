@@ -128,6 +128,49 @@ class GoldenParitySpec extends SparkSpec {
     } finally { train.unpersist(); test.unpersist(); () }
   }
 
+  test("golden: RF at the 50-tree/depth-8 config (the committed sample's own run)") {
+    // random_forest_results.json is the config the reference ACTUALLY ran
+    // on the committed 386,716-row sample (complete_pipeline.py:126-130):
+    // same data, 0.8/0.2 randomSplit seed 42, RF 50/8 seed 42 — the closest
+    // thing to a full replay the sandbox allows
+    val golden = goldenJson("random_forest_results.json")
+    val gm = golden.getStruct(golden.fieldIndex("metrics"))
+    def g(m: String): Double = gm.getDouble(gm.fieldIndex(m))
+    val gp = golden.getStruct(golden.fieldIndex("params"))
+    assert(gp.getLong(gp.fieldIndex("numTrees")) === 50L)
+    assert(gp.getLong(gp.fieldIndex("maxDepth")) === 8L)
+
+    val features = Seq("Start_Lat", "Start_Lng", "Distance_mi",
+      "Temperature_F", "Humidity_Percent", "Visibility_mi", "Wind_Speed_mph",
+      "Amenity", "Crossing", "Junction", "Traffic_Signal",
+      "Hour", "DayOfWeek", "Month")
+    val ml = features.foldLeft(cleaned) { (d, f) =>
+      d.withColumn(f, col(f).cast(DoubleType)) }
+      .na.fill(0.0, features)
+      .withColumn("label", (col("Severity") - 1).cast(DoubleType))
+    val assembled = new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("features").setHandleInvalid("skip")
+      .transform(ml).select("label", "features")
+    val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), 42L)
+    train.cache(); test.cache()
+    try {
+      val model = graft.ml.RandomForestJob.classifier(
+        graft.ml.RandomForestJob.RfConfig(numTrees = 50, maxDepth = 8,
+          minInstancesPerNode = 1)).fit(train) // MLlib default minInstances
+      val m = graft.ml.Metrics.multiclass(model.transform(test))
+      // same data + same algorithm; only split/bootstrap RNG differs
+      // across engines → accuracy band ±0.02, secondary metrics ±0.03
+      assert(math.abs(m("accuracy") - g("accuracy")) <= 0.02, m.toString)
+      assert(math.abs(m("weightedPrecision") - g("precision")) <= 0.03, m.toString)
+      assert(math.abs(m("weightedRecall") - g("recall")) <= 0.02, m.toString)
+      assert(math.abs(m("f1") - g("f1")) <= 0.03, m.toString)
+      // importance parity: golden has Distance_mi at 0.5637, 5× runner-up
+      val imp = model.featureImportances.toArray.zip(features).sortBy(-_._1)
+      assert(imp.head._2 === "Distance_mi", imp.take(3).mkString(", "))
+      assert(imp.head._1 > 0.25, s"Distance_mi importance ${imp.head._1}")
+    } finally { train.unpersist(); test.unpersist(); () }
+  }
+
   // -------------------------------------------------------------- k-means
 
   test("golden: K-Means sweep + k=10 stats land in BASELINE bands") {
