@@ -418,9 +418,13 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    // INCLUDE NULLS: Spark's Dataset.unpivot RETAINS rows whose value is
+    // NULL while DuckDB's UNPIVOT excludes them by default — the synthetic
+    // metric columns happen to be non-null, but the two sides must agree by
+    // construction, not by fixture luck.
     "q82_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value
-        |FROM (FROM lineitem) UNPIVOT (value FOR metric IN
+        |FROM (FROM lineitem) UNPIVOT INCLUDE NULLS (value FOR metric IN
         |  (l_quantity, l_extendedprice, l_discount, l_tax))
         |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
     "q83_range_frame" ->

@@ -50,7 +50,12 @@ object KMeansJob {
     * threads — each pending fit is just a blocked submitter thread, so a
     * small bound suffices and a runaway kRange can't exhaust the global
     * pool), and the whole sweep is bounded by `timeout` rather than
-    * awaiting forever on a hung job. */
+    * awaiting forever on a hung job. On timeout the in-flight fits are
+    * actually KILLED, not abandoned: every fit runs under a sweep-scoped
+    * Spark job group (interruptOnCancel) that is cancelled before the
+    * timeout propagates, and the pool is shutdownNow'd so blocked
+    * submitter threads are interrupted — a hung job cannot keep consuming
+    * the cluster after the sweep gives up. */
   def elbow(df: DataFrame, kRange: Seq[Int], featuresCol: String = "features",
             seed: Long = 42L, maxIter: Int = 30,
             evalFraction: Double = 1.0, parallel: Boolean = false,
@@ -70,13 +75,25 @@ object KMeansJob {
     try {
       if (parallel) {
         import scala.concurrent.{Await, ExecutionContext, Future}
+        val sc = df.sparkSession.sparkContext
+        val group = s"graft-elbow-${java.util.UUID.randomUUID()}"
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.max(1, math.min(maxConcurrent, kRange.size)))
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutorService(pool)
-        try Await.result(Future.sequence(kRange.map(k => Future(point(k)))),
+        try Await.result(
+          Future.sequence(kRange.map(k => Future {
+            // setJobGroup is thread-local: stamp it inside the submitter
+            // thread so every Spark job this fit launches joins the group
+            sc.setJobGroup(group, s"elbow fit k=$k", interruptOnCancel = true)
+            try point(k) finally sc.clearJobGroup()
+          })),
           timeout)
-        finally { pool.shutdown(); () }
+        catch {
+          case e: java.util.concurrent.TimeoutException =>
+            sc.cancelJobGroup(group); throw e
+        }
+        finally { pool.shutdownNow(); () }
       } else kRange.map(point)
     } finally { cached.unpersist(); () }
   }

@@ -64,6 +64,96 @@ class StreamingSpec extends SparkSpec {
     assert(second === first)
   }
 
+  test("soak: watermark expiry evicts aggregate state across many micro-batches") {
+    // multi-batch file-source run spanning many event-time hours: windows
+    // must be EMITTED once the watermark passes them and their state rows
+    // REMOVED — the property that keeps state bounded on an unbounded
+    // stream. maxFilesPerTrigger=1 forces one batch per staged file.
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .orderBy("ts").localCheckpoint()
+    // stage 6 files of consecutive event-time ranges (mtime-ordered so
+    // batches replay in event-time order and the watermark ratchets up)
+    val n = events.count()
+    val chunk = (n / 6 + 1).toInt
+    val rows = events.collect().grouped(chunk).toSeq
+    rows.zipWithIndex.foreach { case (part, i) =>
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(part.toSeq).asJava),
+        events.schema)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/stage$i")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage$i"))
+        .iterator()
+      var moved = false
+      while (src.hasNext && !moved) {
+        val p = src.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dest = java.nio.file.Paths.get(s"$dir/in/part-$i.parquet")
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.move(p, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+          moved = true
+        }
+      }
+    }
+    val src = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = EventStream.toParquet(
+      EventStream.tumblingCounts(src, window_ = "1 hour", watermark = "2 hours"),
+      s"$dir/out", s"$dir/ckpt")
+    q.awaitTermination(180000)
+    // the sink holds emitted (finalized) windows…
+    val emitted = spark.read.parquet(s"$dir/out").count()
+    assert(emitted > 0)
+    // …and the state store actually removed rows when the watermark passed
+    // them (not just accumulated forever)
+    val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, s"no state rows evicted across ${q.recentProgress.length} batches")
+    // bounded state: final state row count is far below total windows seen
+    val finalState = q.recentProgress.last.stateOperators.map(_.numRowsTotal).sum
+    assert(finalState < emitted + removed,
+      s"state $finalState not bounded vs emitted=$emitted removed=$removed")
+  }
+
+  test("soak: idle sessionizer state is flushed and evicted on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "view", 1.0),
+      Event(2, ts(5), 7, "view", 2.0)) // open session for user 7
+    val sessions = EventStream.sessionize(input.toDS(),
+      gapMs = 30 * 60 * 1000L, idleTimeout = Some("1 second"))
+    val q = sessions.writeStream.format("memory").queryName("soak_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // NO processAllAvailable anywhere in this test: with a
+      // processing-time timeout the engine schedules timeout-check batches
+      // forever, so processAllAvailable never quiesces (the exact hazard
+      // sessionize's scaladoc documents). Poll the sink with a deadline —
+      // the 1 s idle timeout must flush user 7's trailing session on its
+      // own, with no further input.
+      var waited = 0
+      while (spark.table("soak_sessions").count() < 1 && waited < 60000) {
+        Thread.sleep(500); waited += 500
+      }
+      val out = spark.table("soak_sessions").as[UserSession].collect()
+      assert(out.exists(s => s.user_id == 7 && s.n_events == 2),
+        out.mkString(", "))
+      // …and the flush EVICTED the state row (numRowsRemoved), so idle
+      // users don't accumulate state forever
+      def removed = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      waited = 0
+      while (removed == 0 && waited < 20000) { Thread.sleep(500); waited += 500 }
+      assert(removed > 0, "timeout flush did not evict the session state row")
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps and aggregates within sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
