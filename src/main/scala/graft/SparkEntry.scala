@@ -152,6 +152,10 @@ object SparkEntry {
     // source → watermark → checkpointed sink → read back); hash-equal to
     // the batch oracle proves streaming/batch parity
     "q85_stream_parity"       -> (graft.streaming.EventStream.streamingParity _),
+    // several COUNT(DISTINCT) in one pass — the Expand + 2-level agg shape
+    "q86_multi_distinct"      -> ((s, d) => graft.analytics.Advanced.multiDistinctAgg(s, d)),
+    // skew-mitigation join: salted big side × replicated dim, oracle unsalted
+    "q87_salted_join"         -> ((s, d) => graft.analytics.Advanced.saltedJoin(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

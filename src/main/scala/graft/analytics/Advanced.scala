@@ -398,6 +398,50 @@ object Advanced {
         sum(col("psum")).cast(DoubleType).as("sum_price"))
       .orderBy("l_returnflag")
 
+  /** Grouped MULTI-DISTINCT aggregation — several COUNT(DISTINCT …) over
+    * different columns plus plain aggregates in ONE logical pass. This is
+    * its own plan shape: Catalyst rewrites n distinct aggregates into an
+    * Expand (one row replica per distinct group) + two-level hash
+    * aggregation, so the input is scanned ONCE however many distinct
+    * columns are requested — the naive alternative (one self-join per
+    * distinct column) is n scans and n-1 joins. At 100 TB the Expand
+    * multiplies shuffle rows by the distinct-column count; that is the
+    * knowable, bounded cost of this shape and still beats n full scans. */
+  def multiDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** Salted SKEWED JOIN — the join-side twin of [[saltedAgg]]: the big
+    * (skewed) side gets a deterministic per-row salt, the small side is
+    * replicated across all `salts` sub-keys (explode over a literal
+    * range — `salts`× its size, fine for a dimension), and the join key
+    * becomes (key, salt) so one hot key's rows spread over `salts`
+    * reducers instead of one straggler. Result is bit-identical to the
+    * unsalted join (the oracle IS the unsalted join): every row still
+    * meets its one matching dimension row, just in a finer bucket. AQE's
+    * skew-join split does this adaptively for sort-merge joins; the manual
+    * form remains the tool when the skew is known ahead of time or the
+    * join is hash-partitioned by an upstream stage. */
+  def saltedJoin(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(salts.toLong)))
+    val dim = t(s, dir, "orders")
+      .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    big.join(dim, big("l_orderkey") === dim("o_orderkey") &&
+        big("salt") === dim("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** TPC-H Q3-shaped analytical query (shipping-priority analog): two
     * broadcast-able dimension filters, a fact-side join, revenue aggregation
     * and top-10 — the canonical join-reorder + pushdown + partial-agg
@@ -418,6 +462,20 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q86_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q87_salted_join" ->
+      // oracle = the UNsalted join: salting must be invisible in the result
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // INCLUDE NULLS: Spark's Dataset.unpivot RETAINS rows whose value is
     // NULL while DuckDB's UNPIVOT excludes them by default — the synthetic
     // metric columns happen to be non-null, but the two sides must agree by

@@ -114,6 +114,28 @@ object Sinks {
      else w).parquet(path)
   }
 
+  /** Range-CLUSTERED parquet layout — the second storage lever after
+    * [[parquetPartitioned]], for high-cardinality keys where Hive
+    * partitioning would explode the directory count. `repartitionByRange`
+    * gives each output file a disjoint slice of the cluster-key space
+    * (range partitioner, sampled boundaries) and `sortWithinPartitions`
+    * orders rows inside each file, so every parquet row group's min/max
+    * footer stats span a narrow key range. Readers filtering on the
+    * cluster key then skip whole row groups at scan time (parquet
+    * predicate pushdown against the stats), the non-partition analog of
+    * partition pruning: at 100 TB, a point/range query on the cluster key
+    * reads the few files whose range matches instead of every row group
+    * of every file. One range shuffle at write time buys every later
+    * scan's skipping. */
+  def parquetClustered(df: DataFrame, path: String, clusterCols: Seq[String],
+                       numFiles: Int): Unit = {
+    require(clusterCols.nonEmpty, "parquetClustered needs >=1 cluster column")
+    val cs = clusterCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(numFiles, cs: _*)
+      .sortWithinPartitions(cs: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Distributed JSON-lines sink (S4; nb cells 62-64). */
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

@@ -44,6 +44,34 @@ class SinksCatalogSpec extends SparkSpec {
         .filter(col("o_orderstatus") === "F").count())
   }
 
+  test("range-clustered parquet layout yields disjoint per-file key ranges") {
+    // parquetClustered = repartitionByRange + sortWithinPartitions: files
+    // must cover non-overlapping slices of the cluster key, which is what
+    // lets parquet row-group stats skip data for key predicates at 100 TB
+    val dir = tmp()
+    val li = Tables.load(spark, sfDir, "lineitem")
+    Sinks.parquetClustered(li, s"$dir/cl", Seq("l_orderkey"), numFiles = 4)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/cl"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(parts.size > 1 && parts.size <= 4, parts)
+    // per-file min/max of the cluster key
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey"))).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // within-file sortedness gives narrow row-group stats; across files the
+    // ranges must not interleave (equal boundary keys may touch)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, ranges)
+      case _ =>
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(s"$dir/cl").count() === li.count())
+  }
+
   test("dynamic partition overwrite touches only incoming partitions (backfill)") {
     // the standard warehouse backfill: rewrite one partition's data in
     // place without dropping sibling partitions (static overwrite mode
