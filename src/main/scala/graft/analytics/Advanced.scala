@@ -431,7 +431,12 @@ object Advanced {
   def saltedJoin(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
     val big = t(s, dir, "lineitem")
       .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(salts.toLong)))
-    val dim = t(s, dir, "orders")
+    // merge hint: at fixture scale Catalyst would broadcast the dim — and a
+    // broadcast join has no skew problem to salt. Salting exists precisely
+    // for the shuffle-join regime (dim too big to broadcast), so pin the
+    // sort-merge shape the 100 TB case would take and let the plan show the
+    // (key, salt) exchange spreading each hot key over `salts` reducers.
+    val dim = t(s, dir, "orders").hint("merge")
       .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     big.join(dim, big("l_orderkey") === dim("o_orderkey") &&
         big("salt") === dim("salt"))

@@ -225,6 +225,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("multiDistinctAgg is one Expand + multi-level hash agg, single scan (q86)") {
+    val plan = planOf(graft.analytics.Advanced.multiDistinctAgg(spark, sfDir))
+    // Catalyst's distinct rewrite: ONE scan feeding Expand — not a self-join
+    // per distinct column
+    assert(plan.contains("Expand"), plan)
+    assert("FileScan".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("saltedJoin is a sort-merge join on (key, salt) — never broadcast (q87)") {
+    val plan = planOf(graft.analytics.Advanced.saltedJoin(spark, sfDir))
+    // broadcast would make the salt pointless (no skew in a broadcast
+    // join); the merge hint pins the shuffle-join regime salting exists for
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("saltedAgg equals the direct aggregation bit-for-bit") {
     val salted = graft.analytics.Advanced.saltedAgg(spark, sfDir).collect()
     val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")
