@@ -156,6 +156,10 @@ object SparkEntry {
     "q86_multi_distinct"      -> ((s, d) => graft.analytics.Advanced.multiDistinctAgg(s, d)),
     // skew-mitigation join: salted big side × replicated dim, oracle unsalted
     "q87_salted_join"         -> ((s, d) => graft.analytics.Advanced.saltedJoin(s, d)),
+    // SCD-1 snapshot merge: base ∪ updates, updates win per key (MERGE core)
+    "q88_upsert_snapshot"     -> (graft.analytics.Advanced.upsertSnapshot _),
+    // fixed-width histogram: narrow map + low-cardinality hash agg
+    "q89_histogram"           -> ((s, d) => graft.analytics.Advanced.histogram(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -447,6 +447,44 @@ object Advanced {
       .orderBy("o_orderstatus")
   }
 
+  /** UPSERT / SCD-1 snapshot merge — `base ∪ updates`, updates win per
+    * key: the daily-snapshot maintenance op every warehouse runs (the
+    * relational core of MERGE INTO). Updates here are a deterministic
+    * derivation of the base table (every 10th order, repriced) so both
+    * engines construct identical inputs. Shape: union (no shuffle) + ONE
+    * hash exchange on the key for the row_number window — at 100 TB the
+    * union sides never co-shuffle separately, and if the base snapshot is
+    * bucketed by key the exchange only moves the (small) update side. */
+  def upsertSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("src", lit(0))
+    val updates = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"))
+      .withColumn("src", lit(1))
+    val w = Window.partitionBy("o_orderkey").orderBy(col("src").desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Fixed-width histogram — value → bin id via integer floor division,
+    * count + mass per bin. The profiling op behind every numeric-column
+    * summary at scale: a narrow codegen'd map plus one low-cardinality
+    * hash aggregate (bins ≪ rows, so partial aggregation collapses the
+    * shuffle to ~|bins| rows per task). Bin width is a parameter, not a
+    * data-dependent min/max, so the query is ONE pass. */
+  def histogram(s: SparkSession, dir: String, width: Double = 5000.0): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("bin", floor(col("l_extendedprice") / lit(width)).cast(LongType))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("bin")
+
   /** TPC-H Q3-shaped analytical query (shipping-priority analog): two
     * broadcast-able dimension filters, a fact-side join, revenue aggregation
     * and top-10 — the canonical join-reorder + pushdown + partial-agg
@@ -467,6 +505,23 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q88_upsert_snapshot" ->
+      // updates (src=1) win over base (src=0) per key — DuckDB mirrors the
+      // same union + row_number merge
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1, 1 AS src
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "q89_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
     "q86_multi_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
