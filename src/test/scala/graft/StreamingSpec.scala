@@ -64,6 +64,54 @@ class StreamingSpec extends SparkSpec {
     assert(second === first)
   }
 
+  test("upsertSink merges micro-batches into a keyed snapshot, latest wins") {
+    // streaming twin of q88: two staged files → two micro-batches with
+    // overlapping keys; the snapshot must hold exactly one row per key,
+    // the later batch's (and within a batch, the later timestamp's)
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    import spark.implicits._
+    def stage(i: Int, rows: Seq[Event]): Unit = {
+      val f = s"$dir/in/part-$i.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      val tmpd = s"$dir/stage$i"
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpd))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.toString.endsWith(".parquet")).foreach { p =>
+          val dst = java.nio.file.Paths.get(f)
+          java.nio.file.Files.move(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+        }
+    }
+    stage(0, Seq(
+      Event(1, ts(0), 7, "view", 1.0),
+      Event(2, ts(1), 8, "view", 2.0),
+      Event(2, ts(2), 8, "click", 3.0))) // key 2 twice in-batch: ts(2) wins
+    stage(1, Seq(
+      Event(1, ts(10), 7, "purchase", 9.0), // overwrites batch-0's key 1
+      Event(3, ts(11), 9, "view", 4.0)))
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val q = EventStream.upsertSink(src, keyCol = "event_id", tsCol = "ts",
+        s"$dir/snap", s"$dir/ckpt")
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val snap = spark.read.parquet(s"$dir/snap").as[Event].collect()
+      .sortBy(_.event_id)
+    assert(snap.map(_.event_id).toSeq === Seq(1L, 2L, 3L), snap.toSeq)
+    assert(snap(0).event_type === "purchase" && snap(0).value === 9.0)
+    assert(snap(1).event_type === "click" && snap(1).value === 3.0) // in-batch latest
+    assert(snap(2).event_type === "view")
+    // restart on the same checkpoint: no reprocessing, snapshot unchanged
+    runOnce()
+    val again = spark.read.parquet(s"$dir/snap").as[Event].collect().sortBy(_.event_id)
+    assert(again.toSeq === snap.toSeq)
+  }
+
   test("soak: watermark expiry evicts aggregate state across many micro-batches") {
     // multi-batch file-source run spanning many event-time hours: windows
     // must be EMITTED once the watermark passes them and their state rows
