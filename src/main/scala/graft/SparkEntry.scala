@@ -160,6 +160,8 @@ object SparkEntry {
     "q88_upsert_snapshot"     -> (graft.analytics.Advanced.upsertSnapshot _),
     // fixed-width histogram: narrow map + low-cardinality hash agg
     "q89_histogram"           -> ((s, d) => graft.analytics.Advanced.histogram(s, d)),
+    // incremental view maintenance: snapshot partials + delta partials merge
+    "q90_incremental_agg"     -> ((s, d) => graft.analytics.Advanced.incrementalAgg(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

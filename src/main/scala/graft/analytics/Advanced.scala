@@ -485,6 +485,33 @@ object Advanced {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
       .orderBy("bin")
 
+  /** INCREMENTAL VIEW MAINTENANCE — the decomposable-aggregate merge that
+    * keeps a materialized aggregate current without rescanning history:
+    * the pre-cutoff "snapshot" holds per-group PARTIAL state (count +
+    * exact decimal sum), the post-cutoff "delta" computes the same
+    * partials over new data only, and the final view is one tiny merge
+    * agg over |groups| rows. The oracle is the full recompute over all
+    * data — identical by decomposability (sums of sums, counts of
+    * counts). At 100 TB this is THE pattern for daily aggregate refresh:
+    * the snapshot is |groups|-sized (read, not rescanned), only the
+    * day's partition is scanned, and avg/stddev extend the same way via
+    * (n, Σx, Σx²) partials. */
+  def incrementalAgg(s: SparkSession, dir: String,
+                     cutoff: String = "1997-06-01"): DataFrame = {
+    val o = t(s, dir, "orders")
+    def partials(df: DataFrame) = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("ps"))
+    val snapshot = partials(o.filter(col("o_orderdate") < lit(cutoff)))
+    val delta    = partials(o.filter(col("o_orderdate") >= lit(cutoff)))
+    snapshot.unionByName(delta)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("pn")).as("n_orders"),
+        sum(col("ps")).cast(DoubleType).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** TPC-H Q3-shaped analytical query (shipping-priority analog): two
     * broadcast-able dimension filters, a fact-side join, revenue aggregation
     * and top-10 — the canonical join-reorder + pushdown + partial-agg
@@ -522,6 +549,11 @@ object Advanced {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q90_incremental_agg" ->
+      // oracle = the FULL recompute: snapshot+delta merge must be invisible
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q86_multi_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
