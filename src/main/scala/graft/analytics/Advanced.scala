@@ -429,8 +429,12 @@ object Advanced {
     * form remains the tool when the skew is known ahead of time or the
     * join is hash-partitioned by an upstream stage. */
   def saltedJoin(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    // per-ROW salt: hashing the full (orderkey, linenumber) pair — hashing
+    // a low-cardinality column alone (l_linenumber has 7 values) would cap
+    // the fan-out at 7 buckets no matter how large `salts` is
     val big = t(s, dir, "lineitem")
-      .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(salts.toLong)))
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts.toLong)))
     // merge hint: at fixture scale Catalyst would broadcast the dim — and a
     // broadcast join has no skew problem to salt. Salting exists precisely
     // for the shuffle-join regime (dim too big to broadcast), so pin the

@@ -81,19 +81,25 @@ object KMeansJob {
           math.max(1, math.min(maxConcurrent, kRange.size)))
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutorService(pool)
-        try Await.result(
-          Future.sequence(kRange.map(k => Future {
-            // setJobGroup is thread-local: stamp it inside the submitter
-            // thread so every Spark job this fit launches joins the group
-            sc.setJobGroup(group, s"elbow fit k=$k", interruptOnCancel = true)
-            try point(k) finally sc.clearJobGroup()
-          })),
-          timeout)
-        catch {
-          case e: java.util.concurrent.TimeoutException =>
-            sc.cancelJobGroup(group); throw e
+        var done = false
+        try {
+          val r = Await.result(
+            Future.sequence(kRange.map(k => Future {
+              // setJobGroup is thread-local: stamp it inside the submitter
+              // thread so every Spark job this fit launches joins the group
+              sc.setJobGroup(group, s"elbow fit k=$k", interruptOnCancel = true)
+              try point(k) finally sc.clearJobGroup()
+            })),
+            timeout)
+          done = true
+          r
+        } finally {
+          // cancel on ANY failure path (timeout OR a fit throwing first —
+          // Future.sequence fails fast while sibling fits are mid-job);
+          // no-op when every fit completed
+          if (!done) sc.cancelJobGroup(group)
+          pool.shutdownNow(); ()
         }
-        finally { pool.shutdownNow(); () }
       } else kRange.map(point)
     } finally { cached.unpersist(); () }
   }

@@ -196,16 +196,21 @@ object EventStream {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q85")
     val in = tmp.resolve("in")
+    java.nio.file.Files.createDirectories(in)
     val events = graft.sources.Tables.load(s, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    events.write.mode("overwrite").parquet(in.toString)
+    // ONE real-data file → ONE micro-batch. A multi-file write's parts
+    // share mtimes, and with maxFilesPerTrigger=1 the FileStreamSource
+    // tie-break could batch the newest-timestamped part first — the
+    // watermark would ratchet past older parts and silently drop them as
+    // late. A single file removes the intra-data ordering hazard entirely.
+    val stage0 = tmp.resolve("stage0")
+    events.coalesce(1).write.mode("overwrite").parquet(stage0.toString)
+    moveOnlyParquet(stage0, in.resolve("aa-data.parquet"), mtimeMs = 1000000L)
     val maxTs = events.agg(max("ts")).head().getTimestamp(0)
-    val baseMtime = java.nio.file.Files.list(in).iterator().asScala
-      .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      .foldLeft(0L)(math.max)
     // each sentinel: its own single-file micro-batch, mtime strictly after
-    // the real data (same-millisecond mtimes could let a sentinel batch
-    // lead and mark every real event late → silently empty result)
+    // the real data, so the watermark advances and finalizes every real
+    // window (Append mode only emits windows the watermark has passed)
     for (idx <- 1 to 2) {
       val stage = tmp.resolve(s"sentinel$idx")
       Seq((-idx.toLong,
@@ -213,12 +218,8 @@ object EventStream {
            -1L, "__watermark_sentinel__", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val dest = in.resolve(s"zz-sentinel-$idx.parquet")
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(baseMtime + idx * 60000L))
+      moveOnlyParquet(stage, in.resolve(s"zz-sentinel-$idx.parquet"),
+        mtimeMs = 1000000L + idx * 60000L)
     }
     val src = s.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", 1).parquet(in.toString)
@@ -232,10 +233,35 @@ object EventStream {
         col("n"), col("sum_value"))
     val q = toParquet(agg, tmp.resolve("out").toString,
       tmp.resolve("ckpt").toString)
-    q.awaitTermination(300000)
-    s.read.parquet(tmp.resolve("out").toString)
+    require(q.awaitTermination(300000),
+      "q85 streaming query did not terminate within 300 s")
+    // materialize OFF the staging dir, then delete it — q85 otherwise
+    // leaks a full events copy + checkpoint per invocation (bench runs
+    // this reps× per round)
+    val res = s.read.parquet(tmp.resolve("out").toString)
       .filter(col("event_type") =!= "__watermark_sentinel__")
-      .orderBy("hour_start", "event_type")
+      .localCheckpoint()
+    rmTree(tmp)
+    res.orderBy("hour_start", "event_type")
+  }
+
+  /** Move the single parquet part out of a one-file staged write, stamping
+    * a deterministic mtime (FileStreamSource batches oldest-mtime-first). */
+  private def moveOnlyParquet(stageDir: java.nio.file.Path,
+                              dest: java.nio.file.Path, mtimeMs: Long): Unit = {
+    val part = Option(stageDir.toFile.listFiles).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $stageDir"))
+    java.nio.file.Files.move(part.toPath, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
+  private def rmTree(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   /** q85's oracle is q21's: the streaming path must reproduce the batch
@@ -269,14 +295,21 @@ object EventStream {
     df.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val tmp = s"$snapshotDir-next-$batchId"
-        val base =
-          try spark.read.parquet(snapshotDir).withColumn("src", lit(0))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            // first batch: no snapshot yet
-            spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](),
-              batch.schema).withColumn("src", lit(0)) }
+        val snap = new org.apache.hadoop.fs.Path(snapshotDir)
+        val prev = new org.apache.hadoop.fs.Path(s"$snapshotDir-prev")
+        val tmp  = new org.apache.hadoop.fs.Path(s"$snapshotDir-next-$batchId")
+        // resolve the fs from the SNAPSHOT path's scheme — FileSystem.get
+        // (defaultFS) would silently rename on the wrong filesystem when
+        // the snapshot lives on s3a/file: and defaultFS is hdfs
+        val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // base = current snapshot, else the -prev generation (present only
+        // if a crash hit between the two renames below), else empty
+        val base = (if (fs.exists(snap)) Some(snap.toString)
+                    else if (fs.exists(prev)) Some(prev.toString) else None)
+          .map(p => spark.read.parquet(p).withColumn("src", lit(0)))
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            batch.schema).withColumn("src", lit(0)))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol)
           .orderBy(col("src").desc, col(tsCol).desc)
@@ -286,13 +319,15 @@ object EventStream {
           .drop("rn", "src")
         // write-then-swap: never read and overwrite the same path in one
         // job (the scan is lazy — overwriting in place would read-after-
-        // truncate). One write + a metadata rename, not a second copy.
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(snapshotDir), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(snapshotDir))
+        // truncate). Swap keeps a -prev generation alive until the new
+        // snapshot is in place, so NO crash point loses the snapshot:
+        // replay finds either snap (done) or -prev (retry from last good).
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(prev, true)
+        if (fs.exists(snap))
+          require(fs.rename(snap, prev), s"rename $snap -> $prev failed")
+        require(fs.rename(tmp, snap), s"rename $tmp -> $snap failed")
+        fs.delete(prev, true)
         ()
       }
       .option("checkpointLocation", checkpointDir)

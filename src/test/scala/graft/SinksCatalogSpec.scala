@@ -51,9 +51,8 @@ class SinksCatalogSpec extends SparkSpec {
     val dir = tmp()
     val li = Tables.load(spark, sfDir, "lineitem")
     Sinks.parquetClustered(li, s"$dir/cl", Seq("l_orderkey"), numFiles = 4)
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/cl"))
-      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+    val parts = Option(new java.io.File(s"$dir/cl").listFiles)
+      .getOrElse(Array.empty[java.io.File])
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq
     assert(parts.size > 1 && parts.size <= 4, parts)
     // per-file min/max of the cluster key

@@ -12,6 +12,20 @@ class StreamingSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  /** Move the single parquet part of a one-file staged write into place
+    * with a deterministic mtime (File.listFiles — no leaked dir stream). */
+  private def stagePart(stageDir: String, dest: String, mtimeMs: Long): Unit = {
+    val part = Option(new java.io.File(stageDir).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no parquet part under $stageDir"))
+    val dst = java.nio.file.Paths.get(dest)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(part.toPath, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
   test("tumblingCounts aggregates a file-sourced micro-batch like its batch twin") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
@@ -25,7 +39,7 @@ class StreamingSpec extends SparkSpec {
     val q = EventStream.toParquet(
       EventStream.tumblingCounts(EventStream.fileSource(spark, s"$dir/in")),
       s"$dir/out", s"$dir/ckpt")
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
     val streamed = spark.read.parquet(s"$dir/out")
     val batch = graft.sources.Tables.load(spark, sfDir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
@@ -55,7 +69,7 @@ class StreamingSpec extends SparkSpec {
       val q = EventStream.toParquet(
         EventStream.fileSource(spark, s"$dir/in"),
         s"$dir/out", s"$dir/ckpt")
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not terminate in time")
       spark.read.parquet(s"$dir/out").count()
     }
     val first = runOnce()
@@ -71,19 +85,9 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
     import spark.implicits._
     def stage(i: Int, rows: Seq[Event]): Unit = {
-      val f = s"$dir/in/part-$i.parquet"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
       val tmpd = s"$dir/stage$i"
       rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmpd)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpd))
-        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-      scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
-        .find(_.toString.endsWith(".parquet")).foreach { p =>
-          val dst = java.nio.file.Paths.get(f)
-          java.nio.file.Files.move(p, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-        }
+      stagePart(tmpd, s"$dir/in/part-$i.parquet", 1000000L + i * 60000L)
     }
     stage(0, Seq(
       Event(1, ts(0), 7, "view", 1.0),
@@ -97,7 +101,7 @@ class StreamingSpec extends SparkSpec {
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
       val q = EventStream.upsertSink(src, keyCol = "event_id", tsCol = "ts",
         s"$dir/snap", s"$dir/ckpt")
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not terminate in time")
     }
     runOnce()
     val snap = spark.read.parquet(s"$dir/snap").as[Event].collect()
@@ -133,27 +137,14 @@ class StreamingSpec extends SparkSpec {
           scala.jdk.CollectionConverters.SeqHasAsJava(part.toSeq).asJava),
         events.schema)
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/stage$i")
-      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage$i"))
-        .iterator()
-      var moved = false
-      while (src.hasNext && !moved) {
-        val p = src.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          val dest = java.nio.file.Paths.get(s"$dir/in/part-$i.parquet")
-          java.nio.file.Files.createDirectories(dest.getParent)
-          java.nio.file.Files.move(p, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-          moved = true
-        }
-      }
+      stagePart(s"$dir/stage$i", s"$dir/in/part-$i.parquet", 1000000L + i * 60000L)
     }
     val src = spark.readStream.schema(EventStream.eventSchema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
     val q = EventStream.toParquet(
       EventStream.tumblingCounts(src, window_ = "1 hour", watermark = "2 hours"),
       s"$dir/out", s"$dir/ckpt")
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream did not terminate in time")
     // the sink holds emitted (finalized) windows…
     val emitted = spark.read.parquet(s"$dir/out").count()
     assert(emitted > 0)
