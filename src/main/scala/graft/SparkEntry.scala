@@ -56,8 +56,8 @@ object SparkEntry {
     "q29_ngram_jaccard"       -> ((s, d) => graft.dedup.Dedup.ngramJaccard(s, d)),
     "q30_simhash"             -> (graft.dedup.Dedup.simhash _),
     // similarity search over `embeddings` (brute-force, LSH-ANN, kNN)
-    "q31_cosine_topk"         -> (graft.similarity.Similarity.cosineTopK _),
-    "q32_ann_lsh"             -> (graft.similarity.Similarity.annLsh _),
+    "q31_cosine_topk"         -> ((s, d) => graft.similarity.Similarity.cosineTopK(s, d)),
+    "q32_ann_lsh"             -> ((s, d) => graft.similarity.Similarity.annLsh(s, d)),
     "q33_knn_classify"        -> (graft.similarity.Similarity.knnClassify _),
     "q34_embed_neardup"       -> (graft.similarity.Similarity.embedNearDup _),
     "q35_knn_confusion"       -> (graft.similarity.Similarity.knnConfusion _),

@@ -31,25 +31,42 @@ import graft.sources.Tables
   * (knn_classification.py:124-164) to relational form:
   * broadcast-join + window top-k + vote aggregation (SURVEY.md §2.9).
   */
+/** Scale/recall knobs for the ANN surface — defaults match the oracle
+  * fixtures; at 100 TB, retuning (wider k, more LSH planes → smaller
+  * buckets, more IVF probes) is a call-site config, not a code edit (the
+  * same move as dedup.DedupConfig). Plane p is derived per-index from a
+  * fixed key, so configs with more planes EXTEND smaller ones: an
+  * n-plane bucket id is a prefix of the (n+m)-plane id, which makes
+  * recall monotone in numPlanes (coarser buckets ⊇ finer buckets). */
+final case class SimConfig(k: Int = 5, numPlanes: Int = 8, dim: Int = 64) {
+  require(k > 0, s"k must be positive, got $k")
+  require(numPlanes > 0 && dim > 0, s"bad plane config ($numPlanes, $dim)")
+}
+object SimConfig { val Default: SimConfig = SimConfig() }
+
 object Similarity {
-  val K = 5
-  val NumPlanes = 8
-  val Dim = 64
+  val K: Int = SimConfig.Default.k
+  val NumPlanes: Int = SimConfig.Default.numPlanes
+  val Dim: Int = SimConfig.Default.dim
 
   /** Deterministic LSH hyperplanes — md5-derived, identical on JVM and in
     * the oracle SQL (TextPrims.unitFromKey). */
-  lazy val planes: Array[Array[Double]] =
-    Array.tabulate(NumPlanes, Dim)((p, d) => TextPrims.unitFromKey(s"plane$p#$d"))
+  def planesFor(cfg: SimConfig): Array[Array[Double]] =
+    Array.tabulate(cfg.numPlanes, cfg.dim)(
+      (p, d) => TextPrims.unitFromKey(s"plane$p#$d"))
+  lazy val planes: Array[Array[Double]] = planesFor(SimConfig.Default)
 
   // ------------------------------------------------------- double-exact math
   def cosineFromNorms(d: Column, na: Column, nb: Column): Column = d / (na * nb)
 
-  private def planeLit(p: Int): Column =
-    array(planes(p).toIndexedSeq.map(lit): _*).cast(ArrayType(DoubleType))
+  private def planeLit(ps: Array[Array[Double]], p: Int): Column =
+    array(ps(p).toIndexedSeq.map(lit): _*).cast(ArrayType(DoubleType))
   /** LSH bucket id: concatenated signs of projections onto the planes. */
-  def bucket(e: Column): Column =
-    concat((0 until NumPlanes).map(p =>
-      when(dotp(e, planeLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  def bucket(e: Column, cfg: SimConfig = SimConfig.Default): Column = {
+    val ps = planesFor(cfg)
+    concat((0 until cfg.numPlanes).map(p =>
+      when(dotp(e, planeLit(ps, p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  }
 
   /** embeddings with double-cast vector `e` and precomputed norm `nrm`. */
   private def emb(s: SparkSession, dir: String): DataFrame = {
@@ -61,7 +78,8 @@ object Similarity {
 
   /** Brute-force cosine top-k: exact ANN baseline. Queries (vec_id < 10)
     * broadcast against all candidates; window top-k per query. */
-  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+  def cosineTopK(s: SparkSession, dir: String,
+                 cfg: SimConfig = SimConfig.Default): DataFrame = {
     val all = emb(s, dir)
     val q = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
@@ -74,7 +92,7 @@ object Similarity {
       .withColumn("sim",
         cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= K)
+      .filter(col("rk") <= cfg.k)
       .select(col("query_id"), col("neighbor_id"),
         col("rk").cast(IntegerType).as("rk"), round(col("sim"), 6).as("cosine"))
       .orderBy("query_id", "rk")
@@ -83,8 +101,9 @@ object Similarity {
   /** LSH-bucketed ANN: same queries, but candidates restricted to the
     * query's sign-random-projection bucket — the cross product becomes an
     * equi-join on the bucket key (the 100 TB shape; recall < 1 by design). */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val all = emb(s, dir).withColumn("bkt", bucket(col("e")))
+  def annLsh(s: SparkSession, dir: String,
+             cfg: SimConfig = SimConfig.Default): DataFrame = {
+    val all = emb(s, dir).withColumn("bkt", bucket(col("e"), cfg))
     val q = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("bkt"))
@@ -97,7 +116,7 @@ object Similarity {
       .withColumn("sim",
         cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= K)
+      .filter(col("rk") <= cfg.k)
       .select(col("query_id"), col("neighbor_id"),
         col("rk").cast(IntegerType).as("rk"), round(col("sim"), 6).as("cosine"))
       .orderBy("query_id", "rk")

@@ -18,6 +18,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SimConfig knobs: k truncates consistently; fewer planes never lose candidates") {
+    import graft.similarity.SimConfig
+    // k is a pure truncation of the same ranking: top-3 == top-5 ∩ rk<=3
+    val k5 = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rk"), r.getLong(1))).toSet
+    val k3 = Similarity.cosineTopK(spark, sfDir, SimConfig(k = 3)).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rk"), r.getLong(1))).toSet
+    assert(k3 === k5.filter(_._2 <= 3))
+    // plane p is key-derived per index, so a 4-plane bucket id is a PREFIX
+    // of the 8-plane id: coarser buckets are supersets, and the best hit
+    // per query under 4 planes is at least as good as under 8
+    val best8 = Similarity.annLsh(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getAs[Double]("cosine")).max }
+    val best4 = Similarity.annLsh(spark, sfDir, SimConfig(numPlanes = 4)).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getAs[Double]("cosine")).max }
+    best8.foreach { case (q, b8) => assert(best4(q) >= b8 - 1e-9, s"query $q") }
+  }
+
   test("annLsh: every ANN hit is at most the brute-force best for its query") {
     val bf = Similarity.cosineTopK(spark, sfDir).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) =>
