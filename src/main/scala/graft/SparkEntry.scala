@@ -162,6 +162,10 @@ object SparkEntry {
     "q89_histogram"           -> ((s, d) => graft.analytics.Advanced.histogram(s, d)),
     // incremental view maintenance: snapshot partials + delta partials merge
     "q90_incremental_agg"     -> ((s, d) => graft.analytics.Advanced.incrementalAgg(s, d)),
+    // resample to an hourly spine + forward-fill gaps (feature-prep grid)
+    "q91_resample_fill"       -> (graft.analytics.Advanced.resampleFill _),
+    // trailing 7-day distinct users: dedup once + bounded spine range join
+    "q92_sliding_distinct"    -> (graft.analytics.Advanced.slidingDistinctUsers _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -516,6 +516,59 @@ object Advanced {
       .orderBy("o_orderstatus")
   }
 
+  /** TIME-SERIES RESAMPLE + GAP FILL — aggregate to an hourly grid, then
+    * densify onto a generated spine (`sequence` + `explode`) so empty
+    * hours exist as rows, and forward-fill a measure across gaps with
+    * `last(ignoreNulls)` — the standard feature-prep shape for
+    * regular-interval models. Scale split: the AGGREGATION runs over all
+    * events (hash shuffle, partial agg — the 100 TB part); the spine and
+    * fill run over |hours| rows (8,760/year — driver-trivial forever),
+    * which is why the single-partition fill window is fine: it orders
+    * the SPINE, never the events. */
+  def resampleFill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val hourly = e
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val spine = e
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour"))
+    val w = Window.orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hour"), "left")
+      .withColumn("filled_sum",
+        last(col("sum_value"), ignoreNulls = true).over(w))
+      .select(col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        col("filled_sum"))
+      .orderBy("hour")
+  }
+
+  /** SLIDING EXACT DISTINCT (trailing 7-day active users) — distinct
+    * counts don't decompose over sliding windows, so the scalable exact
+    * form is: dedup to (day, user) pairs ONCE (one shuffle over events,
+    * output ≪ input), then expand each pair onto the ≤7 spine days it
+    * serves via a range join and count distinct per day. Cost is
+    * O(|pairs|·7), bounded and key-skew-free — never a per-window rescan
+    * of raw events. The spine side is days-sized, so Catalyst broadcasts
+    * it and the range join never shuffles the pair side. */
+  def slidingDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val pairs = e.select(to_date(col("ts")).as("pday"), col("user_id")).distinct()
+    val spine = e
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    spine.join(pairs,
+        col("pday").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      .orderBy("day")
+  }
+
   /** TPC-H Q3-shaped analytical query (shipping-priority analog): two
     * broadcast-able dimension filters, a fact-side join, revenue aggregation
     * and top-10 — the canonical join-reorder + pushdown + partial-agg
@@ -558,6 +611,37 @@ object Advanced {
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q91_resample_fill" ->
+      """WITH hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1),
+        |bounds AS (
+        |  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+        |         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds)
+        |SELECT s.hour AS hour, COALESCE(h.n, 0) AS n,
+        |  COALESCE(h.sum_value, 0.0) AS sum_value,
+        |  LAST_VALUE(h.sum_value IGNORE NULLS) OVER
+        |    (ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS filled_sum
+        |FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+        |ORDER BY hour""".stripMargin,
+    "q92_sliding_distinct" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS pday, user_id FROM events),
+        |bounds AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS day FROM bounds)
+        |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
+        |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
+        |GROUP BY s.day ORDER BY day""".stripMargin,
     "q86_multi_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
