@@ -550,20 +550,21 @@ object Advanced {
   /** SLIDING EXACT DISTINCT (trailing 7-day active users) — distinct
     * counts don't decompose over sliding windows, so the scalable exact
     * form is: dedup to (day, user) pairs ONCE (one shuffle over events,
-    * output ≪ input), then expand each pair onto the ≤7 spine days it
-    * serves via a range join and count distinct per day. Cost is
-    * O(|pairs|·7), bounded and key-skew-free — never a per-window rescan
-    * of raw events. The spine side is days-sized, so Catalyst broadcasts
-    * it and the range join never shuffles the pair side. */
+    * output ≪ input), then EXPLODE each pair onto the ≤7 window days it
+    * serves and count distinct per day. No join at all — a map-side
+    * expansion bounded at 7× the (already small) pair set, then one
+    * distinct agg. The alternative spine range join compares every pair
+    * against every spine day inside a nested-loop join; the explode form
+    * does O(7) work per pair regardless of history length. The 1-row
+    * bounds frame is broadcast to cap the expansion at the data's last
+    * day (mirrors the oracle's spine upper bound). */
   def slidingDistinctUsers(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val pairs = e.select(to_date(col("ts")).as("pday"), col("user_id")).distinct()
-    val spine = e
-      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("interval 1 day"))).as("day"))
-    spine.join(pairs,
-        col("pday").between(date_sub(col("day"), 6), col("day")))
+    val bounds = e.agg(max(to_date(col("ts"))).as("hi"))
+    pairs.crossJoin(broadcast(bounds))
+      .withColumn("day", explode(sequence(col("pday"),
+        least(date_add(col("pday"), 6), col("hi")), expr("interval 1 day"))))
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("active_users_7d"))
       .orderBy("day")
