@@ -166,6 +166,10 @@ object SparkEntry {
     "q91_resample_fill"       -> (graft.analytics.Advanced.resampleFill _),
     // trailing 7-day distinct users: dedup once + bounded spine range join
     "q92_sliding_distinct"    -> (graft.analytics.Advanced.slidingDistinctUsers _),
+    // per-group moments + 3-sigma outlier counts from exact decimal sums
+    "q93_zscore_outliers"     -> (graft.analytics.Advanced.zscoreOutliers _),
+    // retention matrix: first-day cohorts × day offset, partitioning reused
+    "q94_cohort_retention"    -> (graft.analytics.Advanced.cohortRetention _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

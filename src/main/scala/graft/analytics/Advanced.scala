@@ -570,6 +570,58 @@ object Advanced {
       .orderBy("day")
   }
 
+  /** Z-SCORE OUTLIER PROFILE — per-group moments and 3σ outlier counts,
+    * the data-quality scan every ingest pipeline runs. Cross-engine
+    * bit-exactness via the LloydExact recipe: both moments come from
+    * EXACT decimal sums (Σx in DECIMAL(18,4), Σx² in DECIMAL(38,8) —
+    * x² is one IEEE double multiply, identical everywhere), and the
+    * float math after the agg is the same fixed expression tree on both
+    * engines, so even the |z|>3 boundary filter agrees exactly. One
+    * scan, one partial+final hash agg on the group key, then a second
+    * pass for the outlier count against broadcast group stats. */
+  def zscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("value"))
+    val stats = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 8))).as("sxx"))
+      .withColumn("mean", col("sx").cast(DoubleType) / col("n"))
+      .withColumn("variance",
+        (col("sxx").cast(DoubleType) - col("mean") * col("mean") * col("n"))
+          / (col("n") - 1))
+      .withColumn("std", sqrt(col("variance")))
+    val outliers = e.join(broadcast(stats.select("event_type", "mean", "std")),
+        "event_type")
+      .filter(abs((col("value") - col("mean")) / col("std")) > 3.0)
+      .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+    stats.join(outliers, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("mean"), col("std"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** COHORT RETENTION — users grouped by first-activity day, tracked by
+    * day offset: the product-analytics matrix behind every retention
+    * curve. Shape: one agg for first-day per user (shuffle on user),
+    * dedup to (user, day) pairs (same shuffle key — Catalyst reuses the
+    * partitioning), one equi-join on user, then a tiny (cohort, offset)
+    * agg. Every step is hash-partitioned on a high-cardinality key; the
+    * output is |cohorts|×|offsets| — presentation-sized. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val active = e.distinct()
+    active.join(firstDay, "user_id")
+      // LongType: DuckDB DATE - DATE is BIGINT; match it exactly
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast(LongType))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** TPC-H Q3-shaped analytical query (shipping-priority analog): two
     * broadcast-able dimension filters, a fact-side join, revenue aggregation
     * and top-10 — the canonical join-reorder + pushdown + partial-agg
@@ -643,6 +695,38 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q93_zscore_outliers" ->
+      // moments from exact decimal sums, float math in the SAME expression
+      // tree as the Spark side — the 3-sigma boundary agrees exactly
+      """WITH stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+        |    SUM(CAST(value * value AS DECIMAL(38,8))) AS sxx
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CAST(sx AS DOUBLE) / n AS mean,
+        |    SQRT((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n)
+        |      * (CAST(sx AS DOUBLE) / n) * n) / (n - 1)) AS std
+        |  FROM stats),
+        |o AS (
+        |  SELECT e.event_type, COUNT(*) AS n_outliers
+        |  FROM events e JOIN m ON e.event_type = m.event_type
+        |  WHERE ABS((e.value - m.mean) / m.std) > 3.0
+        |  GROUP BY e.event_type)
+        |SELECT m.event_type, m.n, m.mean, m.std,
+        |  COALESCE(o.n_outliers, 0) AS n_outliers
+        |FROM m LEFT JOIN o ON m.event_type = o.event_type
+        |ORDER BY m.event_type""".stripMargin,
+    "q94_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q86_multi_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
