@@ -587,13 +587,18 @@ object Advanced {
         sum(col("value").cast(DecimalType(18, 4))).as("sx"),
         sum((col("value") * col("value")).cast(DecimalType(38, 8))).as("sxx"))
       .withColumn("mean", col("sx").cast(DoubleType) / col("n"))
-      .withColumn("variance",
+      // singleton guard: NULL std for n=1 on BOTH engines (Spark's
+      // divide-by-zero NULL vs DuckDB's IEEE inf would otherwise diverge)
+      .withColumn("variance", when(col("n") > 1,
         (col("sxx").cast(DoubleType) - col("mean") * col("mean") * col("n"))
-          / (col("n") - 1))
+          / (col("n") - 1)))
       .withColumn("std", sqrt(col("variance")))
     val outliers = e.join(broadcast(stats.select("event_type", "mean", "std")),
         "event_type")
-      .filter(abs((col("value") - col("mean")) / col("std")) > 3.0)
+      // std>0 guards constant groups (z would be NULL/inf); NULL std
+      // fails the predicate on both engines
+      .filter(col("std") > 0 &&
+        abs((col("value") - col("mean")) / col("std")) > 3.0)
       .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
     stats.join(outliers, Seq("event_type"), "left")
       .select(col("event_type"), col("n"), col("mean"), col("std"),
@@ -603,16 +608,20 @@ object Advanced {
 
   /** COHORT RETENTION — users grouped by first-activity day, tracked by
     * day offset: the product-analytics matrix behind every retention
-    * curve. Shape: one agg for first-day per user (shuffle on user),
-    * dedup to (user, day) pairs (same shuffle key — Catalyst reuses the
-    * partitioning), one equi-join on user, then a tiny (cohort, offset)
-    * agg. Every step is hash-partitioned on a high-cardinality key; the
-    * output is |cohorts|×|offsets| — presentation-sized. */
+    * curve. Shape (verified in the plan): the explicit
+    * repartition(user_id) satisfies the (user, day) dedup's clustering —
+    * partitioning on a subset of the grouping keys co-locates every
+    * duplicate — so the dedup itself adds NO second exchange; the
+    * first-day branch shuffles once on the same key; the join side is a
+    * |users|-sized aggregate (broadcast at dimension scale, an
+    * already-co-partitioned merge join beyond it). Then a tiny
+    * (cohort, offset) agg; output is |cohorts|×|offsets|. */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day"))
-    val firstDay = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    val active = e.distinct()
+    val active = e.repartition(col("user_id")).dropDuplicates("user_id", "day")
+    val firstDay = active.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
     active.join(firstDay, "user_id")
       // LongType: DuckDB DATE - DATE is BIGINT; match it exactly
       .withColumn("day_offset",
@@ -706,13 +715,15 @@ object Advanced {
         |m AS (
         |  SELECT event_type, n,
         |    CAST(sx AS DOUBLE) / n AS mean,
-        |    SQRT((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n)
-        |      * (CAST(sx AS DOUBLE) / n) * n) / (n - 1)) AS std
+        |    CASE WHEN n > 1 THEN
+        |      SQRT((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n)
+        |        * (CAST(sx AS DOUBLE) / n) * n) / (n - 1))
+        |    END AS std
         |  FROM stats),
         |o AS (
         |  SELECT e.event_type, COUNT(*) AS n_outliers
         |  FROM events e JOIN m ON e.event_type = m.event_type
-        |  WHERE ABS((e.value - m.mean) / m.std) > 3.0
+        |  WHERE m.std > 0 AND ABS((e.value - m.mean) / m.std) > 3.0
         |  GROUP BY e.event_type)
         |SELECT m.event_type, m.n, m.mean, m.std,
         |  COALESCE(o.n_outliers, 0) AS n_outliers

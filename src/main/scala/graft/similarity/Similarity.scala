@@ -63,7 +63,9 @@ object Similarity {
     array(ps(p).toIndexedSeq.map(lit): _*).cast(ArrayType(DoubleType))
   /** LSH bucket id: concatenated signs of projections onto the planes. */
   def bucket(e: Column, cfg: SimConfig = SimConfig.Default): Column = {
-    val ps = planesFor(cfg)
+    // reuse the cached default planes — planesFor re-derives numPlanes×dim
+    // md5 unit values per call
+    val ps = if (cfg == SimConfig.Default) planes else planesFor(cfg)
     concat((0 until cfg.numPlanes).map(p =>
       when(dotp(e, planeLit(ps, p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
   }

@@ -233,16 +233,20 @@ object EventStream {
         col("n"), col("sum_value"))
     val q = toParquet(agg, tmp.resolve("out").toString,
       tmp.resolve("ckpt").toString)
-    require(q.awaitTermination(300000),
-      "q85 streaming query did not terminate within 300 s")
-    // materialize OFF the staging dir, then delete it — q85 otherwise
-    // leaks a full events copy + checkpoint per invocation (bench runs
-    // this reps× per round)
-    val res = s.read.parquet(tmp.resolve("out").toString)
-      .filter(col("event_type") =!= "__watermark_sentinel__")
-      .localCheckpoint()
-    rmTree(tmp)
-    res.orderBy("hour_start", "event_type")
+    try {
+      require(q.awaitTermination(300000),
+        "q85 streaming query did not terminate within 300 s")
+      // materialize OFF the staging dir — the finally below deletes it
+      // even on the timeout path, and q85 otherwise leaks a full events
+      // copy + checkpoint per invocation (bench runs this reps× per round)
+      s.read.parquet(tmp.resolve("out").toString)
+        .filter(col("event_type") =!= "__watermark_sentinel__")
+        .localCheckpoint()
+        .orderBy("hour_start", "event_type")
+    } finally {
+      if (q.isActive) q.stop() // timeout path: don't leave it running
+      rmTree(tmp)
+    }
   }
 
   /** Move the single parquet part out of a one-file staged write, stamping
@@ -323,9 +327,14 @@ object EventStream {
         // snapshot is in place, so NO crash point loses the snapshot:
         // replay finds either snap (done) or -prev (retry from last good).
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(prev, true)
-        if (fs.exists(snap))
+        // prev is only cleared when snap exists to replace it: on a
+        // recovery replay (snap missing, prev = last good generation),
+        // deleting prev before tmp is promoted would leave a crash window
+        // with NO surviving generation
+        if (fs.exists(snap)) {
+          fs.delete(prev, true)
           require(fs.rename(snap, prev), s"rename $snap -> $prev failed")
+        }
         require(fs.rename(tmp, snap), s"rename $tmp -> $snap failed")
         fs.delete(prev, true)
         ()
