@@ -170,6 +170,10 @@ object SparkEntry {
     "q93_zscore_outliers"     -> (graft.analytics.Advanced.zscoreOutliers _),
     // retention matrix: first-day cohorts × day offset, partitioning reused
     "q94_cohort_retention"    -> (graft.analytics.Advanced.cohortRetention _),
+    // multiset set-ops: per-row multiplicities survive (one agg, no join)
+    "q95_intersect_except_all" -> (graft.analytics.Advanced.intersectExceptAll _),
+    // static-domain pivot with several aggregates per cell, one pass
+    "q96_pivot_multi_agg"     -> (graft.analytics.Advanced.pivotMultiAgg _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

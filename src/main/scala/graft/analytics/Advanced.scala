@@ -631,6 +631,43 @@ object Advanced {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** INTERSECT ALL / EXCEPT ALL — the MULTISET set-ops (q84 covers the
+    * distinct variants): per-row multiplicities survive, min(count) for
+    * intersect, count difference for except. Catalyst compiles both to
+    * ONE aggregation over a union with per-side counts (no join): the
+    * same partial+final hash-agg shape as any groupBy, so multiset
+    * semantics cost nothing extra at 100 TB. */
+  def intersectExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.intersectAll(oo).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("both_all"))
+      .unionByName(f.exceptAll(oo).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("only_f_all")))
+      .select("tag", "o_custkey", "n")
+      .orderBy("tag", "o_custkey")
+  }
+
+  /** MULTI-MEASURE PIVOT — pivot on a known key domain with several
+    * aggregates per cell (count + exact decimal revenue). Spark emits
+    * one wide row per group in ONE pass (conditional aggregation under
+    * the hood — the explicit FILTER form in the oracle is the same
+    * plan); pinning the pivot domain keeps the schema static, which at
+    * 100 TB also skips the extra distinct-values job a dynamic pivot
+    * must run first. */
+  def pivotMultiAgg(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+    // empty cells: Spark's pivoted count is NULL (no rows), SQL's
+    // COUNT(*) FILTER is 0 — align on 0 (sums stay NULL on both)
+    val aligned = Seq("F", "O", "P").foldLeft(wide)((df, v) =>
+      df.withColumn(s"${v}_n", coalesce(col(s"${v}_n"), lit(0L))))
+    aligned.orderBy("o_orderpriority")
+  }
+
   /** TPC-H Q3-shaped analytical query (shipping-priority analog): two
     * broadcast-able dimension filters, a fact-side join, revenue aggregation
     * and top-10 — the canonical join-reorder + pushdown + partial-agg
@@ -738,6 +775,31 @@ object Advanced {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q95_intersect_except_all" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     ia AS (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o),
+        |     ea AS (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o)
+        |SELECT 'both_all' AS tag, o_custkey, COUNT(*) AS n
+        |FROM ia GROUP BY o_custkey
+        |UNION ALL
+        |SELECT 'only_f_all' AS tag, o_custkey, COUNT(*) AS n
+        |FROM ea GROUP BY o_custkey
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q96_pivot_multi_agg" ->
+      // the FILTER form IS the pivot plan: one conditional-agg pass
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F_rev,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O_rev,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P_rev
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q86_multi_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
