@@ -174,6 +174,12 @@ object SparkEntry {
     "q95_intersect_except_all" -> (graft.analytics.Advanced.intersectExceptAll _),
     // static-domain pivot with several aggregates per cell, one pass
     "q96_pivot_multi_agg"     -> (graft.analytics.Advanced.pivotMultiAgg _),
+    // centered ROWS-frame smoothing over a total in-partition order
+    "q97_centered_ma"         -> (graft.analytics.Advanced.centeredMovingAvg _),
+    // group share of partition + grand total over the aggregated frame
+    "q98_percent_of_total"    -> (graft.analytics.Advanced.percentOfTotal _),
+    // deterministic group-content fingerprint (sorted list -> md5 scalar)
+    "q99_array_fingerprint"   -> (graft.analytics.Advanced.arrayAggFingerprint _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -668,6 +668,66 @@ object Advanced {
     aligned.orderBy("o_orderpriority")
   }
 
+  /** CENTERED MOVING AVERAGE — ROWS frame (±2 physical rows), the
+    * smoothing pass complementary to q83's value-based RANGE frame. ROWS
+    * frames need a TOTAL order to be deterministic (peers are NOT
+    * included, so ties would make the frame content partition-dependent):
+    * the order key here is the unique o_orderkey within each customer.
+    * Exact decimal sum over the frame, one double division at the end.
+    * One hash exchange on customer + in-partition sort. */
+  def centeredMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(-2, 2)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("ma5",
+        (sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType) / count(lit(1)).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"), col("ma5"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** PERCENT-OF-TOTAL — each group's share of the partition total and the
+    * grand total in one pass: two window sums over the aggregated frame
+    * (|groups| rows, not the raw data), so the windows cost nothing. The
+    * BI ratio shape behind every composition chart. */
+  def percentOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty"))
+    val wFlag = Window.partitionBy("l_returnflag")
+    val wAll = Window.partitionBy()
+    // divide as DOUBLES: decimal/decimal division scale rules differ
+    // between engines; double division is IEEE-identical
+    g.withColumn("pct_of_flag",
+        col("qty").cast(DoubleType)
+          / sum(col("qty")).over(wFlag).cast(DoubleType))
+      .withColumn("pct_of_total",
+        col("qty").cast(DoubleType)
+          / sum(col("qty")).over(wAll).cast(DoubleType))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty").cast(DoubleType).as("qty"),
+        col("pct_of_flag"), col("pct_of_total"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** SORTED ARRAY-AGG FINGERPRINT — collect per-group lists
+    * deterministically (sort_array fixes the order the shuffle
+    * randomizes) and hash them to a scalar the driver can compare:
+    * proves cross-engine list-aggregation parity without emitting array
+    * columns (which the harness can't hash). The md5-of-joined-list is
+    * also the idiomatic group-content fingerprint for change detection
+    * at 100 TB: |groups| rows out, one agg pass. */
+  def arrayAggFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey"))
+      .agg(expr("md5(concat_ws(',', transform(" +
+        "sort_array(collect_list(o_orderkey)), x -> cast(x as string))))")
+        .as("orders_fp"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
   /** TPC-H Q3-shaped analytical query (shipping-priority analog): two
     * broadcast-able dimension filters, a fact-side join, revenue aggregation
     * and top-10 — the canonical join-reorder + pushdown + partial-agg
@@ -800,6 +860,34 @@ object Advanced {
         |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P_rev
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q97_centered_ma" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / (COUNT(*) OVER w) AS ma5
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q98_percent_of_total" ->
+      // double division on both sides — decimal/decimal scale rules differ
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, CAST(qty AS DOUBLE) AS qty,
+        |  CAST(qty AS DOUBLE)
+        |    / CAST(SUM(qty) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+        |    AS pct_of_flag,
+        |  CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER () AS DOUBLE)
+        |    AS pct_of_total
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q99_array_fingerprint" ->
+      """SELECT o_custkey,
+        |  md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |    ORDER BY o_orderkey)) AS orders_fp,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey < 100
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q86_multi_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
