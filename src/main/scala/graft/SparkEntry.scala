@@ -180,6 +180,8 @@ object SparkEntry {
     "q98_percent_of_total"    -> (graft.analytics.Advanced.percentOfTotal _),
     // deterministic group-content fingerprint (sorted list -> md5 scalar)
     "q99_array_fingerprint"   -> (graft.analytics.Advanced.arrayAggFingerprint _),
+    // capstone: quality filter -> dedup -> summary as ONE composed query
+    "q100_pipeline_composite" -> (graft.text.TextOps.pipelineComposite _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

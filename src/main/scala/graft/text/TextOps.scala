@@ -259,10 +259,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q100: END-TO-END PIPELINE COMPOSITE — the LLM-data-prep chain run as
+    * ONE oracle-checked query: per-source median quality filter (q73's
+    * keep rule) → exact dedup of the kept set (q26's normalization) →
+    * per-source survivor summary. Proves operator COMPOSITION preserves
+    * cross-engine parity, not just each step alone. Shape: one narrow
+    * scoring pass, one source-key window, one hash-agg on the content
+    * hash, one tiny summary agg — nothing quadratic, nothing driver-side,
+    * exactly the chain a 100 TB curation run executes. */
+  def pipelineComposite(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
+    val meta = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("quality_score"), col("doc_id"))
+    val kept = scored.join(meta, "doc_id")
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.5)
+    val canon = kept
+      .withColumn("h", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("copies"))
+    canon.groupBy("source")
+      .agg(count(lit(1)).as("n_canonical"), sum(col("copies")).as("n_kept"))
+      .withColumn("n_dup_copies", col("n_kept") - col("n_canonical"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
   def oracleSql: Map[String, String] = Map(
+    "q100_pipeline_composite" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
+         |m AS (SELECT doc_id, source, text,
+         |    CAST(len(t) AS DOUBLE) AS words,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
+         |  FROM d),
+         |q AS (SELECT doc_id, source, text,
+         |    round(least(words / 100.0, 1.0) * 0.4 + (stops / words) * 0.4
+         |      + (1.0 - punct / chars) * 0.2, 6) AS quality_score
+         |  FROM m),
+         |k AS (SELECT *, percent_rank() OVER
+         |        (PARTITION BY source ORDER BY quality_score, doc_id) AS pr
+         |  FROM q),
+         |kept AS (SELECT * FROM k WHERE pr >= 0.5),
+         |canon AS (SELECT source,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         |    COUNT(*) AS copies
+         |  FROM kept GROUP BY source, h)
+         |SELECT source, COUNT(*) AS n_canonical,
+         |  CAST(SUM(copies) AS BIGINT) AS n_kept,
+         |  CAST(SUM(copies) AS BIGINT) - COUNT(*) AS n_dup_copies
+         |FROM canon GROUP BY source ORDER BY source""".stripMargin,
     "q22_token_stats" ->
       s"""WITH d AS (SELECT doc_id, text, $T AS t FROM documents)
          |SELECT doc_id,
