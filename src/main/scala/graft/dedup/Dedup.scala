@@ -95,14 +95,23 @@ object Dedup extends org.apache.spark.internal.Logging {
        | FROM (SELECT doc_id, text, ${tokensS("text")} AS t FROM documents)
        | WHERE doc_id % 20 = 0""".stripMargin.replace("\n", " ")
 
+  /** THE exact-dedup content hash: md5 of whitespace-normalized text.
+    * Shared by q26 and q100 (and their oracles via [[normHashS]]) so the
+    * normalization can never silently diverge between the dedup operator
+    * and the pipeline composite that claims to reuse it. */
+  def normHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+  /** DuckDB spelling of [[normHash]] (regexp_replace needs the 'g' flag). */
+  def normHashS(expr: String): String =
+    s"md5(regexp_replace(trim(lower($expr)), '\\s+', ' ', 'g'))"
+
   /** Exact dedup: md5 of whitespace-normalized text → groupBy hash →
     * canonical = min doc_id per content group. One hash-agg shuffle on a
     * 128-bit key; at 100 TB this is the cheapest possible exact dedup (no
     * sort, map-side partial agg). */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Tables.fanOut(dupCorpus(s, dir), "doc_id")
-      .withColumn("h",
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("h", normHash(col("text")))
       .groupBy("h")
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).cast(IntegerType).as("n_copies"))
@@ -456,8 +465,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       s"""WITH corpus AS ($dupCorpusS)
          |SELECT min(doc_id) AS canonical_id,
          |  CAST(count(*) AS INTEGER) AS n_copies
-         |FROM (SELECT doc_id,
-         |        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+         |FROM (SELECT doc_id, ${normHashS("text")} AS h
          |      FROM corpus)
          |GROUP BY h ORDER BY canonical_id""".stripMargin,
     "q27_minhash_sig" -> {

@@ -37,23 +37,34 @@ object TextOps {
   /** Quality scoring: length/punctuation/stopword ratios combined into a
     * deterministic [0,1] score (rational arithmetic only — no libm
     * transcendentals, so the score is bit-stable across platforms). */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** The q23 scoring expressions over a raw `text` column — the single
+    * source of truth for quality semantics (q23 output, q73's filter,
+    * q100's composite). Zero-token/zero-char guards divide by NULL (not
+    * 0) so BOTH engines agree (Spark x/0 is NULL, DuckDB is IEEE inf),
+    * and the membership-determining score coalesces NULL to 0.0 (an
+    * empty doc is lowest-quality, identically everywhere). */
+  private def qualityExprs: Seq[(String, org.apache.spark.sql.Column)] = {
     val t = tokensC(col("text"))
     val words = size(t).cast(DoubleType)
     val chars = length(col("text")).cast(DoubleType)
     val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
       .cast(DoubleType)
     val stops = countInSetC(t, Stopwords).cast(DoubleType)
+    val wordsNz = when(words > 0, words)
+    val charsNz = when(chars > 0, chars)
     val score = least(words / lit(100.0), lit(1.0)) * lit(0.4) +
-      (stops / words) * lit(0.4) + (lit(1.0) - punct / chars) * lit(0.2)
-    docs(s, dir).select(
-      col("doc_id"),
-      round(chars / words, 6).as("avg_token_len"),
-      round(punct / chars, 6).as("punct_ratio"),
-      round(stops / words, 6).as("stopword_ratio"),
-      round(score, 6).as("quality_score"))
-      .orderBy("doc_id")
+      (stops / wordsNz) * lit(0.4) + (lit(1.0) - punct / charsNz) * lit(0.2)
+    Seq(
+      "avg_token_len"  -> round(chars / wordsNz, 6),
+      "punct_ratio"    -> round(punct / charsNz, 6),
+      "stopword_ratio" -> round(stops / wordsNz, 6),
+      "quality_score"  -> coalesce(round(score, 6), lit(0.0)))
   }
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id") +: qualityExprs.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
 
   /** q73: percentile-based corpus curation — keep documents at/above their
     * SOURCE's median quality (the C4-style filter step, applied per source
@@ -268,15 +279,19 @@ object TextOps {
     * hash, one tiny summary agg — nothing quadratic, nothing driver-side,
     * exactly the chain a 100 TB curation run executes. */
   def pipelineComposite(s: SparkSession, dir: String): DataFrame = {
-    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
-    val meta = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    // score INLINE over one documents scan (no doc_id self-join carrying
+    // text through an extra shuffle — qualityExprs is the same expression
+    // tree q23 verifies)
+    val scoreCol = qualityExprs.toMap.apply("quality_score")
+    val scored = docs(s, dir).select(col("doc_id"), col("source"),
+      col("text"), scoreCol.as("quality_score"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy(col("quality_score"), col("doc_id"))
-    val kept = scored.join(meta, "doc_id")
+    val kept = scored
       .withColumn("pr", percent_rank().over(w))
       .filter(col("pr") >= 0.5)
     val canon = kept
-      .withColumn("h", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("h", graft.dedup.Dedup.normHash(col("text")))
       .groupBy(col("source"), col("h"))
       .agg(count(lit(1)).as("copies"))
     canon.groupBy("source")
@@ -288,6 +303,13 @@ object TextOps {
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
+  /** DuckDB spelling of [[qualityExprs]]'s quality_score (expects the
+    * words/chars/punct/stops CTE columns) — shared by q23/q73/q100. */
+  private val QualityScoreS: String =
+    "COALESCE(round(least(words / 100.0, 1.0) * 0.4" +
+      " + (stops / NULLIF(words, 0)) * 0.4" +
+      " + (1.0 - punct / NULLIF(chars, 0)) * 0.2, 6), 0.0)"
+
   def oracleSql: Map[String, String] = Map(
     "q100_pipeline_composite" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
@@ -298,15 +320,14 @@ object TextOps {
          |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
          |  FROM d),
          |q AS (SELECT doc_id, source, text,
-         |    round(least(words / 100.0, 1.0) * 0.4 + (stops / words) * 0.4
-         |      + (1.0 - punct / chars) * 0.2, 6) AS quality_score
+         |    $QualityScoreS AS quality_score
          |  FROM m),
          |k AS (SELECT *, percent_rank() OVER
          |        (PARTITION BY source ORDER BY quality_score, doc_id) AS pr
          |  FROM q),
          |kept AS (SELECT * FROM k WHERE pr >= 0.5),
          |canon AS (SELECT source,
-         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         |    ${graft.dedup.Dedup.normHashS("text")} AS h,
          |    COUNT(*) AS copies
          |  FROM kept GROUP BY source, h)
          |SELECT source, COUNT(*) AS n_canonical,
@@ -330,11 +351,10 @@ object TextOps {
          |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
          |  FROM d)
          |SELECT doc_id,
-         |  round(chars / words, 6) AS avg_token_len,
-         |  round(punct / chars, 6) AS punct_ratio,
-         |  round(stops / words, 6) AS stopword_ratio,
-         |  round(least(words / 100.0, 1.0) * 0.4 + (stops / words) * 0.4
-         |    + (1.0 - punct / chars) * 0.2, 6) AS quality_score
+         |  round(chars / NULLIF(words, 0), 6) AS avg_token_len,
+         |  round(punct / NULLIF(chars, 0), 6) AS punct_ratio,
+         |  round(stops / NULLIF(words, 0), 6) AS stopword_ratio,
+         |  $QualityScoreS AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
     "q77_data_mixing" ->
       s"""WITH h AS (SELECT source,
@@ -378,8 +398,7 @@ object TextOps {
          |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
          |  FROM d),
          |sc AS (SELECT doc_id,
-         |    round(least(words / 100.0, 1.0) * 0.4 + (stops / words) * 0.4
-         |      + (1.0 - punct / chars) * 0.2, 6) AS quality_score
+         |    $QualityScoreS AS quality_score
          |  FROM m),
          |p AS (SELECT doc.source, sc.doc_id,
          |    PERCENT_RANK() OVER (PARTITION BY doc.source
