@@ -182,6 +182,8 @@ object SparkEntry {
     "q99_array_fingerprint"   -> (graft.analytics.Advanced.arrayAggFingerprint _),
     // capstone: quality filter -> dedup -> summary as ONE composed query
     "q100_pipeline_composite" -> (graft.text.TextOps.pipelineComposite _),
+    // LATERAL correlated join: one portable SQL string on both engines
+    "q101_lateral_top"        -> (graft.sql.Catalog.lateralTopPerCustomer _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -365,5 +367,6 @@ object SparkEntry {
     graft.analytics.Advanced.oracleSql ++ graft.ml.LloydExact.oracleSql ++
     graft.ml.GiniStump.oracleSql ++
     graft.ml.Knn.oracleSql ++
-    Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText)
+    Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
+      "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText)
 }

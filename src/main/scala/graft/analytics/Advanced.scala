@@ -579,9 +579,14 @@ object Advanced {
     * engines, so even the |z|>3 boundary filter agrees exactly. One
     * scan, one partial+final hash agg on the group key, then a second
     * pass for the outlier count against broadcast group stats. */
-  def zscoreOutliers(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("event_type"), col("value"))
+  def zscoreOutliers(s: SparkSession, dir: String): DataFrame =
+    zscoreOutliersOf(
+      t(s, dir, "events").select(col("event_type"), col("value")))
+
+  /** Core of [[zscoreOutliers]] over any (event_type, value) frame —
+    * separated so the singleton/constant-group guards are unit-testable
+    * (the fixtures have no such groups). */
+  private[graft] def zscoreOutliersOf(e: DataFrame): DataFrame = {
     val stats = e.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 4))).as("sx"),

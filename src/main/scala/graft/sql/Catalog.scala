@@ -53,4 +53,25 @@ object Catalog {
     registerTestdata(spark, sfDir)
     spark.sql(SqlParityText)
   }
+
+  /** q101: LATERAL correlated join — one dialect-portable string, two
+    * engines (the q79 pattern for the lateral surface). Per customer, the
+    * top-2 orders by an inner ORDER BY/LIMIT that references the outer
+    * row: Catalyst decorrelates it into a ranked window join — the same
+    * plan q16's DataFrame top-k compiles to, proving SQL users get the
+    * scalable form of the "per-row subquery" they wrote. */
+  val LateralTopSqlText: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_custkey = c_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t
+      |WHERE c_custkey < 50
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  def lateralTopPerCustomer(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    registerTestdata(spark, sfDir)
+    spark.sql(LateralTopSqlText)
+  }
 }

@@ -97,4 +97,23 @@ class AdvancedSpec extends SparkSpec {
     val o = graft.sources.Tables.load(spark, sfDir, "orders")
     assert(df.count() === o.select("o_custkey").distinct().count())
   }
+
+  test("zscoreOutliers guards: singleton group NULL std, constant group zero outliers") {
+    import spark.implicits._
+    // the fixture has no singleton or constant groups — exercise the
+    // guards the oracle can't: n=1 must yield NULL std (not a crash or an
+    // engine-dependent inf), constant groups std=0 must count 0 outliers
+    val df = Seq(
+      ("single", 5.0),
+      ("const", 2.0), ("const", 2.0), ("const", 2.0),
+      ("normal", 1.0), ("normal", 2.0), ("normal", 3.0), ("normal", 100.0))
+      .toDF("event_type", "value")
+    val out = Advanced.zscoreOutliersOf(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("single").isNullAt(out("single").fieldIndex("std")))
+    assert(out("single").getLong(out("single").fieldIndex("n_outliers")) === 0L)
+    assert(out("const").getDouble(out("const").fieldIndex("std")) === 0.0)
+    assert(out("const").getLong(out("const").fieldIndex("n_outliers")) === 0L)
+    assert(out("normal").getLong(out("normal").fieldIndex("n")) === 4L)
+  }
 }

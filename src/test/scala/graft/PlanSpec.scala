@@ -242,6 +242,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q100 composite scores inline: ONE documents scan, no doc_id self-join") {
+    val plan = planOf(graft.text.TextOps.pipelineComposite(spark, sfDir))
+    assert("FileScan".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+  }
+
   test("saltedAgg equals the direct aggregation bit-for-bit") {
     val salted = graft.analytics.Advanced.saltedAgg(spark, sfDir).collect()
     val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")
