@@ -184,6 +184,10 @@ object SparkEntry {
     "q100_pipeline_composite" -> (graft.text.TextOps.pipelineComposite _),
     // LATERAL correlated join: one portable SQL string on both engines
     "q101_lateral_top"        -> (graft.sql.Catalog.lateralTopPerCustomer _),
+    // format round-trips: write ORC/CSV, read back, aggregate — oracle is
+    // the direct parquet aggregate, so the sink+source pair is bit-lossless
+    "q102_orc_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "orc")),
+    "q103_csv_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "csv")),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -368,5 +372,14 @@ object SparkEntry {
     graft.ml.GiniStump.oracleSql ++
     graft.ml.Knn.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
-      "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText)
+      "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText) ++ {
+      // q102/q103 oracle = the direct aggregate over the ORIGINAL parquet:
+      // hash-equality proves the ORC/CSV sink+source round-trip is lossless
+      val rtOracle =
+        """SELECT l_returnflag, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      Map("q102_orc_roundtrip" -> rtOracle, "q103_csv_roundtrip" -> rtOracle)
+    }
 }

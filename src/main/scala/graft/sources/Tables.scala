@@ -136,6 +136,46 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** q102/q103: FORMAT ROUND-TRIP queries — write a projection through a
+    * non-parquet format (ORC with snappy = S9's storage; CSV with header
+    * = S1/S6's interchange), read it back with the matching reader, and
+    * aggregate. The oracle is the SAME aggregate over the original
+    * parquet — hash-equality proves the sink+source pair is bit-lossless
+    * for the engine's scalar types (CSV doubles rely on shortest-
+    * round-trip rendering; the read uses an explicit schema, never
+    * inference — SURVEY §1.3). Staging is cleaned up after the result is
+    * materialized off it. */
+  def formatRoundTrip(s: SparkSession, dir: String, format: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-rt-$format")
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    val src = Tables.load(s, dir, "lineitem").select(cols.map(col): _*)
+    val path = tmp.resolve("data").toString
+    val back = format match {
+      case "orc" =>
+        src.write.mode("overwrite").option("compression", "snappy").orc(path)
+        s.read.orc(path)
+      case "csv" =>
+        src.write.mode("overwrite").option("header", "true").csv(path)
+        s.read.schema(src.schema).option("header", "true").csv(path)
+      case other => sys.error(s"unsupported round-trip format: $other")
+    }
+    val res = back.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("l_returnflag")
+      .localCheckpoint()
+    val walk = java.nio.file.Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().forEachRemaining(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+    res
+  }
+
   /** Distributed JSON-lines sink (S4; nb cells 62-64). */
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
