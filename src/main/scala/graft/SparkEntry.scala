@@ -377,6 +377,7 @@ object SparkEntry {
       // hash-equality proves the ORC/CSV sink+source round-trip is lossless
       val rtOracle =
         """SELECT l_returnflag, COUNT(*) AS n,
+          |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

@@ -85,6 +85,16 @@ object Tables {
     * create_tables.hql without a metastore). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Recursive local-dir delete — THE tree-delete helper (staging cleanup
+    * in q85/q102/q103); closes the walk stream. */
+  private[graft] def rmTree(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().forEachRemaining(p => {
+        java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+  }
 }
 
 /** Sinks (SURVEY §2.1 S3-S7). MongoDB (S7) is modeled as a pluggable trait
@@ -149,31 +159,31 @@ object Sinks {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-rt-$format")
-    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
-    val src = Tables.load(s, dir, "lineitem").select(cols.map(col): _*)
-    val path = tmp.resolve("data").toString
-    val back = format match {
-      case "orc" =>
-        src.write.mode("overwrite").option("compression", "snappy").orc(path)
-        s.read.orc(path)
-      case "csv" =>
-        src.write.mode("overwrite").option("header", "true").csv(path)
-        s.read.schema(src.schema).option("header", "true").csv(path)
-      case other => sys.error(s"unsupported round-trip format: $other")
-    }
-    val res = back.groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(DecimalType(18, 4)))
-          .cast(DoubleType).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 4)))
-          .cast(DoubleType).as("sum_price"))
-      .orderBy("l_returnflag")
-      .localCheckpoint()
-    val walk = java.nio.file.Files.walk(tmp)
-    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().forEachRemaining(p => { java.nio.file.Files.deleteIfExists(p); () })
-    finally walk.close()
-    res
+    try {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      val src = Tables.load(s, dir, "lineitem").select(cols.map(col): _*)
+      val path = tmp.resolve("data").toString
+      val back = format match {
+        case "orc" =>
+          src.write.mode("overwrite").option("compression", "snappy").orc(path)
+          s.read.orc(path)
+        case "csv" =>
+          src.write.mode("overwrite").option("header", "true").csv(path)
+          Tables.csv(s, path, src.schema)
+        case other => sys.error(s"unsupported round-trip format: $other")
+      }
+      // every projected column participates in the hash: the bigint key
+      // too, or a long-only corruption would slip past the oracle
+      back.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_key"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
   }
 
   /** Distributed JSON-lines sink (S4; nb cells 62-64). */

@@ -261,12 +261,8 @@ object EventStream {
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 
-  private def rmTree(root: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(root)
-    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close()
-  }
+  private def rmTree(root: java.nio.file.Path): Unit =
+    graft.sources.Tables.rmTree(root)
 
   /** q85's oracle is q21's: the streaming path must reproduce the batch
     * aggregation exactly. */
