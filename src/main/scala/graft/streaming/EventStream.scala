@@ -208,19 +208,19 @@ object EventStream {
     events.coalesce(1).write.mode("overwrite").parquet(stage0.toString)
     moveOnlyParquet(stage0, in.resolve("aa-data.parquet"), mtimeMs = 1000000L)
     val maxTs = events.agg(max("ts")).head().getTimestamp(0)
-    // each sentinel: its own single-file micro-batch, mtime strictly after
-    // the real data, so the watermark advances and finalizes every real
-    // window (Append mode only emits windows the watermark has passed)
-    for (idx <- 1 to 2) {
-      val stage = tmp.resolve(s"sentinel$idx")
-      Seq((-idx.toLong,
-           new java.sql.Timestamp(maxTs.getTime + idx * 7L * 86400000L),
-           -1L, "__watermark_sentinel__", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      moveOnlyParquet(stage, in.resolve(s"zz-sentinel-$idx.parquet"),
-        mtimeMs = 1000000L + idx * 60000L)
-    }
+    // ONE sentinel in its own strictly-later micro-batch: the real-data
+    // batch ends by raising the watermark to maxTs−2h, and Append mode
+    // emits expired windows in the NEXT batch — the sentinel batch both
+    // pushes the watermark past every real window (maxTs+7d−2h) and IS
+    // that next batch, so all real windows flush in it. The sentinel's
+    // own window never finalizes, which is fine: it's filtered out.
+    val stage = tmp.resolve("sentinel")
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 86400000L),
+         -1L, "__watermark_sentinel__", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    moveOnlyParquet(stage, in.resolve("zz-sentinel.parquet"),
+      mtimeMs = 1060000L)
     val src = s.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", 1).parquet(in.toString)
     val agg = src
