@@ -188,6 +188,7 @@ object SparkEntry {
     // the direct parquet aggregate, so the sink+source pair is bit-lossless
     "q102_orc_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "orc")),
     "q103_csv_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "csv")),
+    "q104_json_roundtrip"     -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "json")),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -381,6 +382,7 @@ object SparkEntry {
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-      Map("q102_orc_roundtrip" -> rtOracle, "q103_csv_roundtrip" -> rtOracle)
+      Map("q102_orc_roundtrip" -> rtOracle, "q103_csv_roundtrip" -> rtOracle,
+        "q104_json_roundtrip" -> rtOracle)
     }
 }

@@ -170,6 +170,9 @@ object Sinks {
         case "csv" =>
           src.write.mode("overwrite").option("header", "true").csv(path)
           Tables.csv(s, path, src.schema)
+        case "json" =>
+          src.write.mode("overwrite").json(path)
+          Tables.json(s, path, src.schema)
         case other => sys.error(s"unsupported round-trip format: $other")
       }
       // every projected column participates in the hash: the bigint key

@@ -242,6 +242,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q89 histogram prunes the scan to the single value column") {
+    val plan = planOf(graft.analytics.Advanced.histogram(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
+
+  test("q97 centered MA: one customer-key exchange, no extra shuffles") {
+    val plan = planOf(graft.analytics.Advanced.centeredMovingAvg(spark, sfDir))
+    // window exchange on o_custkey + the presentation ordering only
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("q100 composite scores inline: ONE documents scan, no doc_id self-join") {
     val plan = planOf(graft.text.TextOps.pipelineComposite(spark, sfDir))
     assert("FileScan".r.findAllIn(plan).length === 1, plan)

@@ -44,6 +44,32 @@ class SinksCatalogSpec extends SparkSpec {
         .filter(col("o_orderstatus") === "F").count())
   }
 
+  test("CSV writer + explicit-schema reader round-trip nulls and extreme doubles") {
+    // the S1/S6 pair must be lossless beyond fixture-shaped data: nulls,
+    // denormal-adjacent magnitudes, negatives, and exact integers in
+    // double form all survive the text round-trip
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("s", StringType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, 1e-300, "a"),
+      org.apache.spark.sql.Row(2L, -123456.789012345, null),
+      org.apache.spark.sql.Row(3L, null, "comma,and\"quote"),
+      org.apache.spark.sql.Row(4L, 9.007199254740993e15, "x"))
+    val src = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    src.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$dir/c")
+    val back = Tables.csv(spark, s"$dir/c", schema).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val want = rows
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(back === want)
+  }
+
   test("range-clustered parquet layout yields disjoint per-file key ranges") {
     // parquetClustered = repartitionByRange + sortWithinPartitions: files
     // must cover non-overlapping slices of the cluster key, which is what
