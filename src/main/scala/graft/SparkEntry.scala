@@ -184,7 +184,7 @@ object SparkEntry {
     "q100_pipeline_composite" -> (graft.text.TextOps.pipelineComposite _),
     // LATERAL correlated join: one portable SQL string on both engines
     "q101_lateral_top"        -> (graft.sql.Catalog.lateralTopPerCustomer _),
-    // format round-trips: write ORC/CSV, read back, aggregate — oracle is
+    // format round-trips: write ORC/CSV/JSON, read back, aggregate — oracle is
     // the direct parquet aggregate, so the sink+source pair is bit-lossless
     "q102_orc_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "orc")),
     "q103_csv_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "csv")),
@@ -374,8 +374,8 @@ object SparkEntry {
     graft.ml.Knn.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
       "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText) ++ {
-      // q102/q103 oracle = the direct aggregate over the ORIGINAL parquet:
-      // hash-equality proves the ORC/CSV sink+source round-trip is lossless
+      // q102–q104 oracle = the direct aggregate over the ORIGINAL parquet:
+      // hash-equality proves each non-parquet sink+source round-trip lossless
       val rtOracle =
         """SELECT l_returnflag, COUNT(*) AS n,
           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,

@@ -87,7 +87,7 @@ object Tables {
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
   /** Recursive local-dir delete — THE tree-delete helper (staging cleanup
-    * in q85/q102/q103); closes the walk stream. */
+    * in q85 and the q102–q104 round-trips); closes the walk stream. */
   private[graft] def rmTree(root: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(root)
     try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -146,9 +146,9 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** q102/q103: FORMAT ROUND-TRIP queries — write a projection through a
+  /** q102–q104: FORMAT ROUND-TRIP queries — write a projection through a
     * non-parquet format (ORC with snappy = S9's storage; CSV with header
-    * = S1/S6's interchange), read it back with the matching reader, and
+    * = S1/S6's interchange; JSON lines = S4's sink), read it back with the matching reader, and
     * aggregate. The oracle is the SAME aggregate over the original
     * parquet — hash-equality proves the sink+source pair is bit-lossless
     * for the engine's scalar types (CSV doubles rely on shortest-
@@ -171,7 +171,7 @@ object Sinks {
           src.write.mode("overwrite").option("header", "true").csv(path)
           Tables.csv(s, path, src.schema)
         case "json" =>
-          src.write.mode("overwrite").json(path)
+          Sinks.json(src, path)
           Tables.json(s, path, src.schema)
         case other => sys.error(s"unsupported round-trip format: $other")
       }

@@ -244,7 +244,8 @@ class PlanSpec extends SparkSpec {
 
   test("q89 histogram prunes the scan to the single value column") {
     val plan = planOf(graft.analytics.Advanced.histogram(spark, sfDir))
-    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(plan))
     assert(readSchema.contains("l_extendedprice") &&
       !readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
       readSchema)

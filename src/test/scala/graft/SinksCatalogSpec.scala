@@ -59,8 +59,7 @@ class SinksCatalogSpec extends SparkSpec {
       org.apache.spark.sql.Row(3L, null, "comma,and\"quote"),
       org.apache.spark.sql.Row(4L, 9.007199254740993e15, "x"))
     val src = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
     src.coalesce(1).write.mode("overwrite").option("header", "true")
       .csv(s"$dir/c")
     val back = Tables.csv(spark, s"$dir/c", schema).collect()
