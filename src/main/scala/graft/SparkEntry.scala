@@ -189,6 +189,12 @@ object SparkEntry {
     "q102_orc_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "orc")),
     "q103_csv_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "csv")),
     "q104_json_roundtrip"     -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "json")),
+    // storage levers made driver-visible: write through the partitioned /
+    // range-clustered layouts, read back pruned (PartitionFilters / pushed
+    // key-range row-group skipping — plan-guarded in PlanSpec), aggregate;
+    // oracle = the same filtered aggregate over the original flat parquet
+    "q105_partition_pruned"   -> (graft.sources.Sinks.partitionPrunedRoundTrip _),
+    "q106_clustered_skip"     -> (graft.sources.Sinks.clusteredRoundTrip _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -384,5 +390,19 @@ object SparkEntry {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
       Map("q102_orc_roundtrip" -> rtOracle, "q103_csv_roundtrip" -> rtOracle,
         "q104_json_roundtrip" -> rtOracle)
+    } ++ {
+      // q105/q106 oracle = the same filtered aggregate over the ORIGINAL
+      // flat parquet — hash-equality proves each pruned storage layout
+      // (Hive partition dirs / range-clustered row groups) lossless
+      def prunedOracle(where: String) =
+        s"""SELECT l_linestatus, COUNT(*) AS n,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           |FROM lineitem WHERE $where
+           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+      Map(
+        "q105_partition_pruned" -> prunedOracle("l_returnflag = 'R'"),
+        "q106_clustered_skip"   -> prunedOracle("l_orderkey BETWEEN 1000 AND 5000"))
     }
 }

@@ -94,11 +94,14 @@ object KMeansJob {
           done = true
           r
         } finally {
-          // cancel on ANY failure path (timeout OR a fit throwing first —
-          // Future.sequence fails fast while sibling fits are mid-job);
-          // no-op when every fit completed
+          // failure path (timeout OR a fit throwing first — Future.sequence
+          // fails fast while sibling fits are mid-job): shut the pool down
+          // FIRST so no queued fit can start after the group cancel and
+          // launch jobs that would never be cancelled, THEN cancel the
+          // group to kill the in-flight fits' Spark jobs
+          pool.shutdownNow()
           if (!done) sc.cancelJobGroup(group)
-          pool.shutdownNow(); ()
+          ()
         }
       } else kRange.map(point)
     } finally { cached.unpersist(); () }

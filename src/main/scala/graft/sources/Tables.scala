@@ -189,6 +189,73 @@ object Sinks {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q105: PARTITION-PRUNED round-trip — write lineitem through
+    * [[parquetPartitioned]] (Hive-style `l_returnflag=` directories), read
+    * it back filtered to ONE partition value, and aggregate. The oracle is
+    * the same filtered aggregate over the ORIGINAL flat parquet, so
+    * hash-equality proves the partitioned layout is lossless AND the
+    * driver-visible twin of SinksCatalogSpec's pruning proof: the read-back
+    * scan carries the flag predicate as a PartitionFilter (planning-time
+    * directory pruning — guarded in PlanSpec), which at 100 TB turns a
+    * one-flag query into a scan of ~1/3rd of the input with zero row-level
+    * filtering work. */
+  def partitionPrunedRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q105")
+    try {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus")
+      val src = Tables.load(s, dir, "lineitem").select(cols.map(col): _*)
+      val path = tmp.resolve("data").toString
+      parquetPartitioned(src, path, Seq("l_returnflag"))
+      prunedAgg(s.read.parquet(path)).localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
+  /** q106: ROW-GROUP-SKIPPED round-trip — write lineitem through
+    * [[parquetClustered]] (range-partitioned + sorted on `l_orderkey`),
+    * read it back with a key-range predicate, and aggregate. Oracle = the
+    * same filtered aggregate over the original parquet: hash-equality
+    * proves the clustered layout lossless, and because every file/row
+    * group covers a disjoint sorted key slice, the range predicate (pushed
+    * to the scan — guarded in PlanSpec) skips all non-matching row groups
+    * via footer min/max stats. The non-partition storage lever for
+    * high-cardinality keys at 100 TB. */
+  def clusteredRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q106")
+    try {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus")
+      val src = Tables.load(s, dir, "lineitem").select(cols.map(col): _*)
+      val path = tmp.resolve("data").toString
+      parquetClustered(src, path, Seq("l_orderkey"), numFiles = 8)
+      prunedAgg(s.read.parquet(path)
+          .filter(col("l_orderkey").between(1000L, 5000L)),
+          flag = None)
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
+  /** Shared q105/q106 aggregate: per-linestatus counts + exact decimal
+    * sums over the (optionally flag-filtered) read-back frame. Every
+    * projected column participates in the hash (q102's rule). */
+  private[graft] def prunedAgg(back: DataFrame,
+                               flag: Option[String] = Some("R")): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val f = flag.map(v => back.filter(col("l_returnflag") === v)).getOrElse(back)
+    f.groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("l_linestatus")
+  }
+
   /** Distributed JSON-lines sink (S4; nb cells 62-64). */
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

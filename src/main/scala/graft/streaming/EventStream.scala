@@ -177,14 +177,19 @@ object EventStream {
     *
     * Two mechanics make exact parity possible:
     *  - Append-mode aggregation only emits a window once the watermark
-    *    passes its end, so staging appends two far-future sentinel rows as
-    *    separate files with strictly increasing mtimes
-    *    (maxFilesPerTrigger=1 ⇒ each is its own micro-batch): the first
-    *    advances the watermark past every real window; the second
-    *    guarantees a subsequent with-data batch performs the eviction even
-    *    where no-data micro-batches are disabled. Sentinel rows themselves
-    *    stay inside the final watermark horizon (never emitted) and are
-    *    filtered on read-back for safety.
+    *    passes its end, so staging appends ONE far-future sentinel row as
+    *    its own later-mtime file (maxFilesPerTrigger=1 ⇒ its own
+    *    micro-batch). Eviction in the sentinel batch still uses the
+    *    watermark computed at the END of the real-data batch (maxTs − 2h),
+    *    so the sentinel batch flushes all but the last ~2h of real
+    *    windows; those trailing windows are emitted by the subsequent
+    *    NO-DATA micro-batch, which sees the sentinel-advanced watermark.
+    *    That batch only runs when
+    *    `spark.sql.streaming.noDataMicroBatches.enabled` is true — the
+    *    Spark default, but this method sets it explicitly on the session
+    *    (restoring the prior value) rather than depending on ambient
+    *    config. The sentinel row itself stays inside the final watermark
+    *    horizon (never emitted) and is filtered on read-back for safety.
     *  - Sums are routed through DECIMAL(18,4) (the `Relational.dsum`
     *    shape), so incremental accumulation across micro-batch boundaries
     *    is bit-identical to the batch/oracle result.
@@ -194,6 +199,12 @@ object EventStream {
     * staging — a live stream's own arrivals advance the watermark. */
   def streamingParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the trailing ~2h of real windows are flushed by the no-data
+    // micro-batch after the sentinel batch (see scaladoc) — make that
+    // dependency explicit instead of relying on the ambient default
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = s.conf.getOption(noDataKey)
+    s.conf.set(noDataKey, "true")
     val tmp = java.nio.file.Files.createTempDirectory("graft-q85")
     val in = tmp.resolve("in")
     java.nio.file.Files.createDirectories(in)
@@ -246,6 +257,10 @@ object EventStream {
     } finally {
       if (q.isActive) q.stop() // timeout path: don't leave it running
       rmTree(tmp)
+      noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None    => s.conf.unset(noDataKey)
+      }
     }
   }
 
@@ -281,7 +296,11 @@ object EventStream {
     * q88. Idempotent by construction: replaying a batch merges the same
     * rows onto the same keys, so checkpoint-replay after a crash converges
     * to the identical snapshot (effectively-once). Within a batch,
-    * `tsCol` breaks multi-row keys (latest wins, deterministic).
+    * `tsCol` breaks multi-row keys (latest wins); rows tying on
+    * (key, ts) fall through to a content hash over all columns, so the
+    * survivor is a deterministic function of row CONTENT, never of
+    * shuffle order (ties between identical rows are harmless by
+    * construction).
     *
     * Scale: the snapshot rewrite is O(snapshot) per batch — right for
     * dimension-sized state (the SCD-1 use). A 100 TB fact snapshot would
@@ -312,7 +331,10 @@ object EventStream {
             batch.schema).withColumn("src", lit(0)))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol)
-          .orderBy(col("src").desc, col(tsCol).desc)
+          .orderBy(col("src").desc, col(tsCol).desc,
+            // content-hash tiebreaker: (key, ts) ties resolve by row
+            // content, not shuffle order (see scaladoc)
+            xxhash64(batch.columns.map(col): _*))
         val merged = base.unionByName(batch.withColumn("src", lit(1)))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)

@@ -96,6 +96,49 @@ class SinksCatalogSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/cl").count() === li.count())
   }
 
+  test("q105 scan shape: flag predicate prunes partitions at planning time") {
+    // the q105 plan guard: the read-back side of partitionPrunedRoundTrip
+    // must carry the flag predicate as a PartitionFilter (directory-level
+    // pruning), never as row-level post-scan filtering of all partitions
+    val dir = tmp()
+    val src = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus")
+    Sinks.parquetPartitioned(src, s"$dir/q105", Seq("l_returnflag"))
+    val agg = Sinks.prunedAgg(spark.read.parquet(s"$dir/q105"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    // physical file selection checked on the filter-only frame (the agg's
+    // plan is AQE-wrapped, hiding the scan node from collectLeaves)
+    val pruned = spark.read.parquet(s"$dir/q105")
+      .filter(col("l_returnflag") === "R")
+    val scannedFiles = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.toSeq.map(_.urlEncodedPath)
+    }.flatten
+    assert(scannedFiles.nonEmpty &&
+      scannedFiles.forall(_.contains("l_returnflag=R")), scannedFiles.take(3))
+  }
+
+  test("q106 scan shape: key-range predicate is pushed to the parquet scan") {
+    // the q106 plan guard: the range predicate must reach the FileScan as
+    // PushedFilters so footer min/max stats can skip row groups — the
+    // whole point of the clustered layout
+    val dir = tmp()
+    val src = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus")
+    Sinks.parquetClustered(src, s"$dir/q106", Seq("l_orderkey"), numFiles = 8)
+    val back = spark.read.parquet(s"$dir/q106")
+      .filter(col("l_orderkey").between(1000L, 5000L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_orderkey,1000)") &&
+      plan.contains("LessThanOrEqual(l_orderkey,5000)"), plan)
+    assert(back.count() ===
+      src.filter(col("l_orderkey").between(1000L, 5000L)).count())
+  }
+
   test("dynamic partition overwrite touches only incoming partitions (backfill)") {
     // the standard warehouse backfill: rewrite one partition's data in
     // place without dropping sibling partitions (static overwrite mode
