@@ -195,6 +195,10 @@ object SparkEntry {
     // oracle = the same filtered aggregate over the original flat parquet
     "q105_partition_pruned"   -> (graft.sources.Sinks.partitionPrunedRoundTrip _),
     "q106_clustered_skip"     -> (graft.sources.Sinks.clusteredRoundTrip _),
+    // q88's MERGE executed INCREMENTALLY by the streaming upsert sink
+    // (file source → foreachBatch write-then-swap merge → read back);
+    // hash-equal to q88's batch oracle proves streaming/batch merge parity
+    "q107_upsert_parity"      -> (graft.streaming.EventStream.upsertParity _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

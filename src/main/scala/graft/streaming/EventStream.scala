@@ -279,14 +279,69 @@ object EventStream {
   private def rmTree(root: java.nio.file.Path): Unit =
     graft.sources.Tables.rmTree(root)
 
-  /** q85's oracle is q21's: the streaming path must reproduce the batch
-    * aggregation exactly. */
+  /** q107 — oracle-checked UPSERT parity: q85 proved the streaming
+    * AGGREGATION path equals its batch twin; this proves the streaming
+    * MERGE path ([[upsertSink]]) equals q88's batch SCD-1 semantics. The
+    * orders snapshot is seeded as the base generation, the q88 update set
+    * (every 10th order, repriced) is staged as a file-stream input and
+    * merged by the foreachBatch protocol, and the promoted snapshot is
+    * read back; hash-equality against q88's MERGE SQL proves the
+    * write-then-swap sink computes the identical keyed merge
+    * incrementally. On a live deployment the file source is the Kafka CDC
+    * feed and the snapshot is the warehouse dimension table. */
+  def upsertParity(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q107")
+    val snap = tmp.resolve("snap").toString
+    val in = tmp.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    var q: StreamingQuery = null
+    try {
+      val orders = graft.sources.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"))
+      // base generation: today's snapshot
+      orders.write.mode("overwrite").parquet(snap)
+      // the q88 update set, staged as the stream's one micro-batch
+      val updates = orders
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"), col("o_orderdate"))
+      updates.coalesce(1).write.mode("overwrite").parquet(in.toString)
+      val src = s.readStream.schema(
+        StructType(updates.schema.fields)).parquet(in.toString)
+      q = upsertSink(src, "o_orderkey", "o_orderdate", snap,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q107 upsert stream did not terminate within 300 s")
+      s.read.parquet(snap)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .localCheckpoint()
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
+  /** q85's oracle is q21's (the streaming path must reproduce the batch
+    * aggregation exactly); q107's is q88's (the streaming merge must
+    * reproduce the batch MERGE exactly). */
   val oracleSql: Map[String, String] = Map(
     "q85_stream_parity" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q107_upsert_parity" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1, 1 AS src
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)
 
   /** UPSERT sink — streaming twin of `Advanced.upsertSnapshot`: each
     * micro-batch is merged into a keyed parquet snapshot with
@@ -313,54 +368,63 @@ object EventStream {
                    org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val snap = new org.apache.hadoop.fs.Path(snapshotDir)
-        val prev = new org.apache.hadoop.fs.Path(s"$snapshotDir-prev")
-        val tmp  = new org.apache.hadoop.fs.Path(s"$snapshotDir-next-$batchId")
-        // resolve the fs from the SNAPSHOT path's scheme — FileSystem.get
-        // (defaultFS) would silently rename on the wrong filesystem when
-        // the snapshot lives on s3a/file: and defaultFS is hdfs
-        val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // base = current snapshot, else the -prev generation (present only
-        // if a crash hit between the two renames below), else empty
-        val base = (if (fs.exists(snap)) Some(snap.toString)
-                    else if (fs.exists(prev)) Some(prev.toString) else None)
-          .map(p => spark.read.parquet(p).withColumn("src", lit(0)))
-          .getOrElse(spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            batch.schema).withColumn("src", lit(0)))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCol)
-          .orderBy(col("src").desc, col(tsCol).desc,
-            // content-hash tiebreaker: (key, ts) ties resolve by row
-            // content, not shuffle order (see scaladoc)
-            xxhash64(batch.columns.map(col): _*))
-        val merged = base.unionByName(batch.withColumn("src", lit(1)))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .drop("rn", "src")
-        // write-then-swap: never read and overwrite the same path in one
-        // job (the scan is lazy — overwriting in place would read-after-
-        // truncate). Swap keeps a -prev generation alive until the new
-        // snapshot is in place, so NO crash point loses the snapshot:
-        // replay finds either snap (done) or -prev (retry from last good).
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        // prev is only cleared when snap exists to replace it: on a
-        // recovery replay (snap missing, prev = last good generation),
-        // deleting prev before tmp is promoted would leave a crash window
-        // with NO surviving generation
-        if (fs.exists(snap)) {
-          fs.delete(prev, true)
-          require(fs.rename(snap, prev), s"rename $snap -> $prev failed")
-        }
-        require(fs.rename(tmp, snap), s"rename $tmp -> $snap failed")
-        fs.delete(prev, true)
-        ()
+        mergeBatch(batch, keyCol, tsCol, snapshotDir, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update())
       .trigger(trigger)
       .start()
+
+  /** One [[upsertSink]] micro-batch merge — factored out so the crash
+    * protocol is directly testable (StreamingSpec replays it from each
+    * crash-window filesystem state and asserts convergence). */
+  private[graft] def mergeBatch(batch: Dataset[org.apache.spark.sql.Row],
+                                keyCol: String, tsCol: String,
+                                snapshotDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val snap = new org.apache.hadoop.fs.Path(snapshotDir)
+    val prev = new org.apache.hadoop.fs.Path(s"$snapshotDir-prev")
+    val tmp  = new org.apache.hadoop.fs.Path(s"$snapshotDir-next-$batchId")
+    // resolve the fs from the SNAPSHOT path's scheme — FileSystem.get
+    // (defaultFS) would silently rename on the wrong filesystem when
+    // the snapshot lives on s3a/file: and defaultFS is hdfs
+    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // base = current snapshot, else the -prev generation (present only
+    // if a crash hit between the two renames below), else empty
+    val base = (if (fs.exists(snap)) Some(snap.toString)
+                else if (fs.exists(prev)) Some(prev.toString) else None)
+      .map(p => spark.read.parquet(p).withColumn("src", lit(0)))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        batch.schema).withColumn("src", lit(0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(col("src").desc, col(tsCol).desc,
+        // content-hash tiebreaker: (key, ts) ties resolve by row
+        // content, not shuffle order (see scaladoc)
+        xxhash64(batch.columns.map(col): _*))
+    val merged = base.unionByName(batch.withColumn("src", lit(1)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "src")
+    // write-then-swap: never read and overwrite the same path in one
+    // job (the scan is lazy — overwriting in place would read-after-
+    // truncate). Swap keeps a -prev generation alive until the new
+    // snapshot is in place, so NO crash point loses the snapshot:
+    // replay finds either snap (done) or -prev (retry from last good).
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // prev is only cleared when snap exists to replace it: on a
+    // recovery replay (snap missing, prev = last good generation),
+    // deleting prev before tmp is promoted would leave a crash window
+    // with NO surviving generation
+    if (fs.exists(snap)) {
+      fs.delete(prev, true)
+      require(fs.rename(snap, prev), s"rename $snap -> $prev failed")
+    }
+    require(fs.rename(tmp, snap), s"rename $tmp -> $snap failed")
+    fs.delete(prev, true)
+    ()
+  }
 
   /** Parquet sink with checkpointing (S3's streaming twin). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String,

@@ -116,6 +116,58 @@ class StreamingSpec extends SparkSpec {
     assert(again.toSeq === snap.toSeq)
   }
 
+  test("upsert chaos: merge replay converges from every crash-window state") {
+    // the write-then-swap protocol claims NO crash point loses the
+    // snapshot: a replay finds either snap (merge done) or snap-prev
+    // (last good generation) and converges. Prove it by reconstructing
+    // each crash-window filesystem state and replaying mergeBatch.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos").toString
+    val snap = s"$dir/snap"
+    def read() = spark.read.parquet(snap).as[Event].collect()
+      .map(e => (e.event_id, e.event_type, e.value)).sortBy(_._1).toSeq
+    def exists(p: String) =
+      new java.io.File(p).exists()
+    val base = Seq(Event(1, ts(0), 7, "view", 1.0), Event(2, ts(1), 8, "view", 2.0))
+    val batch = Seq(Event(2, ts(5), 8, "click", 9.0), Event(3, ts(6), 9, "view", 4.0))
+    base.toDS().write.mode("overwrite").parquet(snap) // generation 0
+    val gen0 = read()
+    // clean merge → generation 1 (the expected post-merge state everywhere)
+    EventStream.mergeBatch(batch.toDS().toDF(), "event_id", "ts", snap, 0L)
+    val gen1 = read()
+    assert(gen1 === Seq((1L, "view", 1.0), (2L, "click", 9.0), (3L, "view", 4.0)))
+    assert(!exists(s"$snap-prev")) // clean path leaves no stale generation
+
+    // crash window A: between the two renames — snap was renamed to -prev,
+    // tmp not yet promoted: snapshot MISSING, -prev = last good generation
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    base.toDS().write.mode("overwrite").parquet(snap) // reset to gen 0
+    require(fs.rename(new org.apache.hadoop.fs.Path(snap),
+      new org.apache.hadoop.fs.Path(s"$snap-prev")))
+    assert(!exists(snap) && exists(s"$snap-prev"))
+    EventStream.mergeBatch(batch.toDS().toDF(), "event_id", "ts", snap, 1L)
+    assert(read() === gen1, "replay from -prev must produce the same merge")
+    assert(!exists(s"$snap-prev"))
+
+    // crash window B: after promotion, before -prev cleanup — snap = new
+    // generation AND -prev = old generation both present; the foreachBatch
+    // replay re-merges the SAME batch into the already-merged snapshot
+    base.toDS().write.mode("overwrite").parquet(s"$snap-prev") // stale gen 0
+    assert(exists(snap) && exists(s"$snap-prev"))
+    EventStream.mergeBatch(batch.toDS().toDF(), "event_id", "ts", snap, 2L)
+    assert(read() === gen1, "re-merging the same batch must be idempotent")
+    assert(!exists(s"$snap-prev"), "replay must clear the stale generation")
+
+    // crash window C: leftover -next staging dir from a crash mid-write —
+    // a replay with the same batchId must overwrite it, not fail
+    batch.toDS().write.mode("overwrite").parquet(s"$snap-next-3")
+    EventStream.mergeBatch(batch.toDS().toDF(), "event_id", "ts", snap, 3L)
+    assert(read() === gen1)
+    assert(!exists(s"$snap-next-3"), "staging dir must be promoted away")
+    assert(gen0 !== gen1) // sanity: the merge actually changed something
+  }
+
   test("soak: watermark expiry evicts aggregate state across many micro-batches") {
     // multi-batch file-source run spanning many event-time hours: windows
     // must be EMITTED once the watermark passes them and their state rows
