@@ -157,7 +157,14 @@ object KMeansJob {
   }
 
   /** Elbow sweep as a query (rows-only check): k, WSSSE, silhouette.
-    * The sweep input is tiny relative to the cluster → parallel fits. */
+    * The sweep input is tiny relative to the cluster → parallel fits.
+    *
+    * Silhouette is scored on a seeded 25% evaluation sample — the
+    * reference's own scalable pattern (kmeans_clustering.py:97-139 / nb
+    * cell 48 score a 200K sample, not the corpus): silhouette is
+    * O(rows·k) per k and is pure EVALUATION, so sampling it changes cost,
+    * not the fitted models or their WSSSE. MlSpec band-asserts the
+    * sampled sweep selects the same k as the full-evaluation sweep. */
   def embeddingElbow(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -165,6 +172,10 @@ object KMeansJob {
       graft.sources.Tables.fanOut(
         graft.sources.Tables.load(s, dir, "embeddings"), "vec_id", 8)
         .sortWithinPartitions("vec_id"))
-    elbow(feats, 2 to 6, maxIter = 20, parallel = true).toDF()
+    // maxConcurrent = |kRange|: one wave of concurrent fits instead of
+    // 4+1 (the sweep input is far smaller than the cluster, so the fits
+    // are scheduler-bound, not resource-bound — exactly `parallel`'s case)
+    elbow(feats, 2 to 6, maxIter = 20, evalFraction = 0.25, parallel = true,
+      maxConcurrent = 5).toDF()
   }
 }

@@ -28,6 +28,26 @@ class MlSpec extends SparkSpec {
     assert(pts.map(_.wssse).zip(pts.tail.map(_.wssse)).forall { case (a, b) => b <= a })
   }
 
+  test("KMeans elbow on an evaluation subsample selects the same k") {
+    // the scale configuration q38 runs (silhouette on a seeded sample —
+    // nb cell 48's 200K-sample trick): WSSSE is identical to the full
+    // sweep (fits are untouched; only evaluation is sampled) and the
+    // k-selection must be stable
+    val full = KMeansJob.elbow(blobs, 2 to 5, maxIter = 20)
+    val sampled = KMeansJob.elbow(blobs, 2 to 5, maxIter = 20,
+      evalFraction = 0.5)
+    assert(sampled.map(_.k) === (2 to 5))
+    // same seeds + same data ⇒ identical models ⇒ identical WSSSE
+    assert(sampled.map(_.wssse) === full.map(_.wssse))
+    assert(KMeansJob.bestK(sampled) === KMeansJob.bestK(full))
+    assert(KMeansJob.bestK(sampled) === 3)
+    // sampled silhouettes stay within a loose band of the full scores
+    sampled.zip(full).foreach { case (sa, fu) =>
+      assert(math.abs(sa.silhouette - fu.silhouette) < 0.25,
+        s"k=${sa.k}: sampled ${sa.silhouette} vs full ${fu.silhouette}")
+    }
+  }
+
   test("KMeans clusterStats: one row per cluster with exact total count") {
     val model = KMeansJob.fit(blobs, 3)
     val stats = KMeansJob.clusterStats(model.transform(blobs), Seq("label")).collect()
