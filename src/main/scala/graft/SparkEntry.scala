@@ -199,6 +199,10 @@ object SparkEntry {
     // (file source → foreachBatch write-then-swap merge → read back);
     // hash-equal to q88's batch oracle proves streaming/batch merge parity
     "q107_upsert_parity"      -> (graft.streaming.EventStream.upsertParity _),
+    // q80's recursion generalized to depth k: the oracle-checked tree
+    // family covering the reference's maxDepth semantics at tractable
+    // oracle depth (one SQL builder generates both depths' CTE chains)
+    "q108_gini_tree_d3"       -> ((s, d) => graft.ml.GiniStump.tree(s, d, 3)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -60,10 +60,12 @@ object GiniStump {
     * SCOPE: exact ntile sorts the full dataset in NumFeats tasks — chosen
     * deliberately so the candidate set (and hence the whole tree) is
     * bit-identical to the DuckDB oracle, which a sampled/approx binning
-    * cannot be. This is the oracle-twin configuration, sized for fixtures;
-    * the at-scale path is [[thresholdsApprox]] (GK sketch, one pass, no
+    * cannot be. This is the ORACLE-TWIN configuration only; the documented
+    * at-scale default is [[thresholdsApprox]] (GK sketch, one pass, no
     * per-feature global sort — Spark ML's own maxBins sampling analogue),
-    * which plugs into the same downstream grid unchanged. */
+    * selected via `tree(..., approxBinning = true)`. Both feed the same
+    * downstream grid unchanged, and on separated data they grow the
+    * identical tree (asserted in MlSpec). */
   private[graft] def thresholds(rootLong: DataFrame): DataFrame = {
     val w = Window.partitionBy("feat").orderBy(col("val"), col("id"))
     rootLong.withColumn("b", ntile(MaxBins).over(w))
@@ -71,11 +73,15 @@ object GiniStump {
       .select("feat", "t").distinct()
   }
 
-  /** Scale variant of [[thresholds]]: per-feature approximate quantile bin
-    * edges from the wide frame via ONE multi-column GK-sketch pass — no
-    * global sort, no shuffle proportional to data. Candidate quality (not
-    * correctness) depends on the sketch error; the tree remains valid for
-    * any candidate set, it just isn't the oracle's. */
+  /** The AT-SCALE binning path (documented default beyond oracle-twin
+    * fixtures): per-feature approximate quantile bin edges from the wide
+    * frame via ONE multi-column GK-sketch pass — no global sort, no
+    * shuffle proportional to data. Candidate quality (not correctness)
+    * depends on the sketch error; the tree remains valid for any
+    * candidate set, it just isn't bit-identical to the oracle's — on
+    * well-separated data it grows the IDENTICAL tree structure (MlSpec),
+    * and `tree(..., approxBinning = true)` wires it into the same
+    * per-level recursion unchanged. */
   private[graft] def thresholdsApprox(wide: DataFrame,
                                       relErr: Double = 0.001): DataFrame = {
     val probs = (1 to MaxBins).map(_.toDouble / MaxBins).toArray
@@ -143,18 +149,24 @@ object GiniStump {
     coalesce(featNames.map(f => when(col("feat") === f, col(f))): _*)
 
   /** Next-level assignment: rows of nodes WITH a chosen split descend to
-    * node+"L"/"R"; rows of nodes absent from `best` (unsplittable — every
+    * node+"L"/"R" (the root's children are plain "L"/"R" — no "root"
+    * prefix); rows of nodes absent from `best` (unsplittable — every
     * candidate left one side empty, e.g. all feature values identical in
     * the node) keep their node id and become that node's leaf directly.
     * LEFT join, so leaves always partition the data — an inner join would
-    * silently drop unsplittable nodes' rows and break the row contract. */
-  private[graft] def assignChildren(wide: DataFrame, best: DataFrame): DataFrame =
+    * silently drop unsplittable nodes' rows and break the row contract.
+    * Feature columns are retained so the result can feed the NEXT level's
+    * [[bestSplits]] directly (the depth-k recursion). */
+  private[graft] def assignChildren(wide: DataFrame, best: DataFrame): DataFrame = {
+    val keep = wide.columns.filterNot(_ == "node").map(col).toSeq
+    val prefix = when(col("node") === "root", lit("")).otherwise(col("node"))
     wide.join(broadcast(best.select("node", "feat", "t")), Seq("node"), "left")
-      .withColumn("leaf",
+      .withColumn("child",
         when(col("feat").isNull, col("node"))
-          .otherwise(concat(col("node"),
+          .otherwise(concat(prefix,
             when(chosenVal <= col("t"), "L").otherwise("R"))))
-      .select(col("id"), col("label"), col("leaf").as("node"))
+      .select(keep :+ col("child").as("node"): _*)
+  }
 
   /** Collect a tiny frame (candidate grid / label domain) into a
     * LocalRelation: downstream `broadcast()` uses build driver-side with no
@@ -165,48 +177,76 @@ object GiniStump {
       new java.util.ArrayList[org.apache.spark.sql.Row](
         df.collect().toSeq.asJava), df.schema)
 
-  /** q80: the full depth-2 tree — 3 split rows (root, L, R: chosen feature,
-    * threshold, weighted gini, node size) + 4 leaf rows (leaf gini, size,
-    * majority class). Tiny intermediate frames (thresholds, labels, best
-    * splits) are collected into LocalRelations ([[toLocal]]): each is
-    * referenced by several downstream branches, and a LocalRelation makes
-    * every reference a literal table — no re-running of the window/agg
-    * subtree, and no job per downstream broadcast exchange. */
-  def query(s: SparkSession, dir: String): DataFrame = {
-    // the per-level frames are each consumed by several downstream
-    // branches (binning, the dense-grid node list, class totals, child
-    // assignment, node sizes) — without a cache every reference re-scans
-    // the full data, 5 scans per depth level at 100 TB. Persist eagerly
-    // (Spark ML caches tree-induction input the same way), materialize
-    // the 7-row result, then release both caches before returning.
-    // lazy persist: the first consumer (the thresholds job) fills the cache
-    // in-line — an eager count() here would be a whole extra scan job, and
-    // the level runs serially so there is no concurrent-fill race
-    val p = pts(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val root = p.withColumn("node", lit("root"))
-    // grid-sized frames (≤64 thresholds, ≤10 labels, 1-2 best splits) go
-    // to LocalRelations: one collect job each, then every downstream
-    // broadcast builds driver-side with no extra job
-    val thr = toLocal(thresholds(toLong(root).select("id", "feat", "val")))
-    val labels = toLocal(p.select("label").distinct())
+  /** q80: the depth-2 tree over the embeddings fixture — 3 split rows
+    * (root, L, R: chosen feature, threshold, weighted gini, node size) +
+    * 4 leaf rows (leaf gini, size, majority class). */
+  def query(s: SparkSession, dir: String): DataFrame = tree(s, dir, 2)
 
-    val best1 = toLocal(bestSplits(root, thr, labels)) // 1 row
-    val a2 = p.crossJoin(broadcast(best1.select("feat", "t")))
-      .withColumn("node", when(chosenVal <= col("t"), "L").otherwise("R"))
-      .drop("feat", "t")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Depth-`depth` tree over the embeddings table — the general form of
+    * q80's recursion (q108 runs it at depth 3, the oracle-checked coverage
+    * of the reference's maxDepth semantics at tractable-oracle depth;
+    * random_forest.py:101-108 runs MLlib at maxDepth 8/10, whose splits
+    * are RNG-dependent and can only be rows-checked). `approxBinning`
+    * selects [[thresholdsApprox]] — the documented at-scale candidate
+    * path. */
+  def tree(s: SparkSession, dir: String, depth: Int,
+           approxBinning: Boolean = false): DataFrame =
+    fitTree(pts(s, dir), depth, approxBinning)
+
+  /** The per-level scan+agg+window recursion over an explicit
+    * (id, label, f0..fN) frame. Cost per level is one cached scan + one
+    * hash agg + one grid-sized window, independent of candidate count —
+    * the shape distributed tree learners (Spark ML's own histogram
+    * binning) use, so depth-k at 100 TB is k bounded passes, never a
+    * per-node job storm.
+    *
+    * Per-level frames are each consumed by several downstream branches
+    * (binning, the dense-grid node list, class totals, child assignment,
+    * node sizes) — without a cache every reference re-scans the full
+    * data, 5 scans per depth level at 100 TB. Persist eagerly (Spark ML
+    * caches tree-induction input the same way), materialize the ≤(2^k+k)
+    * result rows, then release every cache before returning. Lazy
+    * persist: the first consumer fills each cache in-line — an eager
+    * count() would be a whole extra scan job, and levels run serially so
+    * there is no concurrent-fill race. Grid-sized frames (≤64 thresholds,
+    * ≤10 labels, per-level best splits) go to LocalRelations
+    * ([[toLocal]]): one collect job each, then every downstream broadcast
+    * builds driver-side with no extra job. */
+  private[graft] def fitTree(input: DataFrame, depth: Int,
+                             approxBinning: Boolean = false): DataFrame = {
+    require(depth >= 1, s"tree depth must be >= 1, got $depth")
+    val p = input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = scala.collection.mutable.ListBuffer[DataFrame](p)
     try {
-      val best2 = toLocal(bestSplits(a2, thr, labels)) // 2 rows
-      val a3 = assignChildren(a2, best2)
+      val root = p.withColumn("node", lit("root"))
+      val thr = toLocal(
+        if (approxBinning) thresholdsApprox(p)
+        else thresholds(toLong(root).select("id", "feat", "val")))
+      val labels = toLocal(p.select("label").distinct())
 
-      val sizes = a2.groupBy("node").agg(count(lit(1)).as("n"))
-        .unionByName(p.agg(count(lit(1)).as("n")).withColumn("node", lit("root")))
-      val splits = best1.unionByName(best2).join(sizes, "node")
+      var cur = root
+      val levelSplits = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      for (level <- 1 to depth) {
+        val best = toLocal(bestSplits(cur, thr, labels)) // ≤ 2^(level-1) rows
+        // size of each SPLIT node at the moment it split (grid-sized)
+        val sizes = toLocal(cur
+          .join(broadcast(best.select("node")), Seq("node"))
+          .groupBy("node").agg(count(lit(1)).as("n")))
+        levelSplits += best.join(sizes, "node")
+        val next = assignChildren(cur, best)
+        if (level < depth) {
+          next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += next
+        }
+        cur = next
+      }
+
+      val splits = levelSplits.reduce(_.unionByName(_))
         .select(col("node"), lit("split").as("kind"), col("feat"),
           col("t").as("thr"), round(col("wg"), 6).as("score"), col("n"),
           lit(null).cast(IntegerType).as("pred"))
 
-      val leafCnt = a3.groupBy("node", "label").agg(count(lit(1)).as("c"))
+      val leafCnt = cur.groupBy("node", "label").agg(count(lit(1)).as("c"))
       val leafAgg = leafCnt.groupBy("node").agg(sum("c").as("n"),
         sum(col("c").cast(dec) * col("c").cast(dec)).as("s"))
       val maj = leafCnt.withColumn("rn", row_number().over(
@@ -221,9 +261,9 @@ object GiniStump {
             .as("score"),
           col("n"), col("label").cast(IntegerType).as("pred"))
 
-      // 7 rows — materialize so the caches can be released eagerly
+      // ≤ 2^depth + (2^depth − 1) rows — materialize so caches release
       splits.unionByName(leaves).orderBy("node").localCheckpoint()
-    } finally { a2.unpersist(); p.unpersist(); () }
+    } finally { persisted.foreach(_.unpersist()); () }
   }
 
   // ---------------------------------------------------------------- oracle
@@ -277,64 +317,80 @@ object GiniStump {
        |    ${featNames.map(f => s"{'feat': '$f', 'val': $f}").mkString(", ")}
        |  ]) AS u FROM $wide)""".stripMargin
 
-  def oracleSql: Map[String, String] = {
-    val sql =
+  /** Level assignment CTE, mirroring [[assignChildren]] exactly: LEFT
+    * join (unsplittable nodes — absent from `best` — keep their id and
+    * become leaves, so children always partition the parent), "root"
+    * contributes no prefix, features retained for the next level. */
+  private def assignS(wide: String, best: String): String =
+    s"""SELECT p.id, p.label, ${featNames.map(f => s"p.$f").mkString(", ")},
+       |  CASE WHEN b.node IS NULL THEN p.node
+       |    ELSE (CASE WHEN p.node = 'root' THEN '' ELSE p.node END) ||
+       |      (CASE WHEN ${chosenValS("p", "b")} <= b.t
+       |       THEN 'L' ELSE 'R' END)
+       |  END AS node
+       |FROM $wide p LEFT JOIN $best b ON p.node = b.node""".stripMargin
+
+  /** Depth-`depth` oracle: the same per-level CTE chain [[fitTree]] runs —
+    * w0 (root) → b1 (best splits) → w1 (children) → … → w_depth (leaves) —
+    * generated for any depth, so q80 (depth 2) and q108 (depth 3) share
+    * one SQL builder mirroring one Spark recursion. */
+  private[graft] def treeSql(depth: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
       s"""WITH pts AS (
          |  SELECT vec_id AS id, label,
          |    ${(0 until NumFeats).map(j =>
                s"embedding[${j + 1}]::DOUBLE AS f$j").mkString(", ")}
          |  FROM embeddings),
          |labels AS (SELECT DISTINCT label FROM pts),
-         |root AS (SELECT *, 'root' AS node FROM pts),
-         |rootlong AS (${toLongS("root")}),
+         |w0 AS (SELECT *, 'root' AS node FROM pts),
+         |l0 AS (${toLongS("w0")}),
          |thr AS (
          |  SELECT DISTINCT feat, t FROM (
          |    SELECT feat, b, MAX(val) AS t FROM (
          |      SELECT feat, val, id,
          |        ntile($MaxBins) OVER (PARTITION BY feat ORDER BY val, id) AS b
-         |      FROM rootlong)
+         |      FROM l0)
          |    GROUP BY feat, b)),
-         |best1 AS (${bestS("root", "rootlong")}),
-         |a2 AS (
-         |  SELECT p.*, CASE WHEN ${chosenValS("p", "b")} <= b.t
-         |    THEN 'L' ELSE 'R' END AS node
-         |  FROM pts p CROSS JOIN best1 b),
-         |a2long AS (${toLongS("a2")}),
-         |best2 AS (${bestS("a2", "a2long")}),
-         |a3 AS (
-         |  -- LEFT join mirrors assignChildren: unsplittable nodes (absent
-         |  -- from best2) become their own leaf, so leaves partition a2
-         |  SELECT p.id, p.label,
-         |    p.node || CASE WHEN b.node IS NULL THEN ''
-         |      WHEN ${chosenValS("p", "b")} <= b.t
-         |      THEN 'L' ELSE 'R' END AS node
-         |  FROM a2 p LEFT JOIN best2 b ON p.node = b.node),
-         |sizes AS (
-         |  SELECT node, COUNT(*) AS n FROM a2 GROUP BY node
-         |  UNION ALL SELECT 'root', COUNT(*) FROM pts),
-         |leafcnt AS (SELECT node, label, COUNT(*) AS c FROM a3
-         |  GROUP BY node, label)
-         |SELECT node, kind, feat, thr, score, n, pred FROM (
-         |  SELECT b.node, 'split' AS kind, b.feat,
-         |    b.t AS thr, round(b.wg, 6) AS score, sz.n,
-         |    CAST(NULL AS INTEGER) AS pred
-         |  FROM (SELECT * FROM best1 UNION ALL SELECT * FROM best2) b
-         |  JOIN sizes sz ON b.node = sz.node
-         |  UNION ALL
-         |  SELECT la.node, 'leaf', CAST(NULL AS VARCHAR),
-         |    CAST(NULL AS DOUBLE),
-         |    round(1.0 - CAST(la.s AS DOUBLE) /
-         |      (CAST(la.n AS DOUBLE) * CAST(la.n AS DOUBLE)), 6),
-         |    CAST(la.n AS BIGINT), mj.label
-         |  FROM (SELECT node, SUM(c) AS n, SUM(c*c) AS s FROM leafcnt
-         |        GROUP BY node) la
-         |  JOIN (SELECT node, label FROM (
-         |          SELECT node, label,
-         |            ROW_NUMBER() OVER (PARTITION BY node
-         |              ORDER BY c DESC, label) AS rn
-         |          FROM leafcnt) WHERE rn = 1) mj
-         |    ON la.node = mj.node)
-         |ORDER BY node""".stripMargin
-    Map("q80_gini_stump" -> sql)
+         |""".stripMargin
+    for (i <- 1 to depth) {
+      sb ++= s"b$i AS (${bestS(s"w${i - 1}", s"l${i - 1}")}),\n"
+      sb ++= s"w$i AS (${assignS(s"w${i - 1}", s"b$i")}),\n"
+      if (i < depth) sb ++= s"l$i AS (${toLongS(s"w$i")}),\n"
+    }
+    sb ++= (1 to depth).map(i =>
+      s"""  SELECT p.node, COUNT(*) AS n FROM w${i - 1} p
+         |    JOIN (SELECT DISTINCT node FROM b$i) b ON p.node = b.node
+         |    GROUP BY p.node""".stripMargin)
+      .mkString("sizes AS (\n", "\n  UNION ALL\n", "),\n")
+    sb ++= s"allbest AS (${(1 to depth).map(i => s"SELECT * FROM b$i")
+      .mkString(" UNION ALL ")}),\n"
+    sb ++= s"leafcnt AS (SELECT node, label, COUNT(*) AS c FROM w$depth GROUP BY node, label)\n"
+    sb ++=
+      """SELECT node, kind, feat, thr, score, n, pred FROM (
+        |  SELECT b.node, 'split' AS kind, b.feat,
+        |    b.t AS thr, round(b.wg, 6) AS score, sz.n,
+        |    CAST(NULL AS INTEGER) AS pred
+        |  FROM allbest b JOIN sizes sz ON b.node = sz.node
+        |  UNION ALL
+        |  SELECT la.node, 'leaf', CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS DOUBLE),
+        |    round(1.0 - CAST(la.s AS DOUBLE) /
+        |      (CAST(la.n AS DOUBLE) * CAST(la.n AS DOUBLE)), 6),
+        |    CAST(la.n AS BIGINT), mj.label
+        |  FROM (SELECT node, SUM(c) AS n, SUM(c*c) AS s FROM leafcnt
+        |        GROUP BY node) la
+        |  JOIN (SELECT node, label FROM (
+        |          SELECT node, label,
+        |            ROW_NUMBER() OVER (PARTITION BY node
+        |              ORDER BY c DESC, label) AS rn
+        |          FROM leafcnt) WHERE rn = 1) mj
+        |    ON la.node = mj.node)
+        |ORDER BY node""".stripMargin
+    sb.toString
   }
+
+  def oracleSql: Map[String, String] = Map(
+    "q80_gini_stump" -> treeSql(2),
+    "q108_gini_tree_d3" -> treeSql(3))
 }

@@ -152,6 +152,65 @@ class MlSpec extends SparkSpec {
     assert(best.head.getAs[Double]("wg") >= 0.0)
   }
 
+  test("GiniStump: exact and approx binning grow the identical tree on separated data") {
+    // the at-scale claim behind thresholdsApprox: candidate edges differ
+    // from exact ntile edges in VALUE, but on well-separated data every
+    // candidate set containing a point in the separating band yields the
+    // same chosen features, partitions, sizes, and pure leaves — so the
+    // GK-sketch path is a drop-in scale default, not a weaker algorithm.
+    import spark.implicits._
+    // 4 classes on a 2×2 grid: f0 separates a∈{0,1}, f1 separates b∈{0,1};
+    // f2/f3 constant (never splittable). 20 rows per class.
+    val rows = (0 until 80).map { i =>
+      val a = i % 2
+      val b = (i / 2) % 2
+      (i.toLong, 2 * a + b, a * 10.0 + (i % 5) * 0.1,
+        b * 10.0 + ((i / 4) % 5) * 0.1, 0.0, 0.0)
+    }
+    val p = rows.toDF("id", "label", "f0", "f1", "f2", "f3")
+    val exact = GiniStump.fitTree(p, 2, approxBinning = false).collect()
+    val approx = GiniStump.fitTree(p, 2, approxBinning = true).collect()
+    def shape(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[String]("node"), r.getAs[String]("kind"),
+        r.getAs[String]("feat"), Option(r.getAs[Integer]("pred")),
+        r.getAs[Long]("n"))).toSet
+    assert(shape(exact) === shape(approx))
+    // both find the grid: root splits f0, both children split f1,
+    // 4 pure leaves of 20
+    val splits = exact.filter(_.getAs[String]("kind") == "split")
+    assert(splits.find(_.getAs[String]("node") == "root")
+      .get.getAs[String]("feat") === "f0")
+    assert(splits.filter(r => Set("L", "R")(r.getAs[String]("node")))
+      .forall(_.getAs[String]("feat") == "f1"))
+    val leaves = exact.filter(_.getAs[String]("kind") == "leaf")
+    assert(leaves.length === 4)
+    assert(leaves.forall(r => r.getAs[Double]("score") == 0.0
+      && r.getAs[Long]("n") == 20L))
+  }
+
+  test("GiniStump: depth-3 tree partitions every level and q80's depth-2 rows are its prefix shape") {
+    val d3 = GiniStump.tree(spark, sfDir, 3).collect()
+    val byNode = d3.map(r => r.getAs[String]("node") -> r).toMap
+    val n = d3.map(r => r.getAs[String]("node") -> r.getAs[Long]("n")).toMap
+    // every split node's children exactly partition it (child rows may be
+    // splits or leaves; unsplittable children keep the parent prefix)
+    d3.filter(_.getAs[String]("kind") == "split").foreach { r =>
+      val node = r.getAs[String]("node")
+      val base = if (node == "root") "" else node
+      assert(n.contains(base + "L") && n.contains(base + "R"), node)
+      assert(n(base + "L") + n(base + "R") === n(node), node)
+    }
+    // depth-2's split decisions are the prefix of the depth-3 tree: same
+    // root/L/R features and thresholds (deeper levels never change them)
+    val d2 = GiniStump.query(spark, sfDir).collect()
+    d2.filter(_.getAs[String]("kind") == "split").foreach { r2 =>
+      val r3 = byNode(r2.getAs[String]("node"))
+      assert(r3.getAs[String]("kind") === "split")
+      assert(r3.getAs[String]("feat") === r2.getAs[String]("feat"))
+      assert(r3.getAs[Double]("thr") === r2.getAs[Double]("thr"))
+    }
+  }
+
   test("fitWithBackoff falls back to smaller samples on failure") {
     var calls = 0
     val result = FeaturePrep.fitWithBackoff(blobs, Seq(1.0, 0.5)) { df =>
