@@ -101,6 +101,35 @@ class DedupSpec extends SparkSpec {
       DedupConfig(hammingThreshold = 4, simhashBlocks = 4))
   }
 
+  test("DedupConfig at 16 hashes / 4-band: the wide MinHash pipeline still recovers planted pairs") {
+    import graft.dedup.DedupConfig
+    // the at-scale setting the config exists for (more hashes, wider
+    // bands: band collision prob j^4 per band — more selective per band,
+    // 4 bands total): the whole candidate->verify pipeline must still
+    // work end-to-end, not just construct
+    val cfg = DedupConfig(numHashes = 16, bandSize = 4)
+    assert(cfg.numBands === 4)
+    val sigs = Dedup.minhashSignatures(spark, sfDir, cfg)
+    assert(sigs.columns.toSeq === "doc_id" +: (0 until 16).map(i => s"sig$i"))
+    val pairs = Dedup.lshCandidatePairs(spark, sfDir, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000000L))
+    val recall = injected.count(pairs.contains).toDouble / injected.length
+    assert(recall >= 0.6,
+      s"16/4 LSH recall $recall over ${injected.length} injected pairs")
+    // the downstream verifier holds its contract on the new candidate set
+    val verified = Dedup.ngramJaccard(spark, sfDir, cfg).collect()
+    assert(verified.nonEmpty)
+    verified.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= cfg.jaccardThreshold && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
   test("dedupKeepSummary: per-source accounting is consistent and total") {
     val rows = Dedup.dedupKeepSummary(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -38,6 +38,42 @@ class SimilaritySpec extends SparkSpec {
     best8.foreach { case (q, b8) => assert(best4(q) >= b8 - 1e-9, s"query $q") }
   }
 
+  test("SimConfig at 16 planes: bucket ids extend the 8-plane ids, hits stay exact-cosine") {
+    import graft.similarity.SimConfig
+    import org.apache.spark.sql.types._
+    // the at-scale setting (finer buckets -> fewer candidates per bucket):
+    // plane p is key-derived per index, so every 8-plane bucket id must be
+    // a strict prefix of the 16-plane id
+    val e = col("embedding").cast(ArrayType(DoubleType))
+    val both = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(Similarity.bucket(e).as("b8"),
+        Similarity.bucket(e, SimConfig(numPlanes = 16)).as("b16"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getString(1).startsWith(r.getString(0)) &&
+      r.getString(1).length == 16 && r.getString(0).length == 8))
+    // ANN under 16 planes still reports EXACT cosines: every hit matches
+    // the brute-force value for that (query, neighbor) pair
+    val exact = Similarity.cosineTopK(spark, sfDir, SimConfig(k = 1999))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    val hits16 = Similarity.annLsh(spark, sfDir, SimConfig(numPlanes = 16))
+      .collect()
+    hits16.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getAs[Double]("cosine") - exact(key)) < 1e-9, key)
+    }
+    // finer buckets can only shrink each query's candidate set: the best
+    // 16-plane hit never beats the best 8-plane hit
+    val best8 = Similarity.annLsh(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getAs[Double]("cosine")).max }
+    hits16.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val b16 = rs.map(_.getAs[Double]("cosine")).max
+      assert(b16 <= best8(q) + 1e-9, s"query $q")
+    }
+  }
+
   test("annLsh: every ANN hit is at most the brute-force best for its query") {
     val bf = Similarity.cosineTopK(spark, sfDir).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) =>
