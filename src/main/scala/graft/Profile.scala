@@ -10,11 +10,49 @@ object Profile {
     graft.sources.Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.drop(1).foreach { q =>
+    if (args.length > 1 && args(1) == "--roundtrip") roundTripBreakdown(spark, sfDir)
+    else args.drop(1).foreach { q =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()
       println(f"$q rows=$n time=${(System.nanoTime()-t0)/1e9}%.1f s")
     }
     spark.stop()
+  }
+
+  /** Write-vs-read cost split of the q102–q104 format round-trips, with
+    * parquet as the format-neutral control: isolates each format's
+    * rendering/parsing cost from the generic staging-write overhead. */
+  private def roundTripBreakdown(s: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    def run(fmt: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-rtprof-$fmt")
+      try {
+        val src = graft.sources.Tables.load(s, sfDir, "lineitem")
+          .select(cols.map(col): _*)
+        val path = tmp.resolve("d").toString
+        val t0 = System.nanoTime()
+        fmt match {
+          case "orc"     => src.write.mode("overwrite").option("compression", "snappy").orc(path)
+          case "csv"     => src.write.mode("overwrite").option("header", "true").csv(path)
+          case "json"    => graft.sources.Sinks.json(src, path)
+          case "parquet" => src.write.mode("overwrite").parquet(path)
+        }
+        val t1 = System.nanoTime()
+        val back = fmt match {
+          case "orc"     => s.read.orc(path)
+          case "csv"     => graft.sources.Tables.csv(s, path, src.schema)
+          case "json"    => graft.sources.Tables.json(s, path, src.schema)
+          case "parquet" => s.read.parquet(path)
+        }
+        val n = back.groupBy("l_returnflag").agg(count(lit(1))).count()
+        val t2 = System.nanoTime()
+        println(f"$fmt%-8s write=${(t1 - t0) / 1e9}%6.2f s  read+agg=${(t2 - t1) / 1e9}%6.2f s  groups=$n")
+      } finally graft.sources.Tables.rmTree(tmp)
+    }
+    // warm the scan cache once so format costs aren't confounded with the
+    // first-touch parquet read of lineitem
+    run("parquet")
+    Seq("parquet", "orc", "csv", "json").foreach(run)
   }
 }

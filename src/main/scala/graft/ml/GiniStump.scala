@@ -134,6 +134,10 @@ object GiniStump {
           col("sl").cast(DoubleType) / col("nl").cast(DoubleType) +
           col("nr").cast(DoubleType) -
           col("sr").cast(DoubleType) / col("nr").cast(DoubleType))
+      // nl + nr = every row of the node (each row lands left or right of
+      // any candidate over its feature), so the node's SIZE rides along
+      // free — no separate per-level count pass
+      .withColumn("n", col("nl") + col("nr"))
     // note: at the root, `node` is a folded literal, so this window runs
     // unpartitioned (Spark logs the single-partition warning) — it only
     // ever sees the candidate rows (≤ nodes × features × MaxBins, i.e.
@@ -141,7 +145,7 @@ object GiniStump {
     wg.withColumn("rn", row_number().over(
         Window.partitionBy("node").orderBy(col("wg"), col("feat"), col("t"))))
       .filter(col("rn") === 1)
-      .select("node", "feat", "t", "wg")
+      .select("node", "feat", "t", "wg", "n")
   }
 
   /** Value of the node's chosen split feature for the current row. */
@@ -227,12 +231,9 @@ object GiniStump {
       var cur = root
       val levelSplits = scala.collection.mutable.ListBuffer.empty[DataFrame]
       for (level <- 1 to depth) {
-        val best = toLocal(bestSplits(cur, thr, labels)) // ≤ 2^(level-1) rows
-        // size of each SPLIT node at the moment it split (grid-sized)
-        val sizes = toLocal(cur
-          .join(broadcast(best.select("node")), Seq("node"))
-          .groupBy("node").agg(count(lit(1)).as("n")))
-        levelSplits += best.join(sizes, "node")
+        // ≤ 2^(level-1) rows, node size included (bestSplits' nl+nr)
+        val best = toLocal(bestSplits(cur, thr, labels))
+        levelSplits += best
         val next = assignChildren(cur, best)
         if (level < depth) {
           next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -276,13 +277,14 @@ object GiniStump {
   /** One level's best-split CTE chain over `wide` (id,label,node,f0..f3)
     * and its long form `lng` (id,label,node,feat,val). */
   private def bestS(wide: String, lng: String): String =
-    s"""SELECT node, feat, t, wg FROM (
-       |  SELECT node, feat, t, wg,
+    s"""SELECT node, feat, t, wg, n FROM (
+       |  SELECT node, feat, t, wg, n,
        |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY wg, feat, t) AS rn
        |  FROM (
        |    SELECT node, feat, t,
        |      CAST(nl AS DOUBLE) - CAST(sl AS DOUBLE)/CAST(nl AS DOUBLE)
-       |        + CAST(nr AS DOUBLE) - CAST(sr AS DOUBLE)/CAST(nr AS DOUBLE) AS wg
+       |        + CAST(nr AS DOUBLE) - CAST(sr AS DOUBLE)/CAST(nr AS DOUBLE) AS wg,
+       |      CAST(nl + nr AS BIGINT) AS n
        |    FROM (
        |      SELECT u.node, u.feat, u.t,
        |        SUM(u.cum) AS nl, SUM(u.cum * u.cum) AS sl,
@@ -358,20 +360,15 @@ object GiniStump {
       sb ++= s"w$i AS (${assignS(s"w${i - 1}", s"b$i")}),\n"
       if (i < depth) sb ++= s"l$i AS (${toLongS(s"w$i")}),\n"
     }
-    sb ++= (1 to depth).map(i =>
-      s"""  SELECT p.node, COUNT(*) AS n FROM w${i - 1} p
-         |    JOIN (SELECT DISTINCT node FROM b$i) b ON p.node = b.node
-         |    GROUP BY p.node""".stripMargin)
-      .mkString("sizes AS (\n", "\n  UNION ALL\n", "),\n")
     sb ++= s"allbest AS (${(1 to depth).map(i => s"SELECT * FROM b$i")
       .mkString(" UNION ALL ")}),\n"
     sb ++= s"leafcnt AS (SELECT node, label, COUNT(*) AS c FROM w$depth GROUP BY node, label)\n"
     sb ++=
       """SELECT node, kind, feat, thr, score, n, pred FROM (
         |  SELECT b.node, 'split' AS kind, b.feat,
-        |    b.t AS thr, round(b.wg, 6) AS score, sz.n,
+        |    b.t AS thr, round(b.wg, 6) AS score, b.n,
         |    CAST(NULL AS INTEGER) AS pred
-        |  FROM allbest b JOIN sizes sz ON b.node = sz.node
+        |  FROM allbest b
         |  UNION ALL
         |  SELECT la.node, 'leaf', CAST(NULL AS VARCHAR),
         |    CAST(NULL AS DOUBLE),
