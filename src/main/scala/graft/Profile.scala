@@ -24,27 +24,19 @@ object Profile {
     * rendering/parsing cost from the generic staging-write overhead. */
   private def roundTripBreakdown(s: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    import graft.sources.Sinks
     def run(fmt: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-rtprof-$fmt")
       try {
+        // the EXACT projection + write/read dispatch q102–q104 use
+        // (shared Sinks helpers — the profiler cannot drift from them)
         val src = graft.sources.Tables.load(s, sfDir, "lineitem")
-          .select(cols.map(col): _*)
+          .select(Sinks.RtCols.map(col): _*)
         val path = tmp.resolve("d").toString
         val t0 = System.nanoTime()
-        fmt match {
-          case "orc"     => src.write.mode("overwrite").option("compression", "snappy").orc(path)
-          case "csv"     => src.write.mode("overwrite").option("header", "true").csv(path)
-          case "json"    => graft.sources.Sinks.json(src, path)
-          case "parquet" => src.write.mode("overwrite").parquet(path)
-        }
+        Sinks.rtWrite(src, fmt, path)
         val t1 = System.nanoTime()
-        val back = fmt match {
-          case "orc"     => s.read.orc(path)
-          case "csv"     => graft.sources.Tables.csv(s, path, src.schema)
-          case "json"    => graft.sources.Tables.json(s, path, src.schema)
-          case "parquet" => s.read.parquet(path)
-        }
+        val back = Sinks.rtRead(s, fmt, path, src.schema)
         val n = back.groupBy("l_returnflag").agg(count(lit(1))).count()
         val t2 = System.nanoTime()
         println(f"$fmt%-8s write=${(t1 - t0) / 1e9}%6.2f s  read+agg=${(t2 - t1) / 1e9}%6.2f s  groups=$n")

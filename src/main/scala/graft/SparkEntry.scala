@@ -191,8 +191,9 @@ object SparkEntry {
     "q104_json_roundtrip"     -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "json")),
     // storage levers made driver-visible: write through the partitioned /
     // range-clustered layouts, read back pruned (PartitionFilters / pushed
-    // key-range row-group skipping — plan-guarded in PlanSpec), aggregate;
-    // oracle = the same filtered aggregate over the original flat parquet
+    // key-range row-group skipping — scan shapes guarded in
+    // SinksCatalogSpec), aggregate; oracle = the same filtered aggregate
+    // over the original flat parquet
     "q105_partition_pruned"   -> (graft.sources.Sinks.partitionPrunedRoundTrip _),
     "q106_clustered_skip"     -> (graft.sources.Sinks.clusteredRoundTrip _),
     // q88's MERGE executed INCREMENTALLY by the streaming upsert sink

@@ -172,10 +172,12 @@ object KMeansJob {
       graft.sources.Tables.fanOut(
         graft.sources.Tables.load(s, dir, "embeddings"), "vec_id", 8)
         .sortWithinPartitions("vec_id"))
-    // maxConcurrent = |kRange|: one wave of concurrent fits instead of
-    // 4+1 (the sweep input is far smaller than the cluster, so the fits
-    // are scheduler-bound, not resource-bound — exactly `parallel`'s case)
-    elbow(feats, 2 to 6, maxIter = 20, evalFraction = 0.25, parallel = true,
-      maxConcurrent = 5).toDF()
+    // maxConcurrent = |kRange| (bound structurally, not by eyeball): one
+    // wave of concurrent fits instead of 4+1 (the sweep input is far
+    // smaller than the cluster, so the fits are scheduler-bound, not
+    // resource-bound — exactly `parallel`'s case)
+    val ks = 2 to 6
+    elbow(feats, ks, maxIter = 20, evalFraction = 0.25, parallel = true,
+      maxConcurrent = ks.size).toDF()
   }
 }

@@ -155,26 +155,44 @@ object Sinks {
     * round-trip rendering; the read uses an explicit schema, never
     * inference — SURVEY §1.3). Staging is cleaned up after the result is
     * materialized off it. */
+  /** The q102–q104 projection: every column participates in the verifying
+    * hash. q105/q106 extend it with [[PrunedCols]]' grouping column. */
+  private[graft] val RtCols =
+    Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+
+  /** One side of a format round-trip — shared by [[formatRoundTrip]] and
+    * `Profile --roundtrip`, so the profiler can never drift from the
+    * write/read options the benchmarked queries actually use. "parquet"
+    * is the profiler's format-neutral control. */
+  private[graft] def rtWrite(src: DataFrame, format: String, path: String): Unit =
+    format match {
+      case "orc" =>
+        src.write.mode("overwrite").option("compression", "snappy").orc(path)
+      case "csv" =>
+        src.write.mode("overwrite").option("header", "true").csv(path)
+      case "json"    => Sinks.json(src, path)
+      case "parquet" => src.write.mode("overwrite").parquet(path)
+      case other     => sys.error(s"unsupported round-trip format: $other")
+    }
+  private[graft] def rtRead(s: SparkSession, format: String, path: String,
+                            schema: StructType): DataFrame =
+    format match {
+      case "orc"     => s.read.orc(path)
+      case "csv"     => Tables.csv(s, path, schema)
+      case "json"    => Tables.json(s, path, schema)
+      case "parquet" => s.read.parquet(path)
+      case other     => sys.error(s"unsupported round-trip format: $other")
+    }
+
   def formatRoundTrip(s: SparkSession, dir: String, format: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-rt-$format")
     try {
-      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
-      val src = Tables.load(s, dir, "lineitem").select(cols.map(col): _*)
+      val src = Tables.load(s, dir, "lineitem").select(RtCols.map(col): _*)
       val path = tmp.resolve("data").toString
-      val back = format match {
-        case "orc" =>
-          src.write.mode("overwrite").option("compression", "snappy").orc(path)
-          s.read.orc(path)
-        case "csv" =>
-          src.write.mode("overwrite").option("header", "true").csv(path)
-          Tables.csv(s, path, src.schema)
-        case "json" =>
-          Sinks.json(src, path)
-          Tables.json(s, path, src.schema)
-        case other => sys.error(s"unsupported round-trip format: $other")
-      }
+      rtWrite(src, format, path)
+      val back = rtRead(s, format, path, src.schema)
       // every projected column participates in the hash: the bigint key
       // too, or a long-only corruption would slip past the oracle
       back.groupBy("l_returnflag")
@@ -196,17 +214,14 @@ object Sinks {
     * hash-equality proves the partitioned layout is lossless AND the
     * driver-visible twin of SinksCatalogSpec's pruning proof: the read-back
     * scan carries the flag predicate as a PartitionFilter (planning-time
-    * directory pruning — guarded in PlanSpec), which at 100 TB turns a
-    * one-flag query into a scan of ~1/3rd of the input with zero row-level
-    * filtering work. */
+    * directory pruning — guarded in SinksCatalogSpec's q105 scan-shape
+    * test), which at 100 TB turns a one-flag query into a scan of ~1/3rd
+    * of the input with zero row-level filtering work. */
   def partitionPrunedRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q105")
     try {
-      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
-        "l_returnflag", "l_linestatus")
-      val src = Tables.load(s, dir, "lineitem").select(cols.map(col): _*)
+      val src = Tables.load(s, dir, "lineitem").select(PrunedCols.map(col): _*)
       val path = tmp.resolve("data").toString
       parquetPartitioned(src, path, Seq("l_returnflag"))
       prunedAgg(s.read.parquet(path)).localCheckpoint()
@@ -218,17 +233,16 @@ object Sinks {
     * read it back with a key-range predicate, and aggregate. Oracle = the
     * same filtered aggregate over the original parquet: hash-equality
     * proves the clustered layout lossless, and because every file/row
-    * group covers a disjoint sorted key slice, the range predicate (pushed
-    * to the scan — guarded in PlanSpec) skips all non-matching row groups
-    * via footer min/max stats. The non-partition storage lever for
-    * high-cardinality keys at 100 TB. */
+    * group covers a disjoint sorted key slice, the range predicate
+    * (pushed to the scan — guarded in SinksCatalogSpec's q106 scan-shape
+    * test) skips all non-matching row groups via footer min/max stats.
+    * The non-partition storage lever for high-cardinality keys at
+    * 100 TB. */
   def clusteredRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q106")
     try {
-      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
-        "l_returnflag", "l_linestatus")
-      val src = Tables.load(s, dir, "lineitem").select(cols.map(col): _*)
+      val src = Tables.load(s, dir, "lineitem").select(PrunedCols.map(col): _*)
       val path = tmp.resolve("data").toString
       parquetClustered(src, path, Seq("l_orderkey"), numFiles = 8)
       prunedAgg(s.read.parquet(path)
@@ -237,6 +251,12 @@ object Sinks {
         .localCheckpoint()
     } finally Tables.rmTree(tmp)
   }
+
+  /** The q105/q106 projection: [[RtCols]] + the grouping column. Both
+    * storage-lever queries and their SinksCatalogSpec scan-shape guards
+    * must project the same set — [[prunedAgg]]'s hash contract ("every
+    * projected column participates") depends on it. */
+  private[graft] val PrunedCols = RtCols :+ "l_linestatus"
 
   /** Shared q105/q106 aggregate: per-linestatus counts + exact decimal
     * sums over the (optionally flag-filtered) read-back frame. Every

@@ -198,13 +198,25 @@ object EventStream {
     * (S10): swap `fileSource` for `kafkaSource` and drop the sentinel
     * staging — a live stream's own arrivals advance the watermark. */
   def streamingParity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     // the trailing ~2h of real windows are flushed by the no-data
     // micro-batch after the sentinel batch (see scaladoc) — make that
-    // dependency explicit instead of relying on the ambient default
+    // dependency explicit instead of relying on the ambient default.
+    // Restored in the OUTER finally so no failure path (staging, query
+    // start, even cleanup) leaks the override into the shared session.
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val noDataPrev = s.conf.getOption(noDataKey)
     s.conf.set(noDataKey, "true")
+    try streamingParityStaged(s, dir)
+    finally noDataPrev match {
+      case Some(v) => s.conf.set(noDataKey, v)
+      case None    => s.conf.unset(noDataKey)
+    }
+  }
+
+  /** q85 body: staging, the streaming run, read-back (see
+    * [[streamingParity]], which owns the session-conf guard). */
+  private def streamingParityStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q85")
     val in = tmp.resolve("in")
     java.nio.file.Files.createDirectories(in)
@@ -257,10 +269,6 @@ object EventStream {
     } finally {
       if (q.isActive) q.stop() // timeout path: don't leave it running
       rmTree(tmp)
-      noDataPrev match {
-        case Some(v) => s.conf.set(noDataKey, v)
-        case None    => s.conf.unset(noDataKey)
-      }
     }
   }
 

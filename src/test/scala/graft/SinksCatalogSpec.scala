@@ -102,8 +102,7 @@ class SinksCatalogSpec extends SparkSpec {
     // pruning), never as row-level post-scan filtering of all partitions
     val dir = tmp()
     val src = Tables.load(spark, sfDir, "lineitem")
-      .select("l_orderkey", "l_quantity", "l_extendedprice",
-        "l_returnflag", "l_linestatus")
+      .select(Sinks.PrunedCols.map(col): _*)
     Sinks.parquetPartitioned(src, s"$dir/q105", Seq("l_returnflag"))
     val agg = Sinks.prunedAgg(spark.read.parquet(s"$dir/q105"))
     val plan = agg.queryExecution.executedPlan.toString
@@ -126,8 +125,7 @@ class SinksCatalogSpec extends SparkSpec {
     // whole point of the clustered layout
     val dir = tmp()
     val src = Tables.load(spark, sfDir, "lineitem")
-      .select("l_orderkey", "l_quantity", "l_extendedprice",
-        "l_returnflag", "l_linestatus")
+      .select(Sinks.PrunedCols.map(col): _*)
     Sinks.parquetClustered(src, s"$dir/q106", Seq("l_orderkey"), numFiles = 8)
     val back = spark.read.parquet(s"$dir/q106")
       .filter(col("l_orderkey").between(1000L, 5000L))
