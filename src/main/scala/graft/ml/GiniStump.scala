@@ -99,13 +99,21 @@ object GiniStump {
   private[graft] def bestSplits(wide: DataFrame, thr: DataFrame,
                                 labels: DataFrame): DataFrame = {
     val longDf = toLong(wide)
-    // bin assignment: smallest threshold >= val (rows above every threshold
-    // fall to the right of all candidates and drop out here by design)
-    val binned = longDf.alias("r")
-      .join(broadcast(thr).alias("h"),
-        col("r.feat") === col("h.feat") && col("r.val") <= col("h.t"))
-      .groupBy(col("r.node"), col("r.feat"), col("r.label"), col("r.id"))
-      .agg(min(col("h.t")).as("t"))
+    // bin assignment: smallest threshold >= val, via a broadcast
+    // per-feature sorted-candidate ARRAY and a codegen'd
+    // array_min(filter(...)) lookup — a NARROW map. (The join-the-
+    // threshold-table alternative expands every row × matching
+    // candidates and needs an id-cardinality re-aggregation to take the
+    // min — an O(rows × bins) intermediate plus a full-data shuffle that
+    // this shape simply doesn't have; the first exchange below is the
+    // grid-sized cnt aggregation.) Rows above every threshold fall to
+    // the right of all candidates and drop out (null bin) by design.
+    val thrArr = thr.groupBy("feat")
+      .agg(sort_array(collect_list("t")).as("ts"))
+    val binned = longDf
+      .join(broadcast(thrArr), "feat")
+      .withColumn("t", array_min(filter(col("ts"), x => x >= col("val"))))
+      .filter(col("t").isNotNull)
     // post-aggregation frames are bounded by the candidate grid (≤ nodes ×
     // features × MaxBins × classes rows) at ANY data scale, but Catalyst
     // can't know that from stats — broadcast explicitly so nothing after
@@ -299,10 +307,10 @@ object GiniStump {
        |              CROSS JOIN thr h CROSS JOIN labels l) g
        |        LEFT JOIN (
        |          SELECT node, feat, t, label, COUNT(*) AS c FROM (
-       |            SELECT r.node, r.feat, r.label, r.id, MIN(h.t) AS t
-       |            FROM $lng r JOIN thr h
-       |              ON r.feat = h.feat AND r.val <= h.t
-       |            GROUP BY r.node, r.feat, r.label, r.id)
+       |            SELECT r.node, r.feat, r.label,
+       |              list_min(list_filter(ta.ts, x -> x >= r.val)) AS t
+       |            FROM $lng r JOIN thrarr ta ON r.feat = ta.feat)
+       |          WHERE t IS NOT NULL
        |          GROUP BY node, feat, t, label) c
        |          ON g.node = c.node AND g.feat = c.feat
        |            AND g.t = c.t AND g.label = c.label) u
@@ -354,6 +362,7 @@ object GiniStump {
          |        ntile($MaxBins) OVER (PARTITION BY feat ORDER BY val, id) AS b
          |      FROM l0)
          |    GROUP BY feat, b)),
+         |thrarr AS (SELECT feat, LIST(t) AS ts FROM thr GROUP BY feat),
          |""".stripMargin
     for (i <- 1 to depth) {
       sb ++= s"b$i AS (${bestS(s"w${i - 1}", s"l${i - 1}")}),\n"
