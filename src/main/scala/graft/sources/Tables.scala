@@ -146,15 +146,6 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** q102–q104: FORMAT ROUND-TRIP queries — write a projection through a
-    * non-parquet format (ORC with snappy = S9's storage; CSV with header
-    * = S1/S6's interchange; JSON lines = S4's sink), read it back with the matching reader, and
-    * aggregate. The oracle is the SAME aggregate over the original
-    * parquet — hash-equality proves the sink+source pair is bit-lossless
-    * for the engine's scalar types (CSV doubles rely on shortest-
-    * round-trip rendering; the read uses an explicit schema, never
-    * inference — SURVEY §1.3). Staging is cleaned up after the result is
-    * materialized off it. */
   /** The q102–q104 projection: every column participates in the verifying
     * hash. q105/q106 extend it with [[PrunedCols]]' grouping column. */
   private[graft] val RtCols =
@@ -184,6 +175,15 @@ object Sinks {
       case other     => sys.error(s"unsupported round-trip format: $other")
     }
 
+  /** q102–q104: FORMAT ROUND-TRIP queries — write a projection through a
+    * non-parquet format (ORC with snappy = S9's storage; CSV with header
+    * = S1/S6's interchange; JSON lines = S4's sink), read it back with
+    * the matching reader, and aggregate. The oracle is the SAME aggregate
+    * over the original parquet — hash-equality proves the sink+source
+    * pair is bit-lossless for the engine's scalar types (CSV doubles rely
+    * on shortest-round-trip rendering; the read uses an explicit schema,
+    * never inference — SURVEY §1.3). Staging is cleaned up after the
+    * result is materialized off it. */
   def formatRoundTrip(s: SparkSession, dir: String, format: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

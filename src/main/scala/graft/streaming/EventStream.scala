@@ -218,56 +218,60 @@ object EventStream {
   private def streamingParityStaged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q85")
-    val in = tmp.resolve("in")
-    java.nio.file.Files.createDirectories(in)
-    val events = graft.sources.Tables.load(s, dir, "events")
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    // ONE real-data file → ONE micro-batch. A multi-file write's parts
-    // share mtimes, and with maxFilesPerTrigger=1 the FileStreamSource
-    // tie-break could batch the newest-timestamped part first — the
-    // watermark would ratchet past older parts and silently drop them as
-    // late. A single file removes the intra-data ordering hazard entirely.
-    val stage0 = tmp.resolve("stage0")
-    events.coalesce(1).write.mode("overwrite").parquet(stage0.toString)
-    moveOnlyParquet(stage0, in.resolve("aa-data.parquet"), mtimeMs = 1000000L)
-    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
-    // ONE sentinel in its own strictly-later micro-batch: the real-data
-    // batch ends by raising the watermark to maxTs−2h, and Append mode
-    // emits expired windows in the NEXT batch — the sentinel batch both
-    // pushes the watermark past every real window (maxTs+7d−2h) and IS
-    // that next batch, so all real windows flush in it. The sentinel's
-    // own window never finalizes, which is fine: it's filtered out.
-    val stage = tmp.resolve("sentinel")
-    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 86400000L),
-         -1L, "__watermark_sentinel__", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    moveOnlyParquet(stage, in.resolve("zz-sentinel.parquet"),
-      mtimeMs = 1060000L)
-    val src = s.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", 1).parquet(in.toString)
-    val agg = src
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
-          .as("sum_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n"), col("sum_value"))
-    val q = toParquet(agg, tmp.resolve("out").toString,
-      tmp.resolve("ckpt").toString)
+    // EVERYTHING from here — staging writes, query start, read-back — runs
+    // inside the try: a failure at any point still deletes the staged
+    // events copy + checkpoint (bench runs this reps× per round, so a
+    // leak per failing attempt would accumulate)
+    var q: StreamingQuery = null
     try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      // ONE real-data file → ONE micro-batch. A multi-file write's parts
+      // share mtimes, and with maxFilesPerTrigger=1 the FileStreamSource
+      // tie-break could batch the newest-timestamped part first — the
+      // watermark would ratchet past older parts and silently drop them as
+      // late. A single file removes the intra-data ordering hazard entirely.
+      val stage0 = tmp.resolve("stage0")
+      events.coalesce(1).write.mode("overwrite").parquet(stage0.toString)
+      moveOnlyParquet(stage0, in.resolve("aa-data.parquet"), mtimeMs = 1000000L)
+      val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+      // ONE sentinel in its own strictly-later micro-batch: the real-data
+      // batch ends by raising the watermark to maxTs−2h, and Append mode
+      // emits expired windows in the NEXT batch — the sentinel batch both
+      // pushes the watermark past every real window (maxTs+7d−2h) and IS
+      // that next batch, so all real windows flush in it. The sentinel's
+      // own window never finalizes, which is fine: it's filtered out.
+      val stage = tmp.resolve("sentinel")
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 86400000L),
+           -1L, "__watermark_sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      moveOnlyParquet(stage, in.resolve("zz-sentinel.parquet"),
+        mtimeMs = 1060000L)
+      val src = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val agg = src
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      q = toParquet(agg, tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
       require(q.awaitTermination(300000),
         "q85 streaming query did not terminate within 300 s")
       // materialize OFF the staging dir — the finally below deletes it
-      // even on the timeout path, and q85 otherwise leaks a full events
-      // copy + checkpoint per invocation (bench runs this reps× per round)
       s.read.parquet(tmp.resolve("out").toString)
         .filter(col("event_type") =!= "__watermark_sentinel__")
         .localCheckpoint()
         .orderBy("hour_start", "event_type")
     } finally {
-      if (q.isActive) q.stop() // timeout path: don't leave it running
+      // timeout path: don't leave the query running
+      if (q != null && q.isActive) q.stop()
       rmTree(tmp)
     }
   }
