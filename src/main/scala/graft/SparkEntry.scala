@@ -204,6 +204,9 @@ object SparkEntry {
     // family covering the reference's maxDepth semantics at tractable
     // oracle depth (one SQL builder generates both depths' CTE chains)
     "q108_gini_tree_d3"       -> ((s, d) => graft.ml.GiniStump.tree(s, d, 3)),
+    // the third streaming surface closed: the stream-stream interval join
+    // executed incrementally, hash-equal to the batch join oracle
+    "q109_interval_join_parity" -> (graft.streaming.EventStream.intervalJoinParity _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -335,9 +335,56 @@ object EventStream {
     }
   }
 
+  /** q109 — oracle-checked INTERVAL-JOIN parity, closing the third
+    * streaming surface (q85 = aggregation, q107 = merge, this = join):
+    * [[correlateStreams]] executed incrementally over two file sources
+    * reading the same staged events copy, checkpoint-sinked to parquet,
+    * read back, and hash-compared to the batch interval join in DuckDB.
+    * No sentinel staging is needed: stream-stream INNER join rows are
+    * emitted in the micro-batch where both sides match — the watermark
+    * only bounds join STATE (eviction), never emission, so a single
+    * AvailableNow pass yields every match. And because the query is a
+    * pure join (no aggregation), output values are raw column values —
+    * bit-exact across engines with no DECIMAL routing. */
+  def intervalJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q109")
+    var q: StreamingQuery = null
+    // a stream-stream join maintains FOUR keyed state stores (two per
+    // side) in EVERY shuffle partition, each committing a checkpoint
+    // version per micro-batch — per-batch cost scales with partitions,
+    // not data. Size the stateful shuffle to the fixture (the production
+    // knob is the same conf, sized to throughput); restored after.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(in.toString)
+      // two INDEPENDENT file sources over the same staged copy — the
+      // stream-stream join requires distinct source plans per side
+      val joined = correlateStreams(
+        fileSource(s, in.toString), fileSource(s, in.toString))
+      q = toParquet(joined, tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q109 interval-join stream did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .orderBy("click_id", "error_id")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q85's oracle is q21's (the streaming path must reproduce the batch
     * aggregation exactly); q107's is q88's (the streaming merge must
-    * reproduce the batch MERGE exactly). */
+    * reproduce the batch MERGE exactly); q109's is the batch interval
+    * join (the streaming join must reproduce it exactly). */
   val oracleSql: Map[String, String] = Map(
     "q85_stream_parity" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
@@ -353,7 +400,16 @@ object EventStream {
         |r AS (SELECT *, row_number() OVER
         |        (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u)
         |SELECT o_orderkey, o_orderstatus, o_totalprice
-        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)
+        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "q109_interval_join_parity" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  e.event_id AS error_id, CAST(e.ts AS TIMESTAMP) AS error_ts
+        |FROM events c JOIN events e
+        |  ON c.event_type = 'click' AND e.event_type = 'error'
+        |  AND c.user_id = e.user_id
+        |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, error_id""".stripMargin)
 
   /** UPSERT sink — streaming twin of `Advanced.upsertSnapshot`: each
     * micro-batch is merged into a keyed parquet snapshot with
