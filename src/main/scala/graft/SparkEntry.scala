@@ -207,6 +207,12 @@ object SparkEntry {
     // the third streaming surface closed: the stream-stream interval join
     // executed incrementally, hash-equal to the batch join oracle
     "q109_interval_join_parity" -> (graft.streaming.EventStream.intervalJoinParity _),
+    // third storage lever: bucketed+sorted managed tables carry the join
+    // with zero Exchange (co-location); oracle = same join on flat parquet
+    "q110_bucketed_join"      -> (graft.sources.Sinks.bucketedJoinRoundTrip _),
+    // fourth stateful streaming surface: keyed dedup of injected
+    // re-deliveries restores the original corpus exactly (q85's oracle)
+    "q111_dedup_parity"       -> (graft.streaming.EventStream.dedupParity _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -415,6 +421,12 @@ object SparkEntry {
            |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
       Map(
         "q105_partition_pruned" -> prunedOracle("l_returnflag = 'R'"),
-        "q106_clustered_skip"   -> prunedOracle("l_orderkey BETWEEN 1000 AND 5000"))
+        "q106_clustered_skip"   -> prunedOracle("l_orderkey BETWEEN 1000 AND 5000"),
+        "q110_bucketed_join" ->
+          """SELECT c_mktsegment, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }
 }

@@ -252,6 +252,68 @@ object Sinks {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q110: BUCKETED-JOIN round-trip — the third storage lever after
+    * partition pruning (q105) and range clustering (q106): write orders
+    * and customer as bucketed+sorted managed tables on the join key
+    * (8 buckets each side), then join them bucket-to-bucket and
+    * aggregate. The join is pinned to sort-merge (`hint("merge")`) so
+    * the bucketed layout — not a fixture-scale broadcast — carries it:
+    * both scans expose `hashpartitioning(custkey, 8)`, satisfying the
+    * join's distribution requirement with ZERO Exchange in the plan
+    * (shape proven in SinksCatalogSpec's bucketed-join test). Oracle =
+    * the same join+aggregate over the original flat parquet, so
+    * hash-equality proves the bucketed catalog layout lossless. The
+    * SURVEY §2.1 S9 co-location lever: at 100 TB a recurring
+    * orders⋈customer join pre-bucketed on custkey skips BOTH shuffle
+    * legs on every run — one bucketed write amortized over every later
+    * join. Managed tables are dropped (data deleted) after the result
+    * is materialized off them. */
+  def bucketedJoinRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val (ot, ct) = ("graft_q110_orders_b", "graft_q110_customer_b")
+    try {
+      bucketedWrite(Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey", ot)
+      bucketedWrite(Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"), "c_custkey", ct)
+      // every projected column participates in the hash (q102's rule)
+      bucketedJoin(s, ot, ct)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy("c_mktsegment")
+        .localCheckpoint()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $ct")
+    }
+  }
+
+  /** q110's write half: bucketed+sorted managed table on the join key,
+    * [[BucketCount]] buckets. Shared with SinksCatalogSpec's plan guard so
+    * the guarded layout can't drift from the benchmarked one. */
+  private[graft] def bucketedWrite(df: DataFrame, key: String,
+                                   table: String): Unit =
+    df.write.mode("overwrite").bucketBy(BucketCount, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** q110's join half: sort-merge pinned so the bucketed layout (not a
+    * fixture-scale broadcast) carries the join. Shared with the spec's
+    * zero-Exchange plan assertion. */
+  private[graft] def bucketedJoin(s: SparkSession, ordersTbl: String,
+                                  custTbl: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    s.table(ordersTbl).hint("merge")
+      .join(s.table(custTbl), col("o_custkey") === col("c_custkey"))
+  }
+
+  /** Bucket count for q110's tables — 8 at fixture scale; production sizes
+    * this to (table size / target bucket file size), same on both sides. */
+  private[graft] val BucketCount = 8
+
   /** The q105/q106 projection: [[RtCols]] + the grouping column. Both
     * storage-lever queries and their SinksCatalogSpec scan-shape guards
     * must project the same set — [[prunedAgg]]'s hash contract ("every

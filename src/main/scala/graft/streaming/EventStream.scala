@@ -381,10 +381,69 @@ object EventStream {
     }
   }
 
+  /** q111 — oracle-checked streaming-DEDUP parity, closing the fourth
+    * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
+    * join, this = keyed dedup): the staged events copy is polluted with a
+    * deterministic duplicate set — every `event_id % 10 == 0` row
+    * re-delivered bit-identically, the at-least-once regime
+    * [[dedupStream]] exists for — then streamed through
+    * `dropDuplicatesWithinWatermark`, sinked, read back, and aggregated
+    * per hour × event_type. The oracle is that aggregate over the
+    * ORIGINAL events table (q85's SQL verbatim): hash-equality proves
+    * the operator removed exactly the injected re-deliveries and nothing
+    * else (a kept duplicate doubles an hourly count; a dropped original
+    * loses one — either breaks the hash). `event_id` is unique in the
+    * source (verified at both SFs), so "remove re-deliveries" and
+    * "distinct" coincide. No sentinel staging: dedup emits surviving
+    * rows in their arrival batch — the watermark only bounds state, so
+    * one AvailableNow pass yields every survivor. Dedup keeps one keyed
+    * state store per shuffle partition; like q109 the stateful shuffle
+    * is sized to the fixture (production sizes the same conf to key
+    * cardinality per watermark horizon). */
+  def dedupParity(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q111")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      // ONE staged file: both copies of each duplicated row share the
+      // single micro-batch (first arrival survives, re-delivery drops)
+      // and the multi-part mtime-ordering hazard never arises
+      events.union(events.filter(col("event_id") % 10 === 0))
+        .coalesce(1).write.mode("overwrite").parquet(in.toString)
+      val deduped = dedupStream(fileSource(s, in.toString))
+      q = toParquet(deduped, tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q111 dedup stream did not terminate within 300 s")
+      // batch-side aggregate over the survivors (q85's shape; DECIMAL-
+      // routed sum so accumulation order can't perturb the hash)
+      s.read.parquet(tmp.resolve("out").toString)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("sum_value"))
+        .orderBy("hour_start", "event_type")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q85's oracle is q21's (the streaming path must reproduce the batch
     * aggregation exactly); q107's is q88's (the streaming merge must
     * reproduce the batch MERGE exactly); q109's is the batch interval
-    * join (the streaming join must reproduce it exactly). */
+    * join (the streaming join must reproduce it exactly); q111's is
+    * q85's again (dedup of injected re-deliveries must restore the
+    * original corpus exactly). */
   val oracleSql: Map[String, String] = Map(
     "q85_stream_parity" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
@@ -409,7 +468,12 @@ object EventStream {
         |  ON c.event_type = 'click' AND e.event_type = 'error'
         |  AND c.user_id = e.user_id
         |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
-        |ORDER BY click_id, error_id""".stripMargin)
+        |ORDER BY click_id, error_id""".stripMargin,
+    "q111_dedup_parity" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
 
   /** UPSERT sink — streaming twin of `Advanced.upsertSnapshot`: each
     * micro-batch is merged into a keyed parquet snapshot with

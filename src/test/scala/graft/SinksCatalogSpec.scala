@@ -222,18 +222,15 @@ class SinksCatalogSpec extends SparkSpec {
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // the 100 TB join strategy SURVEY §2.1/S9 points at: both sides
     // bucketed+sorted on the join key, same bucket count → the sort-merge
-    // join reads buckets directly, zero Exchange in the plan
-    Tables.load(spark, sfDir, "orders")
-      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("orders_b")
-    Tables.load(spark, sfDir, "customer")
-      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("customer_b")
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // join reads buckets directly, zero Exchange in the plan. Guards
+    // q110's EXACT production builders (Sinks.bucketedWrite/bucketedJoin),
+    // so the benchmarked layout can't drift from the proven one.
+    Sinks.bucketedWrite(Tables.load(spark, sfDir, "orders"),
+      "o_custkey", "orders_b")
+    Sinks.bucketedWrite(Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "customer_b")
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("orders_b")
-        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val joined = Sinks.bucketedJoin(spark, "orders_b", "customer_b")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("Exchange"), plan)
@@ -242,7 +239,6 @@ class SinksCatalogSpec extends SparkSpec {
           Tables.load(spark, sfDir, "customer"),
           col("o_custkey") === col("c_custkey")).count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE orders_b")
       spark.sql("DROP TABLE customer_b")
     }
