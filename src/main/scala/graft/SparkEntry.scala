@@ -213,6 +213,10 @@ object SparkEntry {
     // fourth stateful streaming surface: keyed dedup of injected
     // re-deliveries restores the original corpus exactly (q85's oracle)
     "q111_dedup_parity"       -> (graft.streaming.EventStream.dedupParity _),
+    // one-pass grouped Pearson corr + OLS fit from exact decimal moments
+    "q112_grouped_corr"       -> (graft.analytics.Advanced.groupedCorr _),
+    // percent_rank + cume_dist cohort distribution (rank-ratio doubles)
+    "q113_distribution_ranks" -> (graft.analytics.Advanced.distributionRanks _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

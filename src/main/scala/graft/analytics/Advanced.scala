@@ -750,9 +750,121 @@ object Advanced {
       .limit(10)
   }
 
+  /** q112: grouped Pearson correlation + OLS regression slope/intercept —
+    * corr(quantity, price) per return flag from EXACT decimal moment sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²), the one-pass parallel form every
+    * distributed stats library uses. Spark's built-in `corr` accumulates
+    * doubles in partition order (non-deterministic across engines, and
+    * run-to-run under AQE), so this routes all six moments through
+    * DECIMAL (exact, order-independent — the q57/q80 cross-engine ML
+    * precedent), casts once to double, and finishes with an IEEE
+    * expression kept bit-identical on both sides. Zero-variance groups
+    * yield NULL identically (Spark div-by-zero NULL vs DuckDB inf never
+    * reached — guarded on both sides). One map + one partial-aggregated
+    * hash agg: |groups| rows out, no second pass over the data, which at
+    * 100 TB beats the textbook two-pass (mean, then Σ(x−x̄)²) form by a
+    * full scan. */
+  def groupedCorr(s: SparkSession, dir: String): DataFrame = {
+    // integer domain: quantity is integral, price is exact at 2 decimals →
+    // cents. All six moments are then exact integer sums (Σy² via
+    // DECIMAL(38,0) — it tops 2^63); each converts to double in ONE
+    // correctly-rounded step on both engines. The naive DECIMAL(p,s>0)
+    // route differs cross-engine in the last ulp (DuckDB converts
+    // int128→double then divides by 10^s — two roundings vs Java's one),
+    // and the n·Σxy − Σx·Σy cancellation amplifies that ulp ~10^6×.
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast(LongType).as("x"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("y"))
+    val nd  = col("n").cast(DoubleType)
+    val y38 = col("y").cast(DecimalType(38, 0))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+        sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+        sum(y38 * y38).cast(DoubleType).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (nd * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+        (nd * col("sxx") - col("sx") * col("sx")).as("varx_n"),
+        (nd * col("syy") - col("sy") * col("sy")).as("vary_n"),
+        col("sx"), col("sy"))
+      .select(col("l_returnflag"), col("n"),
+        when(col("varx_n") > 0 && col("vary_n") > 0,
+          col("cov_n") / sqrt(col("varx_n") * col("vary_n")))
+          .as("corr_qty_price"),
+        // cents → price units at the very end, same op on both sides
+        when(col("varx_n") > 0, col("cov_n") / col("varx_n") / 100)
+          .as("slope"),
+        when(col("varx_n") > 0,
+          (col("sy") - (col("cov_n") / col("varx_n")) * col("sx"))
+            / col("n").cast(DoubleType) / 100).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q113: distribution ranks — percent_rank + cume_dist of each order's
+    * total price within its order month (the "where does this row sit in
+    * its cohort's distribution" query). Both functions are pure rank
+    * ratios — (rank−1)/(n−1) and rows≤current/n — so the doubles are
+    * quotients of small integers, bit-identical across engines with no
+    * decimal routing; ties share a value by definition, making the result
+    * deterministic even on the non-unique price ordering. One shuffle on
+    * the month, one in-partition sort shared by BOTH window functions
+    * (same spec), output O(n) but narrow. At 100 TB the month partitions
+    * are the parallelism unit — no global sort, no driver funnel. */
+  def distributionRanks(s: SparkSession, dir: String): DataFrame = {
+    val month = date_trunc("month", col("o_orderdate")).as("om")
+    val w = Window.partitionBy(col("om")).orderBy(col("o_totalprice"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), month, col("o_totalprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select(col("o_orderkey"), col("om"), col("pr"), col("cd"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q112_grouped_corr" ->
+      // same moment-sum → double → IEEE finish shape as the Spark side;
+      // decimal sums are exact so accumulation order cannot perturb them
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    -- DECIMAL(19,0) operands force the 128-bit multiply (Σy² tops
+        |    -- int64); scale 0 keeps the →double cast a single rounding
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS syy
+        |  FROM b GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varx_n,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS vary_n, sx, sy
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN varx_n > 0 AND vary_n > 0
+        |    THEN cov_n / sqrt(varx_n * vary_n) ELSE NULL END AS corr_qty_price,
+        |  CASE WHEN varx_n > 0 THEN cov_n / varx_n / 100 ELSE NULL END AS slope,
+        |  CASE WHEN varx_n > 0
+        |    THEN (sy - (cov_n / varx_n) * sx) / CAST(n AS DOUBLE) / 100
+        |    ELSE NULL END AS intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+    "q113_distribution_ranks" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS om,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY date_trunc('month', o_orderdate)
+        |             ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
     "q88_upsert_snapshot" ->
       // updates (src=1) win over base (src=0) per key — DuckDB mirrors the
       // same union + row_number merge

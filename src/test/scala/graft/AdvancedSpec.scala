@@ -116,4 +116,41 @@ class AdvancedSpec extends SparkSpec {
     assert(out("const").getLong(out("const").fieldIndex("n_outliers")) === 0L)
     assert(out("normal").getLong(out("normal").fieldIndex("n")) === 4L)
   }
+
+  test("groupedCorr matches Spark's corr/regression builtins within fp tolerance") {
+    // the oracle proves bit-exactness of the moment form across engines;
+    // this proves it computes the SAME statistic as the reference
+    // implementations (corr, covar_pop/var_pop slope) on the full fixture
+    val got = Advanced.groupedCorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        (covar_pop(col("l_quantity"), col("l_extendedprice"))
+          / var_pop(col("l_quantity"))).as("m"),
+        avg(col("l_extendedprice")).as("ybar"), avg(col("l_quantity")).as("xbar"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === ref.keySet)
+    for ((k, g) <- got) {
+      val r = ref(k)
+      def rel(a: Double, b: Double) = math.abs(a - b) / math.max(1e-12, math.abs(b))
+      assert(rel(g.getAs[Double]("corr_qty_price"), r.getAs[Double]("c")) < 1e-9, k)
+      assert(rel(g.getAs[Double]("slope"), r.getAs[Double]("m")) < 1e-9, k)
+      val intRef = r.getAs[Double]("ybar") - r.getAs[Double]("m") * r.getAs[Double]("xbar")
+      assert(rel(g.getAs[Double]("intercept"), intRef) < 1e-9, k)
+    }
+  }
+
+  test("distributionRanks: pr/cd in range, cd>=pr, max cd is 1 per month") {
+    val df = Advanced.distributionRanks(spark, sfDir).cache()
+    try {
+      assert(df.filter(col("pr") < 0 || col("pr") > 1 ||
+        col("cd") <= 0 || col("cd") > 1).count() === 0)
+      // cume_dist counts rows <= current (ties included); percent_rank
+      // excludes the current row's tie block — cd is always the larger
+      assert(df.filter(col("cd") < col("pr")).count() === 0)
+      val perMonth = df.groupBy("om").agg(max("cd").as("mx")).collect()
+      assert(perMonth.nonEmpty && perMonth.forall(_.getDouble(1) === 1.0))
+    } finally df.unpersist()
+  }
 }
