@@ -217,6 +217,8 @@ object SparkEntry {
     "q112_grouped_corr"       -> (graft.analytics.Advanced.groupedCorr _),
     // percent_rank + cume_dist cohort distribution (rank-ratio doubles)
     "q113_distribution_ranks" -> (graft.analytics.Advanced.distributionRanks _),
+    // skewness + excess kurtosis per group from exact integer power sums
+    "q114_grouped_moments"    -> (graft.analytics.Advanced.groupedMoments _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -803,6 +803,58 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  /** q114: grouped higher-moment statistics — population skewness and
+    * excess kurtosis of quantity and price per return flag, from EXACT
+    * integer-domain power sums (Σx..Σx⁴ in BIGINT; price-cents Σy³/Σy⁴
+    * through DECIMAL(38,0), topping int64 at ~1e28 per row). Same
+    * cross-engine determinism recipe as [[groupedCorr]]: exact sums →
+    * one correctly-rounded double conversion → an IEEE finish kept
+    * textually identical on both sides (central moments via the expanded
+    * power-sum form; skew uses m₂·√m₂, never pow(x,1.5) — pow is not
+    * correctly rounded and differs across libm implementations).
+    * Zero-variance groups yield NULL identically. One map + one
+    * partial-aggregated hash agg, |groups| rows out — the full
+    * mean/var/skew/kurt profile of a 100 TB column family for the cost
+    * of one scan. */
+  def groupedMoments(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast(LongType).as("x"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("y"))
+    val x   = col("x")
+    val y38 = col("y").cast(DecimalType(38, 0))
+    val agged = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(x).cast(DoubleType).as("sx"),
+      sum(x * x).cast(DoubleType).as("sxx"),
+      sum(x * x * x).cast(DoubleType).as("sx3"),
+      sum(x * x * x * x).cast(DoubleType).as("sx4"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(y38 * y38).cast(DoubleType).as("syy"),
+      sum(y38 * y38 * y38).cast(DoubleType).as("sy3"),
+      sum(y38 * y38 * y38 * y38).cast(DoubleType).as("sy4"))
+    val nd = col("n").cast(DoubleType)
+    def stats(prefix: String, s1: String, s2: String, s3: String,
+              s4: String): Seq[org.apache.spark.sql.Column] = {
+      val mu = col(s1) / nd
+      val r2 = col(s2) / nd
+      val r3 = col(s3) / nd
+      val r4 = col(s4) / nd
+      val m2 = r2 - mu * mu
+      val m3 = r3 - lit(3) * mu * r2 + lit(2) * mu * mu * mu
+      val m4 = r4 - lit(4) * mu * r3 + lit(6) * mu * mu * r2 -
+        lit(3) * mu * mu * mu * mu
+      Seq(when(m2 > 0, m3 / (m2 * sqrt(m2))).as(s"skew_$prefix"),
+        when(m2 > 0, m4 / (m2 * m2) - 3).as(s"kurt_$prefix"))
+    }
+    agged.select(Seq(col("l_returnflag"), col("n"),
+        (col("sx") / nd).as("mean_qty"),
+        (col("sy") / nd / 100).as("mean_price")) ++
+        stats("qty", "sx", "sxx", "sx3", "sx4") ++
+        stats("price", "sy", "syy", "sy3", "sy4"): _*)
+      .orderBy("l_returnflag")
+  }
+
   /** q113: distribution ranks — percent_rank + cume_dist of each order's
     * total price within its order month (the "where does this row sit in
     * its cohort's distribution" query). Both functions are pure rank
@@ -856,6 +908,45 @@ object Advanced {
         |    THEN (sy - (cov_n / varx_n) * sx) / CAST(n AS DOUBLE) / 100
         |    ELSE NULL END AS intercept
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    "q114_grouped_moments" ->
+      // same exact-power-sum → double → IEEE-finish shape as the Spark
+      // side; HUGEINT carries the y³/y⁴ sums DuckDB's int64 can't
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(x * x * x) AS DOUBLE) AS sx3,
+        |    CAST(SUM(x * x * x * x) AS DOUBLE) AS sx4,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y * y) AS DOUBLE) AS sy3,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y * y * y) AS DOUBLE) AS sy4
+        |  FROM b GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    sx / CAST(n AS DOUBLE) AS muq, sxx / CAST(n AS DOUBLE) AS r2q,
+        |    sx3 / CAST(n AS DOUBLE) AS r3q, sx4 / CAST(n AS DOUBLE) AS r4q,
+        |    sy / CAST(n AS DOUBLE) AS mup, syy / CAST(n AS DOUBLE) AS r2p,
+        |    sy3 / CAST(n AS DOUBLE) AS r3p, sy4 / CAST(n AS DOUBLE) AS r4p
+        |  FROM m),
+        |c AS (SELECT l_returnflag, n, muq, mup,
+        |    r2q - muq * muq AS m2q,
+        |    r3q - 3 * muq * r2q + 2 * muq * muq * muq AS m3q,
+        |    r4q - 4 * muq * r3q + 6 * muq * muq * r2q
+        |      - 3 * muq * muq * muq * muq AS m4q,
+        |    r2p - mup * mup AS m2p,
+        |    r3p - 3 * mup * r2p + 2 * mup * mup * mup AS m3p,
+        |    r4p - 4 * mup * r3p + 6 * mup * mup * r2p
+        |      - 3 * mup * mup * mup * mup AS m4p
+        |  FROM d)
+        |SELECT l_returnflag, n, muq AS mean_qty, mup / 100 AS mean_price,
+        |  CASE WHEN m2q > 0 THEN m3q / (m2q * sqrt(m2q)) ELSE NULL END AS skew_qty,
+        |  CASE WHEN m2q > 0 THEN m4q / (m2q * m2q) - 3 ELSE NULL END AS kurt_qty,
+        |  CASE WHEN m2p > 0 THEN m3p / (m2p * sqrt(m2p)) ELSE NULL END AS skew_price,
+        |  CASE WHEN m2p > 0 THEN m4p / (m2p * m2p) - 3 ELSE NULL END AS kurt_price
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "q113_distribution_ranks" ->
       """SELECT o_orderkey,
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS om,

@@ -141,6 +141,32 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("groupedMoments matches Spark's skewness/kurtosis builtins within fp tolerance") {
+    val got = Advanced.groupedMoments(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("sq"),
+        kurtosis(col("l_quantity")).as("kq"),
+        skewness(col("l_extendedprice")).as("sp"),
+        kurtosis(col("l_extendedprice")).as("kp"),
+        avg(col("l_quantity")).as("mq"), avg(col("l_extendedprice")).as("mp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === ref.keySet)
+    for ((k, g) <- got) {
+      val r = ref(k)
+      def rel(a: Double, b: Double) = math.abs(a - b) / math.max(1e-12, math.abs(b))
+      // builtins accumulate running central moments in doubles — compare
+      // at 1e-6, looser than q112's 1e-9 (4th powers amplify their drift)
+      assert(rel(g.getAs[Double]("mean_qty"), r.getAs[Double]("mq")) < 1e-9, k)
+      assert(rel(g.getAs[Double]("mean_price"), r.getAs[Double]("mp")) < 1e-9, k)
+      assert(rel(g.getAs[Double]("skew_qty"), r.getAs[Double]("sq")) < 1e-6, k)
+      assert(rel(g.getAs[Double]("kurt_qty"), r.getAs[Double]("kq")) < 1e-6, k)
+      assert(rel(g.getAs[Double]("skew_price"), r.getAs[Double]("sp")) < 1e-6, k)
+      assert(rel(g.getAs[Double]("kurt_price"), r.getAs[Double]("kp")) < 1e-6, k)
+    }
+  }
+
   test("distributionRanks: pr/cd in range, cd>=pr, max cd is 1 per month") {
     val df = Advanced.distributionRanks(spark, sfDir).cache()
     try {
