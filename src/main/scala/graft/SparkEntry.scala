@@ -219,6 +219,19 @@ object SparkEntry {
     "q113_distribution_ranks" -> (graft.analytics.Advanced.distributionRanks _),
     // skewness + excess kurtosis per group from exact integer power sums
     "q114_grouped_moments"    -> (graft.analytics.Advanced.groupedMoments _),
+    // fifth streaming surface: per-micro-batch broadcast join against a
+    // static dimension (stateless, zero-shuffle), hash-equal to batch
+    "q115_stream_static_join" -> (graft.streaming.EventStream.streamStaticJoinParity _),
+    // SCD Type-2 history build: generations -> validity ranges via lead
+    "q116_scd2_history"       -> (graft.analytics.Advanced.scd2History _),
+    // Markov transition counts+probabilities over per-user event sequences
+    "q117_transition_matrix"  -> (graft.analytics.Advanced.transitionMatrix _),
+    // gaps-and-islands: consecutive-month activity streaks per customer
+    "q118_activity_streaks"   -> (graft.analytics.Advanced.activityStreaks _),
+    // bitwise + boolean aggregate family (BIT_AND/OR/XOR, BOOL_AND/OR)
+    "q119_bit_aggs"           -> (graft.analytics.Advanced.bitAggs _),
+    // deterministic arg-extremes via max_by/min_by on a packed unique key
+    "q120_arg_extremes"       -> (graft.analytics.Advanced.argExtremes _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -876,9 +876,199 @@ object Advanced {
       .orderBy("o_orderkey")
   }
 
+  /** q116: SCD Type-2 dimension history — three generations of the orders
+    * dimension (base, every-10th repriced-status 'U', every-20th closed
+    * 'X') are unioned with a version stamp and collapsed into validity
+    * ranges per key: `valid_from` = the version that introduced the row,
+    * `valid_to` = the next version for that key (NULL = current), the
+    * standard warehouse history build. One union (no scan multiplier —
+    * the generations are filters over the same cached scan) + one keyed
+    * window (`lead` over version). At 100 TB the window shuffles on the
+    * dimension key — the history table stays partition-local per key, and
+    * the change generations in production arrive as deltas, so the union
+    * is deltas-only, not full-table. Versions are ints, statuses strings:
+    * every output value is exact, no decimal routing needed. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val gens = o.select(col("o_orderkey"), col("o_orderstatus"),
+        lit(0).as("version"))
+      .unionAll(o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          lit(1).as("version")))
+      .unionAll(o.filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          lit(2).as("version")))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version"))
+    gens
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("version").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0)
+          .cast(IntegerType).as("is_current"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
+  /** q117: event-transition matrix — the Markov first-order transition
+    * counts and probabilities over each user's event sequence (`lead`
+    * within user ordered by (ts, event_id) — event_id breaks timestamp
+    * ties, so the sequence is a total order and the result is shuffle-
+    * independent). The heavy step is ONE shuffle on user_id + an
+    * in-partition sort; the transition matrix itself is |types|² rows —
+    * a partial-aggregated hash agg collapses 100 TB of sequences into a
+    * handful of rows before anything crosses the wire. Probabilities are
+    * quotients of two exact counts: one double division, bit-identical
+    * on both engines. */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val wSrc = Window.partitionBy(col("src"))
+    pairs.groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast(DoubleType) /
+        sum(col("n")).over(wSrc).cast(DoubleType))
+      .orderBy("src", "dst")
+  }
+
+  /** q118: gaps-and-islands activity streaks — per customer, the runs of
+    * CONSECUTIVE active months (month index − row_number is constant
+    * within a run: the classic islands trick, purely windowed, no
+    * self-join). Two keyed windows and two hash aggs, all partitioned by
+    * customer — at 100 TB every step after the first shuffle is
+    * partition-local, and the month-grain distinct collapses the fact
+    * table to |customer|×|months| rows immediately. All-integer output:
+    * bit-exact with no routing. */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val months = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("m"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    months
+      .withColumn("grp", col("m") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("len")).as("n_months"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy("o_custkey")
+  }
+
+  /** q119: bitwise + boolean aggregate family — BIT_AND/BIT_OR/BIT_XOR
+    * over the part keys and BOOL_AND/BOOL_OR predicates per return flag.
+    * All five are commutative/associative single-pass aggregates with
+    * map-side partial aggregation (XOR of a multiset is order-independent
+    * by construction), so the 100 TB plan is one scan + one
+    * |groups|-row exchange. Booleans are cast to INT on both engines so
+    * the dtype survives the cross-engine compare. */
+  def bitAggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(bit_and(col("l_partkey")).as("pk_and"),
+        bit_or(col("l_partkey")).as("pk_or"),
+        bit_xor(col("l_partkey")).as("pk_xor"),
+        bool_and(col("l_quantity") > 0).cast(IntegerType).as("all_pos_qty"),
+        bool_or(col("l_discount") > lit(0.05)).cast(IntegerType)
+          .as("any_deep_discount"))
+      .orderBy("l_returnflag")
+
+  /** q120: ARG_MAX/ARG_MIN — the customer carrying each nation's highest
+    * and lowest account balance via `max_by`/`min_by` (DuckDB
+    * `arg_max`/`arg_min`). Ties are broken DETERMINISTICALLY by packing
+    * the ordering value as exact cents × 100000 + custkey — unique, and
+    * monotone in (balance, custkey) — because both engines' arg-extremes
+    * keep an ARBITRARY row on ties (Spark: "non-deterministic on ties",
+    * DuckDB likewise); the packed key removes the tie class entirely.
+    * One scan, one |nations|-row partial-aggregated hash agg — the
+    * arg-extreme of a 100 TB fact column for the cost of a count. */
+  def argExtremes(s: SparkSession, dir: String): DataFrame = {
+    val packed = (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+      .cast(LongType) * 100000L + col("c_custkey")
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        packed.as("pk"))
+      .groupBy(col("c_nationkey"))
+      .agg(max_by(col("c_custkey"), col("pk")).as("richest_cust"),
+        max(col("c_acctbal")).as("max_bal"),
+        min_by(col("c_custkey"), col("pk")).as("poorest_cust"),
+        min(col("c_acctbal")).as("min_bal"))
+      .orderBy("c_nationkey")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q116_scd2_history" ->
+      """WITH gens AS (
+        |  SELECT o_orderkey, o_orderstatus, 0 AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, 1 AS version
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, 2 AS version
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT o_orderkey, o_orderstatus,
+        |  version AS valid_from,
+        |  lead(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+        |    AS valid_to,
+        |  CAST(CASE WHEN lead(version) OVER
+        |      (PARTITION BY o_orderkey ORDER BY version) IS NULL
+        |    THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM gens ORDER BY o_orderkey, valid_from""".stripMargin,
+    "q117_transition_matrix" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |counts AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM pairs
+        |  WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE)
+        |    AS p
+        |FROM counts ORDER BY src, dst""".stripMargin,
+    "q118_activity_streaks" ->
+      """WITH months AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+        |  FROM orders),
+        |grps AS (
+        |  SELECT o_custkey,
+        |    m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+        |  FROM months),
+        |streaks AS (
+        |  SELECT o_custkey, grp, COUNT(*) AS len
+        |  FROM grps GROUP BY o_custkey, grp)
+        |SELECT o_custkey, CAST(SUM(len) AS BIGINT) AS n_months,
+        |  COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+        |FROM streaks GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q119_bit_aggs" ->
+      """SELECT l_returnflag,
+        |  BIT_AND(l_partkey) AS pk_and,
+        |  BIT_OR(l_partkey) AS pk_or,
+        |  BIT_XOR(l_partkey) AS pk_xor,
+        |  CAST(BOOL_AND(l_quantity > 0) AS INTEGER) AS all_pos_qty,
+        |  CAST(BOOL_OR(l_discount > 0.05) AS INTEGER) AS any_deep_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q120_arg_extremes" ->
+      // packed ordering value = exact cents × 100000 + custkey: unique and
+      // monotone in (balance, custkey), so arg-extreme ties cannot occur
+      """WITH c AS (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * 100000
+        |      + c_custkey AS pk
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |  arg_max(c_custkey, pk) AS richest_cust, MAX(c_acctbal) AS max_bal,
+        |  arg_min(c_custkey, pk) AS poorest_cust, MIN(c_acctbal) AS min_bal
+        |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q112_grouped_corr" ->
       // same moment-sum → double → IEEE finish shape as the Spark side;
       // decimal sums are exact so accumulation order cannot perturb them

@@ -438,12 +438,60 @@ object EventStream {
     }
   }
 
+  /** q115 — stream-STATIC enrichment parity (fifth streaming surface:
+    * q85 = aggregation, q107 = merge, q109 = stream-stream join, q111 =
+    * keyed dedup, this = the dimension-enrichment join every production
+    * pipeline runs first): the staged events stream is joined per
+    * micro-batch against the STATIC customer dimension — `broadcast()`d,
+    * so each micro-batch plans a BroadcastHashJoin with ZERO shuffle and
+    * ZERO streaming state (stream-static inner joins are stateless by
+    * definition: rows emit in their arrival batch, nothing is retained).
+    * The enriched rows are checkpoint-sinked, read back, and aggregated
+    * per nation batch-side; the oracle is the same join+aggregate in
+    * DuckDB over the original tables. At 100 TB this is the canonical
+    * fact-stream × dim-table shape: the dim re-broadcasts per batch (and
+    * can be refreshed between batches), the fact side never shuffles. */
+  def streamStaticJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q115")
+    var q: StreamingQuery = null
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(in.toString)
+      val dim = broadcast(graft.sources.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      val enriched = fileSource(s, in.toString)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_nationkey"),
+          col("event_type"), col("value"))
+      q = toParquet(enriched, tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q115 stream-static join did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("sum_value"))
+        .orderBy("nation")
+        .localCheckpoint()
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q85's oracle is q21's (the streaming path must reproduce the batch
     * aggregation exactly); q107's is q88's (the streaming merge must
     * reproduce the batch MERGE exactly); q109's is the batch interval
     * join (the streaming join must reproduce it exactly); q111's is
     * q85's again (dedup of injected re-deliveries must restore the
-    * original corpus exactly). */
+    * original corpus exactly); q115's is the batch dim-enrichment
+    * join+aggregate (the per-micro-batch broadcast join must reproduce
+    * it exactly). */
   val oracleSql: Map[String, String] = Map(
     "q85_stream_parity" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
@@ -473,7 +521,13 @@ object EventStream {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q115_stream_static_join" ->
+      """SELECT c.c_nationkey AS nation, COUNT(*) AS n,
+        |  COUNT(DISTINCT e.user_id) AS users,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin)
 
   /** UPSERT sink — streaming twin of `Advanced.upsertSnapshot`: each
     * micro-batch is merged into a keyed parquet snapshot with

@@ -179,4 +179,80 @@ class AdvancedSpec extends SparkSpec {
       assert(perMonth.nonEmpty && perMonth.forall(_.getDouble(1) === 1.0))
     } finally df.unpersist()
   }
+
+  test("scd2History: one current row per key, contiguous validity ranges") {
+    val df = Advanced.scd2History(spark, sfDir).cache()
+    try {
+      val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+      // exactly one open (is_current=1, valid_to NULL) version per key
+      val cur = df.filter(col("is_current") === 1)
+      assert(cur.count() === orders.count())
+      assert(cur.filter(col("valid_to").isNotNull).count() === 0)
+      // ranges are contiguous: every closed row's valid_to is the next
+      // row's valid_from (lead over the same ordering reproduces it)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderkey").orderBy("valid_from")
+      val broken = df.withColumn("nxt", lead(col("valid_from"), 1).over(w))
+        .filter(col("valid_to").isNotNull && col("valid_to") =!= col("nxt"))
+      assert(broken.count() === 0)
+      // keys with three generations: %20 keys carry versions 0,1,2
+      val v20 = df.filter(col("o_orderkey") % 20 === 0)
+        .groupBy("o_orderkey").count()
+      assert(v20.filter(col("count") =!= 3).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("transitionMatrix: per-source probabilities sum to 1; counts cover n-|users|") {
+    val df = Advanced.transitionMatrix(spark, sfDir).cache()
+    try {
+      val sums = df.groupBy("src").agg(sum("p").as("sp")).collect()
+      assert(sums.nonEmpty &&
+        sums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+      // every event except each user's last contributes one transition
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      val expected = ev.count() -
+        ev.select("user_id").distinct().count()
+      assert(df.agg(sum("n")).head.getLong(0) === expected)
+    } finally df.unpersist()
+  }
+
+  test("activityStreaks: months add up, max streak bounded by month span") {
+    val df = Advanced.activityStreaks(spark, sfDir).cache()
+    try {
+      val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+      val distinctMonths = orders.select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+        .distinct().count()
+      assert(df.agg(sum("n_months")).head.getLong(0) === distinctMonths)
+      assert(df.filter(col("max_streak") > col("n_months") ||
+        col("n_streaks") > col("n_months")).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("bitAggs: AND <= OR masks, bool aggs match filter counts") {
+    val rows = Advanced.bitAggs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pAnd, pOr) = (r.getAs[Long]("pk_and"), r.getAs[Long]("pk_or"))
+      // every bit set in the AND must be set in the OR
+      assert((pAnd & pOr) === pAnd)
+      assert(r.getAs[Int]("all_pos_qty") === 1) // quantities are positive
+    }
+  }
+
+  test("argExtremes: packed-key tie-break picks the max-custkey row on balance ties") {
+    // two rows tie on balance in nation 0; custkey must break the tie
+    // identically to the oracle's arg_max: highest custkey wins for max,
+    // LOWEST custkey wins for min (packed key is monotone in both)
+    import spark.implicits._
+    val two = Seq((0, 10L, 55.55), (0, 99L, 55.55), (0, 7L, 1.0))
+      .toDF("c_nationkey", "c_custkey", "c_acctbal")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-argmax")
+    try {
+      two.write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+      val r = Advanced.argExtremes(spark, tmp.toString).collect().head
+      assert(r.getAs[Long]("richest_cust") === 99L)
+      assert(r.getAs[Long]("poorest_cust") === 7L)
+    } finally graft.sources.Tables.rmTree(tmp)
+  }
 }
