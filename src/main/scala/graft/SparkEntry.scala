@@ -232,6 +232,12 @@ object SparkEntry {
     "q119_bit_aggs"           -> (graft.analytics.Advanced.bitAggs _),
     // deterministic arg-extremes via max_by/min_by on a packed unique key
     "q120_arg_extremes"       -> (graft.analytics.Advanced.argExtremes _),
+    // rolling exact median over a ROWS frame, integer-cents determinism
+    "q121_rolling_median"     -> (graft.analytics.Advanced.rollingMedian _),
+    // correlated EXISTS/NOT EXISTS + scalar subquery, one portable string
+    "q122_exists_churn"       -> (graft.sql.Catalog.existsChurn _),
+    // extended calendar family: last_day/add_months/quarter/ISO week
+    "q123_date_funcs"         -> (graft.analytics.Advanced.dateFuncs _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -416,7 +422,8 @@ object SparkEntry {
     graft.ml.GiniStump.oracleSql ++
     graft.ml.Knn.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
-      "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText) ++ {
+      "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText,
+      "q122_exists_churn" -> graft.sql.Catalog.ExistsChurnSqlText) ++ {
       // q102–q104 oracle = the direct aggregate over the ORIGINAL parquet:
       // hash-equality proves each non-parquet sink+source round-trip lossless
       val rtOracle =

@@ -1001,6 +1001,51 @@ object Advanced {
       .orderBy("c_nationkey")
   }
 
+  /** q121: rolling exact median — each customer's trailing-5-order median
+    * spend, `percentile` evaluated over a ROWS window frame (the rolling
+    * robust statistic dashboards put next to the rolling mean). Price is
+    * converted to exact integer cents FIRST: a 5-int median is either an
+    * exact int (odd frames) or an exact .5 midpoint (the short leading
+    * frames) — both engines' interpolation formulas land on the identical
+    * double, where interpolating raw 2-decimal doubles would differ in
+    * the last ulp (lo+(hi−lo)·f vs (lo+hi)/2). Ordering is
+    * (o_orderdate, o_orderkey) — orderkey is unique, so frames are
+    * deterministic. One shuffle on the customer, tiny in-partition sorts;
+    * parallelism = |customers|, which is exactly how a 100 TB per-entity
+    * rolling stat wants to distribute. */
+  def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .withColumn("med5", percentile(col("cents"), lit(0.5)).over(w) / 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("med5"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q123: extended calendar-function family — end-of-month, add-months
+    * (with both engines' end-of-month clamping), quarter boundaries,
+    * day-of-year, ISO week, and day deltas against a fixed epoch. All
+    * pure row-level projections: codegen'd, zero shuffle beyond the
+    * output sort, and the scan prunes to two columns. Day deltas stay in
+    * integer days (DuckDB DATE−DATE is BIGINT; Spark datediff casts to
+    * LONG) — no timestamp arithmetic reaches a double anywhere. */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        last_day(col("o_orderdate")).as("eom"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        date_trunc("quarter", col("o_orderdate")).as("qstart"),
+        quarter(col("o_orderdate")).cast(IntegerType).as("qtr"),
+        dayofyear(col("o_orderdate")).cast(IntegerType).as("doy"),
+        weekofyear(col("o_orderdate")).cast(IntegerType).as("isoweek"),
+        datediff(col("o_orderdate"), lit("1995-01-01"))
+          .cast(LongType).as("days_since"))
+      .orderBy("o_orderkey")
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
@@ -1057,6 +1102,26 @@ object Advanced {
         |  CAST(BOOL_AND(l_quantity > 0) AS INTEGER) AS all_pos_qty,
         |  CAST(BOOL_OR(l_discount > 0.05) AS INTEGER) AS any_deep_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q121_rolling_median" ->
+      // exact integer cents make every frame median (int or .5 midpoint)
+      // identically representable; quantile_cont == Spark percentile there
+      """SELECT o_custkey, o_orderkey,
+        |  quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT), 0.5) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100 AS med5
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q123_date_funcs" ->
+      """SELECT o_orderkey,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |    AS plus3m,
+        |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qstart,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS isoweek,
+        |  CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q120_arg_extremes" ->
       // packed ordering value = exact cents × 100000 + custkey: unique and
       // monotone in (balance, custkey), so arg-extreme ties cannot occur

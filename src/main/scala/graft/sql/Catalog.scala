@@ -74,4 +74,33 @@ object Catalog {
     registerTestdata(spark, sfDir)
     spark.sql(LateralTopSqlText)
   }
+
+  /** q122: correlated EXISTS / NOT EXISTS — churn-shaped cohort: customers
+    * active in 1995 with no orders in 1996, plus their 1995 order count
+    * via a correlated scalar subquery. One dialect-portable string, two
+    * engines (the q79/q101 pattern extended to the quantified-subquery
+    * surface). Catalyst rewrites EXISTS → left-semi and NOT EXISTS →
+    * left-anti hash joins on o_custkey, and the scalar count to an
+    * aggregated left join — all shuffle-partitioned equi-joins, never a
+    * per-row probe, so the "subquery per customer" a SQL user writes
+    * runs as three hash joins at 100 TB. */
+  val ExistsChurnSqlText: String =
+    """SELECT c_custkey, c_nationkey,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey
+      |     AND year(o.o_orderdate) = 1995) AS n_1995
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND year(o.o_orderdate) = 1995)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND year(o.o_orderdate) = 1996)
+      |ORDER BY c_custkey""".stripMargin
+
+  def existsChurn(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    registerTestdata(spark, sfDir)
+    spark.sql(ExistsChurnSqlText)
+  }
 }

@@ -240,6 +240,67 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("rollingMedian: frame medians bounded by trailing extremes; singleton frame = own price") {
+    val df = Advanced.rollingMedian(spark, sfDir).cache()
+    try {
+      val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey").rowsBetween(-4, 0)
+      val joined = df.join(orders, Seq("o_custkey", "o_orderkey"))
+        .withColumn("lo", min("o_totalprice").over(w))
+        .withColumn("hi", max("o_totalprice").over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+      // median stays inside the frame envelope (cents rounding < 0.01)
+      assert(joined.filter(col("med5") < col("lo") - 0.01 ||
+        col("med5") > col("hi") + 0.01).count() === 0)
+      // a frame of one IS its row: med5 == o_totalprice exactly (both are
+      // the same 2-decimal value routed through exact cents)
+      assert(joined.filter(col("rn") === 1 &&
+        abs(col("med5") - col("o_totalprice")) > 1e-9).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("existsChurn: every kept customer has 1995 orders, none has 1996; plan is join-based") {
+    val df = graft.sql.Catalog.existsChurn(spark, sfDir).cache()
+    try {
+      val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+      val y95 = orders.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey")).distinct()
+      val y96 = orders.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey")).distinct()
+      assert(df.join(y95, df("c_custkey") === y95("o_custkey"), "left_anti")
+        .count() === 0)
+      assert(df.join(y96, df("c_custkey") === y96("o_custkey"), "left_semi")
+        .count() === 0)
+      assert(df.filter(col("n_1995") <= 0).count() === 0)
+      // the quantified subqueries must decorrelate to hash joins — a
+      // nested-loop or cartesian fallback would be a per-row probe at scale
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "EXISTS subquery fell back to a cartesian product")
+    } finally df.unpersist()
+  }
+
+  test("dateFuncs: calendar invariants hold on every row") {
+    val df = Advanced.dateFuncs(spark, sfDir).cache()
+    try {
+      assert(df.filter(col("doy") < 1 || col("doy") > 366).count() === 0)
+      assert(df.filter(col("qtr") < 1 || col("qtr") > 4).count() === 0)
+      assert(df.filter(col("isoweek") < 1 || col("isoweek") > 53).count() === 0)
+      assert(df.filter(col("days_since") < 0).count() === 0)
+      // add_months lands exactly one quarter after the quarter start
+      assert(df.filter(months_between(col("plus3m"), col("eom")) > 3)
+        .count() === 0)
+      // eom is the last day of its own month: next day is month start
+      assert(df.filter(dayofmonth(date_add(col("eom"), 1)) =!= 1)
+        .count() === 0)
+    } finally df.unpersist()
+  }
+
   test("argExtremes: packed-key tie-break picks the max-custkey row on balance ties") {
     // two rows tie on balance in nation 0; custkey must break the tie
     // identically to the oracle's arg_max: highest custkey wins for max,
