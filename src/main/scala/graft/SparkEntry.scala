@@ -238,6 +238,10 @@ object SparkEntry {
     "q122_exists_churn"       -> (graft.sql.Catalog.existsChurn _),
     // extended calendar family: last_day/add_months/quarter/ISO week
     "q123_date_funcs"         -> (graft.analytics.Advanced.dateFuncs _),
+    // ordered string_agg via collect_list -> array_sort -> array_join
+    "q124_string_agg"         -> (graft.analytics.Advanced.stringAgg _),
+    // exactly-reproducible stratified downsample (rank mod k per stratum)
+    "q125_stratified_take"    -> (graft.analytics.Advanced.stratifiedTake _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

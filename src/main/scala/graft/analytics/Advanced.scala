@@ -1046,6 +1046,42 @@ object Advanced {
           .cast(LongType).as("days_since"))
       .orderBy("o_orderkey")
 
+  /** q124: ordered string aggregation — each nation's supplier roster as
+    * one deterministic comma-joined string. Spark has no ordered
+    * `string_agg`, so the portable form is collect_list → array_sort →
+    * array_join, which equals DuckDB's `string_agg(... ORDER BY ...)`
+    * exactly because the explicit sort removes accumulation-order
+    * dependence (collect_list alone is shuffle-ordered — never hashable).
+    * Rosters are per-group bounded (|suppliers per nation|), so the
+    * collected array is a bounded in-memory object per group — the same
+    * contract DuckDB's string_agg has. One |nations|-row output. */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("roster"))
+      .orderBy("s_nationkey")
+
+  /** q125: deterministic stratified take — every 10th event per stratum by
+    * event_id rank (row_number over the unique id within event_type, keep
+    * rank ≡ 1 mod 10): an exactly-reproducible 10% stratified downsample,
+    * the form a training-data pipeline uses when samples must be
+    * RE-DERIVABLE (lineage audits, incremental rebuilds) rather than
+    * pseudo-random (Bernoulli sampling is seeded per-engine and can never
+    * cross-check). One shuffle on the stratum key, in-partition sort on
+    * the unique id, O(kept) output. At 100 TB the stratum partitions are
+    * the parallelism unit and the modulus sets the rate exactly. */
+  def stratifiedTake(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter((col("rn") % 10) === 1)
+      .select(col("event_id"), col("event_type"), col("rn"))
+      .orderBy("event_type", "rn")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
@@ -1102,6 +1138,18 @@ object Advanced {
         |  CAST(BOOL_AND(l_quantity > 0) AS INTEGER) AS all_pos_qty,
         |  CAST(BOOL_OR(l_discount > 0.05) AS INTEGER) AS any_deep_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q124_string_agg" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS roster
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q125_stratified_take" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+        |      AS rn
+        |  FROM events)
+        |SELECT event_id, event_type, rn FROM r
+        |WHERE rn % 10 = 1 ORDER BY event_type, rn""".stripMargin,
     "q121_rolling_median" ->
       // exact integer cents make every frame median (int or .5 midpoint)
       // identically representable; quantile_cont == Spark percentile there

@@ -301,6 +301,41 @@ class AdvancedSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("stringAgg: roster is sorted, complete, and shuffle-order independent") {
+    val rows = Advanced.stringAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val roster = r.getAs[String]("roster").split(",").toSeq
+      assert(roster.length === r.getAs[Long]("n_suppliers"))
+      assert(roster === roster.sorted)
+    }
+    // repartitioned input must yield the identical strings
+    val again = Advanced.stringAgg(spark, sfDir)
+    val perturbed = graft.sources.Tables.load(spark, sfDir, "supplier")
+      .repartition(7)
+      .groupBy(col("s_nationkey"))
+      .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("roster"))
+    assert(again.select("s_nationkey", "roster")
+      .except(perturbed.select("s_nationkey", "roster")).count() === 0)
+  }
+
+  test("stratifiedTake: exact 1-in-10 per stratum, reproducible") {
+    val df = Advanced.stratifiedTake(spark, sfDir).cache()
+    try {
+      val perType = graft.sources.Tables.load(spark, sfDir, "events")
+        .groupBy("event_type").count()
+      val kept = df.groupBy("event_type").count()
+        .withColumnRenamed("count", "k")
+      val joined = perType.join(kept, "event_type")
+      // ceil(n/10) rows kept per stratum — rank 1, 11, 21, ...
+      assert(joined.filter(col("k") =!= ceil(col("count") / 10.0)).count() === 0)
+      // re-derivation yields the identical id set
+      assert(df.select("event_id")
+        .except(Advanced.stratifiedTake(spark, sfDir).select("event_id"))
+        .count() === 0)
+    } finally df.unpersist()
+  }
+
   test("argExtremes: packed-key tie-break picks the max-custkey row on balance ties") {
     // two rows tie on balance in nation 0; custkey must break the tie
     // identically to the oracle's arg_max: highest custkey wins for max,
