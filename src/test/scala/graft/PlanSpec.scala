@@ -284,4 +284,39 @@ class PlanSpec extends SparkSpec {
       .orderBy("l_returnflag").collect()
     assert(salted.toSeq === direct.toSeq)
   }
+
+  test("q117 transition matrix: one user-key exchange feeds window AND agg") {
+    val plan = planOf(graft.analytics.Advanced.transitionMatrix(spark, sfDir))
+    // the lead() window shuffles on user_id; the (src,dst) count and the
+    // per-src probability window add one low-cardinality exchange each —
+    // never a second full-data shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.length <= 3, plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan) // partial agg
+  }
+
+  test("q121 rolling median: single window exchange, scan pruned to 4 columns") {
+    val plan = planOf(graft.analytics.Advanced.rollingMedian(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_clerk"),
+      readSchema)
+  }
+
+  test("q122 EXISTS/NOT EXISTS decorrelates to semi/anti hash joins") {
+    val df = graft.sql.Catalog.existsChurn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q125 stratified take: rank filter applies before the output sort") {
+    val plan = planOf(graft.analytics.Advanced.stratifiedTake(spark, sfDir))
+    // one stratum exchange for the window; the mod-k filter runs on the
+    // windowed rows (never materializing unfiltered ranks downstream)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("Filter"), plan)
+  }
 }
