@@ -881,24 +881,31 @@ object Advanced {
     * 'X') are unioned with a version stamp and collapsed into validity
     * ranges per key: `valid_from` = the version that introduced the row,
     * `valid_to` = the next version for that key (NULL = current), the
-    * standard warehouse history build. One union (no scan multiplier —
-    * the generations are filters over the same cached scan) + one keyed
-    * window (`lead` over version). At 100 TB the window shuffles on the
-    * dimension key — the history table stays partition-local per key, and
-    * the change generations in production arrive as deltas, so the union
-    * is deltas-only, not full-table. Versions are ints, statuses strings:
-    * every output value is exact, no decimal routing needed. */
+    * standard warehouse history build. The generations are produced by
+    * ONE scan + an inline generator (per row: build the [base, %10, %20]
+    * candidate array, filter by applicability, explode) — a union of
+    * three filtered scans would read the table three times — then one
+    * keyed window (`lead` over version). At 100 TB the window shuffles on
+    * the dimension key — the history table stays partition-local per
+    * key, and the change generations in production arrive as deltas, so
+    * the generator runs over deltas, not the full table. Versions are
+    * ints, statuses strings: every output value is exact, no decimal
+    * routing needed. (The DuckDB oracle keeps the textbook UNION ALL
+    * form — different plan, same rows — so the compare also proves the
+    * generator rewrite is semantics-preserving.) */
   def scd2History(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"))
-    val gens = o.select(col("o_orderkey"), col("o_orderstatus"),
-        lit(0).as("version"))
-      .unionAll(o.filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-          lit(1).as("version")))
-      .unionAll(o.filter(col("o_orderkey") % 20 === 0)
-        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
-          lit(2).as("version")))
+    val cand = array(
+      struct(col("o_orderstatus").as("s"), lit(0).as("v"),
+        lit(true).as("keep")),
+      struct(lit("U").as("s"), lit(1).as("v"),
+        (col("o_orderkey") % 10 === 0).as("keep")),
+      struct(lit("X").as("s"), lit(2).as("v"),
+        (col("o_orderkey") % 20 === 0).as("keep")))
+    val gens = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        explode(filter(cand, _.getField("keep"))).as("g"))
+      .select(col("o_orderkey"), col("g.s").as("o_orderstatus"),
+        col("g.v").as("version"))
     val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version"))
     gens
       .withColumn("valid_to", lead(col("version"), 1).over(w))
@@ -981,15 +988,19 @@ object Advanced {
   /** q120: ARG_MAX/ARG_MIN — the customer carrying each nation's highest
     * and lowest account balance via `max_by`/`min_by` (DuckDB
     * `arg_max`/`arg_min`). Ties are broken DETERMINISTICALLY by packing
-    * the ordering value as exact cents × 100000 + custkey — unique, and
-    * monotone in (balance, custkey) — because both engines' arg-extremes
+    * the ordering value as exact cents × 10^10 + custkey — unique, and
+    * monotone in (balance, custkey) within the documented domain bound
+    * (see inline note) — because both engines' arg-extremes
     * keep an ARBITRARY row on ties (Spark: "non-deterministic on ties",
     * DuckDB likewise); the packed key removes the tie class entirely.
     * One scan, one |nations|-row partial-aggregated hash agg — the
     * arg-extreme of a 100 TB fact column for the cost of a count. */
   def argExtremes(s: SparkSession, dir: String): DataFrame = {
+    // multiplier 1e10 keeps the key monotone for |cents| < 9.2e8
+    // (balances to ±$9.2M) and custkey < 1e10 — both far beyond any TPC-H
+    // scale factor; outside those domains widen to a struct ordering key
     val packed = (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
-      .cast(LongType) * 100000L + col("c_custkey")
+      .cast(LongType) * 10000000000L + col("c_custkey")
     t(s, dir, "customer")
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
         packed.as("pk"))
@@ -1171,12 +1182,13 @@ object Advanced {
         |  CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS days_since
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q120_arg_extremes" ->
-      // packed ordering value = exact cents × 100000 + custkey: unique and
-      // monotone in (balance, custkey), so arg-extreme ties cannot occur
+      // packed ordering value = exact cents × 1e10 + custkey: unique and
+      // monotone in (balance, custkey) for custkey < 1e10, so arg-extreme
+      // ties cannot occur
       """WITH c AS (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
-        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * 100000
-        |      + c_custkey AS pk
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      * 10000000000 + c_custkey AS pk
         |  FROM customer)
         |SELECT c_nationkey,
         |  arg_max(c_custkey, pk) AS richest_cust, MAX(c_acctbal) AS max_bal,
