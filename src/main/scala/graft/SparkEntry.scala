@@ -242,6 +242,10 @@ object SparkEntry {
     "q124_string_agg"         -> (graft.analytics.Advanced.stringAgg _),
     // exactly-reproducible stratified downsample (rank mod k per stratum)
     "q125_stratified_take"    -> (graft.analytics.Advanced.stratifiedTake _),
+    // SCD2 consumption: point-in-time effective-dated dimension lookup
+    "q126_scd2_lookup"        -> (graft.analytics.Advanced.scd2PointLookup _),
+    // schema evolution: unionByName with null-filled missing columns
+    "q127_union_by_name"      -> (graft.analytics.Advanced.unionByNameEvolution _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

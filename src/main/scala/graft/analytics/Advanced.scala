@@ -1093,6 +1093,59 @@ object Advanced {
       .orderBy("event_type", "rn")
   }
 
+  /** q126: SCD2 point-in-time lookup — the consumption side of q116's
+    * history: each lineitem probes the orders history for the status
+    * EFFECTIVE at its version coordinate (probe v = l_linenumber mod 3;
+    * effective row = valid_from ≤ v < valid_to, open range matches all).
+    * The validity ranges partition [0,∞), so every probe finds exactly
+    * one row — asserted by the count equality in the oracle compare. The
+    * join is an EQUI hash join on the dimension key with the range
+    * predicates as residual filters (per-key history is short, so the
+    * residual scan is O(versions), never a nested loop) — the standard
+    * effective-dated dimension lookup at 100 TB: shuffle on the key or
+    * broadcast the history, both equi-join shaped. Output collapses to
+    * the (status × version) contingency — |statuses|·|versions| rows. */
+  def scd2PointLookup(s: SparkSession, dir: String): DataFrame = {
+    val hist = scd2History(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("valid_from"), col("valid_to"))
+    val probes = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_linenumber") % 3).cast(IntegerType).as("v"),
+        col("l_quantity"))
+    probes.join(hist,
+        probes("l_orderkey") === hist("o_orderkey") &&
+          hist("valid_from") <= probes("v") &&
+          (hist("valid_to").isNull || hist("valid_to") > probes("v")))
+      .groupBy(col("o_orderstatus").as("eff_status"), col("v"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("eff_status", "v")
+  }
+
+  /** q127: schema-evolution union — two frames with DIFFERENT column sets
+    * merged positionally-by-NAME (`unionByName(allowMissingColumns)`;
+    * DuckDB `UNION ALL BY NAME`), the operation every long-lived dataset
+    * needs when v2 adds columns v1 never had (missing columns null-fill).
+    * The union is zero-shuffle (narrow), the summary is one partial-
+    * aggregated pass; COUNT(col) vs COUNT(*) proves the null-fill landed
+    * on exactly the v1 rows. */
+  def unionByNameEvolution(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_totalprice").as("amount"),
+      lit("order").as("src"))
+    val v2 = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("id"),
+      col("l_extendedprice").as("amount"),
+      col("l_discount").as("disc"),
+      lit("line").as("src"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), dsum(col("amount")).as("sum_amount"),
+        count(col("disc")).as("n_disc"))
+      .orderBy("src")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
@@ -1149,6 +1202,39 @@ object Advanced {
         |  CAST(BOOL_AND(l_quantity > 0) AS INTEGER) AS all_pos_qty,
         |  CAST(BOOL_OR(l_discount > 0.05) AS INTEGER) AS any_deep_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q126_scd2_lookup" ->
+      """WITH gens AS (
+        |  SELECT o_orderkey, o_orderstatus, 0 AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 1 FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', 2 FROM orders WHERE o_orderkey % 20 = 0),
+        |hist AS (
+        |  SELECT o_orderkey, o_orderstatus, version AS valid_from,
+        |    lead(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+        |      AS valid_to
+        |  FROM gens),
+        |probes AS (
+        |  SELECT l_orderkey, CAST(l_linenumber % 3 AS INTEGER) AS v,
+        |    l_quantity
+        |  FROM lineitem)
+        |SELECT h.o_orderstatus AS eff_status, p.v, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM probes p JOIN hist h
+        |  ON p.l_orderkey = h.o_orderkey
+        |  AND h.valid_from <= p.v
+        |  AND (h.valid_to IS NULL OR h.valid_to > p.v)
+        |GROUP BY 1, 2 ORDER BY eff_status, v""".stripMargin,
+    "q127_union_by_name" ->
+      """WITH v1 AS (SELECT o_orderkey AS id, o_totalprice AS amount,
+        |    'order' AS src FROM orders),
+        |v2 AS (SELECT l_orderkey AS id, l_extendedprice AS amount,
+        |    l_discount AS disc, 'line' AS src FROM lineitem),
+        |u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+        |SELECT src, COUNT(*) AS n,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount,
+        |  COUNT(disc) AS n_disc
+        |FROM u GROUP BY src ORDER BY src""".stripMargin,
     "q124_string_agg" ->
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  string_agg(s_name, ',' ORDER BY s_name) AS roster

@@ -336,6 +336,26 @@ class AdvancedSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("scd2PointLookup: every lineitem probe matches exactly one history row") {
+    val df = Advanced.scd2PointLookup(spark, sfDir)
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    // ranges partition [0,inf): matched rows == probe rows, no dup/miss
+    assert(df.agg(sum("n")).head.getLong(0) === li.count())
+    // non-%10 orders only ever see the base status; version coords 0..2
+    assert(df.filter(col("v") < 0 || col("v") > 2).count() === 0)
+  }
+
+  test("unionByNameEvolution: null-fill lands on exactly the v1 rows") {
+    val rows = Advanced.unionByNameEvolution(spark, sfDir).collect()
+    val bySrc = rows.map(r => r.getAs[String]("src") -> r).toMap
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders").count()
+    val lines = graft.sources.Tables.load(spark, sfDir, "lineitem").count()
+    assert(bySrc("order").getAs[Long]("n") === orders)
+    assert(bySrc("order").getAs[Long]("n_disc") === 0L) // all null-filled
+    assert(bySrc("line").getAs[Long]("n") === lines)
+    assert(bySrc("line").getAs[Long]("n_disc") === lines)
+  }
+
   test("argExtremes: packed-key tie-break picks the max-custkey row on balance ties") {
     // two rows tie on balance in nation 0; custkey must break the tie
     // identically to the oracle's arg_max: highest custkey wins for max,
