@@ -246,6 +246,10 @@ object SparkEntry {
     "q126_scd2_lookup"        -> (graft.analytics.Advanced.scd2PointLookup _),
     // schema evolution: unionByName with null-filled missing columns
     "q127_union_by_name"      -> (graft.analytics.Advanced.unionByNameEvolution _),
+    // full MERGE contract: update + delete verbs in one keyed window pass
+    "q128_merge_deletes"      -> (graft.analytics.Advanced.mergeWithDeletes _),
+    // publish-gate data-quality audit: uniqueness, orphans, domains
+    "q129_dq_audit"           -> (graft.analytics.Advanced.dqAudit _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

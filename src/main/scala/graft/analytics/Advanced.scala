@@ -1146,6 +1146,61 @@ object Advanced {
       .orderBy("src")
   }
 
+  /** q128: MERGE with updates AND deletes — q88's SCD-1 semantics extended
+    * with the third MERGE verb: every 10th key is repriced (update wins
+    * over base), every 50th carries a delete marker (tombstone wins over
+    * everything and removes the key). One union of base + deltas, one
+    * keyed window taking the highest-precedence row, one tombstone
+    * filter — the full WHEN MATCHED UPDATE / WHEN MATCHED DELETE /
+    * WHEN NOT MATCHED INSERT contract as a single shuffle on the merge
+    * key. In production the base side is the partitioned snapshot and
+    * deltas are small: the window runs per key group, never global. */
+  def mergeWithDeletes(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), lit(0).as("src"))
+    val upd = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"), lit(1).as("src"))
+    val del = o.filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), lit("D").as("o_orderstatus"),
+        col("o_totalprice"), lit(2).as("src"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("src").desc)
+    base.unionAll(upd).unionAll(del)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("o_orderstatus") =!= "D")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q129: data-quality audit — the constraint checks a pipeline gate runs
+    * before publishing a snapshot, as ONE row: key-uniqueness violations,
+    * referential orphans (facts without a parent dimension row), null and
+    * domain violations. Each check is a one-pass aggregate or a LEFT ANTI
+    * join (the scalable no-match probe — never a NOT IN nested loop);
+    * the scalar results cross-join into a single row, so the query ships
+    * |checks| numbers regardless of input size. All counts: bit-exact. */
+  def dqAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val dupKeys = o.groupBy("o_orderkey").count()
+      .filter(col("count") > 1)
+      .agg(count(lit(1)).as("dup_orderkeys"))
+    val orphans = li.join(o.select("o_orderkey"),
+        li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    val domain = li.agg(
+      sum(when(col("l_quantity") <= 0, 1).otherwise(0))
+        .cast(LongType).as("nonpos_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.2, 1)
+        .otherwise(0)).cast(LongType).as("discount_oob"),
+      sum(when(col("l_extendedprice").isNull, 1).otherwise(0))
+        .cast(LongType).as("null_price"))
+    val vol = o.agg(count(lit(1)).as("n_orders"))
+    vol.crossJoin(dupKeys).crossJoin(orphans).crossJoin(domain)
+  }
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
@@ -1202,6 +1257,38 @@ object Advanced {
         |  CAST(BOOL_AND(l_quantity > 0) AS INTEGER) AS all_pos_qty,
         |  CAST(BOOL_OR(l_discount > 0.05) AS INTEGER) AS any_deep_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q128_merge_deletes" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_totalprice * 1.1, 1
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', o_totalprice, 2
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        |      FROM changes)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM r WHERE rn = 1 AND o_orderstatus <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q129_dq_audit" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders) AS n_orders,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT o_orderkey FROM orders
+        |     GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS dup_orderkeys,
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
+        |    AS orphan_lineitems,
+        |  (SELECT CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM lineitem) AS nonpos_qty,
+        |  (SELECT CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.2
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS discount_oob,
+        |  (SELECT CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0
+        |     END) AS BIGINT) FROM lineitem) AS null_price""".stripMargin,
     "q126_scd2_lookup" ->
       """WITH gens AS (
         |  SELECT o_orderkey, o_orderstatus, 0 AS version FROM orders

@@ -356,6 +356,37 @@ class AdvancedSpec extends SparkSpec {
     assert(bySrc("line").getAs[Long]("n_disc") === lines)
   }
 
+  test("mergeWithDeletes: tombstones remove keys, updates win, inserts survive") {
+    val df = Advanced.mergeWithDeletes(spark, sfDir).cache()
+    try {
+      val o = graft.sources.Tables.load(spark, sfDir, "orders")
+      val deleted = o.filter(col("o_orderkey") % 50 === 0).count()
+      assert(df.count() === o.count() - deleted)
+      assert(df.filter(col("o_orderkey") % 50 === 0).count() === 0)
+      assert(df.filter(col("o_orderstatus") === "D").count() === 0)
+      // updated-not-deleted keys carry the update generation
+      val updSurvivors = df.filter(col("o_orderkey") % 10 === 0)
+      assert(updSurvivors.filter(col("o_orderstatus") =!= "U").count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("dqAudit matches independently computed constraint counts") {
+    val r = Advanced.dqAudit(spark, sfDir).collect().head
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    assert(r.getAs[Long]("n_orders") === o.count())
+    assert(r.getAs[Long]("dup_orderkeys") ===
+      o.groupBy("o_orderkey").count().filter(col("count") > 1).count())
+    // independent formulation: orphan keys via set-difference, then the
+    // row count of lineitems carrying one of those keys
+    val orphanKeys = li.select(col("l_orderkey"))
+      .except(o.select(col("o_orderkey").as("l_orderkey")))
+    assert(r.getAs[Long]("orphan_lineitems") ===
+      li.join(orphanKeys, Seq("l_orderkey"), "left_semi").count())
+    assert(r.getAs[Long]("nonpos_qty") ===
+      li.filter(col("l_quantity") <= 0).count())
+  }
+
   test("argExtremes: packed-key tie-break picks the max-custkey row on balance ties") {
     // two rows tie on balance in nation 0; custkey must break the tie
     // identically to the oracle's arg_max: highest custkey wins for max,
