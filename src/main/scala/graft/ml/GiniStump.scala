@@ -100,19 +100,23 @@ object GiniStump {
                                 labels: DataFrame): DataFrame = {
     val longDf = toLong(wide)
     // bin assignment: smallest threshold >= val, via a broadcast
-    // per-feature sorted-candidate ARRAY and a codegen'd
-    // array_min(filter(...)) lookup — a NARROW map. (The join-the-
-    // threshold-table alternative expands every row × matching
-    // candidates and needs an id-cardinality re-aggregation to take the
-    // min — an O(rows × bins) intermediate plus a full-data shuffle that
-    // this shape simply doesn't have; the first exchange below is the
-    // grid-sized cnt aggregation.) Rows above every threshold fall to
-    // the right of all candidates and drop out (null bin) by design.
+    // per-feature sorted-candidate ARRAY and the codegen'd binary-search
+    // [[graft.functions.LowerBound]] — a NARROW map that stays inside
+    // whole-stage codegen. (Two rejected shapes: joining the threshold
+    // table expands every row × matching candidates and re-aggregates at
+    // id cardinality — an O(rows × bins) intermediate plus a full-data
+    // shuffle; array_min(filter(...)) is a higher-order function, which
+    // is CodegenFallback — it dropped this projection to interpreted
+    // eval and measurably ~2×'d q80/q108. The first exchange below is
+    // the grid-sized cnt aggregation either way.) Rows above every
+    // threshold fall to the right of all candidates and drop out (null
+    // bin) by design — LowerBound returns null exactly there.
     val thrArr = thr.groupBy("feat")
       .agg(sort_array(collect_list("t")).as("ts"))
     val binned = longDf
       .join(broadcast(thrArr), "feat")
-      .withColumn("t", array_min(filter(col("ts"), x => x >= col("val"))))
+      .withColumn("t",
+        graft.functions.VectorExprs.lowerBound(col("ts"), col("val")))
       .filter(col("t").isNotNull)
     // post-aggregation frames are bounded by the candidate grid (≤ nodes ×
     // features × MaxBins × classes rows) at ANY data scale, but Catalyst

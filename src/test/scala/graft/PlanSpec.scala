@@ -127,12 +127,14 @@ class PlanSpec extends SparkSpec {
     // product or a shuffle join keyed on data rows)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
-    // bin assignment is the array_min(filter(...)) lookup against the
-    // broadcast per-feature candidate ARRAY — a narrow map. The
-    // join-the-threshold-table shape it replaced expanded rows × matching
-    // candidates and re-aggregated at id cardinality; its signature was a
-    // hash aggregate keyed on the row id. None may reappear.
-    assert(plan.contains("array_min"), plan)
+    // bin assignment is the codegen'd lower_bound binary search against
+    // the broadcast per-feature candidate ARRAY — a narrow map inside
+    // whole-stage codegen. Two shapes may not reappear: the
+    // join-the-threshold-table form (its signature: a hash aggregate
+    // keyed on the row id), and the array_min(filter(...)) HOF form
+    // (CodegenFallback — dropped the projection to interpreted eval).
+    assert(plan.contains("lower_bound"), plan)
+    assert(!plan.contains("array_min"), plan)
     val idKeyedAgg = "(?i)hashaggregate\\(keys=\\[[^\\]]*\\bid\\b".r
     assert(idKeyedAgg.findFirstIn(plan).isEmpty,
       "bin assignment re-aggregates at id cardinality:\n" + plan)

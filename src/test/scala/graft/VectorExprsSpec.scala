@@ -37,4 +37,51 @@ class VectorExprsSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("dot_product") && l.trim.startsWith("*(")), plan.take(500))
   }
+
+  test("LowerBound matches the HOF form bit-exactly over fixture data") {
+    import graft.functions.VectorExprs.lowerBound
+    // probe every lineitem quantity against a sorted candidate array —
+    // the exact shape GiniStump's bin assignment runs
+    val cands = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .agg(sort_array(collect_set(col("l_quantity"))).as("ts"))
+    val probed = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_quantity") * 0.7).as("v")).crossJoin(cands)
+      .select(
+        lowerBound(col("ts"), col("v")).as("native"),
+        array_min(filter(col("ts"), x => x >= col("v"))).as("hof"))
+    assert(probed.filter(
+      (col("native").isNull =!= col("hof").isNull) ||
+      (col("native").isNotNull && col("native") =!= col("hof")))
+      .count() === 0)
+    assert(probed.count() > 0)
+  }
+
+  test("LowerBound edge cases: below-all, above-all, exact hit, null inputs") {
+    import spark.implicits._
+    import graft.functions.VectorExprs.lowerBound
+    val df = Seq(
+      (Some(Seq(1.0, 3.0, 5.0)), Some(0.5)),  // below all -> first
+      (Some(Seq(1.0, 3.0, 5.0)), Some(3.0)),  // exact hit -> itself
+      (Some(Seq(1.0, 3.0, 5.0)), Some(5.5)),  // above all -> null
+      (Some(Seq(1.0, 3.0, 5.0)), None),       // null probe -> null
+      (None, Some(1.0))                        // null array -> null
+    ).toDF("ts", "v")
+    val out = df.select(lowerBound(col("ts"), col("v"))).collect()
+    assert(out(0).getDouble(0) === 1.0)
+    assert(out(1).getDouble(0) === 3.0)
+    assert(out(2).isNullAt(0))
+    assert(out(3).isNullAt(0))
+    assert(out(4).isNullAt(0))
+  }
+
+  test("LowerBound participates in whole-stage codegen") {
+    import graft.functions.VectorExprs.lowerBound
+    // parquet-backed input so the projection can't constant-fold away
+    val df = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select(lowerBound(array(lit(10.0), lit(25.0), lit(40.0)),
+        col("l_quantity")).as("lb"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("lower_bound") && l.trim.startsWith("*(")), plan.take(500))
+  }
 }
