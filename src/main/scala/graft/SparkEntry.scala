@@ -250,6 +250,9 @@ object SparkEntry {
     "q128_merge_deletes"      -> (graft.analytics.Advanced.mergeWithDeletes _),
     // publish-gate data-quality audit: uniqueness, orphans, domains
     "q129_dq_audit"           -> (graft.analytics.Advanced.dqAudit _),
+    // sixth streaming surface: flatMapGroupsWithState sessionization,
+    // every closed session hash-equal to the batch gaps-and-islands build
+    "q130_sessionize_parity"  -> (graft.streaming.EventStream.sessionizeParity _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -68,7 +68,22 @@ object EventStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
-  final case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  /** `start`/`lastTs` are epoch MICROseconds (`Timestamp.getTime` is
+    * millis — a µs-precision event stream would silently truncate).
+    * `sumScaled` accumulates value in fixed-point 1e-4 units (the
+    * DECIMAL(18,4) convention `Relational.dsum` uses batch-side): integer
+    * addition is exact and order-independent, so the per-session sum is
+    * identical no matter how events split across micro-batches — and
+    * bit-identical to a batch/oracle DECIMAL(18,4) sum of the same rows.
+    * A raw Double accumulator would drift with batch boundaries. */
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumScaled: Long)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      math.floorDiv(us, 1000000L), math.floorMod(us, 1000000L) * 1000L))
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                                session_end: java.sql.Timestamp, n_events: Long,
                                sum_value: Double)
@@ -100,26 +115,31 @@ object EventStream {
         OutputMode.Append(), timeoutConf) {
         case (userId, evs, state: GroupState[SessionState]) =>
           def emit(st: SessionState) =
-            UserSession(userId, new java.sql.Timestamp(st.start),
-              new java.sql.Timestamp(st.lastTs), st.nEvents, st.sumValue)
+            UserSession(userId, microsTs(st.start), microsTs(st.lastTs),
+              st.nEvents,
+              // ONE correctly-rounded conversion at emission — the same
+              // scaled-int → double step DECIMAL(18,4)→DOUBLE takes
+              st.sumScaled / 1e4)
           if (state.hasTimedOut) {
             // idle user: flush the open session and drop the state
             val closed = state.getOption.map(emit)
             state.remove()
             closed.iterator
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             var cur = state.getOption.orNull
             val out = scala.collection.mutable.ListBuffer.empty[UserSession]
             sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (cur == null) cur = SessionState(t, t, 0, 0.0)
-              else if (t - cur.lastTs > gapMs) {
+              val t = tsMicros(e.ts)
+              if (cur == null) cur = SessionState(t, t, 0, 0L)
+              else if (t - cur.lastTs > gapMs * 1000L) {
                 out += emit(cur)
-                cur = SessionState(t, t, 0, 0.0)
+                cur = SessionState(t, t, 0, 0L)
               }
+              // rint recovers the exact 4-decimal scaled integer (the
+              // double for e.g. 123.45 scales to 1234499.999…)
               cur = cur.copy(lastTs = t, nEvents = cur.nEvents + 1,
-                sumValue = cur.sumValue + e.value)
+                sumScaled = cur.sumScaled + math.rint(e.value * 1e4).toLong)
             }
             if (cur != null) {
               state.update(cur)
@@ -484,6 +504,60 @@ object EventStream {
     }
   }
 
+  /** q130 — oracle-checked SESSIONIZATION parity, the sixth and last
+    * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
+    * stream-stream join, q111 = keyed dedup, q115 = stream-static join,
+    * this = custom flatMapGroupsWithState): [[sessionize]] run
+    * AvailableNow over the staged events copy with NoTimeout, emitting
+    * every CLOSED session — a session closes when a later same-user event
+    * exceeds the 2 h gap, which is a pure function of the data, so the
+    * emitted set is deterministic. The one non-deterministic piece of the
+    * live operator — WHEN the processing-time idle timeout flushes each
+    * user's trailing open session — is exactly the piece excluded on both
+    * sides: the oracle is q50's batch gaps-and-islands session build
+    * minus each user's last session. Per-session sums are exact by the
+    * [[SessionState]] fixed-point accumulator, so they hash-match the
+    * oracle's DECIMAL(18,4) sums.
+    *
+    * The stateful shuffle is sized to the fixture like q109/q111 (state
+    * store per shuffle partition; production sizes the same conf to
+    * concurrent-user cardinality). On a live deployment: swap the file
+    * source for [[kafkaSource]] and pass an `idleTimeout` — trailing
+    * sessions then flush on idle instead of staying in state. */
+  def sessionizeParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q130")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      // ONE staged file → ONE micro-batch: every user's full event
+      // sequence reaches the group function together, so sessions close
+      // in-batch and no cross-batch mtime-ordering hazard exists
+      graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(in.toString)
+      val ds = fileSource(s, in.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val sessions = sessionize(ds, gapMs = 7200000L, idleTimeout = None)
+      q = toParquet(sessions.toDF(), tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q130 sessionize stream did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .orderBy("user_id", "session_start")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q85's oracle is q21's (the streaming path must reproduce the batch
     * aggregation exactly); q107's is q88's (the streaming merge must
     * reproduce the batch MERGE exactly); q109's is the batch interval
@@ -491,7 +565,9 @@ object EventStream {
     * q85's again (dedup of injected re-deliveries must restore the
     * original corpus exactly); q115's is the batch dim-enrichment
     * join+aggregate (the per-micro-batch broadcast join must reproduce
-    * it exactly). */
+    * it exactly); q130's is q50's batch sessionization minus each
+    * user's trailing (open) session (the streaming sessionizer must
+    * reproduce every closed session exactly). */
   val oracleSql: Map[String, String] = Map(
     "q85_stream_parity" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
@@ -527,7 +603,34 @@ object EventStream {
         |  COUNT(DISTINCT e.user_id) AS users,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1 ORDER BY nation""".stripMargin)
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "q130_sessionize_parity" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 7200000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+        |      AS session_idx
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, session_idx,
+        |    CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |    CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM agg
+        |WHERE session_idx < (SELECT max(a2.session_idx) FROM agg a2
+        |                     WHERE a2.user_id = agg.user_id)
+        |ORDER BY user_id, session_start""".stripMargin)
 
   /** UPSERT sink — streaming twin of `Advanced.upsertSnapshot`: each
     * micro-batch is merged into a keyed parquet snapshot with
