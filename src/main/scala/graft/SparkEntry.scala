@@ -453,16 +453,21 @@ object SparkEntry {
       // q105/q106 oracle = the same filtered aggregate over the ORIGINAL
       // flat parquet — hash-equality proves each pruned storage layout
       // (Hive partition dirs / range-clustered row groups) lossless
-      def prunedOracle(where: String) =
-        s"""SELECT l_linestatus, COUNT(*) AS n,
+      // q106 has no flag filter, so l_returnflag joins the grouping key —
+      // every projected column participates in the hash either way
+      def prunedOracle(where: String, groupFlag: Boolean = false) = {
+        val keys = if (groupFlag) "l_returnflag, l_linestatus" else "l_linestatus"
+        s"""SELECT $keys, COUNT(*) AS n,
            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
            |FROM lineitem WHERE $where
-           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+           |GROUP BY $keys ORDER BY $keys""".stripMargin
+      }
       Map(
         "q105_partition_pruned" -> prunedOracle("l_returnflag = 'R'"),
-        "q106_clustered_skip"   -> prunedOracle("l_orderkey BETWEEN 1000 AND 5000"),
+        "q106_clustered_skip"   -> prunedOracle("l_orderkey BETWEEN 1000 AND 5000",
+          groupFlag = true),
         "q110_bucketed_join" ->
           """SELECT c_mktsegment, COUNT(*) AS n,
             |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,

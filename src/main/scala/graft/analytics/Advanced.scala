@@ -766,24 +766,30 @@ object Advanced {
     * full scan. */
   def groupedCorr(s: SparkSession, dir: String): DataFrame = {
     // integer domain: quantity is integral, price is exact at 2 decimals →
-    // cents. All six moments are then exact integer sums (Σy² via
-    // DECIMAL(38,0) — it tops 2^63); each converts to double in ONE
-    // correctly-rounded step on both engines. The naive DECIMAL(p,s>0)
-    // route differs cross-engine in the last ulp (DuckDB converts
-    // int128→double then divides by 10^s — two roundings vs Java's one),
-    // and the n·Σxy − Σx·Σy cancellation amplifies that ulp ~10^6×.
+    // cents. All six moments are then exact integer sums; each converts to
+    // double in ONE correctly-rounded step on both engines. The naive
+    // DECIMAL(p,s>0) route differs cross-engine in the last ulp (DuckDB
+    // converts int128→double then divides by 10^s — two roundings vs
+    // Java's one), and the n·Σxy − Σx·Σy cancellation amplifies that ulp
+    // ~10^6×.
     val li = t(s, dir, "lineitem").select(col("l_returnflag"),
       col("l_quantity").cast(LongType).as("x"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast(LongType).as("y"))
     val nd  = col("n").cast(DoubleType)
+    // EVERY product sum runs in DECIMAL(38,0) (= int128, DuckDB's
+    // HUGEINT): per-row x·y tops out near 5e8, so a BIGINT Σxy would
+    // silently wrap past ~1.8e10 rows per group — inside the 100 TB
+    // envelope — while the oracle's HUGEINT wouldn't. Decimal sums make
+    // the exactness claim unconditional at any row count.
+    val x38 = col("x").cast(DecimalType(38, 0))
     val y38 = col("y").cast(DecimalType(38, 0))
     li.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).cast(DoubleType).as("sx"),
         sum(col("y")).cast(DoubleType).as("sy"),
-        sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
-        sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+        sum(x38 * y38).cast(DoubleType).as("sxy"),
+        sum(x38 * x38).cast(DoubleType).as("sxx"),
         sum(y38 * y38).cast(DoubleType).as("syy"))
       .select(col("l_returnflag"), col("n"),
         (nd * col("sxy") - col("sx") * col("sy")).as("cov_n"),
@@ -805,8 +811,9 @@ object Advanced {
 
   /** q114: grouped higher-moment statistics — population skewness and
     * excess kurtosis of quantity and price per return flag, from EXACT
-    * integer-domain power sums (Σx..Σx⁴ in BIGINT; price-cents Σy³/Σy⁴
-    * through DECIMAL(38,0), topping int64 at ~1e28 per row). Same
+    * integer-domain power sums, every power sum routed through
+    * DECIMAL(38,0) (= int128) so no accumulator can wrap at any row
+    * count — Σx alone stays BIGINT (wraps only past ~1.8e17 rows). Same
     * cross-engine determinism recipe as [[groupedCorr]]: exact sums →
     * one correctly-rounded double conversion → an IEEE finish kept
     * textually identical on both sides (central moments via the expanded
@@ -821,14 +828,18 @@ object Advanced {
       col("l_quantity").cast(LongType).as("x"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast(LongType).as("y"))
-    val x   = col("x")
+    // all power sums in DECIMAL(38,0): x⁴ per row is bounded (~6e6 for
+    // quantity ≤ 50) but its BIGINT sum still wraps within ~1e12 rows per
+    // group — the decimal route makes exactness unconditional (same
+    // envelope-closing rationale as groupedCorr's Σxy)
+    val x38 = col("x").cast(DecimalType(38, 0))
     val y38 = col("y").cast(DecimalType(38, 0))
     val agged = li.groupBy("l_returnflag").agg(
       count(lit(1)).as("n"),
-      sum(x).cast(DoubleType).as("sx"),
-      sum(x * x).cast(DoubleType).as("sxx"),
-      sum(x * x * x).cast(DoubleType).as("sx3"),
-      sum(x * x * x * x).cast(DoubleType).as("sx4"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(x38 * x38).cast(DoubleType).as("sxx"),
+      sum(x38 * x38 * x38).cast(DoubleType).as("sx3"),
+      sum(x38 * x38 * x38 * x38).cast(DoubleType).as("sx4"),
       sum(col("y")).cast(DoubleType).as("sy"),
       sum(y38 * y38).cast(DoubleType).as("syy"),
       sum(y38 * y38 * y38).cast(DoubleType).as("sy3"),

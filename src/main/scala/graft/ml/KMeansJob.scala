@@ -160,8 +160,9 @@ object KMeansJob {
     * The sweep input is tiny relative to the cluster → parallel fits.
     *
     * Silhouette is scored on a seeded 25% evaluation sample — the
-    * reference's own scalable pattern (kmeans_clustering.py:97-139 / nb
-    * cell 48 score a 200K sample, not the corpus): silhouette is
+    * reference's own scalable pattern (kmeans_large_scale.py:27-54 caps
+    * the input at SAMPLE_SIZE = 2M via a seeded sample_fraction rather
+    * than touching the corpus): silhouette is
     * O(rows·k) per k and is pure EVALUATION, so sampling it changes cost,
     * not the fitted models or their WSSSE. MlSpec band-asserts the
     * sampled sweep selects the same k as the full-evaluation sweep. */

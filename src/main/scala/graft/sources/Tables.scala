@@ -328,14 +328,20 @@ object Sinks {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val f = flag.map(v => back.filter(col("l_returnflag") === v)).getOrElse(back)
-    f.groupBy("l_linestatus")
+    // the hash contract is "every projected column participates": with a
+    // flag FILTER the flag is covered by selection; without one it must
+    // join the grouping key instead, or a corruption confined to the flag
+    // column would slip through the round-trip compare (round-6 advice)
+    val keys = if (flag.isDefined) Seq("l_linestatus")
+               else Seq("l_returnflag", "l_linestatus")
+    f.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(col("l_orderkey")).as("sum_key"),
         sum(col("l_quantity").cast(DecimalType(18, 4)))
           .cast(DoubleType).as("sum_qty"),
         sum(col("l_extendedprice").cast(DecimalType(18, 4)))
           .cast(DoubleType).as("sum_price"))
-      .orderBy("l_linestatus")
+      .orderBy(keys.map(col): _*)
   }
 
   /** Distributed JSON-lines sink (S4; nb cells 62-64). */
