@@ -253,6 +253,9 @@ object SparkEntry {
     // sixth streaming surface: flatMapGroupsWithState sessionization,
     // every closed session hash-equal to the batch gaps-and-islands build
     "q130_sessionize_parity"  -> (graft.streaming.EventStream.sessionizeParity _),
+    // exact 13-gram benchmark decontamination across source boundaries
+    "q131_ngram_contamination" -> ((s, d) =>
+      graft.dedup.Dedup.ngramContamination(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

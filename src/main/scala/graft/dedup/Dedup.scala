@@ -437,6 +437,56 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** q131 — EXACT n-gram benchmark decontamination, the operator q75's
+    * LSH near-dup pass deliberately is not: eval-suite leakage policy is
+    * usually stated as "any shared 13-gram" (the GPT-3/PaLM convention),
+    * an exact-match predicate with zero false positives, run between a
+    * training corpus and every eval source before release.
+    *
+    * Shape (the one that survives 100 TB): explode each doc's DISTINCT
+    * word 13-grams (map-side, codegen'd — `array_distinct` dedups before
+    * the explode so a repeated phrase inside one doc costs one row),
+    * hash each to a 128-bit key, and reduce to two small frames — the
+    * distinct (gram, source) inventory and the distinct
+    * (doc, source, gram) incidence. One equi-join of incidence against
+    * inventory on the gram hash (source ≠ source) yields contaminated
+    * docs; fan-out per gram is bounded by |sources| carrying it, never
+    * by docs × docs. Per unordered source pair this reports distinct
+    * contaminated docs on each side plus the distinct shared-gram count
+    * — the go/no-go numbers a decontamination gate acts on. Pairs with
+    * zero shared grams are absent on both sides (inner joins). */
+  def ngramContamination(s: SparkSession, dir: String, n: Int = 13): DataFrame = {
+    val grams = Tables.fanOut(
+        docs(s, dir).select("doc_id", "source", "text"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shinglesC(tokensC(col("text")), n))).as("sh"))
+      .select(col("doc_id"), col("source"), md5(col("sh")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // materialize once: inventory + incidence both read this
+    val srcs = grams.select("h", "source").distinct()
+    val hits = grams.as("g")
+      .join(srcs.as("o"),
+        col("g.h") === col("o.h") && col("g.source") =!= col("o.source"))
+      .select(col("g.doc_id").as("doc_id"), col("g.source").as("src_doc"),
+        col("o.source").as("src_other"))
+      .distinct()
+      .withColumn("src_lo", least(col("src_doc"), col("src_other")))
+      .withColumn("src_hi", greatest(col("src_doc"), col("src_other")))
+    val docCounts = hits.groupBy("src_lo", "src_hi")
+      .agg(
+        countDistinct(when(col("src_doc") === col("src_lo"), col("doc_id")))
+          .cast(IntegerType).as("n_docs_lo"),
+        countDistinct(when(col("src_doc") === col("src_hi"), col("doc_id")))
+          .cast(IntegerType).as("n_docs_hi"))
+    val gramCounts = srcs.as("a")
+      .join(srcs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_lo"), col("b.source").as("src_hi"))
+      .agg(countDistinct(col("a.h")).cast(IntegerType).as("n_shared_grams"))
+    docCounts.join(gramCounts, Seq("src_lo", "src_hi"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -569,6 +619,31 @@ object Dedup extends org.apache.spark.internal.Logging {
          |    AS INTEGER) AS n_dropped
          |FROM comp c JOIN documents d ON c.doc_id % 10000000 = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q131_ngram_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, source, ${tokensS("text")} AS t
+         |  FROM documents),
+         |g AS (SELECT DISTINCT doc_id, source, md5(x) AS h
+         |  FROM tok, unnest(${shinglesS("t", 13)}) AS u(x)),
+         |s AS (SELECT DISTINCT h, source FROM g),
+         |hits AS (SELECT DISTINCT gg.doc_id, gg.source AS src_doc,
+         |    ss.source AS src_other
+         |  FROM g gg JOIN s ss
+         |    ON gg.h = ss.h AND gg.source <> ss.source),
+         |dc AS (SELECT least(src_doc, src_other) AS src_lo,
+         |    greatest(src_doc, src_other) AS src_hi,
+         |    CAST(COUNT(DISTINCT CASE WHEN src_doc = least(src_doc, src_other)
+         |      THEN doc_id END) AS INTEGER) AS n_docs_lo,
+         |    CAST(COUNT(DISTINCT CASE WHEN src_doc = greatest(src_doc, src_other)
+         |      THEN doc_id END) AS INTEGER) AS n_docs_hi
+         |  FROM hits GROUP BY 1, 2),
+         |gc AS (SELECT a.source AS src_lo, b.source AS src_hi,
+         |    CAST(COUNT(DISTINCT a.h) AS INTEGER) AS n_shared_grams
+         |  FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT dc.src_lo AS src_lo, dc.src_hi AS src_hi,
+         |  n_docs_lo, n_docs_hi, n_shared_grams
+         |FROM dc JOIN gc ON dc.src_lo = gc.src_lo AND dc.src_hi = gc.src_hi
+         |ORDER BY dc.src_lo, dc.src_hi""".stripMargin,
   )
 
   /** DuckDB CTE chain ending in `s AS (SELECT doc_id, simhash)` — the
