@@ -256,6 +256,8 @@ object SparkEntry {
     // exact 13-gram benchmark decontamination across source boundaries
     "q131_ngram_contamination" -> ((s, d) =>
       graft.dedup.Dedup.ngramContamination(s, d)),
+    // fourth storage lever: bin-packed compaction of a fragmented layout
+    "q132_compaction"         -> (graft.sources.Sinks.compactRoundTrip _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -471,6 +473,8 @@ object SparkEntry {
         "q105_partition_pruned" -> prunedOracle("l_returnflag = 'R'"),
         "q106_clustered_skip"   -> prunedOracle("l_orderkey BETWEEN 1000 AND 5000",
           groupFlag = true),
+        // identity aggregate: the compaction rewrite must be lossless
+        "q132_compaction"       -> prunedOracle("1 = 1", groupFlag = true),
         "q110_bucketed_join" ->
           """SELECT c_mktsegment, COUNT(*) AS n,
             |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,

@@ -146,6 +146,59 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file COMPACTION — the fourth storage lever (q105 = partition
+    * pruning, q106 = range clustering, q110 = bucketing, this = layout
+    * hygiene): bin-pack a fragmented directory into ~`targetBytes` files.
+    * Streaming sinks, per-partition overwrites and high-parallelism jobs
+    * all shed small files; at 100 TB the cost is operational, not
+    * computational — NameNode/object-listing pressure, a scan task per
+    * tiny file, row groups too small for effective stats — and every
+    * table format (Hive, Iceberg, Delta) ships this exact rewrite as its
+    * maintenance job.
+    *
+    * The output file count is COMPUTED from the actual on-disk bytes
+    * (`ceil(bytes / targetBytes)`, floor 1), so the rewrite lands on the
+    * target size regardless of input fragmentation. The rewrite is
+    * `repartitionByRange` + in-file sort on `sortCols` — compaction and
+    * [[parquetClustered]]'s row-group-skipping layout in the same single
+    * shuffle (a plain `coalesce` would be cheaper but forfeits both the
+    * clustering and the even output sizing its lazy partition merge
+    * gives up). Returns the computed file count so callers (and the
+    * SinksCatalogSpec guard) can assert the layout contract. */
+  def compactParquet(s: SparkSession, inDir: String, outDir: String,
+                     sortCols: Seq[String], targetBytes: Long): Int = {
+    require(sortCols.nonEmpty, "compactParquet needs >=1 sort column")
+    require(targetBytes > 0, "compactParquet needs targetBytes > 0")
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(in).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    parquetClustered(s.read.parquet(inDir), outDir, sortCols, numFiles = n)
+    n
+  }
+
+  /** q132: COMPACTION round-trip — write the lineitem projection as a
+    * deliberately fragmented 64-tiny-file layout (what a streaming sink
+    * or over-parallel job leaves behind), compact it with
+    * [[compactParquet]], and aggregate the compacted copy. Oracle = the
+    * same aggregate over the original table: hash-equality proves the
+    * bin-packed rewrite is lossless; SinksCatalogSpec asserts the
+    * file-count contract (computed n, and n ≪ input fragments). */
+  def compactRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q132")
+    try {
+      val src = Tables.load(s, dir, "lineitem").select(PrunedCols.map(col): _*)
+      val frag = tmp.resolve("frag").toString
+      src.repartition(64).write.mode("overwrite").parquet(frag)
+      val out = tmp.resolve("compact").toString
+      compactParquet(s, frag, out, Seq("l_orderkey"), targetBytes = 32L << 20)
+      prunedAgg(s.read.parquet(out), flag = None).localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** The q102–q104 projection: every column participates in the verifying
     * hash. q105/q106 extend it with [[PrunedCols]]' grouping column. */
   private[graft] val RtCols =

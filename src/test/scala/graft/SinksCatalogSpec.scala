@@ -137,6 +137,30 @@ class SinksCatalogSpec extends SparkSpec {
       src.filter(col("l_orderkey").between(1000L, 5000L)).count())
   }
 
+  test("q132 layout contract: compaction bin-packs tiny files to computed count") {
+    // the q132 file-count guard: the rewrite must land on
+    // ceil(bytes/targetBytes) files (floor 1), collapsing the fragmented
+    // layout — and lose nothing
+    val dir = tmp()
+    val src = Tables.load(spark, sfDir, "lineitem")
+      .select(Sinks.PrunedCols.map(col): _*)
+    src.repartition(64).write.mode("overwrite").parquet(s"$dir/frag")
+    def parquetFiles(p: String): Seq[java.io.File] =
+      Option(new java.io.File(p).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    val fragFiles = parquetFiles(s"$dir/frag")
+    assert(fragFiles.size === 64)
+    val fragBytes = fragFiles.map(_.length).sum
+    // target sized to land on >1 file, so the computed-count path (not
+    // just the floor-1 clamp) is what's being asserted
+    val target = math.max(1L, fragBytes / 3)
+    val n = Sinks.compactParquet(spark, s"$dir/frag", s"$dir/out",
+      Seq("l_orderkey"), targetBytes = target)
+    assert(n === ((fragBytes + target - 1) / target).toInt && n > 1)
+    assert(parquetFiles(s"$dir/out").size === n)
+    assert(spark.read.parquet(s"$dir/out").count() === src.count())
+  }
+
   test("dynamic partition overwrite touches only incoming partitions (backfill)") {
     // the standard warehouse backfill: rewrite one partition's data in
     // place without dropping sibling partitions (static overwrite mode
