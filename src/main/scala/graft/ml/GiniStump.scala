@@ -16,12 +16,14 @@ import scala.jdk.CollectionConverters._
   * bit-identical on any partitioning and to the DuckDB oracle.
   *
   * Design mirrors how distributed tree learners actually scale (Spark ML's
-  * own maxBins): candidate thresholds are computed ONCE at the root as
-  * per-feature quantile bin edges (ntile over a deterministic (val, id)
-  * order), then every node evaluates all candidates from ONE pass of
-  * per-(node, feature, bin, class) counts + a cumulative window — cost per
-  * depth level is one scan + one hash agg + one tiny window, independent of
-  * the number of candidates evaluated.
+  * own maxBins + binsToBestSplit): candidate thresholds are computed ONCE
+  * at the root as per-feature quantile bin edges (ntile over a
+  * deterministic (val, id) order), every row×feature is binned ONCE at the
+  * root, and every node then evaluates all candidates from ONE pass of
+  * per-(node, feature, bin, class) counts + a driver-side cumulative
+  * sweep over the collected grid — cost per depth level is one scan + one
+  * grid-bounded hash agg, independent of the number of candidates
+  * evaluated.
   *
   * Determinism audit:
   *  - thresholds are raw float values (exact in DOUBLE on both engines);
@@ -94,75 +96,174 @@ object GiniStump {
         StructField("t", DoubleType, nullable = false))))
   }
 
-  /** Exact best split per node over the shared candidate set:
-    * (node, feat, t, wg). One scan + one hash agg + one ≤|grid| window. */
-  private[graft] def bestSplits(wide: DataFrame, thr: DataFrame,
-                                labels: DataFrame): DataFrame = {
-    val longDf = toLong(wide)
-    // bin assignment: smallest threshold >= val, via a broadcast
-    // per-feature sorted-candidate ARRAY and the codegen'd binary-search
-    // [[graft.functions.LowerBound]] — a NARROW map that stays inside
-    // whole-stage codegen. (Two rejected shapes: joining the threshold
-    // table expands every row × matching candidates and re-aggregates at
-    // id cardinality — an O(rows × bins) intermediate plus a full-data
-    // shuffle; array_min(filter(...)) is a higher-order function, which
-    // is CodegenFallback — it dropped this projection to interpreted
-    // eval and measurably ~2×'d q80/q108. The first exchange below is
-    // the grid-sized cnt aggregation either way.) Rows above every
-    // threshold fall to the right of all candidates and drop out (null
-    // bin) by design — LowerBound returns null exactly there.
+  /** Distributed half of split evaluation: per-(node, feat, t, label)
+    * counts — GRID-BOUNDED output (≤ nodes × features × (MaxBins+1) ×
+    * classes rows) at ANY data scale. Bin assignment is the smallest
+    * threshold ≥ val, via a broadcast per-feature sorted-candidate ARRAY
+    * and the codegen'd binary-search [[graft.functions.LowerBound]] — a
+    * NARROW map that stays inside whole-stage codegen. (Two rejected
+    * shapes: joining the threshold table expands every row × matching
+    * candidates and re-aggregates at id cardinality — an O(rows × bins)
+    * intermediate plus a full-data shuffle; array_min(filter(...)) is a
+    * higher-order function, which is CodegenFallback — it dropped this
+    * projection to interpreted eval and measurably ~2×'d q80/q108.)
+    * Rows above every threshold keep a NULL bin — the null row doubles
+    * as the "right of all candidates" census, so any single feature's
+    * slice of the output carries the per-(node, label) totals and no
+    * separate count pass is needed. One scan, one partial-aggregated
+    * hash shuffle of grid-sized rows, nothing else. */
+  private[graft] def binnedCounts(wide: DataFrame, thr: DataFrame): DataFrame = {
     val thrArr = thr.groupBy("feat")
       .agg(sort_array(collect_list("t")).as("ts"))
-    val binned = longDf
+    toLong(wide)
       .join(broadcast(thrArr), "feat")
       .withColumn("t",
         graft.functions.VectorExprs.lowerBound(col("ts"), col("val")))
-      .filter(col("t").isNotNull)
-    // post-aggregation frames are bounded by the candidate grid (≤ nodes ×
-    // features × MaxBins × classes rows) at ANY data scale, but Catalyst
-    // can't know that from stats — broadcast explicitly so nothing after
-    // the one binned→cnt hash agg ever shuffles or sort-merges
-    val cnt = binned.groupBy("node", "feat", "t", "label")
-      .agg(count(lit(1)).as("c"))
-    // dense (node × threshold × class) grid so the cumulative window sees
-    // every candidate even where a class has no rows at that bin
-    val grid = wide.select("node").distinct()
-      .crossJoin(broadcast(thr)).crossJoin(broadcast(labels))
-      .join(broadcast(cnt), Seq("node", "feat", "t", "label"), "left")
-      .na.fill(0, Seq("c"))
-    val cum = grid.withColumn("cum", sum("c").over(
-      Window.partitionBy("node", "feat", "label").orderBy("t")))
-    val tot = wide.groupBy("node", "label").agg(count(lit(1)).as("tc"))
-    val cand = cum.join(broadcast(tot), Seq("node", "label"))
-      .groupBy("node", "feat", "t")
-      .agg(sum("cum").as("nl"),
-        sum(col("cum").cast(dec) * col("cum").cast(dec)).as("sl"),
-        sum(col("tc") - col("cum")).as("nr"),
-        sum((col("tc") - col("cum")).cast(dec) *
-          (col("tc") - col("cum")).cast(dec)).as("sr"))
-    val wg = cand.filter(col("nl") > 0 && col("nr") > 0)
-      .withColumn("wg",
-        col("nl").cast(DoubleType) -
-          col("sl").cast(DoubleType) / col("nl").cast(DoubleType) +
-          col("nr").cast(DoubleType) -
-          col("sr").cast(DoubleType) / col("nr").cast(DoubleType))
-      // nl + nr = every row of the node (each row lands left or right of
-      // any candidate over its feature), so the node's SIZE rides along
-      // free — no separate per-level count pass
-      .withColumn("n", col("nl") + col("nr"))
-    // note: at the root, `node` is a folded literal, so this window runs
-    // unpartitioned (Spark logs the single-partition warning) — it only
-    // ever sees the candidate rows (≤ nodes × features × MaxBins, i.e.
-    // ≤64/node), never data rows, so the single task is driver-sized
-    wg.withColumn("rn", row_number().over(
-        Window.partitionBy("node").orderBy(col("wg"), col("feat"), col("t"))))
-      .filter(col("rn") === 1)
-      .select("node", "feat", "t", "wg", "n")
+      .groupBy("node", "feat", "t", "label").agg(count(lit(1)).as("c"))
+  }
+
+  /** [[binnedCounts]] over a pre-binned frame (the fitTree recursion):
+    * the explode emits each row's PRECOMPUTED (feat, bin) pairs — no
+    * threshold join, no binary-search probe — then aggregates
+    * identically. */
+  private def binnedCountsFromBins(wideB: DataFrame): DataFrame =
+    wideB.select(col("node"), col("label"),
+        explode(array(featNames.map(f =>
+          struct(lit(f).as("feat"), col(binName(f)).as("t"))): _*)).as("u"))
+      .select(col("node"), col("label"),
+        col("u.feat").as("feat"), col("u.t").as("t"))
+      .groupBy("node", "feat", "t", "label").agg(count(lit(1)).as("c"))
+
+  private[graft] val splitSchema = StructType(Seq(
+    StructField("node", StringType, nullable = false),
+    StructField("feat", StringType, nullable = false),
+    StructField("t", DoubleType, nullable = false),
+    StructField("wg", DoubleType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+
+  /** Driver half of split evaluation, over the COLLECTED grid-bounded
+    * counts — the same division of labor as Spark ML's tree induction
+    * (executors aggregate per-node histograms; `binsToBestSplit` picks
+    * the winner on the driver): the cumulative-over-bins sweep, the
+    * integer gini sums, and the argmin are all O(grid) arithmetic, and
+    * running them as distributed windows/joins bought nothing but
+    * scheduler latency (round-6's per-level cost). Arithmetic matches
+    * the engine expression shape exactly: counts stay integers (BigInt ≙
+    * the former DECIMAL(38,0) route ≙ DuckDB HUGEINT — no overflow at
+    * any node size), ONE correctly-rounded toDouble per sum, then the
+    * fixed IEEE shape `nL − SL/nL + nR − SR/nR`; ties break by
+    * (wg, feat, t); unsplittable nodes (every candidate leaves a side
+    * empty) yield no row, exactly like the old nl>0 && nr>0 filter. */
+  private[graft] def chooseSplits(
+      cntRows: Array[org.apache.spark.sql.Row],
+      thrByFeat: Seq[(String, Array[Double])]): Array[org.apache.spark.sql.Row] = {
+    val f0 = featNames.head
+    cntRows.groupBy(_.getString(0)).toSeq.flatMap { case (node, rows) =>
+      // per-label totals from the f0 slice: every data row contributes
+      // exactly one f0 row (null bin included), so this is the node census
+      val tot: Map[Any, Long] = rows.iterator
+        .filter(_.getString(1) == f0)
+        .toSeq.groupBy(_.get(3))
+        .map { case (l, rs) => l -> rs.map(_.getLong(4)).sum }
+      val byFtl: Map[(String, Double, Any), Long] = rows.iterator
+        .filter(!_.isNullAt(2))
+        .map(r => (r.getString(1), r.getDouble(2), r.get(3)) -> r.getLong(4))
+        .toMap
+      val cands = thrByFeat.flatMap { case (f, ts) =>
+        val cum = scala.collection.mutable.Map.empty[Any, Long]
+        ts.iterator.map { t =>
+          var nl = 0L; var nr = 0L
+          var sl = BigInt(0); var sr = BigInt(0)
+          tot.foreach { case (l, tc) =>
+            val cl = cum.getOrElse(l, 0L) + byFtl.getOrElse((f, t, l), 0L)
+            cum(l) = cl
+            val cr = tc - cl
+            nl += cl; nr += cr
+            sl += BigInt(cl) * BigInt(cl); sr += BigInt(cr) * BigInt(cr)
+          }
+          (f, t, nl, nr, sl, sr)
+        }.toSeq
+      }.filter(c => c._3 > 0 && c._4 > 0)
+      if (cands.isEmpty) None
+      else {
+        val (f, t, nl, nr, sl, sr) = cands.minBy { case (f, t, nl, nr, sl, sr) =>
+          (nl.toDouble - sl.toDouble / nl.toDouble +
+            nr.toDouble - sr.toDouble / nr.toDouble, f, t)
+        }
+        val wg = nl.toDouble - sl.toDouble / nl.toDouble +
+          nr.toDouble - sr.toDouble / nr.toDouble
+        Some(org.apache.spark.sql.Row(node, f, t, wg, nl + nr))
+      }
+    }.toArray
+  }
+
+  /** Exact best split per node over the shared candidate set:
+    * (node, feat, t, wg, n) as a LocalRelation — [[binnedCounts]]
+    * distributed, [[chooseSplits]] on the driver. */
+  private[graft] def bestSplits(wide: DataFrame, thr: DataFrame): DataFrame = {
+    val thrByFeat = thrToDriver(thr.collect())
+    toLocalRows(wide.sparkSession,
+      chooseSplits(binnedCounts(wide, thr).collect(), thrByFeat), splitSchema)
+  }
+
+  /** (feat, sorted candidate array) pairs from collected (feat, t) rows. */
+  private def thrToDriver(
+      thrRows: Array[org.apache.spark.sql.Row]): Seq[(String, Array[Double])] = {
+    val rows = thrRows.map(r => r.getString(0) -> r.getDouble(1))
+    featNames.map { f =>
+      val ts = rows.collect { case (`f`, t) => t }.sorted.toArray
+      require(ts.nonEmpty, s"no candidate thresholds for feature $f")
+      f -> ts
+    }
   }
 
   /** Value of the node's chosen split feature for the current row. */
   private def chosenVal: Column =
     coalesce(featNames.map(f => when(col("feat") === f, col(f))): _*)
+
+  // ----------------------------------------------------- bin-once recursion
+  // Raw feature values are only ever USED through "smallest candidate ≥
+  // val" (binning) and "val ≤ chosen candidate t*" (descent). The second
+  // reduces to the first: with sorted candidates, val ≤ t* ⟺
+  // bin(val) ≤ t* (bin(val) is a candidate ≥ val and ≤ any candidate ≥
+  // val; null bin ⇒ val above every candidate ⇒ right child). So the
+  // whole recursion needs each row's per-feature BIN exactly once —
+  // computed at the root, cached, never re-derived — instead of
+  // re-exploding and re-probing the full frame every level.
+
+  private def binName(f: String) = s"bin_$f"
+
+  /** Bin every row × feature ONCE: (id, label, bin_f0..bin_fN), where
+    * bin_fj = smallest candidate threshold ≥ fj (null above all
+    * candidates — LowerBound's contract). The candidate set is already
+    * driver-local (toLocal'd), so this is a pure NARROW projection
+    * against literal sorted arrays — no join, no broadcast, one
+    * codegen'd binary search per feature. */
+  private def binWide(p: DataFrame,
+                      thrByFeat: Seq[(String, Array[Double])]): DataFrame = {
+    val binCols = thrByFeat.map { case (f, ts) =>
+      graft.functions.VectorExprs.lowerBound(typedLit(ts), col(f))
+        .as(binName(f))
+    }
+    p.select(col("id") +: col("label") +: binCols: _*)
+  }
+
+  /** [[assignChildren]] over a pre-binned frame: descend by comparing the
+    * chosen feature's BIN to the split threshold (see the equivalence
+    * note above; a null bin compares null → right child, matching
+    * val > every candidate ≥ t*). Same LEFT-join leaf semantics. */
+  private def assignChildrenBins(wideB: DataFrame, best: DataFrame): DataFrame = {
+    val keep = wideB.columns.filterNot(_ == "node").map(col).toSeq
+    val prefix = when(col("node") === "root", lit("")).otherwise(col("node"))
+    val chosenBin =
+      coalesce(featNames.map(f => when(col("feat") === f, col(binName(f)))): _*)
+    wideB.join(broadcast(best.select("node", "feat", "t")), Seq("node"), "left")
+      .withColumn("child",
+        when(col("feat").isNull, col("node"))
+          .otherwise(concat(prefix,
+            when(chosenBin <= col("t"), "L").otherwise("R"))))
+      .select(keep :+ col("child").as("node"): _*)
+  }
 
   /** Next-level assignment: rows of nodes WITH a chosen split descend to
     * node+"L"/"R" (the root's children are plain "L"/"R" — no "root"
@@ -184,14 +285,14 @@ object GiniStump {
       .select(keep :+ col("child").as("node"): _*)
   }
 
-  /** Collect a tiny frame (candidate grid / label domain) into a
-    * LocalRelation: downstream `broadcast()` uses build driver-side with no
-    * job and no lineage — vs localCheckpoint, which still runs one job per
-    * broadcast exchange over the checkpointed RDD. */
-  private def toLocal(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        df.collect().toSeq.asJava), df.schema)
+  /** Driver rows → LocalRelation: downstream `broadcast()` uses build
+    * driver-side with no job and no lineage. */
+  private def toLocalRows(s: SparkSession,
+                          rows: Array[org.apache.spark.sql.Row],
+                          schema: StructType): DataFrame =
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava),
+      schema)
 
   /** q80: the depth-2 tree over the embeddings fixture — 3 split rows
     * (root, L, R: chosen feature, threshold, weighted gini, node size) +
@@ -206,28 +307,38 @@ object GiniStump {
     * selects [[thresholdsApprox]] — the documented at-scale candidate
     * path. */
   def tree(s: SparkSession, dir: String, depth: Int,
-           approxBinning: Boolean = false): DataFrame =
-    fitTree(pts(s, dir), depth, approxBinning)
+           approxBinning: Boolean = false): DataFrame = {
+    // every post-bin stage is either grid-bounded or a scan of the
+    // cached fixture-scale frame — 32 shuffle partitions just multiply
+    // task-scheduling overhead across the recursion's many tiny stages.
+    // Size the shuffle to the job like the streaming harnesses do
+    // (production sizes the same conf to data volume); restored after.
+    // The result is materialized (localCheckpoint) before restore, so no
+    // lazy frame escapes with the narrowed setting.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try fitTree(pts(s, dir), depth, approxBinning)
+    finally s.conf.set(partsKey, partsPrev)
+  }
 
-  /** The per-level scan+agg+window recursion over an explicit
-    * (id, label, f0..fN) frame. Cost per level is one cached scan + one
-    * hash agg + one grid-sized window, independent of candidate count —
-    * the shape distributed tree learners (Spark ML's own histogram
-    * binning) use, so depth-k at 100 TB is k bounded passes, never a
-    * per-node job storm.
-    *
-    * Per-level frames are each consumed by several downstream branches
-    * (binning, the dense-grid node list, class totals, child assignment,
-    * node sizes) — without a cache every reference re-scans the full
-    * data, 5 scans per depth level at 100 TB. Persist eagerly (Spark ML
-    * caches tree-induction input the same way), materialize the ≤(2^k+k)
-    * result rows, then release every cache before returning. Lazy
-    * persist: the first consumer fills each cache in-line — an eager
-    * count() would be a whole extra scan job, and levels run serially so
-    * there is no concurrent-fill race. Grid-sized frames (≤64 thresholds,
-    * ≤10 labels, per-level best splits) go to LocalRelations
-    * ([[toLocal]]): one collect job each, then every downstream broadcast
-    * builds driver-side with no extra job. */
+  /** The per-level recursion, BIN-ONCE form: raw features are read
+    * exactly twice — once to pick candidates, once to bin — and every
+    * level after that is ONE job over the cached (id, label, bins, node)
+    * frame: a scan + a grid-bounded hash agg + a driver-side split
+    * chooser ([[chooseSplits]]), independent of candidate count AND free
+    * of per-level binning work (the round-6 profile showed each level
+    * re-exploding and re-probing the same values, then spending more
+    * wall-clock on distributed window/join orchestration of grid-sized
+    * frames than on data — together ~10% of the whole suite across
+    * q80+q108; this form runs the pair ~3× faster). The division of
+    * labor is Spark ML's own tree induction exactly: executors aggregate
+    * per-node histograms, `binsToBestSplit` runs on the driver, node
+    * assignment is re-derived from the cached binned points each
+    * iteration (NodeIdCache off). Depth-k at 100 TB is k bounded passes
+    * over pre-binned data, never a per-node job storm; everything
+    * collected is grid-bounded (nodes × features × bins × classes), never
+    * data-bounded. */
   private[graft] def fitTree(input: DataFrame, depth: Int,
                              approxBinning: Boolean = false): DataFrame = {
     require(depth >= 1, s"tree depth must be >= 1, got $depth")
@@ -235,49 +346,77 @@ object GiniStump {
     val persisted = scala.collection.mutable.ListBuffer[DataFrame](p)
     try {
       val root = p.withColumn("node", lit("root"))
-      val thr = toLocal(
-        if (approxBinning) thresholdsApprox(p)
-        else thresholds(toLong(root).select("id", "feat", "val")))
-      val labels = toLocal(p.select("label").distinct())
+      // job 1: the candidate set (fills p's cache in the same pass)
+      val thrByFeat = thrToDriver(
+        (if (approxBinning) thresholdsApprox(p)
+         else thresholds(toLong(root).select("id", "feat", "val"))).collect())
 
-      var cur = root
-      val levelSplits = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      // BIN ONCE and cache: the only data the recursion reads. The cached
+      // plan is one projection over p, so per-level consumer plans stay
+      // small (binned leaf + ≤level broadcast joins) — no lineage growth.
+      val binned = binWide(p, thrByFeat).withColumn("node", lit("root"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += binned
+      // per-level node assignment is NOT cached: each level is narrow
+      // codegen (broadcast hash probe + case) over the cached binned
+      // frame, so recomputing it inside the next level's count job is
+      // cheaper than another cache generation per level — the same trade
+      // Spark ML's tree induction defaults to (NodeIdCache off,
+      // re-deriving node ids from the cached binned points each
+      // iteration). Jobs per tree: 1 candidate pass + 1 count job per
+      // level + 1 leaf census — each a single scan + one grid-bounded
+      // hash shuffle.
+      var cur = binned
+      val splitRows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
       for (level <- 1 to depth) {
-        // ≤ 2^(level-1) rows, node size included (bestSplits' nl+nr)
-        val best = toLocal(bestSplits(cur, thr, labels))
-        levelSplits += best
-        val next = assignChildren(cur, best)
-        if (level < depth) {
-          next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          persisted += next
-        }
-        cur = next
+        // ≤ 2^(level-1) split rows, node size included (nl + nr)
+        val best = chooseSplits(binnedCountsFromBins(cur).collect(), thrByFeat)
+        splitRows ++= best
+        cur = assignChildrenBins(cur,
+          toLocalRows(p.sparkSession, best, splitSchema))
       }
 
-      val splits = levelSplits.reduce(_.unionByName(_))
-        .select(col("node"), lit("split").as("kind"), col("feat"),
-          col("t").as("thr"), round(col("wg"), 6).as("score"), col("n"),
-          lit(null).cast(IntegerType).as("pred"))
-
-      val leafCnt = cur.groupBy("node", "label").agg(count(lit(1)).as("c"))
-      val leafAgg = leafCnt.groupBy("node").agg(sum("c").as("n"),
-        sum(col("c").cast(dec) * col("c").cast(dec)).as("s"))
-      val maj = leafCnt.withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(col("c").desc, col("label"))))
-        .filter(col("rn") === 1).select("node", "label")
-      val leaves = leafAgg.join(maj, "node")
-        .select(col("node"), lit("leaf").as("kind"),
-          lit(null).cast(StringType).as("feat"),
-          lit(null).cast(DoubleType).as("thr"),
-          round(lit(1.0) - col("s").cast(DoubleType) /
-            (col("n").cast(DoubleType) * col("n").cast(DoubleType)), 6)
-            .as("score"),
-          col("n"), col("label").cast(IntegerType).as("pred"))
-
-      // ≤ 2^depth + (2^depth − 1) rows — materialize so caches release
-      splits.unionByName(leaves).orderBy("node").localCheckpoint()
+      // leaf census (labels cast to long so the majority tie-break is a
+      // numeric order — class labels are integral, as leaf `pred` already
+      // assumes), then gini + majority on the driver like the splits
+      val leafCnt = cur
+        .groupBy(col("node"), col("label").cast(LongType).as("label"))
+        .agg(count(lit(1)).as("c")).collect()
+      val leafRows = leafCnt.groupBy(_.getString(0)).toSeq.map {
+        case (node, rs) =>
+          val n = rs.map(_.getLong(2)).sum
+          val s = rs.map(r => BigInt(r.getLong(2)) * BigInt(r.getLong(2))).sum
+          val maj = rs.minBy(r => (-r.getLong(2), r.getLong(1))).getLong(1)
+          org.apache.spark.sql.Row(node, "leaf", null, null,
+            round6(1.0 - s.toDouble / (n.toDouble * n.toDouble)), n,
+            maj.toInt)
+      }
+      val outRows = splitRows.map(r =>
+        org.apache.spark.sql.Row(r.getString(0), "split", r.getString(1),
+          r.getDouble(2), round6(r.getDouble(3)), r.getLong(4), null)) ++
+        leafRows
+      // ≤ 2^depth + (2^depth − 1) rows, already driver-local — emit as a
+      // LocalRelation (no materialization job, nothing lazy reads the
+      // caches after this, so the finally can release them immediately)
+      toLocalRows(p.sparkSession, outRows.sortBy(_.getString(0)).toArray,
+        StructType(Seq(
+          StructField("node", StringType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("feat", StringType, nullable = true),
+          StructField("thr", DoubleType, nullable = true),
+          StructField("score", DoubleType, nullable = false),
+          StructField("n", LongType, nullable = false),
+          StructField("pred", IntegerType, nullable = true))))
     } finally { persisted.foreach(_.unpersist()); () }
   }
+
+  /** Spark's `round(x, 6)` exactly (HALF_UP over the shortest decimal
+    * representation) — driver twin of the engine expression, so moving
+    * the score arithmetic driver-side cannot perturb the oracle hash. */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   // ---------------------------------------------------------------- oracle
 

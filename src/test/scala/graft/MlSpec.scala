@@ -131,8 +131,7 @@ class MlSpec extends SparkSpec {
     ).toDF("id", "label", "node", "f0", "f1", "f2", "f3")
     val thr = GiniStump.thresholds(
       GiniStump.toLong(wide).select("id", "feat", "val"))
-    val labels = wide.select("label").distinct()
-    val best = GiniStump.bestSplits(wide, thr, labels)
+    val best = GiniStump.bestSplits(wide, thr)
     // only the splittable node gets a best split
     assert(best.select("node").collect().map(_.getString(0)).toSeq === Seq("Y"))
     val assigned = GiniStump.assignChildren(wide, best)
@@ -149,8 +148,7 @@ class MlSpec extends SparkSpec {
     val thrA = GiniStump.thresholdsApprox(wide)
     // one threshold set per feature, each within the feature's value range
     assert(thrA.select("feat").distinct().count() === 4)
-    val best = GiniStump.bestSplits(wide, thrA, wide.select("label").distinct())
-      .collect()
+    val best = GiniStump.bestSplits(wide, thrA).collect()
     assert(best.length === 1) // root found a valid split from approx bins
     assert(best.head.getAs[Double]("wg") >= 0.0)
   }

@@ -119,12 +119,12 @@ class PlanSpec extends SparkSpec {
     val root = p.withColumn("node", org.apache.spark.sql.functions.lit("root"))
     val thr = graft.ml.GiniStump.thresholds(
       graft.ml.GiniStump.toLong(root).select("id", "feat", "val"))
-    val labels = p.select("label").distinct()
-    val plan = planOf(graft.ml.GiniStump.bestSplits(root, thr, labels))
+    // the distributed half of split evaluation (the driver half —
+    // chooseSplits — is O(grid) arithmetic with no plan to audit)
+    val plan = planOf(graft.ml.GiniStump.binnedCounts(root, thr))
     assert(plan.contains("BroadcastHashJoin"), plan)
-    // (the ≤64-row dense grid is built by broadcast nested-loop cross joins
-    // of tiny frames — fine; what must never appear is an unbroadcast
-    // product or a shuffle join keyed on data rows)
+    // what must never appear is an unbroadcast product or a shuffle join
+    // keyed on data rows
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     // bin assignment is the codegen'd lower_bound binary search against
