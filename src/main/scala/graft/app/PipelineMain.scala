@@ -25,6 +25,16 @@ object PipelineMain {
     graft.sources.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir)
+    spark.stop()
+  }
+
+  /** The whole orchestration, session-agnostic (main builds a session and
+    * stops it; PipelineSpec runs this on the shared test session — the
+    * "stages compose as one program" proof the per-operator specs imply
+    * but can't execute). Returns the JSON collection names written, so
+    * callers can assert the on-disk layout against what ran. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Seq[String] = {
     val sink = new Sinks.JsonDirSink(outDir)
 
     // stage 1: ETL — text stats + dedup summary over documents
@@ -59,9 +69,15 @@ object PipelineMain {
     sink.write("kmeans_centers", KMeansJob.centers(spark, km))
     sink.write("kmeans_cluster_stats",
       KMeansJob.clusterStats(km.transform(feats), Seq("label")))
+    // clustered sample CSV — the reference commits the same artifact
+    // (kmeans_large_scale.py:140-143 writes clustered_2m_sample.csv)
+    Sinks.csvSample(
+      km.transform(feats).select(col("vec_id"), col("label"), col("cluster")),
+      s"$outDir/clustered_sample", 100)
 
     train.unpersist(); test.unpersist()
     println(s"[pipeline] results in $outDir")
-    spark.stop()
+    Seq("text_stats_sample", "rf_confusion", "rf_per_class",
+      "kmeans_centers", "kmeans_cluster_stats")
   }
 }
