@@ -787,7 +787,9 @@ object Advanced {
     li.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).cast(DoubleType).as("sx"),
-        sum(col("y")).cast(DoubleType).as("sy"),
+        // Σy too: cents ~1e7/row wraps a BIGINT at ~9e11 rows/group —
+        // only Σx (≤50/row, ~1.8e17 rows) safely stays BIGINT
+        sum(y38).cast(DoubleType).as("sy"),
         sum(x38 * y38).cast(DoubleType).as("sxy"),
         sum(x38 * x38).cast(DoubleType).as("sxx"),
         sum(y38 * y38).cast(DoubleType).as("syy"))
@@ -840,7 +842,8 @@ object Advanced {
       sum(x38 * x38).cast(DoubleType).as("sxx"),
       sum(x38 * x38 * x38).cast(DoubleType).as("sx3"),
       sum(x38 * x38 * x38 * x38).cast(DoubleType).as("sx4"),
-      sum(col("y")).cast(DoubleType).as("sy"),
+      // Σy in decimal too: cents wrap a BIGINT at ~9e11 rows/group
+      sum(y38).cast(DoubleType).as("sy"),
       sum(y38 * y38).cast(DoubleType).as("syy"),
       sum(y38 * y38 * y38).cast(DoubleType).as("sy3"),
       sum(y38 * y38 * y38 * y38).cast(DoubleType).as("sy4"))

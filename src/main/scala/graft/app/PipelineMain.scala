@@ -36,10 +36,17 @@ object PipelineMain {
     * callers can assert the on-disk layout against what ran. */
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[String] = {
     val sink = new Sinks.JsonDirSink(outDir)
+    // record collections AT the write sites so the returned layout can
+    // never drift from what actually landed on disk
+    val written = scala.collection.mutable.ListBuffer.empty[String]
+    def write(collection: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      sink.write(collection, df)
+      written += collection
+    }
 
     // stage 1: ETL — text stats + dedup summary over documents
     val stats = graft.text.TextOps.tokenStats(spark, sfDir)
-    sink.write("text_stats_sample", stats.limit(100))
+    write("text_stats_sample", stats.limit(100))
     val dedup = graft.dedup.Dedup.dedupExact(spark, sfDir)
     println(s"[pipeline] dedup groups: ${dedup.count()}")
 
@@ -58,16 +65,16 @@ object PipelineMain {
     val preds = rfModel.transform(test.withColumn("label", col("label").cast("double")))
     val m = Metrics.multiclass(preds)
     println(s"[pipeline] RF metrics: $m")
-    sink.write("rf_confusion", Metrics.confusionMatrix(preds, 10))
-    sink.write("rf_per_class", Metrics.perClass(preds))
+    write("rf_confusion", Metrics.confusionMatrix(preds, 10))
+    write("rf_per_class", Metrics.perClass(preds))
 
     // stage 4: K-Means elbow + final fit + cluster stats
     val elbow = KMeansJob.elbow(feats, 2 to 8, maxIter = 20)
     val k = KMeansJob.bestK(elbow)
     println(s"[pipeline] elbow: $elbow → k=$k")
     val km = KMeansJob.fit(feats, k)
-    sink.write("kmeans_centers", KMeansJob.centers(spark, km))
-    sink.write("kmeans_cluster_stats",
+    write("kmeans_centers", KMeansJob.centers(spark, km))
+    write("kmeans_cluster_stats",
       KMeansJob.clusterStats(km.transform(feats), Seq("label")))
     // clustered sample CSV — the reference commits the same artifact
     // (kmeans_large_scale.py:140-143 writes clustered_2m_sample.csv)
@@ -77,7 +84,6 @@ object PipelineMain {
 
     train.unpersist(); test.unpersist()
     println(s"[pipeline] results in $outDir")
-    Seq("text_stats_sample", "rf_confusion", "rf_per_class",
-      "kmeans_centers", "kmeans_cluster_stats")
+    written.toSeq
   }
 }

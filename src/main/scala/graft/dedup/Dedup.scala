@@ -462,29 +462,34 @@ object Dedup extends org.apache.spark.internal.Logging {
         explode(array_distinct(shinglesC(tokensC(col("text")), n))).as("sh"))
       .select(col("doc_id"), col("source"), md5(col("sh")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    grams.count() // materialize once: inventory + incidence both read this
-    val srcs = grams.select("h", "source").distinct()
-    val hits = grams.as("g")
-      .join(srcs.as("o"),
-        col("g.h") === col("o.h") && col("g.source") =!= col("o.source"))
-      .select(col("g.doc_id").as("doc_id"), col("g.source").as("src_doc"),
-        col("o.source").as("src_other"))
-      .distinct()
-      .withColumn("src_lo", least(col("src_doc"), col("src_other")))
-      .withColumn("src_hi", greatest(col("src_doc"), col("src_other")))
-    val docCounts = hits.groupBy("src_lo", "src_hi")
-      .agg(
-        countDistinct(when(col("src_doc") === col("src_lo"), col("doc_id")))
-          .cast(IntegerType).as("n_docs_lo"),
-        countDistinct(when(col("src_doc") === col("src_hi"), col("doc_id")))
-          .cast(IntegerType).as("n_docs_hi"))
-    val gramCounts = srcs.as("a")
-      .join(srcs.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_lo"), col("b.source").as("src_hi"))
-      .agg(countDistinct(col("a.h")).cast(IntegerType).as("n_shared_grams"))
-    docCounts.join(gramCounts, Seq("src_lo", "src_hi"))
-      .orderBy("src_lo", "src_hi")
+    try {
+      grams.count() // materialize once: inventory + incidence both read this
+      val srcs = grams.select("h", "source").distinct()
+      val hits = grams.as("g")
+        .join(srcs.as("o"),
+          col("g.h") === col("o.h") && col("g.source") =!= col("o.source"))
+        .select(col("g.doc_id").as("doc_id"), col("g.source").as("src_doc"),
+          col("o.source").as("src_other"))
+        .distinct()
+        .withColumn("src_lo", least(col("src_doc"), col("src_other")))
+        .withColumn("src_hi", greatest(col("src_doc"), col("src_other")))
+      val docCounts = hits.groupBy("src_lo", "src_hi")
+        .agg(
+          countDistinct(when(col("src_doc") === col("src_lo"), col("doc_id")))
+            .cast(IntegerType).as("n_docs_lo"),
+          countDistinct(when(col("src_doc") === col("src_hi"), col("doc_id")))
+            .cast(IntegerType).as("n_docs_hi"))
+      val gramCounts = srcs.as("a")
+        .join(srcs.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_lo"), col("b.source").as("src_hi"))
+        .agg(countDistinct(col("a.h")).cast(IntegerType).as("n_shared_grams"))
+      // materialize the ≤|sources|² result so the gram cache (the suite's
+      // largest intermediate) can be released before returning
+      docCounts.join(gramCounts, Seq("src_lo", "src_hi"))
+        .orderBy("src_lo", "src_hi")
+        .localCheckpoint()
+    } finally { grams.unpersist(); () }
   }
 
   // ------------------------------------------------------------- oracles

@@ -236,7 +236,7 @@ object GiniStump {
   /** Bin every row × feature ONCE: (id, label, bin_f0..bin_fN), where
     * bin_fj = smallest candidate threshold ≥ fj (null above all
     * candidates — LowerBound's contract). The candidate set is already
-    * driver-local (toLocal'd), so this is a pure NARROW projection
+    * driver-local ([[thrToDriver]]), so this is a pure NARROW projection
     * against literal sorted arrays — no join, no broadcast, one
     * codegen'd binary search per feature. */
   private def binWide(p: DataFrame,
@@ -313,8 +313,8 @@ object GiniStump {
     // task-scheduling overhead across the recursion's many tiny stages.
     // Size the shuffle to the job like the streaming harnesses do
     // (production sizes the same conf to data volume); restored after.
-    // The result is materialized (localCheckpoint) before restore, so no
-    // lazy frame escapes with the narrowed setting.
+    // fitTree's result is a driver-built LocalRelation, so nothing lazy
+    // escapes with the narrowed setting.
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
     s.conf.set(partsKey, "8")

@@ -174,6 +174,14 @@ object Sinks {
     val bytes = fs.listStatus(in).iterator
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
+    // FLAT layouts only: a Hive-partitioned input keeps its files in
+    // subdirectories, which this top-level listing would size at 0 and
+    // silently rewrite the whole table into one file (also flattening
+    // the partition columns out of the data) — compact each partition
+    // directory separately instead
+    require(bytes > 0,
+      s"no top-level .parquet files under $inDir — compactParquet " +
+        "expects a flat layout; compact partitioned tables per-partition")
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     parquetClustered(s.read.parquet(inDir), outDir, sortCols, numFiles = n)
     n

@@ -73,9 +73,13 @@ object EventStream {
     * `sumScaled` accumulates value in fixed-point 1e-4 units (the
     * DECIMAL(18,4) convention `Relational.dsum` uses batch-side): integer
     * addition is exact and order-independent, so the per-session sum is
-    * identical no matter how events split across micro-batches — and
-    * bit-identical to a batch/oracle DECIMAL(18,4) sum of the same rows.
-    * A raw Double accumulator would drift with batch boundaries. */
+    * identical no matter how events split across micro-batches. A raw
+    * Double accumulator would drift with batch boundaries. For values
+    * exact at ≤4 decimals (the DECIMAL(18,4) domain) this matches a
+    * batch/oracle decimal sum bit-for-bit; values carrying more decimal
+    * digits round half-even on the binary double here (`rint`) vs
+    * HALF_UP on the decimal string in a Spark double→DECIMAL cast, so
+    * the batch-parity claim is conditional on decimal-clean inputs. */
   final case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumScaled: Long)
 
   private def tsMicros(t: java.sql.Timestamp): Long =
