@@ -258,6 +258,17 @@ object SparkEntry {
       graft.dedup.Dedup.ngramContamination(s, d)),
     // fourth storage lever: bin-packed compaction of a fragmented layout
     "q132_compaction"         -> (graft.sources.Sinks.compactRoundTrip _),
+    // Gopher-style duplicate-n-gram repetition quality signal per source
+    "q133_repetition_ratio"   -> ((s, d) =>
+      graft.text.TextOps.repetitionSummary(s, d)),
+    // event-time RANGE frame: trailing 30-min count+sum per user
+    "q134_trailing_range_window" -> (graft.analytics.Advanced.trailingRangeWindow _),
+    // per-source token-budget training-mix assembly (quality-ranked prefix)
+    "q136_token_budget_mix"   -> ((s, d) =>
+      graft.text.TextOps.tokenBudgetMix(s, d)),
+    // seventh streaming surface: LEFT OUTER stream-stream interval join —
+    // null emission = watermark-driven state eviction, hash-equal to batch
+    "q135_outer_join_parity"  -> (graft.streaming.EventStream.outerJoinParity _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

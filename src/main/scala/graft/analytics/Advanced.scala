@@ -1051,6 +1051,31 @@ object Advanced {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q134: event-time RANGE window — the trailing 30-minute count + sum
+    * per user at every event, the windowed-feature shape
+    * sessionization/fraud/monitoring pipelines compute ("activity in the
+    * last N minutes as of each event"). This is the RANGE frame surface
+    * the ROWS-frame family (q17/q97/q121) doesn't cover: the frame is
+    * bounded by a VALUE offset on the ordering key, so peers (equal
+    * timestamps) enter the frame together on both engines. Ordering runs
+    * on epoch MICROSECONDS (integer — Spark's rangeBetween needs a
+    * numeric key, and both engines then share one total order); the sum
+    * is DECIMAL-routed so in-frame accumulation order can't perturb the
+    * hash. One shuffle on user_id, in-partition sort, single pass —
+    * exactly how a per-entity trailing feature distributes at 100 TB. */
+  def trailingRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-1800000000L, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_30m"),
+        sum(col("value").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("sum_30m"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** q123: extended calendar-function family — end-of-month, add-months
     * (with both engines' end-of-month clamping), quarter boundaries,
     * day-of-year, ISO week, and day deltas against a fixed epoch. All
@@ -1357,6 +1382,16 @@ object Advanced {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100 AS med5
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q134_trailing_range_window" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  COUNT(*) OVER w AS n_30m,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
     "q123_date_funcs" ->
       """SELECT o_orderkey,
         |  last_day(CAST(o_orderdate AS DATE)) AS eom,

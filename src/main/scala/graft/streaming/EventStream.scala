@@ -173,7 +173,8 @@ object EventStream {
     * join viable on an unbounded 100 TB/day firehose. */
   def correlateStreams(clicks: DataFrame, errors: DataFrame,
                        watermark: String = "2 hours",
-                       rangeSec: Long = 30 * 60): DataFrame = {
+                       rangeSec: Long = 30 * 60,
+                       joinType: String = "inner"): DataFrame = {
     val c = clicks.filter(col("event_type") === "click")
       .withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -186,7 +187,8 @@ object EventStream {
         col("user_id") === col("err_user") &&
           col("error_ts") >= col("click_ts") &&
           col("error_ts") <= col("click_ts") +
-            expr(s"INTERVAL $rangeSec SECONDS"))
+            expr(s"INTERVAL $rangeSec SECONDS"),
+        joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("error_id"), col("error_ts"))
   }
@@ -508,6 +510,77 @@ object EventStream {
     }
   }
 
+  /** q135 — oracle-checked LEFT-OUTER interval-join parity: q109 proved
+    * the INNER stream-stream join; this proves the outer-join state
+    * machine, which is a genuinely different surface — an unmatched left
+    * row is emitted with nulls only when BOTH sides' watermarks have
+    * passed the point where a match is no longer possible (click_ts +
+    * range + delay), i.e. null emission IS watermark-driven state
+    * eviction made visible. Staging therefore needs what q109 didn't:
+    * one far-future sentinel row PER SIDE (each source filters its own
+    * event_type, and the global watermark is the MIN across both inputs
+    * — a single-side sentinel would leave the other side's watermark,
+    * and so the join's, pinned at real-data time, holding the trailing
+    * ~2.5 h of unmatched clicks in state forever). Matched rows emit in
+    * the data batch; every unmatched click flushes in the no-data batch
+    * once the sentinel-advanced watermark lands (same
+    * noDataMicroBatches + filtered-sentinel protocol as q85). The
+    * sentinels use distinct users and can never join each other or real
+    * rows; the click sentinel's own unmatched row is filtered on
+    * read-back. Oracle = the batch LEFT JOIN with NULLS FIRST pinned on
+    * both sides (Spark ASC is nulls-first, DuckDB's default is
+    * nulls-last). */
+  def outerJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = s.conf.getOption(noDataKey)
+    s.conf.set(noDataKey, "true")
+    try outerJoinParityStaged(s, dir)
+    finally noDataPrev match {
+      case Some(v) => s.conf.set(noDataKey, v)
+      case None    => s.conf.unset(noDataKey)
+    }
+  }
+
+  /** q135 body: staging, the streaming run, read-back (see
+    * [[outerJoinParity]], which owns the session-conf guard). */
+  private def outerJoinParityStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q135")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      events.coalesce(1).write.mode("overwrite").parquet(in.toString)
+      val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 7L * 86400000L)
+      // one sentinel per side — users −1/−2 so they match nothing
+      Seq((-1L, far, -1L, "click", 0.0, "{}"),
+          (-2L, far, -2L, "error", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val joined = correlateStreams(
+        fileSource(s, in.toString), fileSource(s, in.toString),
+        joinType = "left_outer")
+      q = toParquet(joined, tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q135 outer-join stream did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .filter(col("click_id") >= 0)
+        .orderBy(col("click_id"), col("error_id").asc_nulls_first)
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q130 — oracle-checked SESSIONIZATION parity, the sixth and last
     * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
     * stream-stream join, q111 = keyed dedup, q115 = stream-static join,
@@ -608,6 +681,15 @@ object EventStream {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "q135_outer_join_parity" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  e.event_id AS error_id, CAST(e.ts AS TIMESTAMP) AS error_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, error_id NULLS FIRST""".stripMargin,
     "q130_sessionize_parity" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,

@@ -102,6 +102,66 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q133: intra-document REPETITION ratio — the Gopher/C4-family quality
+    * signal the length/punct/stopword score (q23) cannot see: a document
+    * that repeats the same phrases has a high duplicate-3-gram fraction
+    * even when its surface statistics look clean. Per source this reports
+    * the micro-averaged repetition ratio (1 − Σdistinct/Σtotal over
+    * integer gram counts — ONE division, no order-dependent double sum)
+    * plus the count of documents over the 0.2 filter threshold (each
+    * doc's ratio is one exact integer division, so the classification is
+    * deterministic). Shape: explode 3-grams map-side (duplicates KEPT —
+    * they are the signal), one two-level hash agg (doc, then source). */
+  def repetitionSummary(s: SparkSession, dir: String,
+                        n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val grams = Tables.fanOut(
+        docs(s, dir).select("doc_id", "source", "text"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        explode(shinglesC(tokensC(col("text")), n)).as("sh"))
+    val perDoc = grams.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("sh")).as("n_distinct"))
+      .withColumn("rep", lit(1.0) -
+        col("n_distinct").cast(DoubleType) / col("n_grams").cast(DoubleType))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("n_grams").as("total_grams"),
+        sum("n_distinct").as("distinct_grams"),
+        round(lit(1.0) - sum("n_distinct").cast(DoubleType) /
+          sum("n_grams").cast(DoubleType), 6).as("micro_rep_ratio"),
+        sum(when(col("rep") >= threshold, 1).otherwise(0))
+          .cast(IntegerType).as("n_repetitive"))
+      .orderBy("source")
+  }
+
+  /** q136: TOKEN-BUDGET corpus mix — the sampling step that assembles a
+    * training mix from heterogeneous sources under a per-source token
+    * budget: rank each source's documents by quality (q23's score, 6-dp,
+    * doc_id tie-break — the kept set is a pure function of the data),
+    * then keep the greedy prefix whose cumulative BPE-ish token count
+    * stays within budget. One window shuffle on `source`; integer token
+    * arithmetic throughout. */
+  def tokenBudgetMix(s: SparkSession, dir: String,
+                     budget: Long = 2000L): DataFrame = {
+    val scored = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
+        .cast(LongType).as("toks"),
+      qualityExprs.toMap.apply("quality_score").as("q"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.withColumn("cum_toks", sum("toks").over(w))
+      .withColumn("keep", (col("cum_toks") <= budget).cast(IntegerType))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        sum("keep").cast(IntegerType).as("n_kept"),
+        sum(when(col("keep") === 1, col("toks")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "customer")
@@ -311,6 +371,44 @@ object TextOps {
       " + (1.0 - punct / NULLIF(chars, 0)) * 0.2, 6), 0.0)"
 
   def oracleSql: Map[String, String] = Map(
+    "q133_repetition_ratio" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
+         |g AS (SELECT doc_id, source, x AS sh
+         |  FROM d, unnest(${shinglesS("t", 3)}) AS u(x)),
+         |pd AS (SELECT doc_id, source, COUNT(*) AS n_grams,
+         |    COUNT(DISTINCT sh) AS n_distinct
+         |  FROM g GROUP BY 1, 2)
+         |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+         |  CAST(SUM(n_distinct) AS BIGINT) AS distinct_grams,
+         |  round(1.0 - CAST(SUM(n_distinct) AS DOUBLE)
+         |    / CAST(SUM(n_grams) AS DOUBLE), 6) AS micro_rep_ratio,
+         |  CAST(SUM(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE)
+         |      / CAST(n_grams AS DOUBLE) >= 0.2
+         |    THEN 1 ELSE 0 END) AS INTEGER) AS n_repetitive
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    "q136_token_budget_mix" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
+         |m AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '$BpeTokenRe'))
+         |      AS BIGINT) AS toks,
+         |    CAST(len(t) AS DOUBLE) AS words,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
+         |  FROM d),
+         |q AS (SELECT doc_id, source, toks, $QualityScoreS AS q FROM m),
+         |c AS (SELECT doc_id, source, toks,
+         |    SUM(toks) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+         |  FROM q)
+         |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN cum_toks <= 2000 THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN cum_toks <= 2000 THEN toks ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q100_pipeline_composite" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
          |m AS (SELECT doc_id, source, text,
