@@ -269,6 +269,8 @@ object SparkEntry {
     // seventh streaming surface: LEFT OUTER stream-stream interval join —
     // null emission = watermark-driven state eviction, hash-equal to batch
     "q135_outer_join_parity"  -> (graft.streaming.EventStream.outerJoinParity _),
+    // fifth storage lever: Z-order (Morton) 2-D clustering round-trip
+    "q137_zorder_skip"        -> (graft.sources.Sinks.zorderRoundTrip _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -486,6 +488,17 @@ object SparkEntry {
           groupFlag = true),
         // identity aggregate: the compaction rewrite must be lossless
         "q132_compaction"       -> prunedOracle("1 = 1", groupFlag = true),
+        // q137 oracle = the same 2-D box aggregate over the ORIGINAL
+        // parquet — hash-equality proves the Z-order rewrite lossless
+        "q137_zorder_skip" ->
+          """SELECT l_suppkey, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+            |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pkey,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+            |FROM lineitem
+            |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+            |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
         "q110_bucketed_join" ->
           """SELECT c_mktsegment, COUNT(*) AS n,
             |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,

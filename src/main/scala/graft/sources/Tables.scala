@@ -20,16 +20,28 @@ object Tables {
   /** Parquet scan (S2). Column pruning + predicate pushdown are free:
     * downstream select/filter reach the FileScan via Catalyst.
     *
-    * TIMESTAMP(NANOS) parquet columns are not a native Spark type: sessions
-    * set spark.sql.legacy.parquet.nanosAsLong=true (see [[sessionConfigs]])
-    * and the loader converts nanos → microsecond timestamps here, so every
-    * downstream operator sees a plain TimestampType. */
+    * Timestamp normalization — every downstream operator must see a plain
+    * TimestampType (LTZ; sessions pin timeZone=UTC so values are the same
+    * instants either way):
+    *  - TIMESTAMP(NANOS) parquet is not a native Spark type: sessions set
+    *    spark.sql.legacy.parquet.nanosAsLong=true (see [[sessionConfigs]])
+    *    and the loader converts nanos → microsecond timestamps here.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet would infer as
+    *    TIMESTAMP_NTZ under Spark 4's default; sessions disable that
+    *    inference (see [[sessionConfigs]]), and the loader additionally
+    *    casts any NTZ column that still slips through (a session built
+    *    without [[sessionConfigs]]) — unix_micros, watermarks and
+    *    stream-stream joins all require TimestampType. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else if (name == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts",
+        df("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 
@@ -38,6 +50,11 @@ object Tables {
     // engine extensions: dot_product SQL function + HOF→DotProduct rule
     "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (pyarrow's default
+    // for naive timestamps) must read as TimestampType, not TIMESTAMP_NTZ:
+    // unix_micros, withWatermark and stream-stream joins reject NTZ, and
+    // with session timeZone=UTC the instants are identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     // AQE re-renders the physical-plan DESCRIPTION string on every stage
@@ -309,6 +326,91 @@ object Sinks {
       prunedAgg(s.read.parquet(path)
           .filter(col("l_orderkey").between(1000L, 5000L)),
           flag = None)
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
+  /** Morton (Z-order) interleave of two non-negative 31-bit keys into one
+    * 62-bit sort key: bit i of `x` lands at position 2i, bit i of `y` at
+    * 2i+1 (the classic parallel-prefix bit spread — five mask/shift/or
+    * rounds, all codegen'd integer ops, no UDF). Sorting by the result
+    * gives a space-filling-curve layout where rows close in BOTH key
+    * dimensions land in the same parquet row groups, so footer min/max
+    * stats on the two RAW columns can skip row groups for 2-D box
+    * predicates — the multi-dimensional generalization of
+    * [[parquetClustered]]'s single-key clustering (the same layout lever
+    * Delta/Iceberg ship as Z-ORDER / OPTIMIZE ZORDER BY).
+    *
+    * Inputs must be in [0, 2^31): larger keys should be rank- or
+    * hash-compressed to 31 bits first (locality, not exactness, is what
+    * the layout needs). */
+  private[graft] def mortonC(x: org.apache.spark.sql.Column,
+                             y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val m = Seq(
+        0x0000FFFF0000FFFFL -> 16, 0x00FF00FF00FF00FFL -> 8,
+        0x0F0F0F0F0F0F0F0FL -> 4, 0x3333333333333333L -> 2,
+        0x5555555555555555L -> 1)
+      m.foldLeft(c.cast(org.apache.spark.sql.types.LongType)
+          .bitwiseAND(lit(0x7FFFFFFFL))) { case (acc, (mask, sh)) =>
+        acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(mask))
+      }
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Z-ORDERED parquet layout: range-partition + sort on the Morton key
+    * of (`xCol`, `yCol`), then drop the key — the written files carry only
+    * the original columns, with 2-D locality baked into the row-group
+    * layout. One range shuffle at write time buys row-group skipping for
+    * every later box query on the two columns. */
+  def parquetZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = df.withColumn("__z", mortonC(col(xCol), col(yCol)))
+    z.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** q137: Z-ORDER round-trip — the fifth storage lever (q105 partition
+    * pruning, q106 range clustering, q110 bucketing, q132 compaction,
+    * this = multi-dimensional clustering): write lineitem Z-ordered on
+    * (l_partkey, l_suppkey), read it back with a 2-D box predicate, and
+    * aggregate per suppkey. Oracle = the same filtered aggregate over the
+    * original parquet, so hash-equality proves the space-filling-curve
+    * rewrite lossless; SinksCatalogSpec asserts both box bounds reach the
+    * scan as PushedFilters. Single-key clustering (q106) can serve only
+    * ONE predicate column — at 100 TB, a part×supplier box query over a
+    * partkey-clustered table still reads every row group of every file
+    * for the suppkey half; the Morton layout bounds both dimensions per
+    * row group, the reason warehouse formats ship Z-ORDER for exactly
+    * this two-filter access pattern. */
+  def zorderRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q137")
+    try {
+      val src = Tables.load(s, dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val path = tmp.resolve("data").toString
+      parquetZOrdered(src, path, "l_partkey", "l_suppkey", numFiles = 16)
+      // every projected column participates in the verifying hash
+      // (q102's rule): keys via sums, measures via exact decimal sums
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(100L, 400L) &&
+          col("l_suppkey").between(10L, 40L))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("l_partkey")).as("sum_pkey"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy("l_suppkey")
         .localCheckpoint()
     } finally Tables.rmTree(tmp)
   }

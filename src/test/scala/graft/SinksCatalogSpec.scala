@@ -137,6 +137,57 @@ class SinksCatalogSpec extends SparkSpec {
       src.filter(col("l_orderkey").between(1000L, 5000L)).count())
   }
 
+  test("q137 scan shape: both box bounds are pushed to the Z-ordered scan") {
+    // the q137 plan guard: BOTH dimensions' range predicates must reach
+    // the FileScan as PushedFilters — row groups laid out on the Morton
+    // curve are then skippable via footer min/max on the raw columns
+    val dir = tmp()
+    val src = Tables.load(spark, sfDir, "lineitem").select(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    Sinks.parquetZOrdered(src, s"$dir/q137", "l_partkey", "l_suppkey",
+      numFiles = 16)
+    // the Morton sort key is layout-only: written files carry exactly the
+    // original columns
+    val back = spark.read.parquet(s"$dir/q137")
+    assert(back.columns.toSeq.sorted === src.columns.toSeq.sorted)
+    val boxed = back.filter(col("l_partkey").between(100L, 400L) &&
+      col("l_suppkey").between(10L, 40L))
+    // the rendered plan truncates long PushedFilters lists — assert on the
+    // scan node's full metadata instead
+    val pushed = boxed.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata("PushedFilters")
+    }.mkString
+    Seq("GreaterThanOrEqual(l_partkey,100)", "LessThanOrEqual(l_partkey,400)",
+        "GreaterThanOrEqual(l_suppkey,10)", "LessThanOrEqual(l_suppkey,40)")
+      .foreach(p => assert(pushed.contains(p), pushed))
+    assert(boxed.count() === src.filter(col("l_partkey").between(100L, 400L) &&
+      col("l_suppkey").between(10L, 40L)).count())
+    // the curve layout actually localizes the box: the 2-D predicate's
+    // rows concentrate in a strict subset of the written files
+    val matched = boxed.select(input_file_name()).distinct().count()
+    val total = back.select(input_file_name()).distinct().count()
+    assert(matched < total, s"box rows spread over all $total files")
+  }
+
+  test("morton interleave: bit-exact spread and 2-D locality ordering") {
+    // golden values: interleave(x,y) places x bits at even positions
+    val rows = spark.range(1).select(
+      Sinks.mortonC(lit(0L), lit(0L)).as("z00"),
+      Sinks.mortonC(lit(1L), lit(0L)).as("z10"),
+      Sinks.mortonC(lit(0L), lit(1L)).as("z01"),
+      Sinks.mortonC(lit(3L), lit(5L)).as("z35"),
+      Sinks.mortonC(lit(0x7FFFFFFFL), lit(0x7FFFFFFFL)).as("zmax"))
+      .head()
+    assert(rows.getLong(0) === 0L)
+    assert(rows.getLong(1) === 1L)
+    assert(rows.getLong(2) === 2L)
+    // x=3 (11b) → bits 0,2; y=5 (101b) → bits 1,5 → 100111b = 39
+    assert(rows.getLong(3) === 39L)
+    // full-width inputs stay non-negative (62 bits used)
+    assert(rows.getLong(4) === 0x3FFFFFFFFFFFFFFFL)
+  }
+
   test("q132 layout contract: compaction bin-packs tiny files to computed count") {
     // the q132 file-count guard: the rewrite must land on
     // ceil(bytes/targetBytes) files (floor 1), collapsing the fragmented
@@ -276,5 +327,27 @@ class SinksCatalogSpec extends SparkSpec {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
     assert(n.count() > 0)
+  }
+
+  test("events.ts always loads as TimestampType (never TIMESTAMP_NTZ)") {
+    import org.apache.spark.sql.types._
+    // the driver's fixtures have shipped both TIMESTAMP(NANOS) (read as
+    // Long under the legacy conf, converted in the loader) and
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark 4 would infer
+    // as TIMESTAMP_NTZ by default — rejected by unix_micros, watermarks
+    // and stream-stream joins). Both paths must land on TimestampType.
+    assert(Tables.load(spark, sfDir, "events").schema("ts").dataType ===
+      TimestampType)
+    // the session conf (not the loader) must already cover the raw scan:
+    // the fixture IS a pyarrow naive-micros file, the exact shape the
+    // inference conf exists for. (A Spark-written NTZ file embeds Spark's
+    // own schema metadata, which bypasses inference — that path is what
+    // the loader's cast branch catches for unconfigured sessions.)
+    assert(spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType === TimestampType)
+    // and the consumers that rejected NTZ must work end-to-end
+    assert(Tables.load(spark, sfDir, "events")
+      .selectExpr("unix_micros(ts) AS us").filter("us IS NOT NULL")
+      .count() > 0)
   }
 }
