@@ -271,6 +271,12 @@ object SparkEntry {
     "q135_outer_join_parity"  -> (graft.streaming.EventStream.outerJoinParity _),
     // fifth storage lever: Z-order (Morton) 2-D clustering round-trip
     "q137_zorder_skip"        -> (graft.sources.Sinks.zorderRoundTrip _),
+    // cross-document boilerplate via per-source n-gram document frequency
+    "q138_boilerplate_df"     -> ((s, d) =>
+      graft.text.TextOps.boilerplateSummary(s, d)),
+    // temperature-scaled (n^0.5) training-mix source weights + targets
+    "q140_temperature_mix"    -> ((s, d) =>
+      graft.text.TextOps.temperatureMix(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

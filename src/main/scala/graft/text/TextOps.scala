@@ -162,6 +162,87 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q138: corpus-level BOILERPLATE detection via n-gram document
+    * frequency — the CCNet/RefinedWeb-family signal the INTRA-document
+    * ratio (q133) cannot see: navigation chrome, licence blurbs and
+    * template headers repeat ACROSS a source's documents while looking
+    * unique inside each one. A bigram is boilerplate in its source when
+    * it appears in ≥ `minDfPct`% of that source's documents; each
+    * document is then scored by the fraction of its gram positions
+    * covered by boilerplate grams, and a document majority-covered
+    * (2·covered > total) is flagged for trimming. All classification is
+    * integer arithmetic (df·100 ≥ pct·n_docs; 2·covered > total) — no
+    * float thresholds to diverge cross-engine; the single micro-average
+    * division happens once at the end.
+    *
+    * Shape at 100 TB: explode bigrams map-side; df = one hash-agg on
+    * (source, gram) over the DISTINCT per-doc gram set; per-doc coverage
+    * = one equi-join of the exploded grams against the (source, gram)
+    * boilerplate set — candidate-bounded, no self-join of documents; the
+    * tiny per-source doc-count frame broadcasts. */
+  def boilerplateSummary(s: SparkSession, dir: String,
+                         n: Int = 2, minDfPct: Int = 50): DataFrame = {
+    val grams = Tables.fanOut(
+        docs(s, dir).select("doc_id", "source", "text"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        explode(shinglesC(tokensC(col("text")), n)).as("sh"))
+    val srcCounts = docs(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs_src"))
+    val df = grams.select("doc_id", "source", "sh").distinct()
+      .groupBy("source", "sh").agg(count(lit(1)).as("df"))
+    val boiler = df.join(broadcast(srcCounts), "source")
+      .filter(col("df") * 100 >= col("n_docs_src") * minDfPct)
+      .select("source", "sh")
+    val perDoc = grams
+      .join(boiler.withColumn("is_b", lit(1L)), Seq("source", "sh"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("total_pos"),
+        sum(coalesce(col("is_b"), lit(0L))).as("boiler_pos"))
+    val nBoiler = boiler.groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_boiler_grams"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("total_pos").as("total_positions"),
+        sum("boiler_pos").as("boiler_positions"),
+        round(sum("boiler_pos").cast(DoubleType) /
+          sum("total_pos").cast(DoubleType), 6).as("micro_boiler_ratio"),
+        sum(when(col("boiler_pos") * 2 > col("total_pos"), 1).otherwise(0))
+          .cast(IntegerType).as("n_docs_flagged"))
+      .join(broadcast(nBoiler), Seq("source"), "left")
+      .na.fill(0, Seq("n_boiler_grams"))
+      .orderBy("source")
+  }
+
+  /** q140: TEMPERATURE-scaled mixture weights — the multilingual/
+    * multi-source training-mix allocator (α = 0.5): sampling sources
+    * proportional to n^α upweights small sources relative to raw counts
+    * without letting one giant crawl dominate. Weights are sqrt(n)
+    * (correctly-rounded IEEE — bit-identical in every engine); the
+    * normalizing sum runs over DECIMAL(38,18) casts so it cannot depend
+    * on accumulation order; the per-source document target is
+    * floor(budget · w/W) in doubles with one fixed op order. The
+    * whole computation is one hash-agg to per-source counts (tiny
+    * frame) plus one single-partition window over it — thousands of
+    * sources at 100 TB still fit one task. */
+  def temperatureMix(s: SparkSession, dir: String,
+                     budget: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("wt", sqrt(col("n").cast(DoubleType)))
+      .withColumn("tot",
+        sum(col("wt").cast(DecimalType(38, 18))).over(wAll)
+          .cast(DoubleType))
+      .select(col("source"), col("n").cast(IntegerType).as("n_docs"),
+        round(col("wt"), 6).as("weight"),
+        round(col("wt") / col("tot"), 6).as("share"),
+        floor(lit(budget.toDouble) * (col("wt") / col("tot")))
+          .as("n_target"))
+      .orderBy("source")
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "customer")
@@ -371,6 +452,43 @@ object TextOps {
       " + (1.0 - punct / NULLIF(chars, 0)) * 0.2, 6), 0.0)"
 
   def oracleSql: Map[String, String] = Map(
+    "q138_boilerplate_df" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
+         |g AS (SELECT doc_id, source, x AS sh
+         |  FROM d, unnest(${shinglesS("t", 2)}) AS u(x)),
+         |sc AS (SELECT source, COUNT(*) AS n_docs_src
+         |  FROM documents GROUP BY 1),
+         |df AS (SELECT source, sh, COUNT(DISTINCT doc_id) AS df
+         |  FROM g GROUP BY 1, 2),
+         |b AS (SELECT df.source, df.sh FROM df JOIN sc USING (source)
+         |  WHERE df.df * 100 >= sc.n_docs_src * 50),
+         |pd AS (SELECT g.doc_id, g.source, COUNT(*) AS total_pos,
+         |    SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS boiler_pos
+         |  FROM g LEFT JOIN b ON g.source = b.source AND g.sh = b.sh
+         |  GROUP BY 1, 2),
+         |nb AS (SELECT source, CAST(COUNT(*) AS INTEGER) AS n_boiler_grams
+         |  FROM b GROUP BY 1)
+         |SELECT pd.source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(total_pos) AS BIGINT) AS total_positions,
+         |  CAST(SUM(boiler_pos) AS BIGINT) AS boiler_positions,
+         |  round(CAST(SUM(boiler_pos) AS DOUBLE)
+         |    / CAST(SUM(total_pos) AS DOUBLE), 6) AS micro_boiler_ratio,
+         |  CAST(SUM(CASE WHEN boiler_pos * 2 > total_pos THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_docs_flagged,
+         |  COALESCE(ANY_VALUE(nb.n_boiler_grams), 0) AS n_boiler_grams
+         |FROM pd LEFT JOIN nb ON pd.source = nb.source
+         |GROUP BY pd.source ORDER BY pd.source""".stripMargin,
+    "q140_temperature_mix" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM s),
+        |t AS (SELECT source, n, wt,
+        |    CAST(SUM(CAST(wt AS DECIMAL(38,18))) OVER () AS DOUBLE) AS tot
+        |  FROM w)
+        |SELECT source, CAST(n AS INTEGER) AS n_docs,
+        |  round(wt, 6) AS weight,
+        |  round(wt / tot, 6) AS share,
+        |  CAST(FLOOR(5000.0 * (wt / tot)) AS BIGINT) AS n_target
+        |FROM t ORDER BY source""".stripMargin,
     "q133_repetition_ratio" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
          |g AS (SELECT doc_id, source, x AS sh

@@ -55,4 +55,45 @@ class TextPrimsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("tfidf") - expect) < 1e-5)
     }
   }
+
+  test("q138 boilerplate: invariants + threshold knob monotonicity") {
+    val rows = graft.text.TextOps.boilerplateSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("total_positions")
+      val boiler = r.getAs[Long]("boiler_positions")
+      assert(boiler >= 0 && boiler <= total)
+      assert(r.getAs[Int]("n_docs_flagged") <= r.getAs[Int]("n_docs"))
+      val ratio = r.getAs[Double]("micro_boiler_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // a stricter DF threshold can only shrink the boilerplate set
+    val strict = graft.text.TextOps
+      .boilerplateSummary(spark, sfDir, minDfPct = 90)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("boiler_positions"))
+      .toMap
+    rows.foreach { r =>
+      assert(strict(r.getString(0)) <= r.getAs[Long]("boiler_positions"))
+    }
+  }
+
+  test("q140 temperature mix: shares sum to ~1, targets within budget") {
+    val rows = graft.text.TextOps.temperatureMix(spark, sfDir, budget = 5000L)
+      .collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum $shares")
+    // floor() per source keeps the allocation within the global budget
+    assert(rows.map(_.getAs[Long]("n_target")).sum <= 5000L)
+    // temperature flattens the mix: every source's share sits between its
+    // raw proportion and the uniform share on the respective side
+    val totalDocs = rows.map(_.getAs[Int]("n_docs").toLong).sum.toDouble
+    val uniform = 1.0 / rows.length
+    rows.foreach { r =>
+      val raw = r.getAs[Int]("n_docs") / totalDocs
+      val sh = r.getAs[Double]("share")
+      if (raw < uniform) assert(sh >= raw - 1e-6 && sh <= uniform + 1e-6)
+      else assert(sh <= raw + 1e-6 && sh >= uniform - 1e-6)
+    }
+  }
 }
