@@ -271,12 +271,18 @@ object SparkEntry {
     "q135_outer_join_parity"  -> (graft.streaming.EventStream.outerJoinParity _),
     // fifth storage lever: Z-order (Morton) 2-D clustering round-trip
     "q137_zorder_skip"        -> (graft.sources.Sinks.zorderRoundTrip _),
+    // terminal layout lever: stable hash-sharded corpus export with
+    // per-shard xor content checksums
+    "q139_sharded_export"     -> (graft.sources.Sinks.shardedExportRoundTrip(_, _)),
     // cross-document boilerplate via per-source n-gram document frequency
     "q138_boilerplate_df"     -> ((s, d) =>
       graft.text.TextOps.boilerplateSummary(s, d)),
     // temperature-scaled (n^0.5) training-mix source weights + targets
     "q140_temperature_mix"    -> ((s, d) =>
       graft.text.TextOps.temperatureMix(s, d)),
+    // embedding-side quality filter: per-label centroid-distance outliers
+    "q141_centroid_outliers"  -> ((s, d) =>
+      graft.similarity.Similarity.centroidOutliers(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -505,6 +511,21 @@ object SparkEntry {
             |FROM lineitem
             |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+        // q139 oracle = the same per-shard rollup computed from the shard
+        // FUNCTION (not the written layout): hash-equality proves the
+        // partitioned export lossless shard by shard, checksums included
+        "q139_sharded_export" -> {
+          import graft.functions.TextPrims.hex60S
+          s"""WITH h AS (SELECT doc_id, n_chars, text,
+             |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 8 AS shard
+             |  FROM documents)
+             |SELECT CAST(shard AS INTEGER) AS shard,
+             |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+             |  bit_xor(${hex60S("md5(text)")}) AS xor_hash
+             |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+        },
         "q110_bucketed_join" ->
           """SELECT c_mktsegment, COUNT(*) AS n,
             |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,

@@ -322,6 +322,43 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** q141: CENTROID-DISTANCE outlier ranking — the embedding-side quality
+    * filter of a training-data pipeline: vectors far from their label's
+    * centroid are candidate mislabels/noise (the embedding analog of
+    * q23's text quality score). Per (label, dim) the centroid runs over
+    * DECIMAL(38,12) casts of the double-widened components, and each
+    * vector's squared distance sums its per-dim squares through the same
+    * decimal routing — both accumulations are therefore exact and
+    * order-independent, so the top-k ranking (distance desc, vec_id) is
+    * a pure function of the data on both engines.
+    *
+    * Shape at 100 TB: posexplode is a narrow map; the centroid agg
+    * shuffles on (label, dim) — bounded by #labels × dim, tiny; the
+    * centroid frame broadcasts back onto the exploded stream; the
+    * per-vector reduce shuffles once on vec_id; the final top-k is a
+    * per-label window over #vectors rows. No cross product anywhere. */
+  def centroidOutliers(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val dims = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")))
+      .withColumnRenamed("pos", "dim")
+      .withColumn("xd", col("col").cast(DoubleType))
+      .drop("col")
+    val cent = dims.groupBy("label", "dim")
+      .agg((sum(col("xd").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1))).as("mu"))
+    val d2 = dims.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("sq", (col("xd") - col("mu")) * (col("xd") - col("mu")))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("sq").cast(DecimalType(38, 12))).as("d2"))
+    val w = Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))
+    d2.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"),
+        round(sqrt(col("d2").cast(DoubleType)), 6).as("dist"))
+      .orderBy("label", "rk")
+  }
+
   // ------------------------------------------------------------- oracles
   private def dotS(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -415,6 +452,23 @@ object Similarity {
          |  FROM cb a JOIN cb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM p
          |WHERE cosine >= 0.9999 ORDER BY vec_a, vec_b""".stripMargin,
+    "q141_centroid_outliers" ->
+      s"""WITH d AS (SELECT vec_id, label, g.i - 1 AS dim,
+         |    CAST(embedding[g.i] AS DOUBLE) AS xd
+         |  FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i)),
+         |c AS (SELECT label, dim,
+         |    CAST(SUM(CAST(xd AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+         |  FROM d GROUP BY 1, 2),
+         |s2 AS (SELECT vec_id, d.label,
+         |    SUM(CAST((xd - mu) * (xd - mu) AS DECIMAL(38,12))) AS d2
+         |  FROM d JOIN c ON d.label = c.label AND d.dim = c.dim
+         |  GROUP BY 1, 2),
+         |r AS (SELECT label, vec_id, d2,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY d2 DESC, vec_id) AS INTEGER) AS rk
+         |  FROM s2)
+         |SELECT label, rk, vec_id, round(sqrt(CAST(d2 AS DOUBLE)), 6) AS dist
+         |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
     "q44_embedding_stats" ->
       s"""WITH e AS ($embS)
          |SELECT label, count(*) AS n,

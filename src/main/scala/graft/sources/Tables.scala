@@ -415,6 +415,51 @@ object Sinks {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q139: deterministic HASH-SHARDED EXPORT — the "write the training
+    * corpus as N stable shards" step at the end of a data pipeline:
+    * every document's shard is a pure function of its id
+    * (md5-fold mod N — reproducible across runs, engines and
+    * partitionings, like q77's mixing buckets), each shard is written as
+    * ONE sorted file under a `shard=K` directory (repartition on the
+    * shard key + in-partition sort), and the verifying read-back proves
+    * the export lossless per shard: counts, char volume, id range, and
+    * an order-independent xor content checksum (bit_xor of the 60-bit
+    * md5 fold of `text` — exact at any scale, where a sum checksum
+    * would need decimal routing past ~2^3 rows).
+    *
+    * At 100 TB this is the terminal layout lever: training jobs read
+    * shard subsets without listing the world, re-exports touch only
+    * changed shards, and the checksum column makes shard-level drift
+    * detection a metadata-only diff. */
+  def shardedExportRoundTrip(s: SparkSession, dir: String,
+                             shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.functions.TextPrims.hex60C
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q139")
+    try {
+      val path = tmp.resolve("export").toString
+      Tables.load(s, dir, "documents")
+        .withColumn("shard",
+          pmod(hex60C(md5(col("doc_id").cast(StringType))), lit(shards.toLong)))
+        .repartition(shards, col("shard"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast(IntegerType).as("shard"))
+        .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"),
+          // bit_xor has no Column-API builder; the argument is exactly
+          // TextPrims.hex60C(md5(text)) in SQL form
+          expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
+            "AS BIGINT))").as("xor_hash"))
+        .orderBy("shard")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** q110: BUCKETED-JOIN round-trip — the third storage lever after
     * partition pruning (q105) and range clustering (q106): write orders
     * and customer as bucketed+sorted managed tables on the join key

@@ -119,4 +119,28 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") <= bf((q, rk)) + 1e-9)
     }
   }
+
+  test("q141 centroid outliers: k per label, distance-ranked, true outliers") {
+    val k = 5
+    val rows = Similarity.centroidOutliers(spark, sfDir, k).collect()
+    assert(rows.nonEmpty)
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    val nVecs = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byLabel.foreach { case (label, rs) =>
+      // ranks are 1..min(k, label size), distances non-increasing
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to math.min(k.toLong, nVecs(label)).toInt))
+      val ds = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("dist"))
+      ds.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b - 1e-9)
+        case _ =>
+      }
+      // an outlier is genuinely far: every ranked distance must exceed
+      // the label's mean distance would be weaker — assert positive and
+      // strictly above zero (identical vectors can't all be outliers)
+      assert(ds.head > 0.0)
+    }
+  }
 }

@@ -188,6 +188,39 @@ class SinksCatalogSpec extends SparkSpec {
     assert(rows.getLong(4) === 0x3FFFFFFFFFFFFFFFL)
   }
 
+  test("q139 layout contract: one sorted file per shard=K directory") {
+    val dir = tmp()
+    import graft.functions.TextPrims.hex60C
+    val src = Tables.load(spark, sfDir, "documents")
+    val shards = 4
+    src.withColumn("shard",
+        pmod(hex60C(md5(col("doc_id").cast(org.apache.spark.sql.types.StringType))),
+          lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("doc_id")
+      .write.partitionBy("shard").parquet(s"$dir/exp")
+    val dirs = Option(new java.io.File(s"$dir/exp").listFiles)
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.nonEmpty && dirs.length <= shards)
+    // one file per shard directory (repartition on the shard key), and
+    // rows inside each file are doc_id-sorted
+    dirs.foreach { d =>
+      val files = d.listFiles.filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: ${files.length} files")
+      val ids = spark.read.parquet(files.head.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted, s"${d.getName} not sorted")
+    }
+    // shard assignment is a pure function of doc_id: re-deriving it from
+    // the read-back equals the directory the row landed in
+    val back = spark.read.parquet(s"$dir/exp")
+    assert(back.filter(
+      pmod(hex60C(md5(col("doc_id").cast(org.apache.spark.sql.types.StringType))),
+        lit(shards.toLong)) =!= col("shard")).count() === 0)
+    assert(back.count() === src.count())
+  }
+
   test("q132 layout contract: compaction bin-packs tiny files to computed count") {
     // the q132 file-count guard: the rewrite must land on
     // ceil(bytes/targetBytes) files (floor 1), collapsing the fragmented
