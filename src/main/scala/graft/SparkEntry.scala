@@ -283,6 +283,13 @@ object SparkEntry {
     // embedding-side quality filter: per-label centroid-distance outliers
     "q141_centroid_outliers"  -> ((s, d) =>
       graft.similarity.Similarity.centroidOutliers(s, d)),
+    // graph centrality: 10-iteration weighted PageRank on the aggregated
+    // event-type transition graph, decimal-routed per iteration
+    "q142_transition_pagerank" -> ((s, d) =>
+      graft.analytics.Advanced.transitionPageRank(s, d)),
+    // eighth streaming surface: exactly-once across a job restart — two
+    // AvailableNow runs sharing one checkpoint equal the batch aggregate
+    "q143_incremental_restart" -> (graft.streaming.EventStream.incrementalRestartParity _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

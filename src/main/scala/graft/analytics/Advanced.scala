@@ -955,6 +955,63 @@ object Advanced {
       .orderBy("src", "dst")
   }
 
+  /** q142: weighted PAGERANK over the event-type transition graph — the
+    * graph-centrality quality signal (Common Crawl ranks hosts the same
+    * way) on the q117 edge set. The 100 TB stage is the EDGE AGGREGATION:
+    * one keyed window + one hash-agg collapse the raw event stream to a
+    * (src, dst, weight) graph no bigger than |types|²; the rank solve
+    * then iterates on that aggregated graph (thousands of nodes in a
+    * production host graph — here 5). Ten fixed iterations of
+    * r = (1−d)/N + d·Σ_in r·w/outw, with each iteration's contribution
+    * sum routed through DECIMAL(38,18) so accumulation order cannot
+    * perturb the result — the iterate is a pure function of the data on
+    * both engines, no convergence-threshold ambiguity. Every node in
+    * this graph has out-edges; dangling-mass redistribution is the
+    * standard extension when that breaks.
+    *
+    * The tiny edges/out-weight frames are localCheckpointed once (the
+    * iteration must not re-derive them from the fact table each pass),
+    * and each iterate is checkpointed to keep the plan linear. */
+  def transitionPageRank(s: SparkSession, dir: String, iters: Int = 10,
+                         damping: Double = 0.85): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val out = edges.groupBy("src").agg(sum("w").as("outw")).localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .crossJoin(broadcast(
+        edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .agg(count(lit(1)).cast(DoubleType).as("n_nodes"))))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0) / col("n_nodes"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(broadcast(out), "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"),
+          (col("rank") * col("w") / col("outw")).as("c"))
+        .groupBy("node")
+        .agg(sum(col("c").cast(DecimalType(38, 18))).cast(DoubleType)
+          .as("sumc"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("n_nodes"),
+          (lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("sumc"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   /** q118: gaps-and-islands activity streaks — per customer, the runs of
     * CONSECUTIVE active months (month index − row_number is constant
     * within a run: the classic islands trick, purely windowed, no
@@ -1260,6 +1317,40 @@ object Advanced {
         |      (PARTITION BY o_orderkey ORDER BY version) IS NULL
         |    THEN 1 ELSE 0 END AS INTEGER) AS is_current
         |FROM gens ORDER BY o_orderkey, valid_from""".stripMargin,
+    "q142_transition_pagerank" -> {
+      // the oracle unrolls the ten fixed iterations as CTEs r0..r10, each
+      // contribution sum DECIMAL-routed exactly like the Spark side; the
+      // damping constants are spelled as the SAME double expressions
+      // ((1.0 - 0.85) etc.) so both engines fold identical IEEE values
+      val base =
+        """WITH tr AS (SELECT user_id, event_type,
+          |    lead(event_type) OVER
+          |      (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          |  FROM events),
+          |e AS (SELECT event_type AS src, next_type AS dst, COUNT(*) AS w
+          |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          |o AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+          |n0 AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM n0),
+          |n AS (SELECT node, n_nodes FROM n0 CROSS JOIN nn),
+          |r0 AS (SELECT node, n_nodes,
+          |  CAST(1.0 AS DOUBLE) / n_nodes AS rank FROM n)""".stripMargin
+      val iterations = (1 to 10).map { i =>
+        s"""c$i AS (SELECT e.dst AS node,
+           |    CAST(SUM(CAST(r.rank * e.w / o.outw AS DECIMAL(38,18)))
+           |      AS DOUBLE) AS sumc
+           |  FROM e JOIN o USING (src) JOIN r${i - 1} r ON r.node = e.src
+           |  GROUP BY 1),
+           |r$i AS (SELECT n.node, n.n_nodes,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n_nodes
+           |      + CAST(0.85 AS DOUBLE)
+           |        * COALESCE(c$i.sumc, CAST(0.0 AS DOUBLE)) AS rank
+           |  FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+      }
+      (base +: iterations).mkString(",\n") +
+        "\nSELECT node, round(rank, 6) AS rank FROM r10 ORDER BY node"
+    },
     "q117_transition_matrix" ->
       """WITH pairs AS (
         |  SELECT event_type AS src,

@@ -581,6 +581,99 @@ object EventStream {
     }
   }
 
+  /** q143 — oracle-checked CHECKPOINT-RESTART parity: q85 proved one
+    * continuous AvailableNow run equals the batch aggregate; this proves
+    * the same equality across a JOB RESTART — the daily-ingestion
+    * pattern where a scheduled run drains what has arrived, exits, and a
+    * later run resumes from the same checkpoint when more data lands.
+    * The staged copy is split at the time-range midpoint: run 1 sees
+    * only the earlier half and terminates (flushing every window the
+    * half-data watermark has passed); the later half plus the q85
+    * sentinel then land, and run 2 — the identical query resumed from
+    * the same checkpoint — processes only the new files, restores the
+    * in-flight window state (windows straddling the split get
+    * contributions from BOTH runs), and flushes the rest. Hash-equality
+    * of the two runs' combined append output against q85's batch oracle
+    * proves exactly-once across the restart: a lost state store, a
+    * re-processed file, or a dropped in-flight window would each break
+    * the hash. Splitting at the midpoint keeps run-2 data strictly
+    * later than run 1's watermark, so nothing is (correctly or not)
+    * dropped as late — late-data semantics are q85/q111's concern, not
+    * the restart's. */
+  def incrementalRestartParity(s: SparkSession, dir: String): DataFrame = {
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = s.conf.getOption(noDataKey)
+    s.conf.set(noDataKey, "true")
+    try incrementalRestartStaged(s, dir)
+    finally noDataPrev match {
+      case Some(v) => s.conf.set(noDataKey, v)
+      case None    => s.conf.unset(noDataKey)
+    }
+  }
+
+  /** q143 body: two-run staging + the shared streaming plan (see
+    * [[incrementalRestartParity]], which owns the session-conf guard). */
+  private def incrementalRestartStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q143")
+    var q: StreamingQuery = null
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val mm = events.agg(min("ts"), max("ts")).head()
+      val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+      val cut = new java.sql.Timestamp(
+        minTs.getTime + (maxTs.getTime - minTs.getTime) / 2)
+      // both runs must build the IDENTICAL plan for checkpoint
+      // compatibility — one definition, invoked twice
+      def run(): StreamingQuery = toParquet(
+        s.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(in.toString)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+              .as("sum_value"))
+          .select(col("window.start").as("hour_start"), col("event_type"),
+            col("n"), col("sum_value")),
+        tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
+      // ---- run 1: the earlier half only
+      val stage1 = tmp.resolve("stage1")
+      events.filter(col("ts") <= cut)
+        .coalesce(1).write.mode("overwrite").parquet(stage1.toString)
+      moveOnlyParquet(stage1, in.resolve("aa-half1.parquet"), mtimeMs = 1000000L)
+      q = run()
+      require(q.awaitTermination(300000),
+        "q143 run 1 did not terminate within 300 s")
+      q = null
+      // ---- more data lands while no job is running
+      val stage2 = tmp.resolve("stage2")
+      events.filter(col("ts") > cut)
+        .coalesce(1).write.mode("overwrite").parquet(stage2.toString)
+      moveOnlyParquet(stage2, in.resolve("mm-half2.parquet"), mtimeMs = 1060000L)
+      val stage3 = tmp.resolve("sentinel")
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 86400000L),
+           -1L, "__watermark_sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage3.toString)
+      moveOnlyParquet(stage3, in.resolve("zz-sentinel.parquet"),
+        mtimeMs = 1120000L)
+      // ---- run 2: resumed from the same checkpoint
+      q = run()
+      require(q.awaitTermination(300000),
+        "q143 run 2 did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .filter(col("event_type") =!= "__watermark_sentinel__")
+        .localCheckpoint()
+        .orderBy("hour_start", "event_type")
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q130 — oracle-checked SESSIONIZATION parity, the sixth and last
     * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
     * stream-stream join, q111 = keyed dedup, q115 = stream-static join,
@@ -647,6 +740,13 @@ object EventStream {
     * reproduce every closed session exactly). */
   val oracleSql: Map[String, String] = Map(
     "q85_stream_parity" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // q143's oracle is q85's batch aggregate verbatim: the restart must
+    // change NOTHING about the computed result
+    "q143_incremental_restart" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

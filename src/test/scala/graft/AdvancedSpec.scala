@@ -402,4 +402,17 @@ class AdvancedSpec extends SparkSpec {
       assert(r.getAs[Long]("poorest_cust") === 7L)
     } finally graft.sources.Tables.rmTree(tmp)
   }
+
+  test("q142 pagerank: probability mass conserved, deterministic, positive") {
+    val rows = Advanced.transitionPageRank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // no dangling nodes in this graph → total rank mass stays 1
+    val mass = rows.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"mass $mass")
+    rows.foreach(r => assert(r.getAs[Double]("rank") > 0.0))
+    // fixed iteration count + decimal-routed sums ⇒ bit-identical rerun
+    val again = Advanced.transitionPageRank(spark, sfDir).collect()
+    assert(rows.map(r => (r.getString(0), r.getAs[Double]("rank"))).toSeq ===
+      again.map(r => (r.getString(0), r.getAs[Double]("rank"))).toSeq)
+  }
 }

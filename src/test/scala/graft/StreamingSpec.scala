@@ -318,4 +318,18 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq === Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("q143 restart parity equals the single-run streaming parity (q85)") {
+    // two AvailableNow runs resuming one checkpoint must produce the
+    // exact rows one continuous run produces — state restore, file-log
+    // resume, and in-flight windows included
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getDouble(3))
+    val restarted = EventStream.incrementalRestartParity(spark, sfDir)
+      .collect().map(key).toSeq
+    val continuous = EventStream.streamingParity(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(restarted === continuous)
+  }
 }
