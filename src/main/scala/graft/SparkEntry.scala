@@ -290,6 +290,11 @@ object SparkEntry {
     // eighth streaming surface: exactly-once across a job restart — two
     // AvailableNow runs sharing one checkpoint equal the batch aggregate
     "q143_incremental_restart" -> (graft.streaming.EventStream.incrementalRestartParity _),
+    // RNG-free length-proportional sampling: PPS systematic per source
+    "q144_pps_sample"         -> ((s, d) => graft.text.TextOps.ppsSample(s, d)),
+    // concat-and-chunk packing stats: fixed-size training windows
+    "q145_sequence_packing"   -> ((s, d) =>
+      graft.text.TextOps.sequencePacking(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -259,6 +259,77 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q144: PPS SYSTEMATIC sampling — "sample k documents per source with
+    * probability proportional to length" without any RNG: order each
+    * source's docs by id, lay their token counts end-to-end, and take
+    * the doc under each of k equally-spaced points on that line (the
+    * classic PPS systematic design). Selection is pure integer
+    * arithmetic — a doc spanning [start, end) is hit
+    * ceil(end·k/T) − ceil(start·k/T) times, computed with ceil-division
+    * ((x·k + T − 1) DIV T), so both engines agree bit-for-bit and the
+    * per-source draw counts telescope to EXACTLY k (asserted in spec).
+    * Long docs can be drawn more than once (that is PPS, not a bug);
+    * n_docs_sampled counts distinct hits. One keyed window per source —
+    * fully distributed, no global cumsum. */
+  def ppsSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    docs(s, dir).select(
+        col("doc_id"), col("source"),
+        size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
+          .cast(LongType).as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("t_src", sum("toks").over(wSrc))
+      .withColumn("hits", expr(
+        s"(cum * $k + t_src - 1) DIV t_src - " +
+          s"((cum - toks) * $k + t_src - 1) DIV t_src"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("toks").as("total_toks"),
+        sum("hits").as("n_draws"),
+        sum(when(col("hits") > 0, 1).otherwise(0)).cast(IntegerType)
+          .as("n_docs_sampled"),
+        max("hits").as("max_hits"))
+      .orderBy("source")
+  }
+
+  /** q145: SEQUENCE PACKING stats — the concat-and-chunk step that turns
+    * a document stream into fixed-size training windows (C tokens):
+    * per source, docs are laid end-to-end in id order and cut every C
+    * tokens; a doc whose span crosses a cut boundary is split across two
+    * windows (the attention-masking cost packing efficiency reports
+    * exist to track). All integer: bin indexes are DIV C on the exact
+    * token prefix sums, bin count is ceil(T/C), and the last window's
+    * fill is an integer percentage. Same one-keyed-window shape as
+    * [[ppsSample]]. */
+  def sequencePacking(s: SparkSession, dir: String, c: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir).select(
+        col("doc_id"), col("source"),
+        size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
+          .cast(LongType).as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("crosses", expr(
+        s"CASE WHEN (cum - toks) DIV $c <> (cum - 1) DIV $c " +
+          "THEN 1 ELSE 0 END"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("toks").as("total_toks"),
+        expr(s"(sum(toks) + ${c - 1}) DIV $c").as("n_bins"),
+        sum("crosses").cast(IntegerType).as("n_boundary_docs"),
+        expr(s"CAST(((sum(toks) - 1) % $c + 1) * 100 DIV $c AS INTEGER)")
+          .as("last_bin_fill_pct"))
+      .orderBy("source")
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "customer")
@@ -468,6 +539,45 @@ object TextOps {
       " + (1.0 - punct / NULLIF(chars, 0)) * 0.2, 6), 0.0)"
 
   def oracleSql: Map[String, String] = Map(
+    "q144_pps_sample" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '$BpeTokenRe'))
+         |      AS BIGINT) AS toks
+         |  FROM documents),
+         |f AS (SELECT * FROM m WHERE toks > 0),
+         |c AS (SELECT doc_id, source, toks,
+         |    SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(toks) OVER (PARTITION BY source) AS t_src
+         |  FROM f),
+         |h AS (SELECT *, (cum * 10 + t_src - 1) // t_src
+         |    - ((cum - toks) * 10 + t_src - 1) // t_src AS hits FROM c)
+         |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_toks,
+         |  CAST(SUM(hits) AS BIGINT) AS n_draws,
+         |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_docs_sampled,
+         |  CAST(MAX(hits) AS BIGINT) AS max_hits
+         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    "q145_sequence_packing" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '$BpeTokenRe'))
+         |      AS BIGINT) AS toks
+         |  FROM documents),
+         |f AS (SELECT * FROM m WHERE toks > 0),
+         |c AS (SELECT doc_id, source, toks,
+         |    SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f),
+         |x AS (SELECT *, CASE WHEN (cum - toks) // 512 <> (cum - 1) // 512
+         |    THEN 1 ELSE 0 END AS crosses FROM c)
+         |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_toks,
+         |  CAST((SUM(toks) + 511) // 512 AS BIGINT) AS n_bins,
+         |  CAST(SUM(crosses) AS INTEGER) AS n_boundary_docs,
+         |  CAST(((SUM(toks) - 1) % 512 + 1) * 100 // 512 AS INTEGER)
+         |    AS last_bin_fill_pct
+         |FROM x GROUP BY source ORDER BY source""".stripMargin,
     "q138_boilerplate_df" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
          |g AS (SELECT doc_id, source, x AS sh

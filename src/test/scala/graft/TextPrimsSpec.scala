@@ -77,6 +77,31 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q144 PPS: draws telescope to exactly k per source, PPS favors long docs") {
+    val k = 10
+    val rows = graft.text.TextOps.ppsSample(spark, sfDir, k).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the ceil-division hit counts telescope: Σ hits = k exactly
+      assert(r.getAs[Long]("n_draws") === k.toLong, r.getString(0))
+      assert(r.getAs[Int]("n_docs_sampled") <= k)
+      assert(r.getAs[Long]("max_hits") >= 1L)
+    }
+  }
+
+  test("q145 packing: bins cover the stream, boundary docs bounded by bins") {
+    val rows = graft.text.TextOps.sequencePacking(spark, sfDir, 512).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("total_toks"); val b = r.getAs[Long]("n_bins")
+      assert(b === (t + 511) / 512)
+      // at most one doc can cross each internal cut
+      assert(r.getAs[Int]("n_boundary_docs") <= (b - 1).max(0))
+      val fill = r.getAs[Int]("last_bin_fill_pct")
+      assert(fill >= 0 && fill <= 100)
+    }
+  }
+
   test("q140 temperature mix: shares sum to ~1, targets within budget") {
     val rows = graft.text.TextOps.temperatureMix(spark, sfDir, budget = 5000L)
       .collect()
