@@ -295,6 +295,8 @@ object SparkEntry {
     // concat-and-chunk packing stats: fixed-size training windows
     "q145_sequence_packing"   -> ((s, d) =>
       graft.text.TextOps.sequencePacking(s, d)),
+    // row-level bad-records histogram: constraint bitmask routing
+    "q146_quarantine_routing" -> (graft.analytics.Advanced.quarantineRouting _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1297,9 +1297,81 @@ object Advanced {
     vol.crossJoin(dupKeys).crossJoin(orphans).crossJoin(domain)
   }
 
+  /** q146: QUARANTINE ROUTING — the row-level complement of q129's gate:
+    * where the audit says whether the snapshot may publish, this says
+    * WHAT to quarantine and why, as the bad-records histogram a
+    * dual-write (clean sink / quarantine sink) routes on. Each row gets
+    * a bitmask of its violated constraints (quantity, discount domain,
+    * tax domain, price validity) in ONE narrow pass — no per-constraint
+    * re-scan — and the output groups by mask, so downstream triage sees
+    * each failure COMBINATION with its volume and an example key range.
+    * Mask 0 is the clean cohort (the overwhelming mass at 100 TB; its
+    * row proves the routing covers every record). All integer/boolean
+    * arithmetic: bit-exact on both engines.
+    *
+    * The TPC-H-ish fixture is constraint-clean by construction, so the
+    * input is the table plus deterministic CORRUPTED copies of keyed row
+    * slices (the q111/q34 injection pattern): negated quantities,
+    * out-of-domain discounts/taxes, a combined two-violation slice —
+    * every single-bit path and a multi-bit combination must appear in
+    * the histogram. */
+  def quarantineRouting(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_tax",
+        "l_extendedprice")
+    val li = base
+      .unionAll(base.filter(col("l_orderkey") % 500 === 0)
+        .withColumn("l_quantity", -col("l_quantity")))
+      .unionAll(base.filter(col("l_orderkey") % 700 === 0)
+        .withColumn("l_discount", lit(0.5)))
+      .unionAll(base.filter(col("l_orderkey") % 900 === 0)
+        .withColumn("l_tax", lit(0.9)))
+      .unionAll(base.filter(col("l_orderkey") % 1100 === 0)
+        .withColumn("l_extendedprice", lit(-1.0)))
+      .unionAll(base.filter(col("l_orderkey") % 1300 === 0)
+        .withColumn("l_quantity", -col("l_quantity"))
+        .withColumn("l_discount", lit(0.5)))
+    val mask =
+      when(col("l_quantity") <= 0, 1).otherwise(0) +
+      when(col("l_discount") < 0 || col("l_discount") > 0.2, 2).otherwise(0) +
+      when(col("l_tax") < 0 || col("l_tax") > 0.08, 4).otherwise(0) +
+      when(col("l_extendedprice").isNull ||
+        col("l_extendedprice") <= 0, 8).otherwise(0)
+    li.withColumn("reason_mask", mask)
+      .groupBy("reason_mask")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_key"),
+        max("l_orderkey").as("max_key"))
+      .orderBy("reason_mask")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q146_quarantine_routing" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_quantity, l_discount, l_tax, l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL SELECT l_orderkey, -l_quantity, l_discount, l_tax,
+        |    l_extendedprice FROM lineitem WHERE l_orderkey % 500 = 0
+        |  UNION ALL SELECT l_orderkey, l_quantity, 0.5, l_tax,
+        |    l_extendedprice FROM lineitem WHERE l_orderkey % 700 = 0
+        |  UNION ALL SELECT l_orderkey, l_quantity, l_discount, 0.9,
+        |    l_extendedprice FROM lineitem WHERE l_orderkey % 900 = 0
+        |  UNION ALL SELECT l_orderkey, l_quantity, l_discount, l_tax,
+        |    -1.0 FROM lineitem WHERE l_orderkey % 1100 = 0
+        |  UNION ALL SELECT l_orderkey, -l_quantity, 0.5, l_tax,
+        |    l_extendedprice FROM lineitem WHERE l_orderkey % 1300 = 0),
+        |m AS (SELECT l_orderkey,
+        |    (CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN l_discount < 0 OR l_discount > 0.2 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+        |        THEN 8 ELSE 0 END) AS reason_mask
+        |  FROM li)
+        |SELECT reason_mask, COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM m GROUP BY reason_mask ORDER BY reason_mask""".stripMargin,
     "q116_scd2_history" ->
       """WITH gens AS (
         |  SELECT o_orderkey, o_orderstatus, 0 AS version FROM orders
