@@ -321,4 +321,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
     assert(plan.contains("Filter"), plan)
   }
+
+  test("q144/q145: one source-key exchange each, scan pruned to 3 columns") {
+    // the PPS sampler and the packer both claim "one keyed window, no
+    // global cumsum": the only hash exchange is on `source`, the token
+    // line is built inside it, and the scan reads nothing but
+    // (doc_id, source, text)
+    Seq(graft.text.TextOps.ppsSample(spark, sfDir),
+        graft.text.TextOps.sequencePacking(spark, sfDir)).foreach { df =>
+      val plan = planOf(df)
+      assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).length >= 1,
+        plan)
+      assert(!plan.contains("Exchange SinglePartition"), plan)
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+      assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+        !readSchema.contains("n_chars") && !readSchema.contains("lang"),
+        readSchema)
+    }
+  }
 }

@@ -78,6 +78,34 @@ class VectorExprsPropertySpec extends SparkSpec {
     })
   }
 
+  test("property: mortonC ≡ driver-side bit interleave over random 31-bit keys") {
+    import spark.implicits._
+    def spreadRef(v: Long): Long = {
+      var x = v & 0x7FFFFFFFL
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      x = (x | (x << 1)) & 0x5555555555555555L
+      x
+    }
+    val keyGen = Gen.oneOf(
+      Gen.choose(0L, 0x7FFFFFFFL), Gen.oneOf(0L, 1L, 2L, 0x7FFFFFFFL))
+    val caseGen = for { x <- keyGen; y <- keyGen } yield (x, y)
+    run(Prop.forAll(Gen.listOfN(100, caseGen)) { cases =>
+      cases.isEmpty || {
+        val out = cases.toDF("x", "y")
+          .select(col("x"), col("y"),
+            graft.sources.Sinks.mortonC(col("x"), col("y")).as("z"))
+          .collect()
+        out.forall { r =>
+          val ref = spreadRef(r.getLong(0)) | (spreadRef(r.getLong(1)) << 1)
+          r.getLong(2) == ref && ref >= 0
+        }
+      }
+    })
+  }
+
   test("property: DotProduct truncates to the shorter array (fold reference)") {
     import spark.implicits._
     val caseGen = for {
