@@ -297,6 +297,9 @@ object SparkEntry {
       graft.text.TextOps.sequencePacking(s, d)),
     // row-level bad-records histogram: constraint bitmask routing
     "q146_quarantine_routing" -> (graft.analytics.Advanced.quarantineRouting _),
+    // ninth streaming surface: foreachBatch DUAL-sink routing (clean /
+    // quarantine), replay-idempotent via per-batch overwrite
+    "q147_quarantine_dual_sink" -> (graft.streaming.EventStream.quarantineDualSink _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -674,6 +674,77 @@ object EventStream {
     }
   }
 
+  /** q147 — streaming QUARANTINE DUAL-SINK: the ninth streaming surface,
+    * and the one multi-sink pattern none of the others cover — a
+    * foreachBatch that ROUTES each micro-batch into two sinks (clean /
+    * quarantine) by the q146 constraint bitmask, with per-batch
+    * idempotence from the standard `batch=<id>` overwrite trick: a
+    * replayed micro-batch rewrites its own subdirectory instead of
+    * appending duplicates, so the dual write is exactly-once without a
+    * transaction coordinator. The staged input is the events copy plus
+    * deterministic corrupted slices (negative values, unknown event
+    * types, one combined slice — the q146 injection pattern). Parity:
+    * the union of both sinks' per-(side, mask) rollups must hash-equal
+    * the batch routing of the same input — a lost row, a double-routed
+    * row, or a row landing on both sides would each break it. Stateless
+    * routing ⇒ no watermark, no sentinel staging needed. */
+  def quarantineDualSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q147")
+    var q: StreamingQuery = null
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val staged = events
+        .unionAll(events.filter(col("event_id") % 10 === 0)
+          .withColumn("value", -col("value") - 1.0))
+        .unionAll(events.filter(col("event_id") % 13 === 0)
+          .withColumn("event_type", lit("corrupt")))
+        .unionAll(events.filter(col("event_id") % 70 === 0)
+          .withColumn("value", -col("value") - 1.0)
+          .withColumn("event_type", lit("corrupt")))
+      staged.coalesce(1).write.mode("overwrite").parquet(in.toString)
+      val clean = tmp.resolve("clean").toString
+      val quar = tmp.resolve("quarantine").toString
+      q = fileSource(s, in.toString).writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          val m = batch.withColumn("reason_mask",
+            when(col("value") < 0, 1).otherwise(0) +
+              when(!col("event_type").isin(
+                "click", "error", "purchase", "signup", "view"), 2)
+                .otherwise(0))
+          // batch=<id> overwrite = replay-idempotent dual write
+          m.filter(col("reason_mask") === 0)
+            .write.mode("overwrite").parquet(s"$clean/batch=$batchId")
+          m.filter(col("reason_mask") =!= 0)
+            .write.mode("overwrite").parquet(s"$quar/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q147 routing stream did not terminate within 300 s")
+      val sides =
+        s.read.parquet(clean).drop("batch").withColumn("side", lit("clean"))
+          .unionByName(s.read.parquet(quar).drop("batch")
+            .withColumn("side", lit("quarantine")))
+      sides.groupBy("side", "reason_mask")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("sum_value"))
+        .orderBy("side", "reason_mask")
+        .localCheckpoint()
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q130 — oracle-checked SESSIONIZATION parity, the sixth and last
     * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
     * stream-stream join, q111 = keyed dedup, q115 = stream-static join,
@@ -744,6 +815,26 @@ object EventStream {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q147_quarantine_dual_sink" ->
+      """WITH staged AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  UNION ALL SELECT event_id, event_type, -value - 1.0 FROM events
+        |    WHERE event_id % 10 = 0
+        |  UNION ALL SELECT event_id, 'corrupt', value FROM events
+        |    WHERE event_id % 13 = 0
+        |  UNION ALL SELECT event_id, 'corrupt', -value - 1.0 FROM events
+        |    WHERE event_id % 70 = 0),
+        |m AS (SELECT *,
+        |    (CASE WHEN value < 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN event_type NOT IN
+        |        ('click', 'error', 'purchase', 'signup', 'view')
+        |      THEN 2 ELSE 0 END) AS reason_mask
+        |  FROM staged)
+        |SELECT CASE WHEN reason_mask = 0 THEN 'clean' ELSE 'quarantine' END
+        |    AS side,
+        |  reason_mask, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM m GROUP BY 1, 2 ORDER BY side, reason_mask""".stripMargin,
     // q143's oracle is q85's batch aggregate verbatim: the restart must
     // change NOTHING about the computed result
     "q143_incremental_restart" ->

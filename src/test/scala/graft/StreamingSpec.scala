@@ -319,6 +319,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q147 dual sink partitions the stream: no row lost, none double-routed") {
+    val rows = EventStream.quarantineDualSink(spark, sfDir).collect()
+    val bySide = rows.groupBy(_.getString(0))
+    assert(bySide.keySet === Set("clean", "quarantine"))
+    // clean side is exactly mask 0; quarantine is every non-zero mask
+    assert(bySide("clean").forall(_.getAs[Int]("reason_mask") === 0))
+    assert(bySide("quarantine").forall(_.getAs[Int]("reason_mask") > 0))
+    // the two sinks partition the staged input: totals reconstruct the
+    // injection arithmetic (n + n/10 + n/13 + n/70 slices, by event_id)
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    val n = events.count()
+    def sliceCount(m: Int) =
+      events.filter(col("event_id") % m === 0).count()
+    val expected = n + sliceCount(10) + sliceCount(13) + sliceCount(70)
+    assert(rows.map(_.getAs[Long]("n")).sum === expected)
+  }
+
   test("q143 restart parity equals the single-run streaming parity (q85)") {
     // two AvailableNow runs resuming one checkpoint must produce the
     // exact rows one continuous run produces — state restore, file-log
