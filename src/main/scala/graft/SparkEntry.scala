@@ -300,6 +300,12 @@ object SparkEntry {
     // ninth streaming surface: foreachBatch DUAL-sink routing (clean /
     // quarantine), replay-idempotent via per-batch overwrite
     "q147_quarantine_dual_sink" -> (graft.streaming.EventStream.quarantineDualSink _),
+    // snapshot reconciliation: added/removed/changed diff of two
+    // materialized generations, per-column change counts
+    "q148_snapshot_diff"      -> (graft.analytics.Advanced.snapshotDiff _),
+    // frequent-itemset primitive: per-basket co-occurrence pair counts
+    "q149_copurchase_pairs"   -> ((s, d) =>
+      graft.analytics.Advanced.copurchasePairs(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1345,9 +1345,105 @@ object Advanced {
       .orderBy("reason_mask")
   }
 
+  /** q148: SNAPSHOT DIFF — the "what changed between yesterday's and
+    * today's snapshot" reconciliation op the SCD family doesn't cover
+    * (q116/q126 build and query history; q128 applies a merge; this
+    * AUDITS two materialized generations after the fact). One full
+    * outer join on the key classifies every row as added / removed /
+    * changed / unchanged, with changed split by which column moved —
+    * the drift report a warehouse runs before blessing a snapshot swap.
+    * The second generation is derived deterministically (q88's repricing
+    * slice, a deletion slice, a re-keyed insertion slice), so both
+    * engines diff identical inputs. One shuffle on the join key; counts
+    * all integer. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"))
+    val v2 = v1.filter(col("k") % 17 =!= 0) // deletions
+      .withColumn("price",
+        when(col("k") % 10 === 0, col("price") * 1.1).otherwise(col("price")))
+      .withColumn("st", when(col("k") % 13 === 0, lit("U")).otherwise(col("st")))
+      .unionAll(v1.filter(col("k") % 23 === 0) // insertions (re-keyed)
+        .select((col("k") + 10000000L).as("k"), col("st"), col("price")))
+    val j = v1.select(col("k"), col("st").as("st1"), col("price").as("p1"))
+      .join(v2.select(col("k"), col("st").as("st2"), col("price").as("p2")),
+        Seq("k"), "full_outer")
+    j.withColumn("change_type",
+        when(col("st1").isNull, lit("added"))
+          .when(col("st2").isNull, lit("removed"))
+          .when(col("st1") =!= col("st2") || col("p1") =!= col("p2"),
+            lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("change_type") === "changed" &&
+          col("st1") =!= col("st2"), 1).otherwise(0))
+          .cast(IntegerType).as("n_status_changes"),
+        sum(when(col("change_type") === "changed" &&
+          col("p1") =!= col("p2"), 1).otherwise(0))
+          .cast(IntegerType).as("n_price_changes"),
+        min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("change_type")
+  }
+
+  /** q149: CO-OCCURRENCE pairs — the frequent-itemset/market-basket
+    * primitive (parts bought together): a per-basket self-join bounded
+    * by basket width (never docs × docs — the join key is the order,
+    * and TPC-H baskets hold ~4–7 items, so the explode is |orders|·w²),
+    * then one hash-agg on the pair and a deterministic global top-k
+    * (count desc, pair asc — q15's tie-break rule). The same shape
+    * computes token co-occurrence or doc-pair affinity at corpus scale;
+    * partial aggregation halves the pair shuffle. */
+  def copurchasePairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .orderBy(col("n_baskets").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q148_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice AS price FROM orders),
+        |v2 AS (SELECT k,
+        |    CASE WHEN k % 13 = 0 THEN 'U' ELSE st END AS st,
+        |    CASE WHEN k % 10 = 0 THEN price * 1.1 ELSE price END AS price
+        |  FROM v1 WHERE k % 17 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000, st, price FROM v1 WHERE k % 23 = 0),
+        |j AS (SELECT COALESCE(v1.k, v2.k) AS k, v1.st AS st1, v2.st AS st2,
+        |    v1.price AS p1, v2.price AS p2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k),
+        |c AS (SELECT k, st1, st2, p1, p2,
+        |    CASE WHEN st1 IS NULL THEN 'added'
+        |      WHEN st2 IS NULL THEN 'removed'
+        |      WHEN st1 <> st2 OR p1 <> p2 THEN 'changed'
+        |      ELSE 'unchanged' END AS change_type
+        |  FROM j)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN change_type = 'changed' AND st1 <> st2
+        |    THEN 1 ELSE 0 END) AS INTEGER) AS n_status_changes,
+        |  CAST(SUM(CASE WHEN change_type = 'changed' AND p1 <> p2
+        |    THEN 1 ELSE 0 END) AS INTEGER) AS n_price_changes,
+        |  MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM c GROUP BY change_type ORDER BY change_type""".stripMargin,
+    "q149_copurchase_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+        |    l_partkey AS part FROM lineitem)
+        |SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_baskets
+        |FROM items a JOIN items b
+        |  ON a.okey = b.okey AND a.part < b.part
+        |GROUP BY 1, 2
+        |ORDER BY n_baskets DESC, part_a, part_b LIMIT 20""".stripMargin,
     "q146_quarantine_routing" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_quantity, l_discount, l_tax, l_extendedprice

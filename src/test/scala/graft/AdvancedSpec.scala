@@ -403,6 +403,37 @@ class AdvancedSpec extends SparkSpec {
     } finally graft.sources.Tables.rmTree(tmp)
   }
 
+  test("q148 snapshot diff: cohort counts reconstruct the generation arithmetic") {
+    val rows = Advanced.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val keys = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(rows("added").getAs[Long]("n") === keys.count(_ % 23 == 0))
+    assert(rows("removed").getAs[Long]("n") === keys.count(_ % 17 == 0))
+    // changed = repriced or restatused keys that survived the deletion
+    assert(rows("changed").getAs[Long]("n") ===
+      keys.count(k => k % 17 != 0 && (k % 10 == 0 || k % 13 == 0)))
+    val total = rows.values.map(_.getAs[Long]("n")).sum
+    assert(total === keys.length + keys.count(_ % 23 == 0))
+  }
+
+  test("q149 co-purchase: pairs ordered canonically, counts bounded by baskets") {
+    val rows = Advanced.copurchasePairs(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nOrders = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey").distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // canonical pair order
+      assert(r.getAs[Long]("n_baskets") >= 1L &&
+        r.getAs[Long]("n_baskets") <= nOrders)
+    }
+    // ranking is non-increasing
+    rows.map(_.getAs[Long]("n_baskets")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+
   test("q142 pagerank: probability mass conserved, deterministic, positive") {
     val rows = Advanced.transitionPageRank(spark, sfDir).collect()
     assert(rows.nonEmpty)
