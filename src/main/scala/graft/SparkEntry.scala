@@ -306,6 +306,8 @@ object SparkEntry {
     // frequent-itemset primitive: per-basket co-occurrence pair counts
     "q149_copurchase_pairs"   -> ((s, d) =>
       graft.analytics.Advanced.copurchasePairs(s, d)),
+    // per-source dataset card: volume, quality, embedding coverage, dups
+    "q150_dataset_card"       -> (graft.text.TextOps.datasetCard _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -370,6 +370,44 @@ object TextOps {
       .orderBy("token", "rk")
   }
 
+  /** q150: DATASET CARD — the per-source manifest a training run records
+    * before consuming a corpus snapshot (the "data card" step): document
+    * and token volume, mean quality (sums DECIMAL-routed so the mean is
+    * order-independent), embedding coverage (documents ↔ embeddings
+    * join on id — the cross-TABLE readiness signal none of the
+    * single-table ops report), and the exact-duplicate volume within
+    * the source. Each stat is an existing verified primitive; the card
+    * composes them in one result so drift in any feed (text, quality,
+    * embeddings, dedup) shows up in a single diffable row per source.
+    * Shape: two hash-aggs over documents, one semi-join against the
+    * embedding ids, one md5 group — every leg shuffles on `source` or
+    * the join id, nothing quadratic. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val q = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
+        .cast(LongType).as("toks"),
+      qualityExprs.toMap.apply("quality_score").as("qs"),
+      md5(col("text")).as("h"))
+    val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+    val withEmb = q.join(emb, q("doc_id") === emb("vec_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_embedded"))
+    val dups = q.groupBy("source", "h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .groupBy("source").agg(sum("cnt").as("n_dup_docs"))
+    q.groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        round(sum(col("qs").cast(DecimalType(18, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_quality"))
+      .join(broadcast(withEmb), Seq("source"), "left")
+      .join(broadcast(dups), Seq("source"), "left")
+      .na.fill(0L, Seq("n_embedded", "n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("mean_quality"), col("n_embedded"), col("n_dup_docs"))
+      .orderBy("source")
+  }
+
   /** Language ID: marker-stopword count per language, argmax with a fixed
     * priority tie-break; 'und' (undetermined) when no marker hits. Includes
     * agreement with the table's labeled `lang` for eyeballing accuracy. */
@@ -539,6 +577,34 @@ object TextOps {
       " + (1.0 - punct / NULLIF(chars, 0)) * 0.2, 6), 0.0)"
 
   def oracleSql: Map[String, String] = Map(
+    "q150_dataset_card" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
+         |m AS (SELECT doc_id, source, text,
+         |    CAST(len(regexp_extract_all(lower(text), '$BpeTokenRe'))
+         |      AS BIGINT) AS toks,
+         |    CAST(len(t) AS DOUBLE) AS words,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
+         |  FROM d),
+         |q AS (SELECT doc_id, source, text, toks, $QualityScoreS AS qs FROM m),
+         |e AS (SELECT source, COUNT(*) AS n_embedded FROM q
+         |  WHERE doc_id IN (SELECT vec_id FROM embeddings) GROUP BY 1),
+         |du AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_dup_docs FROM
+         |  (SELECT source, md5(text) AS h, COUNT(*) AS cnt FROM q
+         |   GROUP BY 1, 2) g
+         |  WHERE cnt > 1 GROUP BY 1),
+         |base AS (SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |    round(CAST(SUM(CAST(qs AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(*), 6) AS mean_quality
+         |  FROM q GROUP BY 1)
+         |SELECT base.source, n_docs, total_tokens, mean_quality,
+         |  CAST(COALESCE(e.n_embedded, 0) AS BIGINT) AS n_embedded,
+         |  CAST(COALESCE(du.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+         |FROM base LEFT JOIN e ON base.source = e.source
+         |LEFT JOIN du ON base.source = du.source
+         |ORDER BY base.source""".stripMargin,
     "q144_pps_sample" ->
       s"""WITH m AS (SELECT doc_id, source,
          |    CAST(len(regexp_extract_all(lower(text), '$BpeTokenRe'))
