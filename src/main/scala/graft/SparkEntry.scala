@@ -308,6 +308,9 @@ object SparkEntry {
       graft.analytics.Advanced.copurchasePairs(s, d)),
     // per-source dataset card: volume, quality, embedding coverage, dups
     "q150_dataset_card"       -> (graft.text.TextOps.datasetCard _),
+    // behavioral analytics: last-touch conversion attribution (24 h)
+    "q151_last_touch"         -> ((s, d) =>
+      graft.analytics.Advanced.lastTouchAttribution(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

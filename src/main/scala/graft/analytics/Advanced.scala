@@ -976,14 +976,17 @@ object Advanced {
                          damping: Double = 0.85): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // out-weights fold into the edge frame ONCE — the loop must not pay
+    // a per-iteration join for a value that never changes
     val edges = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .withColumn("outw",
+        sum("w").over(Window.partitionBy("src")))
       .localCheckpoint()
-    val out = edges.groupBy("src").agg(sum("w").as("outw")).localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .crossJoin(broadcast(
@@ -992,9 +995,8 @@ object Advanced {
           .agg(count(lit(1)).cast(DoubleType).as("n_nodes"))))
       .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0) / col("n_nodes"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
-        .join(broadcast(out), "src")
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .select(col("dst").as("node"),
           (col("rank") * col("w") / col("outw")).as("c"))
@@ -1006,7 +1008,9 @@ object Advanced {
         .select(col("node"), col("n_nodes"),
           (lit(1.0 - damping) / col("n_nodes") +
             lit(damping) * coalesce(col("sumc"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // checkpoint every third iterate: enough to keep the plan linear
+      // (3-segment join chains) without a scheduler round-trip per pass
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy("node")
@@ -1345,6 +1349,43 @@ object Advanced {
       .orderBy("reason_mask")
   }
 
+  /** q151: LAST-TOUCH ATTRIBUTION — the marketing/behavioral-analytics
+    * family (which interaction gets credit for a conversion): for every
+    * purchase, credit the user's most recent PRECEDING non-purchase
+    * event within a 24 h lookback. Windowed, never a self-join: events
+    * sort once per user on the unique (epoch-micros, event_id) key —
+    * a ROWS frame ending at 1 PRECEDING with `last(..., ignoreNulls)`
+    * picks the credit event deterministically (the unique ordering key
+    * makes peer order identical on both engines, where a RANGE frame's
+    * peer scan would not be); the lookback is applied afterwards as a
+    * plain integer comparison on the carried timestamp. Purchases with
+    * no in-window touch report as 'none' — attribution must account
+    * for every conversion, not just the matched ones. */
+  def lastTouchAttribution(s: SparkSession, dir: String,
+                           lookbackHours: Int = 24): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    ev
+      .withColumn("touch_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(col("event_type") =!= "purchase", col("us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("credit",
+        when(col("touch_us").isNotNull &&
+          col("us") - col("touch_us") <= lookbackHours.toLong * 3600000000L,
+          col("touch_type")).otherwise(lit("none")))
+      .groupBy("credit")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("credit")
+  }
+
   /** q148: SNAPSHOT DIFF — the "what changed between yesterday's and
     * today's snapshot" reconciliation op the SCD family doesn't cover
     * (q116/q126 build and query history; q128 applies a merge; this
@@ -1411,6 +1452,23 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q151_last_touch" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t AS (SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN us END
+        |      IGNORE NULLS) OVER w AS touch_us
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT CASE WHEN touch_us IS NOT NULL
+        |      AND us - touch_us <= 86400000000 THEN touch_type
+        |    ELSE 'none' END AS credit
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT credit, COUNT(*) AS n_purchases
+        |FROM p GROUP BY credit ORDER BY credit""".stripMargin,
     "q148_snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    o_totalprice AS price FROM orders),

@@ -617,6 +617,13 @@ object EventStream {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q143")
     var q: StreamingQuery = null
+    // both runs maintain a state store per shuffle partition, and the
+    // restart doubles the per-store open/commit cost — size the stateful
+    // shuffle to the fixture like q109/q135 (production sizes this to
+    // key cardinality), restored in the finally
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
     try {
       val in = tmp.resolve("in")
       java.nio.file.Files.createDirectories(in)
@@ -669,6 +676,7 @@ object EventStream {
         .localCheckpoint()
         .orderBy("hour_start", "event_type")
     } finally {
+      s.conf.set(partsKey, partsPrev)
       if (q != null && q.isActive) q.stop()
       rmTree(tmp)
     }

@@ -188,45 +188,41 @@ object TextOps {
   def boilerplateSummary(s: SparkSession, dir: String,
                          n: Int = 2, minDfPct: Int = 50): DataFrame = {
     // one explode, collapsed immediately: (doc, source, gram) multiplicity
-    // — cached because both the DF pass and the coverage join read it
-    // (q131's reuse pattern: persist + eager materialize, release after
-    // the small final frame is checkpointed off it)
+    // — materialized eagerly (localCheckpoint) because both the DF pass
+    // and the coverage join read it; the collapsed frame is bounded by
+    // distinct grams per doc, far below the raw position stream
     val g1 = Tables.fanOut(
         docs(s, dir).select("doc_id", "source", "text"), "doc_id")
       .select(col("doc_id"), col("source"),
         explode(shinglesC(tokensC(col("text")), n)).as("sh"))
       .groupBy("doc_id", "source", "sh")
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      g1.count() // materialize once: DF pass + coverage join both read this
-      val srcCounts = docs(s, dir).groupBy("source")
-        .agg(count(lit(1)).as("n_docs_src"))
-      val df = g1.groupBy("source", "sh").agg(count(lit(1)).as("df"))
-      val boiler = df.join(broadcast(srcCounts), "source")
-        .filter(col("df") * 100 >= col("n_docs_src") * minDfPct)
-        .select("source", "sh")
-      val perDoc = g1
-        .join(boiler.withColumn("is_b", lit(1L)), Seq("source", "sh"), "left")
-        .groupBy("doc_id", "source")
-        .agg(sum("cnt").as("total_pos"),
-          sum(when(col("is_b").isNotNull, col("cnt")).otherwise(0L))
-            .as("boiler_pos"))
-      val nBoiler = boiler.groupBy("source")
-        .agg(count(lit(1)).cast(IntegerType).as("n_boiler_grams"))
-      perDoc.groupBy("source")
-        .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
-          sum("total_pos").as("total_positions"),
-          sum("boiler_pos").as("boiler_positions"),
-          round(sum("boiler_pos").cast(DoubleType) /
-            sum("total_pos").cast(DoubleType), 6).as("micro_boiler_ratio"),
-          sum(when(col("boiler_pos") * 2 > col("total_pos"), 1).otherwise(0))
-            .cast(IntegerType).as("n_docs_flagged"))
-        .join(broadcast(nBoiler), Seq("source"), "left")
-        .na.fill(0, Seq("n_boiler_grams"))
-        .orderBy("source")
-        .localCheckpoint()
-    } finally { g1.unpersist(); () }
+      .localCheckpoint()
+    val srcCounts = docs(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs_src"))
+    val df = g1.groupBy("source", "sh").agg(count(lit(1)).as("df"))
+    val boiler = df.join(broadcast(srcCounts), "source")
+      .filter(col("df") * 100 >= col("n_docs_src") * minDfPct)
+      .select("source", "sh")
+    val perDoc = g1
+      .join(boiler.withColumn("is_b", lit(1L)), Seq("source", "sh"), "left")
+      .groupBy("doc_id", "source")
+      .agg(sum("cnt").as("total_pos"),
+        sum(when(col("is_b").isNotNull, col("cnt")).otherwise(0L))
+          .as("boiler_pos"))
+    val nBoiler = boiler.groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_boiler_grams"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("total_pos").as("total_positions"),
+        sum("boiler_pos").as("boiler_positions"),
+        round(sum("boiler_pos").cast(DoubleType) /
+          sum("total_pos").cast(DoubleType), 6).as("micro_boiler_ratio"),
+        sum(when(col("boiler_pos") * 2 > col("total_pos"), 1).otherwise(0))
+          .cast(IntegerType).as("n_docs_flagged"))
+      .join(broadcast(nBoiler), Seq("source"), "left")
+      .na.fill(0, Seq("n_boiler_grams"))
+      .orderBy("source")
   }
 
   /** q140: TEMPERATURE-scaled mixture weights — the multilingual/
