@@ -987,13 +987,13 @@ object Advanced {
       .withColumn("outw",
         sum("w").over(Window.partitionBy("src")))
       .localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
+    // the distinct node set is computed ONCE (checkpointed), then reused
+    // for both the row list and the count — not two union+distinct passes
+    val n0 = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-      .crossJoin(broadcast(
-        edges.select(col("src").as("node"))
-          .union(edges.select(col("dst").as("node"))).distinct()
-          .agg(count(lit(1)).cast(DoubleType).as("n_nodes"))))
       .localCheckpoint()
+    val nodes = n0.crossJoin(broadcast(
+      n0.agg(count(lit(1)).cast(DoubleType).as("n_nodes"))))
     var ranks = nodes.withColumn("rank", lit(1.0) / col("n_nodes"))
     for (i <- 1 to iters) {
       val contrib = edges

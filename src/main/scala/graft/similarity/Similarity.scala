@@ -338,12 +338,16 @@ object Similarity {
     * per-vector reduce shuffles once on vec_id; the final top-k is a
     * per-label window over #vectors rows. No cross product anywhere. */
   def centroidOutliers(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // exploded ONCE and materialized: both the centroid agg and the
+    // distance pass read this frame — without the checkpoint the
+    // embeddings scan + 64-way explode would execute twice
     val dims = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")))
       .withColumnRenamed("pos", "dim")
       .withColumn("xd", col("col").cast(DoubleType))
       .drop("col")
+      .localCheckpoint()
     val cent = dims.groupBy("label", "dim")
       .agg((sum(col("xd").cast(DecimalType(38, 12))).cast(DoubleType) /
         count(lit(1))).as("mu"))
@@ -357,6 +361,8 @@ object Similarity {
       .select(col("label"), col("rk"), col("vec_id"),
         round(sqrt(col("d2").cast(DoubleType)), 6).as("dist"))
       .orderBy("label", "rk")
+      // labels×k rows — materialized so dims' blocks can be freed
+      .localCheckpoint()
   }
 
   // ------------------------------------------------------------- oracles

@@ -223,19 +223,28 @@ object TextOps {
       .join(broadcast(nBoiler), Seq("source"), "left")
       .na.fill(0, Seq("n_boiler_grams"))
       .orderBy("source")
+      // materialize the |sources|-row result so g1's checkpointed blocks
+      // become unreferenced (ContextCleaner frees them) instead of
+      // staying pinned through the returned frame's lineage
+      .localCheckpoint()
   }
 
   /** q140: TEMPERATURE-scaled mixture weights — the multilingual/
     * multi-source training-mix allocator (α = 0.5): sampling sources
     * proportional to n^α upweights small sources relative to raw counts
     * without letting one giant crawl dominate. Weights are sqrt(n)
-    * (correctly-rounded IEEE — bit-identical in every engine); the
-    * normalizing sum runs over DECIMAL(38,18) casts so it cannot depend
-    * on accumulation order; the per-source document target is
-    * floor(budget · w/W) in doubles with one fixed op order. The
-    * whole computation is one hash-agg to per-source counts (tiny
-    * frame) plus one single-partition window over it — thousands of
-    * sources at 100 TB still fit one task. */
+    * (correctly-rounded IEEE — bit-identical in every engine), then
+    * QUANTIZED to integer micro-units (floor(w·10⁶)) before
+    * normalization: the weight sum is then an exact integer, and
+    * share/target come from ONE double division of exact integers —
+    * deterministic at any scale. The first cut normalized through a
+    * DECIMAL(38,18) sum instead, and sf0.1 exposed the q112-documented
+    * engine gap (DuckDB's decimal→double is int128→double then ÷10¹⁸ —
+    * two roundings vs the JVM's one), which `floor` amplified into an
+    * off-by-one target. Integer quantization closes that class of
+    * divergence, not just the instance. One hash-agg to per-source
+    * counts plus one single-partition window over the tiny frame —
+    * thousands of sources at 100 TB still fit one task. */
   def temperatureMix(s: SparkSession, dir: String,
                      budget: Long = 5000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -244,13 +253,14 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts
       .withColumn("wt", sqrt(col("n").cast(DoubleType)))
-      .withColumn("tot",
-        sum(col("wt").cast(DecimalType(38, 18))).over(wAll)
-          .cast(DoubleType))
+      .withColumn("wtq", floor(col("wt") * lit(1000000.0)))
+      .withColumn("totq", sum("wtq").over(wAll))
       .select(col("source"), col("n").cast(IntegerType).as("n_docs"),
         round(col("wt"), 6).as("weight"),
-        round(col("wt") / col("tot"), 6).as("share"),
-        floor(lit(budget.toDouble) * (col("wt") / col("tot")))
+        round(col("wtq").cast(DoubleType) / col("totq").cast(DoubleType), 6)
+          .as("share"),
+        floor(lit(budget.toDouble) *
+          (col("wtq").cast(DoubleType) / col("totq").cast(DoubleType)))
           .as("n_target"))
       .orderBy("source")
   }
@@ -669,13 +679,15 @@ object TextOps {
     "q140_temperature_mix" ->
       """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
         |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM s),
-        |t AS (SELECT source, n, wt,
-        |    CAST(SUM(CAST(wt AS DECIMAL(38,18))) OVER () AS DOUBLE) AS tot
-        |  FROM w)
+        |q AS (SELECT source, n, wt,
+        |    CAST(FLOOR(wt * 1000000.0) AS BIGINT) AS wtq FROM w),
+        |t AS (SELECT source, n, wt, wtq,
+        |    SUM(wtq) OVER () AS totq FROM q)
         |SELECT source, CAST(n AS INTEGER) AS n_docs,
         |  round(wt, 6) AS weight,
-        |  round(wt / tot, 6) AS share,
-        |  CAST(FLOOR(5000.0 * (wt / tot)) AS BIGINT) AS n_target
+        |  round(CAST(wtq AS DOUBLE) / CAST(totq AS DOUBLE), 6) AS share,
+        |  CAST(FLOOR(5000.0 * (CAST(wtq AS DOUBLE) / CAST(totq AS DOUBLE)))
+        |    AS BIGINT) AS n_target
         |FROM t ORDER BY source""".stripMargin,
     "q133_repetition_ratio" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),

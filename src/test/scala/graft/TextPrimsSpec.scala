@@ -110,15 +110,21 @@ class TextPrimsSpec extends SparkSpec {
     assert(math.abs(shares - 1.0) < 1e-4, s"shares sum $shares")
     // floor() per source keeps the allocation within the global budget
     assert(rows.map(_.getAs[Long]("n_target")).sum <= 5000L)
-    // temperature flattens the mix: every source's share sits between its
-    // raw proportion and the uniform share on the respective side
-    val totalDocs = rows.map(_.getAs[Int]("n_docs").toLong).sum.toDouble
-    val uniform = 1.0 / rows.length
-    rows.foreach { r =>
-      val raw = r.getAs[Int]("n_docs") / totalDocs
-      val sh = r.getAs[Double]("share")
-      if (raw < uniform) assert(sh >= raw - 1e-6 && sh <= uniform + 1e-6)
-      else assert(sh <= raw + 1e-6 && sh >= uniform - 1e-6)
+    // the TRUE flattening property: sqrt preserves the share ORDERING and
+    // compresses pairwise RATIOS — share_i/share_j = sqrt(n_i/n_j), which
+    // lies between 1 and n_i/n_j. (A pointwise bound against the uniform
+    // share is NOT implied: a 49-docs source among (1, 49, 100) sits
+    // below uniform on raw counts but above it after sqrt.)
+    val big = rows.maxBy(_.getAs[Int]("n_docs"))
+    val small = rows.minBy(_.getAs[Int]("n_docs"))
+    if (big.getAs[Int]("n_docs") > small.getAs[Int]("n_docs")) {
+      val rawRatio = big.getAs[Int]("n_docs").toDouble /
+        small.getAs[Int]("n_docs")
+      val shareRatio = big.getAs[Double]("share") / small.getAs[Double]("share")
+      assert(shareRatio >= 1.0 - 1e-6 && shareRatio <= rawRatio + 1e-6,
+        s"share ratio $shareRatio vs raw $rawRatio")
+      assert(math.abs(shareRatio - math.sqrt(rawRatio)) < 0.01,
+        s"share ratio $shareRatio !~ sqrt($rawRatio)")
     }
   }
 }
