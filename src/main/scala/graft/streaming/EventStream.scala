@@ -719,17 +719,7 @@ object EventStream {
       q = fileSource(s, in.toString).writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                          batchId: Long) =>
-          val m = batch.withColumn("reason_mask",
-            when(col("value") < 0, 1).otherwise(0) +
-              when(!col("event_type").isin(
-                "click", "error", "purchase", "signup", "view"), 2)
-                .otherwise(0))
-          // batch=<id> overwrite = replay-idempotent dual write
-          m.filter(col("reason_mask") === 0)
-            .write.mode("overwrite").parquet(s"$clean/batch=$batchId")
-          m.filter(col("reason_mask") =!= 0)
-            .write.mode("overwrite").parquet(s"$quar/batch=$batchId")
-          ()
+          routeBatch(batch, batchId, clean, quar)
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .outputMode(OutputMode.Append())
@@ -751,6 +741,28 @@ object EventStream {
       if (q != null && q.isActive) q.stop()
       rmTree(tmp)
     }
+  }
+
+  /** One q147 micro-batch route — factored out (the [[mergeBatch]]
+    * precedent) so replay idempotence is directly testable: a Spark
+    * restart re-delivers the last uncommitted batch with the SAME
+    * batchId, and because each side writes `batch=<id>` with overwrite,
+    * re-routing must leave byte-identical sink contents rather than
+    * appending duplicates (asserted in StreamingSpec). */
+  private[graft] def routeBatch(batch: Dataset[org.apache.spark.sql.Row],
+                                batchId: Long, cleanDir: String,
+                                quarDir: String): Unit = {
+    val m = batch.withColumn("reason_mask",
+      when(col("value") < 0, 1).otherwise(0) +
+        when(!col("event_type").isin(
+          "click", "error", "purchase", "signup", "view"), 2)
+          .otherwise(0))
+    // batch=<id> overwrite = replay-idempotent dual write
+    m.filter(col("reason_mask") === 0)
+      .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+    m.filter(col("reason_mask") =!= 0)
+      .write.mode("overwrite").parquet(s"$quarDir/batch=$batchId")
+    ()
   }
 
   /** q130 — oracle-checked SESSIONIZATION parity, the sixth and last

@@ -336,6 +336,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum === expected)
   }
 
+  test("q147 routeBatch replay is idempotent: same batchId overwrites in place") {
+    // a crash between sink writes re-delivers the batch with the same id;
+    // routing it again must leave identical contents on BOTH sides
+    val dir = java.nio.file.Files.createTempDirectory("graft-route").toString
+    val batch = graft.sources.Tables.load(spark, sfDir, "events")
+      .limit(200)
+      .withColumn("value",
+        when(col("event_id") % 7 === 0, -col("value") - 1.0)
+          .otherwise(col("value")))
+    def snapshot(): (Seq[Long], Seq[Long]) = (
+      spark.read.parquet(s"$dir/clean").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq,
+      spark.read.parquet(s"$dir/quar").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    EventStream.routeBatch(batch, 0L, s"$dir/clean", s"$dir/quar")
+    val first = snapshot()
+    EventStream.routeBatch(batch, 0L, s"$dir/clean", s"$dir/quar") // replay
+    assert(snapshot() === first)
+    // and the two sides partition the batch
+    assert(first._1.size + first._2.size === batch.count())
+    // ids are unique in this batch, so the sides must be disjoint
+    assert(first._1.toSet.intersect(first._2.toSet).isEmpty)
+  }
+
   test("q143 restart parity equals the single-run streaming parity (q85)") {
     // two AvailableNow runs resuming one checkpoint must produce the
     // exact rows one continuous run produces — state restore, file-log
