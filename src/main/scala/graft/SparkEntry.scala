@@ -311,6 +311,8 @@ object SparkEntry {
     // behavioral analytics: last-touch conversion attribution (24 h)
     "q151_last_touch"         -> ((s, d) =>
       graft.analytics.Advanced.lastTouchAttribution(s, d)),
+    // table profiling: per-column null + exact distinct census, one scan
+    "q152_column_profile"     -> (graft.analytics.Advanced.columnProfile _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

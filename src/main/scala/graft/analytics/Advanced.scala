@@ -1349,6 +1349,40 @@ object Advanced {
       .orderBy("reason_mask")
   }
 
+  /** q152's column list — one definition drives BOTH the Spark
+    * aggregation and the generated oracle SQL, so they cannot drift. */
+  private[graft] val ProfileCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  /** q152: COLUMN PROFILER — the table-profiling step a pipeline runs on
+    * an unfamiliar feed before wiring transforms (the engine-side core
+    * of describe()/Deequ-style profiling): per column, null count and
+    * exact distinct cardinality, plus the row count, in ONE scan. All
+    * counters are integers, so the result is bit-exact with no routing;
+    * distinct-counting every column in a single pass is the q86 shape
+    * (Catalyst expands once per distinct column and shares the scan —
+    * |columns|× the aggregation state, never |columns|× the I/O).
+    * The one-row aggregate then unpivots to a row per column (q82's
+    * stack), giving the diffable profile table downstream checks join
+    * against. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(ProfileCols.map(col): _*)
+    val aggs = ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c")))
+    val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${ProfileCols.length}, $stackArgs) " +
+          "AS (column_name, n_null, n_distinct)")
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"))
+      .orderBy("column_name")
+  }
+
   /** q151: LAST-TOUCH ATTRIBUTION — the marketing/behavioral-analytics
     * family (which interaction gets credit for a conversion): for every
     * purchase, credit the user's most recent PRECEDING non-purchase
@@ -1452,6 +1486,22 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q152_column_profile" -> {
+      val aggExprs = ProfileCols.map(c =>
+        s"""SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS null_$c,
+           |    COUNT(DISTINCT $c) AS dist_$c""".stripMargin).mkString(",\n    ")
+      val unions = ProfileCols.map(c =>
+        s"SELECT '$c' AS column_name, n_rows, " +
+          s"CAST(null_$c AS BIGINT) AS n_null, " +
+          s"CAST(dist_$c AS BIGINT) AS n_distinct FROM a")
+        .mkString("\n  UNION ALL ")
+      s"""WITH a AS (SELECT COUNT(*) AS n_rows,
+         |    $aggExprs
+         |  FROM lineitem)
+         |SELECT column_name, n_rows, n_null, n_distinct FROM (
+         |  $unions)
+         |ORDER BY column_name""".stripMargin
+    },
     "q151_last_touch" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -322,6 +322,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Filter"), plan)
   }
 
+  test("q152 column profile: one scan feeds every per-column distinct") {
+    val plan = planOf(graft.analytics.Advanced.columnProfile(spark, sfDir))
+    // the q86 multi-distinct contract: Expand shares ONE FileScan —
+    // profiling N columns must not scan the table N times
+    assert("FileScan parquet".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("Expand"), plan)
+  }
+
   test("q144/q145: one source-key exchange each, scan pruned to 3 columns") {
     // the PPS sampler and the packer both claim "one keyed window, no
     // global cumsum": the only hash exchange is on `source`, the token
