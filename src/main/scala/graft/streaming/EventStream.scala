@@ -757,12 +757,16 @@ object EventStream {
         when(!col("event_type").isin(
           "click", "error", "purchase", "signup", "view"), 2)
           .otherwise(0))
-    // batch=<id> overwrite = replay-idempotent dual write
-    m.filter(col("reason_mask") === 0)
-      .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
-    m.filter(col("reason_mask") =!= 0)
-      .write.mode("overwrite").parquet(s"$quarDir/batch=$batchId")
-    ()
+      // the dual write is two actions over this frame — cache it so the
+      // micro-batch's source read + mask computation run once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // batch=<id> overwrite = replay-idempotent dual write
+      m.filter(col("reason_mask") === 0)
+        .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+      m.filter(col("reason_mask") =!= 0)
+        .write.mode("overwrite").parquet(s"$quarDir/batch=$batchId")
+    } finally { m.unpersist(); () }
   }
 
   /** q130 — oracle-checked SESSIONIZATION parity, the sixth and last

@@ -340,11 +340,15 @@ class StreamingSpec extends SparkSpec {
     // a crash between sink writes re-delivers the batch with the same id;
     // routing it again must leave identical contents on BOTH sides
     val dir = java.nio.file.Files.createTempDirectory("graft-route").toString
+    // deterministic, materialized batch: LIMIT without ORDER BY is not
+    // stable across the several actions below, and the idempotence claim
+    // needs the SAME rows on every evaluation
     val batch = graft.sources.Tables.load(spark, sfDir, "events")
-      .limit(200)
+      .orderBy("event_id").limit(200)
       .withColumn("value",
         when(col("event_id") % 7 === 0, -col("value") - 1.0)
           .otherwise(col("value")))
+      .localCheckpoint()
     def snapshot(): (Seq[Long], Seq[Long]) = (
       spark.read.parquet(s"$dir/clean").select("event_id")
         .collect().map(_.getLong(0)).sorted.toSeq,
