@@ -1432,9 +1432,12 @@ object Advanced {
     * engines diff identical inputs. One shuffle on the join key; counts
     * all integer. */
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    // v1 feeds three consumers (both v2 branches + the join's left side)
+    // — materialize the narrow projection once
     val v1 = t(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
         col("o_totalprice").as("price"))
+      .localCheckpoint()
     val v2 = v1.filter(col("k") % 17 =!= 0) // deletions
       .withColumn("price",
         when(col("k") % 10 === 0, col("price") * 1.1).otherwise(col("price")))
@@ -1471,9 +1474,12 @@ object Advanced {
     * computes token co-occurrence or doc-pair affinity at corpus scale;
     * partial aggregation halves the pair shuffle. */
   def copurchasePairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    // the distinct (order, part) set self-joins — materialize it once so
+    // the dedup shuffle doesn't run for both join sides
     val items = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
+      .localCheckpoint()
     items.as("a")
       .join(items.as("b"),
         col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))

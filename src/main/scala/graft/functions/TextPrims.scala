@@ -135,4 +135,12 @@ object TextPrims {
 
   /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
   val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** BPE-ish token count of a text column — the tokenizer-cost proxy every
+    * budget/packing/sampling operator shares (one definition; the SQL twin
+    * below keeps oracles from drifting). */
+  def bpeTokensC(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(BpeTokenRe), lit(0)))
+  def bpeTokensS(e: String): String =
+    s"len(regexp_extract_all(lower($e), '$BpeTokenRe'))"
 }

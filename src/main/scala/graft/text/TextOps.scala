@@ -27,8 +27,7 @@ object TextOps {
       .select(
         col("doc_id"),
         size(col("t")).as("n_ws_tokens"),
-        size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
-          .as("n_bpe_tokens"),
+        bpeTokensC(col("text")).as("n_bpe_tokens"),
         length(col("text")).as("n_chars_m"),
         round(size(array_distinct(col("t"))).cast(DoubleType) /
           size(col("t")), 6).as("ttr"))
@@ -144,8 +143,7 @@ object TextOps {
                      budget: Long = 2000L): DataFrame = {
     val scored = docs(s, dir).select(
       col("doc_id"), col("source"),
-      size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
-        .cast(LongType).as("toks"),
+      bpeTokensC(col("text")).cast(LongType).as("toks"),
       qualityExprs.toMap.apply("quality_score").as("q"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy(col("q").desc, col("doc_id"))
@@ -277,18 +275,24 @@ object TextOps {
     * Long docs can be drawn more than once (that is PPS, not a bug);
     * n_docs_sampled counts distinct hits. One keyed window per source —
     * fully distributed, no global cumsum. */
-  def ppsSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** Shared q144/q145 scaffold: each source's docs laid end-to-end in id
+    * order with exact token prefix sums — the "token line" both the PPS
+    * sampler and the packer cut. One keyed window. */
+  private def tokenLine(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
     docs(s, dir).select(
         col("doc_id"), col("source"),
-        size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
-          .cast(LongType).as("toks"))
+        bpeTokensC(col("text")).cast(LongType).as("toks"))
       .filter(col("toks") > 0)
       .withColumn("cum", sum("toks").over(w))
+  }
+
+  def ppsSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    tokenLine(s, dir)
       .withColumn("t_src", sum("toks").over(wSrc))
       .withColumn("hits", expr(
         s"(cum * $k + t_src - 1) DIV t_src - " +
@@ -313,16 +317,7 @@ object TextOps {
     * fill is an integer percentage. Same one-keyed-window shape as
     * [[ppsSample]]. */
   def sequencePacking(s: SparkSession, dir: String, c: Int = 512): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      .orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    docs(s, dir).select(
-        col("doc_id"), col("source"),
-        size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
-          .cast(LongType).as("toks"))
-      .filter(col("toks") > 0)
-      .withColumn("cum", sum("toks").over(w))
+    tokenLine(s, dir)
       .withColumn("crosses", expr(
         s"CASE WHEN (cum - toks) DIV $c <> (cum - 1) DIV $c " +
           "THEN 1 ELSE 0 END"))
@@ -389,12 +384,14 @@ object TextOps {
     * embedding ids, one md5 group — every leg shuffles on `source` or
     * the join id, nothing quadratic. */
   def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    // narrow projection (text dropped) materialized once: three consumers
+    // (volume agg, embedding semi-join, dup census) read it
     val q = docs(s, dir).select(
       col("doc_id"), col("source"),
-      size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
-        .cast(LongType).as("toks"),
+      bpeTokensC(col("text")).cast(LongType).as("toks"),
       qualityExprs.toMap.apply("quality_score").as("qs"),
       md5(col("text")).as("h"))
+      .localCheckpoint()
     val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"))
     val withEmb = q.join(emb, q("doc_id") === emb("vec_id"), "left_semi")
       .groupBy("source").agg(count(lit(1)).as("n_embedded"))
