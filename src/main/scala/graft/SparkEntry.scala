@@ -313,6 +313,8 @@ object SparkEntry {
       graft.analytics.Advanced.lastTouchAttribution(s, d)),
     // table profiling: per-column null + exact distinct census, one scan
     "q152_column_profile"     -> (graft.analytics.Advanced.columnProfile _),
+    // daily-increment dedup: incoming batch vs persisted content index
+    "q153_incremental_dedup"  -> (graft.dedup.Dedup.incrementalDedup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

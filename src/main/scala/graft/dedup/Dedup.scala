@@ -118,6 +118,52 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("canonical_id", "n_copies")
       .orderBy("canonical_id")
 
+  /** q153: INCREMENTAL exact dedup — the production daily-increment shape
+    * none of the full-corpus passes (q26/q63/q72) cover: an incoming
+    * batch is deduplicated AGAINST the existing corpus and within
+    * itself, without rescanning-and-regrouping the whole corpus as one
+    * set. The existing side reduces to its distinct content-hash set
+    * once (at 100 TB this set is the persisted dedup index a pipeline
+    * maintains between increments); the incoming batch then splits by
+    * one semi/anti join pair — already-seen vs fresh — and only the
+    * fresh residue pays a within-batch group. Cost scales with the
+    * INCREMENT (plus one index probe), not the corpus.
+    *
+    * The staged increment exercises all three cohorts
+    * deterministically: exact copies of every 10th doc (dup-vs-
+    * existing), twin modified copies of every 21st (within-batch dup
+    * pairs, absent from the corpus), and single modified copies of
+    * every 13th (genuinely new). One summary row, all-integer. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val off = VariantIdOffset
+    val incoming = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 21 === 0)
+        .select((col("doc_id") + 2 * off).as("doc_id"),
+          concat(col("text"), lit(" zqbatchdup")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 21 === 0)
+        .select((col("doc_id") + 3 * off).as("doc_id"),
+          concat(col("text"), lit(" zqbatchdup")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 4 * off).as("doc_id"),
+          concat(col("text"), lit(" zqunique")).as("text")))
+    // the persisted dedup index: distinct content hashes of the corpus
+    val index = d.select(normHash(col("text")).as("h")).distinct()
+      .localCheckpoint()
+    val inc = incoming.select(col("doc_id"), normHash(col("text")).as("h"))
+      .localCheckpoint()
+    val fresh = inc.join(index, Seq("h"), "left_anti")
+    val freshGroups = fresh.groupBy("h").agg(count(lit(1)).as("c"))
+    val totals = inc.agg(count(lit(1)).cast(IntegerType).as("n_incoming"))
+    val seen = inc.join(index, Seq("h"), "left_semi")
+      .agg(count(lit(1)).cast(IntegerType).as("n_dup_vs_existing"))
+    val freshStats = freshGroups.agg(
+      count(lit(1)).cast(IntegerType).as("n_new_contents"),
+      sum(col("c") - 1).cast(IntegerType).as("n_within_batch_extra"))
+    totals.crossJoin(seen).crossJoin(freshStats)
+  }
+
   /** Distinct shingles as ROWS (doc_id, shingle) — the scale-correct shape:
     * seeded hashes become codegen'd projections over exploded rows and the
     * signature is a hash aggregation, instead of interpreted higher-order
@@ -516,6 +562,27 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q153_incremental_dedup" ->
+      s"""WITH inc AS (
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+         |    WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 20000000, text || ' zqbatchdup'
+         |    FROM documents WHERE doc_id % 21 = 0
+         |  UNION ALL SELECT doc_id + 30000000, text || ' zqbatchdup'
+         |    FROM documents WHERE doc_id % 21 = 0
+         |  UNION ALL SELECT doc_id + 40000000, text || ' zqunique'
+         |    FROM documents WHERE doc_id % 13 = 0),
+         |idx AS (SELECT DISTINCT ${normHashS("text")} AS h FROM documents),
+         |ih AS (SELECT doc_id, ${normHashS("text")} AS h FROM inc),
+         |fresh AS (SELECT h, COUNT(*) AS c FROM ih
+         |  WHERE h NOT IN (SELECT h FROM idx) GROUP BY h)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS INTEGER) FROM ih) AS n_incoming,
+         |  (SELECT CAST(COUNT(*) AS INTEGER) FROM ih
+         |     WHERE h IN (SELECT h FROM idx)) AS n_dup_vs_existing,
+         |  (SELECT CAST(COUNT(*) AS INTEGER) FROM fresh) AS n_new_contents,
+         |  (SELECT CAST(COALESCE(SUM(c - 1), 0) AS INTEGER) FROM fresh)
+         |    AS n_within_batch_extra""".stripMargin,
     "q26_dedup_exact" ->
       s"""WITH corpus AS ($dupCorpusS)
          |SELECT min(doc_id) AS canonical_id,

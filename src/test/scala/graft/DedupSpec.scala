@@ -158,4 +158,18 @@ class DedupSpec extends SparkSpec {
       assert(members.keys.min === rep, s"component $rep rep is not the min id")
     }
   }
+
+  test("q153 incremental dedup: cohorts partition the increment exactly") {
+    val r = Dedup.incrementalDedup(spark, sfDir).collect().head
+    val (nInc, nSeen, nNew, nExtra) = (r.getAs[Int]("n_incoming"),
+      r.getAs[Int]("n_dup_vs_existing"), r.getAs[Int]("n_new_contents"),
+      r.getAs[Int]("n_within_batch_extra"))
+    // every incoming doc lands in exactly one cohort
+    assert(nInc === nSeen + nNew + nExtra, r.toString)
+    // the staged increment guarantees each cohort is non-trivial
+    assert(nSeen > 0 && nNew > 0 && nExtra > 0, r.toString)
+    // the within-batch twins contribute one extra per duplicated content:
+    // extras never exceed new contents
+    assert(nExtra <= nNew, r.toString)
+  }
 }
