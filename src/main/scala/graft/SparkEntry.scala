@@ -315,6 +315,9 @@ object SparkEntry {
     "q152_column_profile"     -> (graft.analytics.Advanced.columnProfile _),
     // daily-increment dedup: incoming batch vs persisted content index
     "q153_incremental_dedup"  -> (graft.dedup.Dedup.incrementalDedup _),
+    // fuzzy increment: LSH index probe + best verified match per new doc
+    "q154_incremental_neardup" -> ((s, d) =>
+      graft.dedup.Dedup.incrementalNearDup(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

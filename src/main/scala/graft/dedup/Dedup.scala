@@ -232,6 +232,36 @@ object Dedup extends org.apache.spark.internal.Logging {
     bandPairsFrom(withSignature(nearDupCorpus(s, dir), cfg), cfg)
       .orderBy("doc_a", "doc_b")
 
+  /** q154: INCREMENTAL near-dup — q153's exact-index probe generalized to
+    * the fuzzy case: the existing corpus's banded MinHash signatures are
+    * the persisted LSH INDEX, an incoming batch (here the fixture's
+    * near-dup variants, ids ≥ [[VariantIdOffset]]) probes it by band-key
+    * equi-join, and only cross-side candidates pay Jaccard verification.
+    * Per incoming doc this reports its BEST existing match (highest
+    * verified Jaccard, doc-id tie-break) and the match count — the
+    * attach-or-admit decision a daily crawl ingest makes per document.
+    * Cost: increment signatures + index probe + |candidates| verifies —
+    * never corpus × corpus, and the corpus side's signatures amortize
+    * across increments. */
+  def incrementalNearDup(s: SparkSession, dir: String,
+                         cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val off = VariantIdOffset
+    val cross = ngramJaccard(s, dir, cfg)
+      .filter(col("doc_a") < off && col("doc_b") >= off)
+      .select(col("doc_b").as("inc_doc"), col("doc_a").as("match_doc"),
+        col("jaccard"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("inc_doc")
+      .orderBy(col("jaccard").desc, col("match_doc"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("inc_doc")
+    cross
+      .withColumn("rk", row_number().over(wBest))
+      .withColumn("n_matches", count(lit(1)).over(wAll).cast(IntegerType))
+      .filter(col("rk") === 1)
+      .select("inc_doc", "match_doc", "jaccard", "n_matches")
+      .orderBy("inc_doc")
+  }
+
   /** Edit-distance (Levenshtein) verification of LSH candidates — the third
     * verifier in the family (Jaccard on shingle sets, Hamming on SimHash
     * bits, edit distance on raw text). The O(|a|·|b|) string DP runs ONLY
@@ -595,6 +625,31 @@ object Dedup extends org.apache.spark.internal.Logging {
       s"""${sigSelectS("SELECT doc_id, text FROM documents")}
          |SELECT doc_id, $cols FROM sig ORDER BY doc_id""".stripMargin
     },
+    "q154_incremental_neardup" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+         |  FROM pairs
+         |  JOIN shs sa ON pairs.doc_a = sa.doc_id
+         |  JOIN shs sb ON pairs.doc_b = sb.doc_id
+         |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+         |    >= $JaccardThreshold),
+         |cr AS (SELECT doc_b AS inc_doc, doc_a AS match_doc, jaccard
+         |  FROM ver WHERE doc_a < $VariantIdOffset
+         |    AND doc_b >= $VariantIdOffset),
+         |r AS (SELECT inc_doc, match_doc, jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY inc_doc
+         |      ORDER BY jaccard DESC, match_doc) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY inc_doc) AS INTEGER)
+         |      AS n_matches
+         |  FROM cr)
+         |SELECT inc_doc, match_doc, jaccard, n_matches
+         |FROM r WHERE rk = 1 ORDER BY inc_doc""".stripMargin,
     "q28_lsh_band_pairs" ->
       s"""${sigSelectS(nearDupCorpusS)},
          |bk AS ($bandUnnestS)
