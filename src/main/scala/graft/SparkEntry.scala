@@ -318,6 +318,9 @@ object SparkEntry {
     // fuzzy increment: LSH index probe + best verified match per new doc
     "q154_incremental_neardup" -> ((s, d) =>
       graft.dedup.Dedup.incrementalNearDup(s, d)),
+    // equal-frequency discretization: per-flag ntile bins with boundaries
+    "q155_equifreq_bins"      -> ((s, d) =>
+      graft.analytics.Advanced.equifreqBins(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1349,6 +1349,34 @@ object Advanced {
       .orderBy("reason_mask")
   }
 
+  /** q155: EQUAL-FREQUENCY binning — the complement of q89's equal-WIDTH
+    * histogram and the discretization feature engineering actually uses
+    * (uniform bin mass ⇒ every bin carries signal; width bins collapse
+    * under skew). Per return flag, prices split into 8 ntile bins over
+    * the unique (price, orderkey, linenumber) ordering, reporting each
+    * bin's row count and [min, max] boundary — min/max are exact value
+    * picks (no float accumulation), and the unique sort key makes the
+    * assignment a pure function of the data on both engines.
+    *
+    * Scale note: the window is KEYED (per flag) but each partition still
+    * totally orders its group; at 100 TB the same bins come from either
+    * a repartitionByRange two-pass (the parquetClustered machinery) or
+    * approximate boundaries via the GK sketch (q81's tool) — exact ntile
+    * is the oracle-checkable fixture form of that operator. */
+  def equifreqBins(s: SparkSession, dir: String, bins: Int = 8): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy("l_returnflag", "bin")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"))
+      .orderBy("l_returnflag", "bin")
+  }
+
   /** q152's column list — one definition drives BOTH the Spark
     * aggregation and the generated oracle SQL, so they cannot drift. */
   private[graft] val ProfileCols: Seq[String] = Seq(
@@ -1492,6 +1520,15 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q155_equifreq_bins" ->
+      """WITH b AS (SELECT l_returnflag, l_extendedprice,
+        |    CAST(NTILE(8) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |      AS INTEGER) AS bin
+        |  FROM lineitem)
+        |SELECT l_returnflag, bin, COUNT(*) AS n,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin,
     "q152_column_profile" -> {
       val aggExprs = ProfileCols.map(c =>
         s"""SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS null_$c,

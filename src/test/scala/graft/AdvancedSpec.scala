@@ -434,6 +434,24 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q155 equifreq bins: near-equal masses, ordered non-overlapping bounds") {
+    val rows = Advanced.equifreqBins(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (flag, rs) =>
+      val byBin = rs.sortBy(_.getAs[Int]("bin"))
+      // ntile: bin sizes differ by at most one
+      val ns = byBin.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"$flag sizes ${ns.mkString(",")}")
+      // boundaries are ordered and non-overlapping across bins
+      byBin.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9,
+            s"$flag bins overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("q142 pagerank: probability mass conserved, deterministic, positive") {
     val rows = Advanced.transitionPageRank(spark, sfDir).collect()
     assert(rows.nonEmpty)
