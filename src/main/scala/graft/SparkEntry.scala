@@ -321,6 +321,8 @@ object SparkEntry {
     // equal-frequency discretization: per-flag ntile bins with boundaries
     "q155_equifreq_bins"      -> ((s, d) =>
       graft.analytics.Advanced.equifreqBins(s, d)),
+    // feature-selection profiling: all-pairs correlation matrix, one scan
+    "q156_corr_matrix"        -> (graft.analytics.Advanced.corrMatrix _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1349,6 +1349,55 @@ object Advanced {
       .orderBy("reason_mask")
   }
 
+  /** q156's measure list: (short name, column, exact 2-dp integer domain)
+    * — quantity is integral; the money/rate columns are exact at two
+    * decimals, so ×100 through DECIMAL(18,2) lands every measure in an
+    * integer domain (the q112 routing, where every moment sum is exact).
+    * One definition drives the Spark aggregation AND the oracle. */
+  private[graft] val CorrCols: Seq[(String, String)] = Seq(
+    "qty" -> "l_quantity", "price" -> "l_extendedprice",
+    "disc" -> "l_discount", "tax" -> "l_tax")
+
+  /** q156: CORRELATION MATRIX — q112's single pair generalized to every
+    * measure pair in ONE scan: the profiling/feature-selection step that
+    * decides which columns carry independent signal. All first and
+    * second moments (4 sums, 4 squares, 6 cross-products) accumulate as
+    * DECIMAL(38,0) products of exact integer-cents domains in a single
+    * hash-free global aggregate; each pair's correlation then finishes
+    * in doubles with the identical IEEE expression on both engines
+    * (the q112 shape — one conversion per sum, no
+    * decimal-with-scale→double hazard). Output: one row per unordered
+    * pair. Zero-variance guards yield NULL identically. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ints = CorrCols.map { case (nm, c) =>
+      nm -> (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType) }
+    val base = t(s, dir, "lineitem").select(
+      ints.map { case (nm, e) => e.as(s"x_$nm") }: _*)
+    val d38 = (nm: String) => col(s"x_$nm").cast(DecimalType(38, 0))
+    val pairs = for {
+      i <- CorrCols.indices; j <- CorrCols.indices if i < j
+    } yield (CorrCols(i)._1, CorrCols(j)._1)
+    val sums =
+      CorrCols.map { case (nm, _) => sum(d38(nm)).cast(DoubleType).as(s"s_$nm") } ++
+      CorrCols.map { case (nm, _) =>
+        sum(d38(nm) * d38(nm)).cast(DoubleType).as(s"ss_$nm") } ++
+      pairs.map { case (a, b) =>
+        sum(d38(a) * d38(b)).cast(DoubleType).as(s"sp_${a}_$b") }
+    val one = base.agg(count(lit(1)).as("n"), sums: _*)
+    val nd = col("n").cast(DoubleType)
+    val rows = pairs.map { case (a, b) =>
+      val covN = nd * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val varA = nd * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val varB = nd * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(varA > 0 && varB > 0, covN / sqrt(varA * varB)).as("corr"))
+    }
+    one.select(col("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"),
+        round(col("p.corr"), 6).as("corr"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** q155: EQUAL-FREQUENCY binning — the complement of q89's equal-WIDTH
     * histogram and the discretization feature engineering actually uses
     * (uniform bin mass ⇒ every bin carries signal; width bins collapse
@@ -1520,6 +1569,47 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q156_corr_matrix" -> {
+      // generated from the SAME CorrCols/pair list as the Spark side.
+      // Scale-0 decimal sums dodge the ÷10^s decimal→double hazard:
+      // DuckDB's HUGEINT sum and Spark's DECIMAL(38,0) sum both convert
+      // to double in ONE rounding. DECIMAL(19,0) operands force the
+      // 128-bit multiply (q112's rule).
+      val pairs = for {
+        i <- CorrCols.indices; j <- CorrCols.indices if i < j
+      } yield (CorrCols(i)._1, CorrCols(j)._1)
+      val baseCols = CorrCols.map { case (nm, c) =>
+        s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS x_$nm"
+      }.mkString(",\n    ")
+      val momentCols = (
+        CorrCols.map { case (nm, _) =>
+          s"CAST(SUM(x_$nm) AS DOUBLE) AS s_$nm" } ++
+        CorrCols.map { case (nm, _) =>
+          s"CAST(SUM(CAST(x_$nm AS DECIMAL(19,0)) * " +
+            s"CAST(x_$nm AS DECIMAL(19,0))) AS DOUBLE) AS ss_$nm" } ++
+        pairs.map { case (a, b) =>
+          s"CAST(SUM(CAST(x_$a AS DECIMAL(19,0)) * " +
+            s"CAST(x_$b AS DECIMAL(19,0))) AS DOUBLE) AS sp_${a}_$b" }
+      ).mkString(",\n    ")
+      val pairSelects = pairs.map { case (a, b) =>
+        val (va, vb) =
+          (s"(CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)",
+            s"(CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)")
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |    round(CASE WHEN $va > 0 AND $vb > 0
+           |      THEN (CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b)
+           |        / sqrt($va * $vb) END, 6) AS corr FROM m""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH b AS (SELECT
+         |    $baseCols
+         |  FROM lineitem),
+         |m AS (SELECT COUNT(*) AS n,
+         |    $momentCols
+         |  FROM b)
+         |SELECT col_a, col_b, n, corr FROM (
+         |  $pairSelects)
+         |ORDER BY col_a, col_b""".stripMargin
+    },
     "q155_equifreq_bins" ->
       """WITH b AS (SELECT l_returnflag, l_extendedprice,
         |    CAST(NTILE(8) OVER (PARTITION BY l_returnflag

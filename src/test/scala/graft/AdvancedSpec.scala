@@ -434,6 +434,21 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q156 corr matrix: all unordered pairs once, coefficients in [-1, 1]") {
+    val rows = Advanced.corrMatrix(spark, sfDir).collect()
+    val names = Advanced.CorrCols.map(_._1)
+    assert(rows.length === names.length * (names.length - 1) / 2)
+    val seen = rows.map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(seen.size === rows.length) // every pair exactly once
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val c = r.getDouble(3)
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, r.toString)
+      }
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   test("q155 equifreq bins: near-equal masses, ordered non-overlapping bounds") {
     val rows = Advanced.equifreqBins(spark, sfDir).collect()
     assert(rows.nonEmpty)
