@@ -323,6 +323,9 @@ object SparkEntry {
       graft.analytics.Advanced.equifreqBins(s, d)),
     // feature-selection profiling: all-pairs correlation matrix, one scan
     "q156_corr_matrix"        -> (graft.analytics.Advanced.corrMatrix _),
+    // time-series co-movement: trailing 30-day rolling correlation
+    "q157_rolling_corr"       -> ((s, d) =>
+      graft.analytics.Advanced.rollingCorr(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

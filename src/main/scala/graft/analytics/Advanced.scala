@@ -1398,6 +1398,45 @@ object Advanced {
       .orderBy("col_a", "col_b")
   }
 
+  /** q157: ROLLING CORRELATION — the trailing-window co-movement signal
+    * (risk/quant dashboards, drift monitors): per ship day, the
+    * correlation of daily quantity vs daily revenue over the trailing
+    * 30 days. Two stages, both exact: the fact table collapses to one
+    * integer pair per day (quantity integral, revenue in cents — one
+    * shuffle), then ONE ordered window carries five DECIMAL moment sums
+    * (x, y, xy, x², y²) over the 30-row frame — the daily keys are
+    * unique post-aggregation, so the ROWS frame is a pure function of
+    * the data — and each day's coefficient finishes in doubles with the
+    * q112/q156 IEEE expression. Warm-up days (fewer than 30 in frame)
+    * report their partial-window coefficient with the frame size
+    * alongside, zero-variance frames yield NULL identically. */
+  def rollingCorr(s: SparkSession, dir: String, days: Int = 30): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("x"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-(days - 1), 0)
+    val (x38, y38) =
+      (col("x").cast(DecimalType(38, 0)), col("y").cast(DecimalType(38, 0)))
+    val withSums = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(x38).over(w).cast(DoubleType))
+      .withColumn("sy", sum(y38).over(w).cast(DoubleType))
+      .withColumn("sxy", sum(x38 * y38).over(w).cast(DoubleType))
+      .withColumn("sxx", sum(x38 * x38).over(w).cast(DoubleType))
+      .withColumn("syy", sum(y38 * y38).over(w).cast(DoubleType))
+    val nd = col("n").cast(DoubleType)
+    val varX = nd * col("sxx") - col("sx") * col("sx")
+    val varY = nd * col("syy") - col("sy") * col("sy")
+    withSums.select(col("day"), col("n"),
+        round(when(varX > 0 && varY > 0,
+          (nd * col("sxy") - col("sx") * col("sy")) / sqrt(varX * varY)), 6)
+          .as("corr"))
+      .orderBy("day")
+  }
+
   /** q155: EQUAL-FREQUENCY binning — the complement of q89's equal-WIDTH
     * histogram and the discretization feature engineering actually uses
     * (uniform bin mass ⇒ every bin carries signal; width bins collapse
@@ -1569,6 +1608,31 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q157_rolling_corr" ->
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS y
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT day,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      OVER w AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      OVER w AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      OVER w AS DOUBLE) AS syy
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT day, n,
+        |  round(CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        |      AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+        |    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        * (CAST(n AS DOUBLE) * syy - sy * sy)) END, 6) AS corr
+        |FROM m ORDER BY day""".stripMargin,
     "q156_corr_matrix" -> {
       // generated from the SAME CorrCols/pair list as the Spark side.
       // Scale-0 decimal sums dodge the ÷10^s decimal→double hazard:

@@ -434,6 +434,22 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q157 rolling corr: warm-up ramp then full frames, coefficients bounded") {
+    val rows = Advanced.rollingCorr(spark, sfDir).collect()
+    assert(rows.length > 30)
+    // frame sizes: 1,2,...,30 then constant 30 (days are unique+sorted)
+    rows.take(30).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) === (i + 1).toLong, s"warm-up day $i")
+    }
+    rows.drop(30).foreach(r => assert(r.getLong(1) === 30L))
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val c = r.getDouble(2)
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, r.toString)
+      }
+    }
+  }
+
   test("q156 corr matrix: all unordered pairs once, coefficients in [-1, 1]") {
     val rows = Advanced.corrMatrix(spark, sfDir).collect()
     val names = Advanced.CorrCols.map(_._1)
