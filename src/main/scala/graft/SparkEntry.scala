@@ -326,6 +326,9 @@ object SparkEntry {
     // time-series co-movement: trailing 30-day rolling correlation
     "q157_rolling_corr"       -> ((s, d) =>
       graft.analytics.Advanced.rollingCorr(s, d)),
+    // exponential smoothing: 16-term EWMA of daily revenue, exact weights
+    "q158_ewma_daily"         -> ((s, d) =>
+      graft.analytics.Advanced.ewmaDaily(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1398,6 +1398,41 @@ object Advanced {
       .orderBy("col_a", "col_b")
   }
 
+  /** q158: EWMA — exponentially weighted moving average of daily revenue,
+    * the standard smoothing/drift-baseline signal. The usual recursive
+    * definition is not cross-engine reproducible term-by-term; instead
+    * the λ=1/2, 16-term truncation expands to an EXPLICIT weighted sum
+    * of lag terms: every weight 0.5^k is an exactly-representable double
+    * (and an exact decimal literal, so both engines parse identical
+    * values), the 16 products fold in one fixed source-order expression,
+    * and the normalizing denominator Σ0.5^k is itself exact. Warm-up
+    * days (any missing lag) yield NULL identically on both engines —
+    * the smoothed series starts when the window fills. One daily
+    * collapse shuffle + one ordered window, like [[rollingCorr]]. */
+  def ewmaDaily(s: SparkSession, dir: String, terms: Int = 16): DataFrame = {
+    require(terms > 0 && terms <= 40, s"terms out of range: $terms")
+    val daily = t(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("cents"))
+    val w = Window.orderBy(col("day"))
+    val weights = (0 until terms).map(k => math.pow(0.5, k))
+    val num = weights.zipWithIndex.map { case (wk, k) =>
+      lag(col("cents"), k).over(w).cast(DoubleType) * lit(wk)
+    }.reduce(_ + _)
+    val denom = weights.sum // exact: binary fractions with disjoint bits
+    daily
+      .withColumn("ewma_cents", num / lit(denom))
+      .select(col("day"),
+        round(col("ewma_cents") / 100.0, 6).as("ewma_revenue"))
+      .orderBy("day")
+  }
+
+  /** q158's oracle twin of the weight list — exact decimal renderings of
+    * 0.5^k (finite for every k), identical to the doubles Spark folds. */
+  private[graft] def ewmaWeightLit(k: Int): String =
+    new java.math.BigDecimal(math.pow(0.5, k)).toPlainString
+
   /** q157: ROLLING CORRELATION — the trailing-window co-movement signal
     * (risk/quant dashboards, drift monitors): per ship day, the
     * correlation of daily quantity vs daily revenue over the trailing
@@ -1608,6 +1643,21 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q158_ewma_daily" -> {
+      val terms = (0 until 16).map { k =>
+        s"CAST(lag(cents, $k) OVER w AS DOUBLE) * ${ewmaWeightLit(k)}"
+      }.mkString("\n    + ")
+      val denom = new java.math.BigDecimal(
+        (0 until 16).map(k => math.pow(0.5, k)).sum).toPlainString
+      s"""WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+         |      AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY 1)
+         |SELECT day, round(($terms)
+         |    / CAST($denom AS DOUBLE) / 100.0, 6) AS ewma_revenue
+         |FROM d WINDOW w AS (ORDER BY day)
+         |ORDER BY day""".stripMargin
+    },
     "q157_rolling_corr" ->
       """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS x,

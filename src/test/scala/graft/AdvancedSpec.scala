@@ -434,6 +434,26 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q158 EWMA: null warm-up, then values inside the window's range") {
+    val rows = Advanced.ewmaDaily(spark, sfDir).collect()
+    assert(rows.length > 16)
+    // first 15 days lack a full 16-term window → NULL on both engines
+    rows.take(15).foreach(r => assert(r.isNullAt(1), r.toString))
+    assert(!rows(16).isNullAt(1))
+    // a convex combination stays within the window's min/max daily value
+    val cents = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_extendedprice")).as("rev"))
+      .orderBy("day").collect().map(_.getDouble(1))
+    rows.zipWithIndex.drop(15).foreach { case (r, i) =>
+      if (!r.isNullAt(1)) {
+        val window = cents.slice(i - 15, i + 1)
+        assert(r.getDouble(1) >= window.min - 1e-4 &&
+          r.getDouble(1) <= window.max + 1e-4, s"day $i out of range")
+      }
+    }
+  }
+
   test("q157 rolling corr: warm-up ramp then full frames, coefficients bounded") {
     val rows = Advanced.rollingCorr(spark, sfDir).collect()
     assert(rows.length > 30)
