@@ -329,6 +329,8 @@ object SparkEntry {
     // exponential smoothing: 16-term EWMA of daily revenue, exact weights
     "q158_ewma_daily"         -> ((s, d) =>
       graft.analytics.Advanced.ewmaDaily(s, d)),
+    // product analytics: view→purchase conversion latency percentiles
+    "q159_conversion_latency" -> (graft.analytics.Advanced.conversionLatency _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1398,6 +1398,30 @@ object Advanced {
       .orderBy("col_a", "col_b")
   }
 
+  /** q159: CONVERSION LATENCY percentiles — the product-analytics twin of
+    * q76's funnel COUNTS: not how many users convert, but how LONG
+    * conversion takes (first view → first purchase per user), as the
+    * p50/p90/p99 a latency SLO is written against. Deltas are exact
+    * integer microseconds converted to seconds in one double division;
+    * the exact interpolated percentile is the q54-proven parity surface
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`). One user-keyed
+    * hash-agg collapses the event stream, then a single global
+    * percentile over the (small) per-user frame. */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("us"))).as("fp"))
+      .filter(col("fv").isNotNull && col("fp").isNotNull && col("fp") >= col("fv"))
+      .withColumn("delta_s",
+        (col("fp") - col("fv")).cast(DoubleType) / 1000000.0)
+    per.agg(count(lit(1)).cast(IntegerType).as("n_converting"),
+      round(expr("percentile(delta_s, 0.5)"), 4).as("p50_s"),
+      round(expr("percentile(delta_s, 0.9)"), 4).as("p90_s"),
+      round(expr("percentile(delta_s, 0.99)"), 4).as("p99_s"))
+  }
+
   /** q158: EWMA — exponentially weighted moving average of daily revenue,
     * the standard smoothing/drift-baseline signal. The usual recursive
     * definition is not cross-engine reproducible term-by-term; instead
@@ -1643,6 +1667,20 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q159_conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END) AS fv,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN us END) AS fp
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT CAST(fp - fv AS DOUBLE) / 1000000.0 AS delta_s
+        |  FROM p WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+        |SELECT CAST(COUNT(*) AS INTEGER) AS n_converting,
+        |  round(quantile_cont(delta_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(delta_s, 0.9), 4) AS p90_s,
+        |  round(quantile_cont(delta_s, 0.99), 4) AS p99_s
+        |FROM d""".stripMargin,
     "q158_ewma_daily" -> {
       val terms = (0 until 16).map { k =>
         s"CAST(lag(cents, $k) OVER w AS DOUBLE) * ${ewmaWeightLit(k)}"
