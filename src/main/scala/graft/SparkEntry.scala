@@ -331,6 +331,9 @@ object SparkEntry {
       graft.analytics.Advanced.ewmaDaily(s, d)),
     // product analytics: view→purchase conversion latency percentiles
     "q159_conversion_latency" -> (graft.analytics.Advanced.conversionLatency _),
+    // reproducible 80/10/10 split manifest with leakage-audit stats
+    "q160_split_manifest"     -> ((s, d) =>
+      graft.text.TextOps.splitManifest(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -401,8 +401,7 @@ object TextOps {
     q.groupBy("source")
       .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
         sum("toks").as("total_tokens"),
-        round(sum(col("qs").cast(DecimalType(18, 6))).cast(DoubleType) /
-          count(lit(1)), 6).as("mean_quality"))
+        meanQualityC.as("mean_quality"))
       .join(broadcast(withEmb), Seq("source"), "left")
       .join(broadcast(dups), Seq("source"), "left")
       .na.fill(0L, Seq("n_embedded", "n_dup_docs"))
@@ -410,6 +409,49 @@ object TextOps {
         col("mean_quality"), col("n_embedded"), col("n_dup_docs"))
       .orderBy("source")
   }
+
+  /** q160: TRAIN/VAL/TEST split manifest — the reproducible three-way
+    * split every training run records: membership is a pure function of
+    * doc_id (the q77 md5-bucket machinery — 80/10/10 by bucket), so the
+    * split survives re-runs, engine changes and repartitioning, and
+    * incremental additions never reshuffle existing members. The
+    * manifest reports, per (source, split): document count, token
+    * volume, and DECIMAL-routed mean quality — the leakage-audit
+    * numbers that prove the three cuts are statistically exchangeable
+    * before anyone trains on them. One narrow map + one hash-agg. */
+  def splitManifest(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hex60C(md5(col("doc_id").cast(StringType))), lit(100L))
+    docs(s, dir).select(
+        col("source"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val")).otherwise(lit("test")).as("split"),
+        bpeTokensC(col("text")).cast(LongType).as("toks"),
+        qualityExprs.toMap.apply("quality_score").as("qs"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        meanQualityC.as("mean_quality"))
+      .orderBy("source", "split")
+  }
+
+  /** Exact mean of the 6-dp quality score over a COUNT(*) group — the
+    * q140 lesson applied twice over: the score is exact at 6 decimals,
+    * so it routes through integer MICRO-units (decimal cast → ×10⁶ →
+    * BIGINT, every step exact) and the mean is one double division
+    * chain over exact integers — never a DECIMAL(p, s>0)→DOUBLE
+    * conversion, whose two roundings (DuckDB) vs one (JVM) diverge.
+    * And the result is NOT re-rounded: a mean of 6-dp values needs a
+    * 7th digit, and round() itself splits at .5 boundaries (Spark
+    * HALF_UP vs DuckDB HALF_EVEN — the q55 precedent); identical input
+    * doubles need no rounding to hash-match. */
+  private def meanQualityC: org.apache.spark.sql.Column =
+    sum((col("qs").cast(DecimalType(18, 6)) * 1000000)
+        .cast(LongType)).cast(DoubleType) /
+      count(lit(1)) / lit(1000000.0)
+  private val meanQualityS: String =
+    """(CAST(SUM(CAST(CAST(qs AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+      |  AS DOUBLE) / COUNT(*) / 1000000.0)"""
+      .stripMargin.replace("\n", " ")
 
   /** Language ID: marker-stopword count per language, argmax with a fixed
     * priority tie-break; 'und' (undetermined) when no marker hits. Includes
@@ -580,6 +622,27 @@ object TextOps {
       " + (1.0 - punct / NULLIF(chars, 0)) * 0.2, 6), 0.0)"
 
   def oracleSql: Map[String, String] = Map(
+    "q160_split_manifest" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $T AS t,
+         |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         |  FROM documents),
+         |m AS (SELECT doc_id, source, text, bucket,
+         |    CAST(${graft.functions.TextPrims.bpeTokensS("text")}
+         |      AS BIGINT) AS toks,
+         |    CAST(len(t) AS DOUBLE) AS words,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
+         |  FROM d),
+         |q AS (SELECT source,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |    toks, $QualityScoreS AS qs
+         |  FROM m)
+         |SELECT source, split, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |  $meanQualityS AS mean_quality
+         |FROM q GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "q150_dataset_card" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
          |m AS (SELECT doc_id, source, text,
@@ -599,8 +662,7 @@ object TextOps {
          |  WHERE cnt > 1 GROUP BY 1),
          |base AS (SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
          |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
-         |    round(CAST(SUM(CAST(qs AS DECIMAL(18,6))) AS DOUBLE)
-         |      / COUNT(*), 6) AS mean_quality
+         |    $meanQualityS AS mean_quality
          |  FROM q GROUP BY 1)
          |SELECT base.source, n_docs, total_tokens, mean_quality,
          |  CAST(COALESCE(e.n_embedded, 0) AS BIGINT) AS n_embedded,
