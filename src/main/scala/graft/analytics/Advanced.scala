@@ -963,9 +963,14 @@ object Advanced {
     * then iterates on that aggregated graph (thousands of nodes in a
     * production host graph — here 5). Ten fixed iterations of
     * r = (1−d)/N + d·Σ_in r·w/outw, with each iteration's contribution
-    * sum routed through DECIMAL(38,18) so accumulation order cannot
+    * sum routed through DECIMAL(38,15) so accumulation order cannot
     * perturb the result — the iterate is a pure function of the data on
-    * both engines, no convergence-threshold ambiguity. Every node in
+    * both engines, no convergence-threshold ambiguity. Scale 15 is the
+    * cross-engine-safe choice: ranks sum to 1, so every contribution sum
+    * is ≤ 1 and its integer mantissa ≤ 10^15 < 2^53 — the decimal→double
+    * conversion is a single rounding on BOTH engines at any data scale
+    * (scale 18 mantissas exceed 2^53, triggering DuckDB's two-rounding
+    * int128→double-then-divide path, the exact q140 divergence). Every node in
     * this graph has out-edges; dangling-mass redistribution is the
     * standard extension when that breaks.
     *
@@ -1001,7 +1006,14 @@ object Advanced {
         .select(col("dst").as("node"),
           (col("rank") * col("w") / col("outw")).as("c"))
         .groupBy("node")
-        .agg(sum(col("c").cast(DecimalType(38, 18))).cast(DoubleType)
+        // scale 15, not 18: ranks are a probability distribution, so each
+        // node's contribution sum is ≤ 1 and the decimal's integer mantissa
+        // stays ≤ 10^15 < 2^53 at ANY data scale — the int128→double step of
+        // DuckDB's decimal→double conversion is then EXACT, leaving one
+        // rounding on both engines (the q140/q156 hazard is scale>0 decimals
+        // whose mantissa exceeds 2^53, where DuckDB rounds twice, the JVM
+        // once)
+        .agg(sum(col("c").cast(DecimalType(38, 15))).cast(DoubleType)
           .as("sumc"))
       ranks = nodes
         .join(contrib, Seq("node"), "left")
@@ -1606,6 +1618,14 @@ object Advanced {
     * slice, a deletion slice, a re-keyed insertion slice), so both
     * engines diff identical inputs. One shuffle on the join key; counts
     * all integer. */
+  /** Fixture re-key offset for q148's inserted rows — a high bit (2^40),
+    * not a constant near the key range: o_orderkey reaches 6M per unit
+    * scale factor, so a 10^7 offset collides with real keys at sf≈2 and
+    * the full-outer join would silently merge "added" rows with existing
+    * ones. 2^40 stays disjoint through sf ≈ 180k; interpolated into the
+    * oracle so both sides share one definition. */
+  private[graft] val ReKeyOffset: Long = 1L << 40
+
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     // v1 feeds three consumers (both v2 branches + the join's left side)
     // — materialize the narrow projection once
@@ -1618,7 +1638,7 @@ object Advanced {
         when(col("k") % 10 === 0, col("price") * 1.1).otherwise(col("price")))
       .withColumn("st", when(col("k") % 13 === 0, lit("U")).otherwise(col("st")))
       .unionAll(v1.filter(col("k") % 23 === 0) // insertions (re-keyed)
-        .select((col("k") + 10000000L).as("k"), col("st"), col("price")))
+        .select((col("k") + ReKeyOffset).as("k"), col("st"), col("price")))
     val j = v1.select(col("k"), col("st").as("st1"), col("price").as("p1"))
       .join(v2.select(col("k"), col("st").as("st2"), col("price").as("p2")),
         Seq("k"), "full_outer")
@@ -1805,14 +1825,14 @@ object Advanced {
         |SELECT credit, COUNT(*) AS n_purchases
         |FROM p GROUP BY credit ORDER BY credit""".stripMargin,
     "q148_snapshot_diff" ->
-      """WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      s"""WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    o_totalprice AS price FROM orders),
         |v2 AS (SELECT k,
         |    CASE WHEN k % 13 = 0 THEN 'U' ELSE st END AS st,
         |    CASE WHEN k % 10 = 0 THEN price * 1.1 ELSE price END AS price
         |  FROM v1 WHERE k % 17 <> 0
         |  UNION ALL
-        |  SELECT k + 10000000, st, price FROM v1 WHERE k % 23 = 0),
+        |  SELECT k + $ReKeyOffset, st, price FROM v1 WHERE k % 23 = 0),
         |j AS (SELECT COALESCE(v1.k, v2.k) AS k, v1.st AS st1, v2.st AS st2,
         |    v1.price AS p1, v2.price AS p2
         |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k),
@@ -1899,7 +1919,7 @@ object Advanced {
           |  CAST(1.0 AS DOUBLE) / n_nodes AS rank FROM n)""".stripMargin
       val iterations = (1 to 10).map { i =>
         s"""c$i AS (SELECT e.dst AS node,
-           |    CAST(SUM(CAST(r.rank * e.w / o.outw AS DECIMAL(38,18)))
+           |    CAST(SUM(CAST(r.rank * e.w / o.outw AS DECIMAL(38,15)))
            |      AS DOUBLE) AS sumc
            |  FROM e JOIN o USING (src) JOIN r${i - 1} r ON r.node = e.src
            |  GROUP BY 1),

@@ -60,8 +60,17 @@ object Dedup extends org.apache.spark.internal.Logging {
     * variants carry id = base id + VariantIdOffset, so mapping an id back
     * to its base doc is `% VariantIdOffset`. Operators that need source
     * attribution take an injectable `baseIdOf` defaulting to this; a
-    * production corpus supplies its own mapping (or `identity`). */
-  val VariantIdOffset = 10000000L
+    * production corpus supplies its own mapping (or `identity`).
+    *
+    * A HIGH BIT (2^40 ≈ 1.1e12), not a decimal constant near the data's
+    * own key range: doc_id reaches ~6×10^5 per unit scale factor, so a
+    * 10^7-style offset collides with real ids somewhere around sf≈20 and
+    * would silently merge variant rows with existing documents. 2^40
+    * keeps the variant space disjoint through sf ≈ 2×10^6 while staying
+    * exactly representable in every engine's BIGINT and DOUBLE. The
+    * constant is interpolated into every oracle string so the two sides
+    * cannot drift. */
+  val VariantIdOffset: Long = 1L << 40
   val fixtureBaseId: Column => Column = _ % VariantIdOffset
 
   /** documents ∪ exact copies of every 10th doc (id offset +VariantIdOffset). */
@@ -71,9 +80,9 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select((col("doc_id") + VariantIdOffset).as("doc_id"), col("text")))
   }
   private val dupCorpusS =
-    """SELECT doc_id, text FROM documents
+    s"""SELECT doc_id, text FROM documents
       | UNION ALL
-      | SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0"""
+      | SELECT doc_id + $VariantIdOffset, text FROM documents WHERE doc_id % 10 = 0"""
       .stripMargin.replace("\n", " ")
 
   /** documents ∪ near-dup variants (last token dropped) of every 20th doc. */
@@ -88,7 +97,7 @@ object Dedup extends org.apache.spark.internal.Logging {
   private val nearDupCorpusS =
     s"""SELECT doc_id, text FROM documents
        | UNION ALL
-       | SELECT doc_id + 10000000,
+       | SELECT doc_id + $VariantIdOffset,
        |   CASE WHEN len(t) > 1
        |     THEN array_to_string(list_slice(t, 1, len(t) - 1), ' ')
        |     ELSE text END
@@ -160,7 +169,10 @@ object Dedup extends org.apache.spark.internal.Logging {
       .agg(count(lit(1)).cast(IntegerType).as("n_dup_vs_existing"))
     val freshStats = freshGroups.agg(
       count(lit(1)).cast(IntegerType).as("n_new_contents"),
-      sum(col("c") - 1).cast(IntegerType).as("n_within_batch_extra"))
+      // coalesce matches the oracle's COALESCE(SUM(..), 0): an increment
+      // with zero fresh contents must report 0, not NULL
+      coalesce(sum(col("c") - 1), lit(0L)).cast(IntegerType)
+        .as("n_within_batch_extra"))
     totals.crossJoin(seen).crossJoin(freshStats)
   }
 
@@ -594,13 +606,13 @@ object Dedup extends org.apache.spark.internal.Logging {
   def oracleSql: Map[String, String] = Map(
     "q153_incremental_dedup" ->
       s"""WITH inc AS (
-         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+         |  SELECT doc_id + $VariantIdOffset AS doc_id, text FROM documents
          |    WHERE doc_id % 10 = 0
-         |  UNION ALL SELECT doc_id + 20000000, text || ' zqbatchdup'
+         |  UNION ALL SELECT doc_id + ${2 * VariantIdOffset}, text || ' zqbatchdup'
          |    FROM documents WHERE doc_id % 21 = 0
-         |  UNION ALL SELECT doc_id + 30000000, text || ' zqbatchdup'
+         |  UNION ALL SELECT doc_id + ${3 * VariantIdOffset}, text || ' zqbatchdup'
          |    FROM documents WHERE doc_id % 21 = 0
-         |  UNION ALL SELECT doc_id + 40000000, text || ' zqunique'
+         |  UNION ALL SELECT doc_id + ${4 * VariantIdOffset}, text || ' zqunique'
          |    FROM documents WHERE doc_id % 13 = 0),
          |idx AS (SELECT DISTINCT ${normHashS("text")} AS h FROM documents),
          |ih AS (SELECT doc_id, ${normHashS("text")} AS h FROM inc),
@@ -719,8 +731,8 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
          |x AS (SELECT sa.source AS source_a, sb.source AS source_b
          |  FROM pairs
-         |  JOIN documents sa ON pairs.doc_a % 10000000 = sa.doc_id
-         |  JOIN documents sb ON pairs.doc_b % 10000000 = sb.doc_id
+         |  JOIN documents sa ON pairs.doc_a % $VariantIdOffset = sa.doc_id
+         |  JOIN documents sb ON pairs.doc_b % $VariantIdOffset = sb.doc_id
          |  WHERE sa.source <> sb.source)
          |SELECT least(source_a, source_b) AS src_lo,
          |  greatest(source_a, source_b) AS src_hi,
@@ -744,7 +756,7 @@ object Dedup extends org.apache.spark.internal.Logging {
          |    AS n_kept,
          |  CAST(count(*) - sum(CASE WHEN c.doc_id = c.comp THEN 1 ELSE 0 END)
          |    AS INTEGER) AS n_dropped
-         |FROM comp c JOIN documents d ON c.doc_id % 10000000 = d.doc_id
+         |FROM comp c JOIN documents d ON c.doc_id % $VariantIdOffset = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q131_ngram_contamination" ->
       s"""WITH tok AS (SELECT doc_id, source, ${tokensS("text")} AS t

@@ -298,6 +298,12 @@ object Similarity {
           .cast(DoubleType) / count(lit(1)), 6).as("mean_norm"))
       .orderBy("label")
 
+  /** Fixture re-key offset for injected near-dup vectors — a high bit
+    * (2^40) so variant ids stay disjoint from real vec_ids at any scale
+    * factor (vec_id grows ~2×10^4 per unit sf; a 10^6-style offset would
+    * collide near sf≈50). Interpolated into the q34 oracle. */
+  private[graft] val VariantVecOffset: Long = 1L << 40
+
   /** Embedding-cosine near-dup pairs: corpus ∪ scaled (×2, cosine-identical)
     * copies of every 25th vector; candidate pairs from shared LSH bucket,
     * verified by exact cosine ≥ 0.9999. */
@@ -305,7 +311,7 @@ object Similarity {
     val base = emb(s, dir).select(col("vec_id"), col("e"))
     val corpus = base.unionByName(
       base.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((col("vec_id") + VariantVecOffset).as("vec_id"),
           transform(col("e"), x => x * lit(2.0)).as("e")))
       .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
       .withColumn("bkt", bucket(col("e")))
@@ -325,12 +331,21 @@ object Similarity {
   /** q141: CENTROID-DISTANCE outlier ranking — the embedding-side quality
     * filter of a training-data pipeline: vectors far from their label's
     * centroid are candidate mislabels/noise (the embedding analog of
-    * q23's text quality score). Per (label, dim) the centroid runs over
-    * DECIMAL(38,12) casts of the double-widened components, and each
-    * vector's squared distance sums its per-dim squares through the same
-    * decimal routing — both accumulations are therefore exact and
-    * order-independent, so the top-k ranking (distance desc, vec_id) is
-    * a pure function of the data on both engines.
+    * q23's text quality score). Per (label, dim) the centroid mean routes
+    * through integer NANO-units (component → DECIMAL(18,9) → ×10⁹ →
+    * BIGINT, the meanQuality pattern): the BIGINT sum is exact and its
+    * magnitude stays < 2^53 until a label×dim group's component sum
+    * exceeds ~9×10⁶ (components are O(1), so that is ~10⁷ rows per
+    * (label, dim) — far past any realistic embedding-corpus scale), so
+    * the BIGINT→double conversion is exact and the mean is one identical
+    * IEEE division chain on both engines. Each vector's squared distance
+    * sums its per-dim squares through DECIMAL(38,12): d2 is bounded by
+    * dim × max|x−μ|² ≈ 10² regardless of corpus size (the sum is per
+    * vector over a fixed 64 dims), so its mantissa ≤ 10^14 < 2^53 and
+    * the final decimal→double cast before sqrt is also a single rounding
+    * on both engines. Both accumulations are exact and order-independent,
+    * so the top-k ranking (distance desc, vec_id) is a pure function of
+    * the data on both engines.
     *
     * Shape at 100 TB: posexplode is a narrow map; the centroid agg
     * shuffles on (label, dim) — bounded by #labels × dim, tiny; the
@@ -349,8 +364,9 @@ object Similarity {
       .drop("col")
       .localCheckpoint()
     val cent = dims.groupBy("label", "dim")
-      .agg((sum(col("xd").cast(DecimalType(38, 12))).cast(DoubleType) /
-        count(lit(1))).as("mu"))
+      .agg((sum((col("xd").cast(DecimalType(18, 9)) * 1000000000L)
+        .cast(LongType)).cast(DoubleType) / count(lit(1)) /
+        lit(1000000000.0)).as("mu"))
     val d2 = dims.join(broadcast(cent), Seq("label", "dim"))
       .withColumn("sq", (col("xd") - col("mu")) * (col("xd") - col("mu")))
       .groupBy("vec_id", "label")
@@ -448,7 +464,7 @@ object Similarity {
          |  FROM embeddings),
          |corpus AS (SELECT vec_id, e FROM e0
          |  UNION ALL
-         |  SELECT vec_id + 1000000, list_transform(e, x -> x * 2.0)
+         |  SELECT vec_id + $VariantVecOffset, list_transform(e, x -> x * 2.0)
          |  FROM e0 WHERE vec_id % 25 = 0),
          |$planesCte,
          |cb AS (SELECT vec_id, e, sqrt(${dotS("e", "e")}) AS nrm,
@@ -463,7 +479,8 @@ object Similarity {
          |    CAST(embedding[g.i] AS DOUBLE) AS xd
          |  FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i)),
          |c AS (SELECT label, dim,
-         |    CAST(SUM(CAST(xd AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+         |    CAST(SUM(CAST(CAST(xd AS DECIMAL(18,9)) * 1000000000 AS BIGINT))
+         |      AS DOUBLE) / COUNT(*) / 1000000000.0 AS mu
          |  FROM d GROUP BY 1, 2),
          |s2 AS (SELECT vec_id, d.label,
          |    SUM(CAST((xd - mu) * (xd - mu) AS DECIMAL(38,12))) AS d2

@@ -14,7 +14,7 @@ class DedupSpec extends SparkSpec {
     assert(res.length === nDocs)
     assert(res.count(_.getAs[Int]("n_copies") == 2) === nInjected)
     // canonical id is always the smaller (original) id
-    assert(res.forall(_.getAs[Long]("canonical_id") < 10000000L))
+    assert(res.forall(_.getAs[Long]("canonical_id") < Dedup.VariantIdOffset))
   }
 
   test("LSH candidates recover most injected near-dup pairs") {
@@ -23,7 +23,7 @@ class DedupSpec extends SparkSpec {
     val injected = graft.sources.Tables.load(spark, sfDir, "documents")
       .filter(col("doc_id") % 20 === 0)
       .select("doc_id").collect().map(_.getLong(0))
-      .map(id => (id, id + 10000000L))
+      .map(id => (id, id + Dedup.VariantIdOffset))
     val recall = injected.count(pairs.contains).toDouble / injected.length
     assert(recall >= 0.8, s"LSH recall $recall over ${injected.length} injected pairs")
   }
@@ -116,7 +116,7 @@ class DedupSpec extends SparkSpec {
     val injected = graft.sources.Tables.load(spark, sfDir, "documents")
       .filter(col("doc_id") % 20 === 0)
       .select("doc_id").collect().map(_.getLong(0))
-      .map(id => (id, id + 10000000L))
+      .map(id => (id, id + Dedup.VariantIdOffset))
     val recall = injected.count(pairs.contains).toDouble / injected.length
     assert(recall >= 0.6,
       s"16/4 LSH recall $recall over ${injected.length} injected pairs")

@@ -92,7 +92,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(pairs.map(_._1).toSet === expected)
     pairs.foreach { case (a, b, c) =>
-      assert(b === a + 1000000L)
+      assert(b === a + Similarity.VariantVecOffset)
       assert(c >= 0.9999)
     }
   }
