@@ -334,6 +334,12 @@ object SparkEntry {
     // reproducible 80/10/10 split manifest with leakage-audit stats
     "q160_split_manifest"     -> ((s, d) =>
       graft.text.TextOps.splitManifest(s, d)),
+    // multimodal dedup: exact payload hash-groupBy over the binary column
+    "q161_media_dedup_exact"  -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaDedupExact(s, d)),
+    // multimodal near-dup: block fingerprints + integer Jaccard verify
+    "q163_media_neardup"      -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaNearDup(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -56,4 +56,38 @@ class MultimodalSpec extends SparkSpec {
       Seq("media_id"), "left_semi").count()
     assert(nonVideo === 0)
   }
+
+  test("q161 mediaDedupExact: copies collapse onto base-id canonicals") {
+    val res = Multimodal.mediaDedupExact(spark, sfDir).collect()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val nInjected = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(res.length === nDocs) // base payloads are distinct
+    assert(res.count(_.getAs[Int]("n_copies") == 2) === nInjected)
+    assert(res.forall(
+      _.getAs[Long]("canonical_id") < Multimodal.MediaVariantOffset))
+  }
+
+  test("q163 mediaNearDup: every header-rewritten variant pairs with its " +
+    "base at block-Jaccard >= 1/2") {
+    val pairs = Multimodal.mediaNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Int]("n_shared"), r.getAs[Int]("n_union")))
+    // integer threshold holds on every emitted pair
+    pairs.foreach { case (_, _, sh, un) =>
+      assert(sh > 0 && un >= sh && 2 * sh >= un)
+    }
+    // injected variants: base docs long enough to share >= half their
+    // blocks after the 16-byte header rewrite (>= 3 blocks)
+    val off = Multimodal.MediaVariantOffset
+    val expected = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 20 === 0 &&
+        length(col("text")) > 2 * Multimodal.MediaBlockBytes)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val found = pairs.collect {
+      case (a, b, _, _) if b == a + off => a
+    }.toSet
+    assert(expected.subsetOf(found),
+      s"missing variant pairs for bases ${expected -- found}")
+  }
 }
