@@ -334,6 +334,9 @@ object SparkEntry {
     // reproducible 80/10/10 split manifest with leakage-audit stats
     "q160_split_manifest"     -> ((s, d) =>
       graft.text.TextOps.splitManifest(s, d)),
+    // daily-ingest composite: exact gate → LSH probe → quality → budget
+    "q162_incremental_admission" -> ((s, d) =>
+      graft.dedup.Dedup.incrementalAdmission(s, d)),
     // multimodal dedup: exact payload hash-groupBy over the binary column
     "q161_media_dedup_exact"  -> ((s, d) =>
       graft.multimodal.Multimodal.mediaDedupExact(s, d)),

@@ -143,20 +143,31 @@ object Dedup extends org.apache.spark.internal.Logging {
     * existing), twin modified copies of every 21st (within-batch dup
     * pairs, absent from the corpus), and single modified copies of
     * every 13th (genuinely new). One summary row, all-integer. */
-  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "text")
+  /** The staged DAILY-INCREMENT fixture shared by q153 and q162: exact
+    * copies of every 10th doc (dup-vs-existing), twin modified copies of
+    * every 21st (within-batch dup pairs, absent from the corpus), and
+    * single modified copies of every 13th (near-dups of their base),
+    * each re-keyed into its own variant-id plane. Carries `source` for
+    * per-source admission accounting (q153 projects it away). */
+  private[graft] def stagedIncrement(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "source", "text")
     val off = VariantIdOffset
-    val incoming = d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + off).as("doc_id"), col("text"))
+    d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("source"), col("text"))
       .unionByName(d.filter(col("doc_id") % 21 === 0)
-        .select((col("doc_id") + 2 * off).as("doc_id"),
+        .select((col("doc_id") + 2 * off).as("doc_id"), col("source"),
           concat(col("text"), lit(" zqbatchdup")).as("text")))
       .unionByName(d.filter(col("doc_id") % 21 === 0)
-        .select((col("doc_id") + 3 * off).as("doc_id"),
+        .select((col("doc_id") + 3 * off).as("doc_id"), col("source"),
           concat(col("text"), lit(" zqbatchdup")).as("text")))
       .unionByName(d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 4 * off).as("doc_id"),
+        .select((col("doc_id") + 4 * off).as("doc_id"), col("source"),
           concat(col("text"), lit(" zqunique")).as("text")))
+  }
+
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val incoming = stagedIncrement(s, dir).select("doc_id", "text")
     // the persisted dedup index: distinct content hashes of the corpus
     val index = d.select(normHash(col("text")).as("h")).distinct()
       .localCheckpoint()
@@ -272,6 +283,112 @@ object Dedup extends org.apache.spark.internal.Logging {
       .filter(col("rk") === 1)
       .select("inc_doc", "match_doc", "jaccard", "n_matches")
       .orderBy("inc_doc")
+  }
+
+  /** q162 admission thresholds — named so the oracle interpolates the
+    * same values the operator defaults to. */
+  val AdmissionQualityMin: Double = 0.4
+  val AdmissionBudgetTokens: Long = 120L
+
+  /** q162: INCREMENTAL ADMISSION COMPOSITE — the daily-ingest pipeline as
+    * ONE composed plan: an incoming batch runs the q153 exact-dedup gate
+    * (corpus content-index probe + in-batch rank), the q154 near-dup
+    * probe (MinHash bands against the corpus, Jaccard-verified), the q23
+    * quality filter, and the q136 per-source token-budget admission, and
+    * every incoming document is classified by the FIRST gate that stops
+    * it: dup_corpus → dup_batch → near_dup → low_quality → over_budget →
+    * admitted. Output is the per-source admission report a daily ingest
+    * publishes.
+    *
+    * Collapse-once contract (the q138 pattern, guarded in PlanSpec): the
+    * batch+corpus text is shingled EXACTLY ONCE — one persisted
+    * (doc, shingle) frame feeds the MinHash signatures, the set sizes,
+    * and the Jaccard verification; nothing downstream re-tokenizes for
+    * dedup purposes. Only the fresh residue of the exact gate is
+    * shingled (cost scales with the increment, not the batch), and the
+    * budget window runs over ONE source-keyed shuffle with the
+    * conditional-cumulative-sum trick (ineligible rows contribute 0), so
+    * admission needs no second pass.
+    *
+    * The fixture adds a fifth slice to the staged increment: token-
+    * REVERSED copies of every 11th doc — the same token multiset (so the
+    * quality-score distribution matches real docs) with all shingles
+    * destroyed (so the LSH probe correctly passes them through to the
+    * quality/budget stages). */
+  def incrementalAdmission(s: SparkSession, dir: String,
+                           cfg: DedupConfig = DedupConfig.Default,
+                           qualityMin: Double = AdmissionQualityMin,
+                           budgetTokens: Long = AdmissionBudgetTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val off = VariantIdOffset
+    val d = docs(s, dir).select("doc_id", "source", "text")
+    val incoming = stagedIncrement(s, dir).unionByName(
+      d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 5 * off).as("doc_id"), col("source"),
+          concat_ws(" ", reverse(tokensC(col("text")))).as("text")))
+    // STAGE 1 — exact gate (q153's machinery): persisted content index +
+    // one h-keyed window for in-batch ranking
+    val index = d.select(normHash(col("text")).as("h")).distinct()
+      .localCheckpoint()
+    val exg = incoming
+      .withColumn("h", normHash(col("text")))
+      .join(index.withColumn("seen", lit(1)), Seq("h"), "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")))
+      .localCheckpoint() // two consumers: the shingle pass + classification
+    val fresh = exg.filter(col("seen").isNull && col("rk") === 1)
+    // STAGE 2 — near-dup probe (q154's machinery): ONE shingle pass over
+    // corpus ∪ fresh residue; signatures, sizes and verify all read it
+    val shs = shingleRows(
+      d.select("doc_id", "text").unionByName(fresh.select("doc_id", "text")),
+      cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shs.count() // eager fill: three concurrent consumers must not race
+    val pairs = bandPairsFrom(signaturesFrom(shs, cfg), cfg)
+      .filter(col("doc_a") < off && col("doc_b") >= off) // cross-side only
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shs.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    val matched = pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("ni"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sza")),
+        "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")),
+        "doc_b")
+      .filter(round(col("ni").cast(DoubleType) /
+        (col("sza") + col("szb") - col("ni")), 6) >= cfg.jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    // STAGES 3+4 — q23 quality score inline, then the q136 greedy budget
+    // prefix per source over eligible rows only
+    val wB = Window.partitionBy("source").orderBy(col("qs").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val classified = exg
+      .join(matched.withColumn("nd", lit(1)), Seq("doc_id"), "left")
+      .withColumn("qs", graft.text.TextOps.qualityScoreC)
+      .withColumn("toks", bpeTokensC(col("text")).cast(LongType))
+      .withColumn("status0",
+        when(col("seen") === 1, "dup_corpus")
+          .when(col("rk") > 1, "dup_batch")
+          .when(col("nd") === 1, "near_dup")
+          .when(col("qs") < qualityMin, "low_quality"))
+      .withColumn("cum",
+        sum(when(col("status0").isNull, col("toks")).otherwise(0L)).over(wB))
+      .withColumn("status", coalesce(col("status0"),
+        when(col("cum") <= budgetTokens, "admitted").otherwise("over_budget")))
+    def n(st: String, as: String) =
+      sum(when(col("status") === st, 1).otherwise(0)).cast(IntegerType).as(as)
+    classified.groupBy("source").agg(
+      count(lit(1)).cast(IntegerType).as("n_incoming"),
+      n("dup_corpus", "n_dup_corpus"), n("dup_batch", "n_dup_batch"),
+      n("near_dup", "n_near_dup"), n("low_quality", "n_low_quality"),
+      n("over_budget", "n_over_budget"), n("admitted", "n_admitted"),
+      sum(when(col("status") === "admitted", col("toks")).otherwise(0L))
+        .as("admitted_tokens"))
+      .orderBy("source")
   }
 
   /** Edit-distance (Levenshtein) verification of LSH candidates — the third
@@ -636,6 +753,78 @@ object Dedup extends org.apache.spark.internal.Logging {
       val cols = (0 until NumHashes).map(i => s"sig$i").mkString(", ")
       s"""${sigSelectS("SELECT doc_id, text FROM documents")}
          |SELECT doc_id, $cols FROM sig ORDER BY doc_id""".stripMargin
+    },
+    "q162_incremental_admission" -> {
+      val t = tokensS("text")
+      val T = graft.text.TextOps
+      val sigChain = sigSelectS(
+        "SELECT doc_id, text FROM documents" +
+          " UNION ALL SELECT doc_id, text FROM fresh")
+        .replaceFirst("WITH ", "")
+      s"""WITH inc AS (
+         |  SELECT doc_id + $VariantIdOffset AS doc_id, source, text
+         |    FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + ${2 * VariantIdOffset}, source,
+         |    text || ' zqbatchdup' FROM documents WHERE doc_id % 21 = 0
+         |  UNION ALL SELECT doc_id + ${3 * VariantIdOffset}, source,
+         |    text || ' zqbatchdup' FROM documents WHERE doc_id % 21 = 0
+         |  UNION ALL SELECT doc_id + ${4 * VariantIdOffset}, source,
+         |    text || ' zqunique' FROM documents WHERE doc_id % 13 = 0
+         |  UNION ALL SELECT doc_id + ${5 * VariantIdOffset}, source,
+         |    array_to_string(list_reverse($t), ' ')
+         |    FROM documents WHERE doc_id % 11 = 0),
+         |idx AS (SELECT DISTINCT ${normHashS("text")} AS h FROM documents),
+         |exg AS (SELECT doc_id, source, text, h,
+         |    CASE WHEN h IN (SELECT h FROM idx) THEN 1 END AS seen,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+         |  FROM (SELECT inc.*, ${normHashS("text")} AS h FROM inc) z),
+         |fresh AS (SELECT doc_id, text FROM exg WHERE seen IS NULL AND rk = 1),
+         |$sigChain,
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk
+         |  AND a.doc_id < $VariantIdOffset AND b.doc_id >= $VariantIdOffset),
+         |ver AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+         |  JOIN shs sa ON pairs.doc_a = sa.doc_id
+         |  JOIN shs sb ON pairs.doc_b = sb.doc_id
+         |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+         |    >= $JaccardThreshold),
+         |m0 AS (SELECT exg.*, CASE WHEN exg.doc_id IN (SELECT doc_id FROM ver)
+         |      THEN 1 END AS nd, $t AS t FROM exg),
+         |m AS (SELECT doc_id, source, seen, rk, nd,
+         |    CAST(${bpeTokensS("text")} AS BIGINT) AS toks,
+         |    ${T.qualityMeasureColsS}
+         |  FROM m0),
+         |q AS (SELECT doc_id, source, seen, rk, nd, toks,
+         |    ${T.qualityScoreExprS} AS qs FROM m),
+         |c AS (SELECT *, CASE WHEN seen = 1 THEN 'dup_corpus'
+         |      WHEN rk > 1 THEN 'dup_batch'
+         |      WHEN nd = 1 THEN 'near_dup'
+         |      WHEN qs < $AdmissionQualityMin THEN 'low_quality' END AS status0
+         |  FROM q),
+         |w AS (SELECT *, SUM(CASE WHEN status0 IS NULL THEN toks ELSE 0 END)
+         |    OVER (PARTITION BY source ORDER BY qs DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+         |f AS (SELECT source, toks, COALESCE(status0,
+         |    CASE WHEN cum <= $AdmissionBudgetTokens THEN 'admitted'
+         |      ELSE 'over_budget' END) AS status FROM w)
+         |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_incoming,
+         |  CAST(SUM(CASE WHEN status = 'dup_corpus' THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_dup_corpus,
+         |  CAST(SUM(CASE WHEN status = 'dup_batch' THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_dup_batch,
+         |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_near_dup,
+         |  CAST(SUM(CASE WHEN status = 'low_quality' THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_low_quality,
+         |  CAST(SUM(CASE WHEN status = 'over_budget' THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_over_budget,
+         |  CAST(SUM(CASE WHEN status = 'admitted' THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_admitted,
+         |  CAST(SUM(CASE WHEN status = 'admitted' THEN toks ELSE 0 END)
+         |    AS BIGINT) AS admitted_tokens
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
     },
     "q154_incremental_neardup" ->
       s"""${sigSelectS(nearDupCorpusS)},

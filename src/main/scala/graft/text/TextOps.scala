@@ -60,6 +60,12 @@ object TextOps {
       "quality_score"  -> coalesce(round(score, 6), lit(0.0)))
   }
 
+  /** The q23 quality score as a reusable column over a `text` column —
+    * shared with Dedup's q162 incremental-admission composite so the
+    * pipeline's filter stage IS the q23 operator, not a re-spelling. */
+  private[graft] def qualityScoreC: org.apache.spark.sql.Column =
+    qualityExprs.toMap.apply("quality_score")
+
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id") +: qualityExprs.map { case (n, c) => c.as(n) }: _*)
@@ -620,6 +626,18 @@ object TextOps {
     "COALESCE(round(least(words / 100.0, 1.0) * 0.4" +
       " + (stops / NULLIF(words, 0)) * 0.4" +
       " + (1.0 - punct / NULLIF(chars, 0)) * 0.2, 6), 0.0)"
+
+  /** The measure-column list QualityScoreS expects, over a relation
+    * providing `text` and tokenized `t` — shared with Dedup's q162
+    * oracle so the composite's quality stage cannot drift from q23's. */
+  private[graft] def qualityMeasureColsS: String =
+    s"""CAST(len(t) AS DOUBLE) AS words,
+       |    CAST(length(text) AS DOUBLE) AS chars,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+       |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops""".stripMargin
+
+  /** [[QualityScoreS]], exposed for the q162 oracle. */
+  private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
     "q160_split_manifest" ->

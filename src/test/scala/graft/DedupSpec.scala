@@ -172,4 +172,25 @@ class DedupSpec extends SparkSpec {
     // extras never exceed new contents
     assert(nExtra <= nNew, r.toString)
   }
+
+  test("q162 admission composite: statuses partition, all gates exercised") {
+    val rows = Dedup.incrementalAdmission(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per source, the six statuses partition the incoming batch exactly
+    rows.foreach { r =>
+      val parts = Seq("n_dup_corpus", "n_dup_batch", "n_near_dup",
+        "n_low_quality", "n_over_budget", "n_admitted")
+        .map(r.getAs[Int](_)).sum
+      assert(parts === r.getAs[Int]("n_incoming"), r.toString)
+      assert(r.getAs[Long]("admitted_tokens") <=
+        Dedup.AdmissionBudgetTokens, r.toString)
+    }
+    // corpus-wide, every gate stops someone AND someone is admitted —
+    // the fixture exists to exercise the full pipeline
+    def tot(c: String) = rows.map(_.getAs[Int](c).toLong).sum
+    Seq("n_dup_corpus", "n_dup_batch", "n_near_dup", "n_low_quality",
+      "n_over_budget", "n_admitted").foreach { c =>
+      assert(tot(c) > 0, s"cohort $c is empty")
+    }
+  }
 }

@@ -275,6 +275,35 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("q162 admission composite: shingles collapse once, reused from cache") {
+    // the rendered plan string inlines each cached relation's ORIGINAL
+    // plan (Generate, FileScan) even though execution reads the cache —
+    // so walk the tree and stop at cache boundaries to see what runs
+    import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def live(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: live(a.inputPlan)
+      case _: InMemoryTableScanExec => Seq(p)
+      case _ => p +: p.children.flatMap(live)
+    }
+    val df = graft.dedup.Dedup.incrementalAdmission(spark, sfDir)
+    val nodes = live(df.queryExecution.executedPlan)
+    val kinds = nodes.map(_.getClass.getSimpleName).groupBy(identity)
+      .view.mapValues(_.size).toMap.toString
+    // collapse-once contract: the (doc, shingle) frame and the candidate
+    // pairs are persisted during the build — the composed plan re-reads
+    // them (sizes + both verify sides + the pair base) instead of
+    // re-running the shingle explode
+    assert(nodes.count(_.isInstanceOf[InMemoryTableScanExec]) >= 3, kinds)
+    // no live Generate (shingle explode): all exploding happened inside
+    // the one cached pass
+    assert(!nodes.exists(_.isInstanceOf[GenerateExec]), kinds)
+    // and no raw re-scan of the documents table either: every consumer
+    // reads the checkpointed/cached intermediates
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]), kinds)
+  }
+
   test("saltedAgg equals the direct aggregation bit-for-bit") {
     val salted = graft.analytics.Advanced.saltedAgg(spark, sfDir).collect()
     val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")
