@@ -312,7 +312,10 @@ object SparkEntry {
     "q151_last_touch"         -> ((s, d) =>
       graft.analytics.Advanced.lastTouchAttribution(s, d)),
     // table profiling: per-column null + exact distinct census, one scan
-    "q152_column_profile"     -> (graft.analytics.Advanced.columnProfile _),
+    // (approx = false: the oracle twin; approx HLL++ is the at-scale
+    // default, band-pinned against this in ColumnProfileSpec)
+    "q152_column_profile"     -> ((s, d) =>
+      graft.analytics.Advanced.columnProfile(s, d, approx = false)),
     // daily-increment dedup: incoming batch vs persisted content index
     "q153_incremental_dedup"  -> (graft.dedup.Dedup.incrementalDedup _),
     // fuzzy increment: LSH index probe + best verified match per new doc

@@ -1546,19 +1546,27 @@ object Advanced {
   /** q152: COLUMN PROFILER — the table-profiling step a pipeline runs on
     * an unfamiliar feed before wiring transforms (the engine-side core
     * of describe()/Deequ-style profiling): per column, null count and
-    * exact distinct cardinality, plus the row count, in ONE scan. All
-    * counters are integers, so the result is bit-exact with no routing;
-    * distinct-counting every column in a single pass is the q86 shape
-    * (Catalyst expands once per distinct column and shares the scan —
-    * |columns|× the aggregation state, never |columns|× the I/O).
-    * The one-row aggregate then unpivots to a row per column (q82's
-    * stack), giving the diffable profile table downstream checks join
-    * against. */
-  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    * distinct cardinality, plus the row count, in ONE scan.
+    *
+    * `approx = true` is the AT-SCALE DEFAULT: `approx_count_distinct`
+    * (HLL++, rsd 5%) needs O(kB) of state per column with NO row
+    * expansion — the plan is a plain two-phase HashAggregate over one
+    * scan, which is the only shape that survives profiling a 100 TB
+    * feed. The exact form (`approx = false`) is the q86 Expand shape —
+    * |columns|× row expansion sharing one scan — and exists as the
+    * ORACLE TWIN: profiling counters must be provably correct somewhere,
+    * so the driver's q152 correctness row pins the exact form against
+    * DuckDB, and ColumnProfileSpec pins the approximate counts to an
+    * error band around it (the q81 exact/approx pattern). Null counts
+    * and n_rows are exact in both modes. The one-row aggregate then
+    * unpivots to a row per column (q82's stack). */
+  def columnProfile(s: SparkSession, dir: String,
+                    approx: Boolean = true): DataFrame = {
     val li = t(s, dir, "lineitem").select(ProfileCols.map(col): _*)
     val aggs = ProfileCols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as(s"null_$c"),
-      countDistinct(col(c)).as(s"dist_$c")))
+      (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+        .as(s"dist_$c")))
     val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackArgs = ProfileCols
       .map(c => s"'$c', null_$c, dist_$c").mkString(", ")

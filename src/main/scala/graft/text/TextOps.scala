@@ -540,9 +540,16 @@ object TextOps {
     * pure integers — (tf desc, df asc, token) — so result membership never
     * depends on float ULPs; the tfidf double is carried as data
     * (round(tf·ln(N/df), 6)). N arrives via a broadcast 1-row cross join,
-    * not a driver collect. At 100 TB the df side is vocabulary-sized
-    * (≪ corpus, broadcastable) and the tf side stays partitioned by doc —
-    * no all-corpus shuffle beyond the df agg itself. */
+    * not a driver collect.
+    *
+    * Plan note: the df side carries NO broadcast hint — it is
+    * vocabulary-sized, which is usually broadcastable but NOT provably
+    * so at 100 TB (a web-crawl vocabulary with long-tail tokens can
+    * exceed executor memory). AQE sizes the df aggregate at runtime and
+    * picks broadcast when it fits, falling back to a shuffle join on the
+    * token key otherwise — the safe default a hard hint would override.
+    * The tf side stays partitioned by doc — no all-corpus shuffle beyond
+    * the df agg itself. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.fanOut(docs(s, dir), "doc_id")
       .select(col("doc_id"), explode(tokensC(col("text"))).as("token"))
@@ -551,7 +558,7 @@ object TextOps {
     val n = docs(s, dir).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.join(broadcast(dfc), "token")
+    tf.join(dfc, "token")
       .crossJoin(broadcast(n))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TfidfTopK)

@@ -352,11 +352,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q152 column profile: one scan feeds every per-column distinct") {
-    val plan = planOf(graft.analytics.Advanced.columnProfile(spark, sfDir))
+    val plan = planOf(
+      graft.analytics.Advanced.columnProfile(spark, sfDir, approx = false))
     // the q86 multi-distinct contract: Expand shares ONE FileScan —
     // profiling N columns must not scan the table N times
     assert("FileScan parquet".r.findAllIn(plan).length === 1, plan)
     assert(plan.contains("Expand"), plan)
+  }
+
+  test("q152 approx profile (at-scale default): one scan, NO row expansion") {
+    val plan = planOf(graft.analytics.Advanced.columnProfile(spark, sfDir))
+    // HLL++ sketches aggregate in fixed per-column state — the plan is a
+    // plain two-phase HashAggregate with no Expand (the exact form's
+    // |columns|× row multiplication is what approx mode buys away)
+    assert("FileScan parquet".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("Expand"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
   test("q144/q145: one source-key exchange each, scan pruned to 3 columns") {
