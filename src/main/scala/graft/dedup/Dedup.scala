@@ -552,9 +552,15 @@ object Dedup extends org.apache.spark.internal.Logging {
       .localCheckpoint(eager = false)
     // the loop iterates ONLY over docs that occur in an edge — in a real
     // crawl-dedup that is a sliver of the corpus; the singleton majority
-    // never enters a round and is unioned back (comp = own id) at the end
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("comp"))
+    // never enters a round and is unioned back (comp = own id) at the end.
+    // SEEDED at build time with least(own id, min neighbor): dedup graphs
+    // are star/fan-shaped around their min-id representative, so most
+    // components are already at their fixpoint before the first round —
+    // the seed is hop #0 folded into label construction, not an extra
+    // action
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("mn")).as("comp"))
       .localCheckpoint(eager = false)
     // one-hop propagation with per-hop-unique edge attributes (the same
     // edge frame joined twice in one plan would be self-ambiguous)
@@ -566,26 +572,30 @@ object Dedup extends org.apache.spark.internal.Logging {
         .select(l("doc_id"),
           least(col("comp"), coalesce(col(s"nc_$i"), col("comp"))).as("comp"))
     }
-    // label sums decrease monotonically and strictly until the fixpoint, so
-    // equal consecutive sums IS convergence; -1 sentinel avoids a separate
-    // seed action (every driver action here is a full plan+schedule cycle —
-    // the dominant cost of the whole loop, since post-LSH data is tiny)
-    var checksum = -1L
+    // FOUR hops fused per action: label info travels 4 edges per driver
+    // round-trip. Every action here is a full plan+schedule cycle on
+    // post-LSH-tiny data, so the barrier count — not the join work — is
+    // the loop's cost. Convergence is tested INSIDE the round: if the
+    // 4th hop changed nothing relative to the 3rd, hop(h3) = h3, and a
+    // fixpoint of the (monotone, deterministic) min-label hop IS the
+    // answer — so a seeded graph of diameter ≤ 4 finishes in ONE action,
+    // with no separate confirming round.
     var converged = false
     var round = 0
     while (!converged) {
       val t0 = System.nanoTime()
-      // two hops fused per action: label info travels 2 edges per driver
-      // round-trip, halving the barrier count
-      val next = hop(hop(labels, 2 * round), 2 * round + 1)
+      val h3 = hop(hop(hop(
+        labels, 4 * round), 4 * round + 1), 4 * round + 2)
         .localCheckpoint(eager = false)
-      val sumRow = next.agg(sum("comp")).first()
-      val nextSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      val next = hop(h3, 4 * round + 3).localCheckpoint(eager = false)
+      val changed = next
+        .join(h3.withColumnsRenamed(Map("comp" -> "pcomp")), "doc_id")
+        .filter(col("comp") =!= col("pcomp")).count()
       labels = next
-      converged = nextSum == checksum
-      checksum = nextSum
+      converged = changed == 0
       round += 1
-      logInfo(f"dedupComponents round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      logInfo(f"dedupComponents round $round ($changed changed): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     corpus.select(col("doc_id"))
       .join(labels.withColumnsRenamed(Map("doc_id" -> "eid", "comp" -> "ecomp")),
