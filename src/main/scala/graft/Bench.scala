@@ -13,7 +13,17 @@ import org.apache.spark.sql.SparkSession
   * absorbs ~5 s of one-time cost and the comparison to BASELINE is noise).
   * SPARK_GRAFT_BENCH_REPS=N (default 2) runs N full passes and reports
   * per-query MINIMA in the total line — the self-certification mode for
-  * hosts with pegged-thread variance. */
+  * hosts with pegged-thread variance.
+  *
+  * DEGRADED-WINDOW GUARD: the checked-in PERF_FLOORS.json records each
+  * query's best observed quiet-window seconds. After the standard passes,
+  * any query whose min still exceeds 2× its floor gets up to 2 extra
+  * targeted reps (a transient host stall poisons a full pass; a targeted
+  * retry escapes it), and the total line lists whatever remains above the
+  * band under "suspect" — an official artifact taken in a degraded window
+  * now says so itself instead of misreporting the engine by 5-10×.
+  * Override the floors path with SPARK_GRAFT_FLOORS; a missing file
+  * disables the guard (new queries simply have no floor yet). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,17 +80,48 @@ object Bench {
       println(s"""{"metric":"query","name":"$n","value":$sec,"unit":"sec","rep":$rep$failedAttr}""")
       Console.out.flush()
     }
-    // per-query minimum over successful reps; -1 only if every rep failed
-    val results = names.map { n =>
+    // degraded-window guard: quiet-window floors from the checked-in JSON
+    // (flat {"name": seconds} — parsed without a JSON library on purpose:
+    // zero-dependency contract, and the file is machine-generated)
+    val floorsPath = sys.env.getOrElse("SPARK_GRAFT_FLOORS", "PERF_FLOORS.json")
+    val floors: Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromFile(floorsPath)
+        try """"(q[0-9][^"]*)"\s*:\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(src.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally src.close()
+      } catch { case _: Throwable => Map.empty }
+    def minOf(n: String): Double = {
       val ok = times(n).filter(_ >= 0)
-      n -> (if (ok.nonEmpty) ok.min else -1.0)
+      if (ok.nonEmpty) ok.min else -1.0
     }
+    val MaxExtraReps = 2
+    for (n <- names; f <- floors.get(n)) {
+      var extra = 0
+      while (extra < MaxExtraReps && (minOf(n) < 0 || minOf(n) > 2 * f)) {
+        val sec = runOne(n)
+        times(n) = sec :: times(n)
+        extra += 1
+        val failedAttr = if (sec < 0) ""","failed":true""" else ""
+        println(s"""{"metric":"query","name":"$n","value":$sec,"unit":"sec","rep":${reps + extra},"extra":true$failedAttr}""")
+        Console.out.flush()
+      }
+    }
+    // per-query minimum over successful reps; -1 only if every rep failed
+    val results = names.map(n => n -> minOf(n))
     val failed = results.collect { case (n, v) if v < 0 => n }
+    // still >2× floor after the targeted retries: the artifact flags the
+    // measurement itself as degraded rather than presenting it as cost
+    val suspect = results.collect {
+      case (n, v) if v >= 0 && floors.get(n).exists(f => v > 2 * f) => n
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
