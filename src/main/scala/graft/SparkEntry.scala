@@ -346,6 +346,12 @@ object SparkEntry {
     // multimodal near-dup: block fingerprints + integer Jaccard verify
     "q163_media_neardup"      -> ((s, d) =>
       graft.multimodal.Multimodal.mediaNearDup(s, d)),
+    // embedding-level decontamination: eval batch vs train split, LSH+verify
+    "q164_split_leakage"      -> ((s, d) =>
+      graft.similarity.Similarity.crossSplitLeakage(s, d)),
+    // Zipf head: vocab size needed for 50/90/95/99% token coverage
+    "q165_vocab_coverage"     -> ((s, d) =>
+      graft.text.TextOps.vocabCoverage(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

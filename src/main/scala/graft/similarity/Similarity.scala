@@ -381,6 +381,65 @@ object Similarity {
       .localCheckpoint()
   }
 
+  /** q164: CROSS-SPLIT EMBEDDING DECONTAMINATION — the embedding-level
+    * leakage gate (the fuzzy-match complement of q131's exact 13-gram
+    * pass): before an eval batch is blessed, every eval vector is checked
+    * for a near-identical TRAIN vector (cosine ≥ `threshold`), because a
+    * benchmark item whose embedding collides with training data is
+    * contaminated even when its surface text differs. Train membership is
+    * the q160 split machinery (md5-bucket of vec_id < 80 — reproducible,
+    * engine-independent); candidates come from shared sign-random-
+    * projection buckets (positive scaling preserves projection signs, so
+    * an exact-duplicate eval vector ALWAYS lands in its source's bucket —
+    * recall 1.0 for true leaks), and only bucket collisions pay the exact
+    * cosine verify. Per leaked eval vector: its best train match and the
+    * match count (the q154 attach-or-reject shape).
+    *
+    * Fixture eval batch: scaled (×1.5, cosine-identical) copies of every
+    * 25th corpus vector — leaked iff their base falls in train — plus
+    * component-REVERSED copies of every 17th (decorrelated ⇒ clean), so
+    * both verdicts are exercised. Max organic cross-vector cosine in the
+    * fixture is 0.51, far under the threshold.
+    *
+    * Shape at 100 TB: one narrow bucket/norm pass per side, one equi-join
+    * on the bucket key (never eval × train), one per-eval window over the
+    * (tiny) verified-match set. */
+  def crossSplitLeakage(s: SparkSession, dir: String,
+                        cfg: SimConfig = SimConfig.Default,
+                        threshold: Double = 0.999): DataFrame = {
+    val off = VariantVecOffset
+    val base = emb(s, dir).select(col("vec_id"), col("e"))
+    val split = pmod(TextPrims.hex60C(md5(col("vec_id").cast(StringType))),
+      lit(100L))
+    val train = base.filter(split < 80)
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+      .withColumn("bkt", bucket(col("e"), cfg))
+      .select(col("vec_id").as("train_id"), col("e").as("te"),
+        col("nrm").as("tn"), col("bkt"))
+    val evalBatch = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("e"), x => x * lit(1.5)).as("e"))
+      .unionByName(base.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + 2 * off).as("vec_id"),
+          reverse(col("e")).as("e")))
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+      .withColumn("bkt", bucket(col("e"), cfg))
+      .select(col("vec_id").as("eval_id"), col("e").as("ee"),
+        col("nrm").as("en"), col("bkt"))
+    val wBest = Window.partitionBy("eval_id")
+      .orderBy(col("cosine").desc, col("train_id"))
+    val wAll = Window.partitionBy("eval_id")
+    evalBatch.join(train, Seq("bkt"))
+      .withColumn("cosine", round(
+        cosineFromNorms(dotp(col("ee"), col("te")), col("en"), col("tn")), 6))
+      .filter(col("cosine") >= threshold)
+      .withColumn("rk", row_number().over(wBest))
+      .withColumn("n_matches", count(lit(1)).over(wAll).cast(IntegerType))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id"), col("cosine"), col("n_matches"))
+      .orderBy("eval_id")
+  }
+
   // ------------------------------------------------------------- oracles
   private def dotS(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -474,6 +533,34 @@ object Similarity {
          |  FROM cb a JOIN cb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM p
          |WHERE cosine >= 0.9999 ORDER BY vec_a, vec_b""".stripMargin,
+    "q164_split_leakage" ->
+      s"""WITH e0 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |$planesCte,
+         |tr AS (SELECT vec_id AS train_id, e AS te,
+         |    sqrt(${dotS("e", "e")}) AS tn, ${bucketS("e")} AS bkt
+         |  FROM e0, pl
+         |  WHERE ${TextPrims.hex60S("md5(CAST(vec_id AS VARCHAR))")} % 100 < 80),
+         |ev0 AS (SELECT vec_id + $VariantVecOffset AS eval_id,
+         |    list_transform(e, x -> x * 1.5) AS e FROM e0 WHERE vec_id % 25 = 0
+         |  UNION ALL SELECT vec_id + ${2 * VariantVecOffset},
+         |    list_reverse(e) FROM e0 WHERE vec_id % 17 = 0),
+         |ev AS (SELECT eval_id, e AS ee, sqrt(${dotS("e", "e")}) AS en,
+         |    ${bucketS("e")} AS bkt FROM ev0, pl),
+         |m AS (SELECT eval_id, train_id,
+         |    round(${simS(s"${dotS("ee", "te")}", "en", "tn")}, 6) AS cosine
+         |  FROM ev JOIN tr USING (bkt)
+         |  WHERE round(${simS(s"${dotS("ee", "te")}", "en", "tn")}, 6)
+         |    >= 0.999),
+         |r AS (SELECT eval_id, train_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY eval_id
+         |      ORDER BY cosine DESC, train_id) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY eval_id) AS INTEGER)
+         |      AS n_matches
+         |  FROM m)
+         |SELECT eval_id, train_id, cosine, n_matches
+         |FROM r WHERE rk = 1 ORDER BY eval_id""".stripMargin,
     "q141_centroid_outliers" ->
       s"""WITH d AS (SELECT vec_id, label, g.i - 1 AS dim,
          |    CAST(embedding[g.i] AS DOUBLE) AS xd

@@ -532,6 +532,45 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** q165's coverage targets — interpolated into the oracle. */
+  val CoverageTargets: Seq[Int] = Seq(50, 90, 95, 99)
+
+  /** q165: VOCABULARY COVERAGE CURVE — the Zipf-head measurement behind
+    * tokenizer vocab sizing: how many top-frequency tokens cover 50 / 90 /
+    * 95 / 99% of all token occurrences. One corpus-wide token hash-agg
+    * (two-phase, map-side partial) collapses 100 TB of text to |vocab|
+    * rows; the prefix sum then runs as ONE global window over that
+    * POST-AGG frame — |vocab| ≪ corpus, the q140 small-frame-window
+    * precedent (a web-scale vocabulary of ~10⁸ rows still fits one task;
+    * past that, the standard two-level prefix sum — per-partition totals
+    * broadcast back — swaps in without changing semantics). All counters
+    * and the coverage test (cum·100 ≥ target·total) are exact integers. */
+  def vocabCoverage(s: SparkSession, dir: String,
+                    targets: Seq[Int] = CoverageTargets): DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t > 0 && t <= 100),
+      s"bad coverage targets: $targets")
+    val counts = Tables.fanOut(docs(s, dir), "doc_id")
+      .select(explode(tokensC(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    val cum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = counts.agg(sum("n").as("total"),
+      count(lit(1)).cast(IntegerType).as("vocab"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cum", sum("n").over(cum))
+      .crossJoin(broadcast(totals))
+    val vAggs = targets.map(t =>
+      min(when(col("cum") * 100 >= lit(t.toLong) * col("total"), col("rk")))
+        .cast(IntegerType).as(s"v$t"))
+    ranked.agg(
+      max("total").as("total_tokens"),
+      (max("vocab").as("vocab_size") +: vAggs): _*)
+  }
+
   val TfidfTopK = 3
 
   /** TF-IDF top-`TfidfTopK` terms per document. Two hash aggregations
@@ -959,6 +998,23 @@ object TextOps {
          |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)
          |    AS mean_quality
          |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q165_vocab_coverage" -> {
+      val vCols = CoverageTargets.map(t =>
+        s"CAST(MIN(CASE WHEN cum * 100 >= $t * total THEN rk END) AS INTEGER) AS v$t")
+        .mkString(",\n         |  ")
+      s"""WITH tok AS (SELECT unnest($T) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+         |    CAST(COUNT(*) AS INTEGER) AS vocab FROM c),
+         |w AS (SELECT n,
+         |    ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk,
+         |    SUM(n) OVER (ORDER BY n DESC, token
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM c)
+         |SELECT CAST(total AS BIGINT) AS total_tokens, vocab AS vocab_size,
+         |  $vCols
+         |FROM w, t GROUP BY total, vocab""".stripMargin
+    },
     "q43_top_tokens" ->
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest($T) AS token FROM documents)

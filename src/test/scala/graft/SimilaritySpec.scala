@@ -97,6 +97,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q164 crossSplitLeakage: scaled train copies flagged, reversed clean") {
+    val rows = Similarity.crossSplitLeakage(spark, sfDir).collect()
+    val off = Similarity.VariantVecOffset
+    // expected leaks: scaled copies whose BASE vector is in the train
+    // split (md5-bucket < 80) — reversed copies are decorrelated => clean
+    import org.apache.spark.sql.functions._
+    val expected = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 25 === 0 &&
+        pmod(graft.functions.TextPrims.hex60C(
+          md5(col("vec_id").cast("string"))), lit(100L)) < 80)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === expected.map(_ + off))
+    rows.foreach { r =>
+      assert(r.getLong(0) < 2 * off, s"reversed (clean) vector flagged: $r")
+      assert(r.getLong(1) === r.getLong(0) - off) // best match is the base
+      assert(r.getAs[Double]("cosine") === 1.0)
+      assert(r.getAs[Int]("n_matches") === 1)
+    }
+  }
+
   test("knnClassify: one prediction per test vector, labels in domain") {
     val res = Similarity.knnClassify(spark, sfDir).collect()
     val nTest = graft.sources.Tables.load(spark, sfDir, "embeddings")

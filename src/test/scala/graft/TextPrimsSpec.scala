@@ -130,4 +130,25 @@ class TextPrimsSpec extends SparkSpec {
         s"share ratio $shareRatio !~ sqrt($rawRatio)")
     }
   }
+
+  test("q165 vocab coverage: thresholds monotone and actually covering") {
+    val r = graft.text.TextOps.vocabCoverage(spark, sfDir).collect().head
+    val (total, vocab) = (r.getAs[Long]("total_tokens"), r.getAs[Int]("vocab_size"))
+    val vs = Seq("v50", "v90", "v95", "v99").map(r.getAs[Int](_))
+    assert(total > 0 && vocab > 0)
+    // monotone in the target and bounded by the vocabulary
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, vs.toString)
+    assert(vs.last <= vocab)
+    // v50 is a real prefix: the top-v50 tokens must cover >= 50% and the
+    // top-(v50-1) strictly less (minimality) — recomputed independently
+    import org.apache.spark.sql.functions._
+    val counts = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextPrims.tokensC(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t"))
+      .collect().map(_.getAs[Long]("n"))
+    val v50 = vs.head
+    assert(counts.take(v50).sum * 100 >= 50L * total)
+    if (v50 > 1) assert(counts.take(v50 - 1).sum * 100 < 50L * total)
+  }
 }
