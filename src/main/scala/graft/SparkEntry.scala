@@ -352,6 +352,9 @@ object SparkEntry {
     // Zipf head: vocab size needed for 50/90/95/99% token coverage
     "q165_vocab_coverage"     -> ((s, d) =>
       graft.text.TextOps.vocabCoverage(s, d)),
+    // coreset sampling: greedy max-min (k-center) diverse exemplar pick
+    "q166_diverse_select"     -> ((s, d) =>
+      graft.similarity.Similarity.diverseSelect(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -440,6 +440,61 @@ object Similarity {
       .orderBy("eval_id")
   }
 
+  /** q166: DIVERSE SUBSET SELECTION — greedy max-min (k-center) over the
+    * embedding corpus: the coreset/diversity-sampling step that picks k
+    * maximally-spread exemplars (dedup's complement — not "drop the
+    * near-identical" but "keep the most different"). Start from the min
+    * vec_id, then repeatedly select the candidate whose distance to its
+    * NEAREST already-selected vector (cosine distance, 1 − cos) is
+    * largest, ties to the smaller vec_id. The 2-approximation guarantee
+    * of greedy k-center is the standard coverage argument.
+    *
+    * Determinism: every distance is the same fixed-order double fold on
+    * both engines, the argmax key is (distance DESC, vec_id) — a pure
+    * function of the data — and each selected vector re-enters the next
+    * round as a LITERAL carrying the exact computed bits.
+    *
+    * Shape at 100 TB: the selection needs NO shuffle at all — each of
+    * the k rounds is one narrow map (≤ k codegen'd dot products per row
+    * against broadcast-literal exemplars) plus a global top-1 reduce,
+    * and the driver holds only the k selected vectors (k × dim doubles).
+    * That is the canonical distributed k-center loop; the k small
+    * actions ARE the algorithm's sequential dependency. */
+  def diverseSelect(s: SparkSession, dir: String,
+                    k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+    val spark = s
+    import spark.implicits._
+    val cand = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
+      .localCheckpoint() // k rounds re-scan this; never re-derive the cast
+    def distTo(sel: (Long, Array[Double], Double)): Column = {
+      val (_, ev, nv) = sel
+      lit(1.0) - dotp(col("e"),
+        array(ev.toIndexedSeq.map(lit): _*).cast(ArrayType(DoubleType))) /
+        (col("nrm") * lit(nv))
+    }
+    val seed = cand.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Array[Double], Double)].head()
+    var selected = Vector((seed, Option.empty[Double]))
+    while (selected.size < k) {
+      val dists = selected.map(p => distTo(p._1))
+      val dmin = if (dists.size == 1) dists.head else least(dists: _*)
+      val next = cand.withColumn("dm", dmin)
+        .orderBy(col("dm").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("dm"))
+        .as[(Long, Array[Double], Double, Double)].head()
+      selected = selected :+ ((next._1, next._2, next._3), Some(next._4))
+    }
+    selected.zipWithIndex.map { case (((id, _, _), dm), i) =>
+      (i + 1, id, dm.map(d => BigDecimal(d).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("rank", "vec_id", "dist")
+      .select(col("rank").cast(IntegerType).as("rank"), col("vec_id"),
+        col("dist"))
+      .orderBy("rank")
+  }
+
   // ------------------------------------------------------------- oracles
   private def dotS(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -533,6 +588,36 @@ object Similarity {
          |  FROM cb a JOIN cb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM p
          |WHERE cosine >= 0.9999 ORDER BY vec_a, vec_b""".stripMargin,
+    "q166_diverse_select" -> {
+      // the k greedy rounds unroll as CTEs (the q142 fixed-iteration
+      // pattern): each pick cross-joins the previous 1-row picks, computes
+      // the min cosine-distance to the selected set with the SAME double
+      // expression as the Spark side, and takes the (dm DESC, vec_id)
+      // argmax
+      val K = 8
+      def cosD(b: String) =
+        s"1 - ${dotS("n.e", s"$b.e")} / (n.nrm * $b.nrm)"
+      val base =
+        s"""WITH c AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, e, sqrt(${dotS("e", "e")}) AS nrm FROM c),
+           |p1 AS (SELECT vec_id, e, nrm, CAST(NULL AS DOUBLE) AS dm
+           |  FROM n ORDER BY vec_id LIMIT 1)""".stripMargin
+      val rounds = (2 to K).map { i =>
+        val dists = (1 until i).map(j => cosD(s"p$j"))
+        val dm = if (dists.size == 1) dists.head
+          else s"LEAST(${dists.mkString(", ")})"
+        val crossJ = (1 until i).map(j => s"CROSS JOIN p$j").mkString(" ")
+        s"""p$i AS (SELECT n.vec_id, n.e, n.nrm, $dm AS dm
+           |  FROM n $crossJ
+           |  ORDER BY dm DESC, n.vec_id LIMIT 1)""".stripMargin
+      }
+      val sel = (1 to K).map(i =>
+        s"SELECT $i AS rank, vec_id, round(dm, 6) AS dist FROM p$i")
+        .mkString("\nUNION ALL ")
+      (base +: rounds).mkString(",\n") + "\n" + sel + "\nORDER BY rank"
+    },
     "q164_split_leakage" ->
       s"""WITH e0 AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -117,6 +117,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q166 diverseSelect: greedy max-min invariants hold") {
+    val rows = Similarity.diverseSelect(spark, sfDir, k = 8).collect()
+    assert(rows.length === 8)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length === 8)
+    // seed is the min vec_id; its dist is undefined
+    assert(ids.head === 0L && rows.head.isNullAt(2))
+    // greedy max-min: each pick's distance-to-selected is nonincreasing
+    val ds = rows.tail.map(_.getDouble(2))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.toSeq.toString)
+    assert(ds.forall(_ > 0))
+  }
+
   test("knnClassify: one prediction per test vector, labels in domain") {
     val res = Similarity.knnClassify(spark, sfDir).collect()
     val nTest = graft.sources.Tables.load(spark, sfDir, "embeddings")
