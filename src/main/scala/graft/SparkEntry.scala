@@ -355,6 +355,12 @@ object SparkEntry {
     // coreset sampling: greedy max-min (k-center) diverse exemplar pick
     "q166_diverse_select"     -> ((s, d) =>
       graft.similarity.Similarity.diverseSelect(s, d)),
+    // tokenizer design: per-source BPE fertility + chars-per-token
+    "q167_tokenizer_fertility" -> ((s, d) =>
+      graft.text.TextOps.tokenizerFertility(s, d)),
+    // media dedup output: canonical keep per component, per-kind summary
+    "q168_media_keep"         -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaKeepSummary(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -536,28 +536,36 @@ object Dedup extends org.apache.spark.internal.Logging {
                       cfg: DedupConfig = DedupConfig.Default): DataFrame = {
     val corpus = nearDupCorpus(s, dir)
     val pairs = bandPairsFrom(withSignature(corpus, cfg), cfg)
-    // localCheckpoint (not persist): an iterative plan that REUSES a cached
-    // frame still re-analyzes the frame's full logical lineage every round,
-    // and the loop's own lineage grows linearly — by round 5 the plan
-    // string hits tens of MB and the driver spends the round planning, not
-    // computing. Checkpointing truncates the plan to an RDD scan, making
-    // every round's plan O(1). (On a cluster, reliable checkpoint ⇄ same
-    // effect; the data after LSH banding is pairs, i.e. tiny.)
-    // LAZY checkpoints: materialization folds into the next action (the
-    // round's convergence sum) instead of costing a separate driver job —
-    // one job per round, not two, and the fixed per-job overhead is the
-    // dominant cost of the whole loop on post-LSH-sized data
+    corpus.select(col("doc_id"))
+      .join(components(pairs)
+          .withColumnsRenamed(Map("doc_id" -> "eid", "comp" -> "ecomp")),
+        col("doc_id") === col("eid"), "left")
+      .select(col("doc_id"), coalesce(col("ecomp"), col("doc_id")).as("comp"))
+      .orderBy("doc_id")
+  }
+
+  /** CONNECTED COMPONENTS over an undirected pair set (doc_a, doc_b) —
+    * the BSP min-label loop shared by the text (q63/q72) and media
+    * (q168) dedup families. Returns (doc_id, comp) for every id that
+    * occurs in a pair; singletons never enter a round and are unioned
+    * back by the caller.
+    *
+    * localCheckpoint (not persist): an iterative plan that REUSES a
+    * cached frame still re-analyzes the frame's full logical lineage
+    * every round, and the loop's own lineage grows linearly — truncating
+    * to an RDD scan keeps every round's plan O(1). LAZY checkpoints:
+    * materialization folds into the next action instead of costing a
+    * separate driver job. Labels SEED at least(own id, min neighbor) —
+    * hop #0 folded into construction; dedup graphs are star-shaped
+    * around their min-id representative, so most components start
+    * converged. FOUR hops fuse per action, and convergence is tested
+    * INSIDE the round: hop(h3) = h3 proves h3 is the fixpoint of the
+    * monotone min-label map, so a seeded graph of diameter ≤ 4 finishes
+    * in ONE driver action. */
+  private[graft] def components(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(eager = false)
-    // the loop iterates ONLY over docs that occur in an edge — in a real
-    // crawl-dedup that is a sliver of the corpus; the singleton majority
-    // never enters a round and is unioned back (comp = own id) at the end.
-    // SEEDED at build time with least(own id, min neighbor): dedup graphs
-    // are star/fan-shaped around their min-id representative, so most
-    // components are already at their fixpoint before the first round —
-    // the seed is hop #0 folded into label construction, not an extra
-    // action
     var labels = edges.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("doc_id"),
         least(col("src"), col("mn")).as("comp"))
@@ -572,14 +580,6 @@ object Dedup extends org.apache.spark.internal.Logging {
         .select(l("doc_id"),
           least(col("comp"), coalesce(col(s"nc_$i"), col("comp"))).as("comp"))
     }
-    // FOUR hops fused per action: label info travels 4 edges per driver
-    // round-trip. Every action here is a full plan+schedule cycle on
-    // post-LSH-tiny data, so the barrier count — not the join work — is
-    // the loop's cost. Convergence is tested INSIDE the round: if the
-    // 4th hop changed nothing relative to the 3rd, hop(h3) = h3, and a
-    // fixpoint of the (monotone, deterministic) min-label hop IS the
-    // answer — so a seeded graph of diameter ≤ 4 finishes in ONE action,
-    // with no separate confirming round.
     var converged = false
     var round = 0
     while (!converged) {
@@ -594,14 +594,10 @@ object Dedup extends org.apache.spark.internal.Logging {
       labels = next
       converged = changed == 0
       round += 1
-      logInfo(f"dedupComponents round $round ($changed changed): " +
+      logInfo(f"components round $round ($changed changed): " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    corpus.select(col("doc_id"))
-      .join(labels.withColumnsRenamed(Map("doc_id" -> "eid", "comp" -> "ecomp")),
-        col("doc_id") === col("eid"), "left")
-      .select(col("doc_id"), coalesce(col("ecomp"), col("doc_id")).as("comp"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** q72: the dedup pipeline's OUTPUT step — canonical selection. Keep the

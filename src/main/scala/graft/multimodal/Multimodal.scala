@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -223,7 +223,7 @@ object Multimodal {
     * expansion is linear in near-dup volume; the size join is a second
     * small shuffle on media_id. The blocks frame feeds three consumers
     * (sizes + both join sides) — materialized once. */
-  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mediaNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = ceil(length(col("content")) / lit(MediaBlockBytes.toDouble))
       .cast(IntegerType)
     val blocks = Tables.fanOut(mediaNearDupCorpus(s, dir), "media_id")
@@ -249,8 +249,69 @@ object Multimodal {
       .select(col("media_a"), col("media_b"),
         col("n_shared").cast(IntegerType).as("n_shared"),
         col("n_union").cast(IntegerType).as("n_union"))
-      .orderBy("media_a", "media_b")
   }
+
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame =
+    mediaNearDupPairs(s, dir).orderBy("media_a", "media_b")
+
+  /** The fixture kind rule of [[fromDocuments]] applied to a possibly
+    * re-keyed media id (variants inherit their BASE's kind). */
+  private def kindOf(id: Column): Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      ((id % MediaVariantOffset) % 3 + 1).cast(IntegerType))
+
+  /** q168: MEDIA DEDUP OUTPUT step — q72's canonical selection applied to
+    * the media modality: connected components over the block-fingerprint
+    * near-dup pairs (the shared [[graft.dedup.Dedup.components]] BSP
+    * loop), keep the min-id payload per component, and summarize
+    * survivors per media kind — the "emit the cleaned media corpus"
+    * accounting. Same scale shape as q72: components run on post-verify
+    * pairs (tiny), the singleton majority joins back without entering
+    * the loop, and the summary is one low-cardinality hash-agg. */
+  def mediaKeepSummary(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mediaNearDupPairs(s, dir)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val comp = graft.dedup.Dedup.components(pairs)
+      .withColumnsRenamed(Map("doc_id" -> "eid", "comp" -> "ecomp"))
+    mediaNearDupCorpus(s, dir).select("media_id")
+      .join(comp, col("media_id") === col("eid"), "left")
+      .select(col("media_id"),
+        coalesce(col("ecomp"), col("media_id")).as("comp"))
+      .withColumn("kind", kindOf(col("media_id")))
+      .withColumn("kept", (col("media_id") === col("comp")).cast(IntegerType))
+      .groupBy("kind")
+      .agg(count(lit(1)).cast(IntegerType).as("n_media"),
+        sum("kept").cast(IntegerType).as("n_kept"))
+      .withColumn("n_dropped",
+        (col("n_media") - col("n_kept")).cast(IntegerType))
+      .orderBy("kind")
+  }
+
+  /** The q163 CTE chain (near-dup corpus → distinct blocks → sizes →
+    * thresholded pairs `mp`) — shared with the q168 components oracle. */
+  private val mediaPairCtesS: String =
+    s"""m AS (SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $MediaVariantOffset,
+       |    repeat('Z', 16) || substr(text, 17)
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |bl AS (SELECT DISTINCT media_id,
+       |    md5(substr(text, CAST(bi * $MediaBlockBytes + 1 AS INTEGER),
+       |      $MediaBlockBytes)) AS bh
+       |  FROM (SELECT media_id, text,
+       |      unnest(range(0, greatest(
+       |        CAST(ceil(length(text) / $MediaBlockBytes.0) AS BIGINT), 1)))
+       |        AS bi
+       |    FROM m)),
+       |sz AS (SELECT media_id, COUNT(*) AS nb FROM bl GROUP BY 1),
+       |p AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |    COUNT(*) AS n_shared
+       |  FROM bl a JOIN bl b ON a.bh = b.bh AND a.media_id < b.media_id
+       |  GROUP BY 1, 2),
+       |mp AS (SELECT media_a, media_b, CAST(n_shared AS INTEGER) AS n_shared,
+       |    CAST(sa.nb + sb.nb - n_shared AS INTEGER) AS n_union
+       |  FROM p JOIN sz sa ON media_a = sa.media_id
+       |    JOIN sz sb ON media_b = sb.media_id
+       |  WHERE 2 * n_shared >= sa.nb + sb.nb - n_shared)""".stripMargin
 
   /** q40 oracle: metadata extraction is SQL-expressible (md5 of utf-8 text
     * bytes = md5 of the blob). */
@@ -264,29 +325,26 @@ object Multimodal {
          |FROM (SELECT media_id, md5(text) AS h FROM m)
          |GROUP BY h ORDER BY canonical_id""".stripMargin,
     "q163_media_neardup" ->
-      s"""WITH m AS (SELECT doc_id AS media_id, text FROM documents
-         |  UNION ALL SELECT doc_id + $MediaVariantOffset,
-         |    repeat('Z', 16) || substr(text, 17)
-         |  FROM documents WHERE doc_id % 20 = 0),
-         |bl AS (SELECT DISTINCT media_id,
-         |    md5(substr(text, CAST(bi * $MediaBlockBytes + 1 AS INTEGER),
-         |      $MediaBlockBytes)) AS bh
-         |  FROM (SELECT media_id, text,
-         |      unnest(range(0, greatest(
-         |        CAST(ceil(length(text) / $MediaBlockBytes.0) AS BIGINT), 1)))
-         |        AS bi
-         |    FROM m)),
-         |sz AS (SELECT media_id, COUNT(*) AS nb FROM bl GROUP BY 1),
-         |p AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
-         |    COUNT(*) AS n_shared
-         |  FROM bl a JOIN bl b ON a.bh = b.bh AND a.media_id < b.media_id
-         |  GROUP BY 1, 2)
-         |SELECT media_a, media_b, CAST(n_shared AS INTEGER) AS n_shared,
-         |  CAST(sa.nb + sb.nb - n_shared AS INTEGER) AS n_union
-         |FROM p JOIN sz sa ON media_a = sa.media_id
-         |  JOIN sz sb ON media_b = sb.media_id
-         |WHERE 2 * n_shared >= sa.nb + sb.nb - n_shared
+      s"""WITH $mediaPairCtesS
+         |SELECT media_a, media_b, n_shared, n_union FROM mp
          |ORDER BY media_a, media_b""".stripMargin,
+    "q168_media_keep" ->
+      s"""WITH RECURSIVE $mediaPairCtesS,
+         |edges AS (SELECT media_a AS src, media_b AS dst FROM mp
+         |  UNION ALL SELECT media_b, media_a FROM mp),
+         |reach(id, r) AS (
+         |  SELECT media_id, media_id FROM m
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT CASE CAST(id % $MediaVariantOffset % 3 AS INTEGER)
+         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(COUNT(*) AS INTEGER) AS n_media,
+         |  CAST(SUM(CASE WHEN id = comp THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_kept,
+         |  CAST(COUNT(*) - SUM(CASE WHEN id = comp THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_dropped
+         |FROM comp GROUP BY kind ORDER BY kind""".stripMargin,
     "q70_frame_sample" ->
       s"""WITH v AS (SELECT doc_id AS media_id, text FROM documents
         |    WHERE doc_id % 3 = 2),

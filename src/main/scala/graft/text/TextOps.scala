@@ -571,6 +571,30 @@ object TextOps {
       (max("vocab").as("vocab_size") +: vAggs): _*)
   }
 
+  /** q167: TOKENIZER FERTILITY — per source, the BPE-tokens-per-word and
+    * chars-per-token ratios that drive tokenizer/vocab design (high
+    * fertility = the tokenizer fragments this source's text; the metric
+    * multilingual pipelines track per language). One hash-agg of exact
+    * integer sums; each ratio is ONE double division of exact integers
+    * (the q140 rule — no per-row float means, no rounding needed: the
+    * inputs are bit-identical so the quotients are too). */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        size(tokensC(col("text"))).cast(LongType).as("words"),
+        bpeTokensC(col("text")).cast(LongType).as("bpe"),
+        length(col("text")).cast(LongType).as("chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum("words").as("total_words"),
+        sum("bpe").as("total_bpe"),
+        sum("chars").as("total_chars"))
+      .withColumn("fertility",
+        col("total_bpe").cast(DoubleType) / col("total_words"))
+      .withColumn("chars_per_token",
+        col("total_chars").cast(DoubleType) / col("total_bpe"))
+      .orderBy("source")
+
   val TfidfTopK = 3
 
   /** TF-IDF top-`TfidfTopK` terms per document. Two hash aggregations
@@ -998,6 +1022,20 @@ object TextOps {
          |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)
          |    AS mean_quality
          |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q167_tokenizer_fertility" ->
+      s"""WITH m AS (SELECT source,
+         |    CAST(len($T) AS BIGINT) AS words,
+         |    CAST(${graft.functions.TextPrims.bpeTokensS("text")} AS BIGINT)
+         |      AS bpe,
+         |    CAST(length(text) AS BIGINT) AS chars
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(words) AS BIGINT) AS total_words,
+         |  CAST(SUM(bpe) AS BIGINT) AS total_bpe,
+         |  CAST(SUM(chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(bpe) AS DOUBLE) / SUM(words) AS fertility,
+         |  CAST(SUM(chars) AS DOUBLE) / SUM(bpe) AS chars_per_token
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q165_vocab_coverage" -> {
       val vCols = CoverageTargets.map(t =>
         s"CAST(MIN(CASE WHEN cum * 100 >= $t * total THEN rk END) AS INTEGER) AS v$t")

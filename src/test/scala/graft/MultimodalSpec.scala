@@ -57,6 +57,22 @@ class MultimodalSpec extends SparkSpec {
     assert(nonVideo === 0)
   }
 
+  test("q168 mediaKeepSummary: per-kind counts partition the corpus") {
+    val rows = Multimodal.mediaKeepSummary(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("audio", "image", "video"))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_kept") + r.getAs[Int]("n_dropped") ===
+        r.getAs[Int]("n_media"), r.toString)
+      assert(r.getAs[Int]("n_dropped") > 0, s"no dups found for ${r.getString(0)}")
+    }
+    // total = base docs + injected variants
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    val nVar = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0).count()
+    assert(rows.map(_.getAs[Int]("n_media").toLong).sum === nDocs + nVar)
+  }
+
   test("q161 mediaDedupExact: copies collapse onto base-id canonicals") {
     val res = Multimodal.mediaDedupExact(spark, sfDir).collect()
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
