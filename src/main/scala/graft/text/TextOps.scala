@@ -552,23 +552,25 @@ object TextOps {
     val counts = Tables.fanOut(docs(s, dir), "doc_id")
       .select(explode(tokensC(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-    val ord = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("token"))
-    val cum = ord.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
-    val totals = counts.agg(sum("n").as("total"),
-      count(lit(1)).cast(IntegerType).as("vocab"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.orderBy(col("n").desc, col("token"))
+    // the grand total rides the SAME window ordering with an unbounded
+    // frame — both frames merge into ONE Window node over one exchange
+    // (a separate counts.agg() branch would re-run the whole explode +
+    // token aggregation: a second full corpus pass)
     val ranked = counts
       .withColumn("rk", row_number().over(ord))
-      .withColumn("cum", sum("n").over(cum))
-      .crossJoin(broadcast(totals))
+      .withColumn("cum",
+        sum("n").over(ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("total",
+        sum("n").over(ord.rowsBetween(W.unboundedPreceding,
+          W.unboundedFollowing)))
     val vAggs = targets.map(t =>
       min(when(col("cum") * 100 >= lit(t.toLong) * col("total"), col("rk")))
         .cast(IntegerType).as(s"v$t"))
     ranked.agg(
       max("total").as("total_tokens"),
-      (max("vocab").as("vocab_size") +: vAggs): _*)
+      (max("rk").cast(IntegerType).as("vocab_size") +: vAggs): _*)
   }
 
   /** q167: TOKENIZER FERTILITY — per source, the BPE-tokens-per-word and

@@ -304,6 +304,43 @@ class PlanSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]), kinds)
   }
 
+  test("q161 media dedup: partial agg below the digest-keyed exchange") {
+    val plan = planOf(graft.multimodal.Multimodal.mediaDedupExact(spark, sfDir))
+    // only (h, partial-min, partial-count) may cross the hash exchange —
+    // map-side partial aggregation must sit under it, so payload bytes
+    // never shuffle (the fanOut repartition is a local-parallelism guard
+    // that no-ops on real multi-split inputs)
+    assert("Exchange hashpartitioning\\(h#".r.findAllIn(plan).length === 1, plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("q164 split leakage: bucket equi-join, no cross product") {
+    val plan = planOf(
+      graft.similarity.Similarity.crossSplitLeakage(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("bkt"), plan) // candidates restricted by bucket key
+    // one window exchange for the per-eval best-match ranking
+    assert("Exchange hashpartitioning\\(eval_id".r.findAllIn(plan).length === 1,
+      plan)
+  }
+
+  test("q165 vocab coverage: ONE token explode feeds ranks AND totals") {
+    val plan = planOf(graft.text.TextOps.vocabCoverage(spark, sfDir))
+    // the grand total must ride the same Window as the prefix sum — a
+    // second aggregation branch would re-explode the whole corpus
+    assert("Generate explode".r.findAllIn(plan).length === 1, plan)
+    assert("FileScan parquet".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q167 fertility: single two-phase hash agg on source") {
+    val plan = planOf(graft.text.TextOps.tokenizerFertility(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
   test("saltedAgg equals the direct aggregation bit-for-bit") {
     val salted = graft.analytics.Advanced.saltedAgg(spark, sfDir).collect()
     val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")
