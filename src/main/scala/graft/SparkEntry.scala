@@ -361,6 +361,9 @@ object SparkEntry {
     // media dedup output: canonical keep per component, per-kind summary
     "q168_media_keep"         -> ((s, d) =>
       graft.multimodal.Multimodal.mediaKeepSummary(s, d)),
+    // tenth streaming surface: incremental dedup across micro-batches
+    "q169_incremental_dedup_stream" -> ((s, d) =>
+      graft.streaming.EventStream.incrementalDedupStreamParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

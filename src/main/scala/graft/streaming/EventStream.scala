@@ -682,6 +682,93 @@ object EventStream {
     }
   }
 
+  /** q169 — STREAMING INCREMENTAL DEDUP: the tenth streaming surface, and
+    * the one that carries the dedup family into the ingest loop — q153's
+    * daily-increment semantics executed as a checkpointed micro-batch
+    * job. The staged increment arrives as THREE deterministic files
+    * (doc_id % 3 slices, mtime-ordered, maxFilesPerTrigger=1 ⇒ three
+    * micro-batches); a foreachBatch maintains the dedup INDEX across
+    * batches — the corpus's content hashes (static, the persisted index
+    * a production pipeline keeps) plus the hashes ADMITTED earlier in
+    * this increment — and classifies each batch against both.
+    *
+    * Parity is BATCH-SPLIT-INVARIANT by construction: a content is
+    * "dup-vs-existing" iff its hash is in the corpus index (per-row,
+    * independent of batching); it is "new" the first time it appears
+    * among fresh rows — whether its twin sits in the same micro-batch
+    * (in-batch rank > 1) or an earlier one (added-index hit), the twin
+    * counts as "within-batch extra". The three totals therefore equal
+    * q153's single-batch answer exactly, and the ORACLE IS q153's SQL —
+    * hash-equality proves the streaming protocol loses/duplicates
+    * nothing across micro-batch boundaries. */
+  def incrementalDedupStreamParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val D = graft.dedup.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q169")
+    var q: StreamingQuery = null
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val inc = D.stagedIncrement(s, dir).select("doc_id", "text")
+      for (i <- 0 until 3) {
+        val st = tmp.resolve(s"stage$i")
+        inc.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(st.toString)
+        moveOnlyParquet(st, in.resolve(f"b$i%02d.parquet"),
+          mtimeMs = 1000000L + i * 60000L)
+      }
+      // the persisted corpus index: distinct content hashes, computed once
+      val index = graft.sources.Tables.load(s, dir, "documents")
+        .select(D.normHash(col("text")).as("h")).distinct()
+        .localCheckpoint()
+      // cross-batch state: counts + the hashes admitted this increment
+      val counts = new java.util.concurrent.atomic.AtomicLongArray(4)
+      var added = Seq.empty[String].toDF("h").localCheckpoint()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val wH = Window.partitionBy("h").orderBy("doc_id")
+          val cls = batch
+            .select(col("doc_id"), D.normHash(col("text")).as("h"))
+            .join(index.withColumn("seen", lit(1)), Seq("h"), "left")
+            .join(added.withColumn("prev", lit(1)), Seq("h"), "left")
+            .withColumn("rk", row_number().over(wH))
+            .withColumn("cls",
+              when(col("seen") === 1, "seen")
+                .when(col("prev").isNull && col("rk") === 1, "new")
+                .otherwise("extra"))
+            .localCheckpoint() // two consumers: the counts + the index delta
+          val a = cls.agg(count(lit(1)),
+            sum(when(col("cls") === "seen", 1).otherwise(0)),
+            sum(when(col("cls") === "new", 1).otherwise(0)),
+            sum(when(col("cls") === "extra", 1).otherwise(0))).head()
+          (0 until 4).foreach(i => counts.addAndGet(i, a.getLong(i)))
+          added = added.unionByName(
+            cls.filter(col("cls") === "new").select("h")).localCheckpoint()
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q169 streaming query did not terminate within 300 s")
+      Seq((counts.get(0).toInt, counts.get(1).toInt,
+           counts.get(2).toInt, counts.get(3).toInt))
+        .toDF("n_incoming", "n_dup_vs_existing", "n_new_contents",
+          "n_within_batch_extra")
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q147 — streaming QUARANTINE DUAL-SINK: the ninth streaming surface,
     * and the one multi-sink pattern none of the others cover — a
     * foreachBatch that ROUTES each micro-batch into two sinks (clean /
@@ -834,6 +921,10 @@ object EventStream {
     * user's trailing (open) session (the streaming sessionizer must
     * reproduce every closed session exactly). */
   val oracleSql: Map[String, String] = Map(
+    // q169's oracle IS q153's: the streaming increment protocol must land
+    // on the single-batch answer regardless of micro-batch splits
+    "q169_incremental_dedup_stream" ->
+      graft.dedup.Dedup.oracleSql("q153_incremental_dedup"),
     "q85_stream_parity" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  COUNT(*) AS n,

@@ -377,4 +377,18 @@ class StreamingSpec extends SparkSpec {
       .collect().map(key).toSeq
     assert(restarted === continuous)
   }
+
+  test("q169 streaming incremental dedup equals the single-batch q153") {
+    // batch-split invariance: three micro-batches with a cross-batch
+    // index must land on exactly the one-shot batch answer — a content
+    // double-counted across a boundary, or a twin misclassified when its
+    // pair sits in an earlier batch, would break the equality
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    val streamed = EventStream.incrementalDedupStreamParity(spark, sfDir)
+      .collect().map(key).toSeq
+    val batch = graft.dedup.Dedup.incrementalDedup(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(streamed === batch)
+  }
 }
