@@ -364,6 +364,12 @@ object SparkEntry {
     // tenth streaming surface: incremental dedup across micro-batches
     "q169_incremental_dedup_stream" -> ((s, d) =>
       graft.streaming.EventStream.incrementalDedupStreamParity(s, d)),
+    // vector-index storage lever: persisted IVF answers q61 identically
+    "q170_ann_ivf_persisted"  -> ((s, d) =>
+      graft.similarity.Similarity.annIvfPersisted(s, d)),
+    // memory-compressed ANN: int8 scalar quantization + exact re-rank
+    "q171_ann_sq8"            -> ((s, d) =>
+      graft.similarity.Similarity.annSq8(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -200,11 +200,20 @@ object Similarity {
     * at 100 TB the inverted lists are the partitioning scheme itself
     * (cluster-by cell at write time), so a probe touches 1/K of the data.
     * Recall < 1 by design (nprobe=1). */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    probeIvf(ivfCells(s, dir))
+
+  /** The IVF index frame: Lloyd cell assignment + precomputed norms. */
+  private def ivfCells(s: SparkSession, dir: String): DataFrame = {
     val pts = graft.ml.LloydExact.points(s, dir)
-    val cells = graft.ml.LloydExact
+    graft.ml.LloydExact
       .assign(pts, graft.ml.LloydExact.centersFor(pts))
       .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+  }
+
+  /** The IVF probe over an index frame (fresh-built or reloaded):
+    * queries restricted to their own cell, per-query top-k. */
+  private def probeIvf(cells: DataFrame): DataFrame = {
     val q = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cluster"))
@@ -220,6 +229,82 @@ object Similarity {
       .filter(col("rk") <= K)
       .select(col("query_id"), col("neighbor_id"),
         col("rk").cast(IntegerType).as("rk"), round(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** q170: PERSISTED VECTOR INDEX round-trip — the ANN family's storage
+    * lever: build the IVF index ONCE (Lloyd assignment + norms), WRITE
+    * it as parquet PARTITIONED BY cluster (one directory per cell — a
+    * single-cell probe prunes to one directory; vectors and norms
+    * round-trip losslessly as doubles), then answer the q61 query set
+    * from the RELOADED index alone. Hash-equality against q61's oracle
+    * proves the persisted index is lossless — the amortization contract
+    * every production vector store relies on (build once, probe from
+    * storage forever; at 100 TB the index build is the expensive pass
+    * and this query certifies it never needs re-running). */
+  def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q170")
+    try {
+      val path = tmp.resolve("ivf").toString
+      ivfCells(s, dir).write.partitionBy("cluster").parquet(path)
+      // materialize off the staging dir before the finally deletes it
+      probeIvf(s.read.parquet(path)).localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
+  /** q171: SQ8-QUANTIZED ANN with exact re-rank — the memory-compression
+    * path of a production vector store: vectors quantize to int8 with a
+    * single global symmetric scale (A = max |component|, computed from
+    * the data like a real calibration pass), the brute scan runs on the
+    * QUANTIZED vectors (4-8× less memory traffic; every quantized dot
+    * product is exact integer arithmetic carried in doubles — 64 dims ×
+    * 127² ≈ 10⁶ ≪ 2^53, so no rounding anywhere), the top-`topR`
+    * approximate candidates per query are then RE-RANKED by exact
+    * full-precision cosine (re-joined by id — the two-stage shape that
+    * avoids carrying full vectors through the scan), and the final
+    * top-k reports both scores. Every stage is deterministic: the
+    * quantized scores are exact integers-over-sqrt expressions, ties
+    * break on neighbor_id, and recall < 1 is a property, not noise. */
+  def annSq8(s: SparkSession, dir: String, topR: Int = Sq8TopR): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
+      .localCheckpoint() // three consumers: calibration, scan, re-rank
+    val a = base.agg(max(array_max(transform(col("e"), x => abs(x)))))
+      .head().getDouble(0)
+    val qz = transform(col("e"), x =>
+      greatest(least(round(x * lit(127.0) / lit(a), 0), lit(127.0)),
+        lit(-127.0)))
+    val quant = base.select(col("vec_id"), qz.as("q"))
+      .withColumn("qn", sqrt(dotp(col("q"), col("q"))))
+    val probes = quant.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("pq"),
+        col("qn").as("pn"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val candidates = quant
+      .select(col("vec_id").as("neighbor_id"), col("q").as("nq"),
+        col("qn").as("nn"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        dotp(col("pq"), col("nq")) / (col("pn") * col("nn")))
+      .withColumn("rr", row_number().over(wR))
+      .filter(col("rr") <= topR)
+      .select(col("query_id"), col("neighbor_id"), col("approx"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .join(base.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn2")), Seq("query_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn2")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast(IntegerType).as("rk"),
+        round(col("cosine"), 6).as("cosine"),
+        round(col("approx"), 6).as("approx_sim"))
       .orderBy("query_id", "rk")
   }
 
@@ -516,6 +601,30 @@ object Similarity {
   private val planesCte =
     s"pl AS (SELECT ${(0 until NumPlanes).map(p => s"${planeS(p)} AS pl$p").mkString(", ")})"
 
+  /** q171's approximate-candidate width, interpolated into its oracle. */
+  val Sq8TopR: Int = 20
+
+  /** q61's SQL — shared verbatim by q170 (the persisted-index round trip
+    * must answer identically). */
+  private lazy val q61OracleS: String = {
+    val L = graft.ml.LloydExact
+    s"""WITH ${L.lloydCtesS},
+       |cells AS (SELECT vec_id, e, cluster,
+       |    sqrt(${L.dotS("e", "e")}) AS nrm FROM afinal),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster
+       |  FROM cells WHERE vec_id < 10),
+       |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${simS(s"${L.dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
+       |  FROM q JOIN cells n USING (cluster)
+       |  WHERE n.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
+       |  FROM c)
+       |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
+       |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q31_cosine_topk" ->
       s"""WITH e AS ($embS),
@@ -673,24 +782,41 @@ object Similarity {
   ) ++ Map(
     // q45 = q33 semantics via the top-k aggregator; same oracle
     "q45_knn_topk_agg" -> knnOracleSql,
-    "q61_ann_ivf" -> {
-      val L = graft.ml.LloydExact
-      s"""WITH ${L.lloydCtesS},
-         |cells AS (SELECT vec_id, e, cluster,
-         |    sqrt(${L.dotS("e", "e")}) AS nrm FROM afinal),
-         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster
-         |  FROM cells WHERE vec_id < 10),
-         |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-         |    ${simS(s"${L.dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
-         |  FROM q JOIN cells n USING (cluster)
-         |  WHERE n.vec_id <> q.query_id),
-         |r AS (SELECT query_id, neighbor_id, sim,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
-         |  FROM c)
-         |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
-         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
-    },
+    "q61_ann_ivf" -> q61OracleS,
+    // q170's oracle IS q61's: the persisted index must answer the same
+    // queries identically — the round trip is the thing under test
+    "q170_ann_ivf_persisted" -> q61OracleS,
+    "q171_ann_sq8" ->
+      s"""WITH e0 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, e, sqrt(${dotS("e", "e")}) AS nrm FROM e0),
+         |am AS (SELECT MAX(list_max(list_transform(e, x -> abs(x)))) AS a
+         |  FROM e0),
+         |qz AS (SELECT vec_id, list_transform(e, x ->
+         |    greatest(least(round(x * 127.0 / a, 0), 127.0), -127.0)) AS q
+         |  FROM e0, am),
+         |qn AS (SELECT vec_id, q, sqrt(${dotS("q", "q")}) AS qn FROM qz),
+         |pr AS (SELECT vec_id AS query_id, q AS pq, qn AS pn FROM qn
+         |  WHERE vec_id < 10),
+         |ap AS (SELECT pr.query_id, c.vec_id AS neighbor_id,
+         |    ${dotS("pr.pq", "c.q")} / (pr.pn * c.qn) AS approx
+         |  FROM qn c CROSS JOIN pr WHERE c.vec_id <> pr.query_id),
+         |tr AS (SELECT query_id, neighbor_id, approx,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, neighbor_id) AS rr FROM ap),
+         |cd AS (SELECT query_id, neighbor_id, approx FROM tr
+         |  WHERE rr <= $Sq8TopR),
+         |rr2 AS (SELECT cd.query_id, cd.neighbor_id, cd.approx,
+         |    ${simS(s"${dotS("a.e", "b.e")}", "a.nrm", "b.nrm")} AS cosine
+         |  FROM cd JOIN n0 a ON cd.query_id = a.vec_id
+         |    JOIN n0 b ON cd.neighbor_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id, approx, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rk FROM rr2)
+         |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk,
+         |  round(cosine, 6) AS cosine, round(approx, 6) AS approx_sim
+         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
     "q71_ann_recall" -> {
       val L = graft.ml.LloydExact
       s"""WITH ${L.lloydCtesS},

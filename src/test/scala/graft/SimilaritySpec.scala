@@ -130,6 +130,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ds.forall(_ > 0))
   }
 
+  test("q170 persisted IVF answers exactly what the fresh-built index does") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val fresh = Similarity.annIvf(spark, sfDir).collect().map(key).toSeq
+    val loaded = Similarity.annIvfPersisted(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(loaded === fresh)
+  }
+
+  test("q171 SQ8 re-rank: exact cosines, high recall vs brute force") {
+    val sq = Similarity.annSq8(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val bf = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // re-ranked cosines are EXACT: any (query, neighbor) both sides agree
+    // on carries the identical full-precision score
+    val common = sq.keySet.intersect(bf.keySet)
+    assert(common.nonEmpty)
+    common.foreach(k => assert(sq(k) === bf(k), k.toString))
+    // int8 quantization preserves most of the ranking: mean recall@5
+    val recall = common.size.toDouble / bf.size
+    assert(recall >= 0.8, s"SQ8 recall@5 $recall")
+  }
+
   test("knnClassify: one prediction per test vector, labels in domain") {
     val res = Similarity.knnClassify(spark, sfDir).collect()
     val nTest = graft.sources.Tables.load(spark, sfDir, "embeddings")
