@@ -370,6 +370,12 @@ object SparkEntry {
     // memory-compressed ANN: int8 scalar quantization + exact re-rank
     "q171_ann_sq8"            -> ((s, d) =>
       graft.similarity.Similarity.annSq8(s, d)),
+    // production canonical rule: keep the highest-QUALITY dup, not min-id
+    "q172_quality_keep"       -> ((s, d) =>
+      graft.dedup.Dedup.qualityKeepSummary(s, d)),
+    // post-dedup accounting: surviving tokens per source + keep ratio
+    "q173_dedup_token_budget" -> ((s, d) =>
+      graft.dedup.Dedup.dedupTokenBudget(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -622,6 +622,87 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("source")
   }
 
+  /** q172: QUALITY-AWARE canonical selection — production dedup keeps the
+    * BEST exemplar of a duplicate cluster, not an arbitrary one: per
+    * near-dup component, keep the member with the highest q23 quality
+    * score (6-dp, doc_id tie-break — fully deterministic), and report per
+    * source how often the quality rule changed the pick vs the min-id
+    * convention (`n_quality_picks`) plus the exact integer-routed mean
+    * quality of the kept set. Same scale shape as q72 — the component
+    * labels are the shared BSP output, the pick is one component-keyed
+    * window, the summary one low-cardinality agg. */
+  def qualityKeepSummary(s: SparkSession, dir: String,
+                         baseIdOf: Column => Column = fixtureBaseId,
+                         cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = nearDupCorpus(s, dir).localCheckpoint()
+    val comp = corpus.select(col("doc_id"))
+      .join(components(bandPairsFrom(withSignature(corpus, cfg), cfg))
+          .withColumnsRenamed(Map("doc_id" -> "eid", "comp" -> "ecomp")),
+        col("doc_id") === col("eid"), "left")
+      .select(col("doc_id"), coalesce(col("ecomp"), col("doc_id")).as("comp"))
+    val scored = corpus
+      .withColumn("qs", graft.text.TextOps.qualityScoreC)
+      .select("doc_id", "qs")
+    val picked = comp.join(scored, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("comp").orderBy(col("qs").desc, col("doc_id"))))
+      .withColumn("min_id", min("doc_id").over(Window.partitionBy("comp")))
+    val srcOf = docs(s, dir).select(col("doc_id").as("base_id"), col("source"))
+    val nKept = sum(when(col("rk") === 1, 1).otherwise(0))
+    picked.withColumn("base_id", baseIdOf(col("doc_id")))
+      .join(srcOf, "base_id")
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        nKept.cast(IntegerType).as("n_kept"),
+        sum(when(col("rk") === 1 && col("doc_id") =!= col("min_id"), 1)
+          .otherwise(0)).cast(IntegerType).as("n_quality_picks"),
+        // exact integer-micro-unit mean over the kept rows; NULL (both
+        // engines) when a source keeps nothing
+        (sum(when(col("rk") === 1,
+            (col("qs").cast(DecimalType(18, 6)) * 1000000).cast(LongType))
+          .otherwise(0L)).cast(DoubleType) /
+          when(nKept > 0, nKept) / lit(1000000.0)).as("mean_kept_quality"))
+      .orderBy("source")
+  }
+
+  /** q173: EFFECTIVE TOKEN BUDGET after dedup — raw vs surviving
+    * (canonical-only) documents and BPE tokens per source, with the keep
+    * ratio: dedup changes how many tokens a training plan actually gets
+    * to spend, and this is the report that reconciles the raw crawl size
+    * with the trainable volume. Min-id canonical rule (q72's), one
+    * component pass + one source-keyed agg; the ratio is a single
+    * division of exact integers, NULL-guarded identically on both
+    * engines. */
+  def dedupTokenBudget(s: SparkSession, dir: String,
+                       baseIdOf: Column => Column = fixtureBaseId,
+                       cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val corpus = nearDupCorpus(s, dir).localCheckpoint()
+    val comp = corpus.select(col("doc_id"))
+      .join(components(bandPairsFrom(withSignature(corpus, cfg), cfg))
+          .withColumnsRenamed(Map("doc_id" -> "eid", "comp" -> "ecomp")),
+        col("doc_id") === col("eid"), "left")
+      .select(col("doc_id"), coalesce(col("ecomp"), col("doc_id")).as("comp"))
+    val toks = corpus.select(col("doc_id"),
+      bpeTokensC(col("text")).cast(LongType).as("toks"))
+    val srcOf = docs(s, dir).select(col("doc_id").as("base_id"), col("source"))
+    val keptToks = sum(when(col("doc_id") === col("comp"), col("toks"))
+      .otherwise(0L))
+    val rawToks = sum(col("toks"))
+    comp.join(toks, "doc_id")
+      .withColumn("base_id", baseIdOf(col("doc_id")))
+      .join(srcOf, "base_id")
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        rawToks.as("raw_tokens"),
+        sum(when(col("doc_id") === col("comp"), 1).otherwise(0))
+          .cast(IntegerType).as("n_kept"),
+        keptToks.as("kept_tokens"),
+        (keptToks.cast(DoubleType) / when(rawToks > 0, rawToks))
+          .as("token_keep_ratio"))
+      .orderBy("source")
+  }
+
   /** q75: cross-source contamination — near-dup pairs whose members come
     * from DIFFERENT sources: the train/test decontamination check (did
     * the eval split leak into training data?) every LLM data pipeline
@@ -716,6 +797,21 @@ object Dedup extends org.apache.spark.internal.Logging {
        |  list_transform(sh, x -> ${hex60S("md5(x)")}) AS hl FROM shs),
        |sig AS (SELECT doc_id, $sigs FROM sigsrc)""".stripMargin
   }
+
+  /** The recursive component chain (signatures → bands → pairs → edges →
+    * reach → comp) shared by the q72/q172/q173 oracle family. */
+  private lazy val compChainS: String =
+    s"""${sigSelectS(nearDupCorpusS).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |bk AS ($bandUnnestS),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id)""".stripMargin
 
   private def bandUnnestS: String = {
     val bands = (0 until NumHashes / BandSize).map { b =>
@@ -933,18 +1029,46 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  greatest(source_a, source_b) AS src_hi,
          |  CAST(count(*) AS INTEGER) AS n_pairs
          |FROM x GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
+    "q172_quality_keep" -> {
+      val T = graft.text.TextOps
+      s"""$compChainS,
+         |m0 AS (SELECT doc_id, text, ${tokensS("text")} AS t FROM corpus),
+         |m AS (SELECT doc_id, ${T.qualityMeasureColsS}
+         |  FROM m0),
+         |sc AS (SELECT doc_id, ${T.qualityScoreExprS} AS qs FROM m),
+         |j AS (SELECT c.doc_id, c.comp, sc.qs FROM comp c JOIN sc USING (doc_id)),
+         |p AS (SELECT j.*, ROW_NUMBER() OVER (PARTITION BY comp
+         |      ORDER BY qs DESC, doc_id) AS rk,
+         |    MIN(doc_id) OVER (PARTITION BY comp) AS min_id FROM j)
+         |SELECT d.source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+         |  CAST(SUM(CASE WHEN rk = 1 AND p.doc_id <> min_id THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_quality_picks,
+         |  CAST(SUM(CASE WHEN rk = 1
+         |      THEN CAST(CAST(qs AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      ELSE 0 END) AS DOUBLE)
+         |    / NULLIF(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END), 0)
+         |    / 1000000.0 AS mean_kept_quality
+         |FROM p JOIN documents d ON p.doc_id % $VariantIdOffset = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
+    "q173_dedup_token_budget" ->
+      s"""$compChainS,
+         |tk AS (SELECT doc_id,
+         |    CAST(${bpeTokensS("text")} AS BIGINT) AS toks FROM corpus),
+         |j AS (SELECT c.doc_id, c.comp, tk.toks FROM comp c JOIN tk USING (doc_id))
+         |SELECT d.source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+         |  CAST(SUM(CASE WHEN j.doc_id = comp THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN j.doc_id = comp THEN toks ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  CAST(SUM(CASE WHEN j.doc_id = comp THEN toks ELSE 0 END) AS DOUBLE)
+         |    / NULLIF(SUM(toks), 0) AS token_keep_ratio
+         |FROM j JOIN documents d ON j.doc_id % $VariantIdOffset = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q72_dedup_keep" ->
-      s"""${sigSelectS(nearDupCorpusS).replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bk AS ($bandUnnestS),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM corpus
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id)
+      s"""$compChainS
          |SELECT d.source,
          |  CAST(count(*) AS INTEGER) AS n_docs,
          |  CAST(sum(CASE WHEN c.doc_id = c.comp THEN 1 ELSE 0 END) AS INTEGER)

@@ -173,6 +173,34 @@ class DedupSpec extends SparkSpec {
     assert(nExtra <= nNew, r.toString)
   }
 
+  test("q172/q173: quality keep and token budget agree with q72's components") {
+    val q72 = Dedup.dedupKeepSummary(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Int]("n_docs"),
+        r.getAs[Int]("n_kept"))).toMap
+    val q172 = Dedup.qualityKeepSummary(spark, sfDir).collect()
+    // one keep per COMPONENT either way — totals match; per-source splits
+    // may differ (a cross-source component's best member can sit in a
+    // different source than its min-id member)
+    q172.foreach { r =>
+      assert(r.getAs[Int]("n_docs") === q72(r.getString(0))._1, r.toString)
+      val mq = r.getAs[Double]("mean_kept_quality")
+      assert(mq >= 0.0 && mq <= 1.0, r.toString)
+    }
+    assert(q172.map(_.getAs[Int]("n_kept").toLong).sum ===
+      q72.values.map(_._2.toLong).sum)
+    // the quality rule must actually flip some picks on this fixture
+    assert(q172.map(_.getAs[Int]("n_quality_picks").toLong).sum > 0)
+    val q173 = Dedup.dedupTokenBudget(spark, sfDir).collect()
+    q173.foreach { r =>
+      val (nd, nk) = q72(r.getString(0))
+      assert(r.getAs[Int]("n_docs") === nd && r.getAs[Int]("n_kept") === nk,
+        r.toString)
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("raw_tokens"))
+      val ratio = r.getAs[Double]("token_keep_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0, r.toString)
+    }
+  }
+
   test("q162 admission composite: statuses partition, all gates exercised") {
     val rows = Dedup.incrementalAdmission(spark, sfDir).collect()
     assert(rows.nonEmpty)
