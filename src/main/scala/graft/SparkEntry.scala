@@ -376,6 +376,9 @@ object SparkEntry {
     // post-dedup accounting: surviving tokens per source + keep ratio
     "q173_dedup_token_budget" -> ((s, d) =>
       graft.dedup.Dedup.dedupTokenBudget(s, d)),
+    // train/heldout near-dup leakage: the MinHash complement of q131
+    "q174_split_text_leakage" -> ((s, d) =>
+      graft.dedup.Dedup.crossSplitTextLeakage(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -703,6 +703,56 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("source")
   }
 
+  /** q174: CROSS-SPLIT TEXT LEAKAGE — the canonical train/heldout
+    * near-dup audit (the MinHash complement of q131's exact grams and
+    * the text analog of q164's embedding gate): documents assigned to
+    * train/val/test by the q160 md5-bucket split, LSH candidate pairs
+    * restricted to CROSS-split, Jaccard-verified, and reported per
+    * unordered split pair with distinct leaked-doc counts on each side —
+    * the go/no-go numbers before any heldout evaluation is trusted. The
+    * fixture's documents table carries organic near-dups that genuinely
+    * straddle the hash split, so the report is non-trivial without
+    * injection. One shingle pass (persisted, shared by signatures,
+    * sizes, and the verify join — the q162 collapse-once shape). */
+  def crossSplitTextLeakage(s: SparkSession, dir: String,
+                            cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val bucket = pmod(hex60C(md5(id.cast(StringType))), lit(100L))
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    }
+    val shs = shingleRows(docs(s, dir).select("doc_id", "text"), cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shs.count()
+    val pairs = bandPairsFrom(signaturesFrom(shs, cfg), cfg)
+    val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shs.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sza")),
+        "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")),
+        "doc_b")
+      .filter(round(col("ni").cast(DoubleType) /
+        (col("sza") + col("szb") - col("ni")), 6) >= cfg.jaccardThreshold)
+      .withColumn("spa", splitOf(col("doc_a")))
+      .withColumn("spb", splitOf(col("doc_b")))
+      .filter(col("spa") =!= col("spb"))
+      .withColumn("split_lo", least(col("spa"), col("spb")))
+      .withColumn("split_hi", greatest(col("spa"), col("spb")))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).cast(IntegerType).as("n_pairs"),
+        countDistinct(when(col("spa") === col("split_lo"), col("doc_a"))
+          .otherwise(when(col("spb") === col("split_lo"), col("doc_b"))))
+          .cast(IntegerType).as("n_docs_lo"),
+        countDistinct(when(col("spa") === col("split_hi"), col("doc_a"))
+          .otherwise(when(col("spb") === col("split_hi"), col("doc_b"))))
+          .cast(IntegerType).as("n_docs_hi"))
+      .orderBy("split_lo", "split_hi")
+  }
+
   /** q75: cross-source contamination — near-dup pairs whose members come
     * from DIFFERENT sources: the train/test decontamination check (did
     * the eval split leak into training data?) every LLM data pipeline
@@ -1029,6 +1079,35 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  greatest(source_a, source_b) AS src_hi,
          |  CAST(count(*) AS INTEGER) AS n_pairs
          |FROM x GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
+    "q174_split_text_leakage" -> {
+      val splitS = (e: String) =>
+        s"""CASE WHEN ${hex60S(s"md5(CAST($e AS VARCHAR))")} % 100 < 80
+           | THEN 'train'
+           | WHEN ${hex60S(s"md5(CAST($e AS VARCHAR))")} % 100 < 90
+           | THEN 'val' ELSE 'test' END""".stripMargin.replace("\n", "")
+      s"""${sigSelectS("SELECT doc_id, text FROM documents")},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |ver AS (SELECT doc_a, doc_b FROM pairs
+         |  JOIN shs sa ON pairs.doc_a = sa.doc_id
+         |  JOIN shs sb ON pairs.doc_b = sb.doc_id
+         |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+         |    >= $JaccardThreshold),
+         |sp AS (SELECT doc_a, doc_b,
+         |    ${splitS("doc_a")} AS spa, ${splitS("doc_b")} AS spb
+         |  FROM ver),
+         |x AS (SELECT doc_a, doc_b, spa, spb,
+         |    least(spa, spb) AS split_lo, greatest(spa, spb) AS split_hi
+         |  FROM sp WHERE spa <> spb)
+         |SELECT split_lo, split_hi, CAST(COUNT(*) AS INTEGER) AS n_pairs,
+         |  CAST(COUNT(DISTINCT CASE WHEN spa = split_lo THEN doc_a
+         |    WHEN spb = split_lo THEN doc_b END) AS INTEGER) AS n_docs_lo,
+         |  CAST(COUNT(DISTINCT CASE WHEN spa = split_hi THEN doc_a
+         |    WHEN spb = split_hi THEN doc_b END) AS INTEGER) AS n_docs_hi
+         |FROM x GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
+    },
     "q172_quality_keep" -> {
       val T = graft.text.TextOps
       s"""$compChainS,
