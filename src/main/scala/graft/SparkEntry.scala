@@ -379,6 +379,9 @@ object SparkEntry {
     // train/heldout near-dup leakage: the MinHash complement of q131
     "q174_split_text_leakage" -> ((s, d) =>
       graft.dedup.Dedup.crossSplitTextLeakage(s, d)),
+    // split-quality audit in embedding space: pairwise centroid drift
+    "q175_split_centroid_drift" -> ((s, d) =>
+      graft.similarity.Similarity.splitCentroidDrift(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

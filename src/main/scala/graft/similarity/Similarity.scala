@@ -580,6 +580,54 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** q175: SPLIT CENTROID DRIFT — the embedding-space companion to
+    * q160's scalar leakage audit: if the train/val/test cuts are truly
+    * exchangeable, their embedding centroids coincide up to sampling
+    * noise, and a large centroid distance flags a skewed split before
+    * anyone trains on it. Per (split, dim) the mean routes through
+    * integer NANO-units (q141's exact-mean pattern — BIGINT sums,
+    * mantissa < 2^53 at any corpus size); the pairwise distance sums its
+    * 64 squared differences through DECIMAL(38,12) (bounded by dim ×
+    * max|Δ|² — scale-independent), so every reported number is a pure
+    * function of the data on both engines. Shape: one narrow posexplode,
+    * one (split, dim)-keyed agg bounded by 3×64 rows, and a self-join of
+    * that tiny frame. */
+  def splitCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextPrims.hex60C(md5(col("vec_id").cast(StringType))),
+      lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), split.as("split"), col("embedding"))
+      .localCheckpoint() // feeds the dim explode AND the per-split counts
+    val dims = base
+      .select(col("split"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "dim")
+      .withColumn("xd", col("col").cast(DoubleType))
+    val cent = dims.groupBy("split", "dim")
+      .agg((sum((col("xd").cast(DecimalType(18, 9)) * 1000000000L)
+        .cast(LongType)).cast(DoubleType) / count(lit(1)) /
+        lit(1000000000.0)).as("mu"))
+    val counts = base.groupBy("split")
+      .agg(count(lit(1)).cast(IntegerType).as("n"))
+    val a = cent.select(col("split").as("split_a"), col("dim"),
+      col("mu").as("mua"))
+    val b = cent.select(col("split").as("split_b"), col("dim"),
+      col("mu").as("mub"))
+    a.join(b, Seq("dim"))
+      .filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(sum(((col("mua") - col("mub")) * (col("mua") - col("mub")))
+        .cast(DecimalType(38, 12))).as("d2"))
+      .join(counts.withColumnsRenamed(Map("split" -> "split_a", "n" -> "n_a")),
+        "split_a")
+      .join(counts.withColumnsRenamed(Map("split" -> "split_b", "n" -> "n_b")),
+        "split_b")
+      .select(col("split_a"), col("split_b"), col("n_a"), col("n_b"),
+        round(sqrt(col("d2").cast(DoubleType)), 6).as("centroid_dist"))
+      .orderBy("split_a", "split_b")
+  }
+
   // ------------------------------------------------------------- oracles
   private def dotS(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -755,6 +803,33 @@ object Similarity {
          |  FROM m)
          |SELECT eval_id, train_id, cosine, n_matches
          |FROM r WHERE rk = 1 ORDER BY eval_id""".stripMargin,
+    "q175_split_centroid_drift" -> {
+      val splitS =
+        s"""CASE WHEN ${TextPrims.hex60S("md5(CAST(vec_id AS VARCHAR))")}
+           | % 100 < 80 THEN 'train'
+           | WHEN ${TextPrims.hex60S("md5(CAST(vec_id AS VARCHAR))")}
+           | % 100 < 90 THEN 'val' ELSE 'test' END"""
+          .stripMargin.replace("\n", "")
+      s"""WITH base AS (SELECT vec_id, $splitS AS split, embedding
+         |  FROM embeddings),
+         |d AS (SELECT split, g.i - 1 AS dim,
+         |    CAST(embedding[g.i] AS DOUBLE) AS xd
+         |  FROM base CROSS JOIN generate_series(1, $Dim) AS g(i)),
+         |c AS (SELECT split, dim,
+         |    CAST(SUM(CAST(CAST(xd AS DECIMAL(18,9)) * 1000000000 AS BIGINT))
+         |      AS DOUBLE) / COUNT(*) / 1000000000.0 AS mu
+         |  FROM d GROUP BY 1, 2),
+         |n AS (SELECT split, CAST(COUNT(*) AS INTEGER) AS n FROM base
+         |  GROUP BY 1),
+         |p AS (SELECT a.split AS split_a, b.split AS split_b,
+         |    SUM(CAST((a.mu - b.mu) * (a.mu - b.mu) AS DECIMAL(38,12))) AS d2
+         |  FROM c a JOIN c b ON a.dim = b.dim AND a.split < b.split
+         |  GROUP BY 1, 2)
+         |SELECT split_a, split_b, na.n AS n_a, nb.n AS n_b,
+         |  round(sqrt(CAST(d2 AS DOUBLE)), 6) AS centroid_dist
+         |FROM p JOIN n na ON split_a = na.split JOIN n nb ON split_b = nb.split
+         |ORDER BY split_a, split_b""".stripMargin
+    },
     "q141_centroid_outliers" ->
       s"""WITH d AS (SELECT vec_id, label, g.i - 1 AS dim,
          |    CAST(embedding[g.i] AS DOUBLE) AS xd
