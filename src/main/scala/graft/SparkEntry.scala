@@ -382,6 +382,9 @@ object SparkEntry {
     // split-quality audit in embedding space: pairwise centroid drift
     "q175_split_centroid_drift" -> ((s, d) =>
       graft.similarity.Similarity.splitCentroidDrift(s, d)),
+    // mix planning census: lang × quality tier × length bucket, one pass
+    "q176_stratification"     -> ((s, d) =>
+      graft.text.TextOps.stratificationMatrix(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -462,22 +462,55 @@ object TextOps {
   /** Language ID: marker-stopword count per language, argmax with a fixed
     * priority tie-break; 'und' (undetermined) when no marker hits. Includes
     * agreement with the table's labeled `lang` for eyeballing accuracy. */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val withScores = LangMarkers.foldLeft(
-      docs(s, dir).withColumn("t", tokensC(col("text")))) {
-      case (df, (lang, markers)) =>
-        df.withColumn(s"s_$lang", countInSetC(col("t"), markers))
+  /** Adds marker-score columns + the argmax `pred_lang` to a frame
+    * carrying tokenized `t` — shared by q24 and q176's stratification. */
+  private def withPredLang(df: DataFrame): DataFrame = {
+    val withScores = LangMarkers.foldLeft(df) {
+      case (f, (lang, markers)) =>
+        f.withColumn(s"s_$lang", countInSetC(col("t"), markers))
     }
-    val pred = LangMarkers.map(_._1).foldRight(lit("und"): org.apache.spark.sql.Column) {
-      case (lang, elseExpr) =>
-        val beats = LangMarkers.map(_._1).filter(_ != lang)
-          .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
-        when(col(s"s_$lang") > 0 && beats, lit(lang)).otherwise(elseExpr)
-    }
-    withScores
-      .select(col("doc_id"), pred.as("pred_lang"),
-        (pred === col("lang")).cast(IntegerType).as("agrees"))
+    val pred = LangMarkers.map(_._1)
+      .foldRight(lit("und"): org.apache.spark.sql.Column) {
+        case (lang, elseExpr) =>
+          val beats = LangMarkers.map(_._1).filter(_ != lang)
+            .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+          when(col(s"s_$lang") > 0 && beats, lit(lang)).otherwise(elseExpr)
+      }
+    withScores.withColumn("pred_lang", pred)
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    withPredLang(docs(s, dir).withColumn("t", tokensC(col("text"))))
+      .select(col("doc_id"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).cast(IntegerType).as("agrees"))
       .orderBy("doc_id")
+
+  /** q176 bucket edges — interpolated into the oracle. */
+  val StratQualityEdges: (Double, Double) = (0.3, 0.5)
+  val StratLengthEdges: (Int, Int) = (128, 384)
+
+  /** q176: CORPUS STRATIFICATION MATRIX — the lang × quality-tier ×
+    * length-bucket census that drives mix/filter decisions (how much
+    * high-quality long-form English do we actually have?). Language from
+    * the q24 marker argmax, quality tier from the 6-dp q23 score, length
+    * bucket from raw chars — all deterministic cuts; counts and BPE token
+    * sums are exact integers. ONE narrow projection + one low-cardinality
+    * hash-agg: at 100 TB this is a single pass at scan speed. */
+  def stratificationMatrix(s: SparkSession, dir: String): DataFrame = {
+    val (qLo, qHi) = StratQualityEdges
+    val (lLo, lHi) = StratLengthEdges
+    withPredLang(docs(s, dir).withColumn("t", tokensC(col("text"))))
+      .withColumn("qs", qualityScoreC)
+      .withColumn("tier",
+        when(col("qs") >= qHi, "high").when(col("qs") >= qLo, "mid")
+          .otherwise("low"))
+      .withColumn("len_bucket",
+        when(length(col("text")) < lLo, "short")
+          .when(length(col("text")) < lHi, "medium").otherwise("long"))
+      .groupBy("pred_lang", "tier", "len_bucket")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum(bpeTokensC(col("text")).cast(LongType)).as("total_tokens"))
+      .orderBy("pred_lang", "tier", "len_bucket")
   }
 
   /** Document fingerprint: polynomial rolling hash over per-token md5-derived
@@ -973,6 +1006,37 @@ object TextOps {
          |  CAST(sum(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS INTEGER)
          |    AS n_kept_above_median
          |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "q176_stratification" -> {
+      val scores = LangMarkers.map { case (l, ms) =>
+        s"${countInSetS("t", ms)} AS s_$l" }.mkString(",\n    ")
+      val pred = LangMarkers.map(_._1).foldRight("'und'") { case (l, e) =>
+        val beats = LangMarkers.map(_._1).filter(_ != l)
+          .map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN s_$l > 0 AND $beats THEN '$l' ELSE $e END"
+      }
+      val (qLo, qHi) = StratQualityEdges
+      val (lLo, lHi) = StratLengthEdges
+      s"""WITH d AS (SELECT doc_id, text, $T AS t FROM documents),
+         |sc AS (SELECT doc_id, text, t,
+         |    $scores,
+         |    $qualityMeasureColsS
+         |  FROM d),
+         |q AS (SELECT $pred AS pred_lang, $QualityScoreS AS qs,
+         |    CAST(${graft.functions.TextPrims.bpeTokensS("text")} AS BIGINT)
+         |      AS toks,
+         |    length(text) AS len FROM sc),
+         |c AS (SELECT pred_lang,
+         |    CASE WHEN qs >= $qHi THEN 'high'
+         |      WHEN qs >= $qLo THEN 'mid' ELSE 'low' END AS tier,
+         |    CASE WHEN len < $lLo THEN 'short'
+         |      WHEN len < $lHi THEN 'medium' ELSE 'long' END AS len_bucket,
+         |    toks FROM q)
+         |SELECT pred_lang, tier, len_bucket,
+         |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY 1, 2, 3
+         |ORDER BY pred_lang, tier, len_bucket""".stripMargin
+    },
     "q24_lang_id" -> {
       val scores = LangMarkers.map { case (l, ms) =>
         s"${countInSetS("t", ms)} AS s_$l" }.mkString(",\n    ")
