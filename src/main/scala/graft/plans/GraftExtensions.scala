@@ -3,11 +3,14 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal,
-  Multiply, NamedLambdaVariable, ZipWith}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  Add, Alias, ArrayAggregate, Attribute, CurrentRow, EqualTo, Expression,
+  ExpressionInfo, LambdaFunction, LessThan, LessThanOrEqual, Literal,
+  Multiply, NamedLambdaVariable, RowFrame, RowNumber, SpecifiedWindowFrame,
+  UnboundedPreceding, WindowExpression, WindowSpecDefinition, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 import graft.functions.DotProduct
 
 /** Catalyst optimizer rule: rewrite the declarative higher-order-function
@@ -85,6 +88,74 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     }
 }
 
+/** Catalyst optimizer rule: rewrite the ubiquitous per-key top-k window
+  * idiom
+  *
+  *   SELECT <cols ⊆ input> FROM
+  *     (SELECT *, row_number() OVER (PARTITION BY p ORDER BY o) rn ...)
+  *   WHERE rn <= k
+  *
+  * into [[graft.plans.TopKPerKeyNode]] (partial→final bounded per-key
+  * heaps). The window plan SORTS every partition's full row set after a
+  * full-data shuffle and then discards all but k rows per key; the heap
+  * form ships at most k rows per (key, map task) into the exchange and
+  * never sorts — the shape that survives a 100 TB fact input. The rule
+  * fires only when the rewrite is provably transparent:
+  *
+  *  - the rank function is row_number (rank/dense_rank can retain more
+  *    than k rows on ties);
+  *  - the Window computes NOTHING but that one row_number (any sibling
+  *    window expression still needs the window);
+  *  - the rank is used ONLY by the `<= k` / `< k+1` / `= 1` filter — the
+  *    projection above references input columns exclusively, so no
+  *    downstream consumer needs the rank value (this Project is exactly
+  *    what ColumnPruning leaves when the rank is filter-only);
+  *  - the partition spec is non-empty (a global top-k is a different
+  *    physical problem — Spark's own TakeOrderedAndProject).
+  *
+  * Row selection is identical whenever the window order is total (the
+  * engine's convention — every query tie-breaks on a unique key); with a
+  * non-total order both forms keep an arbitrary representative, so the
+  * rewrite stays within the idiom's contract. The 170-query DuckDB oracle
+  * gate runs with this rule active — hash-equality across the suite is
+  * the transparency proof. Disable via spark.sql.optimizer.excludedRules
+  * = graft.plans.RewriteWindowTopK. */
+object RewriteWindowTopK extends Rule[LogicalPlan] {
+
+  private object RankLimit {
+    def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) =>
+        Some((a, k))
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType)) =>
+        Some((a, k - 1))
+      case EqualTo(a: Attribute, Literal(k: Int, IntegerType)) if k == 1 =>
+        Some((a, 1))
+      case _ => None
+    }
+  }
+
+  private object RowNumberOverKeys {
+    def unapply(e: Expression): Option[(Seq[Expression], Seq[org.apache.spark.sql.catalyst.expressions.SortOrder])] =
+      e match {
+        case Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(parts, order,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+            _) if parts.nonEmpty => Some((parts, order))
+        case _ => None
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Project(plist,
+        Filter(RankLimit(rn, k),
+          Window(Seq(al @ RowNumberOverKeys(parts, order)), _, _, child, _)))
+        if k > 0 &&
+          al.asInstanceOf[Alias].toAttribute.semanticEquals(rn) &&
+          plist.forall(_.references.subsetOf(child.outputSet)) =>
+      Project(plist, graft.plans.TopKPerKeyNode(parts, order, k, child))
+  }
+}
+
 /** Engine extensions, installed in every graft session via
   * `spark.sql.extensions=graft.plans.GraftExtensions`
   * (see [[graft.sources.Tables.sessionConfigs]]):
@@ -101,6 +172,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectOptimizerRule(_ => RewriteWindowTopK)
     // whole-operator path: TopKPerKeyNode plans to partial→final
     // TopKPerKeyExec (bounded per-key heaps, no per-partition sort)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)

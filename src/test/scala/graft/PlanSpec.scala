@@ -341,6 +341,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("RewriteWindowTopK: fires on filter-only row_number, skips others") {
+    // q33's neighbor top-k and its =1 vote pick both drop the rank —
+    // the rule must replace their Windows with bounded-heap TopKPerKey
+    val fired = planOf(graft.similarity.Similarity.knnClassify(spark, sfDir))
+    assert("TopKPerKey".r.findAllIn(fired).length >= 2, fired)
+    // q16 SELECTS its rank column — the window must survive
+    val kept = planOf(
+      graft.analytics.Relational.windowTopKPerGroup(spark, sfDir))
+    assert(!kept.contains("TopKPerKey"), kept)
+    assert(kept.contains("Window"), kept)
+    // q154 computes a sibling count() over the same partition — the
+    // window computes more than the row_number, so it must survive too
+    val sibling = planOf(graft.dedup.Dedup.incrementalNearDup(spark, sfDir))
+    assert(!sibling.contains("TopKPerKey"), sibling)
+  }
+
   test("saltedAgg equals the direct aggregation bit-for-bit") {
     val salted = graft.analytics.Advanced.saltedAgg(spark, sfDir).collect()
     val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")
