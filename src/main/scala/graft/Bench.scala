@@ -92,6 +92,12 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         finally src.close()
       } catch { case _: Throwable => Map.empty }
+    // a silently-disabled guard is indistinguishable from a clean run —
+    // say explicitly when no floors loaded (wrong cwd, corrupt file)
+    if (floors.isEmpty)
+      System.err.println(
+        s"[bench] WARNING: no floors loaded from $floorsPath — " +
+          "degraded-window guard inactive; suspect:[] does not certify")
     def minOf(n: String): Double = {
       val ok = times(n).filter(_ >= 0)
       if (ok.nonEmpty) ok.min else -1.0

@@ -288,7 +288,16 @@ object Multimodal {
   }
 
   /** The q163 CTE chain (near-dup corpus → distinct blocks → sizes →
-    * thresholded pairs `mp`) — shared with the q168 components oracle. */
+    * thresholded pairs `mp`) — shared with the q168 components oracle.
+    *
+    * PARITY PRECONDITION: the Spark side slices the BINARY payload by
+    * BYTES (correct for real media); this DuckDB version has no
+    * md5(BLOB)/substring(BLOB), so the oracle slices the source VARCHAR
+    * by CHARACTERS. The two agree exactly when chars == bytes, i.e. the
+    * fixture text is pure ASCII — the same precondition q40/q41/q70
+    * document, now ENFORCED by MultimodalSpec's ascii-invariant test so
+    * a regenerated non-ASCII fixture fails loudly instead of silently
+    * hash-diverging. */
   private val mediaPairCtesS: String =
     s"""m AS (SELECT doc_id AS media_id, text FROM documents
        |  UNION ALL SELECT doc_id + $MediaVariantOffset,

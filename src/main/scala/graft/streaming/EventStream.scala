@@ -745,10 +745,15 @@ object EventStream {
                 .when(col("prev").isNull && col("rk") === 1, "new")
                 .otherwise("extra"))
             .localCheckpoint() // two consumers: the counts + the index delta
+          // coalesce: an EMPTY micro-batch (a slice with no rows) sums to
+          // NULL, and getLong on a null would kill the streaming query
           val a = cls.agg(count(lit(1)),
-            sum(when(col("cls") === "seen", 1).otherwise(0)),
-            sum(when(col("cls") === "new", 1).otherwise(0)),
-            sum(when(col("cls") === "extra", 1).otherwise(0))).head()
+            coalesce(sum(when(col("cls") === "seen", 1L).otherwise(0L)),
+              lit(0L)),
+            coalesce(sum(when(col("cls") === "new", 1L).otherwise(0L)),
+              lit(0L)),
+            coalesce(sum(when(col("cls") === "extra", 1L).otherwise(0L)),
+              lit(0L))).head()
           (0 until 4).foreach(i => counts.addAndGet(i, a.getLong(i)))
           added = added.unionByName(
             cls.filter(col("cls") === "new").select("h")).localCheckpoint()

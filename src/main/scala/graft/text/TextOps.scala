@@ -624,10 +624,15 @@ object TextOps {
         sum("words").as("total_words"),
         sum("bpe").as("total_bpe"),
         sum("chars").as("total_chars"))
+      // NULLIF-style guards: a zero denominator must be NULL on BOTH
+      // engines (Spark x/0 is NULL, DuckDB is IEEE inf — the qualityExprs
+      // precedent)
       .withColumn("fertility",
-        col("total_bpe").cast(DoubleType) / col("total_words"))
+        col("total_bpe").cast(DoubleType) /
+          when(col("total_words") > 0, col("total_words")))
       .withColumn("chars_per_token",
-        col("total_chars").cast(DoubleType) / col("total_bpe"))
+        col("total_chars").cast(DoubleType) /
+          when(col("total_bpe") > 0, col("total_bpe")))
       .orderBy("source")
 
   val TfidfTopK = 3
@@ -1099,8 +1104,8 @@ object TextOps {
          |  CAST(SUM(words) AS BIGINT) AS total_words,
          |  CAST(SUM(bpe) AS BIGINT) AS total_bpe,
          |  CAST(SUM(chars) AS BIGINT) AS total_chars,
-         |  CAST(SUM(bpe) AS DOUBLE) / SUM(words) AS fertility,
-         |  CAST(SUM(chars) AS DOUBLE) / SUM(bpe) AS chars_per_token
+         |  CAST(SUM(bpe) AS DOUBLE) / NULLIF(SUM(words), 0) AS fertility,
+         |  CAST(SUM(chars) AS DOUBLE) / NULLIF(SUM(bpe), 0) AS chars_per_token
          |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q165_vocab_coverage" -> {
       val vCols = CoverageTargets.map(t =>

@@ -57,6 +57,19 @@ class MultimodalSpec extends SparkSpec {
     assert(nonVideo === 0)
   }
 
+  test("oracle parity precondition: fixture text is pure ASCII (chars==bytes)") {
+    // the media oracles (q40/q41/q70/q161/q163/q168) slice VARCHAR by
+    // characters while Spark slices the payload by bytes — identical only
+    // when every document's char count equals its UTF-8 byte count
+    val nonAscii = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(length(col("text")) =!=
+        length(encode(col("text"), "UTF-8")))
+      .count()
+    assert(nonAscii === 0,
+      s"$nonAscii documents are non-ASCII: byte-sliced Spark blocks and " +
+        "char-sliced oracle blocks would diverge")
+  }
+
   test("q168 mediaKeepSummary: per-kind counts partition the corpus") {
     val rows = Multimodal.mediaKeepSummary(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ===
