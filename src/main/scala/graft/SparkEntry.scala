@@ -385,6 +385,9 @@ object SparkEntry {
     // mix planning census: lang × quality tier × length bucket, one pass
     "q176_stratification"     -> ((s, d) =>
       graft.text.TextOps.stratificationMatrix(s, d)),
+    // ANN tuning curve: recall@k + candidate cost per LSH plane count
+    "q177_ann_tuning_sweep"   -> ((s, d) =>
+      graft.similarity.Similarity.annTuningSweep(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -628,6 +628,50 @@ object Similarity {
       .orderBy("split_a", "split_b")
   }
 
+  /** q177's plane-count grid — interpolated into the oracle. */
+  val TuningPlaneCounts: Seq[Int] = Seq(4, 6, 8)
+
+  /** q177: ANN TUNING SWEEP — recall@k and candidate cost per LSH plane
+    * count, the measured tradeoff curve an ANN deployment tunes against
+    * (more planes ⇒ smaller buckets ⇒ cheaper probes and lower recall).
+    * Because plane p derives from a fixed per-index key, an n-plane
+    * bucket id is a PREFIX of the (n+m)-plane id, so candidate sets
+    * shrink monotonically in numPlanes and recall is monotone too — the
+    * sweep demonstrates the documented SimConfig property with numbers.
+    * Per (num_planes, query): bucket-mates (the probe's cost), top-k
+    * hits vs exact brute force, and recall as one integer division. */
+  def annTuningSweep(s: SparkSession, dir: String,
+                     planeCounts: Seq[Int] = TuningPlaneCounts): DataFrame = {
+    require(planeCounts.nonEmpty && planeCounts.forall(_ > 0))
+    val bf = cosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // shared exact baseline across all configs
+    planeCounts.map { p =>
+      val cfg = SimConfig(numPlanes = p)
+      val all = emb(s, dir).withColumn("bkt", bucket(col("e"), cfg))
+      val q = all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("bkt"))
+      val candPer = all.select(col("vec_id").as("neighbor_id"), col("bkt"))
+        .join(broadcast(q), "bkt")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+      val iv = annLsh(s, dir, cfg)
+        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+      val hits = bf
+        .join(iv, bf("query_id") === iv("qi") &&
+          bf("neighbor_id") === iv("ni"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      q.select("query_id").distinct()
+        .join(candPer, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_candidates", "n_hits"))
+        .select(lit(p).as("num_planes"), col("query_id"),
+          col("n_candidates").cast(IntegerType).as("n_candidates"),
+          col("n_hits").cast(IntegerType).as("n_hits"),
+          (col("n_hits").cast(DoubleType) / K).as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("num_planes", "query_id")
+  }
+
   // ------------------------------------------------------------- oracles
   private def dotS(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -745,6 +789,60 @@ object Similarity {
          |  FROM cb a JOIN cb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM p
          |WHERE cosine >= 0.9999 ORDER BY vec_a, vec_b""".stripMargin,
+    "q177_ann_tuning_sweep" -> {
+      def planeSFor(cfg: SimConfig, p: Int): String =
+        "[" + planesFor(cfg)(p).map(_.toString).mkString(", ") + "]"
+      val bfCte =
+        s"""bq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM e
+           |  WHERE vec_id < 10),
+           |bc AS (SELECT bq.query_id, n.vec_id AS neighbor_id,
+           |    ${simS(s"${dotS("bq.qe", "n.e")}", "bq.qn", "n.nrm")} AS sim
+           |  FROM bq CROSS JOIN e n WHERE n.vec_id <> bq.query_id),
+           |bfr AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+           |    FROM bc) z WHERE rk <= $K)""".stripMargin
+      val blocks = TuningPlaneCounts.map { pc =>
+        val cfg = SimConfig(numPlanes = pc)
+        val t = s"p$pc"
+        val planeCols = (0 until pc)
+          .map(i => s"${planeSFor(cfg, i)} AS ${t}pl$i").mkString(", ")
+        val bkt = (0 until pc).map(i =>
+          s"(CASE WHEN ${dotS("e", s"${t}pl$i")} >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        s"""${t}pl AS (SELECT $planeCols),
+           |${t}e AS (SELECT vec_id, e, nrm, $bkt AS bkt FROM e, ${t}pl),
+           |${t}q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bkt
+           |  FROM ${t}e WHERE vec_id < 10),
+           |${t}cand AS (SELECT q.query_id, q.qe, q.qn,
+           |    n.vec_id AS neighbor_id, n.e AS ne, n.nrm AS nn
+           |  FROM ${t}q q JOIN ${t}e n USING (bkt)
+           |  WHERE n.vec_id <> q.query_id),
+           |${t}cc AS (SELECT query_id, COUNT(*) AS n_candidates
+           |  FROM ${t}cand GROUP BY 1),
+           |${t}top AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY
+           |        ${simS(s"${dotS("qe", "ne")}", "qn", "nn")} DESC,
+           |        neighbor_id) AS rk
+           |    FROM ${t}cand) z WHERE rk <= $K),
+           |${t}hits AS (SELECT b.query_id, COUNT(*) AS n_hits FROM bfr b
+           |  JOIN ${t}top tt ON b.query_id = tt.query_id
+           |    AND b.neighbor_id = tt.neighbor_id
+           |  GROUP BY 1),
+           |${t}res AS (SELECT $pc AS num_planes, q.query_id,
+           |    CAST(COALESCE(cc.n_candidates, 0) AS INTEGER) AS n_candidates,
+           |    CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+           |    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $K AS recall
+           |  FROM (SELECT DISTINCT query_id FROM ${t}q) q
+           |  LEFT JOIN ${t}cc cc USING (query_id)
+           |  LEFT JOIN ${t}hits h USING (query_id))""".stripMargin
+      }
+      val sel = TuningPlaneCounts.map(pc => s"SELECT * FROM p${pc}res")
+        .mkString("\nUNION ALL ")
+      (s"WITH e AS ($embS)" +: bfCte +: blocks).mkString(",\n") + "\n" + sel +
+        "\nORDER BY num_planes, query_id"
+    },
     "q166_diverse_select" -> {
       // the k greedy rounds unroll as CTEs (the q142 fixed-iteration
       // pattern): each pick cross-joins the previous 1-row picks, computes

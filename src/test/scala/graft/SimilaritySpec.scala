@@ -154,6 +154,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@5 $recall")
   }
 
+  test("q177 tuning sweep: candidate sets shrink monotonically in planes") {
+    val rows = Similarity.annTuningSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getAs[Int]("n_candidates"), r.getAs[Int]("n_hits"))).toMap
+    val qs = rows.keys.map(_._2).toSet
+    // the plane-prefix property: an n-plane bucket REFINES the (n-m)-plane
+    // bucket, so per query candidates (and hence hits) can only shrink as
+    // planes are added
+    for (q <- qs; Seq(a, b) <- Similarity.TuningPlaneCounts.sliding(2)) {
+      assert(rows((a, q))._1 >= rows((b, q))._1, s"candidates grew: q$q $a->$b")
+      assert(rows((a, q))._2 >= rows((b, q))._2, s"hits grew: q$q $a->$b")
+    }
+  }
+
   test("knnClassify: one prediction per test vector, labels in domain") {
     val res = Similarity.knnClassify(spark, sfDir).collect()
     val nTest = graft.sources.Tables.load(spark, sfDir, "embeddings")
