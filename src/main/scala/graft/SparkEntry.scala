@@ -388,6 +388,9 @@ object SparkEntry {
     // ANN tuning curve: recall@k + candidate cost per LSH plane count
     "q177_ann_tuning_sweep"   -> ((s, d) =>
       graft.similarity.Similarity.annTuningSweep(s, d)),
+    // user-journey mining: top event-type paths per 2h-gap session
+    "q178_session_paths"      -> ((s, d) =>
+      graft.analytics.Advanced.sessionPaths(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

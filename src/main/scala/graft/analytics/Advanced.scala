@@ -178,6 +178,41 @@ object Advanced {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q178: TOP SESSION PATHS — user-journey mining: each session (q50's
+    * 2-hour-gap islands) collapses to its ordered event-type path
+    * ('view>click>purchase'), and the global top-k paths by frequency
+    * are the behavioral patterns product analytics ranks. Path assembly
+    * is deterministic: events sort on the unique (epoch-micros,
+    * event_id) key inside each session (array_sort over structs — the
+    * same total-order rule as every window in this engine), so both
+    * engines build identical strings. Shape at 100 TB: one user-keyed
+    * window shuffle (shared by the lag and the running sum), one
+    * session-keyed agg, then a path-keyed count whose cardinality is the
+    * number of DISTINCT journeys — tiny — before the global top-k. */
+  def sessionPaths(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val gapS = 7200L // q50's session gap
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapS * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("brk")).over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("event_type").as("et")))),
+        x => x.getField("et"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).cast(IntegerType).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Ranking-window family: ntile quartile, percent_rank, cume_dist over a
     * deterministic total order — WITHOUT the single-partition window trap.
     *
@@ -1695,6 +1730,22 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q178_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 7200000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM b),
+        |p AS (SELECT user_id, session_idx,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS INTEGER) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q159_conversion_latency" ->
       """WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
