@@ -391,6 +391,9 @@ object SparkEntry {
     // user-journey mining: top event-type paths per 2h-gap session
     "q178_session_paths"      -> ((s, d) =>
       graft.analytics.Advanced.sessionPaths(s, d)),
+    // behavioral model eval: Markov argmax fit on train users, held-out acc
+    "q179_markov_eval"        -> ((s, d) =>
+      graft.analytics.Advanced.markovEval(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

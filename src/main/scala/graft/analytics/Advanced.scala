@@ -213,6 +213,47 @@ object Advanced {
       .limit(k)
   }
 
+  /** q179: MARKOV NEXT-EVENT EVALUATION — q117's transition matrix used
+    * as a MODEL and properly evaluated: transitions from TRAIN users
+    * (the q160 md5-bucket rule on user_id — 80/20, reproducible) fit the
+    * per-state argmax predictor (count desc, type asc tie-break), which
+    * is then scored on the HELD-OUT users' transitions. Per current
+    * state: eval transitions, correct predictions, and accuracy as one
+    * division of exact integers — the train/test protocol every
+    * behavioral model follows, entirely in-plan. The model is
+    * |states|² rows (broadcast); the eval side is one window pass over
+    * the held-out slice. The argmax's rank-1 filter is exactly the shape
+    * RewriteWindowTopK lowers to a bounded heap. */
+  def markovEval(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bucket = pmod(
+      graft.functions.TextPrims.hex60C(md5(col("user_id").cast(StringType))),
+      lit(100L))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .withColumn("is_train", bucket < 80)
+    val wRk = Window.partitionBy("cur")
+      .orderBy(col("n").desc, col("next_type"))
+    val model = pairs.filter(col("is_train"))
+      .groupBy(col("event_type").as("cur"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") === 1)
+      .select(col("cur"), col("next_type").as("pred"))
+    pairs.filter(!col("is_train"))
+      .join(broadcast(model), col("event_type") === col("cur"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(IntegerType).as("n_transitions"),
+        sum(when(col("next_type") === col("pred"), 1).otherwise(0))
+          .cast(IntegerType).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast(DoubleType) / col("n_transitions"))
+      .orderBy("event_type")
+  }
+
   /** Ranking-window family: ntile quartile, percent_rank, cume_dist over a
     * deterministic total order — WITHOUT the single-partition window trap.
     *
@@ -1730,6 +1771,30 @@ object Advanced {
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    "q179_markov_eval" -> {
+      val bkt = graft.functions.TextPrims
+        .hex60S("md5(CAST(user_id AS VARCHAR))") + " % 100"
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    $bkt < 80 AS is_train
+         |  FROM events),
+         |p AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id) AS next_type FROM e),
+         |tr AS (SELECT event_type AS cur, next_type, COUNT(*) AS n FROM p
+         |  WHERE next_type IS NOT NULL AND is_train GROUP BY 1, 2),
+         |m AS (SELECT cur, next_type AS pred FROM (
+         |    SELECT cur, next_type, ROW_NUMBER() OVER (PARTITION BY cur
+         |      ORDER BY n DESC, next_type) AS rk FROM tr) z WHERE rk = 1),
+         |ev AS (SELECT p.event_type, p.next_type, m.pred FROM p
+         |  LEFT JOIN m ON p.event_type = m.cur
+         |  WHERE p.next_type IS NOT NULL AND NOT p.is_train)
+         |SELECT event_type, CAST(COUNT(*) AS INTEGER) AS n_transitions,
+         |  CAST(SUM(CASE WHEN next_type = pred THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_correct,
+         |  CAST(SUM(CASE WHEN next_type = pred THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS accuracy
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "q178_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
