@@ -394,6 +394,9 @@ object SparkEntry {
     // behavioral model eval: Markov argmax fit on train users, held-out acc
     "q179_markov_eval"        -> ((s, d) =>
       graft.analytics.Advanced.markovEval(s, d)),
+    // ship-the-dataset: dedup+quality curation → sharded export → manifest
+    "q180_curated_export"     -> ((s, d) =>
+      graft.dedup.Dedup.curatedExport(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -753,6 +753,59 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** q180's export shard count — interpolated into the oracle. */
+  val CuratedShards: Int = 8
+
+  /** q180: CURATED-CORPUS EXPORT — the "ship the dataset" step that ends
+    * a curation pipeline: keep each organic near-dup component's
+    * canonical (min-id) document, drop low-quality docs (q23 score <
+    * [[AdmissionQualityMin]]), WRITE the survivors hash-sharded (q139's
+    * layout: md5-bucket shard dirs, sorted within), then compute the
+    * release MANIFEST — per shard: doc count, exact BPE token volume,
+    * and a 60-bit xor content checksum — from the READ-BACK files only.
+    * The oracle recomputes the expected manifest straight from the
+    * source table, so hash-equality proves the whole chain (dedup ∘
+    * quality filter ∘ sharded write ∘ read-back) lossless — the
+    * integrity contract a training run checks before consuming a drop.
+    * Cost: one component pass on organic pairs + one narrow scored
+    * projection + one shard-keyed write. */
+  def curatedExport(s: SparkSession, dir: String,
+                    shards: Int = CuratedShards,
+                    qualityMin: Double = AdmissionQualityMin,
+                    cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q180")
+    try {
+      val d = docs(s, dir).select("doc_id", "source", "text").localCheckpoint()
+      val comp = d.select(col("doc_id"))
+        .join(components(bandPairsFrom(withSignature(d.select("doc_id", "text"), cfg), cfg))
+            .withColumnsRenamed(Map("doc_id" -> "eid", "comp" -> "ecomp")),
+          col("doc_id") === col("eid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ecomp"), col("doc_id")).as("comp"))
+      val kept = d.join(comp, "doc_id")
+        .filter(col("doc_id") === col("comp"))
+        .withColumn("qs", graft.text.TextOps.qualityScoreC)
+        .filter(col("qs") >= qualityMin)
+        .select(col("doc_id"), col("source"), col("text"))
+      val path = tmp.resolve("export").toString
+      kept
+        .withColumn("shard",
+          pmod(hex60C(md5(col("doc_id").cast(StringType))),
+            lit(shards.toLong)))
+        .repartition(shards, col("shard"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast(IntegerType).as("shard"))
+        .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+          sum(bpeTokensC(col("text")).cast(LongType)).as("total_tokens"),
+          expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
+            "AS BIGINT))").as("xor_hash"))
+        .orderBy("shard")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** q75: cross-source contamination — near-dup pairs whose members come
     * from DIFFERENT sources: the train/test decontamination check (did
     * the eval split leak into training data?) every LLM data pipeline
@@ -849,9 +902,10 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /** The recursive component chain (signatures → bands → pairs → edges →
-    * reach → comp) shared by the q72/q172/q173 oracle family. */
-  private lazy val compChainS: String =
-    s"""${sigSelectS(nearDupCorpusS).replaceFirst("WITH ", "WITH RECURSIVE ")},
+    * reach → comp) over an arbitrary corpus SQL — shared by the
+    * q72/q172/q173 (near-dup corpus) and q180 (raw documents) oracles. */
+  private def compChainFor(corpusSql: String): String =
+    s"""${sigSelectS(corpusSql).replaceFirst("WITH ", "WITH RECURSIVE ")},
        |bk AS ($bandUnnestS),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -862,6 +916,8 @@ object Dedup extends org.apache.spark.internal.Logging {
        |  UNION
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
        |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  private lazy val compChainS: String = compChainFor(nearDupCorpusS)
 
   private def bandUnnestS: String = {
     val bands = (0 until NumHashes / BandSize).map { b =>
@@ -1079,6 +1135,27 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  greatest(source_a, source_b) AS src_hi,
          |  CAST(count(*) AS INTEGER) AS n_pairs
          |FROM x GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
+    "q180_curated_export" -> {
+      val T = graft.text.TextOps
+      s"""${compChainFor("SELECT doc_id, source, text FROM documents")},
+         |m0 AS (SELECT doc_id, text, ${tokensS("text")} AS t FROM corpus),
+         |m AS (SELECT doc_id, ${T.qualityMeasureColsS}
+         |  FROM m0),
+         |sc AS (SELECT doc_id, ${T.qualityScoreExprS} AS qs FROM m),
+         |kept AS (SELECT m0.doc_id, m0.text FROM m0
+         |  JOIN comp ON m0.doc_id = comp.doc_id
+         |  JOIN sc ON m0.doc_id = sc.doc_id
+         |  WHERE comp.comp = m0.doc_id AND sc.qs >= $AdmissionQualityMin),
+         |sh AS (SELECT doc_id, text,
+         |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % $CuratedShards
+         |      AS shard,
+         |    CAST(${bpeTokensS("text")} AS BIGINT) AS toks FROM kept)
+         |SELECT CAST(shard AS INTEGER) AS shard,
+         |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |  bit_xor(${hex60S("md5(text)")}) AS xor_hash
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "q174_split_text_leakage" -> {
       val splitS = (e: String) =>
         s"""CASE WHEN ${hex60S(s"md5(CAST($e AS VARCHAR))")} % 100 < 80
