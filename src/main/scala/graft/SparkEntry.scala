@@ -397,6 +397,12 @@ object SparkEntry {
     // ship-the-dataset: dedup+quality curation → sharded export → manifest
     "q180_curated_export"     -> ((s, d) =>
       graft.dedup.Dedup.curatedExport(s, d)),
+    // SemDeDup: spherical-quantizer cells + earliest-exemplar cosine prune
+    "q181_semdedup"           -> ((s, d) =>
+      graft.similarity.Similarity.semDedup(s, d)),
+    // context-window chunking: overlapping windows + per-chunk digest
+    "q182_chunk_docs"         -> ((s, d) =>
+      graft.text.TextOps.chunkDocs(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

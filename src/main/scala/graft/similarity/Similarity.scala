@@ -525,6 +525,85 @@ object Similarity {
       .orderBy("eval_id")
   }
 
+  /** q181: SEMDEDUP — semantic deduplication (Abbas et al. 2023, public):
+    * cluster the corpus with a coarse quantizer, then prune, WITHIN each
+    * cluster only, every vector that has an earlier (smaller-id) cluster
+    * mate with cosine ≥ `threshold` — the earliest exemplar of each
+    * near-identical group survives. This is the embedding-space
+    * complement of the MinHash text pass (q28/q154): it removes
+    * semantic rephrasings whose surface text shares no shingles.
+    *
+    * Quantizer: the deterministic exact-Lloyd centers (LloydExact,
+    * K=4, 2 rounds — the q57/q61 machinery), probed SPHERICALLY
+    * (argmax cosine(e, center), ties to the smaller cluster id).
+    * Spherical probe matters: cosine is scale-invariant, so a scaled
+    * near-duplicate ALWAYS lands in its source's cell — recall 1.0 for
+    * true semantic dups by construction, where the Euclidean argmin
+    * could split a pair across cells and mask it.
+    *
+    * Fixture corpus: embeddings ∪ ×2-scaled copies of every 10th vector
+    * ∪ ×0.5-scaled copies of every 15th (both cosine-identical to their
+    * base and to each other, so planted groups form exact cliques and
+    * the earliest-exemplar rule equals greedy SemDeDup). Max organic
+    * cross-vector cosine in the fixture is ~0.51, far under the 0.999
+    * threshold — only planted dups prune.
+    *
+    * Determinism: every cosine is the same fixed-order codegen'd double
+    * fold on both engines (DotProduct), rounded to 6 before the
+    * threshold compare and the best-exemplar ranking, so the result is
+    * a pure function of the data.
+    *
+    * Shape at 100 TB: the assignment is a broadcast (K-row) cross join
+    * + per-vector window — one scan, no shuffle beyond the vec_id
+    * window; the pair pass is an equi-join ON THE CELL KEY (never
+    * all-pairs): cost is Σ|cell|², the quantity SemDeDup controls by
+    * scaling K with the corpus (K ≈ N/1000 keeps cells ~10³). The
+    * fixture K is oracle-sized; production K is a config, not a code
+    * change (the SimConfig pattern). */
+  def semDedup(s: SparkSession, dir: String,
+               threshold: Double = 0.999): DataFrame = {
+    val off = VariantVecOffset
+    val base = emb(s, dir).select(col("vec_id"), col("e"))
+    val aug = base
+      .unionByName(base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + off).as("vec_id"),
+          transform(col("e"), x => x * lit(2.0)).as("e")))
+      .unionByName(base.filter(col("vec_id") % 15 === 0)
+        .select((col("vec_id") + 2 * off).as("vec_id"),
+          transform(col("e"), x => x * lit(0.5)).as("e")))
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+    val pts = graft.ml.LloydExact.points(s, dir)
+    val centers = graft.ml.LloydExact.centersFor(pts)
+      .withColumn("cn", sqrt(dotp(col("c"), col("c"))))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cluster"))
+    // assignment materialized ONCE: both sides of the in-cell self-join
+    // read it — without the checkpoint the broadcast-assign subtree
+    // (scan + K-way cross + window) executes twice
+    val cells = aug.crossJoin(broadcast(centers))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("e"), col("c")), col("nrm"), col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cluster"))
+      .localCheckpoint()
+    val keep = cells.select(col("cluster"), col("vec_id").as("kept_id"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val cand = cells.select(col("cluster"), col("vec_id"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val wBest = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("kept_id"))
+    keep.join(cand, Seq("cluster"))
+      .filter(col("kept_id") < col("vec_id"))
+      .withColumn("cosine", round(
+        cosineFromNorms(dotp(col("ea"), col("eb")), col("na"), col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster"), col("kept_id"), col("cosine"))
+      .orderBy("vec_id")
+  }
+
   /** q166: DIVERSE SUBSET SELECTION — greedy max-min (k-center) over the
     * embedding corpus: the coreset/diversity-sampling step that picks k
     * maximally-spread exemplars (dedup's complement — not "drop the
@@ -990,6 +1069,36 @@ object Similarity {
          |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk,
          |  round(cosine, 6) AS cosine, round(approx, 6) AS approx_sim
          |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q181_semdedup" -> {
+      val L = graft.ml.LloydExact
+      val off = VariantVecOffset
+      s"""WITH ${L.lloydCtesS},
+         |aug AS (SELECT vec_id, e FROM e
+         |  UNION ALL SELECT vec_id + $off,
+         |    list_transform(e, x -> x * 2.0) FROM e WHERE vec_id % 10 = 0
+         |  UNION ALL SELECT vec_id + ${2L * off},
+         |    list_transform(e, x -> x * 0.5) FROM e WHERE vec_id % 15 = 0),
+         |an AS (SELECT vec_id, e, sqrt(${L.dotS("e", "e")}) AS nrm
+         |  FROM aug),
+         |cn AS (SELECT cluster, c, sqrt(${L.dotS("c", "c")}) AS cnrm
+         |  FROM c${L.Iters}),
+         |cells AS (SELECT vec_id, e, nrm, cluster FROM (
+         |  SELECT a.vec_id, a.e, a.nrm, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      ${L.dotS("a.e", "c.c")} / (a.nrm * c.cnrm) DESC,
+         |      c.cluster) AS rn
+         |  FROM an a CROSS JOIN cn c) WHERE rn = 1),
+         |p AS (SELECT b.vec_id, b.cluster, a.vec_id AS kept_id,
+         |    round(${L.dotS("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM cells a JOIN cells b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |r AS (SELECT vec_id, cluster, kept_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, kept_id) AS rk
+         |  FROM p WHERE cosine >= 0.999)
+         |SELECT vec_id, cluster, kept_id, cosine
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
     "q71_ann_recall" -> {
       val L = graft.ml.LloydExact
       s"""WITH ${L.lloydCtesS},

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextPrims._
@@ -527,6 +527,39 @@ object TextOps {
           .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** q182: CONTEXT-WINDOW CHUNKING — split every document into fixed-size
+    * overlapping windows (`size` chars every `stride`, overlap =
+    * size − stride), the standard retrieval / long-context preprocessing
+    * step: embeddings and training sequences are built per CHUNK, not per
+    * document, and the overlap preserves sentences that straddle a cut.
+    * Emits one row per chunk with its 0-based index, 1-based char start,
+    * realized length (the tail chunk is short) and content digest — the
+    * digest is what a downstream exact-dedup pass (q26) consumes to kill
+    * repeated chunks cheaply.
+    *
+    * Window starts are 1 + k·stride while start ≤ len, so every char is
+    * covered and chunk_idx = (start−1)/stride is EXACT integer arithmetic
+    * in double space (both operands are small exact integers) — no
+    * engine-rounding hazard. The explode is a narrow per-row flatMap:
+    * zero shuffle except the presentation orderBy, linear in corpus
+    * bytes at 100 TB with output ≈ size/stride × input. */
+  def chunkDocs(s: SparkSession, dir: String,
+                size: Int = 200, stride: Int = 150): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"bad chunk config ($size, $stride)")
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(stride))).as("start"))
+      .withColumn("chunk", col("text").substr(col("start"), lit(size)))
+      .select(col("doc_id"),
+        ((col("start") - 1) / lit(stride)).cast(IntegerType).as("chunk_idx"),
+        col("start").cast(IntegerType).as("start"),
+        length(col("chunk")).cast(IntegerType).as("chunk_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Corpus composition: per (lang, source) doc counts, char volume, mean
     * quality score — the "what's in my training mix" query. One hash-agg
     * shuffle on a low-cardinality composite key. */
@@ -554,6 +587,54 @@ object TextOps {
         (sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType) /
           count(lit(1))).as("mean_quality"))
       .orderBy("lang", "source")
+  }
+
+  /** q183: ZIPF-LAW FIT — ordinary-least-squares fit of
+    * ln(freq) = intercept + slope·ln(rank) over the top-`topN` token
+    * frequencies, plus r². The slope (≈ −1 for natural language) is a
+    * standard corpus-health diagnostic: a shallow slope flags boilerplate
+    * /spam-heavy crawls, a cliff flags template duplication — cheap to
+    * monitor per ingest batch.
+    *
+    * Determinism recipe (the q140/q156 rulebook): x = round(ln rank, 6)
+    * and y = round(ln freq, 6) are per-row scalars — ln's ≤1-ulp
+    * engine skew is absorbed by the 6dp round; their pairwise products
+    * are single IEEE multiplies of identical doubles, rounded to 9dp and
+    * summed as DECIMAL(28,9) (exact, order-independent). With topN=100
+    * the moment sums stay ≤ ~10⁵ even at ln(freq) ≈ 28 (a 10¹²-token
+    * corpus), so mantissas sit far under 2⁵³ and every decimal→double
+    * cast is a single rounding on both engines. The closing OLS algebra
+    * is a fixed scalar expression over those identical doubles.
+    *
+    * Shape at 100 TB: one hash-agg on token (the q43 shape), a top-100
+    * window on the tiny distinct-token frame, then a 1-row reduce. */
+  def zipfFit(s: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val freq = docs(s, dir)
+      .select(explode(tokensC(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("t"))
+    val xy = freq.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topN)
+      .select(round(log(col("r").cast(DoubleType)), 6).as("x"),
+        round(log(col("f").cast(DoubleType)), 6).as("y"))
+    val d9 = (c: Column) => round(c, 9).cast(DecimalType(28, 9))
+    val m = xy.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("x").cast(DecimalType(18, 6))).cast(DoubleType).as("sx"),
+      sum(col("y").cast(DecimalType(18, 6))).cast(DoubleType).as("sy"),
+      sum(d9(col("x") * col("y"))).cast(DoubleType).as("sxy"),
+      sum(d9(col("x") * col("x"))).cast(DoubleType).as("sxx"),
+      sum(d9(col("y") * col("y"))).cast(DoubleType).as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val icept = (col("sy") - slope * col("sx")) / col("n")
+    val ssTot = col("syy") - col("sy") * col("sy") / col("n")
+    val ssRes = col("syy") - icept * col("sy") - slope * col("sxy")
+    m.select(col("n").cast(IntegerType).as("n_terms"),
+      round(slope, 6).as("slope"),
+      round(icept, 6).as("intercept"),
+      round(lit(1.0) - ssRes / ssTot, 6).as("r2"))
   }
 
   /** Vocabulary head: global token frequencies, top 20 with deterministic
@@ -750,6 +831,17 @@ object TextOps {
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
+    "q182_chunk_docs" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text), 1) + 1, 150)) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((s - 1) / 150 AS INTEGER) AS chunk_idx,
+        |  CAST(s AS INTEGER) AS start,
+        |  CAST(length(substr(text, CAST(s AS INTEGER), 200)) AS INTEGER)
+        |    AS chunk_chars,
+        |  md5(substr(text, CAST(s AS INTEGER), 200)) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q160_split_manifest" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t,
          |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket

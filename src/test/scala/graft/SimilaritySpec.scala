@@ -117,6 +117,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q181 semDedup: exactly the planted variants prune, earliest exemplar survives") {
+    val off = Similarity.VariantVecOffset
+    val rows = Similarity.semDedup(spark, sfDir).collect()
+    val base = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every planted variant (both scale families) is pruned; nothing else
+    val expected = base.filter(_ % 10 == 0).map(_ + off) ++
+      base.filter(_ % 15 == 0).map(_ + 2 * off)
+    assert(rows.map(_.getLong(0)).toSet === expected)
+    rows.foreach { r =>
+      val (pruned, kept) = (r.getLong(0), r.getAs[Long]("kept_id"))
+      // the surviving exemplar is the (earlier) base vector of the clique
+      assert(kept === pruned % off, s"kept_id not the base: $r")
+      assert(r.getAs[Double]("cosine") === 1.0)
+    }
+    // no base (original-corpus) vector is ever pruned
+    assert(rows.forall(_.getLong(0) >= off))
+  }
+
   test("q166 diverseSelect: greedy max-min invariants hold") {
     val rows = Similarity.diverseSelect(spark, sfDir, k = 8).collect()
     assert(rows.length === 8)

@@ -151,4 +151,33 @@ class TextPrimsSpec extends SparkSpec {
     assert(counts.take(v50).sum * 100 >= 50L * total)
     if (v50 > 1) assert(counts.take(v50 - 1).sum * 100 < 50L * total)
   }
+
+  test("q182 chunking: full coverage, overlap geometry, digests match content") {
+    import org.apache.spark.sql.functions._
+    val (size, stride) = (200, 150)
+    val rows = graft.text.TextOps.chunkDocs(spark, sfDir, size, stride)
+      .collect()
+    val lens = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet === lens.keySet) // every doc chunks, even tiny ones
+    byDoc.foreach { case (id, cs) =>
+      val len = lens(id)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // starts are exactly 1 + i*stride and indices are dense from 0
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("chunk_idx") === i)
+        assert(r.getAs[Int]("start") === 1 + i * stride)
+        val expectLen = math.min(size, len - i * stride).max(0)
+        assert(r.getAs[Int]("chunk_chars") === expectLen)
+      }
+      // coverage: last chunk reaches the end of the document
+      val last = sorted.last
+      assert(last.getAs[Int]("start") + last.getAs[Int]("chunk_chars") - 1
+        === len || len == 0)
+      // chunk count is exactly the number of window starts <= len
+      assert(sorted.length === ((len - 1).max(0) / stride) + 1)
+    }
+  }
 }
