@@ -403,6 +403,12 @@ object SparkEntry {
     // context-window chunking: overlapping windows + per-chunk digest
     "q182_chunk_docs"         -> ((s, d) =>
       graft.text.TextOps.chunkDocs(s, d)),
+    // corpus-health diagnostic: log-log OLS over the frequency head
+    "q183_zipf_fit"           -> ((s, d) =>
+      graft.text.TextOps.zipfFit(s, d)),
+    // trained multinomial NB lang classifier, held-out confusion matrix
+    "q184_naive_bayes_lang"   -> ((s, d) =>
+      graft.text.TextOps.naiveBayesLang(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -637,6 +637,88 @@ object TextOps {
       round(lit(1.0) - ssRes / ssTot, 6).as("r2"))
   }
 
+  /** q184: NAIVE-BAYES LANGUAGE CLASSIFIER — the trained counterpart of
+    * q24's heuristic lang-ID and the shape of every fastText-style
+    * quality/domain classifier in an LLM data pipeline: multinomial NB
+    * with add-one smoothing, trained on the 80% md5-hash split (q160
+    * machinery) and evaluated as a confusion matrix on the held-out 20%.
+    * Training IS aggregation — per-(lang, token) counts, per-lang token
+    * totals, doc-count priors — so the "fit" is two hash-aggs, and
+    * scoring is one equi-join on token: nothing iterative, nothing
+    * driver-side.
+    *
+    * Determinism: every log-probability is round(ln(·), 6) of an
+    * identical IEEE division of exact integers — the 6dp round absorbs
+    * ln's ≤1-ulp engine skew — and the per-(doc, class) score is an
+    * EXACT DECIMAL sum of (integer count × 6dp-decimal log-prob) terms,
+    * so the argmax (score desc, class asc) is a pure function of the
+    * data on both engines; no float accumulation anywhere.
+    *
+    * Out-of-vocabulary test tokens are dropped (standard); in-vocab
+    * tokens unseen for a class contribute the smoothed floor
+    * ln(1/(tot_c + V)) via the complement count, which avoids
+    * materializing the dense class × vocab matrix.
+    *
+    * Shape at 100 TB: token counting is the q43 hash-agg; the model
+    * (classes × observed-vocab log-probs) joins test tokens on the
+    * token key — broadcast when small, shuffle equi-join when not; the
+    * class frame (priors + floors) is K rows, always broadcast. */
+  def naiveBayesLang(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hex60C(md5(col("doc_id").cast(StringType))), lit(100L))
+    val d = docs(s, dir).withColumn("is_train", bucket < 80)
+    // exploded ONCE: train counts, vocab, and test counts all read this
+    val tok = d.select(col("doc_id"), col("lang"), col("is_train"),
+        explode(tokensC(col("text"))).as("t"))
+      .localCheckpoint()
+    val trainTok = tok.filter(col("is_train"))
+    val vocab = trainTok.select("t").distinct().localCheckpoint()
+    val vStats = vocab.agg(count(lit(1)).as("v"))
+    val totals = trainTok.groupBy("lang").agg(count(lit(1)).as("tot"))
+    val nTrain = d.filter(col("is_train")).agg(count(lit(1)).as("ntr"))
+    val lnD = (num: Column, den: Column) =>
+      round(log(num.cast(DoubleType) / den.cast(DoubleType)), 6)
+        .cast(DecimalType(18, 6))
+    // class frame: prior + unseen-token floor, K rows
+    val cls = d.filter(col("is_train")).groupBy("lang")
+      .agg(count(lit(1)).as("nd"))
+      .join(totals, "lang").crossJoin(broadcast(vStats))
+      .crossJoin(broadcast(nTrain))
+      .select(col("lang").as("cls"),
+        lnD(col("nd"), col("ntr")).as("prior"),
+        lnD(lit(1), col("tot") + col("v")).as("lp0"))
+    // model: per-(class, token) smoothed log-prob — observed pairs only
+    val lp = trainTok.groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+      .join(totals, "lang").crossJoin(broadcast(vStats))
+      .select(col("lang").as("cls"), col("t"),
+        lnD(col("cnt") + 1, col("tot") + col("v")).as("lp"))
+    // held-out docs: in-vocab token counts (OOV dropped by the semi join)
+    val testCnt = tok.filter(!col("is_train"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .join(vocab, Seq("t"), "left_semi")
+      .localCheckpoint()
+    val nIv = testCnt.groupBy("doc_id").agg(sum("cnt").as("n_iv"))
+    val seen = testCnt.join(lp, "t")
+      .groupBy("doc_id", "cls")
+      .agg(sum(col("cnt") * col("lp")).as("slp"),
+        sum("cnt").as("seen_cnt"))
+    val scored = d.filter(!col("is_train"))
+      .select(col("doc_id"), col("lang").as("true_lang"))
+      .crossJoin(broadcast(cls))
+      .join(nIv, Seq("doc_id"), "left")
+      .join(seen, Seq("doc_id", "cls"), "left")
+      .withColumn("score",
+        col("prior") + coalesce(col("slp"), lit(0).cast(DecimalType(18, 6))) +
+          (coalesce(col("n_iv"), lit(0L)) -
+            coalesce(col("seen_cnt"), lit(0L))) * col("lp0"))
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("cls").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   /** Vocabulary head: global token frequencies, top 20 with deterministic
     * tie-break. Two-phase hash agg on the token, then a tiny top-k. */
   def topTokens(s: SparkSession, dir: String): DataFrame =
@@ -842,6 +924,55 @@ object TextOps {
         |    AS chunk_chars,
         |  md5(substr(text, CAST(s AS INTEGER), 200)) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q184_naive_bayes_lang" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 < 80
+         |      AS is_train
+         |  FROM documents),
+         |tok AS (SELECT doc_id, lang, is_train, unnest($T) AS t FROM d),
+         |tt AS (SELECT * FROM tok WHERE is_train),
+         |vocab AS (SELECT DISTINCT t FROM tt),
+         |vs AS (SELECT COUNT(*) AS v FROM vocab),
+         |tot AS (SELECT lang, COUNT(*) AS tot FROM tt GROUP BY lang),
+         |ntr AS (SELECT COUNT(*) AS ntr FROM d WHERE is_train),
+         |cls0 AS (SELECT lang, COUNT(*) AS nd FROM d WHERE is_train
+         |  GROUP BY lang),
+         |cls AS (SELECT c.lang AS cls,
+         |    CAST(round(ln(CAST(c.nd AS DOUBLE) / CAST(n.ntr AS DOUBLE)),
+         |      6) AS DECIMAL(18,6)) AS prior,
+         |    CAST(round(ln(CAST(1 AS DOUBLE) /
+         |      CAST(t.tot + v.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp0
+         |  FROM cls0 c JOIN tot t ON c.lang = t.lang
+         |  CROSS JOIN ntr n CROSS JOIN vs v),
+         |lp AS (SELECT ct.lang AS cls, ct.t,
+         |    CAST(round(ln(CAST(ct.cnt + 1 AS DOUBLE) /
+         |      CAST(t.tot + v.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM (SELECT lang, t, COUNT(*) AS cnt FROM tt
+         |    GROUP BY lang, t) ct
+         |  JOIN tot t ON ct.lang = t.lang CROSS JOIN vs v),
+         |tcv AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok
+         |  WHERE NOT is_train AND t IN (SELECT t FROM vocab)
+         |  GROUP BY doc_id, t),
+         |niv AS (SELECT doc_id, SUM(cnt) AS n_iv FROM tcv GROUP BY doc_id),
+         |seen AS (SELECT tcv.doc_id, lp.cls, SUM(tcv.cnt * lp.lp) AS slp,
+         |    SUM(tcv.cnt) AS seen_cnt
+         |  FROM tcv JOIN lp ON tcv.t = lp.t GROUP BY 1, 2),
+         |sc AS (SELECT td.doc_id, td.true_lang, c.cls,
+         |    c.prior + COALESCE(s.slp, CAST(0 AS DECIMAL(18,6)))
+         |      + (COALESCE(n.n_iv, 0) - COALESCE(s.seen_cnt, 0)) * c.lp0
+         |      AS score
+         |  FROM (SELECT doc_id, lang AS true_lang FROM d
+         |    WHERE NOT is_train) td
+         |  CROSS JOIN cls c
+         |  LEFT JOIN niv n ON td.doc_id = n.doc_id
+         |  LEFT JOIN seen s ON td.doc_id = s.doc_id AND c.cls = s.cls),
+         |pr AS (SELECT doc_id, true_lang, cls,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn
+         |  FROM sc)
+         |SELECT true_lang, cls AS pred_lang, COUNT(*) AS n
+         |FROM pr WHERE rn = 1 GROUP BY 1, 2
+         |ORDER BY true_lang, pred_lang""".stripMargin,
     "q160_split_manifest" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t,
          |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
@@ -1220,6 +1351,31 @@ object TextOps {
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest($T) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q183_zipf_fit" ->
+      s"""WITH f AS (SELECT t, count(*) AS f
+         |  FROM (SELECT unnest($T) AS t FROM documents) GROUP BY t),
+         |rk AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS r
+         |  FROM f),
+         |xy AS (SELECT round(ln(r), 6) AS x, round(ln(f), 6) AS y
+         |  FROM rk WHERE r <= 100),
+         |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS sxy,
+         |    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS sxx,
+         |    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS syy
+         |  FROM xy),
+         |sl AS (SELECT n, sx, sy, sxy, sxx, syy,
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM m),
+         |ab AS (SELECT n, sy, sxy, syy, b, (sy - b * sx) / n AS a FROM sl)
+         |SELECT CAST(n AS INTEGER) AS n_terms, round(b, 6) AS slope,
+         |  round(a, 6) AS intercept,
+         |  round(1.0 - (syy - a * sy - b * sxy) / (syy - sy * sy / n), 6)
+         |    AS r2
+         |FROM ab""".stripMargin,
     "q64_tfidf_topk" ->
       s"""WITH tok AS (SELECT doc_id, unnest($T) AS token FROM documents),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -152,6 +152,53 @@ class TextPrimsSpec extends SparkSpec {
     if (v50 > 1) assert(counts.take(v50 - 1).sum * 100 < 50L * total)
   }
 
+  test("q183 zipf fit: slope negative, r2 sane, matches driver-side OLS") {
+    import org.apache.spark.sql.functions._
+    val r = graft.text.TextOps.zipfFit(spark, sfDir).collect().head
+    val (n, slope, icept, r2) = (r.getAs[Int]("n_terms"),
+      r.getAs[Double]("slope"), r.getAs[Double]("intercept"),
+      r.getAs[Double]("r2"))
+    assert(slope < 0.0, s"zipf slope must be negative: $slope") // freq decays
+    // synthetic fixture text is near-uniform, so r2 is low — only bounds
+    // are invariant; the OLS cross-check below is the real assertion
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of band: $r2")
+    // independent OLS on the same ranked frequencies (plain double math)
+    val freqs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextPrims.tokensC(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("t")).limit(100)
+      .collect().map(_.getAs[Long]("f"))
+    assert(n === freqs.length) // fixture vocab may be under topN
+    val pts = freqs.zipWithIndex.map { case (f, i) =>
+      (math.log(i + 1.0), math.log(f.toDouble)) }
+    val m = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val bRef = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val aRef = (sy - bRef * sx) / m
+    assert(math.abs(slope - bRef) < 1e-4, s"slope $slope vs ref $bRef")
+    assert(math.abs(icept - aRef) < 1e-4, s"intercept $icept vs ref $aRef")
+  }
+
+  test("q184 naive bayes: matrix covers every held-out doc, labels in domain") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextOps.naiveBayesLang(spark, sfDir).collect()
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val langs = d.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    val nTest = d.filter(pmod(graft.functions.TextPrims.hex60C(
+        md5(col("doc_id").cast("string"))), lit(100L)) >= 80).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nTest) // every doc predicted once
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("true_lang")))
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // cells are unique (it IS a matrix, not a duplicated log)
+    val cells = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(cells.distinct.length === cells.length)
+  }
+
   test("q182 chunking: full coverage, overlap geometry, digests match content") {
     import org.apache.spark.sql.functions._
     val (size, stride) = (200, 150)
