@@ -409,6 +409,12 @@ object SparkEntry {
     // trained multinomial NB lang classifier, held-out confusion matrix
     "q184_naive_bayes_lang"   -> ((s, d) =>
       graft.text.TextOps.naiveBayesLang(s, d)),
+    // CCNet-style bigram-LM perplexity quality scoring of held-out docs
+    "q185_bigram_ppl"         -> ((s, d) =>
+      graft.text.TextOps.bigramPerplexity(s, d)),
+    // serving-side dynamic batching: length buckets + per-batch fill
+    "q186_length_batches"     -> ((s, d) =>
+      graft.text.TextOps.lengthBucketBatches(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

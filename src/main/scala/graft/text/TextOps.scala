@@ -719,6 +719,115 @@ object TextOps {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** q185: BIGRAM-LM PERPLEXITY — the CCNet/KenLM-style quality filter
+    * (Wenzek et al. 2019, public): train an add-one-smoothed bigram
+    * language model on the 80% md5 split, then score every held-out
+    * document's per-token perplexity. Low-ppl docs read like the
+    * training distribution; high-ppl docs are noise/boilerplate — the
+    * standard "head/middle/tail" curation signal an LLM pipeline cuts
+    * on. Training IS aggregation (context and bigram count tables);
+    * there is no model object, just two count frames joined back at
+    * scoring time.
+    *
+    * Per bigram (p, c): lp = round(ln((c2(p,c)+1) / (c1(p)+V)), 6) with
+    * V = |train vocab| + 1 (the `<unk>` symbol OOV test tokens map to;
+    * `<s>` opens every document and is its own context). The doc score
+    * sums those 6dp-decimal lps EXACTLY (order-independent), divides by
+    * the bigram count as one IEEE division, and exponentiates — ln/exp
+    * 1-ulp engine skew is absorbed by the 6dp rounds on both ends.
+    *
+    * Shape at 100 TB: bigram expansion is a narrow flatMap; the count
+    * tables shuffle on (context, token) — vocabulary-sized, not
+    * corpus-sized; scoring is two equi-joins on those keys (broadcast
+    * when the model is small, shuffle joins when it is not) and one
+    * per-doc hash agg. */
+  def bigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hex60C(md5(col("doc_id").cast(StringType))), lit(100L))
+    val d = docs(s, dir).withColumn("is_train", bucket < 80)
+      .withColumn("tkns", tokensC(col("text")))
+    // bigram stream built ONCE: train counts, vocab, and test scoring
+    // all read it
+    val big0 = d.select(col("doc_id"), col("source"), col("is_train"),
+        col("tkns"), posexplode(col("tkns")))
+      .withColumnRenamed("col", "cur")
+      .withColumn("prev", when(col("pos") === 0, lit("<s>"))
+        .otherwise(element_at(col("tkns"), col("pos"))))
+      .drop("tkns", "pos")
+      .localCheckpoint()
+    val train = big0.filter(col("is_train"))
+    val vocab = train.select(col("cur").as("t")).distinct()
+      .withColumn("in_v", lit(1)).localCheckpoint()
+    val vS = vocab.agg((count(lit(1)) + 1).as("v")) // +1: <unk>
+    val c1 = train.groupBy("prev").agg(count(lit(1)).as("c1"))
+    val c2 = train.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val test = big0.filter(!col("is_train"))
+      .join(vocab.select(col("t").as("cur"), col("in_v").as("cur_in")),
+        Seq("cur"), "left")
+      .join(vocab.select(col("t").as("prev"), col("in_v").as("prev_in")),
+        Seq("prev"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("prev") === "<s>" || col("prev_in").isNotNull,
+          col("prev")).otherwise("<unk>").as("p"),
+        when(col("cur_in").isNotNull, col("cur"))
+          .otherwise("<unk>").as("c"))
+    test
+      .join(c2.select(col("prev").as("p"), col("cur").as("c"), col("c2")),
+        Seq("p", "c"), "left")
+      .join(c1.select(col("prev").as("p"), col("c1")), Seq("p"), "left")
+      .crossJoin(broadcast(vS))
+      .withColumn("lp", round(
+        log((coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType) /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast(DoubleType)), 6)
+        .cast(DecimalType(18, 6)))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        round(exp(-col("slp").cast(DoubleType) / col("n_bigrams")), 6)
+          .as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** q186: LENGTH-BUCKETED BATCH ASSEMBLY — the inference/serving
+    * complement of q145's training-time packing: group documents into
+    * fixed-size batches WITHIN power-of-two token-length buckets
+    * (16/32/64/128/256/512) so each batch pads only to its own max, and
+    * report each batch's realized fill ratio (sum of lengths ÷
+    * n·batch-max — the fraction of compute not wasted on padding).
+    * Length-similar batching is the standard dynamic-batching layout;
+    * the fill column is the measured evidence the bucketing works.
+    *
+    * Batch assignment is a pure function of the data: docs order by
+    * doc_id within their bucket, batch index = floor((rank−1)/B) — no
+    * arrival-order nondeterminism. The fill division is one IEEE op on
+    * exact integers, identical on both engines.
+    *
+    * Shape at 100 TB: one narrow map for lengths, one window per bucket
+    * key (bounded fan-in — 6 buckets × corpus, each a keyed sort the
+    * same shape as q16's top-k), one hash agg on (bucket, batch). */
+  def lengthBucketBatches(s: SparkSession, dir: String,
+                          batchSize: Int = 8): DataFrame = {
+    require(batchSize > 0, s"bad batch size $batchSize")
+    val nt = col("nt")
+    val cap = when(nt <= 16, 16).when(nt <= 32, 32).when(nt <= 64, 64)
+      .when(nt <= 128, 128).when(nt <= 256, 256).otherwise(512)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_cap").orderBy("doc_id")
+    docs(s, dir)
+      .select(col("doc_id"), size(tokensC(col("text"))).as("nt"))
+      .withColumn("bucket_cap", cap.cast(IntegerType))
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - 1) / lit(batchSize))
+          .cast(IntegerType))
+      .groupBy("bucket_cap", "batch_idx")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        max("nt").cast(IntegerType).as("batch_max"),
+        sum("nt").cast(LongType).as("sum_tokens"))
+      .withColumn("fill_pct", round(
+        col("sum_tokens").cast(DoubleType) /
+          (col("n_docs") * col("batch_max")).cast(DoubleType), 6))
+      .orderBy("bucket_cap", "batch_idx")
+  }
+
   /** Vocabulary head: global token frequencies, top 20 with deterministic
     * tie-break. Two-phase hash agg on the token, then a tiny top-k. */
   def topTokens(s: SparkSession, dir: String): DataFrame =
@@ -973,6 +1082,59 @@ object TextOps {
          |SELECT true_lang, cls AS pred_lang, COUNT(*) AS n
          |FROM pr WHERE rn = 1 GROUP BY 1, 2
          |ORDER BY true_lang, pred_lang""".stripMargin,
+    "q185_bigram_ppl" ->
+      s"""WITH d AS (SELECT doc_id, source, $T AS t,
+         |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 < 80
+         |      AS is_train
+         |  FROM documents),
+         |b0 AS (SELECT doc_id, source, is_train,
+         |    CASE WHEN i = 1 THEN '<s>' ELSE t[CAST(i - 1 AS INTEGER)] END
+         |      AS prev,
+         |    t[CAST(i AS INTEGER)] AS cur
+         |  FROM (SELECT doc_id, source, is_train, t,
+         |      unnest(range(1, len(t) + 1)) AS i FROM d)),
+         |tr AS (SELECT * FROM b0 WHERE is_train),
+         |vocab AS (SELECT DISTINCT cur AS w FROM tr),
+         |vs AS (SELECT COUNT(*) + 1 AS v FROM vocab),
+         |c1 AS (SELECT prev, COUNT(*) AS c1 FROM tr GROUP BY prev),
+         |c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM tr
+         |  GROUP BY prev, cur),
+         |te AS (SELECT doc_id, source,
+         |    CASE WHEN prev = '<s>' OR prev IN (SELECT w FROM vocab)
+         |      THEN prev ELSE '<unk>' END AS p,
+         |    CASE WHEN cur IN (SELECT w FROM vocab)
+         |      THEN cur ELSE '<unk>' END AS c
+         |  FROM b0 WHERE NOT is_train),
+         |lp AS (SELECT doc_id, source,
+         |    CAST(round(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+         |      CAST(COALESCE(c1.c1, 0) + vs.v AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS lp
+         |  FROM te CROSS JOIN vs
+         |  LEFT JOIN c2 ON te.p = c2.prev AND te.c = c2.cur
+         |  LEFT JOIN c1 ON te.p = c1.prev)
+         |SELECT doc_id, source, COUNT(*) AS n_bigrams,
+         |  round(exp(-CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 6) AS ppl
+         |FROM lp GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    "q186_length_batches" ->
+      s"""WITH d AS (SELECT doc_id, len($T) AS nt FROM documents),
+         |b AS (SELECT doc_id, nt,
+         |    CAST(CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+         |      WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+         |      WHEN nt <= 256 THEN 256 ELSE 512 END AS INTEGER)
+         |      AS bucket_cap
+         |  FROM d),
+         |r AS (SELECT bucket_cap, nt,
+         |    CAST((ROW_NUMBER() OVER (PARTITION BY bucket_cap
+         |      ORDER BY doc_id) - 1) // 8 AS INTEGER) AS batch_idx
+         |  FROM b)
+         |SELECT bucket_cap, batch_idx,
+         |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(MAX(nt) AS INTEGER) AS batch_max,
+         |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+         |  round(CAST(SUM(nt) AS DOUBLE) /
+         |    CAST(COUNT(*) * MAX(nt) AS DOUBLE), 6) AS fill_pct
+         |FROM r GROUP BY bucket_cap, batch_idx
+         |ORDER BY bucket_cap, batch_idx""".stripMargin,
     "q160_split_manifest" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t,
          |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket

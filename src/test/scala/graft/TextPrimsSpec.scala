@@ -199,6 +199,50 @@ class TextPrimsSpec extends SparkSpec {
     assert(cells.distinct.length === cells.length)
   }
 
+  test("q185 bigram ppl: every held-out doc scored once, geometry sane") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextOps.bigramPerplexity(spark, sfDir).collect()
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val test = d.filter(pmod(graft.functions.TextPrims.hex60C(
+        md5(col("doc_id").cast("string"))), lit(100L)) >= 80)
+      .select(col("doc_id"),
+        size(graft.functions.TextPrims.tokensC(col("text"))).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(_.getLong(0)).toSet === test.keySet)
+    rows.foreach { r =>
+      // one bigram per token (<s> prefix), ppl = exp(mean surprisal) > 1
+      assert(r.getAs[Long]("n_bigrams") === test(r.getLong(0)).toLong)
+      val ppl = r.getAs[Double]("ppl")
+      assert(ppl > 1.0 && ppl.isFinite, s"bad ppl: $r")
+    }
+  }
+
+  test("q186 length batching: batches full except tails, caps honored, fill exact") {
+    import org.apache.spark.sql.functions._
+    val B = 8
+    val rows = graft.text.TextOps.lengthBucketBatches(spark, sfDir, B).collect()
+    val caps = Set(16, 32, 64, 128, 256, 512)
+    val total = rows.map(_.getAs[Int]("n_docs")).sum
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    assert(total.toLong === nDocs) // every doc lands in exactly one batch
+    rows.groupBy(_.getAs[Int]("bucket_cap")).foreach { case (cap, bs) =>
+      assert(caps.contains(cap))
+      val sorted = bs.sortBy(_.getAs[Int]("batch_idx"))
+      // indices dense from 0; only the LAST batch of a bucket may be short
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("batch_idx") === i)
+        if (i < sorted.length - 1) assert(r.getAs[Int]("n_docs") === B)
+      }
+      bs.foreach { r =>
+        assert(r.getAs[Int]("batch_max") <= cap) // bucket cap is honored
+        val fill = r.getAs[Double]("fill_pct")
+        assert(fill > 0.0 && fill <= 1.0)
+        assert(math.abs(fill - r.getAs[Long]("sum_tokens").toDouble /
+          (r.getAs[Int]("n_docs").toLong * r.getAs[Int]("batch_max"))) < 1e-6)
+      }
+    }
+  }
+
   test("q182 chunking: full coverage, overlap geometry, digests match content") {
     import org.apache.spark.sql.functions._
     val (size, stride) = (200, 150)
