@@ -415,6 +415,9 @@ object SparkEntry {
     // serving-side dynamic batching: length buckets + per-batch fill
     "q186_length_batches"     -> ((s, d) =>
       graft.text.TextOps.lengthBucketBatches(s, d)),
+    // paragraph-granularity dedup gate: cross-doc duplicated-chunk ratio
+    "q187_chunk_dup_ratio"    -> ((s, d) =>
+      graft.dedup.Dedup.chunkDupRatio(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

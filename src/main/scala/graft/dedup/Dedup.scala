@@ -127,6 +127,44 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("canonical_id", "n_copies")
       .orderBy("canonical_id")
 
+  /** q187: CHUNK-LEVEL DUP RATIO — paragraph-granularity deduplication
+    * (the Dolma/CCNet "duplicate paragraph fraction" gate): documents are
+    * split into the q182 context windows, a chunk digest is flagged when
+    * it occurs in ≥ 2 DISTINCT documents, and each document reports what
+    * fraction of its chunks are cross-doc duplicated plus the keep
+    * verdict (ratio < `threshold`). Catches templated/boilerplate-heavy
+    * docs whose FULL text is unique (so q26 passes them) but whose
+    * paragraphs are copied around the corpus.
+    *
+    * Shape at 100 TB: the chunk stream is a narrow flatMap (q182); the
+    * dup set is one hash-agg on the digest — 128-bit keys, map-side
+    * partial, never text bytes; membership is a semi join on the digest;
+    * the per-doc rollup is one more hash agg. The keep comparison runs
+    * on the raw IEEE division (identical on both engines) — the 6dp
+    * round is presentation only. */
+  def chunkDupRatio(s: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    // chunk frame read twice (dup-set build + per-doc rollup) —
+    // materialize so the explode + md5 pass runs once
+    val chunks = graft.text.TextOps.chunkDocs(s, dir)
+      .select("doc_id", "chunk_md5").localCheckpoint()
+    val dup = chunks.groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("chunk_md5")
+    val flagged = chunks.join(dup, Seq("chunk_md5"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("nd", coalesce(col("n_dup"), lit(0L)))
+      .select(col("doc_id"), col("n_chunks").cast(IntegerType).as("n_chunks"),
+        col("nd").cast(IntegerType).as("n_dup"),
+        round(col("nd").cast(DoubleType) /
+          col("n_chunks").cast(DoubleType), 6).as("dup_ratio"),
+        (col("nd").cast(DoubleType) / col("n_chunks").cast(DoubleType) <
+          threshold).cast(IntegerType).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q153: INCREMENTAL exact dedup — the production daily-increment shape
     * none of the full-corpus passes (q26/q63/q72) cover: an incoming
     * batch is deduplicated AGAINST the existing corpus and within
@@ -929,6 +967,25 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q187_chunk_dup_ratio" ->
+      """WITH c AS (SELECT doc_id,
+        |    md5(substr(text, CAST(s AS INTEGER), 200)) AS h
+        |  FROM (SELECT doc_id, text,
+        |      unnest(range(1, greatest(length(text), 1) + 1, 150)) AS s
+        |    FROM documents)),
+        |dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+        |    FROM c GROUP BY h) WHERE nd >= 2),
+        |f AS (SELECT doc_id, COUNT(*) AS n_dup FROM c
+        |  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+        |t AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_chunks AS INTEGER) AS n_chunks,
+        |  CAST(COALESCE(f.n_dup, 0) AS INTEGER) AS n_dup,
+        |  round(CAST(COALESCE(f.n_dup, 0) AS DOUBLE) /
+        |    CAST(t.n_chunks AS DOUBLE), 6) AS dup_ratio,
+        |  CAST(CAST(COALESCE(f.n_dup, 0) AS DOUBLE) /
+        |    CAST(t.n_chunks AS DOUBLE) < 0.5 AS INTEGER) AS keep
+        |FROM t LEFT JOIN f ON t.doc_id = f.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q153_incremental_dedup" ->
       s"""WITH inc AS (
          |  SELECT doc_id + $VariantIdOffset AS doc_id, text FROM documents

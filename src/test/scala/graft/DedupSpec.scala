@@ -221,4 +221,27 @@ class DedupSpec extends SparkSpec {
       assert(tot(c) > 0, s"cohort $c is empty")
     }
   }
+
+  test("q187 chunk dup ratio: agrees with a driver-side recount of shared digests") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.chunkDupRatio(spark, sfDir).collect()
+    // independent recount from the chunk stream itself
+    val chunks = graft.text.TextOps.chunkDocs(spark, sfDir)
+      .select("doc_id", "chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docsPerHash = chunks.groupBy(_._2).map { case (h, cs) =>
+      h -> cs.map(_._1).distinct.length }
+    val expDup = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.count(c => docsPerHash(c._2) >= 2) }
+    val expTot = chunks.groupBy(_._1).map { case (id, cs) => id -> cs.length }
+    assert(rows.map(_.getLong(0)).toSet === expTot.keySet)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Int]("n_chunks") === expTot(id))
+      assert(r.getAs[Int]("n_dup") === expDup(id), s"doc $id")
+      val ratio = expDup(id).toDouble / expTot(id)
+      assert(math.abs(r.getAs[Double]("dup_ratio") - ratio) < 1e-6)
+      assert(r.getAs[Int]("keep") === (if (ratio < 0.5) 1 else 0))
+    }
+  }
 }
