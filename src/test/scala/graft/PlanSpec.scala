@@ -341,6 +341,49 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("q181 semDedup: pair pass is an equi-join on the cell key, never all-pairs") {
+    val plan = planOf(graft.similarity.Similarity.semDedup(spark, sfDir))
+    // the in-cell self-join must hash/sort-join on cluster — a cartesian
+    // (or nested-loop fed by the id inequality alone) is the all-pairs
+    // plan SemDeDup exists to avoid
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("cluster"), plan)
+  }
+
+  test("q184/q185: model scoring joins stay equi-joins on token keys") {
+    for (df <- Seq(graft.text.TextOps.naiveBayesLang(spark, sfDir),
+      graft.text.TextOps.bigramPerplexity(spark, sfDir))) {
+      val plan = planOf(df)
+      // nested loops are allowed ONLY as broadcasts of the tiny model
+      // frames (1-row totals, |langs|-row priors, the doc x class
+      // expansion); the token-keyed scoring joins must never degenerate
+      // into a cartesian, and at least one must plan as a real equi-join
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 4, plan)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("BroadcastHashJoin"), plan)
+    }
+  }
+
+  test("q186 batching: one bucket exchange, scan pruned to id+text") {
+    val plan = planOf(graft.text.TextOps.lengthBucketBatches(spark, sfDir))
+    // window + agg share the bucket_cap partitioning; presentation sort
+    // is a range exchange, not another hash
+    assert("Exchange hashpartitioning\\(bucket_cap".r.findAllIn(plan)
+      .length === 1, plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema)
+  }
+
+  test("q187 chunk dup: digest membership is a semi join, no text on the probe") {
+    val plan = planOf(graft.dedup.Dedup.chunkDupRatio(spark, sfDir))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("RewriteWindowTopK: fires on filter-only row_number, skips others") {
     // q33's neighbor top-k and its =1 vote pick both drop the rank —
     // the rule must replace their Windows with bounded-heap TopKPerKey
