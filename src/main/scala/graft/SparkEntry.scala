@@ -418,6 +418,12 @@ object SparkEntry {
     // paragraph-granularity dedup gate: cross-doc duplicated-chunk ratio
     "q187_chunk_dup_ratio"    -> ((s, d) =>
       graft.dedup.Dedup.chunkDupRatio(s, d)),
+    // per-doc first-occurrence shingle novelty — cross-corpus repetition
+    "q188_gram_novelty"       -> ((s, d) =>
+      graft.dedup.Dedup.gramNovelty(s, d)),
+    // source x source token-frequency cosine — mix-redundancy diagnostic
+    "q189_source_vocab_cosine" -> ((s, d) =>
+      graft.text.TextOps.sourceVocabCosine(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

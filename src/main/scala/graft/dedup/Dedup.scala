@@ -127,6 +127,43 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("canonical_id", "n_copies")
       .orderBy("canonical_id")
 
+  /** q188: N-GRAM NOVELTY PROFILE — per-document fraction of its distinct
+    * shingles whose FIRST corpus occurrence (min doc_id) is this document.
+    * The streaming-order novelty curve corpus builders use to spot
+    * template-generated tails (novelty → 0 as a feed starts repeating
+    * itself) and to rank sources by marginal information added; the exact
+    * complement of q133's WITHIN-doc repetition: this one measures
+    * repetition ACROSS the corpus seen so far.
+    *
+    * Shape at 100 TB: the shingle stream shuffles twice — a hash-agg on
+    * the shingle (min doc_id; map-side partial, 8-byte values) and a
+    * hash-agg on doc_id for the per-doc sizes. The novel counts come from
+    * the ALREADY-AGGREGATED first-occurrence frame (one row per distinct
+    * shingle), so the fact-scale stream is never joined back to itself —
+    * the final assembly is a doc-level join AQE broadcasts. */
+  def gramNovelty(s: SparkSession, dir: String,
+                  cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    // one explode + md5-free shingle pass feeds both aggregations
+    val shs = shingleRows(docs(s, dir), cfg).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shs.count() // eager fill: two downstream branches (PERF.md item 8)
+    try {
+      val novel = shs.groupBy("shingle").agg(min(col("doc_id")).as("fd"))
+        .groupBy("fd").agg(count(lit(1)).as("n_novel"))
+      val out = shs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(novel, col("doc_id") === col("fd"), "left")
+        .withColumn("nn", coalesce(col("n_novel"), lit(0L)))
+        .select(col("doc_id"),
+          col("n_shingles").cast(IntegerType).as("n_shingles"),
+          col("nn").cast(IntegerType).as("n_novel"),
+          round(col("nn").cast(DoubleType) /
+            col("n_shingles").cast(DoubleType), 6).as("novelty"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      out
+    } finally { shs.unpersist(); () }
+  }
+
   /** q187: CHUNK-LEVEL DUP RATIO — paragraph-granularity deduplication
     * (the Dolma/CCNet "duplicate paragraph fraction" gate): documents are
     * split into the q182 context windows, a chunk digest is flagged when
@@ -967,6 +1004,22 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q188_gram_novelty" -> {
+      val t = tokensS("text")
+      s"""WITH shs AS (SELECT doc_id,
+         |    unnest(list_distinct(${shinglesS(t, ShingleN)})) AS sh
+         |  FROM documents),
+         |fo AS (SELECT sh, min(doc_id) AS fd FROM shs GROUP BY sh),
+         |nv AS (SELECT fd, COUNT(*) AS n_novel FROM fo GROUP BY fd),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shs
+         |  GROUP BY doc_id)
+         |SELECT sz.doc_id, CAST(sz.n_shingles AS INTEGER) AS n_shingles,
+         |  CAST(COALESCE(nv.n_novel, 0) AS INTEGER) AS n_novel,
+         |  round(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) /
+         |    CAST(sz.n_shingles AS DOUBLE), 6) AS novelty
+         |FROM sz LEFT JOIN nv ON sz.doc_id = nv.fd
+         |ORDER BY sz.doc_id""".stripMargin
+    },
     "q187_chunk_dup_ratio" ->
       """WITH c AS (SELECT doc_id,
         |    md5(substr(text, CAST(s AS INTEGER), 200)) AS h

@@ -589,6 +589,52 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q189: SOURCE VOCABULARY COSINE — pairwise cosine similarity between
+    * sources over their token-frequency vectors. The corpus-mixing
+    * diagnostic behind q77/q140's weights: two feeds with cosine ≈ 1 are
+    * redundant (mixing both buys no diversity), a near-0 pair is
+    * genuinely complementary. Runs entirely on exact integer counts —
+    * Σcᵃcᵇ and Σc² accumulate in DECIMAL(38,0) (exact at any corpus
+    * size; a BIGINT sum of count products wraps silently at crawl
+    * scale, and DuckDB's HUGEINT sum would then diverge) — so the one
+    * closing double expression (dot/√·√, IEEE-exact ops) is
+    * bit-identical across engines.
+    *
+    * Shape at 100 TB: the fact-scale work is ONE hash-agg to the
+    * (source, token) frequency frame (≤ |sources|·|vocab| rows). The
+    * self-join runs on that aggregated frame keyed by token — never on
+    * the token stream — and the norms/cosine assembly is |sources|²
+    * rows. */
+  def sourceVocabCosine(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("source"), explode(tokensC(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // eager fill: norms + both join sides read this
+    try {
+      val d38 = (c: org.apache.spark.sql.Column) =>
+        sum(c.cast(DecimalType(38, 0)))
+      val norms = tf.groupBy("source")
+        .agg(d38(col("c") * col("c")).as("n2"))
+      val dots = tf.as("a").join(tf.as("b"),
+          col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(d38(col("a.c") * col("b.c")).as("dot"))
+      val out = dots
+        .join(norms.withColumnsRenamed(
+          Map("source" -> "src_a", "n2" -> "na2")), Seq("src_a"))
+        .join(norms.withColumnsRenamed(
+          Map("source" -> "src_b", "n2" -> "nb2")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(col("dot").cast(DoubleType) /
+            (sqrt(col("na2").cast(DoubleType)) *
+              sqrt(col("nb2").cast(DoubleType))), 6).as("cosine"))
+        .orderBy("src_a", "src_b")
+        .localCheckpoint()
+      out
+    } finally { tf.unpersist(); () }
+  }
+
   /** q183: ZIPF-LAW FIT — ordinary-least-squares fit of
     * ln(freq) = intercept + slope·ln(rank) over the top-`topN` token
     * frequencies, plus r². The slope (≈ −1 for natural language) is a
@@ -1022,6 +1068,23 @@ object TextOps {
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
+    "q189_source_vocab_cosine" ->
+      s"""WITH tok AS (SELECT source, unnest($T) AS t FROM documents),
+         |tf AS (SELECT source, t, COUNT(*) AS c FROM tok
+         |  GROUP BY source, t),
+         |norms AS (SELECT source, SUM(c * c) AS n2 FROM tf GROUP BY source),
+         |dots AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    SUM(a.c * b.c) AS dot
+         |  FROM tf a JOIN tf b ON a.t = b.t AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b,
+         |  round(CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+         |    6) AS cosine
+         |FROM dots
+         |JOIN norms na ON dots.src_a = na.source
+         |JOIN norms nb ON dots.src_b = nb.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "q182_chunk_docs" ->
       """WITH c AS (SELECT doc_id, text,
         |    unnest(range(1, greatest(length(text), 1) + 1, 150)) AS s

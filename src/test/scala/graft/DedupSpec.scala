@@ -244,4 +244,33 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Int]("keep") === (if (ratio < 0.5) 1 else 0))
     }
   }
+
+  test("q188 gram novelty: counts partition the shingle stream; doc order attributes firsts") {
+    val rows = Dedup.gramNovelty(spark, sfDir).collect()
+    // every distinct shingle is novel for exactly ONE doc: the novel
+    // counts must sum to the corpus-wide distinct-shingle count, and the
+    // per-doc sizes to the (doc, shingle) row count
+    val shingles = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextPrims.shinglesC(
+          graft.functions.TextPrims.tokensC(col("text")), 3))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstDoc = shingles.groupBy(_._2).map { case (sh, rs) =>
+      sh -> rs.map(_._1).min }
+    val expNovel = shingles.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.count(r => firstDoc(r._2) == id) }
+    val expSize = shingles.groupBy(_._1).map { case (id, rs) => id -> rs.length }
+    assert(rows.map(_.getLong(0)).toSet === expSize.keySet)
+    assert(rows.map(_.getAs[Int]("n_novel").toLong).sum === firstDoc.size.toLong)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Int]("n_shingles") === expSize(id), s"doc $id")
+      assert(r.getAs[Int]("n_novel") === expNovel(id), s"doc $id")
+      assert(math.abs(r.getAs[Double]("novelty") -
+        expNovel(id).toDouble / expSize(id)) < 1e-6)
+    }
+    // the earliest doc introduces everything it contains
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getAs[Int]("n_novel") === first.getAs[Int]("n_shingles"))
+  }
 }

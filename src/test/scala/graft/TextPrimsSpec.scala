@@ -271,4 +271,31 @@ class TextPrimsSpec extends SparkSpec {
       assert(sorted.length === ((len - 1).max(0) / stride) + 1)
     }
   }
+
+  test("q189 source vocab cosine: bounds, symmetry coverage, matches driver recount") {
+    val rows = graft.text.TextOps.sourceVocabCosine(spark, sfDir).collect()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tf: Map[String, Map[String, Long]] = docs.groupBy(_._1).map {
+      case (src, ds) =>
+        src -> ds.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+          .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    }
+    val sources = tf.keySet.toSeq.sorted
+    // exactly one row per unordered source pair, ordered lexicographically
+    assert(rows.length === sources.size * (sources.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val (va, vb) = (tf(a), tf(b))
+      val dot = va.keysIterator.filter(vb.contains)
+        .map(t => va(t) * vb(t)).sum.toDouble
+      val na = math.sqrt(va.values.map(c => (c * c).toDouble).sum)
+      val nb = math.sqrt(vb.values.map(c => (c * c).toDouble).sum)
+      val cos = r.getAs[Double]("cosine")
+      assert(cos >= 0.0 && cos <= 1.0)
+      assert(math.abs(cos - dot / (na * nb)) < 1e-5, s"$a x $b")
+    }
+  }
 }
