@@ -424,6 +424,12 @@ object SparkEntry {
     // source x source token-frequency cosine — mix-redundancy diagnostic
     "q189_source_vocab_cosine" -> ((s, d) =>
       graft.text.TextOps.sourceVocabCosine(s, d)),
+    // asymmetric containment dedup: quote/excerpt pairs Jaccard misses
+    "q190_containment_pairs"  -> ((s, d) =>
+      graft.dedup.Dedup.containmentPairs(s, d)),
+    // robust (median/MAD) outlier census — q93's masking-proof twin
+    "q191_mad_outliers"       -> ((s, d) =>
+      graft.analytics.Advanced.madOutliers(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

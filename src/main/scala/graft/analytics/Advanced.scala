@@ -659,6 +659,50 @@ object Advanced {
     zscoreOutliersOf(
       t(s, dir, "events").select(col("event_type"), col("value")))
 
+  /** q191: MAD OUTLIERS — the robust twin of q93: median / median-
+    * absolute-deviation replace mean / std, so a handful of extreme
+    * values cannot drag the very thresholds meant to catch them (the
+    * z-score masking effect). Flags |v − median| > k·MAD per group.
+    *
+    * Determinism: values quantize to integer MICRO-units through
+    * DECIMAL(18,6) (the q140 rulebook), so every percentile
+    * interpolation midpoint (k or k.5 or k.25 micro-units) is exactly
+    * representable and Spark `percentile` ≡ DuckDB `quantile_cont`
+    * bit-for-bit (the q121 precedent); the k·MAD boundary compares
+    * identical doubles, and the reported median/MAD are the raw
+    * divisions — never re-rounded (HALF_UP vs HALF_EVEN, the q55
+    * precedent).
+    *
+    * Shape at 100 TB: exact rank statistics cost two passes by
+    * construction (median, then deviation median) plus the flag pass —
+    * each a hash-agg/broadcast-join chain, nothing quadratic; the
+    * at-scale monitoring default swaps `approx_percentile` into the
+    * same frame (the q81/q152 approximate-twin pattern). */
+  def madOutliers(s: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val vq = (col("value").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val e = t(s, dir, "events").select(col("event_type"), vq.as("vq"))
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(vq, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("vq").cast(DoubleType) - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), expr("percentile(ad, 0.5)").as("madv"))
+    val out = dev
+      .join(broadcast(mad.select("event_type", "madv")), Seq("event_type"))
+      .filter(col("ad") > lit(k) * col("madv"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+    med.join(mad, Seq("event_type"))
+      .join(out, Seq("event_type"), "left")
+      .withColumn("no", coalesce(col("n_outliers"), lit(0L)))
+      .select(col("event_type"), col("n").cast(IntegerType).as("n"),
+        (col("med") / 1000000.0).as("median"),
+        (col("madv") / 1000000.0).as("mad"),
+        col("no").cast(IntegerType).as("n_outliers"),
+        (col("no").cast(DoubleType) / col("n")).as("outlier_ratio"))
+      .orderBy("event_type")
+  }
+
   /** Core of [[zscoreOutliers]] over any (event_type, value) frame —
     * separated so the singleton/constant-group guards are unit-testable
     * (the fixtures have no such groups). */
@@ -2342,6 +2386,30 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q191_mad_outliers" ->
+      // integer micro-units make every quantile_cont midpoint exactly
+      // representable == Spark percentile; outputs never re-rounded
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(vq, 0.5) AS med
+        |  FROM e GROUP BY event_type),
+        |dev AS (SELECT e.event_type, ABS(CAST(vq AS DOUBLE) - med.med) AS ad
+        |  FROM e JOIN med ON e.event_type = med.event_type),
+        |mad AS (SELECT event_type, COUNT(*) AS n,
+        |    quantile_cont(ad, 0.5) AS madv
+        |  FROM dev GROUP BY event_type),
+        |o AS (SELECT dev.event_type, COUNT(*) AS n_outliers
+        |  FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |  WHERE ad > 3.0 * mad.madv GROUP BY dev.event_type)
+        |SELECT med.event_type, CAST(mad.n AS INTEGER) AS n,
+        |  med.med / 1000000.0 AS median,
+        |  mad.madv / 1000000.0 AS mad,
+        |  CAST(COALESCE(o.n_outliers, 0) AS INTEGER) AS n_outliers,
+        |  CAST(COALESCE(o.n_outliers, 0) AS DOUBLE) / mad.n AS outlier_ratio
+        |FROM med JOIN mad ON med.event_type = mad.event_type
+        |LEFT JOIN o ON med.event_type = o.event_type
+        |ORDER BY med.event_type""".stripMargin,
     "q93_zscore_outliers" ->
       // moments from exact decimal sums, float math in the SAME expression
       // tree as the Spark side — the 3-sigma boundary agrees exactly

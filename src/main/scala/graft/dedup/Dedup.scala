@@ -127,6 +127,80 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("canonical_id", "n_copies")
       .orderBy("canonical_id")
 
+  /** documents ∪ "quote" variants: every 15th doc contributes its
+    * first-half token prefix as a new doc — a contained subset whose
+    * Jaccard (≈ 0.5) sits below the q29 near-dup threshold while its
+    * containment is exactly 1.0. */
+  def containedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val t = tokensC(col("text"))
+    val half = greatest((size(t).cast(DoubleType) / lit(2))
+      .cast(IntegerType), lit(4))
+    d.unionByName(d.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + VariantIdOffset).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), half)).as("text")))
+  }
+  private val containedCorpusS =
+    s"""SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $VariantIdOffset,
+       |   array_to_string(list_slice(t, 1, greatest(len(t) // 2, 4)), ' ')
+       | FROM (SELECT doc_id, text, ${tokensS("text")} AS t FROM documents)
+       | WHERE doc_id % 15 = 0""".stripMargin.replace("\n", " ")
+
+  /** q190: CONTAINMENT PAIRS — ASYMMETRIC near-duplicate detection:
+    * containment |A∩B| / min(|A|,|B|) flags a document whose shingle set
+    * is (nearly) a subset of another's — quotes, excerpts, truncated
+    * mirrors — which symmetric Jaccard structurally misses (a half-length
+    * excerpt has Jaccard ≈ 0.5, far under any dedup threshold, while its
+    * containment is 1.0). The standard asymmetric complement every
+    * crawl-dedup pipeline runs next to MinHash/Jaccard.
+    *
+    * Candidates come from SINGLE-SIGNATURE bands (bandSize = 1): a pair
+    * with Jaccard j collides on one of the 8 MinHash signatures with
+    * probability 1−(1−j)⁸ ≈ 0.996 at j = 0.5 — the high-recall banding
+    * containment needs, where the default 2-wide bands (tuned for j ≥
+    * 0.8) would miss most subset pairs. Verification is the exact
+    * relational intersection of q29 (equi-join on (doc, shingle) rows —
+    * no per-doc set arrays). At crawl scale the wide banding is paired
+    * with a bucket-size cap (drop or split pathological buckets formed
+    * by corpus-frequent min-shingles); at fixture scale buckets stay
+    * small by construction. */
+  def containmentPairs(s: SparkSession, dir: String,
+                       threshold: Double = 0.9): DataFrame = {
+    val cfg = DedupConfig(bandSize = 1)
+    val shs = shingleRows(containedCorpus(s, dir), cfg).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shs.count() // eager fill: sizes, signatures and both verify sides
+    try {
+      val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = bandPairsFrom(signaturesFrom(shs, cfg), cfg)
+      val inter = pairs
+        .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(shs.as("sb"), col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      val out = inter
+        .join(sizes.withColumnsRenamed(
+          Map("doc_id" -> "doc_a", "sz" -> "sza")), Seq("doc_a"))
+        .join(sizes.withColumnsRenamed(
+          Map("doc_id" -> "doc_b", "sz" -> "szb")), Seq("doc_b"))
+        .withColumn("cont", col("ni").cast(DoubleType) /
+          least(col("sza"), col("szb")).cast(DoubleType))
+        .filter(col("cont") >= threshold)
+        .select(col("doc_a"), col("doc_b"),
+          col("sza").cast(IntegerType).as("sz_a"),
+          col("szb").cast(IntegerType).as("sz_b"),
+          round(col("cont"), 6).as("containment"),
+          round(col("ni").cast(DoubleType) /
+            (col("sza") + col("szb") - col("ni")).cast(DoubleType), 6)
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+        .localCheckpoint()
+      out
+    } finally { shs.unpersist(); () }
+  }
+
   /** q188: N-GRAM NOVELTY PROFILE — per-document fraction of its distinct
     * shingles whose FIRST corpus occurrence (min doc_id) is this document.
     * The streaming-order novelty curve corpus builders use to spot
@@ -1004,6 +1078,28 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q190_containment_pairs" -> {
+      // single-signature banding: band b's key is md5('b|sig_b')
+      val bands = (0 until NumHashes)
+        .map(b => s"md5('$b' || '|' || CAST(sig$b AS VARCHAR))")
+        .mkString(", ")
+      s"""${sigSelectS(containedCorpusS)},
+         |bk AS (SELECT doc_id, unnest([$bands]) AS bk FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |i AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.sh, sb.sh)) AS ni,
+         |    len(sa.sh) AS sza, len(sb.sh) AS szb
+         |  FROM pairs
+         |  JOIN shs sa ON pairs.doc_a = sa.doc_id
+         |  JOIN shs sb ON pairs.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(sza AS INTEGER) AS sz_a, CAST(szb AS INTEGER) AS sz_b,
+         |  round(CAST(ni AS DOUBLE) / least(sza, szb), 6) AS containment,
+         |  round(CAST(ni AS DOUBLE) / (sza + szb - ni), 6) AS jaccard
+         |FROM i WHERE CAST(ni AS DOUBLE) / least(sza, szb) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q188_gram_novelty" -> {
       val t = tokensS("text")
       s"""WITH shs AS (SELECT doc_id,

@@ -515,4 +515,35 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getAs[Double]("rank"))).toSeq ===
       again.map(r => (r.getString(0), r.getAs[Double]("rank"))).toSeq)
   }
+
+  test("q191 mad outliers: matches a driver-side exact median/MAD recount") {
+    val rows = Advanced.madOutliers(spark, sfDir).collect()
+    val vals = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val byType = vals.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      // same micro-unit quantization as the operator
+      val q = byType(et).map { case (_, v) =>
+        (BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          * 1000000).toLong.toDouble
+      }.toSeq
+      val m = med(q)
+      val ads = q.map(v => math.abs(v - m))
+      val madv = med(ads)
+      assert(r.getAs[Int]("n") === q.length)
+      assert(math.abs(r.getAs[Double]("median") - m / 1e6) < 1e-9, et)
+      assert(math.abs(r.getAs[Double]("mad") - madv / 1e6) < 1e-9, et)
+      val exp = ads.count(_ > 3.0 * madv)
+      assert(r.getAs[Int]("n_outliers") === exp, et)
+      // robustness: the MAD threshold still flags a sane, small fraction
+      assert(r.getAs[Double]("outlier_ratio") < 0.25, et)
+    }
+  }
 }

@@ -273,4 +273,29 @@ class DedupSpec extends SparkSpec {
     val first = rows.minBy(_.getLong(0))
     assert(first.getAs[Int]("n_novel") === first.getAs[Int]("n_shingles"))
   }
+
+  test("q190 containment: planted prefix excerpts surface at 1.0 where Jaccard fails") {
+    val rows = Dedup.containmentPairs(spark, sfDir).collect()
+    val byPair = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    // every planted (base, prefix-variant) pair with enough tokens must be
+    // recovered with containment exactly 1.0 (variant shingles ⊆ base's)
+    val planted = (0L until nDocs by 15L)
+      .map(id => (id, id + Dedup.VariantIdOffset))
+    val found = planted.filter(byPair.contains)
+    assert(found.size >= planted.size - 2, s"${found.size}/${planted.size}")
+    found.foreach { p =>
+      val r = byPair(p)
+      assert(r.getAs[Double]("containment") === 1.0, s"$p")
+      // the excerpt is ~half the doc: symmetric Jaccard sits far below
+      // any dedup threshold — the asymmetry this operator exists for
+      assert(r.getAs[Double]("jaccard") < 0.7, s"$p")
+    }
+    rows.foreach { r =>
+      val (c, j) = (r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))
+      assert(c >= 0.9 && c <= 1.0 && j <= c + 1e-9)
+      assert(r.getAs[Int]("sz_a") > 0 && r.getAs[Int]("sz_b") > 0)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
 }
