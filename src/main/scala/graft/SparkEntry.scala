@@ -430,6 +430,12 @@ object SparkEntry {
     // robust (median/MAD) outlier census — q93's masking-proof twin
     "q191_mad_outliers"       -> ((s, d) =>
       graft.analytics.Advanced.madOutliers(s, d)),
+    // per-lang JS divergence train vs heldout — split exchangeability
+    "q192_split_token_drift"  -> ((s, d) =>
+      graft.text.TextOps.splitTokenDrift(s, d)),
+    // DSIR: hashed-bigram importance weights vs the quality-target tier
+    "q193_dsir_weights"       -> ((s, d) =>
+      graft.text.TextOps.dsirWeights(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -589,6 +589,114 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q193: DSIR IMPORTANCE WEIGHTS — data selection by importance
+    * resampling (Xie et al. 2023): score every document by how much its
+    * hashed-bigram distribution looks like a TARGET distribution (here
+    * the q23 quality-score ≥ 0.5 tier) relative to the raw corpus, then
+    * keep the top-k. The per-doc weight is the mean log-ratio
+    * ln(p_target(b)/p_raw(b)) over the doc's bigram feature buckets —
+    * mean, not sum, so long documents are not favored per se.
+    *
+    * Determinism: the two bucket models are exact integer counts; each
+    * bucket's log-ratio rounds to 6dp once (model-side, 4096 rows —
+    * NOT per occurrence), per-doc sums run in DECIMAL(18,6), and the
+    * ranking key is the resulting identical double.
+    *
+    * Shape at 100 TB: bigram stream → pmod bucket (narrow codegen);
+    * model = ONE hash-agg to `nBuckets` rows with conditional target
+    * sums; scoring joins the gram stream to the broadcast 4096-row
+    * log-ratio table and hash-aggs per doc. The stream is computed
+    * once (persisted id→bucket pairs; text never re-shingled). */
+  def dsirWeights(s: SparkSession, dir: String,
+                  nBuckets: Int = 4096, topK: Int = 50): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      (qualityScoreC >= 0.5).cast(IntegerType).as("tgt"))
+    val grams = Tables.fanOut(d, "doc_id")
+      .select(col("doc_id"), col("tgt"),
+        explode(shinglesC(tokensC(col("text")), 2)).as("g"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(hex60C(md5(col("g"))), lit(nBuckets.toLong)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager fill: model build + scoring read this
+    try {
+      val model = grams.groupBy("b").agg(
+        sum(col("tgt").cast(LongType)).as("cbt"),
+        count(lit(1)).as("cbr"))
+      val tot = model.agg(sum("cbt").as("tt"), sum("cbr").as("tr"))
+      val lr = model.crossJoin(broadcast(tot))
+        .select(col("b"), round(log(
+          ((col("cbt") + 0.5) / (col("tt") + lit(nBuckets * 0.5))) /
+            ((col("cbr") + 0.5) / (col("tr") + lit(nBuckets * 0.5)))), 6)
+          .as("lr"))
+      val out = grams.select("doc_id", "b")
+        .join(broadcast(lr), Seq("b"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+          sum(col("lr").cast(DecimalType(18, 6))).as("slr"))
+        .select(col("doc_id"), col("n_grams").cast(IntegerType).as("n_grams"),
+          (col("slr").cast(DoubleType) / col("n_grams")).as("avg_log_ratio"))
+        .orderBy(col("avg_log_ratio").desc, col("doc_id"))
+        .limit(topK)
+        .localCheckpoint()
+      out
+    } finally { grams.unpersist(); () }
+  }
+
+  /** q192: SPLIT TOKEN DRIFT — Jensen–Shannon divergence between the
+    * train and heldout unigram distributions, per language, over the
+    * q160 hash split. The distribution-level exchangeability audit that
+    * complements q174/q175's instance-level leakage checks: a JS
+    * divergence near 0 says the heldout loss measures the training
+    * distribution; drift flags a split correlated with content (e.g.
+    * time- or crawl-ordered ids hashed badly).
+    *
+    * Determinism (the q183 recipe): smoothed probabilities are exact
+    * integer-derived doubles; each token's ln(p/m) is rounded to 6dp
+    * at the row (absorbing libm's ≤1-ulp skew), the p·ln term to 12dp,
+    * and the vocabulary sum runs in DECIMAL(28,12) — exact and
+    * order-independent at any vocabulary size.
+    *
+    * Shape at 100 TB: ONE hash-agg on (lang, token) with conditional
+    * split sums (no train/held outer join), a |langs|-row totals
+    * broadcast, and a second hash-agg on lang. */
+  def splitTokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hex60C(md5(col("doc_id").cast(StringType))), lit(100L))
+    val tok = docs(s, dir)
+      .withColumn("tr", (bucket < 80).cast(IntegerType))
+      .select(col("lang"), col("tr"), explode(tokensC(col("text"))).as("t"))
+    // the exploded token scan is the expensive stage: aggregate it ONCE
+    // to the vocabulary-sized count frame, persist, and derive both the
+    // totals and the divergence terms from the cache (the q138 collapse-
+    // once pattern — never explode the corpus twice)
+    val cnt = tok.groupBy("lang", "t").agg(
+      sum(col("tr").cast(LongType)).as("ct"),
+      sum(lit(1L) - col("tr")).as("ch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cnt.count() // eager fill: totals + term sums both read this
+    try {
+      val tot = cnt.groupBy("lang").agg(
+        sum("ct").as("tt"), sum("ch").as("th"), count(lit(1)).as("v"))
+      val d12 = (c: Column) => sum(round(c, 12).cast(DecimalType(28, 12)))
+      val p = (col("ct") + 0.5) / (col("tt") + col("v") * 0.5)
+      val q = (col("ch") + 0.5) / (col("th") + col("v") * 0.5)
+      val out = cnt.join(broadcast(tot), Seq("lang"))
+        .withColumn("p", p).withColumn("q", q)
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .groupBy("lang").agg(
+          first(col("v")).as("n_vocab"),
+          first(col("tt")).as("n_train_tokens"),
+          first(col("th")).as("n_held_tokens"),
+          d12(col("p") * round(log(col("p") / col("m")), 6)).as("sp"),
+          d12(col("q") * round(log(col("q") / col("m")), 6)).as("sq"))
+        .select(col("lang"), col("n_vocab").cast(IntegerType).as("n_vocab"),
+          col("n_train_tokens"), col("n_held_tokens"),
+          round((col("sp") + col("sq")).cast(DoubleType) * 0.5, 6)
+            .as("js_divergence"))
+        .orderBy("lang")
+        .localCheckpoint()
+      out
+    } finally { cnt.unpersist(); () }
+  }
+
   /** q189: SOURCE VOCABULARY COSINE — pairwise cosine similarity between
     * sources over their token-frequency vectors. The corpus-mixing
     * diagnostic behind q77/q140's weights: two feeds with cosine ≈ 1 are
@@ -1068,6 +1176,58 @@ object TextOps {
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
+    "q193_dsir_weights" ->
+      s"""WITH m0 AS (SELECT doc_id, text, $T AS t FROM documents),
+         |m AS (SELECT doc_id, text, t,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |qd AS (SELECT doc_id, t,
+         |    CASE WHEN $QualityScoreS >= 0.5 THEN 1 ELSE 0 END AS tgt
+         |  FROM m),
+         |g0 AS (SELECT doc_id, tgt, unnest(${shinglesS("t", 2)}) AS g
+         |  FROM qd),
+         |g AS (SELECT doc_id, tgt, ${hex60S("md5(g)")} % 4096 AS b FROM g0),
+         |model AS (SELECT b, SUM(tgt) AS cbt, COUNT(*) AS cbr
+         |  FROM g GROUP BY b),
+         |tot AS (SELECT SUM(cbt) AS tt, SUM(cbr) AS tr FROM model),
+         |lr AS (SELECT b, round(ln(
+         |    ((cbt + 0.5) / (tt + 2048.0)) /
+         |    ((cbr + 0.5) / (tr + 2048.0))), 6) AS lr
+         |  FROM model, tot),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_grams,
+         |    SUM(CAST(lr AS DECIMAL(18,6))) AS slr
+         |  FROM g JOIN lr ON g.b = lr.b GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+         |  CAST(slr AS DOUBLE) / n_grams AS avg_log_ratio
+         |FROM sc ORDER BY avg_log_ratio DESC, doc_id LIMIT 50""".stripMargin,
+    "q192_split_token_drift" ->
+      s"""WITH tok AS (SELECT lang,
+         |    CASE WHEN ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 < 80
+         |      THEN 1 ELSE 0 END AS tr,
+         |    unnest($T) AS t
+         |  FROM documents),
+         |cnt AS (SELECT lang, t, SUM(tr) AS ct, SUM(1 - tr) AS ch
+         |  FROM tok GROUP BY lang, t),
+         |tot AS (SELECT lang, SUM(ct) AS tt, SUM(ch) AS th,
+         |    COUNT(*) AS v FROM cnt GROUP BY lang),
+         |pq AS (SELECT cnt.lang,
+         |    (ct + 0.5) / (tt + 0.5 * v) AS p,
+         |    (ch + 0.5) / (th + 0.5 * v) AS q,
+         |    tt, th, v
+         |  FROM cnt JOIN tot ON cnt.lang = tot.lang),
+         |m AS (SELECT lang, tt, th, v, p, q, (p + q) / 2 AS m FROM pq),
+         |agg AS (SELECT lang, ANY_VALUE(v) AS n_vocab,
+         |    ANY_VALUE(tt) AS n_train_tokens, ANY_VALUE(th) AS n_held_tokens,
+         |    SUM(CAST(round(p * round(ln(p / m), 6), 12)
+         |      AS DECIMAL(28,12))) AS sp,
+         |    SUM(CAST(round(q * round(ln(q / m), 6), 12)
+         |      AS DECIMAL(28,12))) AS sq
+         |  FROM m GROUP BY lang)
+         |SELECT lang, CAST(n_vocab AS INTEGER) AS n_vocab,
+         |  CAST(n_train_tokens AS BIGINT) AS n_train_tokens,
+         |  CAST(n_held_tokens AS BIGINT) AS n_held_tokens,
+         |  round(CAST(sp + sq AS DOUBLE) * 0.5, 6) AS js_divergence
+         |FROM agg ORDER BY lang""".stripMargin,
     "q189_source_vocab_cosine" ->
       s"""WITH tok AS (SELECT source, unnest($T) AS t FROM documents),
          |tf AS (SELECT source, t, COUNT(*) AS c FROM tok

@@ -384,6 +384,18 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q191 MAD: group stats broadcast onto the fact scan, pruned to type+value") {
+    val plan = planOf(graft.analytics.Advanced.madOutliers(spark, sfDir))
+    // the fact table is never shuffled for the stat joins — medians and
+    // MADs ride broadcasts; only the hash-aggs exchange
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan)
+    plan.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props") && !l.contains("user_id"), l)
+    }
+  }
+
   test("RewriteWindowTopK: fires on filter-only row_number, skips others") {
     // q33's neighbor top-k and its =1 vote pick both drop the rank —
     // the rule must replace their Windows with bounded-heap TopKPerKey

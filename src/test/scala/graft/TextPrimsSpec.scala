@@ -298,4 +298,53 @@ class TextPrimsSpec extends SparkSpec {
       assert(math.abs(cos - dot / (na * nb)) < 1e-5, s"$a x $b")
     }
   }
+
+  test("q192 split drift: JS in [0, ln2], totals cover the corpus, hash split honored") {
+    val rows = graft.text.TextOps.splitTokenDrift(spark, sfDir).collect()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+    assert(rows.map(_.getString(0)).toSet ===
+      docs.map(_.getString(0)).toSet)
+    val tokensByLang = docs.groupBy(_.getString(0)).map { case (l, ds) =>
+      l -> ds.map(_.getString(1).trim.toLowerCase.split("\\s+").length.toLong).sum
+    }
+    rows.foreach { r =>
+      val js = r.getAs[Double]("js_divergence")
+      // JS divergence (natural log) is bounded by ln 2
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, r.toString)
+      // an 80/20 hash split of one distribution should NOT drift much
+      assert(js < 0.2, r.toString)
+      assert(r.getAs[Int]("n_vocab") > 0)
+      // train + heldout tokens partition the lang's token stream
+      assert(r.getAs[Long]("n_train_tokens") + r.getAs[Long]("n_held_tokens")
+        === tokensByLang(r.getString(0)), r.getString(0))
+      assert(r.getAs[Long]("n_train_tokens") > r.getAs[Long]("n_held_tokens"))
+    }
+  }
+
+  test("q193 dsir: ranked top-k is target-enriched relative to the corpus") {
+    val rows = graft.text.TextOps.dsirWeights(spark, sfDir).collect()
+    assert(rows.length === 50)
+    // strictly ranked: non-increasing weight, doc_id tiebreak
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (wa, wb) = (a.getAs[Double]("avg_log_ratio"),
+        b.getAs[Double]("avg_log_ratio"))
+      assert(wa > wb || (wa == wb && a.getLong(0) < b.getLong(0)))
+    case _ => ()
+    }
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("avg_log_ratio").isNaN)
+      assert(r.getAs[Int]("n_grams") > 0)
+    }
+    // selection sanity: the top-50 should over-represent the quality
+    // target tier vs its base rate (that is DSIR's entire point)
+    import org.apache.spark.sql.functions._
+    val qs = graft.text.TextOps.qualityScoreC
+    val tiers = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), (qs >= 0.5).as("tgt")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val baseRate = tiers.values.count(identity).toDouble / tiers.size
+    val topRate = rows.count(r => tiers(r.getLong(0))).toDouble / rows.length
+    assert(topRate > baseRate, s"top $topRate vs base $baseRate")
+  }
 }
