@@ -436,6 +436,12 @@ object SparkEntry {
     // DSIR: hashed-bigram importance weights vs the quality-target tier
     "q193_dsir_weights"       -> ((s, d) =>
       graft.text.TextOps.dsirWeights(s, d)),
+    // 11th streaming surface: unbounded-horizon per-key numeric state
+    "q194_ewma_stream"        -> ((s, d) =>
+      graft.streaming.EventStream.ewmaStreamParity(s, d)),
+    // Bloom-prefiltered index probe: broadcast bits gate the exact join
+    "q195_bloom_prefilter"    -> ((s, d) =>
+      graft.dedup.Dedup.bloomPrefilterDedup(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -140,6 +140,18 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select((col("doc_id") + VariantIdOffset).as("doc_id"),
         concat_ws(" ", slice(t, lit(1), half)).as("text")))
   }
+  /** DuckDB spelling of [[stagedIncrement]] (ids only — cohort texts),
+    * shared by the q153 and q195 oracles. */
+  private val stagedIncrementS =
+    s"""SELECT doc_id + $VariantIdOffset AS doc_id, text FROM documents
+       |    WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + ${2 * VariantIdOffset}, text || ' zqbatchdup'
+       |    FROM documents WHERE doc_id % 21 = 0
+       |  UNION ALL SELECT doc_id + ${3 * VariantIdOffset}, text || ' zqbatchdup'
+       |    FROM documents WHERE doc_id % 21 = 0
+       |  UNION ALL SELECT doc_id + ${4 * VariantIdOffset}, text || ' zqunique'
+       |    FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   private val containedCorpusS =
     s"""SELECT doc_id, text FROM documents
        | UNION ALL
@@ -334,6 +346,55 @@ object Dedup extends org.apache.spark.internal.Logging {
       coalesce(sum(col("c") - 1), lit(0L)).cast(IntegerType)
         .as("n_within_batch_extra"))
     totals.crossJoin(seen).crossJoin(freshStats)
+  }
+
+  /** q195: BLOOM-PREFILTERED incremental dedup — the q153 probe with the
+    * index compressed to a Bloom filter first. The full content-hash
+    * index is corpus-sized (it cannot broadcast at 100 TB), so the q153
+    * semi-join shuffles the WHOLE increment against it; a Bloom filter
+    * of the index (here m = 65536 bits, k = 4 seeded-md5 positions,
+    * relationally: the distinct set-bit positions, broadcast) rejects
+    * most non-duplicates with zero shuffle, and only Bloom CANDIDATES
+    * pay the exact index probe. Reports the candidate/true-dup/false-
+    * positive accounting that sizes m and k for a target FP rate —
+    * Bloom's no-false-negative guarantee (every true dup IS a
+    * candidate) is asserted in the spec and implied by n_true_dup
+    * counting only candidates yet matching q153's n_dup_vs_existing.
+    *
+    * Everything is deterministic — positions are seeded md5s, the
+    * filter is a set, not sampled — so the DuckDB twin reproduces the
+    * exact counts. */
+  def bloomPrefilterDedup(s: SparkSession, dir: String,
+                          mBits: Int = 65536, kHashes: Int = 4): DataFrame = {
+    def positions(h: Column) = array((0 until kHashes).map(j =>
+      pmod(hex60C(seededMd5C(j, h)), lit(mBits.toLong))): _*)
+    val index = docs(s, dir).select(normHash(col("text")).as("h")).distinct()
+      .localCheckpoint()
+    val inc = stagedIncrement(s, dir)
+      .select(col("doc_id"), normHash(col("text")).as("h"))
+      .localCheckpoint()
+    // the filter: distinct set-bit positions of the index (≤ mBits rows)
+    val bits = index.select(explode(positions(col("h"))).as("pos"))
+      .distinct().withColumn("m", lit(1))
+    val probe = inc.select(col("doc_id"), explode(positions(col("h")))
+      .as("pos")).distinct()
+    val cd = probe.join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("doc_id").agg(count(lit(1)).as("np"),
+        sum(coalesce(col("m"), lit(0))).as("nh"))
+    val cand = cd.filter(col("np") === col("nh")).select("doc_id")
+      .localCheckpoint() // two consumers: candidate count + exact probe
+    // ONLY candidates reach the exact (corpus-scale) index probe
+    val trueDup = inc.join(cand, Seq("doc_id"), "left_semi")
+      .join(index, Seq("h"), "left_semi")
+    val totals = inc.agg(count(lit(1)).cast(IntegerType).as("n_incoming"))
+    val nCand = cand.agg(count(lit(1)).cast(IntegerType).as("n_candidates"))
+    val nDup = trueDup.agg(count(lit(1)).cast(IntegerType).as("n_true_dup"))
+    totals.crossJoin(nCand).crossJoin(nDup)
+      .withColumn("n_false_pos", (col("n_candidates") - col("n_true_dup"))
+        .cast(IntegerType))
+      .withColumn("fp_rate", round(
+        (col("n_candidates") - col("n_true_dup")).cast(DoubleType) /
+          (col("n_incoming") - col("n_true_dup")).cast(DoubleType), 6))
   }
 
   /** Distinct shingles as ROWS (doc_id, shingle) — the scale-correct shape:
@@ -1078,6 +1139,37 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q195_bloom_prefilter" -> {
+      def posList(h: String) = (0 until 4)
+        .map(j => s"${hex60S(s"md5('$j#' || $h)")} % 65536")
+        .mkString("[", ", ", "]")
+      s"""WITH inc AS ($stagedIncrementS),
+         |idx AS (SELECT DISTINCT ${normHashS("text")} AS h FROM documents),
+         |ih AS (SELECT doc_id, ${normHashS("text")} AS h FROM inc),
+         |bits AS (SELECT DISTINCT pos FROM
+         |  (SELECT unnest(${posList("h")}) AS pos FROM idx)),
+         |probe AS (SELECT DISTINCT doc_id, pos FROM
+         |  (SELECT doc_id, unnest(${posList("h")}) AS pos FROM ih)),
+         |pm AS (SELECT probe.doc_id,
+         |    CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM probe LEFT JOIN bits ON probe.pos = bits.pos),
+         |cd AS (SELECT doc_id, COUNT(*) AS np, SUM(hit) AS nh
+         |  FROM pm GROUP BY doc_id),
+         |cand AS (SELECT doc_id FROM cd WHERE np = nh),
+         |td AS (SELECT COUNT(*) AS n FROM ih
+         |  WHERE doc_id IN (SELECT doc_id FROM cand)
+         |    AND h IN (SELECT h FROM idx))
+         |SELECT
+         |  CAST((SELECT COUNT(*) FROM ih) AS INTEGER) AS n_incoming,
+         |  CAST((SELECT COUNT(*) FROM cand) AS INTEGER) AS n_candidates,
+         |  CAST((SELECT n FROM td) AS INTEGER) AS n_true_dup,
+         |  CAST((SELECT COUNT(*) FROM cand) - (SELECT n FROM td)
+         |    AS INTEGER) AS n_false_pos,
+         |  round(CAST((SELECT COUNT(*) FROM cand) - (SELECT n FROM td)
+         |      AS DOUBLE) /
+         |    CAST((SELECT COUNT(*) FROM ih) - (SELECT n FROM td)
+         |      AS DOUBLE), 6) AS fp_rate""".stripMargin
+    },
     "q190_containment_pairs" -> {
       // single-signature banding: band b's key is md5('b|sig_b')
       val bands = (0 until NumHashes)
@@ -1136,15 +1228,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         |FROM t LEFT JOIN f ON t.doc_id = f.doc_id
         |ORDER BY t.doc_id""".stripMargin,
     "q153_incremental_dedup" ->
-      s"""WITH inc AS (
-         |  SELECT doc_id + $VariantIdOffset AS doc_id, text FROM documents
-         |    WHERE doc_id % 10 = 0
-         |  UNION ALL SELECT doc_id + ${2 * VariantIdOffset}, text || ' zqbatchdup'
-         |    FROM documents WHERE doc_id % 21 = 0
-         |  UNION ALL SELECT doc_id + ${3 * VariantIdOffset}, text || ' zqbatchdup'
-         |    FROM documents WHERE doc_id % 21 = 0
-         |  UNION ALL SELECT doc_id + ${4 * VariantIdOffset}, text || ' zqunique'
-         |    FROM documents WHERE doc_id % 13 = 0),
+      s"""WITH inc AS ($stagedIncrementS),
          |idx AS (SELECT DISTINCT ${normHashS("text")} AS h FROM documents),
          |ih AS (SELECT doc_id, ${normHashS("text")} AS h FROM inc),
          |fresh AS (SELECT h, COUNT(*) AS c FROM ih

@@ -154,6 +154,86 @@ object EventStream {
       }
   }
 
+  final case class EwmaState(lastUs: Long, ewma: Double, n: Long)
+  final case class EwmaPoint(user_id: Long, event_id: Long, n: Long,
+                             ewma: Double)
+
+  /** Running per-user EWMA: ewma₁ = v₁, ewmaₙ = α·vₙ + (1−α)·ewmaₙ₋₁ —
+    * the canonical "arbitrary per-key running state" streaming operator
+    * (anomaly baselines, rate smoothing) that windowed aggregation
+    * cannot express: the recursion depends on EVERY prior value, so it
+    * must live in keyed state, not a frame. Emits one point per event.
+    *
+    * Determinism: events fold in (event-time, event_id) order — a total
+    * order, so the emitted series is a pure function of the data
+    * regardless of micro-batch slicing; each step is the fixed IEEE
+    * expression α·v + (1−α)·e over the raw input doubles (no rescaling,
+    * no rounding), which a batch recursion over the same doubles
+    * reproduces bit-for-bit. State per user is ONE (ts, ewma, n) triple
+    * — constant-size state, the shape that runs forever. */
+  def ewmaByUser(events: Dataset[Event],
+                 alpha: Double = 0.5): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[EwmaState]) =>
+          val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer.empty[EwmaPoint]
+          sorted.foreach { e =>
+            val t = tsMicros(e.ts)
+            st =
+              if (st == null) EwmaState(t, e.value, 1L)
+              else EwmaState(t,
+                alpha * e.value + (1 - alpha) * st.ewma, st.n + 1)
+            out += EwmaPoint(userId, e.event_id, st.n, st.ewma)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** q194 — STREAMING RUNNING-EWMA parity, the eleventh streaming
+    * surface: [[ewmaByUser]] run AvailableNow over a staged events copy,
+    * checked against a DuckDB RECURSIVE-CTE evaluation of the identical
+    * recursion. q130 proved session windows; this proves the harder
+    * class — unbounded-horizon numeric state where every emission
+    * depends on the full per-key history. Same harness discipline as
+    * q130: one staged file → one micro-batch, fixture-sized stateful
+    * shuffle, NoTimeout. On a live deployment swap in [[kafkaSource]];
+    * the recursion is micro-batch-sliceable by construction (state
+    * carries the fold). */
+  def ewmaStreamParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q194")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(in.toString)
+      val ds = fileSource(s, in.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      q = toParquet(ewmaByUser(ds).toDF(), tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q194 ewma stream did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .orderBy("user_id", "n")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** Streaming exact dedup — the incremental twin of Dedup.dedupExact:
     * drops re-deliveries of the same key while the watermark bounds how
     * long each key is remembered. State size = keys per watermark horizon,
@@ -930,6 +1010,25 @@ object EventStream {
     // on the single-batch answer regardless of micro-batch splits
     "q169_incremental_dedup_stream" ->
       graft.dedup.Dedup.oracleSql("q153_incremental_dedup"),
+    "q194_ewma_stream" ->
+      // the identical recursion, evaluated batch-side: 0.5·v + 0.5·e is
+      // the same fixed IEEE expression the state fold runs
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rk, CAST(1 AS BIGINT) AS n,
+        |    value AS ewma
+        |  FROM seq WHERE rk = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rk, r.n + 1,
+        |    0.5 * s.value + 0.5 * r.ewma
+        |  FROM r JOIN seq s
+        |    ON s.user_id = r.user_id AND s.rk = r.rk + 1)
+        |SELECT user_id, event_id, n, ewma
+        |FROM r ORDER BY user_id, n""".stripMargin,
     "q85_stream_parity" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  COUNT(*) AS n,

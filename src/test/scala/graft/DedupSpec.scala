@@ -298,4 +298,18 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1))
     }
   }
+
+  test("q195 bloom: no false negatives, accounting consistent with q153") {
+    val r = Dedup.bloomPrefilterDedup(spark, sfDir).collect().head
+    val q153 = Dedup.incrementalDedup(spark, sfDir).collect().head
+    // Bloom never loses a true duplicate: the true-dup count through the
+    // candidate gate must equal q153's full-index dup count
+    assert(r.getAs[Int]("n_true_dup") === q153.getAs[Int]("n_dup_vs_existing"))
+    assert(r.getAs[Int]("n_incoming") === q153.getAs[Int]("n_incoming"))
+    assert(r.getAs[Int]("n_candidates") >= r.getAs[Int]("n_true_dup"))
+    assert(r.getAs[Int]("n_false_pos") ===
+      r.getAs[Int]("n_candidates") - r.getAs[Int]("n_true_dup"))
+    // m=65536 bits over ~500 index hashes: FP rate must be far under 1%
+    assert(r.getAs[Double]("fp_rate") < 0.01)
+  }
 }

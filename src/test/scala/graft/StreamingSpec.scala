@@ -391,4 +391,30 @@ class StreamingSpec extends SparkSpec {
       .collect().map(key).toSeq
     assert(streamed === batch)
   }
+
+  test("ewmaByUser: state folds across micro-batches exactly like one batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.ewmaByUser(input.toDS()).writeStream
+      .format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two users interleaved, out-of-order arrival within batch
+      input.addData(
+        Event(2, ts(5), 7, "view", 3.0),
+        Event(1, ts(0), 7, "view", 1.0),
+        Event(5, ts(0), 9, "click", 8.0))
+      q.processAllAvailable()
+      // batch 2: continuation — the recursion must carry over state
+      input.addData(Event(3, ts(10), 7, "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("ewma_out").as[EventStream.EwmaPoint]
+        .collect().sortBy(p => (p.user_id, p.n))
+      // user 7: 1.0 → .5*3+.5*1=2.0 → .5*5+.5*2=3.5 ; user 9: 8.0
+      assert(out.map(p => (p.user_id, p.event_id, p.n, p.ewma)).toSeq === Seq(
+        (7L, 1L, 1L, 1.0), (7L, 2L, 2L, 2.0), (7L, 3L, 3L, 3.5),
+        (9L, 5L, 1L, 8.0)))
+    } finally q.stop()
+  }
 }
