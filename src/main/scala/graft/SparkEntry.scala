@@ -442,6 +442,12 @@ object SparkEntry {
     // Bloom-prefiltered index probe: broadcast bits gate the exact join
     "q195_bloom_prefilter"    -> ((s, d) =>
       graft.dedup.Dedup.bloomPrefilterDedup(s, d)),
+    // waterfill: equal-share token budget with capped-source redistribution
+    "q196_token_waterfill"    -> ((s, d) =>
+      graft.text.TextOps.tokenWaterfill(s, d)),
+    // Neyman: variance-optimal stratified sample sizing (pairs with q144)
+    "q197_neyman_alloc"       -> ((s, d) =>
+      graft.analytics.Advanced.neymanAllocation(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

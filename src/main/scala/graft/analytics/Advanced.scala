@@ -703,6 +703,42 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** q197: NEYMAN ALLOCATION — the optimal stratified-sampling design:
+    * given a total sample budget, allocate to each stratum (event type)
+    * proportionally to N_h·S_h (size × standard deviation), which
+    * minimizes the variance of the stratified mean estimator — the
+    * principled sizing step that q144's PPS draw then executes. Strata
+    * with high internal variance earn more samples than proportional
+    * allocation would give them.
+    *
+    * Exact-moment discipline (the q93 machinery): Σx and Σx² accumulate
+    * in DECIMAL, S_h finishes in one fixed double expression, the
+    * shares and floor allocations are the same IEEE ops on both
+    * engines; share and std are reported raw (identical doubles need no
+    * rounding). One fact-scale hash-agg; everything after runs on the
+    * |strata|-row frame. */
+  def neymanAllocation(s: SparkSession, dir: String,
+                       sampleBudget: Long = 1000L): DataFrame = {
+    val stats = t(s, dir, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 8))).as("sxx"))
+      .withColumn("mean", col("sx").cast(DoubleType) / col("n"))
+      // singleton-stratum guard (q93): NULL std drops the stratum from
+      // the allocation identically on both engines
+      .withColumn("std", when(col("n") > 1, sqrt(
+        (col("sxx").cast(DoubleType) - col("mean") * col("mean") * col("n"))
+          / (col("n") - 1))))
+      .withColumn("ns", col("n").cast(DoubleType) * col("std"))
+    val tot = stats.agg(sum(round(col("ns"), 6)
+      .cast(DecimalType(28, 6))).as("tns"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("ns"), 6) / col("tns").cast(DoubleType))
+      .select(col("event_type"), col("n"), col("std"), col("share"),
+        floor(col("share") * sampleBudget).cast(LongType).as("n_alloc"))
+      .orderBy("event_type")
+  }
+
   /** Core of [[zscoreOutliers]] over any (event_type, value) frame —
     * separated so the singleton/constant-group guards are unit-testable
     * (the fixtures have no such groups). */
@@ -2386,6 +2422,29 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q197_neyman_alloc" ->
+      // identical moment chain to q93; N·S rounds to 6dp before the
+      // decimal total so the share denominator is exact on both engines
+      """WITH stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+        |    SUM(CAST(value * value AS DECIMAL(38,8))) AS sxx
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CASE WHEN n > 1 THEN
+        |      SQRT((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n)
+        |        * (CAST(sx AS DOUBLE) / n) * n) / (n - 1))
+        |    END AS std
+        |  FROM stats),
+        |ns AS (SELECT event_type, n, std,
+        |    round(CAST(n AS DOUBLE) * std, 6) AS nsr FROM m),
+        |tot AS (SELECT SUM(CAST(nsr AS DECIMAL(28,6))) AS tns FROM ns)
+        |SELECT event_type, n, std,
+        |  nsr / CAST(tns AS DOUBLE) AS share,
+        |  CAST(FLOOR(nsr / CAST(tns AS DOUBLE) * 1000) AS BIGINT)
+        |    AS n_alloc
+        |FROM ns, tot ORDER BY event_type""".stripMargin,
     "q191_mad_outliers" ->
       // integer micro-units make every quantile_cont midpoint exactly
       // representable == Spark percentile; outputs never re-rounded

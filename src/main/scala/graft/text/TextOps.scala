@@ -589,6 +589,68 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q196: TOKEN-BUDGET WATERFILLING — the fair-allocation step of
+    * mixture planning: split a total token budget across sources so
+    * every source gets an EQUAL share λ except those whose whole corpus
+    * fits under it (they are "capped" and funded fully, freeing budget
+    * that raises λ for the rest). The classic waterfill: in ascending
+    * capacity order the capped set is a prefix, a source is capped iff
+    * its capacity fits its fair share of what remains, and
+    * λ = (B − Σ capped capacities) / #uncapped.
+    *
+    * Deterministic: capacities are exact BPE-token integer sums; the
+    * prefix test and λ are the same fixed integer→double expressions on
+    * both engines; allocations floor λ (integral λ is a double that
+    * floors identically).
+    *
+    * Shape at 100 TB: ONE fact-scale hash-agg to |sources| rows —
+    * everything after runs on the tiny capacity frame (window over
+    * |sources|, 1-row conditional agg broadcast back). */
+  def tokenWaterfill(s: SparkSession, dir: String,
+                     frac: Double = 0.6): DataFrame = {
+    val caps = docs(s, dir).groupBy("source")
+      .agg(sum(bpeTokensC(col("text")).cast(LongType)).as("cap"))
+    val budget = floor(col("total").cast(DoubleType) * frac).cast(LongType)
+    tokenWaterfillOf(caps, budget)
+  }
+
+  /** Core of [[tokenWaterfill]] over any (source, cap) frame; `budget`
+    * may reference `total` (the capacity sum, attached before use). */
+  private[graft] def tokenWaterfillOf(caps: DataFrame,
+                                      budget: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap"), col("source"))
+    val tot = caps.agg(sum("cap").as("total"), count(lit(1)).as("n"))
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("b", budget)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_before", coalesce(
+        sum(col("cap")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // capped ⇔ the full capacity fits the fair share of what remains
+      // at this row's turn (all earlier rows are capped by exchange
+      // argument: they are smaller and saw no less remaining budget)
+      .withColumn("is_capped",
+        col("cap").cast(DoubleType) * (col("n") - col("rk") + 1) <=
+          (col("b") - col("cum_before")).cast(DoubleType))
+    // all-capped guard: with zero uncapped sources λ is never read —
+    // emit NULL instead of dividing by zero (ANSI mode errors there)
+    val lam = ranked.agg({
+      val nUncapped = sum(when(!col("is_capped"), 1L).otherwise(0L))
+      when(nUncapped > 0,
+        (first(col("b")) -
+          coalesce(sum(when(col("is_capped"), col("cap"))), lit(0L)))
+          .cast(DoubleType) / nUncapped).as("lambda")
+    })
+    ranked.crossJoin(broadcast(lam))
+      .select(col("source"), col("cap"),
+        when(col("is_capped"), col("cap"))
+          .otherwise(floor(col("lambda")).cast(LongType)).as("allocated"),
+        col("is_capped").cast(IntegerType).as("is_capped"))
+      .orderBy("source")
+  }
+
   /** q193: DSIR IMPORTANCE WEIGHTS — data selection by importance
     * resampling (Xie et al. 2023): score every document by how much its
     * hashed-bigram distribution looks like a TARGET distribution (here
@@ -1176,6 +1238,32 @@ object TextOps {
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
+    "q196_token_waterfill" ->
+      s"""WITH caps AS (SELECT source,
+         |    SUM(CAST(${graft.functions.TextPrims.bpeTokensS("text")}
+         |      AS BIGINT)) AS cap
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT SUM(cap) AS total, COUNT(*) AS n FROM caps),
+         |rb AS (SELECT source, cap, n,
+         |    CAST(FLOOR(CAST(total AS DOUBLE) * 0.6) AS BIGINT) AS b,
+         |    ROW_NUMBER() OVER (ORDER BY cap, source) AS rk,
+         |    COALESCE(SUM(cap) OVER (ORDER BY cap, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM caps, tot),
+         |c AS (SELECT *, CASE WHEN CAST(cap AS DOUBLE) * (n - rk + 1) <=
+         |      CAST(b - cum_before AS DOUBLE) THEN 1 ELSE 0 END AS is_capped
+         |  FROM rb),
+         |lam AS (SELECT CAST(ANY_VALUE(b) -
+         |      COALESCE(SUM(CASE WHEN is_capped = 1 THEN cap END), 0)
+         |      AS DOUBLE) /
+         |    SUM(CASE WHEN is_capped = 0 THEN 1 ELSE 0 END) AS lambda
+         |  FROM c)
+         |SELECT source, CAST(cap AS BIGINT) AS cap,
+         |  CAST(CASE WHEN is_capped = 1 THEN cap
+         |    ELSE CAST(FLOOR(lambda) AS BIGINT) END AS BIGINT) AS allocated,
+         |  CAST(is_capped AS INTEGER) AS is_capped
+         |FROM c, lam ORDER BY source""".stripMargin,
     "q193_dsir_weights" ->
       s"""WITH m0 AS (SELECT doc_id, text, $T AS t FROM documents),
          |m AS (SELECT doc_id, text, t,

@@ -546,4 +546,28 @@ class AdvancedSpec extends SparkSpec {
       assert(r.getAs[Double]("outlier_ratio") < 0.25, et)
     }
   }
+
+  test("q197 neyman: shares sum to 1, allocation tracks N·S, budget respected") {
+    val rows = Advanced.neymanAllocation(spark, sfDir).collect()
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    assert(rows.map(_.getAs[Long]("n_alloc")).sum <= 1000L)
+    // floor loses at most one unit per stratum
+    assert(rows.map(_.getAs[Long]("n_alloc")).sum > 1000L - rows.length)
+    // driver recount: share ∝ n·std with sample std
+    val vals = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val ns = vals.map { case (et, xs) =>
+      val v = xs.map(_._2); val n = v.length
+      val mean = v.sum / n
+      val std = math.sqrt(v.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      et -> n * std
+    }
+    val tot = ns.values.sum
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("share") - ns(r.getString(0)) / tot)
+        < 1e-6, r.getString(0))
+    }
+  }
 }

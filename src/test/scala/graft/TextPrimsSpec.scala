@@ -347,4 +347,29 @@ class TextPrimsSpec extends SparkSpec {
     val topRate = rows.count(r => tiers(r.getLong(0))).toDouble / rows.length
     assert(topRate > baseRate, s"top $topRate vs base $baseRate")
   }
+
+  test("q196 waterfill: capped prefix funded fully, equal share for the rest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // caps 10/20/1000/1000, budget 630: the two small sources fit under
+    // the share and cap out; λ = (630-30)/2 = 300 for the big two
+    val caps = Seq(("a", 10L), ("b", 20L), ("c", 1000L), ("d", 1000L))
+      .toDF("source", "cap")
+    val out = graft.text.TextOps.tokenWaterfillOf(caps, lit(630L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out("a") === ((10L, 10L, 1)))
+    assert(out("b") === ((20L, 20L, 1)))
+    assert(out("c") === ((1000L, 300L, 0)))
+    assert(out("d") === ((1000L, 300L, 0)))
+    // budget large enough to fund everyone: all capped, allocation = cap
+    val all = graft.text.TextOps.tokenWaterfillOf(caps, lit(5000L))
+      .collect()
+    assert(all.forall(r => r.getLong(2) === r.getLong(1) && r.getInt(3) === 1))
+    // fixture run: allocation never exceeds capacity, total ≤ budget
+    val fix = graft.text.TextOps.tokenWaterfill(spark, sfDir).collect()
+    assert(fix.forall(r => r.getLong(2) <= r.getLong(1)))
+    val (tot, alloc) = (fix.map(_.getLong(1)).sum, fix.map(_.getLong(2)).sum)
+    assert(alloc <= (tot * 0.6).toLong && alloc > (tot * 0.6 * 0.98).toLong)
+  }
 }
