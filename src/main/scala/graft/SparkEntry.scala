@@ -448,6 +448,12 @@ object SparkEntry {
     // Neyman: variance-optimal stratified sample sizing (pairs with q144)
     "q197_neyman_alloc"       -> ((s, d) =>
       graft.analytics.Advanced.neymanAllocation(s, d)),
+    // hour-of-day robust baseline: seasonal median/MAD anomaly census
+    "q198_seasonal_anomaly"   -> ((s, d) =>
+      graft.analytics.Advanced.seasonalAnomaly(s, d)),
+    // hybrid-search diagnostic: lexical vs dense top-k overlap per query
+    "q199_retrieval_agreement" -> ((s, d) =>
+      graft.similarity.Similarity.retrievalAgreement(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -678,30 +678,54 @@ object Advanced {
     * each a hash-agg/broadcast-join chain, nothing quadratic; the
     * at-scale monitoring default swaps `approx_percentile` into the
     * same frame (the q81/q152 approximate-twin pattern). */
-  def madOutliers(s: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+  def madOutliers(s: SparkSession, dir: String, k: Double = 3.0): DataFrame =
+    madOutliersBy(
+      t(s, dir, "events").select(col("event_type"), col("value")),
+      Seq("event_type"), k)
+
+  /** Generic core of [[madOutliers]]/[[seasonalAnomaly]]: robust
+    * median/MAD outlier census per arbitrary key set over a frame with
+    * the key columns and `value`. */
+  private[graft] def madOutliersBy(in: DataFrame, keys: Seq[String],
+                                   k: Double = 3.0): DataFrame = {
     val vq = (col("value").cast(DecimalType(18, 6)) * 1000000)
       .cast(LongType)
-    val e = t(s, dir, "events").select(col("event_type"), vq.as("vq"))
-    val med = e.groupBy("event_type")
+    val kc = keys.map(col)
+    val e = in.select(kc :+ vq.as("vq"): _*)
+    val med = e.groupBy(kc: _*)
       .agg(expr("percentile(vq, 0.5)").as("med"))
-    val dev = e.join(broadcast(med), Seq("event_type"))
+    val dev = e.join(broadcast(med), keys)
       .withColumn("ad", abs(col("vq").cast(DoubleType) - col("med")))
-    val mad = dev.groupBy("event_type")
+    val mad = dev.groupBy(kc: _*)
       .agg(count(lit(1)).as("n"), expr("percentile(ad, 0.5)").as("madv"))
     val out = dev
-      .join(broadcast(mad.select("event_type", "madv")), Seq("event_type"))
+      .join(broadcast(mad.select(kc :+ col("madv"): _*)), keys)
       .filter(col("ad") > lit(k) * col("madv"))
-      .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
-    med.join(mad, Seq("event_type"))
-      .join(out, Seq("event_type"), "left")
+      .groupBy(kc: _*).agg(count(lit(1)).as("n_outliers"))
+    med.join(mad, keys)
+      .join(out, keys, "left")
       .withColumn("no", coalesce(col("n_outliers"), lit(0L)))
-      .select(col("event_type"), col("n").cast(IntegerType).as("n"),
+      .select(kc ++ Seq(col("n").cast(IntegerType).as("n"),
         (col("med") / 1000000.0).as("median"),
         (col("madv") / 1000000.0).as("mad"),
         col("no").cast(IntegerType).as("n_outliers"),
-        (col("no").cast(DoubleType) / col("n")).as("outlier_ratio"))
-      .orderBy("event_type")
+        (col("no").cast(DoubleType) / col("n")).as("outlier_ratio")): _*)
+      .orderBy(kc: _*)
   }
+
+  /** q198: SEASONAL ROBUST ANOMALY — q191 with a SEASONAL baseline: the
+    * median/MAD census keyed by (event_type, hour-of-day), so a value is
+    * judged against what is normal for ITS hour — the decomposition that
+    * keeps a nightly batch spike from flagging as anomalous at 03:00
+    * while the same value at 15:00 does. The standard robust baseline
+    * for operational metrics with daily seasonality. Same determinism
+    * and pass structure as q191, ×24 narrower groups. */
+  def seasonalAnomaly(s: SparkSession, dir: String,
+                      k: Double = 3.0): DataFrame =
+    madOutliersBy(
+      t(s, dir, "events").select(col("event_type"),
+        hour(col("ts")).as("hod"), col("value")),
+      Seq("event_type", "hod"), k)
 
   /** q197: NEYMAN ALLOCATION — the optimal stratified-sampling design:
     * given a total sample budget, allocate to each stratum (event type)
@@ -2422,6 +2446,35 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q198_seasonal_anomaly" ->
+      // q191's chain keyed by (event_type, hour-of-day)
+      """WITH e AS (SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
+        |  FROM events),
+        |med AS (SELECT event_type, hod, quantile_cont(vq, 0.5) AS med
+        |  FROM e GROUP BY event_type, hod),
+        |dev AS (SELECT e.event_type, e.hod,
+        |    ABS(CAST(vq AS DOUBLE) - med.med) AS ad
+        |  FROM e JOIN med ON e.event_type = med.event_type
+        |    AND e.hod = med.hod),
+        |mad AS (SELECT event_type, hod, COUNT(*) AS n,
+        |    quantile_cont(ad, 0.5) AS madv
+        |  FROM dev GROUP BY event_type, hod),
+        |o AS (SELECT dev.event_type, dev.hod, COUNT(*) AS n_outliers
+        |  FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |    AND dev.hod = mad.hod
+        |  WHERE ad > 3.0 * mad.madv GROUP BY dev.event_type, dev.hod)
+        |SELECT med.event_type, med.hod, CAST(mad.n AS INTEGER) AS n,
+        |  med.med / 1000000.0 AS median,
+        |  mad.madv / 1000000.0 AS mad,
+        |  CAST(COALESCE(o.n_outliers, 0) AS INTEGER) AS n_outliers,
+        |  CAST(COALESCE(o.n_outliers, 0) AS DOUBLE) / mad.n
+        |    AS outlier_ratio
+        |FROM med
+        |JOIN mad ON med.event_type = mad.event_type AND med.hod = mad.hod
+        |LEFT JOIN o ON med.event_type = o.event_type AND med.hod = o.hod
+        |ORDER BY med.event_type, med.hod""".stripMargin,
     "q197_neyman_alloc" ->
       // identical moment chain to q93; N·S rounds to 6dp before the
       // decimal total so the share denominator is exact on both engines

@@ -560,6 +560,62 @@ object Similarity {
     * scaling K with the corpus (K ≈ N/1000 keeps cells ~10³). The
     * fixture K is oracle-sized; production K is a config, not a code
     * change (the SimConfig pattern). */
+  /** q199: RETRIEVAL AGREEMENT — overlap@k between a LEXICAL retriever
+    * (token-set Jaccard over document text) and a DENSE retriever
+    * (q31's brute cosine over embeddings) for the same query documents.
+    * The standard hybrid-search diagnostic: low agreement says the two
+    * signals are complementary (hybrid retrieval will beat either
+    * alone); high agreement says the embedding mostly re-learned
+    * lexical overlap. Uses the exact top-k on BOTH sides, so the
+    * number measures the retrievers, not an ANN approximation.
+    *
+    * Shape at 100 TB: the dense side is q31's broadcast-queries scan;
+    * the lexical side inverts to (token, doc) rows — the intersection
+    * is an equi-join on token against the 10 broadcast query token
+    * sets, never doc×doc. Zero-overlap pairs never materialize
+    * (ni ≥ 1 by construction, mirrored in the oracle). */
+  def retrievalAgreement(s: SparkSession, dir: String,
+                         k: Int = 10): DataFrame = {
+    val dense = cosineTopK(s, dir, SimConfig(k = k))
+      .select(col("query_id"), col("neighbor_id"))
+    val tok = Tables.fanOut(Tables.load(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"),
+        explode(array_distinct(TextPrims.tokensC(col("text")))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tok.count() // eager fill: sizes, query sets and the probe side
+    try {
+      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val qtok = tok.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("token"))
+      val inter = tok.join(qtok, Seq("token"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("ni"))
+      val jac = inter
+        .join(sz.withColumnsRenamed(
+          Map("doc_id" -> "query_id", "sz" -> "qsz")), Seq("query_id"))
+        .join(sz, Seq("doc_id"))
+        .withColumn("jac", round(col("ni").cast(DoubleType) /
+          (col("qsz") + col("sz") - col("ni")).cast(DoubleType), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("jac").desc, col("doc_id"))
+      val lex = jac.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"))
+      val common = lex
+        .join(dense, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("nc"))
+      val out = dense.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .withColumn("n_common", coalesce(col("nc"), lit(0L)))
+        .select(col("query_id"),
+          col("n_common").cast(IntegerType).as("n_common"),
+          round(col("n_common").cast(DoubleType) / k, 6).as("overlap_at_k"))
+        .orderBy("query_id")
+        .localCheckpoint()
+      out
+    } finally { tok.unpersist(); () }
+  }
+
   def semDedup(s: SparkSession, dir: String,
                threshold: Double = 0.999): DataFrame = {
     val off = VariantVecOffset
@@ -797,6 +853,43 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q199_retrieval_agreement" ->
+      s"""WITH e AS ($embS),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM e
+         |  WHERE vec_id < 10),
+         |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    ${simS(s"${dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
+         |  FROM q CROSS JOIN e n WHERE n.vec_id <> q.query_id),
+         |dense AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rk FROM c)
+         |  WHERE rk <= 10),
+         |ts AS (SELECT doc_id,
+         |    list_distinct(${TextPrims.tokensS("text")}) AS ts
+         |  FROM documents),
+         |qs AS (SELECT doc_id AS query_id, ts AS qts FROM ts
+         |  WHERE doc_id < 10),
+         |lx AS (SELECT qs.query_id, t.doc_id AS neighbor_id,
+         |    round(CAST(len(list_intersect(qs.qts, t.ts)) AS DOUBLE) /
+         |      (len(qs.qts) + len(t.ts) - len(list_intersect(qs.qts, t.ts))),
+         |      6) AS jac
+         |  FROM qs JOIN ts t ON t.doc_id <> qs.query_id
+         |  WHERE len(list_intersect(qs.qts, t.ts)) >= 1),
+         |lex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY jac DESC, neighbor_id) AS rk FROM lx)
+         |  WHERE rk <= 10),
+         |common AS (SELECT lex.query_id, COUNT(*) AS nc FROM lex
+         |  JOIN dense ON lex.query_id = dense.query_id
+         |    AND lex.neighbor_id = dense.neighbor_id
+         |  GROUP BY lex.query_id)
+         |SELECT q.query_id, CAST(COALESCE(nc, 0) AS INTEGER) AS n_common,
+         |  round(CAST(COALESCE(nc, 0) AS DOUBLE) / 10, 6) AS overlap_at_k
+         |FROM (SELECT DISTINCT query_id FROM dense) q
+         |LEFT JOIN common ON q.query_id = common.query_id
+         |ORDER BY q.query_id""".stripMargin,
     "q31_cosine_topk" ->
       s"""WITH e AS ($embS),
          |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM e WHERE vec_id < 10),

@@ -570,4 +570,23 @@ class AdvancedSpec extends SparkSpec {
         < 1e-6, r.getString(0))
     }
   }
+
+  test("q198 seasonal anomaly: full hour grid, group sizes partition the stream") {
+    val rows = Advanced.seasonalAnomaly(spark, sfDir).collect()
+    val types = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    // complete (type × hour) grid — the fixture spans every hour
+    assert(rows.length === types.size * 24)
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSet ===
+      types.flatMap(t => (0 until 24).map(h => (t, h))))
+    val total = graft.sources.Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_.getAs[Int]("n").toLong).sum === total)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      // small-sample cells are noisy; the robustness claim is for cells
+      // with enough mass for the median/MAD to stabilize
+      if (r.getAs[Int]("n") >= 50)
+        assert(r.getAs[Double]("outlier_ratio") < 0.3, r.toString)
+    }
+  }
 }

@@ -233,4 +233,21 @@ class SimilaritySpec extends SparkSpec {
       assert(ds.head > 0.0)
     }
   }
+
+  test("q199 retrieval agreement: every query scored, overlap bounded by k") {
+    val rows = graft.similarity.Similarity.retrievalAgreement(spark, sfDir)
+      .collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(0)).toSet === (0L until 10L).toSet)
+    rows.foreach { r =>
+      val nc = r.getAs[Int]("n_common")
+      assert(nc >= 0 && nc <= 10)
+      assert(math.abs(r.getAs[Double]("overlap_at_k") - nc / 10.0) < 1e-9)
+    }
+    // deterministic: a second run reproduces the exact agreement vector
+    val again = graft.similarity.Similarity.retrievalAgreement(spark, sfDir)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getAs[Int]("n_common"))).toSeq ===
+      again.map(r => (r.getLong(0), r.getAs[Int]("n_common"))).toSeq)
+  }
 }
