@@ -454,6 +454,9 @@ object SparkEntry {
     // hybrid-search diagnostic: lexical vs dense top-k overlap per query
     "q199_retrieval_agreement" -> ((s, d) =>
       graft.similarity.Similarity.retrievalAgreement(s, d)),
+    // release gate: per-source go/no-go conjunction over the q150 card
+    "q200_release_gate"       -> ((s, d) =>
+      graft.text.TextOps.releaseGate(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -589,6 +589,46 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q200: RELEASE GATE — the terminal go/no-go step of a corpus
+    * release: per source, the q150 dataset-card metrics re-expressed as
+    * four boolean gates (duplicate fraction under `maxDupFrac`, mean
+    * quality at least `minQuality`, embedding coverage at least
+    * `minEmbCover`, token volume at least `minTokens`) and their
+    * conjunction — the row a release pipeline blocks on. Built ON the
+    * q150 card (one call — the gates cannot drift from the card they
+    * audit); the comparisons run on the card's raw doubles, so a gate
+    * flips exactly when the audited metric crosses the threshold.
+    *
+    * Shape at 100 TB: q150's cost (two hash-aggs + one semi-join);
+    * the gating itself is a |sources|-row projection. */
+  def releaseGate(s: SparkSession, dir: String,
+                  maxDupFrac: Double = 0.05, minQuality: Double = 0.45,
+                  minEmbCover: Double = 0.9,
+                  minTokens: Long = 500L): DataFrame = {
+    val dupFrac = col("n_dup_docs").cast(DoubleType) /
+      col("n_docs").cast(DoubleType)
+    val embCover = col("n_embedded").cast(DoubleType) /
+      col("n_docs").cast(DoubleType)
+    datasetCard(s, dir)
+      .withColumn("dup_frac", round(dupFrac, 6))
+      .withColumn("emb_cover", round(embCover, 6))
+      .withColumn("gate_dup", (dupFrac < maxDupFrac).cast(IntegerType))
+      .withColumn("gate_quality",
+        (col("mean_quality") >= minQuality).cast(IntegerType))
+      .withColumn("gate_coverage",
+        (embCover >= minEmbCover).cast(IntegerType))
+      .withColumn("gate_volume",
+        (col("total_tokens") >= minTokens).cast(IntegerType))
+      .withColumn("release_ok",
+        (col("gate_dup") === 1 && col("gate_quality") === 1 &&
+          col("gate_coverage") === 1 && col("gate_volume") === 1)
+          .cast(IntegerType))
+      .select("source", "n_docs", "total_tokens", "dup_frac", "emb_cover",
+        "mean_quality", "gate_dup", "gate_quality", "gate_coverage",
+        "gate_volume", "release_ok")
+      .orderBy("source")
+  }
+
   /** q196: TOKEN-BUDGET WATERFILLING — the fair-allocation step of
     * mixture planning: split a total token budget across sources so
     * every source gets an EQUAL share λ except those whose whole corpus
@@ -1238,6 +1278,46 @@ object TextOps {
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
+    "q200_release_gate" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
+         |m AS (SELECT doc_id, source, text,
+         |    CAST(len(regexp_extract_all(lower(text), '$BpeTokenRe'))
+         |      AS BIGINT) AS toks,
+         |    CAST(len(t) AS DOUBLE) AS words,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         |    CAST(${countInSetS("t", Stopwords)} AS DOUBLE) AS stops
+         |  FROM d),
+         |q AS (SELECT doc_id, source, text, toks, $QualityScoreS AS qs FROM m),
+         |e AS (SELECT source, COUNT(*) AS n_embedded FROM q
+         |  WHERE doc_id IN (SELECT vec_id FROM embeddings) GROUP BY 1),
+         |du AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_dup_docs FROM
+         |  (SELECT source, md5(text) AS h, COUNT(*) AS cnt FROM q
+         |   GROUP BY 1, 2) g
+         |  WHERE cnt > 1 GROUP BY 1),
+         |base AS (SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |    $meanQualityS AS mean_quality
+         |  FROM q GROUP BY 1),
+         |card AS (SELECT base.source, n_docs, total_tokens, mean_quality,
+         |    CAST(COALESCE(e.n_embedded, 0) AS BIGINT) AS n_embedded,
+         |    CAST(COALESCE(du.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+         |  FROM base LEFT JOIN e ON base.source = e.source
+         |  LEFT JOIN du ON base.source = du.source),
+         |g AS (SELECT *,
+         |    CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df,
+         |    CAST(n_embedded AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ec
+         |  FROM card)
+         |SELECT source, n_docs, total_tokens,
+         |  round(df, 6) AS dup_frac, round(ec, 6) AS emb_cover,
+         |  mean_quality,
+         |  CAST(df < 0.05 AS INTEGER) AS gate_dup,
+         |  CAST(mean_quality >= 0.45 AS INTEGER) AS gate_quality,
+         |  CAST(ec >= 0.9 AS INTEGER) AS gate_coverage,
+         |  CAST(total_tokens >= 500 AS INTEGER) AS gate_volume,
+         |  CAST(df < 0.05 AND mean_quality >= 0.45 AND ec >= 0.9
+         |    AND total_tokens >= 500 AS INTEGER) AS release_ok
+         |FROM g ORDER BY source""".stripMargin,
     "q196_token_waterfill" ->
       s"""WITH caps AS (SELECT source,
          |    SUM(CAST(${graft.functions.TextPrims.bpeTokensS("text")}

@@ -372,4 +372,25 @@ class TextPrimsSpec extends SparkSpec {
     val (tot, alloc) = (fix.map(_.getLong(1)).sum, fix.map(_.getLong(2)).sum)
     assert(alloc <= (tot * 0.6).toLong && alloc > (tot * 0.6 * 0.98).toLong)
   }
+
+  test("q200 release gate: conjunction of gates, consistent with the card") {
+    val gates = graft.text.TextOps.releaseGate(spark, sfDir).collect()
+    val card = graft.text.TextOps.datasetCard(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(gates.map(_.getString(0)).toSet === card.keySet)
+    gates.foreach { g =>
+      val c = card(g.getString(0))
+      // metrics are the card's, re-derived — not recomputed differently
+      assert(g.getAs[Int]("n_docs") === c.getAs[Int]("n_docs"))
+      assert(g.getAs[Long]("total_tokens") === c.getAs[Long]("total_tokens"))
+      val expDup = c.getAs[Long]("n_dup_docs").toDouble / c.getAs[Int]("n_docs")
+      assert(math.abs(g.getAs[Double]("dup_frac") - expDup) < 1e-6)
+      // release_ok is exactly the conjunction
+      val conj = Seq("gate_dup", "gate_quality", "gate_coverage",
+        "gate_volume").forall(g.getAs[Int](_) === 1)
+      assert(g.getAs[Int]("release_ok") === (if (conj) 1 else 0))
+    }
+    // the gates discriminate on the fixture: both outcomes occur
+    assert(gates.exists(_.getAs[Int]("release_ok") === 1))
+  }
 }
