@@ -457,6 +457,12 @@ object SparkEntry {
     // release gate: per-source go/no-go conjunction over the q150 card
     "q200_release_gate"       -> ((s, d) =>
       graft.text.TextOps.releaseGate(s, d)),
+    // product quantization: per-block Lloyd codebooks + reconstruction MSE
+    "q201_pq_codebook"        -> ((s, d) =>
+      graft.ml.PqCodebook.pqCodebooks(s, d)),
+    // Efraimidis-Spirakis: one-pass weighted sample WITHOUT replacement
+    "q202_es_weighted_sample" -> ((s, d) =>
+      graft.text.TextOps.esWeightedSample(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -640,6 +646,7 @@ object SparkEntry {
     graft.analytics.Advanced.oracleSql ++ graft.ml.LloydExact.oracleSql ++
     graft.ml.GiniStump.oracleSql ++
     graft.ml.Knn.oracleSql ++
+    graft.ml.PqCodebook.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
       "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText,
       "q122_exists_churn" -> graft.sql.Catalog.ExistsChurnSqlText) ++ {

@@ -120,24 +120,33 @@ object LloydExact {
        |  GROUP BY cluster, pos)
        |GROUP BY cluster""".stripMargin
 
+  /** Parameterized CTE chain "<p>e, <p>c0, <p>a1, <p>c1, …, <p>afinal" —
+    * <p>afinal = the assignment under the final centers <p>c`Iters`,
+    * over an arbitrary (vec_id, e) source SQL. Multiple independent
+    * chains (distinct prefixes) can share one statement — the PQ oracle
+    * (TopK q201) runs one per sub-vector block. */
+  private[graft] def lloydCtesFor(srcE: String, p: String): String = {
+    val iterCtes = (1 to Iters).map { i =>
+      val prev = if (i == 1) s"${p}c0" else s"${p}c${i - 1}"
+      s"""${p}a$i AS (${assignS(s"${p}e", prev)}),
+         |${p}c$i AS (${recomputeS.replace("ASSIGNED", s"${p}a$i")})"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${p}e AS ($srcE),
+       |${p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+       |    AS INTEGER) AS cluster, e AS c
+       |  FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT $K)),
+       |$iterCtes,
+       |${p}afinal AS (${assignS(s"${p}e", s"${p}c$Iters")})""".stripMargin
+  }
+
   /** Shared CTE chain "e, c0, a1, c1, …, afinal" — afinal = the cell
     * assignment under the final centers c`Iters`. Reused by the IVF-ANN
     * oracle (Similarity q61). */
-  private[graft] def lloydCtesS: String = {
-    val iterCtes = (1 to Iters).map { i =>
-      val prev = if (i == 1) "c0" else s"c${i - 1}"
-      s"""a$i AS (${assignS("e", prev)}),
-         |c$i AS (${recomputeS.replace("ASSIGNED", s"a$i")})""".stripMargin
-    }.mkString(",\n")
-    s"""e AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings),
-       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-       |    AS cluster, e AS c
-       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $K)),
-       |$iterCtes,
-       |afinal AS (${assignS("e", s"c$Iters")})""".stripMargin
-  }
+  private[graft] def lloydCtesS: String = lloydCtesFor(
+    """SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings""".stripMargin, "")
 
   def oracleSql: Map[String, String] =
     Map("q57_kmeans_lloyd" ->

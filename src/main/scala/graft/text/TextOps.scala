@@ -589,6 +589,36 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q202: WEIGHTED SAMPLE WITHOUT REPLACEMENT — the Efraimidis–
+    * Spirakis one-pass algorithm (2006): each item draws a uniform u
+    * and keeps key u^(1/w); the k largest keys ARE a weighted sample
+    * without replacement. The only known shape that does
+    * without-replacement weighted sampling in one distributed pass — the
+    * complement of q144's PPS (with-replacement-style systematic)
+    * draw. Here u derives from a seeded md5 of doc_id (the q160
+    * convention), so the "sample" is reproducible and oracle-checkable;
+    * swapping in a true RNG is a one-line change.
+    *
+    * Ranking uses the monotone transform ln(u)/w (same order, no pow):
+    * ln rounds to 9dp once per row (the q183 libm rule), the division
+    * is exact IEEE on identical operands, and the top-k is
+    * orderBy+limit — TakeOrderedAndProject, the distributed bounded
+    * top-k, never a global sort. */
+  def esWeightedSample(s: SparkSession, dir: String,
+                       k: Int = 50): DataFrame = {
+    val h = hex60C(md5(concat(lit("es#"), col("doc_id").cast(StringType))))
+    val u = (h.cast(DoubleType) + 1.0) / lit(math.pow(2.0, 60))
+    val d = docs(s, dir).select(col("doc_id"),
+        bpeTokensC(col("text")).cast(LongType).as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("es_key", round(log(u), 9) / col("toks"))
+      .orderBy(col("es_key").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("es_key").desc, col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast(IntegerType))
+      .orderBy("rk")
+  }
+
   /** q200: RELEASE GATE — the terminal go/no-go step of a corpus
     * release: per source, the q150 dataset-card metrics re-expressed as
     * four boolean gates (duplicate fraction under `maxDupFrac`, mean
@@ -1278,6 +1308,21 @@ object TextOps {
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
+    "q202_es_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(${graft.functions.TextPrims.bpeTokensS("text")}
+         |      AS BIGINT) AS toks
+         |  FROM documents),
+         |ks AS (SELECT doc_id, toks,
+         |    round(ln((${hex60S("md5('es#' || CAST(doc_id AS VARCHAR))")}
+         |      + 1.0) / 1152921504606846976.0), 9) / toks AS es_key
+         |  FROM d WHERE toks > 0),
+         |r AS (SELECT doc_id, toks, es_key,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id)
+         |      AS INTEGER) AS rk
+         |  FROM ks)
+         |SELECT doc_id, toks, es_key, rk FROM r
+         |WHERE rk <= 50 ORDER BY rk""".stripMargin,
     "q200_release_gate" ->
       s"""WITH d AS (SELECT doc_id, source, text, $T AS t FROM documents),
          |m AS (SELECT doc_id, source, text,

@@ -222,4 +222,34 @@ class MlSpec extends SparkSpec {
     assert(calls === 2)
     assert(result > 0)
   }
+
+  test("q201 PQ: full block/cluster grid, cells partition, quantization beats 1-centroid") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ml.PqCodebook.pqCodebooks(spark, sfDir).collect()
+    val nVecs = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    val blocks = graft.ml.PqCodebook.Blocks
+    // every (block, cluster) cell present, populations partition per block
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      (0 until blocks).flatMap(b => (0 until graft.ml.LloydExact.K)
+        .map(c => (b, c))).toSet)
+    (0 until blocks).foreach { b =>
+      assert(rows.filter(_.getInt(0) == b).map(_.getAs[Long]("n")).sum
+        === nVecs, s"block $b")
+    }
+    rows.foreach(r => assert(r.getAs[Double]("mse") >= 0.0))
+    // quantization must beat the 1-centroid baseline: per block, the
+    // weighted MSE is below the sub-vector variance around its mean
+    val embs = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until blocks).foreach { b =>
+      val sub = embs.map(_.slice(b * 16, (b + 1) * 16))
+      val mean = (0 until 16).map(i => sub.map(_(i)).sum / sub.length)
+      val varTot = sub.map(v => (0 until 16)
+        .map(i => (v(i) - mean(i)) * (v(i) - mean(i))).sum).sum
+      val pqErr = rows.filter(_.getInt(0) == b)
+        .map(r => r.getAs[Long]("n") * r.getAs[Double]("mse")).sum
+      assert(pqErr < varTot, s"block $b: $pqErr vs $varTot")
+    }
+  }
 }

@@ -42,4 +42,27 @@ class SamplingSpec extends SparkSpec {
       .limit(target.toInt)
     assert(sampled.count() <= target)
   }
+
+  test("q202 ES sample: keys ranked, reproducible, token-weighted bias real") {
+    val rows = graft.text.TextOps.esWeightedSample(spark, sfDir).collect()
+    assert(rows.length === 50)
+    // strictly ranked by the ES key with doc_id tie-break
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ka, kb) = (a.getAs[Double]("es_key"), b.getAs[Double]("es_key"))
+      assert(ka > kb || (ka == kb && a.getLong(0) < b.getLong(0)))
+    case _ => ()
+    }
+    // reproducible: the derived-uniform sample is a pure function of ids
+    val again = graft.text.TextOps.esWeightedSample(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    // weighting works: token mass per sampled doc exceeds the corpus mean
+    // (heavier docs are favored ∝ w — the point of weighted sampling)
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.TextPrims.bpeTokensC(col("text"))
+        .cast("long")).collect().map(_.getLong(0))
+    val corpusMean = toks.sum.toDouble / toks.length
+    val sampleMean = rows.map(_.getAs[Long]("toks")).sum.toDouble / 50
+    assert(sampleMean > corpusMean, s"$sampleMean vs $corpusMean")
+  }
 }
