@@ -463,6 +463,18 @@ object SparkEntry {
     // Efraimidis-Spirakis: one-pass weighted sample WITHOUT replacement
     "q202_es_weighted_sample" -> ((s, d) =>
       graft.text.TextOps.esWeightedSample(s, d)),
+    // Welch unequal-variance t matrix — the A/B mean-difference screen
+    "q203_welch_pairs"        -> ((s, d) =>
+      graft.analytics.Advanced.welchPairs(s, d)),
+    // Benford first-digit audit — fabricated-amount anomaly screen
+    "q204_benford"            -> ((s, d) =>
+      graft.analytics.Advanced.benfordAudit(s, d)),
+    // PSI: reference-decile population-stability drift per event type
+    "q205_psi_drift"          -> ((s, d) =>
+      graft.analytics.Advanced.psiDrift(s, d)),
+    // Apriori-gated support/confidence/lift over co-purchase baskets
+    "q206_association_rules"  -> ((s, d) =>
+      graft.analytics.Advanced.associationRules(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

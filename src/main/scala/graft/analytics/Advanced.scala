@@ -713,6 +713,129 @@ object Advanced {
       .orderBy(kc: _*)
   }
 
+  /** q203: WELCH PAIRWISE T-TESTS — for every pair of event types, the
+    * Welch (unequal-variance) two-sample t statistic on `value` and its
+    * Welch–Satterthwaite degrees of freedom: the A/B-comparison matrix
+    * an experimentation pipeline reads before trusting a mean
+    * difference. Reported as the raw statistic + df (the p-value lookup
+    * is a client-side table; the distributed work is the moments).
+    *
+    * Exact-moment discipline (q93/q197): one DECIMAL moment hash-agg
+    * over the fact table; the |types|² pair expansion and the t/df
+    * algebra run on the tiny stats frame with fixed IEEE expressions —
+    * bit-identical cross-engine, reported raw (never re-rounded). */
+  def welchPairs(s: SparkSession, dir: String): DataFrame = {
+    val stats = t(s, dir, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 8))).as("sxx"))
+      .withColumn("mean", col("sx").cast(DoubleType) / col("n"))
+      .withColumn("vr", when(col("n") > 1,
+        (col("sxx").cast(DoubleType) - col("mean") * col("mean") * col("n"))
+          / (col("n") - 1)))
+      .select(col("event_type"), col("n"), col("mean"), col("vr"))
+    val a = stats.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("mean").as("ma"), col("vr").as("va"))
+    val b = stats.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("mean").as("mb"), col("vr").as("vb"))
+    val sa = col("va") / col("na")
+    val sb = col("vb") / col("nb")
+    val se2 = sa + sb
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("na").cast(IntegerType).as("n_a"),
+        col("nb").cast(IntegerType).as("n_b"),
+        ((col("ma") - col("mb")) / sqrt(se2)).as("t_stat"),
+        (se2 * se2 / (sa * sa / (col("na") - 1) + sb * sb / (col("nb") - 1)))
+          .as("df"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Benford expected first-digit probabilities log₁₀(1 + 1/d), as
+    * 12-dp literals shared by the Spark side and the oracle — identical
+    * by construction, no runtime log needed. */
+  private[graft] val BenfordP: Seq[(Int, Double)] = (1 to 9).map(d =>
+    d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** q204: BENFORD FIRST-DIGIT AUDIT — the classic fabricated-data /
+    * anomaly screen: the first significant digit of naturally occurring
+    * amounts follows P(d) = log₁₀(1+1/d); strong deviation flags
+    * synthetic or manipulated figures. Run over order totals: observed
+    * counts per digit vs expected, with the χ² contribution per digit
+    * (the spec sums them against the 15.5 / 20.1 critical values).
+    *
+    * Deterministic: the digit comes from the DECIMAL(18,2) string
+    * rendering (identical in both engines — no log10 at runtime for
+    * the digit either); expected counts are n × a shared 12-dp literal;
+    * the χ² terms are fixed IEEE expressions. One hash-agg on a
+    * 9-value key. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "orders")
+      .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
+        .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val exp = BenfordP.map { case (d, p) =>
+      s"($d, CAST($p AS DOUBLE))" }
+    val expDf = s.sql(
+      s"SELECT col1 AS digit, col2 AS p FROM VALUES ${exp.mkString(", ")}")
+    val tot = obs.agg(sum("n_obs").as("n"))
+    obs.join(broadcast(expDf), Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_exp", col("n") * col("p"))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_exp"), 6).as("n_exp"),
+        round((col("n_obs") - col("n_exp")) * (col("n_obs") - col("n_exp"))
+          / col("n_exp"), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** q205: PSI DRIFT — the Population Stability Index, the production
+    * standard for feature-distribution monitoring: decile boundaries
+    * are fit on a REFERENCE window (days 1–15), both windows' values
+    * are binned by those SAME boundaries, and
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i) over the bins (rule of thumb:
+    * < 0.1 stable, > 0.25 drifted). Reported per (event_type, bin)
+    * with the PSI contribution — the spec sums them.
+    *
+    * Determinism: values quantize to micro-units (q191), so the decile
+    * interpolations are exactly representable and the bin comparisons
+    * run on identical doubles; shares are Laplace-smoothed
+    * ((n + 0.5)/(N + bins/2) — no empty-bin ln(·/0)); ln rounds to 6dp
+    * at the bin (the q183 rule). Shape at 100 TB: boundary fit is one
+    * percentile agg on the reference scan; binning is a broadcast
+    * 9-value array + codegen'd HOF filter; the rest is a
+    * |types|×bins hash-agg. */
+  def psiDrift(s: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val vq = (col("value").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val e = t(s, dir, "events").select(col("event_type"),
+      (dayofmonth(col("ts")) <= 15).cast(IntegerType).as("ref"),
+      vq.as("vq"))
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val bnd = e.filter(col("ref") === 1).groupBy("event_type")
+      .agg(expr(s"percentile(vq, array(${qs.mkString(", ")}))").as("bnd"))
+    val binned = e.join(broadcast(bnd), Seq("event_type"))
+      .withColumn("bin",
+        (size(filter(col("bnd"), b => col("vq").cast(DoubleType) > b)) + 1)
+          .cast(IntegerType))
+      .groupBy("event_type", "bin")
+      .agg(sum(col("ref").cast(LongType)).as("n_ref"),
+        sum(lit(1L) - col("ref")).as("n_cmp"))
+    val tot = binned.groupBy("event_type")
+      .agg(sum("n_ref").as("tr"), sum("n_cmp").as("tc"))
+    val p = (col("n_ref") + 0.5) / (col("tr") + lit(bins * 0.5))
+    val q = (col("n_cmp") + 0.5) / (col("tc") + lit(bins * 0.5))
+    binned.join(broadcast(tot), Seq("event_type"))
+      .withColumn("p", p).withColumn("q", q)
+      .select(col("event_type"), col("bin"),
+        col("n_ref").cast(IntegerType).as("n_ref"),
+        col("n_cmp").cast(IntegerType).as("n_cmp"),
+        round((col("p") - col("q")) * round(log(col("p") / col("q")), 6), 9)
+          .as("psi_term"))
+      .orderBy("event_type", "bin")
+  }
+
   /** q198: SEASONAL ROBUST ANOMALY — q191 with a SEASONAL baseline: the
     * median/MAD census keyed by (event_type, hour-of-day), so a value is
     * judged against what is normal for ITS hour — the decomposition that
@@ -1872,6 +1995,49 @@ object Advanced {
       .limit(k)
   }
 
+  /** q206: ASSOCIATION RULES — q149's co-purchase pairs upgraded to the
+    * classic support/confidence/lift metrics: for the top pair
+    * candidates, support = P(A∧B), confidence(A→B) = P(B|A), and
+    * lift = P(A∧B)/(P(A)P(B)) — lift > 1 is genuine affinity, ~1 is
+    * what co-occurrence counting alone cannot distinguish from two
+    * independently popular items. Candidate pairs come from a minimum
+    * pair-count gate (the support-pruning step of Apriori — candidates
+    * never leave the frequent region).
+    *
+    * Shape at 100 TB: the q149 self-join produces pair counts; item
+    * supports are one hash-agg on the distinct (order, item) set; the
+    * metric assembly joins the |pairs| frame to the broadcast item
+    * supports. Exact integer counts; the three ratios are fixed IEEE
+    * divisions reported raw. */
+  def associationRules(s: SparkSession, dir: String,
+                       minPairs: Long = 3L): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint() // three consumers: basket count, supports, pairs
+    val nb = items.agg(countDistinct("okey").cast(DoubleType).as("nd"))
+    val supp = items.groupBy("part").agg(count(lit(1)).as("cnt"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    pairs
+      .join(broadcast(supp.withColumnsRenamed(
+        Map("part" -> "part_a", "cnt" -> "ca"))), Seq("part_a"))
+      .join(broadcast(supp.withColumnsRenamed(
+        Map("part" -> "part_b", "cnt" -> "cb"))), Seq("part_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("part_a"), col("part_b"),
+        col("n_ab").cast(IntegerType).as("n_ab"),
+        (col("n_ab").cast(DoubleType) / col("nd")).as("support"),
+        (col("n_ab").cast(DoubleType) / col("ca")).as("conf_a_b"),
+        (col("n_ab").cast(DoubleType) * col("nd") /
+          (col("ca") * col("cb")).cast(DoubleType)).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
@@ -2446,6 +2612,89 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q206_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+        |    l_partkey AS part FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS nd FROM items),
+        |supp AS (SELECT part, COUNT(*) AS cnt FROM items GROUP BY part),
+        |pairs AS (SELECT a.part AS part_a, b.part AS part_b,
+        |    COUNT(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT part_a, part_b, CAST(n_ab AS INTEGER) AS n_ab,
+        |  CAST(n_ab AS DOUBLE) / nd AS support,
+        |  CAST(n_ab AS DOUBLE) / sa.cnt AS conf_a_b,
+        |  CAST(n_ab AS DOUBLE) * nd /
+        |    CAST(sa.cnt * sb.cnt AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN supp sa ON pairs.part_a = sa.part
+        |JOIN supp sb ON pairs.part_b = sb.part, nb
+        |ORDER BY part_a, part_b""".stripMargin,
+    "q205_psi_drift" -> {
+      val qs = (1 until 10).map(i => i.toDouble / 10)
+      s"""WITH e AS (SELECT event_type,
+         |    CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS ref,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
+         |  FROM events),
+         |bnd AS (SELECT event_type,
+         |    quantile_cont(vq, [${qs.mkString(", ")}]) AS bnd
+         |  FROM e WHERE ref = 1 GROUP BY event_type),
+         |binned AS (SELECT e.event_type,
+         |    CAST(len(list_filter(bnd.bnd,
+         |      b -> CAST(vq AS DOUBLE) > b)) + 1 AS INTEGER) AS bin,
+         |    SUM(ref) AS n_ref, SUM(1 - ref) AS n_cmp
+         |  FROM e JOIN bnd ON e.event_type = bnd.event_type
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT event_type, SUM(n_ref) AS tr, SUM(n_cmp) AS tc
+         |  FROM binned GROUP BY event_type),
+         |pq AS (SELECT binned.event_type, bin, n_ref, n_cmp,
+         |    (n_ref + 0.5) / (tr + 5.0) AS p,
+         |    (n_cmp + 0.5) / (tc + 5.0) AS q
+         |  FROM binned JOIN tot ON binned.event_type = tot.event_type)
+         |SELECT event_type, bin,
+         |  CAST(n_ref AS INTEGER) AS n_ref, CAST(n_cmp AS INTEGER) AS n_cmp,
+         |  round((p - q) * round(ln(p / q), 6), 9) AS psi_term
+         |FROM pq ORDER BY event_type, bin""".stripMargin
+    },
+    "q203_welch_pairs" ->
+      // q93's moment chain; the t/df algebra uses the same association
+      // order as the Spark expressions so every double is identical
+      """WITH stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+        |    SUM(CAST(value * value AS DECIMAL(38,8))) AS sxx
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CAST(sx AS DOUBLE) / n AS mean,
+        |    CASE WHEN n > 1 THEN
+        |      (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n)
+        |        * (CAST(sx AS DOUBLE) / n) * n) / (n - 1)
+        |    END AS vr
+        |  FROM stats)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(a.n AS INTEGER) AS n_a, CAST(b.n AS INTEGER) AS n_b,
+        |  (a.mean - b.mean) / sqrt(a.vr / a.n + b.vr / b.n) AS t_stat,
+        |  (a.vr / a.n + b.vr / b.n) * (a.vr / a.n + b.vr / b.n) /
+        |    ((a.vr / a.n) * (a.vr / a.n) / (a.n - 1)
+        |      + (b.vr / b.n) * (b.vr / b.n) / (b.n - 1)) AS df
+        |FROM m a JOIN m b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q204_benford" -> {
+      val vals = BenfordP.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH obs AS (SELECT CAST(substr(CAST(CAST(o_totalprice
+         |      AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |    COUNT(*) AS n_obs
+         |  FROM orders GROUP BY 1),
+         |expv AS (SELECT * FROM (VALUES $vals) v(digit, p)),
+         |tot AS (SELECT SUM(n_obs) AS n FROM obs),
+         |j AS (SELECT obs.digit, obs.n_obs, n * p AS n_exp
+         |  FROM obs JOIN expv ON obs.digit = expv.digit, tot)
+         |SELECT digit, n_obs, round(n_exp, 6) AS n_exp,
+         |  round((n_obs - n_exp) * (n_obs - n_exp) / n_exp, 6) AS chi2_term
+         |FROM j ORDER BY digit""".stripMargin
+    },
     "q198_seasonal_anomaly" ->
       // q191's chain keyed by (event_type, hour-of-day)
       """WITH e AS (SELECT event_type,

@@ -589,4 +589,83 @@ class AdvancedSpec extends SparkSpec {
         assert(r.getAs[Double]("outlier_ratio") < 0.3, r.toString)
     }
   }
+
+  test("q203 welch: antisymmetric in the pair, matches a driver recount") {
+    val rows = Advanced.welchPairs(spark, sfDir).collect()
+    val vals = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2) }
+    val k = vals.keySet.toSeq.sorted
+    assert(rows.length === k.size * (k.size - 1) / 2)
+    def mv(xs: Iterable[Double]) = {
+      val n = xs.size; val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    rows.foreach { r =>
+      val (na, ma, va) = mv(vals(r.getString(0)))
+      val (nb, mb, vb) = mv(vals(r.getString(1)))
+      val se2 = va / na + vb / nb
+      val t = (ma - mb) / math.sqrt(se2)
+      val df = se2 * se2 /
+        (va / na * (va / na) / (na - 1) + vb / nb * (vb / nb) / (nb - 1))
+      assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-6, r.getString(0))
+      assert(math.abs(r.getAs[Double]("df") - df) < math.abs(df) * 1e-6)
+      // Welch df is bounded by the pooled df and at least min(n)-1
+      assert(r.getAs[Double]("df") >= math.min(na, nb) - 1
+        && r.getAs[Double]("df") <= na + nb - 2)
+    }
+  }
+
+  test("q204 benford: digits cover 1..9, expectations normalize, chi2 finite") {
+    val rows = Advanced.benfordAudit(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 9))
+    val n = rows.map(_.getAs[Long]("n_obs")).sum
+    // expected counts are a probability distribution scaled by n
+    assert(math.abs(rows.map(_.getAs[Double]("n_exp")).sum - n) < 1e-3)
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
+    // order totals are NOT Benford-distributed (uniform-ish price range):
+    // the audit must say so loudly, not vacuously pass everything
+    val chi2 = rows.map(_.getAs[Double]("chi2_term")).sum
+    assert(chi2 > 20.09, s"chi2 $chi2") // 0.99 critical value, df=8
+  }
+
+  test("q205 psi: full bin grid, counts partition both windows, PSI small on a stable stream") {
+    val rows = Advanced.psiDrift(spark, sfDir).collect()
+    val types = rows.map(_.getString(0)).distinct
+    // equal-frequency reference bins: every (type, bin) populated
+    assert(rows.length === types.length * 10)
+    types.foreach { et =>
+      val bs = rows.filter(_.getString(0) == et)
+      assert(bs.map(_.getInt(1)).sorted.toSeq === (1 to 10))
+      // reference deciles: near-equal reference counts per bin
+      val refs = bs.map(_.getAs[Int]("n_ref"))
+      assert(refs.max - refs.min <= 2, s"$et ${refs.toSeq}")
+      // the fixture stream is stationary across the month: PSI must sit
+      // at its small-sample noise floor E[PSI] ≈ (1/N_ref + 1/N_cmp)(B−1)
+      // (0.1-rule territory only once the windows are large)
+      val (tr, tc) = (bs.map(_.getAs[Int]("n_ref").toLong).sum,
+        bs.map(_.getAs[Int]("n_cmp").toLong).sum)
+      val noise = (1.0 / tr + 1.0 / tc) * 9
+      val psi = bs.map(_.getAs[Double]("psi_term")).sum
+      assert(psi >= 0.0 && psi < math.max(0.1, 3 * noise),
+        s"$et psi $psi noise $noise")
+    }
+    val ev = graft.sources.Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(r => r.getAs[Int]("n_ref").toLong +
+      r.getAs[Int]("n_cmp").toLong).sum === ev)
+  }
+
+  test("q206 association rules: probability bounds, lift algebra consistent") {
+    val rows = Advanced.associationRules(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sup, conf, lift) = (r.getAs[Double]("support"),
+        r.getAs[Double]("conf_a_b"), r.getAs[Double]("lift"))
+      assert(sup > 0.0 && sup <= 1.0)
+      assert(conf >= sup - 1e-12 && conf <= 1.0) // P(B|A) >= P(A∧B)
+      assert(lift > 0.0)
+      assert(r.getAs[Int]("n_ab") >= 3)
+    }
+  }
 }
