@@ -475,6 +475,18 @@ object SparkEntry {
     // Apriori-gated support/confidence/lift over co-purchase baskets
     "q206_association_rules"  -> ((s, d) =>
       graft.analytics.Advanced.associationRules(s, d)),
+    // per-source quality deciles vs global — quantile-normalization map
+    "q207_quantile_calibration" -> ((s, d) =>
+      graft.text.TextOps.quantileCalibration(s, d)),
+    // tie-corrected rank-sum test, one global ranking for all types
+    "q208_mann_whitney"       -> ((s, d) =>
+      graft.analytics.Advanced.mannWhitney(s, d)),
+    // max-ECDF-gap two-sample distribution-shape test
+    "q209_ks_two_sample"      -> ((s, d) =>
+      graft.analytics.Advanced.ksTwoSample(s, d)),
+    // per-source Gini of token mass — corpus concentration/diversity
+    "q210_gini_concentration" -> ((s, d) =>
+      graft.text.TextOps.giniConcentration(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

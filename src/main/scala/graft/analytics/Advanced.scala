@@ -790,6 +790,96 @@ object Advanced {
       .orderBy("digit")
   }
 
+  /** q208: MANN–WHITNEY U (rank-sum) — the nonparametric complement of
+    * q203's Welch t: each event type tested against the REST of the
+    * stream on ranks, so heavy tails and outliers cannot fake or mask
+    * a location shift. One GLOBAL tie-averaged ranking serves all
+    * |types| tests (type-vs-rest shares the combined sample), with the
+    * exact tie-corrected normal approximation z = (U − μ)/σ.
+    *
+    * Determinism: values quantize to micro-units; tie-averaged ranks
+    * have exact .5 granularity, so the per-type rank sums accumulate
+    * in DECIMAL(28,1) (exact, order-independent); the tie term
+    * Σ(t³−t) sums in DECIMAL(38,0); the closing U/μ/σ/z algebra is a
+    * fixed IEEE expression over those exact quantities.
+    *
+    * Shape at 100 TB: one hash-agg to per-(value, type) counts, one
+    * window over the DISTINCT-value frame (vocabulary-sized, not
+    * fact-sized) for cumulative ranks, one hash-agg per type. */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val vq = (col("value").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val e = t(s, dir, "events").select(col("event_type"), vq.as("vq"))
+    val perVT = e.groupBy("vq", "event_type").agg(count(lit(1)).as("cvt"))
+    val perV = perVT.groupBy("vq").agg(sum("cvt").as("c"))
+    val w = Window.orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("avg_rank",
+        col("cum_before").cast(DoubleType) + (col("c") + 1) / lit(2.0))
+    val tieTerm = ranked.agg(sum((col("c") * col("c") * col("c") - col("c"))
+      .cast(DecimalType(38, 0))).as("tsum"),
+      sum("c").as("nn"))
+    val rsums = perVT.join(ranked.select("vq", "avg_rank"), Seq("vq"))
+      .groupBy("event_type")
+      .agg(sum("cvt").as("na"),
+        sum(round(col("cvt") * col("avg_rank"), 1)
+          .cast(DecimalType(28, 1))).as("ra"))
+    val na = col("na").cast(DoubleType)
+    val nb = (col("nn") - col("na")).cast(DoubleType)
+    val nTot = col("nn").cast(DoubleType)
+    val u = col("ra").cast(DoubleType) - na * (na + 1) / 2
+    val mu = na * nb / 2
+    val sig = sqrt(na * nb / 12 *
+      ((nTot + 1) - col("tsum").cast(DoubleType) / (nTot * (nTot - 1))))
+    rsums.crossJoin(broadcast(tieTerm))
+      .select(col("event_type"), col("na").cast(IntegerType).as("n"),
+        u.as("u_stat"), ((u - mu) / sig).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** q209: KOLMOGOROV–SMIRNOV two-sample — the maximum ECDF gap
+    * between 'click' and 'error' values: the distribution-shape test
+    * that catches what mean tests (q203) and location tests (q208)
+    * both miss (equal centers, different shapes). Reports D, its
+    * location, and the scaled statistic √(n·m/(n+m))·D the asymptotic
+    * tables key on.
+    *
+    * Determinism: ECDF steps are exact integer counts over micro-unit
+    * values; F_a − F_b per distinct value is a fixed IEEE expression;
+    * the argmax tie-breaks to the smallest value. One hash-agg + one
+    * window over the distinct-value frame. */
+  def ksTwoSample(s: SparkSession, dir: String,
+                  typeA: String = "click", typeB: String = "error"): DataFrame = {
+    val vq = (col("value").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), vq.as("vq"))
+    val perV = e.groupBy("vq").agg(
+      sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perV
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+    val tot = cum.agg(max("cuma").as("na"), max("cumb").as("nb"))
+    val gap = abs(col("cuma").cast(DoubleType) / col("na") -
+      col("cumb").cast(DoubleType) / col("nb"))
+    val ranked = cum.crossJoin(broadcast(tot))
+      .withColumn("gap", gap)
+      .orderBy(col("gap").desc, col("vq")).limit(1)
+    ranked.select(col("na").cast(IntegerType).as("n_a"),
+      col("nb").cast(IntegerType).as("n_b"),
+      col("gap").as("d_stat"),
+      (col("vq") / 1000000.0).as("at_value"),
+      (sqrt(col("na").cast(DoubleType) * col("nb") /
+        (col("na") + col("nb")).cast(DoubleType)) * col("gap"))
+        .as("scaled_d"))
+  }
+
   /** q205: PSI DRIFT — the Population Stability Index, the production
     * standard for feature-distribution monitoring: decile boundaries
     * are fit on a REFERENCE window (days 1–15), both windows' values
@@ -2612,6 +2702,65 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q208_mann_whitney" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
+        |  FROM events),
+        |pvt AS (SELECT vq, event_type, COUNT(*) AS cvt
+        |  FROM e GROUP BY vq, event_type),
+        |pv AS (SELECT vq, SUM(cvt) AS c FROM pvt GROUP BY vq),
+        |rk AS (SELECT vq, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM pv),
+        |ar AS (SELECT vq, c,
+        |    CAST(cum_before AS DOUBLE) + (c + 1) / 2.0 AS avg_rank
+        |  FROM rk),
+        |tie AS (SELECT SUM(CAST(c * c * c - c AS DECIMAL(38,0))) AS tsum,
+        |    SUM(c) AS nn FROM ar),
+        |rs AS (SELECT event_type, SUM(cvt) AS na,
+        |    SUM(CAST(round(cvt * avg_rank, 1) AS DECIMAL(28,1))) AS ra
+        |  FROM pvt JOIN ar ON pvt.vq = ar.vq GROUP BY event_type),
+        |f AS (SELECT event_type,
+        |    CAST(na AS DOUBLE) AS nad,
+        |    CAST(nn - na AS DOUBLE) AS nbd,
+        |    CAST(nn AS DOUBLE) AS ntd,
+        |    CAST(ra AS DOUBLE) AS rad,
+        |    CAST(tsum AS DOUBLE) AS tsd,
+        |    na
+        |  FROM rs, tie)
+        |SELECT event_type, CAST(na AS INTEGER) AS n,
+        |  rad - nad * (nad + 1) / 2 AS u_stat,
+        |  (rad - nad * (nad + 1) / 2 - nad * nbd / 2) /
+        |    sqrt(nad * nbd / 12 *
+        |      ((ntd + 1) - tsd / (ntd * (ntd - 1)))) AS z
+        |FROM f ORDER BY event_type""".stripMargin,
+    "q209_ks_two_sample" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |pv AS (SELECT vq,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY vq),
+        |cum AS (SELECT vq,
+        |    SUM(ca) OVER (ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM pv),
+        |tot AS (SELECT MAX(cuma) AS na, MAX(cumb) AS nb FROM cum),
+        |g AS (SELECT vq, na, nb,
+        |    ABS(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)
+        |      AS gap
+        |  FROM cum, tot),
+        |top AS (SELECT * FROM g ORDER BY gap DESC, vq LIMIT 1)
+        |SELECT CAST(na AS INTEGER) AS n_a, CAST(nb AS INTEGER) AS n_b,
+        |  gap AS d_stat, vq / 1000000.0 AS at_value,
+        |  sqrt(CAST(na AS DOUBLE) * nb / CAST(na + nb AS DOUBLE)) * gap
+        |    AS scaled_d
+        |FROM top""".stripMargin,
     "q206_association_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey,
         |    l_partkey AS part FROM lineitem),

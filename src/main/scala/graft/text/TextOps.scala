@@ -589,6 +589,81 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q210: GINI TOKEN CONCENTRATION — per source, the Gini coefficient
+    * of token mass across documents (0 = every doc contributes
+    * equally, → 1 = a few megadocs carry the feed): the corpus-
+    * diversity number that decides whether a source needs doc-level
+    * length capping before mixing (a high-Gini feed lets a handful of
+    * documents dominate training batches).
+    *
+    * Exact: with documents ranked ascending by token count (doc_id
+    * tie-break), G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) — every term
+    * accumulates in DECIMAL(38,0) (rank×mass products overflow BIGINT
+    * at crawl scale), one double division at the end.
+    *
+    * Shape at 100 TB: one narrow map + per-source window rank +
+    * per-source hash-agg — the q155 ranking shape. */
+  def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("toks"), col("doc_id"))
+    val d38 = (c: Column) => sum(c.cast(DecimalType(38, 0)))
+    docs(s, dir).select(col("doc_id"), col("source"),
+        bpeTokensC(col("text")).cast(LongType).as("toks"))
+      .withColumn("i", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), d38(col("toks")).as("sx"),
+        sum(col("i").cast(DecimalType(38, 0)) * col("toks")).as("six"))
+      .select(col("source"), col("n").cast(IntegerType).as("n_docs"),
+        col("sx").cast(LongType).as("total_toks"),
+        round(((lit(2).cast(DecimalType(38, 0)) * col("six") -
+          (col("n") + 1).cast(DecimalType(38, 0)) * col("sx"))
+            .cast(DoubleType)) /
+          ((col("n").cast(DecimalType(38, 0)) * col("sx"))
+            .cast(DoubleType)), 6).as("gini"))
+      .orderBy("source")
+  }
+
+  /** q207: QUANTILE CALIBRATION TABLE — per-source quality-score
+    * deciles against the global deciles, with the per-decile shift:
+    * the calibration map cross-source score comparison needs (a 0.6
+    * from a lenient feed ≠ a 0.6 from a strict one; matching quantiles
+    * is the standard fix — quantile normalization). A release pipeline
+    * reads the shift column to decide whether per-source thresholds
+    * are required.
+    *
+    * Determinism: scores quantize to micro-units (q191), so every
+    * decile interpolation is exactly representable; the reported
+    * values divide once by 10⁶ and the shift subtracts the divided
+    * doubles in the same order on both engines.
+    *
+    * Shape at 100 TB: two percentile hash-aggs over one narrow scan
+    * (per-source and global), then an 11-row × |sources| assembly. */
+  def quantileCalibration(s: SparkSession, dir: String): DataFrame = {
+    val vq = (qualityScoreC.cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val d = docs(s, dir).select(col("source"), vq.as("vq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager fill: per-source + global percentile passes
+    try {
+      val qsArr = (0 to 10).map(i => i / 10.0)
+      val pctl = expr(s"percentile(vq, array(${qsArr.mkString(", ")}))")
+      val bySrc = d.groupBy("source").agg(pctl.as("qs"))
+      val glob = d.agg(pctl.as("gq"))
+        .select(posexplode(col("gq")).as(Seq("i", "glob_q")))
+      val out = bySrc
+        .select(col("source"), posexplode(col("qs")).as(Seq("i", "src_q")))
+        .join(broadcast(glob), Seq("i"))
+        .select(col("source"), col("i").cast(IntegerType).as("decile"),
+          (col("src_q") / 1000000.0).as("src_q"),
+          (col("glob_q") / 1000000.0).as("glob_q"),
+          (col("src_q") / 1000000.0 - col("glob_q") / 1000000.0)
+            .as("shift"))
+        .orderBy("source", "decile")
+        .localCheckpoint()
+      out
+    } finally { d.unpersist(); () }
+  }
+
   /** q202: WEIGHTED SAMPLE WITHOUT REPLACEMENT — the Efraimidis–
     * Spirakis one-pass algorithm (2006): each item draws a uniform u
     * and keeps key u^(1/w); the k largest keys ARE a weighted sample
@@ -1308,6 +1383,51 @@ object TextOps {
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
+    "q210_gini_concentration" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(${graft.functions.TextPrims.bpeTokensS("text")}
+         |      AS BIGINT) AS toks
+         |  FROM documents),
+         |r AS (SELECT source, toks,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY toks, doc_id) AS i
+         |  FROM d),
+         |a AS (SELECT source, COUNT(*) AS n,
+         |    SUM(CAST(toks AS DECIMAL(38,0))) AS sx,
+         |    SUM(CAST(i AS DECIMAL(38,0)) * toks) AS six
+         |  FROM r GROUP BY source)
+         |SELECT source, CAST(n AS INTEGER) AS n_docs,
+         |  CAST(sx AS BIGINT) AS total_toks,
+         |  round(CAST(CAST(2 AS DECIMAL(38,0)) * six -
+         |      CAST(n + 1 AS DECIMAL(38,0)) * sx AS DOUBLE) /
+         |    CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS gini
+         |FROM a ORDER BY source""".stripMargin,
+    "q207_quantile_calibration" -> {
+      val qsArr = (0 to 10).map(i => i / 10.0)
+      s"""WITH m0 AS (SELECT doc_id, source, text, $T AS t FROM documents),
+         |m AS (SELECT doc_id, source, text, t,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |d AS (SELECT source,
+         |    CAST(CAST($QualityScoreS AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS vq
+         |  FROM m),
+         |bysrc AS (SELECT source,
+         |    quantile_cont(vq, [${qsArr.mkString(", ")}]) AS qs
+         |  FROM d GROUP BY source),
+         |gl AS (SELECT quantile_cont(vq, [${qsArr.mkString(", ")}]) AS gq
+         |  FROM d),
+         |se AS (SELECT source, i - 1 AS i, qs[i] AS src_q
+         |  FROM bysrc, unnest(generate_series(1, 11)) AS u(i)),
+         |ge AS (SELECT i - 1 AS i, gq[i] AS glob_q
+         |  FROM gl, unnest(generate_series(1, 11)) AS u(i))
+         |SELECT source, CAST(se.i AS INTEGER) AS decile,
+         |  src_q / 1000000.0 AS src_q,
+         |  glob_q / 1000000.0 AS glob_q,
+         |  src_q / 1000000.0 - glob_q / 1000000.0 AS shift
+         |FROM se JOIN ge ON se.i = ge.i
+         |ORDER BY source, decile""".stripMargin
+    },
     "q202_es_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id,
          |    CAST(${graft.functions.TextPrims.bpeTokensS("text")}

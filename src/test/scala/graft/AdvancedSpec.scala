@@ -656,6 +656,48 @@ class AdvancedSpec extends SparkSpec {
       r.getAs[Int]("n_cmp").toLong).sum === ev)
   }
 
+  test("q208 mann-whitney: U matches a driver rank recount, z centered") {
+    val rows = Advanced.mannWhitney(spark, sfDir).collect()
+    val vals = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong))
+    // tie-averaged global ranks
+    val sorted = vals.map(_._2).sorted
+    val avgRank = sorted.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val mine = vals.filter(_._1 == et).map(_._2)
+      val ra = mine.map(avgRank).sum
+      val na = mine.length.toDouble
+      val expU = ra - na * (na + 1) / 2
+      assert(math.abs(r.getAs[Double]("u_stat") - expU) < 1e-6, et)
+      // the stream is homogeneous across types: |z| stays moderate
+      assert(math.abs(r.getAs[Double]("z")) < 10.0, s"$et z=${r.get(2)}")
+    }
+  }
+
+  test("q209 ks: D matches a driver ECDF recount exactly") {
+    val r = Advanced.ksTwoSample(spark, sfDir).collect().head
+    val vals = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "error").map(_._2).sorted
+    assert(r.getAs[Int]("n_a") === a.length && r.getAs[Int]("n_b") === b.length)
+    val grid = (a ++ b).distinct.sorted
+    val d = grid.map(x => math.abs(
+      a.count(_ <= x).toDouble / a.length -
+        b.count(_ <= x).toDouble / b.length)).max
+    assert(math.abs(r.getAs[Double]("d_stat") - d) < 1e-9)
+    assert(r.getAs[Double]("d_stat") >= 0.0 && r.getAs[Double]("d_stat") <= 1.0)
+    assert(math.abs(r.getAs[Double]("scaled_d") -
+      math.sqrt(a.length.toDouble * b.length / (a.length + b.length)) * d)
+      < 1e-9)
+  }
+
   test("q206 association rules: probability bounds, lift algebra consistent") {
     val rows = Advanced.associationRules(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -396,6 +396,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q205 PSI: boundaries broadcast onto the fact scan, never a shuffle join") {
+    val plan = planOf(graft.analytics.Advanced.psiDrift(spark, sfDir))
+    // the 9-value decile arrays ride a broadcast; the fact table joins
+    // them without an exchange on its side
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q206 rules: item supports broadcast; only the basket self-join shuffles") {
+    val plan = planOf(graft.analytics.Advanced.associationRules(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // two support attachments + the 1-row basket count are broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
+  }
+
+  test("q202 ES sample: top-k plans as TakeOrdered, not a global sort") {
+    val plan = planOf(graft.text.TextOps.esWeightedSample(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("RewriteWindowTopK: fires on filter-only row_number, skips others") {
     // q33's neighbor top-k and its =1 vote pick both drop the rank —
     // the rule must replace their Windows with bounded-heap TopKPerKey

@@ -393,4 +393,44 @@ class TextPrimsSpec extends SparkSpec {
     // the gates discriminate on the fixture: both outcomes occur
     assert(gates.exists(_.getAs[Int]("release_ok") === 1))
   }
+
+  test("q207 calibration: monotone deciles, shared global column, shift algebra") {
+    val rows = graft.text.TextOps.quantileCalibration(spark, sfDir).collect()
+    val srcs = rows.map(_.getString(0)).distinct
+    assert(rows.length === srcs.length * 11)
+    // the global column is identical for every source at each decile
+    val globByDec = rows.groupBy(_.getInt(1))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Double]("glob_q")).distinct }
+    globByDec.foreach { case (d, g) => assert(g.length === 1, s"decile $d") }
+    srcs.foreach { src =>
+      val ds = rows.filter(_.getString(0) == src).sortBy(_.getInt(1))
+      assert(ds.map(_.getInt(1)).toSeq === (0 to 10))
+      // quantile functions are non-decreasing
+      ds.map(_.getAs[Double]("src_q")).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b + 1e-12, src); case _ => ()
+      }
+      ds.foreach(r => assert(math.abs(r.getAs[Double]("shift") -
+        (r.getAs[Double]("src_q") - r.getAs[Double]("glob_q"))) < 1e-12))
+    }
+  }
+
+  test("q210 gini: bounds, driver recount, constant-mass source would be 0") {
+    val rows = graft.text.TextOps.giniConcentration(spark, sfDir).collect()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        graft.functions.TextPrims.bpeTokensC(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val xs = docs(src).map(_._2).sorted
+      val n = xs.length.toDouble
+      val sx = xs.map(_.toDouble).sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x.toDouble }.sum
+      val g = (2 * six - (n + 1) * sx) / (n * sx)
+      assert(r.getAs[Int]("n_docs") === xs.length)
+      assert(math.abs(r.getAs[Double]("gini") - g) < 1e-6, src)
+      assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+    }
+  }
 }
