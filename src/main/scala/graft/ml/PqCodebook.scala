@@ -38,23 +38,37 @@ object PqCodebook {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pts.count() // eager fill: every block's Lloyd chain reads this
     try {
-      val perBlock = (0 until Blocks).map { b =>
-        val sub = pts.select(col("vec_id"),
-          slice(col("e"), b * SubDim + 1, SubDim).as("e"))
-        val centers = LloydExact.centersFor(sub)
-        val sqerr = dotp(col("e"), col("e")) -
-          lit(2.0) * dotp(col("e"), col("c")) + dotp(col("c"), col("c"))
-        LloydExact.assign(sub, centers)
-          .join(broadcast(centers), Seq("cluster"))
-          .groupBy("cluster").agg(count(lit(1)).as("n"),
-            sum(round(sqerr, 9).cast(DecimalType(28, 9))).as("se"))
-          .select(lit(b).as("block"), col("cluster"), col("n"),
-            round(col("se").cast(DoubleType) / col("n"), 6).as("mse"))
-      }
-      val out = perBlock.reduce(_ unionByName _)
+      // sub-spaces are independent by construction — train all four
+      // codebooks in ONE wave (the q38 elbow pattern): each chain's
+      // per-iteration jobs are tiny on the fixture, so sequential
+      // training is scheduler-bound, not compute-bound. Results are
+      // identical either way (each chain is a pure function of pts).
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(Blocks)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val perBlock = try {
+        Await.result(Future.sequence((0 until Blocks).map { b =>
+          Future {
+            val sub = pts.select(col("vec_id"),
+              slice(col("e"), b * SubDim + 1, SubDim).as("e"))
+            val centers = LloydExact.centersFor(sub)
+            val sqerr = dotp(col("e"), col("e")) -
+              lit(2.0) * dotp(col("e"), col("c")) + dotp(col("c"), col("c"))
+            LloydExact.assign(sub, centers)
+              .join(broadcast(centers), Seq("cluster"))
+              .groupBy("cluster").agg(count(lit(1)).as("n"),
+                sum(round(sqerr, 9).cast(DecimalType(28, 9))).as("se"))
+              .select(lit(b).as("block"), col("cluster"), col("n"),
+                round(col("se").cast(DoubleType) / col("n"), 6).as("mse"))
+              .localCheckpoint() // materialize inside the wave
+          }
+        }), Duration(10, "min"))
+      } finally { pool.shutdownNow(); () }
+      perBlock.reduce(_ unionByName _)
         .orderBy("block", "cluster")
         .localCheckpoint()
-      out
     } finally { pts.unpersist(); () }
   }
 
