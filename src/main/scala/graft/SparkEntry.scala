@@ -487,6 +487,9 @@ object SparkEntry {
     // per-source Gini of token mass — corpus concentration/diversity
     "q210_gini_concentration" -> ((s, d) =>
       graft.text.TextOps.giniConcentration(s, d)),
+    // PQ-ADC search: code-only scan + per-query LUT, recall vs exact
+    "q211_pq_adc_recall"      -> ((s, d) =>
+      graft.ml.PqCodebook.pqAdcRecall(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -72,6 +72,92 @@ object PqCodebook {
     } finally { pts.unpersist(); () }
   }
 
+  /** q211: PQ-ADC RECALL — asymmetric distance computation, the search
+    * side of product quantization: database vectors are REPRESENTED
+    * ONLY BY THEIR CODES (4 symbols here); a query builds one small
+    * lookup table per block (‖q_b − c‖² for each centroid) and every
+    * approximate distance is a 4-term table sum — no float vector is
+    * touched at scan time, which is why PQ search runs at memory
+    * bandwidth on billion-vector indexes. Reports recall@k of the ADC
+    * top-k against the exact Euclidean top-k per query — the number
+    * that sizes codebooks (q201's MSE curve) against retrieval
+    * quality.
+    *
+    * Determinism: LUT entries are the fixed-fold ‖q‖²−2q·c+‖c‖²
+    * expression rounded to 9dp; the 4-block sums accumulate in
+    * DECIMAL(28,9) (order-independent); both top-k windows tie-break
+    * on vec_id over identical doubles.
+    *
+    * Shape at 100 TB: codes are 4 small ints per vector (the scan is
+    * a narrow columnar read); the LUT is |queries|·Blocks·K rows —
+    * broadcast; the ADC scan is one equi-join + hash-agg, and ONLY
+    * the k winners would ever fetch their float vectors back. */
+  def pqAdcRecall(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val pts = LloydExact.points(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count()
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(Blocks)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      // per block: (codes, LUT rows for the <10 queries)
+      val trained = try {
+        Await.result(Future.sequence((0 until Blocks).map { b =>
+          Future {
+            val sub = pts.select(col("vec_id"),
+              slice(col("e"), b * SubDim + 1, SubDim).as("e"))
+            val centers = LloydExact.centersFor(sub)
+            val codes = LloydExact.assign(sub, centers)
+              .select(col("vec_id"), lit(b).as("block"),
+                col("cluster").as("code"))
+            val lut = sub.filter(col("vec_id") < 10)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"))
+              .crossJoin(broadcast(centers))
+              .select(col("query_id"), lit(b).as("block"),
+                col("cluster").as("code"),
+                round(dotp(col("qe"), col("qe")) -
+                  lit(2.0) * dotp(col("qe"), col("c")) +
+                  dotp(col("c"), col("c")), 9).as("d"))
+            (codes.localCheckpoint(), lut.localCheckpoint())
+          }
+        }), Duration(10, "min"))
+      } finally { pool.shutdownNow(); () }
+      val codes = trained.map(_._1).reduce(_ unionByName _)
+      val lut = trained.map(_._2).reduce(_ unionByName _)
+      val wPq = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("ad"), col("vec_id"))
+      val topPq = codes.join(broadcast(lut), Seq("block", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum(col("d").cast(DecimalType(28, 9))).as("adx"))
+        .withColumn("ad", col("adx").cast(DoubleType))
+        .withColumn("rk", row_number().over(wPq)).filter(col("rk") <= k)
+        .select("query_id", "vec_id")
+      val q = pts.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      val wEx = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("ed"), col("vec_id"))
+      val topEx = pts.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("ed", dotp(col("qe"), col("qe")) -
+          lit(2.0) * dotp(col("qe"), col("e")) + dotp(col("e"), col("e")))
+        .withColumn("rk", row_number().over(wEx)).filter(col("rk") <= k)
+        .select("query_id", "vec_id")
+      val common = topPq.join(topEx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("nc"))
+      topEx.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .withColumn("n_common", coalesce(col("nc"), lit(0L)))
+        .select(col("query_id"),
+          col("n_common").cast(IntegerType).as("n_common"),
+          round(col("n_common").cast(DoubleType) / k, 6).as("recall_at_k"))
+        .orderBy("query_id")
+        .localCheckpoint()
+    } finally { pts.unpersist(); () }
+  }
+
   def oracleSql: Map[String, String] = {
     import LloydExact.{dotS, Iters}
     val blockCtes = (0 until Blocks).map { b =>
@@ -90,12 +176,61 @@ object PqCodebook {
          |FROM b${b}afinal a JOIN b${b}c$Iters c ON a.cluster = c.cluster
          |GROUP BY a.cluster""".stripMargin
     }.mkString("\nUNION ALL\n")
-    Map("q201_pq_codebook" ->
-      s"""WITH e0 AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |$blockCtes
-         |$blockSelects
-         |ORDER BY block, cluster""".stripMargin)
+    val codesUnion = (0 until Blocks).map(b =>
+      s"SELECT vec_id, $b AS block, cluster AS code FROM b${b}afinal")
+      .mkString("\nUNION ALL\n")
+    val lutUnion = (0 until Blocks).map { b =>
+      val d = s"${dotS("q.e", "q.e")} - 2 * ${dotS("q.e", "c.c")}" +
+        s" + ${dotS("c.c", "c.c")}"
+      s"""SELECT q.vec_id AS query_id, $b AS block, c.cluster AS code,
+         |  round($d, 9) AS d
+         |FROM (SELECT vec_id, e FROM b${b}e WHERE vec_id < 10) q
+         |CROSS JOIN b${b}c$Iters c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Map(
+      "q201_pq_codebook" ->
+        s"""WITH e0 AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |$blockCtes
+           |$blockSelects
+           |ORDER BY block, cluster""".stripMargin,
+      "q211_pq_adc_recall" -> {
+        val ed = s"${dotS("q.qe", "q.qe")} - 2 * ${dotS("q.qe", "n.e")}" +
+          s" + ${dotS("n.e", "n.e")}"
+        s"""WITH e0 AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |$blockCtes,
+           |codes AS ($codesUnion),
+           |lut AS ($lutUnion),
+           |adc AS (SELECT lut.query_id, codes.vec_id,
+           |    CAST(SUM(CAST(d AS DECIMAL(28,9))) AS DOUBLE) AS ad
+           |  FROM codes JOIN lut
+           |    ON codes.block = lut.block AND codes.code = lut.code
+           |  WHERE codes.vec_id <> lut.query_id
+           |  GROUP BY lut.query_id, codes.vec_id),
+           |toppq AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY ad, vec_id) AS rk FROM adc)
+           |  WHERE rk <= 10),
+           |ex AS (SELECT q.query_id, n.vec_id, $ed AS ed
+           |  FROM (SELECT vec_id AS query_id, e AS qe FROM e0
+           |    WHERE vec_id < 10) q
+           |  CROSS JOIN e0 n WHERE n.vec_id <> q.query_id),
+           |topex AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY ed, vec_id) AS rk FROM ex)
+           |  WHERE rk <= 10),
+           |common AS (SELECT toppq.query_id, COUNT(*) AS nc
+           |  FROM toppq JOIN topex ON toppq.query_id = topex.query_id
+           |    AND toppq.vec_id = topex.vec_id
+           |  GROUP BY toppq.query_id)
+           |SELECT q.query_id, CAST(COALESCE(nc, 0) AS INTEGER) AS n_common,
+           |  round(CAST(COALESCE(nc, 0) AS DOUBLE) / 10, 6) AS recall_at_k
+           |FROM (SELECT DISTINCT query_id FROM topex) q
+           |LEFT JOIN common ON q.query_id = common.query_id
+           |ORDER BY q.query_id""".stripMargin
+      })
   }
 }

@@ -252,4 +252,20 @@ class MlSpec extends SparkSpec {
       assert(pqErr < varTot, s"block $b: $pqErr vs $varTot")
     }
   }
+
+  test("q211 ADC: recall bounded, well above the random-overlap baseline") {
+    val rows = graft.ml.PqCodebook.pqAdcRecall(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Int]("n_common") === math.round(rec * 10).toInt)
+    }
+    val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    // random top-10 overlap expectation is k/N per slot → recall ~ 10/N;
+    // a 4×4-bit codebook over random vectors is weak but must beat it
+    val randomRecall = 10.0 / (n - 1)
+    val mean = rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    assert(mean > 2 * randomRecall, s"mean $mean vs random $randomRecall")
+  }
 }
