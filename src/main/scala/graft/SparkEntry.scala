@@ -490,6 +490,12 @@ object SparkEntry {
     // PQ-ADC search: code-only scan + per-query LUT, recall vs exact
     "q211_pq_adc_recall"      -> ((s, d) =>
       graft.ml.PqCodebook.pqAdcRecall(s, d)),
+    // 12th streaming surface: broadcast boundaries + windowed histogram
+    "q212_stream_drift_hist"  -> ((s, d) =>
+      graft.streaming.EventStream.driftHistogramParity(s, d)),
+    // hash-skew pre-flight: bucket loads + heavy keys, engine-neutral
+    "q213_skew_audit"         -> ((s, d) =>
+      graft.analytics.Advanced.skewAudit(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -790,6 +790,44 @@ object Advanced {
       .orderBy("digit")
   }
 
+  /** q213: HASH-SKEW AUDIT — the pre-flight every large join/agg wants:
+    * simulate hash-partitioning the fact table on a key over P
+    * partitions (engine-neutral md5 bucket — the audit must not depend
+    * on Spark's own hash so the number is portable) and report, per
+    * bucket: row load, distinct keys, the load ratio vs perfect
+    * balance, and the bucket's heaviest key with its count. A
+    * load_ratio ≫ 1 bucket IS the straggler a q59/q87-style salting
+    * fix targets — this query finds them before the job runs.
+    *
+    * One hash-agg to (key, count) — vocabulary-sized — then bucket
+    * rollup + per-bucket argmax window on that aggregated frame; the
+    * fact table is scanned once. */
+  def skewAudit(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    val keyed = t(s, dir, "orders")
+      .select(col("o_custkey").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket",
+        pmod(graft.functions.TextPrims.hex60C(
+          md5(col("k").cast(StringType))), lit(parts.toLong))
+          .cast(IntegerType))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("cnt").desc, col("k"))
+    val byBucket = keyed
+      .withColumn("rk", row_number().over(w))
+      .groupBy("bucket").agg(
+        sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+        max(when(col("rk") === 1, col("k"))).as("top_key"),
+        max(when(col("rk") === 1, col("cnt"))).as("top_key_n"))
+    val tot = byBucket.agg(sum("n_rows").as("total"))
+    byBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"),
+        col("n_keys").cast(IntegerType).as("n_keys"),
+        round(col("n_rows").cast(DoubleType) * parts /
+          col("total").cast(DoubleType), 6).as("load_ratio"),
+        col("top_key"), col("top_key_n"))
+      .orderBy("bucket")
+  }
+
   /** q208: MANN–WHITNEY U (rank-sum) — the nonparametric complement of
     * q203's Welch t: each event type tested against the REST of the
     * stream on ranks, so heavy tails and outliers cannot fake or mask
@@ -2702,6 +2740,26 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q213_skew_audit" -> {
+      val bkt = graft.functions.TextPrims
+        .hex60S("md5(CAST(k AS VARCHAR))") + " % 32"
+      s"""WITH keyed AS (SELECT o_custkey AS k, COUNT(*) AS cnt
+         |  FROM orders GROUP BY o_custkey),
+         |kb AS (SELECT k, cnt, CAST($bkt AS INTEGER) AS bucket FROM keyed),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+         |    ORDER BY cnt DESC, k) AS rk FROM kb),
+         |b AS (SELECT bucket, SUM(cnt) AS n_rows, COUNT(*) AS n_keys,
+         |    MAX(CASE WHEN rk = 1 THEN k END) AS top_key,
+         |    MAX(CASE WHEN rk = 1 THEN cnt END) AS top_key_n
+         |  FROM rk GROUP BY bucket),
+         |tot AS (SELECT SUM(n_rows) AS total FROM b)
+         |SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_keys AS INTEGER) AS n_keys,
+         |  round(CAST(n_rows AS DOUBLE) * 32 / CAST(total AS DOUBLE), 6)
+         |    AS load_ratio,
+         |  top_key, CAST(top_key_n AS BIGINT) AS top_key_n
+         |FROM b, tot ORDER BY bucket""".stripMargin
+    },
     "q208_mann_whitney" ->
       """WITH e AS (SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq

@@ -234,6 +234,88 @@ object EventStream {
     }
   }
 
+  /** q212 — STREAMING DRIFT HISTOGRAM parity, the twelfth streaming
+    * surface: q205's reference decile boundaries (fit batch-side on the
+    * day ≤ 15 window, micro-unit exact) broadcast as a STATIC frame
+    * into the stream, every event assigned its bin by the codegen'd
+    * HOF filter, counts aggregated per (6 h tumbling window,
+    * event_type, bin) under a watermark — the production shape of a
+    * live feature-drift monitor (the PSI assembly over the streamed
+    * histogram is q205's batch arithmetic; the histogram IS the
+    * streamed artifact). Proves broadcast-static join + HOF binning +
+    * windowed aggregation compose in one streaming plan. Oracle: the
+    * identical histogram computed batch-side. */
+  def driftHistogramParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q212")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      // q85's sentinel staging: Append mode emits a window only after
+      // the watermark passes it, so the real data lands in one file and
+      // a far-future sentinel in a second micro-batch pushes the
+      // watermark beyond every real window. The sentinel's fake
+      // event_type never matches a boundary row, so the inner broadcast
+      // join drops it before it could pollute a histogram cell.
+      val stage0 = tmp.resolve("stage0")
+      events.coalesce(1).write.mode("overwrite").parquet(stage0.toString)
+      moveOnlyParquet(stage0, in.resolve("aa-data.parquet"),
+        mtimeMs = 1000000L)
+      val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+      val stage = tmp.resolve("sentinel")
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 86400000L),
+           -1L, "__watermark_sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      moveOnlyParquet(stage, in.resolve("zz-sentinel.parquet"),
+        mtimeMs = 1060000L)
+      val vq = (col("value").cast(DecimalType(18, 6)) * 1000000)
+        .cast(LongType)
+      // reference boundaries: batch-fit, static, broadcast into the stream
+      val qsArr = (1 until 10).map(i => i / 10.0)
+      val bnd = graft.sources.Tables.load(s, dir, "events")
+        .filter(dayofmonth(col("ts")) <= 15)
+        .select(col("event_type"), vq.as("vq"))
+        .groupBy("event_type")
+        .agg(expr(s"percentile(vq, array(${qsArr.mkString(", ")}))")
+          .as("bnd"))
+        .localCheckpoint()
+      val src = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val binned = src
+        // watermark at the SOURCE, before the boundary join: the far-
+        // future sentinel must advance event time even though the inner
+        // join (rightly) drops its fake event_type from the histogram
+        .withWatermark("ts", "12 hours")
+        .withColumn("vq", vq)
+        .join(broadcast(bnd), Seq("event_type"))
+        .withColumn("bin",
+          (size(filter(col("bnd"), b => col("vq").cast(DoubleType) > b)) + 1)
+            .cast(IntegerType))
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("bin"), col("n"))
+      q = toParquet(binned, tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q212 drift stream did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .orderBy("window_start", "event_type", "bin")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** Streaming exact dedup — the incremental twin of Dedup.dedupExact:
     * drops re-deliveries of the same key while the watermark bounds how
     * long each key is remembered. State size = keys per watermark horizon,
@@ -1010,6 +1092,24 @@ object EventStream {
     // on the single-batch answer regardless of micro-batch splits
     "q169_incremental_dedup_stream" ->
       graft.dedup.Dedup.oracleSql("q153_incremental_dedup"),
+    "q212_stream_drift_hist" -> {
+      val qs = (1 until 10).map(i => i.toDouble / 10)
+      s"""WITH e AS (SELECT event_type, ts,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
+         |  FROM events),
+         |bnd AS (SELECT event_type,
+         |    quantile_cont(vq, [${qs.mkString(", ")}]) AS bnd
+         |  FROM e WHERE EXTRACT(day FROM ts) <= 15 GROUP BY event_type)
+         |SELECT CAST(to_timestamp(floor(epoch(CAST(e.ts AS TIMESTAMP))
+         |    / 21600) * 21600) AS TIMESTAMP) AS window_start,
+         |  e.event_type AS event_type,
+         |  CAST(len(list_filter(bnd.bnd,
+         |    b -> CAST(vq AS DOUBLE) > b)) + 1 AS INTEGER) AS bin,
+         |  COUNT(*) AS n
+         |FROM e JOIN bnd ON e.event_type = bnd.event_type
+         |GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type, bin""".stripMargin
+    },
     "q194_ewma_stream" ->
       // the identical recursion, evaluated batch-side: 0.5·v + 0.5·e is
       // the same fixed IEEE expression the state fold runs

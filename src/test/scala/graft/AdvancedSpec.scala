@@ -698,6 +698,22 @@ class AdvancedSpec extends SparkSpec {
       < 1e-9)
   }
 
+  test("q213 skew audit: loads and keys partition, ratios normalize to 1") {
+    val rows = Advanced.skewAudit(spark, sfDir).collect()
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+    val total = orders.count()
+    val nKeys = orders.select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === total)
+    assert(rows.map(_.getAs[Int]("n_keys").toLong).sum === nKeys)
+    // mean load ratio is 1 by construction (Σ n_rows·P / total = P)
+    assert(math.abs(rows.map(_.getAs[Double]("load_ratio")).sum /
+      rows.length - 1.0) < 0.01)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("top_key_n") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("top_key_n") >= 1L)
+    }
+  }
+
   test("q206 association rules: probability bounds, lift algebra consistent") {
     val rows = Advanced.associationRules(spark, sfDir).collect()
     assert(rows.nonEmpty)

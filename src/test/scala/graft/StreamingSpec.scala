@@ -417,4 +417,28 @@ class StreamingSpec extends SparkSpec {
         (9L, 5L, 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("q212 drift histogram: streamed cells equal the batch computation") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.driftHistogramParity(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2))
+        -> r.getLong(3)).toMap
+    val vq = (col("value").cast(org.apache.spark.sql.types
+      .DecimalType(18, 6)) * 1000000).cast("long")
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val qsArr = (1 until 10).map(i => i / 10.0)
+    val bnd = ev.filter(dayofmonth(col("ts")) <= 15)
+      .select(col("event_type"), vq.as("vq"))
+      .groupBy("event_type")
+      .agg(expr(s"percentile(vq, array(${qsArr.mkString(", ")}))").as("bnd"))
+    val batch = ev.withColumn("vq", vq)
+      .join(broadcast(bnd), Seq("event_type"))
+      .withColumn("bin",
+        size(filter(col("bnd"), b => col("vq").cast("double") > b)) + 1)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getStruct(0).getTimestamp(0), r.getString(1),
+        r.getInt(2)) -> r.getLong(3)).toMap
+    assert(streamed === batch)
+  }
 }
