@@ -496,6 +496,12 @@ object SparkEntry {
     // hash-skew pre-flight: bucket loads + heavy keys, engine-neutral
     "q213_skew_audit"         -> ((s, d) =>
       graft.analytics.Advanced.skewAudit(s, d)),
+    // stratified k-fold manifest: exact per-class balance, pure-id folds
+    "q214_stratified_kfold"   -> ((s, d) =>
+      graft.analytics.Advanced.stratifiedKfold(s, d)),
+    // scaling-law ladder: nested hash-threshold subsets 1/64..1
+    "q215_learning_ladder"    -> ((s, d) =>
+      graft.text.TextOps.learningCurveLadder(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

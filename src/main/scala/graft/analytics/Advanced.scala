@@ -790,6 +790,27 @@ object Advanced {
       .orderBy("digit")
   }
 
+  /** q214: STRATIFIED K-FOLD MANIFEST — cross-validation fold
+    * assignment with EXACT per-class balance: within each label,
+    * examples order by a seeded hash (pseudo-random but reproducible —
+    * the q160 convention) and folds deal round-robin off that order,
+    * so every (label, fold) cell holds ⌈n_c/k⌉ or ⌊n_c/k⌋ examples BY
+    * CONSTRUCTION — the property `sklearn.StratifiedKFold` documents,
+    * here as a pure function of ids that survives re-runs and engine
+    * changes. Reports the manifest cell counts (the spec asserts the
+    * ±1 balance). One window per label partition + one hash-agg. */
+  def stratifiedKfold(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val h = graft.functions.TextPrims.hex60C(
+      md5(col("vec_id").cast(StringType)))
+    val w = Window.partitionBy("label").orderBy(h, col("vec_id"))
+    t(s, dir, "embeddings").select(col("label"), col("vec_id"))
+      .withColumn("fold",
+        pmod(row_number().over(w) - 1, lit(k)).cast(IntegerType))
+      .groupBy("label", "fold").agg(count(lit(1)).as("n"))
+      .select(col("label"), col("fold"), col("n").cast(IntegerType).as("n"))
+      .orderBy("label", "fold")
+  }
+
   /** q213: HASH-SKEW AUDIT — the pre-flight every large join/agg wants:
     * simulate hash-partitioning the fact table on a key over P
     * partitions (engine-neutral md5 bucket — the audit must not depend
@@ -2740,6 +2761,18 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q214_stratified_kfold" -> {
+      val h = graft.functions.TextPrims
+        .hex60S("md5(CAST(vec_id AS VARCHAR))")
+      s"""WITH r AS (SELECT label, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY $h, vec_id) AS rn
+         |  FROM embeddings)
+         |SELECT label, CAST((rn - 1) % 5 AS INTEGER) AS fold,
+         |  CAST(COUNT(*) AS INTEGER) AS n
+         |FROM r GROUP BY label, (rn - 1) % 5
+         |ORDER BY label, fold""".stripMargin
+    },
     "q213_skew_audit" -> {
       val bkt = graft.functions.TextPrims
         .hex60S("md5(CAST(k AS VARCHAR))") + " % 32"

@@ -589,6 +589,44 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q215: LEARNING-CURVE LADDER — the nested subset chain a
+    * scaling-law run trains on: hash-threshold membership gives
+    * reproducible fractions 1/64 ⊂ 1/16 ⊂ 1/4 ⊂ 1 of the corpus
+    * (NESTED by construction — smaller runs are strict subsets of
+    * larger, so curve points differ only by added data, never by
+    * resampling), each step reporting docs, token volume and the
+    * DECIMAL-routed mean quality (constant across steps ⇔ the hash is
+    * unbiased — the ladder's own audit). ONE scan with conditional
+    * aggregation; membership is a pure function of doc_id. */
+  def learningCurveLadder(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hex60C(md5(col("doc_id").cast(StringType))),
+      lit(4096L))
+    val steps = Seq(64, 16, 4, 1) // denominators; threshold = 4096/d
+    val d = docs(s, dir).select(
+      bucket.as("b"),
+      bpeTokensC(col("text")).cast(LongType).as("toks"),
+      qualityExprs.toMap.apply("quality_score").as("qs"))
+    val aggs = steps.flatMap { den =>
+      val in = col("b") < lit(4096L / den)
+      Seq(
+        sum(in.cast(LongType)).as(s"n_$den"),
+        sum(when(in, col("toks")).otherwise(0L)).as(s"t_$den"),
+        sum(when(in, (col("qs").cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType)).otherwise(0L)).as(s"q_$den"))
+    }
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    steps.map { den =>
+      one.select(
+        lit(s"1/$den").as("step"),
+        lit(4096L / den).as("threshold"),
+        col(s"n_$den").cast(IntegerType).as("n_docs"),
+        col(s"t_$den").as("total_tokens"),
+        (col(s"q_$den").cast(DoubleType) / col(s"n_$den") / 1000000.0)
+          .as("mean_quality"))
+    }.reduce(_ unionByName _)
+      .orderBy("threshold")
+  }
+
   /** q210: GINI TOKEN CONCENTRATION — per source, the Gini coefficient
     * of token mass across documents (0 = every doc contributes
     * equally, → 1 = a few megadocs carry the feed): the corpus-
@@ -1383,6 +1421,34 @@ object TextOps {
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
+    "q215_learning_ladder" -> {
+      val bkt = hex60S("md5(CAST(doc_id AS VARCHAR))") + " % 4096"
+      val steps = Seq(64, 16, 4, 1)
+      val sel = steps.map { den =>
+        val thr = 4096L / den
+        s"""SELECT '1/$den' AS step, CAST($thr AS BIGINT) AS threshold,
+           |  CAST(SUM(CASE WHEN b < $thr THEN 1 ELSE 0 END) AS INTEGER)
+           |    AS n_docs,
+           |  CAST(SUM(CASE WHEN b < $thr THEN toks ELSE 0 END) AS BIGINT)
+           |    AS total_tokens,
+           |  CAST(SUM(CASE WHEN b < $thr THEN qu ELSE 0 END) AS DOUBLE) /
+           |    SUM(CASE WHEN b < $thr THEN 1 ELSE 0 END) / 1000000.0
+           |    AS mean_quality
+           |FROM d""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m0 AS (SELECT doc_id, text, $T AS t FROM documents),
+         |m AS (SELECT doc_id, text, t,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |d AS (SELECT $bkt AS b,
+         |    CAST(${graft.functions.TextPrims.bpeTokensS("text")}
+         |      AS BIGINT) AS toks,
+         |    CAST(CAST($QualityScoreS AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS qu
+         |  FROM m)
+         |$sel
+         |ORDER BY threshold""".stripMargin
+    },
     "q210_gini_concentration" ->
       s"""WITH d AS (SELECT doc_id, source,
          |    CAST(${graft.functions.TextPrims.bpeTokensS("text")}

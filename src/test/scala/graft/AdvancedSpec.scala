@@ -714,6 +714,22 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q214 k-fold: exact ±1 balance within every label, totals partition") {
+    val rows = Advanced.stratifiedKfold(spark, sfDir).collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === emb.keySet)
+    byLabel.foreach { case (label, cells) =>
+      assert(cells.map(_.getInt(1)).sorted.toSeq === (0 until 5))
+      val ns = cells.map(_.getAs[Int]("n"))
+      // the StratifiedKFold property: every cell is ⌈n/k⌉ or ⌊n/k⌋
+      assert(ns.max - ns.min <= 1, s"label $label: ${ns.toSeq}")
+      assert(ns.map(_.toLong).sum === emb(label))
+    }
+  }
+
   test("q206 association rules: probability bounds, lift algebra consistent") {
     val rows = Advanced.associationRules(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -414,6 +414,30 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q215 ladder: steps nested, fractions near target, quality unbiased") {
+    val rows = graft.text.TextOps.learningCurveLadder(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("threshold"))
+    assert(rows.map(_.getString(0)).toSeq === Seq("1/64", "1/16", "1/4", "1/1"))
+    // nested: counts and token volumes strictly non-decreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Int]("n_docs") <= b.getAs[Int]("n_docs"))
+      assert(a.getAs[Long]("total_tokens") <= b.getAs[Long]("total_tokens"))
+    case _ => ()
+    }
+    val full = rows.last
+    // each step's share of docs is near its nominal fraction
+    Seq(64, 16, 4).zip(rows.dropRight(1)).foreach { case (den, r) =>
+      val frac = r.getAs[Int]("n_docs").toDouble / full.getAs[Int]("n_docs")
+      val sd = 3 * math.sqrt((1.0 / den) * (1 - 1.0 / den) /
+        full.getAs[Int]("n_docs"))
+      assert(math.abs(frac - 1.0 / den) < sd + 0.02, s"1/$den got $frac")
+    }
+    // hash membership is quality-blind: subset means track the corpus mean
+    val fullQ = full.getAs[Double]("mean_quality")
+    rows.foreach(r =>
+      assert(math.abs(r.getAs[Double]("mean_quality") - fullQ) < 0.1))
+  }
+
   test("q210 gini: bounds, driver recount, constant-mass source would be 0") {
     val rows = graft.text.TextOps.giniConcentration(spark, sfDir).collect()
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
