@@ -502,6 +502,15 @@ object SparkEntry {
     // scaling-law ladder: nested hash-threshold subsets 1/64..1
     "q215_learning_ladder"    -> ((s, d) =>
       graft.text.TextOps.learningCurveLadder(s, d)),
+    // PMI collocations: ln(N c(ab) / c(a)c(b)) phrase-mining candidates
+    "q216_pmi_collocations"   -> ((s, d) =>
+      graft.text.TextOps.pmiCollocations(s, d)),
+    // JL projection distortion: 64->16-dim distance-preservation audit
+    "q217_jl_distortion"      -> ((s, d) =>
+      graft.similarity.Similarity.jlDistortion(s, d)),
+    // cross-table FK orphan audit over every schema edge
+    "q218_fk_audit"           -> ((s, d) =>
+      graft.analytics.Advanced.fkAudit(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -790,6 +790,44 @@ object Advanced {
       .orderBy("digit")
   }
 
+  /** q218: FK REFERENTIAL-INTEGRITY AUDIT — orphan counts for every
+    * foreign-key edge of the schema (the cross-table data-quality
+    * check q129's single-table audit can't see): per edge, child rows,
+    * distinct child keys, and rows whose key has NO parent — the
+    * join-loss a pipeline must know about before an inner join
+    * silently drops them. Each edge is one anti-join whose parent key
+    * side is dim-sized (broadcast); the 7-row result unions per-edge
+    * single rows. */
+  def fkAudit(s: SparkSession, dir: String): DataFrame = {
+    val edges = Seq(
+      ("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"))
+    edges.map { case (name, child, ck, parent, pk) =>
+      val c = t(s, dir, child).select(col(ck).as("k"))
+      val p = t(s, dir, parent).select(col(pk).as("k")).distinct()
+      val orphans = c.join(p, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      c.agg(count(lit(1)).as("n_child"),
+          countDistinct(col("k")).as("n_keys"))
+        .crossJoin(orphans)
+        .select(lit(name).as("edge"), col("n_child"),
+          col("n_keys").cast(IntegerType).as("n_keys"),
+          col("n_orphans").cast(IntegerType).as("n_orphans"))
+    }.reduce(_ unionByName _).orderBy("edge")
+  }
+
   /** q214: STRATIFIED K-FOLD MANIFEST — cross-validation fold
     * assignment with EXACT per-class balance: within each label,
     * examples order by a seeded hash (pseudo-random but reproducible —
@@ -2761,6 +2799,32 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q218_fk_audit" -> {
+      val edges = Seq(
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"))
+      edges.map { case (name, child, ck, parent, pk) =>
+        s"""SELECT '$name' AS edge,
+           |  (SELECT COUNT(*) FROM $child) AS n_child,
+           |  CAST((SELECT COUNT(DISTINCT $ck) FROM $child) AS INTEGER)
+           |    AS n_keys,
+           |  CAST((SELECT COUNT(*) FROM $child
+           |    WHERE $ck NOT IN (SELECT $pk FROM $parent)) AS INTEGER)
+           |    AS n_orphans""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY edge"
+    },
     "q214_stratified_kfold" -> {
       val h = graft.functions.TextPrims
         .hex60S("md5(CAST(vec_id AS VARCHAR))")

@@ -560,6 +560,62 @@ object Similarity {
     * scaling K with the corpus (K ≈ N/1000 keeps cells ~10³). The
     * fixture K is oracle-sized; production K is a config, not a code
     * change (the SimConfig pattern). */
+  /** q217: JL-PROJECTION DISTORTION AUDIT — Johnson–Lindenstrauss in
+    * practice: project the 64-dim embeddings onto `projDim`
+    * deterministic md5-derived random directions and measure, over the
+    * q31 query×corpus pairs, how
+    * well projected squared distances preserve the true ones. Reports
+    * per-query mean/max relative distortion — the number that decides
+    * whether a cheap low-dim prefilter (the standard ANN accelerator)
+    * is safe for a target recall at this projDim.
+    *
+    * Determinism: the projection planes are [[planesFor]]'s md5 units
+    * (identical on JVM and oracle); projections and distances are
+    * fixed-fold dotp expressions; relative errors round to 6dp at the
+    * row and aggregate through DECIMAL(18,6) sums.
+    *
+    * Scale note: the plane entries are Unif[−1,1) (variance 1/3), so
+    * the unbiasedness factor is √(1/(projDim·Var)) = √(3/projDim) —
+    * NOT the √(dim/projDim) of unit-variance Gaussian projections (a
+    * miscalibrated first cut measured exactly the predicted
+    * dim·Var·wrongScale²/… ≈ 21× inflation — the audit catches its own
+    * calibration class of bug, which is the point of having one).
+    *
+    * Shape at 100 TB: the projection is a narrow map (projDim dot
+    * products per row, codegen'd); the audit pairs are |queries|×N via
+    * the q31 broadcast — production audits sample pairs the same way. */
+  def jlDistortion(s: SparkSession, dir: String,
+                   projDim: Int = 16): DataFrame = {
+    val cfg = SimConfig(numPlanes = projDim)
+    val ps = planesFor(cfg)
+    val scale = math.sqrt(3.0 / projDim)
+    def proj(e: Column): Column = array((0 until projDim).map(p =>
+      dotp(e, array(ps(p).toIndexedSeq.map(lit): _*)
+        .cast(ArrayType(DoubleType))) * lit(scale)): _*)
+    val all = emb(s, dir).select(col("vec_id"), col("e"))
+      .withColumn("pe", proj(col("e")))
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("pe").as("qpe"))
+    val d2 = (a: Column, b: Column) =>
+      dotp(a, a) - lit(2.0) * dotp(a, b) + dotp(b, b)
+    val d6 = (c: Column) => sum(round(c, 6).cast(DecimalType(18, 6)))
+    all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("td", d2(col("qe"), col("e")))
+      .withColumn("pd", d2(col("qpe"), col("pe")))
+      .withColumn("rel", abs(col("pd") / col("td") - 1.0))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"),
+        d6(col("rel")).as("sr"),
+        max(round(col("rel"), 6)).as("max_distortion"))
+      .select(col("query_id"), col("n").cast(IntegerType).as("n_pairs"),
+        round(col("sr").cast(DoubleType) / col("n"), 6)
+          .as("mean_distortion"),
+        col("max_distortion"))
+      .orderBy("query_id")
+  }
+
   /** q199: RETRIEVAL AGREEMENT — overlap@k between a LEXICAL retriever
     * (token-set Jaccard over document text) and a DENSE retriever
     * (q31's brute cosine over embeddings) for the same query documents.
@@ -853,6 +909,31 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q217_jl_distortion" -> {
+      val ps16 = planesFor(SimConfig(numPlanes = 16))
+      val plCte = "pl AS (SELECT " + (0 until 16).map(p =>
+        "[" + ps16(p).map(_.toString).mkString(", ") + s"] AS pl$p")
+        .mkString(", ") + ")"
+      val sc = math.sqrt(3.0 / 16)
+      val peList = "[" + (0 until 16).map(p =>
+        s"${dotS("e0.e", s"pl$p")} * $sc").mkString(", ") + "]"
+      def d2(a: String, b: String) =
+        s"${dotS(a, a)} - 2 * ${dotS(a, b)} + ${dotS(b, b)}"
+      s"""WITH e0 AS ($embS), $plCte,
+         |pe AS (SELECT vec_id, e, $peList AS pe FROM e0, pl),
+         |q AS (SELECT vec_id AS query_id, e AS qe, pe AS qpe FROM pe
+         |  WHERE vec_id < 10),
+         |pairs AS (SELECT q.query_id,
+         |    ${d2("q.qe", "n.e")} AS td,
+         |    ${d2("q.qpe", "n.pe")} AS pd
+         |  FROM q CROSS JOIN pe n WHERE n.vec_id <> q.query_id),
+         |r AS (SELECT query_id, ABS(pd / td - 1.0) AS rel FROM pairs)
+         |SELECT query_id, CAST(COUNT(*) AS INTEGER) AS n_pairs,
+         |  round(CAST(SUM(CAST(round(rel, 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) / COUNT(*), 6) AS mean_distortion,
+         |  MAX(round(rel, 6)) AS max_distortion
+         |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin
+    },
     "q199_retrieval_agreement" ->
       s"""WITH e AS ($embS),
          |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM e

@@ -589,6 +589,53 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q216: PMI COLLOCATIONS — pointwise mutual information over
+    * adjacent token pairs: PMI = ln(N·c(ab)/(c(a)·c(b))) scores how
+    * much more often two tokens appear TOGETHER than independence
+    * predicts — the classic collocation/phrase-mining signal ("new
+    * york" scores high, "of the" low despite its raw count), and the
+    * statistic BPE/wordpiece merge selection refines. A min-count gate
+    * keeps the estimator out of its unstable low-frequency regime.
+    * Top-20 by (6dp-rounded PMI, pair) — the tokenizer-vocabulary
+    * candidate list.
+    *
+    * Shape at 100 TB: ONE posexplode pass feeds both the unigram and
+    * the adjacent-bigram hash-aggs; scoring joins the bigram frame to
+    * the broadcast-ranked unigram counts; ln rounds at the row (q183).
+    * Top-k is orderBy+limit. */
+  def pmiCollocations(s: SparkSession, dir: String,
+                      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val tok = Tables.fanOut(docs(s, dir), "doc_id")
+      .select(col("doc_id"), posexplode(tokensC(col("text"))))
+      .withColumnRenamed("col", "w").withColumnRenamed("pos", "p")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tok.count() // eager fill: unigram agg + both bigram join sides
+    try {
+      val uni = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = uni.agg(sum("cw").as("n"))
+      // adjacent pairs via lead() — one shuffle on doc_id, no self-join
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      val big = tok.withColumn("wn", lead(col("w"), 1).over(wd))
+        .filter(col("wn").isNotNull)
+        .groupBy(col("w").as("wa"), col("wn").as("wb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= minCount)
+      val out = big
+        .join(broadcast(uni.withColumnsRenamed(
+          Map("w" -> "wa", "cw" -> "ca"))), Seq("wa"))
+        .join(broadcast(uni.withColumnsRenamed(
+          Map("w" -> "wb", "cw" -> "cb"))), Seq("wb"))
+        .crossJoin(broadcast(tot))
+        .select(col("wa"), col("wb"), col("cab").cast(IntegerType).as("n_ab"),
+          round(log(col("n").cast(DoubleType) * col("cab") /
+            (col("ca").cast(DoubleType) * col("cb"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("wa"), col("wb")).limit(topK)
+        .localCheckpoint()
+      out
+    } finally { tok.unpersist(); () }
+  }
+
   /** q215: LEARNING-CURVE LADDER — the nested subset chain a
     * scaling-law run trains on: hash-threshold membership gives
     * reproducible fractions 1/64 ⊂ 1/16 ⊂ 1/4 ⊂ 1 of the corpus
@@ -1421,6 +1468,24 @@ object TextOps {
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
   def oracleSql: Map[String, String] = Map(
+    "q216_pmi_collocations" ->
+      s"""WITH tok AS (SELECT doc_id, u.p AS p, t[u.p] AS w
+         |  FROM (SELECT doc_id, $T AS t FROM documents),
+         |    unnest(generate_series(1, len(t))) AS u(p)),
+         |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+         |tot AS (SELECT SUM(cw) AS n FROM uni),
+         |big AS (SELECT w AS wa,
+         |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY p) AS wb
+         |  FROM tok),
+         |cab AS (SELECT wa, wb, COUNT(*) AS cab FROM big
+         |  WHERE wb IS NOT NULL GROUP BY wa, wb HAVING COUNT(*) >= 5)
+         |SELECT wa, wb, CAST(cab AS INTEGER) AS n_ab,
+         |  round(ln(CAST(n AS DOUBLE) * cab /
+         |    (CAST(ua.cw AS DOUBLE) * ub.cw)), 6) AS pmi
+         |FROM cab
+         |JOIN uni ua ON cab.wa = ua.w
+         |JOIN uni ub ON cab.wb = ub.w, tot
+         |ORDER BY pmi DESC, wa, wb LIMIT 20""".stripMargin,
     "q215_learning_ladder" -> {
       val bkt = hex60S("md5(CAST(doc_id AS VARCHAR))") + " % 4096"
       val steps = Seq(64, 16, 4, 1)

@@ -714,6 +714,43 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q218 fk audit: every schema edge present, fixtures referentially intact") {
+    val rows = Advanced.fkAudit(spark, sfDir).collect()
+    assert(rows.length === 7)
+    // TPC-H-style generators produce referentially intact data — any
+    // orphan here is a fixture regression the audit must surface
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_orphans") === 0, r.getString(0))
+      assert(r.getAs[Long]("n_child") >= r.getAs[Int]("n_keys"))
+      assert(r.getAs[Int]("n_keys") > 0)
+    }
+  }
+
+  test("q216 pmi: ranked, gated, matches a driver bigram recount") {
+    val rows = graft.text.TextOps.pmiCollocations(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("pmi") >= b.getAs[Double]("pmi"))
+    case _ => ()
+    }
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.trim.toLowerCase.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) =>
+      w -> xs.length.toLong }
+    val n = uni.values.sum.toDouble
+    val big = toks.flatMap(t => t.zip(t.drop(1))).groupBy(identity)
+      .map { case (p, xs) => p -> xs.length.toLong }
+    rows.foreach { r =>
+      val (wa, wb) = (r.getString(0), r.getString(1))
+      val cab = big((wa, wb))
+      assert(r.getAs[Int]("n_ab").toLong === cab)
+      assert(cab >= 5)
+      val pmi = math.log(n * cab / (uni(wa).toDouble * uni(wb)))
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-5, s"$wa $wb")
+    }
+  }
+
   test("q214 k-fold: exact ±1 balance within every label, totals partition") {
     val rows = Advanced.stratifiedKfold(spark, sfDir).collect()
     val byLabel = rows.groupBy(_.getInt(0))

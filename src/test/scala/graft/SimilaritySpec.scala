@@ -250,4 +250,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getAs[Int]("n_common"))).toSeq ===
       again.map(r => (r.getLong(0), r.getAs[Int]("n_common"))).toSeq)
   }
+
+  test("q217 JL: unbiased scale — distortions in the predicted sqrt(1/k) regime") {
+    val rows = graft.similarity.Similarity.jlDistortion(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (mean, mx) = (r.getAs[Double]("mean_distortion"),
+        r.getAs[Double]("max_distortion"))
+      assert(mean >= 0.0 && mx >= mean)
+      // the calibration claim: E[rel] ~ sqrt(2/k) ≈ 0.35 for k=16.
+      // A mis-scaled projection (the Var(entry) bug class) lands at
+      // 20+ — this bound is what catches it
+      assert(mean < 1.0, s"q${r.getLong(0)} mean $mean")
+      assert(mean > 0.01, s"q${r.getLong(0)} mean $mean")
+    }
+  }
 }
