@@ -511,6 +511,15 @@ object SparkEntry {
     // cross-table FK orphan audit over every schema edge
     "q218_fk_audit"           -> ((s, d) =>
       graft.analytics.Advanced.fkAudit(s, d)),
+    // chunk-level lang votes: mixed-language / code-switching detection
+    "q219_code_switching"     -> ((s, d) =>
+      graft.text.TextOps.codeSwitching(s, d)),
+    // per-source Shannon entropy + KL vs corpus — info-theoretic mix view
+    "q220_source_entropy"     -> ((s, d) =>
+      graft.text.TextOps.sourceEntropy(s, d)),
+    // Church-Gale burstiness: VMR of per-doc counts, topical-token signal
+    "q221_token_burstiness"   -> ((s, d) =>
+      graft.text.TextOps.tokenBurstiness(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -589,6 +589,140 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q220: SOURCE ENTROPY PROFILE — per source: unigram Shannon
+    * entropy (nats) and KL divergence against the corpus-wide
+    * distribution. The information-theoretic view of the mix that
+    * q189's cosine only hints at: low entropy = templated/repetitive
+    * feed; high KL = vocabulary genuinely unlike the rest (what
+    * temperature mixing upweights). Same smoothing-free exact-count
+    * probabilities on both sides (a source's own vocabulary has no
+    * zero terms against itself; KL terms use the source's support, on
+    * which global counts are also nonzero).
+    *
+    * Determinism (q183): per-token ln rounds to 6dp, p·ln terms to
+    * 12dp, DECIMAL(28,12) sums. Shape: ONE (source, token) hash-agg
+    * feeds everything; the global side collapses from it; the
+    * token-keyed join runs aggregated-frame vs aggregated-frame. */
+  def sourceEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("source"), explode(tokensC(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // eager fill: per-source totals, global counts, join
+    try {
+      val st = tf.groupBy("source").agg(sum("c").as("ct"),
+        count(lit(1)).as("v"))
+      val g = tf.groupBy("w").agg(sum("c").as("cg"))
+      val gt = g.agg(sum("cg").as("cgt"))
+      val d12 = (c: Column) => sum(round(c, 12).cast(DecimalType(28, 12)))
+      val p = col("c").cast(DoubleType) / col("ct")
+      val pg = col("cg").cast(DoubleType) / col("cgt")
+      val out = tf
+        .join(broadcast(st), Seq("source"))
+        .join(g, Seq("w"))
+        .crossJoin(broadcast(gt))
+        .withColumn("p", p).withColumn("pg", pg)
+        .groupBy("source").agg(
+          first(col("ct")).as("n_tokens"),
+          first(col("v")).cast(IntegerType).as("n_vocab"),
+          d12(-col("p") * round(log(col("p")), 6)).as("hsum"),
+          d12(col("p") * round(log(col("p") / col("pg")), 6)).as("klsum"))
+        .select(col("source"), col("n_tokens"), col("n_vocab"),
+          round(col("hsum").cast(DoubleType), 6).as("entropy"),
+          round(col("klsum").cast(DoubleType), 6).as("kl_vs_corpus"))
+        .orderBy("source")
+        .localCheckpoint()
+      out
+    } finally { tf.unpersist(); () }
+  }
+
+  /** q221: TOKEN BURSTINESS — the variance-to-mean ratio of per-
+    * document occurrence counts (zeros included): Poisson-scattered
+    * function words sit near VMR ≈ 1 while topical words BURST (a doc
+    * about a subject mentions it many times) — the classical
+    * content-word signal (Church–Gale) behind stopword induction and
+    * tf saturation curves. Top-20 bursty tokens above a min-count
+    * gate.
+    *
+    * Exact: zeros contribute nothing to Σc or Σc², so per-token
+    * DECIMAL sums over the (token, doc) count frame + the corpus doc
+    * count N give the exact full-population moments; the VMR algebra
+    * is one fixed double expression. Shape: two hash-aggs ((token,
+    * doc) then token) + one 1-row broadcast. */
+  def tokenBurstiness(s: SparkSession, dir: String,
+                      minCount: Long = 50L, topK: Int = 20): DataFrame = {
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), explode(tokensC(col("text"))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+    val nd = docs(s, dir).agg(count(lit(1)).as("nn"))
+    val stats = perDoc.groupBy("w").agg(
+      count(lit(1)).as("n_docs"),
+      sum("c").as("sc"),
+      sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("sc2"))
+      .filter(col("sc") >= minCount)
+    val n = col("nn").cast(DoubleType)
+    val mean = col("sc").cast(DoubleType) / n
+    val vr = (col("sc2").cast(DoubleType) - mean * mean * n) / (n - 1)
+    stats.crossJoin(broadcast(nd))
+      .select(col("w").as("token"),
+        col("sc").cast(IntegerType).as("n_occ"),
+        col("n_docs").cast(IntegerType).as("n_docs"),
+        round(vr / mean, 6).as("vmr"))
+      .orderBy(col("vmr").desc, col("token")).limit(topK)
+  }
+
+  /** q219: CODE-SWITCHING DETECTION — chunk-level language-ID votes
+    * aggregated per document: a doc whose q182 context windows predict
+    * DIFFERENT languages is mixed-language content (code-switching,
+    * concatenated crawls, template+content splits) that doc-level
+    * lang-ID (q24) silently majority-labels — and that multilingual
+    * corpus prep routes or drops explicitly. Reports per doc: chunk
+    * census, distinct non-'und' languages, the majority language with
+    * its share among classified chunks, and the mixed flag
+    * (≥2 languages AND majority share ≤ 0.8).
+    *
+    * Shape at 100 TB: the chunk stream is q182's narrow flatMap;
+    * lang-ID is the q24 codegen'd marker argmax per chunk; two
+    * hash-aggs on (doc, lang) then doc. The exact-integer share makes
+    * the flag deterministic. */
+  def codeSwitching(s: SparkSession, dir: String,
+                    size: Int = 200, stride: Int = 150): DataFrame = {
+    val chunks = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(stride))).as("start"))
+      .withColumn("t", tokensC(col("text").substr(col("start"), lit(size))))
+    val pred = withPredLang(chunks).select(col("doc_id"), col("pred_lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pred.count() // eager fill: census + per-lang rollup
+    try {
+      val tot = pred.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val per = pred.filter(col("pred_lang") =!= "und")
+        .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("c").desc, col("pred_lang"))
+      val agg = per.withColumn("rk", row_number().over(w))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_classified"),
+          count(lit(1)).as("n_langs"),
+          max(when(col("rk") === 1, col("pred_lang"))).as("majority_lang"),
+          max(when(col("rk") === 1, col("c"))).as("cmaj"))
+      val out = tot.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_chunks").cast(IntegerType).as("n_chunks"),
+          coalesce(col("n_langs"), lit(0L)).cast(IntegerType).as("n_langs"),
+          col("majority_lang"),
+          round(col("cmaj").cast(DoubleType) /
+            col("n_classified").cast(DoubleType), 6).as("majority_share"),
+          (coalesce(col("n_langs"), lit(0L)) >= 2 &&
+            col("cmaj") * 5 <= col("n_classified") * 4)
+            .cast(IntegerType).as("is_mixed"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      out
+    } finally { pred.unpersist(); () }
+  }
+
   /** q216: PMI COLLOCATIONS — pointwise mutual information over
     * adjacent token pairs: PMI = ln(N·c(ab)/(c(a)·c(b))) scores how
     * much more often two tokens appear TOGETHER than independence
@@ -1467,7 +1601,91 @@ object TextOps {
   /** [[QualityScoreS]], exposed for the q162 oracle. */
   private[graft] def qualityScoreExprS: String = QualityScoreS
 
+  /** DuckDB twins of [[withPredLang]]'s marker scores + argmax — over a
+    * relation carrying tokenized `t` — shared by q24 and q219 so the
+    * lang-ID rule cannot drift between the doc- and chunk-level ops. */
+  private def langScoresS: String = LangMarkers.map { case (l, ms) =>
+    s"${countInSetS("t", ms)} AS s_$l" }.mkString(",\n    ")
+  private def langPredS: String =
+    LangMarkers.map(_._1).foldRight("'und'") { case (l, e) =>
+      val beats = LangMarkers.map(_._1).filter(_ != l)
+        .map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"CASE WHEN s_$l > 0 AND $beats THEN '$l' ELSE $e END"
+    }
+
   def oracleSql: Map[String, String] = Map(
+    "q220_source_entropy" ->
+      s"""WITH tok AS (SELECT source, unnest($T) AS w FROM documents),
+         |tf AS (SELECT source, w, COUNT(*) AS c FROM tok
+         |  GROUP BY source, w),
+         |st AS (SELECT source, SUM(c) AS ct, COUNT(*) AS v FROM tf
+         |  GROUP BY source),
+         |g AS (SELECT w, SUM(c) AS cg FROM tf GROUP BY w),
+         |gt AS (SELECT SUM(cg) AS cgt FROM g),
+         |j AS (SELECT tf.source, ct, v,
+         |    CAST(c AS DOUBLE) / ct AS p,
+         |    CAST(cg AS DOUBLE) / cgt AS pg
+         |  FROM tf
+         |  JOIN st ON tf.source = st.source
+         |  JOIN g ON tf.w = g.w, gt),
+         |a AS (SELECT source, ANY_VALUE(ct) AS n_tokens,
+         |    ANY_VALUE(v) AS n_vocab,
+         |    SUM(CAST(round(-p * round(ln(p), 6), 12)
+         |      AS DECIMAL(28,12))) AS hsum,
+         |    SUM(CAST(round(p * round(ln(p / pg), 6), 12)
+         |      AS DECIMAL(28,12))) AS klsum
+         |  FROM j GROUP BY source)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_vocab AS INTEGER) AS n_vocab,
+         |  round(CAST(hsum AS DOUBLE), 6) AS entropy,
+         |  round(CAST(klsum AS DOUBLE), 6) AS kl_vs_corpus
+         |FROM a ORDER BY source""".stripMargin,
+    "q221_token_burstiness" ->
+      s"""WITH perdoc AS (SELECT w, doc_id, COUNT(*) AS c FROM
+         |  (SELECT doc_id, unnest($T) AS w FROM documents)
+         |  GROUP BY w, doc_id),
+         |nd AS (SELECT COUNT(*) AS nn FROM documents),
+         |stats AS (SELECT w, COUNT(*) AS n_docs, SUM(c) AS sc,
+         |    SUM(CAST(c * c AS DECIMAL(38,0))) AS sc2
+         |  FROM perdoc GROUP BY w HAVING SUM(c) >= 50),
+         |f AS (SELECT w, n_docs, sc, sc2, CAST(nn AS DOUBLE) AS n FROM
+         |  stats, nd),
+         |m AS (SELECT w, n_docs, sc,
+         |    CAST(sc AS DOUBLE) / n AS mean,
+         |    (CAST(sc2 AS DOUBLE) - (CAST(sc AS DOUBLE) / n)
+         |      * (CAST(sc AS DOUBLE) / n) * n) / (n - 1) AS vr
+         |  FROM f)
+         |SELECT w AS token, CAST(sc AS INTEGER) AS n_occ,
+         |  CAST(n_docs AS INTEGER) AS n_docs,
+         |  round(vr / mean, 6) AS vmr
+         |FROM m ORDER BY vmr DESC, token LIMIT 20""".stripMargin,
+    "q219_code_switching" ->
+      s"""WITH t0 AS (SELECT doc_id,
+         |    ${tokensS("substr(text, CAST(s AS INTEGER), 200)")} AS t
+         |  FROM (SELECT doc_id, text,
+         |      unnest(range(1, greatest(length(text), 1) + 1, 150)) AS s
+         |    FROM documents)),
+         |sc AS (SELECT doc_id, $langScoresS FROM t0),
+         |p AS (SELECT doc_id, $langPredS AS pred_lang FROM sc),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM p GROUP BY doc_id),
+         |per AS (SELECT doc_id, pred_lang, COUNT(*) AS c FROM p
+         |  WHERE pred_lang <> 'und' GROUP BY 1, 2),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, pred_lang) AS rk FROM per),
+         |agg AS (SELECT doc_id, SUM(c) AS n_classified,
+         |    COUNT(*) AS n_langs,
+         |    MAX(CASE WHEN rk = 1 THEN pred_lang END) AS majority_lang,
+         |    MAX(CASE WHEN rk = 1 THEN c END) AS cmaj
+         |  FROM rk GROUP BY doc_id)
+         |SELECT tot.doc_id, CAST(n_chunks AS INTEGER) AS n_chunks,
+         |  CAST(COALESCE(n_langs, 0) AS INTEGER) AS n_langs,
+         |  majority_lang,
+         |  round(CAST(cmaj AS DOUBLE) / CAST(n_classified AS DOUBLE), 6)
+         |    AS majority_share,
+         |  CAST(COALESCE(n_langs, 0) >= 2 AND cmaj * 5 <= n_classified * 4
+         |    AS INTEGER) AS is_mixed
+         |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
     "q216_pmi_collocations" ->
       s"""WITH tok AS (SELECT doc_id, u.p AS p, t[u.p] AS w
          |  FROM (SELECT doc_id, $T AS t FROM documents),
@@ -2114,23 +2332,15 @@ object TextOps {
          |FROM c GROUP BY 1, 2, 3
          |ORDER BY pred_lang, tier, len_bucket""".stripMargin
     },
-    "q24_lang_id" -> {
-      val scores = LangMarkers.map { case (l, ms) =>
-        s"${countInSetS("t", ms)} AS s_$l" }.mkString(",\n    ")
-      val pred = LangMarkers.map(_._1).foldRight("'und'") { case (l, e) =>
-        val beats = LangMarkers.map(_._1).filter(_ != l)
-          .map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"CASE WHEN s_$l > 0 AND $beats THEN '$l' ELSE $e END"
-      }
+    "q24_lang_id" ->
       s"""WITH d AS (SELECT doc_id, lang, $T AS t FROM documents),
          |sc AS (SELECT doc_id, lang,
-         |    $scores
+         |    $langScoresS
          |  FROM d),
-         |p AS (SELECT doc_id, lang, $pred AS pred_lang FROM sc)
+         |p AS (SELECT doc_id, lang, $langPredS AS pred_lang FROM sc)
          |SELECT doc_id, pred_lang,
          |  CAST(pred_lang = lang AS INTEGER) AS agrees
-         |FROM p ORDER BY doc_id""".stripMargin
-    },
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q67_normalize_scrub" ->
       s"""WITH sc AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '$EntRe')) AS INTEGER) AS n_ent,

@@ -438,6 +438,54 @@ class TextPrimsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("mean_quality") - fullQ) < 0.1))
   }
 
+  test("q219 code-switching: census totals, share bounds, flag algebra") {
+    val rows = graft.text.TextOps.codeSwitching(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_chunks") >= 1)
+      val nl = r.getAs[Int]("n_langs")
+      assert(nl >= 0 && nl <= 4) // marker languages only
+      if (nl > 0) {
+        val share = r.getAs[Double]("majority_share")
+        assert(share > 0.0 && share <= 1.0)
+        // the flag is exactly its definition
+        assert(r.getAs[Int]("is_mixed") ===
+          (if (nl >= 2 && share <= 0.8 + 1e-9) 1 else 0), r.toString)
+      } else assert(r.getAs[Int]("is_mixed") === 0)
+    }
+    // fixture docs are single-language: the mixed flag must be rare
+    assert(rows.count(_.getAs[Int]("is_mixed") == 1) < rows.length / 4)
+  }
+
+  test("q220 entropy: bounds ln(V), KL nonnegative, global row consistency") {
+    val rows = graft.text.TextOps.sourceEntropy(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (h, kl) = (r.getAs[Double]("entropy"),
+        r.getAs[Double]("kl_vs_corpus"))
+      assert(h > 0.0 && h <= math.log(r.getAs[Int]("n_vocab").toDouble)
+        + 1e-6, r.getString(0))
+      // Gibbs: KL >= 0 (6dp per-term rounding can dip a hair below)
+      assert(kl >= -1e-4, s"${r.getString(0)} kl $kl")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
+  test("q221 burstiness: gated, ranked, function words calmer than topical") {
+    val rows = graft.text.TextOps.tokenBurstiness(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("vmr") >= b.getAs[Double]("vmr"))
+    case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_occ") >= 50)
+      assert(r.getAs[Int]("n_docs") >= 1)
+      // bursty by definition: the top of the list is super-Poisson
+      assert(r.getAs[Double]("vmr") > 1.0, r.getString(0))
+    }
+  }
+
   test("q210 gini: bounds, driver recount, constant-mass source would be 0") {
     val rows = graft.text.TextOps.giniConcentration(spark, sfDir).collect()
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
