@@ -520,6 +520,15 @@ object SparkEntry {
     // Church-Gale burstiness: VMR of per-doc counts, topical-token signal
     "q221_token_burstiness"   -> ((s, d) =>
       graft.text.TextOps.tokenBurstiness(s, d)),
+    // crawl-snapshot marginal value: per-slice new-gram fraction
+    "q222_crawl_novelty"      -> ((s, d) =>
+      graft.dedup.Dedup.crawlSliceNovelty(s, d)),
+    // scaler fit card: mean/std/median/IQR per column — the serving contract
+    "q223_scaler_fit"         -> ((s, d) =>
+      graft.analytics.Advanced.scalerFitCard(s, d)),
+    // 5%-trimmed robust mean per group, exact rank cuts
+    "q224_trimmed_mean"       -> ((s, d) =>
+      graft.analytics.Advanced.trimmedMean(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -790,6 +790,78 @@ object Advanced {
       .orderBy("digit")
   }
 
+  /** q223: SCALER-FIT CARD — the parameter table a feature pipeline
+    * persists before serving (the fit() half of Standard/Robust
+    * scaling, as DATA rather than a model object): per numeric lineitem
+    * column — mean and std from exact decimal moments, median and IQR
+    * from micro-unit-exact percentiles. Train-side fit, serve-side
+    * lookup is exactly how production scalers avoid training-serving
+    * skew; the card IS the contract. One scan: moments in one hash-agg,
+    * rank stats in one percentile agg, unpivoted to a row per column. */
+  def scalerFitCard(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = t(s, dir, "lineitem")
+    val frames = cols.map { c =>
+      val vq = (col(c).cast(DecimalType(18, 6)) * 1000000).cast(LongType)
+      li.select(vq.as("vq"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("vq").cast(DecimalType(38, 0))).as("sx"),
+          sum((col("vq").cast(DecimalType(38, 0)) * col("vq"))).as("sxx"),
+          expr("percentile(vq, 0.5)").as("p50"),
+          expr("percentile(vq, 0.25)").as("p25"),
+          expr("percentile(vq, 0.75)").as("p75"))
+        .select(lit(c).as("column"),
+          col("n").cast(IntegerType).as("n"),
+          (col("sx").cast(DoubleType) / col("n") / 1000000.0).as("mean"),
+          (sqrt((col("sxx").cast(DoubleType) -
+            (col("sx").cast(DoubleType) / col("n")) *
+              (col("sx").cast(DoubleType) / col("n")) * col("n"))
+            / (col("n") - 1)) / 1000000.0).as("std"),
+          (col("p50") / 1000000.0).as("median"),
+          ((col("p75") - col("p25")) / 1000000.0).as("iqr"))
+    }
+    frames.reduce(_ unionByName _).orderBy("column")
+  }
+
+  /** q224: TRIMMED MEAN — the robust location estimate between q07's
+    * mean (outlier-dragged) and q191's median (throws away most data):
+    * drop the lowest and highest `trimPct` of each group by EXACT rank
+    * and average the rest. The estimator real metric pipelines quote
+    * when heavy tails are expected but the median is too coarse.
+    *
+    * Exact: micro-unit values, rank cuts by integer row_number against
+    * integer bounds (⌊n·p⌋ trimmed per side — no float boundary), the
+    * kept sum in DECIMAL(38,0), one closing division chain. One window
+    * rank + one hash-agg. */
+  def trimmedMean(s: SparkSession, dir: String,
+                  trimPct: Double = 0.05): DataFrame = {
+    val vq = (col("value").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val e = t(s, dir, "events").select(col("event_type"), vq.as("vq"),
+      col("event_id"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("vq"), col("event_id"))
+    val cnt = Window.partitionBy("event_type")
+    // floor() then cast — a bare double→long cast truncates on the JVM
+    // but ROUNDS in DuckDB's CAST; floor is floor everywhere
+    val k = floor(count(lit(1)).over(cnt) * lit(trimPct)).cast(LongType)
+    e.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .withColumn("k", k)
+      .filter(col("rk") > col("k") && col("rk") <= col("n") - col("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("vq").cast(DecimalType(38, 0))).as("sv"),
+        min("vq").as("lo"), max("vq").as("hi"))
+      .select(col("event_type"),
+        col("n_kept").cast(IntegerType).as("n_kept"),
+        (col("sv").cast(DoubleType) / col("n_kept") / 1000000.0)
+          .as("trimmed_mean"),
+        (col("lo") / 1000000.0).as("kept_min"),
+        (col("hi") / 1000000.0).as("kept_max"))
+      .orderBy("event_type")
+  }
+
   /** q218: FK REFERENTIAL-INTEGRITY AUDIT — orphan counts for every
     * foreign-key edge of the schema (the cross-table data-quality
     * check q129's single-table audit can't see): per edge, child rows,
@@ -2799,6 +2871,43 @@ object Advanced {
         |SELECT s.day AS day, COUNT(DISTINCT p.user_id) AS active_users_7d
         |FROM spine s JOIN pairs p ON p.pday BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day ORDER BY day""".stripMargin,
+    "q223_scaler_fit" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS INTEGER) AS n,
+           |  CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+           |    / 1000000.0 AS mean,
+           |  SQRT((CAST(SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS DOUBLE)
+           |    - (CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DOUBLE)
+           |        / COUNT(*))
+           |      * (CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DOUBLE)
+           |        / COUNT(*)) * COUNT(*))
+           |    / (COUNT(*) - 1)) / 1000000.0 AS std,
+           |  quantile_cont(vq, 0.5) / 1000000.0 AS median,
+           |  (quantile_cont(vq, 0.75) - quantile_cont(vq, 0.25))
+           |    / 1000000.0 AS iqr
+           |FROM (SELECT CAST(CAST($c AS DECIMAL(18,6)) * 1000000
+           |  AS BIGINT) AS vq FROM lineitem)""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+    },
+    "q224_trimmed_mean" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
+        |  FROM events),
+        |r AS (SELECT event_type, vq,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY vq, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |kept AS (SELECT event_type, vq FROM r
+        |  WHERE rk > CAST(FLOOR(n * 0.05) AS BIGINT)
+        |    AND rk <= n - CAST(FLOOR(n * 0.05) AS BIGINT))
+        |SELECT event_type, CAST(COUNT(*) AS INTEGER) AS n_kept,
+        |  CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+        |    / 1000000.0 AS trimmed_mean,
+        |  MIN(vq) / 1000000.0 AS kept_min,
+        |  MAX(vq) / 1000000.0 AS kept_max
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q218_fk_audit" -> {
       val edges = Seq(
         ("orders.o_custkey->customer", "orders", "o_custkey",

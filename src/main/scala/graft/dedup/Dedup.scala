@@ -213,6 +213,48 @@ object Dedup extends org.apache.spark.internal.Logging {
     } finally { shs.unpersist(); () }
   }
 
+  /** q222: CRAWL-SLICE NOVELTY — the marginal-value curve of successive
+    * crawl snapshots: documents split into four doc_id-order slices
+    * (the ingestion-order proxy) and each slice reports how many of its
+    * shingle OCCURRENCES are grams never seen in ANY earlier slice —
+    * the "what did this crawl actually add" number that decides whether
+    * a feed has gone stale (pct_new decays toward the boilerplate
+    * floor as a source exhausts its novelty). q188 gives the per-doc
+    * view; this is the per-snapshot rollup operations actually plot.
+    *
+    * Shape at 100 TB: one shingle explode; first-occurrence slice =
+    * one hash-agg min over the gram key; the slice report is a second
+    * tiny agg. Nothing re-shingles. */
+  def crawlSliceNovelty(s: SparkSession, dir: String,
+                        slices: Int = 4): DataFrame = {
+    val d = docs(s, dir)
+    // slice by doc_id rank via ntile — identical split semantics in
+    // DuckDB's NTILE, correct under arbitrary id gaps
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val sliced = d.withColumn("slice", ntile(slices).over(w))
+    val grams = shingleRows(sliced.select("doc_id", "text"))
+      .join(sliced.select("doc_id", "slice"), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager fill: first-slice agg + occurrence rollup
+    try {
+      val firstSlice = grams.groupBy("shingle")
+        .agg(min("slice").as("fs"))
+      val out = grams.join(firstSlice, Seq("shingle"))
+        .groupBy("slice").agg(
+          countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_grams"),
+          sum(when(col("fs") === col("slice"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("slice"), col("n_docs").cast(IntegerType).as("n_docs"),
+          col("n_grams"), col("n_new"),
+          round(col("n_new").cast(DoubleType) /
+            col("n_grams").cast(DoubleType), 6).as("pct_new"))
+        .orderBy("slice")
+        .localCheckpoint()
+      out
+    } finally { grams.unpersist(); () }
+  }
+
   /** q188: N-GRAM NOVELTY PROFILE — per-document fraction of its distinct
     * shingles whose FIRST corpus occurrence (min doc_id) is this document.
     * The streaming-order novelty curve corpus builders use to spot
@@ -1139,6 +1181,25 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q222_crawl_novelty" -> {
+      val t = tokensS("text")
+      s"""WITH sliced AS (SELECT doc_id, text,
+         |    NTILE(4) OVER (ORDER BY doc_id) AS slice
+         |  FROM documents),
+         |g AS (SELECT doc_id, slice,
+         |    unnest(list_distinct(${shinglesS(t, ShingleN)})) AS sh
+         |  FROM sliced),
+         |fs AS (SELECT sh, MIN(slice) AS fs FROM g GROUP BY sh)
+         |SELECT CAST(g.slice AS INTEGER) AS slice,
+         |  CAST(COUNT(DISTINCT g.doc_id) AS INTEGER) AS n_docs,
+         |  COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN fs.fs = g.slice THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_new,
+         |  round(CAST(SUM(CASE WHEN fs.fs = g.slice THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS pct_new
+         |FROM g JOIN fs ON g.sh = fs.sh
+         |GROUP BY g.slice ORDER BY g.slice""".stripMargin
+    },
     "q195_bloom_prefilter" -> {
       def posList(h: String) = (0 until 4)
         .map(j => s"${hex60S(s"md5('$j#' || $h)")} % 65536")

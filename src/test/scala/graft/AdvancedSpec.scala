@@ -714,6 +714,39 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q223 scaler card: median inside IQR band, std positive, mean near median") {
+    val rows = Advanced.scalerFitCard(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("std") > 0.0, r.getString(0))
+      assert(r.getAs[Double]("iqr") > 0.0, r.getString(0))
+      assert(r.getAs[Int]("n") > 0)
+    }
+  }
+
+  test("q224 trimmed mean: matches driver recount, sits inside the kept range") {
+    val rows = Advanced.trimmedMean(spark, sfDir).collect()
+    val vals = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val q = vals(et).map { case (_, v, id) =>
+        ((BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          * 1000000).toLong, id)
+      }.sortBy(x => (x._1, x._2)).map(_._1)
+      val k = math.floor(q.length * 0.05).toInt
+      val kept = q.slice(k, q.length - k)
+      assert(r.getAs[Int]("n_kept") === kept.length, et)
+      val exp = kept.map(BigInt(_)).sum.toDouble / kept.length / 1e6
+      assert(math.abs(r.getAs[Double]("trimmed_mean") - exp) < 1e-9, et)
+      assert(r.getAs[Double]("kept_min") <= r.getAs[Double]("trimmed_mean"))
+      assert(r.getAs[Double]("kept_max") >= r.getAs[Double]("trimmed_mean"))
+    }
+  }
+
   test("q218 fk audit: every schema edge present, fixtures referentially intact") {
     val rows = Advanced.fkAudit(spark, sfDir).collect()
     assert(rows.length === 7)

@@ -299,6 +299,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q222 crawl novelty: slice 1 fully novel, monotone-ish decay, totals") {
+    val rows = Dedup.crawlSliceNovelty(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 4))
+    // every gram in the first slice is by definition first seen there
+    assert(rows.head.getAs[Double]("pct_new") === 1.0)
+    // later slices can only lose novelty to earlier ones
+    rows.tail.foreach(r => assert(r.getAs[Double]("pct_new") < 1.0))
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Int]("n_docs").toLong).sum === docs)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_grams")))
+  }
+
   test("q195 bloom: no false negatives, accounting consistent with q153") {
     val r = Dedup.bloomPrefilterDedup(spark, sfDir).collect().head
     val q153 = Dedup.incrementalDedup(spark, sfDir).collect().head
