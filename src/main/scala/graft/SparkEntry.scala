@@ -529,6 +529,15 @@ object SparkEntry {
     // 5%-trimmed robust mean per group, exact rank cuts
     "q224_trimmed_mean"       -> ((s, d) =>
       graft.analytics.Advanced.trimmedMean(s, d)),
+    // chunk quality by structural position — the truncation-policy test
+    "q225_position_quality"   -> ((s, d) =>
+      graft.text.TextOps.positionQuality(s, d)),
+    // dedup health: connected-component size histogram
+    "q226_dup_cluster_sizes"  -> ((s, d) =>
+      graft.dedup.Dedup.dupClusterSizes(s, d)),
+    // dedup health: candidate-graph degree histogram + boilerplate hubs
+    "q227_dup_graph_degrees"  -> ((s, d) =>
+      graft.dedup.Dedup.dupGraphDegrees(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

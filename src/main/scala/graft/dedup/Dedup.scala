@@ -213,6 +213,47 @@ object Dedup extends org.apache.spark.internal.Logging {
     } finally { shs.unpersist(); () }
   }
 
+  /** q226: DUP-CLUSTER SIZE DISTRIBUTION — the histogram of q63's
+    * connected-component sizes (size → how many clusters): the dedup
+    * health report operations actually read. A long tail of size-2
+    * clusters is normal near-dup noise; a single giant component is
+    * the boilerplate-hub pathology that melts BSP label propagation
+    * and means the SHINGLING (not the corpus) needs fixing. One extra
+    * double-agg over the verified q63 labels. */
+  def dupClusterSizes(s: SparkSession, dir: String,
+                      cfg: DedupConfig = DedupConfig.Default): DataFrame =
+    dedupComponents(s, dir, cfg)
+      .groupBy("comp").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").cast(IntegerType).as("cluster_size"),
+        col("n_clusters").cast(IntegerType).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  /** q227: DUP-GRAPH DEGREE AUDIT — per-node degree distribution of
+    * the LSH candidate graph plus the top hubs: a node whose degree
+    * rivals the corpus is a boilerplate magnet (its shingles collide
+    * with everything) — the thing to EXCLUDE from banding before it
+    * quadratically floods the verify stage. Reports the degree
+    * histogram and the 5 heaviest nodes. One agg over the verified
+    * q28 pair set. */
+  def dupGraphDegrees(s: SparkSession, dir: String,
+                      cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val pairs = lshCandidatePairs(s, dir, cfg)
+    val deg = pairs.select(col("doc_a").as("id"))
+      .unionAll(pairs.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .select(lit("hist").as("kind"), col("degree").cast(LongType).as("k"),
+        col("n_nodes").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("degree").desc, col("id"))
+    val hubs = deg.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(lit("hub").as("kind"), col("id").as("k"),
+        col("degree").as("v"))
+    hist.unionByName(hubs).orderBy("kind", "k")
+  }
+
   /** q222: CRAWL-SLICE NOVELTY — the marginal-value curve of successive
     * crawl snapshots: documents split into four doc_id-order slices
     * (the ingestion-order proxy) and each slice reports how many of its
@@ -1181,6 +1222,30 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q226_dup_cluster_sizes" ->
+      s"""$compChainS
+         |SELECT CAST(sz AS INTEGER) AS cluster_size,
+         |  CAST(COUNT(*) AS INTEGER) AS n_clusters
+         |FROM (SELECT comp.comp, COUNT(*) AS sz FROM comp GROUP BY comp.comp)
+         |GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    "q227_dup_graph_degrees" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |deg AS (SELECT id, COUNT(*) AS degree FROM
+         |  (SELECT doc_a AS id FROM pairs
+         |   UNION ALL SELECT doc_b FROM pairs) GROUP BY id),
+         |hist AS (SELECT 'hist' AS kind, CAST(degree AS BIGINT) AS k,
+         |    CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM deg GROUP BY degree),
+         |hubs AS (SELECT 'hub' AS kind, id AS k,
+         |    CAST(degree AS BIGINT) AS v
+         |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY degree DESC, id)
+         |      AS rk FROM deg)
+         |  WHERE rk <= 5)
+         |SELECT * FROM hist UNION ALL SELECT * FROM hubs
+         |ORDER BY kind, k""".stripMargin,
     "q222_crawl_novelty" -> {
       val t = tokensS("text")
       s"""WITH sliced AS (SELECT doc_id, text,

@@ -42,11 +42,17 @@ object TextOps {
     * 0) so BOTH engines agree (Spark x/0 is NULL, DuckDB is IEEE inf),
     * and the membership-determining score coalesces NULL to 0.0 (an
     * empty doc is lowest-quality, identically everywhere). */
-  private def qualityExprs: Seq[(String, org.apache.spark.sql.Column)] = {
-    val t = tokensC(col("text"))
+  private def qualityExprs: Seq[(String, org.apache.spark.sql.Column)] =
+    qualityExprsOf(col("text"))
+
+  /** [[qualityExprs]] over an arbitrary text column — chunk-level
+    * consumers (q225) share the exact expression tree. */
+  private def qualityExprsOf(
+      textCol: Column): Seq[(String, org.apache.spark.sql.Column)] = {
+    val t = tokensC(textCol)
     val words = size(t).cast(DoubleType)
-    val chars = length(col("text")).cast(DoubleType)
-    val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+    val chars = length(textCol).cast(DoubleType)
+    val punct = size(regexp_extract_all(textCol, lit("[.,;:!?]"), lit(0)))
       .cast(DoubleType)
     val stops = countInSetC(t, Stopwords).cast(DoubleType)
     val wordsNz = when(words > 0, words)
@@ -588,6 +594,45 @@ object TextOps {
           count(lit(1))).as("mean_quality"))
       .orderBy("lang", "source")
   }
+
+  /** q225: POSITION-QUALITY PROFILE — does document quality DECAY with
+    * position? Chunk the corpus (q182 windows), score every chunk with
+    * the q23 quality expression, and roll up by structural position
+    * (head = first chunk, tail = last, middle otherwise): the number
+    * that justifies (or kills) tail-truncation policies — if tail
+    * chunks score like heads, truncating buys nothing and costs data.
+    * Position is an exact integer comparison against the per-doc chunk
+    * count; the mean routes through micro-units (q140). */
+  def positionQuality(s: SparkSession, dir: String,
+                      size: Int = 200, stride: Int = 150): DataFrame = {
+    val chunks = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(stride))).as("start"))
+      .withColumn("chunk", col("text").substr(col("start"), lit(size)))
+      .withColumn("idx", ((col("start") - 1) / lit(stride))
+        .cast(IntegerType))
+    val scored = chunks.select(col("doc_id"), col("idx"),
+      (qualityOf(col("chunk")).cast(DecimalType(18, 6)) * 1000000)
+        .cast(LongType).as("qu"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    scored.withColumn("nc", max(col("idx")).over(w))
+      .withColumn("pos",
+        when(col("idx") === 0, lit("1_head"))
+          .when(col("idx") === col("nc"), lit("3_tail"))
+          .otherwise(lit("2_middle")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n_chunks"), sum("qu").as("squ"))
+      .select(col("pos"),
+        col("n_chunks").cast(IntegerType).as("n_chunks"),
+        (col("squ").cast(DoubleType) / col("n_chunks") / 1000000.0)
+          .as("mean_quality"))
+      .orderBy("pos")
+  }
+
+  /** The q23 quality score over an arbitrary text column. */
+  private def qualityOf(textCol: Column): Column =
+    qualityExprsOf(textCol).toMap.apply("quality_score")
 
   /** q220: SOURCE ENTROPY PROFILE — per source: unigram Shannon
     * entropy (nats) and KL divergence against the corpus-wide
@@ -1614,6 +1659,28 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q225_position_quality" ->
+      s"""WITH m0 AS (SELECT doc_id,
+         |    CAST((s - 1) // 150 AS INTEGER) AS idx,
+         |    substr(text, CAST(s AS INTEGER), 200) AS text
+         |  FROM (SELECT doc_id, text,
+         |      unnest(range(1, greatest(length(text), 1) + 1, 150)) AS s
+         |    FROM documents)),
+         |m AS (SELECT doc_id, idx, text, $T AS t FROM m0),
+         |mm AS (SELECT doc_id, idx,
+         |    $qualityMeasureColsS
+         |  FROM m),
+         |q AS (SELECT doc_id, idx,
+         |    CAST(CAST($QualityScoreS AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS qu
+         |  FROM mm),
+         |w AS (SELECT *, MAX(idx) OVER (PARTITION BY doc_id) AS nc FROM q),
+         |p AS (SELECT CASE WHEN idx = 0 THEN '1_head'
+         |    WHEN idx = nc THEN '3_tail' ELSE '2_middle' END AS pos, qu
+         |  FROM w)
+         |SELECT pos, CAST(COUNT(*) AS INTEGER) AS n_chunks,
+         |  CAST(SUM(qu) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_quality
+         |FROM p GROUP BY pos ORDER BY pos""".stripMargin,
     "q220_source_entropy" ->
       s"""WITH tok AS (SELECT source, unnest($T) AS w FROM documents),
          |tf AS (SELECT source, w, COUNT(*) AS c FROM tok

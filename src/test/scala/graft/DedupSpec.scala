@@ -312,6 +312,31 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_grams")))
   }
 
+  test("q226 cluster sizes: histogram mass equals the labeled corpus") {
+    val hist = Dedup.dupClusterSizes(spark, sfDir).collect()
+    val comp = Dedup.dedupComponents(spark, sfDir).collect()
+    // Σ size × clusters-of-that-size = documents labeled
+    assert(hist.map(r => r.getInt(0).toLong * r.getInt(1)).sum
+      === comp.length.toLong)
+    // injected near-dups guarantee some multi-doc clusters exist
+    assert(hist.exists(_.getInt(0) >= 2))
+    // sizes are a proper histogram: distinct, positive counts
+    assert(hist.map(_.getInt(0)).distinct.length === hist.length)
+    hist.foreach(r => assert(r.getInt(1) >= 1))
+  }
+
+  test("q227 degrees: handshake lemma, hubs are the max-degree nodes") {
+    val rows = Dedup.dupGraphDegrees(spark, sfDir).collect()
+    val (hist, hubs) = rows.partition(_.getString(0) == "hist")
+    val pairs = Dedup.lshCandidatePairs(spark, sfDir).count()
+    // Σ degree × nodes = 2 × |edges|
+    assert(hist.map(r => r.getLong(1) * r.getLong(2)).sum === 2 * pairs)
+    assert(hubs.length === math.min(5, hist.map(_.getLong(2)).sum).toInt)
+    // every hub's degree is at least the histogram's second-highest bin
+    val maxDeg = hist.map(_.getLong(1)).max
+    assert(hubs.exists(_.getLong(2) === maxDeg))
+  }
+
   test("q195 bloom: no false negatives, accounting consistent with q153") {
     val r = Dedup.bloomPrefilterDedup(spark, sfDir).collect().head
     val q153 = Dedup.incrementalDedup(spark, sfDir).collect().head

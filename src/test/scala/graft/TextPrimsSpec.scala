@@ -438,6 +438,19 @@ class TextPrimsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("mean_quality") - fullQ) < 0.1))
   }
 
+  test("q225 position quality: three buckets, chunk totals match q182") {
+    val rows = graft.text.TextOps.positionQuality(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("1_head", "2_middle", "3_tail"))
+    val nChunks = graft.text.TextOps.chunkDocs(spark, sfDir).count()
+    assert(rows.map(_.getAs[Int]("n_chunks").toLong).sum === nChunks)
+    // every doc contributes exactly one head; tails only for multi-chunk
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.head.getAs[Int]("n_chunks").toLong === nDocs)
+    rows.foreach(r => assert(r.getAs[Double]("mean_quality") >= 0.0 &&
+      r.getAs[Double]("mean_quality") <= 1.0))
+  }
+
   test("q219 code-switching: census totals, share bounds, flag algebra") {
     val rows = graft.text.TextOps.codeSwitching(spark, sfDir).collect()
     val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
