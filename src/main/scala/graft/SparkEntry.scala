@@ -538,6 +538,12 @@ object SparkEntry {
     // dedup health: candidate-graph degree histogram + boilerplate hubs
     "q227_dup_graph_degrees"  -> ((s, d) =>
       graft.dedup.Dedup.dupGraphDegrees(s, d)),
+    // is quality just length? per-source OLS of score on ln(tokens)
+    "q228_quality_length_ols" -> ((s, d) =>
+      graft.text.TextOps.qualityLengthOls(s, d)),
+    // chance-corrected lang-ID agreement — kappa, not raw accuracy
+    "q229_lang_kappa"         -> ((s, d) =>
+      graft.text.TextOps.langKappa(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

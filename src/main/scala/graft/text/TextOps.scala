@@ -595,6 +595,70 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** q229: COHEN'S KAPPA — chance-corrected agreement of the q24
+    * marker classifier against the gold `lang` labels: κ = (p_o −
+    * p_e)/(1 − p_e), where p_e is the agreement two INDEPENDENT
+    * labelers with these marginals would reach by luck. The metric to
+    * quote instead of raw accuracy whenever classes are imbalanced (a
+    * majority-class guesser scores high accuracy but κ ≈ 0). Exact
+    * integer marginals; p_e = Σ_k m_a(k)·m_b(k)/n² in DECIMAL(38,0)
+    * products; the closing κ algebra is fixed double expressions.
+    * One scan + K-row marginal frames. */
+  def langKappa(s: SparkSession, dir: String): DataFrame = {
+    val pred = withPredLang(docs(s, dir)
+        .withColumn("t", tokensC(col("text"))))
+      .select(col("lang"), col("pred_lang"))
+      .localCheckpoint() // three consumers: po, both marginal frames
+    val agree = pred.agg(count(lit(1)).as("n"),
+      sum((col("lang") === col("pred_lang")).cast(LongType)).as("na"))
+    val ma = pred.groupBy("lang").agg(count(lit(1)).as("ca"))
+    val mb = pred.groupBy("pred_lang").agg(count(lit(1)).as("cb"))
+    val pe = ma.join(mb, col("lang") === col("pred_lang"))
+      .agg(coalesce(sum((col("ca") * col("cb")).cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).as("sab"))
+    val po = col("na").cast(DoubleType) / col("n")
+    val peD = col("sab").cast(DoubleType) /
+      (col("n").cast(DoubleType) * col("n"))
+    agree.crossJoin(broadcast(pe))
+      .select(col("n").cast(IntegerType).as("n"),
+        round(po, 6).as("p_observed"),
+        round(peD, 6).as("p_expected"),
+        round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
+  }
+
+  /** q228: QUALITY–LENGTH OLS PER SOURCE — the per-feed regression of
+    * quality score on ln(token count): a strong positive slope says
+    * the source's quality signal is mostly LENGTH (so a length-blind
+    * quality threshold silently becomes a length filter); near-zero
+    * slope says the two cuts are independent. The q183 OLS machinery
+    * applied per group: x = round(ln toks, 6), y = the exact 6-dp
+    * quality score, moments in DECIMAL per source, closing algebra in
+    * fixed double expressions with the q183 9-dp product rounding. */
+  def qualityLengthOls(s: SparkSession, dir: String): DataFrame = {
+    val d9 = (c: Column) => sum(round(c, 9).cast(DecimalType(28, 9)))
+    val xy = docs(s, dir).select(col("source"),
+        round(log(bpeTokensC(col("text")).cast(DoubleType)), 6).as("x"),
+        qualityScoreC.as("y"))
+      .filter(col("x").isNotNull)
+    val m = xy.groupBy("source").agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("x").cast(DecimalType(18, 6))).cast(DoubleType).as("sx"),
+      sum(col("y").cast(DecimalType(18, 6))).cast(DoubleType).as("sy"),
+      d9(col("x") * col("y")).cast(DoubleType).as("sxy"),
+      d9(col("x") * col("x")).cast(DoubleType).as("sxx"),
+      d9(col("y") * col("y")).cast(DoubleType).as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val icept = (col("sy") - slope * col("sx")) / col("n")
+    val ssTot = col("syy") - col("sy") * col("sy") / col("n")
+    val ssRes = col("syy") - icept * col("sy") - slope * col("sxy")
+    m.select(col("source"), col("n").cast(IntegerType).as("n_docs"),
+      round(slope, 6).as("slope"),
+      round(icept, 6).as("intercept"),
+      round(lit(1.0) - ssRes / ssTot, 6).as("r2"))
+      .orderBy("source")
+  }
+
   /** q225: POSITION-QUALITY PROFILE — does document quality DECAY with
     * position? Chunk the corpus (q182 windows), score every chunk with
     * the q23 quality expression, and roll up by structural position
@@ -1659,6 +1723,57 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q229_lang_kappa" ->
+      s"""WITH d AS (SELECT doc_id, lang, $T AS t FROM documents),
+         |sc AS (SELECT doc_id, lang, $langScoresS FROM d),
+         |p AS (SELECT lang, $langPredS AS pred_lang FROM sc),
+         |agree AS (SELECT COUNT(*) AS n,
+         |    SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS na
+         |  FROM p),
+         |ma AS (SELECT lang, COUNT(*) AS ca FROM p GROUP BY lang),
+         |mb AS (SELECT pred_lang, COUNT(*) AS cb FROM p
+         |  GROUP BY pred_lang),
+         |pe AS (SELECT COALESCE(SUM(CAST(ca * cb AS DECIMAL(38,0))),
+         |    CAST(0 AS DECIMAL(38,0))) AS sab
+         |  FROM ma JOIN mb ON ma.lang = mb.pred_lang)
+         |SELECT CAST(n AS INTEGER) AS n,
+         |  round(CAST(na AS DOUBLE) / n, 6) AS p_observed,
+         |  round(CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+         |    AS p_expected,
+         |  round((CAST(na AS DOUBLE) / n -
+         |      CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * n)) /
+         |    (1.0 - CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6)
+         |    AS kappa
+         |FROM agree, pe""".stripMargin,
+    "q228_quality_length_ols" ->
+      s"""WITH m0 AS (SELECT doc_id, source, text, $T AS t FROM documents),
+         |mq AS (SELECT doc_id, source, text, t,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |xy AS (SELECT source,
+         |    round(ln(CAST(${graft.functions.TextPrims.bpeTokensS("text")}
+         |      AS DOUBLE)), 6) AS x,
+         |    $QualityScoreS AS y
+         |  FROM mq),
+         |m AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS sxy,
+         |    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS sxx,
+         |    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS syy
+         |  FROM xy WHERE x IS NOT NULL GROUP BY source),
+         |sl AS (SELECT source, n, sx, sy, sxy, sxx, syy,
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM m),
+         |ab AS (SELECT source, n, sx, sy, sxy, syy, b,
+         |    (sy - b * sx) / n AS a FROM sl)
+         |SELECT source, CAST(n AS INTEGER) AS n_docs,
+         |  round(b, 6) AS slope, round(a, 6) AS intercept,
+         |  round(1.0 - (syy - a * sy - b * sxy) / (syy - sy * sy / n), 6)
+         |    AS r2
+         |FROM ab ORDER BY source""".stripMargin,
     "q225_position_quality" ->
       s"""WITH m0 AS (SELECT doc_id,
          |    CAST((s - 1) // 150 AS INTEGER) AS idx,
