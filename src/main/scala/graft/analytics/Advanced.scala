@@ -2282,11 +2282,14 @@ object Advanced {
       .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairs)
+    // item supports are CATALOG-sized — no broadcast hint (the q64
+    // tfidf lesson): AQE broadcasts at fixture scale, a shuffled hash
+    // join takes over when the catalog outgrows executor memory
     pairs
-      .join(broadcast(supp.withColumnsRenamed(
-        Map("part" -> "part_a", "cnt" -> "ca"))), Seq("part_a"))
-      .join(broadcast(supp.withColumnsRenamed(
-        Map("part" -> "part_b", "cnt" -> "cb"))), Seq("part_b"))
+      .join(supp.withColumnsRenamed(
+        Map("part" -> "part_a", "cnt" -> "ca")), Seq("part_a"))
+      .join(supp.withColumnsRenamed(
+        Map("part" -> "part_b", "cnt" -> "cb")), Seq("part_b"))
       .crossJoin(broadcast(nb))
       .select(col("part_a"), col("part_b"),
         col("n_ab").cast(IntegerType).as("n_ab"),

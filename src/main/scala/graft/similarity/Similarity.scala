@@ -603,6 +603,9 @@ object Similarity {
     all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("td", d2(col("qe"), col("e")))
+      // exact-duplicate guard: a zero true distance has no relative
+      // error (pd/0 would poison the decimal sum with infinity)
+      .filter(col("td") =!= 0.0)
       .withColumn("pd", d2(col("qpe"), col("pe")))
       .withColumn("rel", abs(col("pd") / col("td") - 1.0))
       .groupBy("query_id")
@@ -927,7 +930,8 @@ object Similarity {
          |    ${d2("q.qe", "n.e")} AS td,
          |    ${d2("q.qpe", "n.pe")} AS pd
          |  FROM q CROSS JOIN pe n WHERE n.vec_id <> q.query_id),
-         |r AS (SELECT query_id, ABS(pd / td - 1.0) AS rel FROM pairs)
+         |r AS (SELECT query_id, ABS(pd / td - 1.0) AS rel FROM pairs
+         |  WHERE td <> 0)
          |SELECT query_id, CAST(COUNT(*) AS INTEGER) AS n_pairs,
          |  round(CAST(SUM(CAST(round(rel, 6) AS DECIMAL(18,6)))
          |    AS DOUBLE) / COUNT(*), 6) AS mean_distortion,

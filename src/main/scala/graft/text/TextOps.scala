@@ -864,11 +864,13 @@ object TextOps {
         .groupBy(col("w").as("wa"), col("wn").as("wb"))
         .agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= minCount)
+      // unigram counts are VOCABULARY-sized — no broadcast hint (the
+      // q64 tfidf lesson); AQE chooses at fixture scale
       val out = big
-        .join(broadcast(uni.withColumnsRenamed(
-          Map("w" -> "wa", "cw" -> "ca"))), Seq("wa"))
-        .join(broadcast(uni.withColumnsRenamed(
-          Map("w" -> "wb", "cw" -> "cb"))), Seq("wb"))
+        .join(uni.withColumnsRenamed(
+          Map("w" -> "wa", "cw" -> "ca")), Seq("wa"))
+        .join(uni.withColumnsRenamed(
+          Map("w" -> "wb", "cw" -> "cb")), Seq("wb"))
         .crossJoin(broadcast(tot))
         .select(col("wa"), col("wb"), col("cab").cast(IntegerType).as("n_ab"),
           round(log(col("n").cast(DoubleType) * col("cab") /
