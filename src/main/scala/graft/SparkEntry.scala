@@ -544,6 +544,9 @@ object SparkEntry {
     // chance-corrected lang-ID agreement — kappa, not raw accuracy
     "q229_lang_kappa"         -> ((s, d) =>
       graft.text.TextOps.langKappa(s, d)),
+    // reciprocal-rank fusion: the calibration-free hybrid-search combiner
+    "q230_rrf_fusion"         -> ((s, d) =>
+      graft.similarity.Similarity.rrfFusion(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -633,10 +633,12 @@ object Similarity {
     * is an equi-join on token against the 10 broadcast query token
     * sets, never doc×doc. Zero-overlap pairs never materialize
     * (ni ≥ 1 by construction, mirrored in the oracle). */
-  def retrievalAgreement(s: SparkSession, dir: String,
-                         k: Int = 10): DataFrame = {
-    val dense = cosineTopK(s, dir, SimConfig(k = k))
-      .select(col("query_id"), col("neighbor_id"))
+  /** Token-set-Jaccard lexical top-k for the <10 query docs —
+    * (query_id, neighbor_id, rk) — shared by q199 (agreement) and
+    * q230 (RRF fusion). Materialized: the token scan must not re-run
+    * per consumer. */
+  private[graft] def lexicalTopK(s: SparkSession, dir: String,
+                                 k: Int): DataFrame = {
     val tok = Tables.fanOut(Tables.load(s, dir, "documents"), "doc_id")
       .select(col("doc_id"),
         explode(array_distinct(TextPrims.tokensC(col("text")))).as("token"))
@@ -657,22 +659,66 @@ object Similarity {
           (col("qsz") + col("sz") - col("ni")).cast(DoubleType), 6))
       val w = Window.partitionBy("query_id")
         .orderBy(col("jac").desc, col("doc_id"))
-      val lex = jac.withColumn("rk", row_number().over(w))
+      jac.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
-        .select(col("query_id"), col("doc_id").as("neighbor_id"))
-      val common = lex
-        .join(dense, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("nc"))
-      val out = dense.select("query_id").distinct()
-        .join(common, Seq("query_id"), "left")
-        .withColumn("n_common", coalesce(col("nc"), lit(0L)))
-        .select(col("query_id"),
-          col("n_common").cast(IntegerType).as("n_common"),
-          round(col("n_common").cast(DoubleType) / k, 6).as("overlap_at_k"))
-        .orderBy("query_id")
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("rk").cast(IntegerType).as("rk"))
         .localCheckpoint()
-      out
     } finally { tok.unpersist(); () }
+  }
+
+  def retrievalAgreement(s: SparkSession, dir: String,
+                         k: Int = 10): DataFrame = {
+    val dense = cosineTopK(s, dir, SimConfig(k = k))
+      .select(col("query_id"), col("neighbor_id"))
+    val lex = lexicalTopK(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val common = lex
+      .join(dense, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("nc"))
+    dense.select("query_id").distinct()
+      .join(common, Seq("query_id"), "left")
+      .withColumn("n_common", coalesce(col("nc"), lit(0L)))
+      .select(col("query_id"),
+        col("n_common").cast(IntegerType).as("n_common"),
+        round(col("n_common").cast(DoubleType) / k, 6).as("overlap_at_k"))
+      .orderBy("query_id")
+  }
+
+  /** q230: RECIPROCAL-RANK FUSION — the standard hybrid-search
+    * combiner (Cormack et al. 2009): each retriever contributes
+    * 1/(60 + rank) per result, missing results contribute nothing,
+    * and the fused ranking wins or ties either retriever on virtually
+    * every benchmark while needing NO score calibration — precisely
+    * the cross-system score-compatibility problem q199 diagnoses. Top
+    * 5 fused results per query from the q199 lexical and q31 dense
+    * top-10 lists.
+    *
+    * Determinism: ranks are exact integers; each contribution is the
+    * identical 1/(60+r) double on both engines; the ≤2-term per-pair
+    * sum accumulates in DECIMAL(28,12) after a 12dp round; ordering
+    * ties break on neighbor id. */
+  def rrfFusion(s: SparkSession, dir: String,
+                k: Int = 10, fuseK: Int = 5): DataFrame = {
+    val contrib = round(lit(1.0) / (lit(60) + col("rk")), 12)
+      .cast(DecimalType(28, 12))
+    val dense = cosineTopK(s, dir, SimConfig(k = k))
+      .select(col("query_id"), col("neighbor_id"), contrib.as("c"))
+    val lex = lexicalTopK(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"), contrib.as("c"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    dense.unionByName(lex)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("c").as("rrfd"), count(lit(1)).as("n_systems"))
+      .withColumn("rrf", col("rrfd").cast(DoubleType))
+      .withColumn("frk", row_number().over(w))
+      .filter(col("frk") <= fuseK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("frk").cast(IntegerType).as("rk"),
+        col("n_systems").cast(IntegerType).as("n_systems"),
+        round(col("rrf"), 12).as("rrf_score"))
+      .orderBy("query_id", "rk")
   }
 
   def semDedup(s: SparkSession, dir: String,
@@ -912,6 +958,50 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q230_rrf_fusion" ->
+      s"""WITH e AS ($embS),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM e
+         |  WHERE vec_id < 10),
+         |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    ${simS(s"${dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
+         |  FROM q CROSS JOIN e n WHERE n.vec_id <> q.query_id),
+         |dense AS (SELECT query_id, neighbor_id, rk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rk FROM c)
+         |  WHERE rk <= 10),
+         |ts AS (SELECT doc_id,
+         |    list_distinct(${TextPrims.tokensS("text")}) AS ts
+         |  FROM documents),
+         |qs AS (SELECT doc_id AS query_id, ts AS qts FROM ts
+         |  WHERE doc_id < 10),
+         |lx AS (SELECT qs.query_id, t.doc_id AS neighbor_id,
+         |    round(CAST(len(list_intersect(qs.qts, t.ts)) AS DOUBLE) /
+         |      (len(qs.qts) + len(t.ts) - len(list_intersect(qs.qts, t.ts))),
+         |      6) AS jac
+         |  FROM qs JOIN ts t ON t.doc_id <> qs.query_id
+         |  WHERE len(list_intersect(qs.qts, t.ts)) >= 1),
+         |lex AS (SELECT query_id, neighbor_id, rk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY jac DESC, neighbor_id) AS rk FROM lx)
+         |  WHERE rk <= 10),
+         |u AS (SELECT query_id, neighbor_id,
+         |    CAST(round(1.0 / (60 + rk), 12) AS DECIMAL(28,12)) AS cb
+         |  FROM dense
+         |  UNION ALL SELECT query_id, neighbor_id,
+         |    CAST(round(1.0 / (60 + rk), 12) AS DECIMAL(28,12))
+         |  FROM lex),
+         |f AS (SELECT query_id, neighbor_id, SUM(cb) AS rrfd,
+         |    COUNT(*) AS n_systems
+         |  FROM u GROUP BY query_id, neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(rrfd AS DOUBLE) DESC, neighbor_id) AS frk
+         |  FROM f)
+         |SELECT query_id, neighbor_id, CAST(frk AS INTEGER) AS rk,
+         |  CAST(n_systems AS INTEGER) AS n_systems,
+         |  round(CAST(rrfd AS DOUBLE), 12) AS rrf_score
+         |FROM r WHERE frk <= 5 ORDER BY query_id, rk""".stripMargin,
     "q217_jl_distortion" -> {
       val ps16 = planesFor(SimConfig(numPlanes = 16))
       val plCte = "pl AS (SELECT " + (0 until 16).map(p =>
