@@ -547,6 +547,12 @@ object SparkEntry {
     // reciprocal-rank fusion: the calibration-free hybrid-search combiner
     "q230_rrf_fusion"         -> ((s, d) =>
       graft.similarity.Similarity.rrfFusion(s, d)),
+    // nDCG@10: lexical ranking judged by dense graded relevance
+    "q231_ndcg_lexical"       -> ((s, d) =>
+      graft.similarity.Similarity.ndcgLexical(s, d)),
+    // LSH candidates graded against the planted near-dup truth set
+    "q232_lsh_planted_pr"     -> ((s, d) =>
+      graft.dedup.Dedup.lshPlantedPr(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

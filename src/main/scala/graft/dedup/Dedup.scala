@@ -213,6 +213,39 @@ object Dedup extends org.apache.spark.internal.Logging {
     } finally { shs.unpersist(); () }
   }
 
+  /** q232: LSH PLANTED-TRUTH PRECISION/RECALL — the candidate
+    * generator graded against the fixture's KNOWN near-dup pairs
+    * (every 20th doc's drop-last-token variant): recall says how many
+    * planted pairs the banding recovers (the 1−(1−jˢ)ᵇ math made
+    * measurable); "precision" counts only planted pairs as true, so it
+    * UNDERSTATES whenever natural near-dups exist — it grades the
+    * harness, not the corpus, and pairs with q71's ANN recall as the
+    * dedup-side eval. One set-join over the verified q28 candidate
+    * set; the truth set is a pure id function. */
+  def lshPlantedPr(s: SparkSession, dir: String,
+                   cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val cand = lshCandidatePairs(s, dir, cfg)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // planted truth: (base, base+offset) for every 20th multi-token doc
+    // (single-token docs get an identical variant — still a valid pair)
+    val truth = docs(s, dir).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + VariantIdOffset).as("doc_b"))
+    val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val p = col("n_hit").cast(DoubleType) / col("n_cand")
+    val r = col("n_hit").cast(DoubleType) / col("n_truth")
+    nc.crossJoin(nt).crossJoin(hit)
+      .select(col("n_cand").cast(IntegerType).as("n_cand"),
+        col("n_truth").cast(IntegerType).as("n_truth"),
+        col("n_hit").cast(IntegerType).as("n_hit"),
+        round(p, 6).as("precision_planted"),
+        round(r, 6).as("recall"),
+        round(lit(2.0) * p * r / (p + r), 6).as("f1_planted"))
+  }
+
   /** q226: DUP-CLUSTER SIZE DISTRIBUTION — the histogram of q63's
     * connected-component sizes (size → how many clusters): the dedup
     * health report operations actually read. A long tail of size-2
@@ -1222,6 +1255,29 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q232_lsh_planted_pr" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |truth AS (SELECT doc_id AS doc_a,
+         |    doc_id + $VariantIdOffset AS doc_b
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |hit AS (SELECT COUNT(*) AS n_hit FROM pairs
+         |  JOIN truth ON pairs.doc_a = truth.doc_a
+         |    AND pairs.doc_b = truth.doc_b),
+         |nc AS (SELECT COUNT(*) AS n_cand FROM pairs),
+         |nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+         |SELECT CAST(n_cand AS INTEGER) AS n_cand,
+         |  CAST(n_truth AS INTEGER) AS n_truth,
+         |  CAST(n_hit AS INTEGER) AS n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision_planted,
+         |  round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
+         |  round(2.0 * (CAST(n_hit AS DOUBLE) / n_cand)
+         |      * (CAST(n_hit AS DOUBLE) / n_truth) /
+         |    (CAST(n_hit AS DOUBLE) / n_cand
+         |      + CAST(n_hit AS DOUBLE) / n_truth), 6) AS f1_planted
+         |FROM nc, nt, hit""".stripMargin,
     "q226_dup_cluster_sizes" ->
       s"""$compChainS
          |SELECT CAST(sz AS INTEGER) AS cluster_size,

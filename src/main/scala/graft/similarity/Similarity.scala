@@ -685,6 +685,58 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Discount weights 1/log₂(i+1) for ranks 1..k as 12-dp literals —
+    * shared verbatim by the Spark side and the oracle (no runtime log,
+    * the q204 Benford pattern). */
+  private[graft] def ndcgWeights(k: Int): Seq[Double] =
+    (1 to k).map(i => BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** q231: nDCG@k — the graded-relevance ranking metric (Järvelin &
+    * Kekäläinen): DCG = Σ rel_i/log₂(i+1) over the ranking, normalized
+    * by the ideal ordering of the same grades. Here the LEXICAL
+    * retriever's top-10 is judged with the dense cosine as the graded
+    * relevance (clamped at 0) — "how well does cheap lexical ranking
+    * order what the embedding considers similar", the cross-modal
+    * ranking-quality number behind hybrid-search weighting decisions.
+    *
+    * Determinism: grades are 6-dp-rounded cosines; discounts are
+    * shared 12-dp literals; per-rank products round to 12dp and sum in
+    * DECIMAL(28,12); the ideal permutation re-ranks the same grades
+    * with a (grade desc, neighbor) tie-break. */
+  def ndcgLexical(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val ws = ndcgWeights(k)
+    val wArr = array(ws.map(lit): _*)
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val lex = lexicalTopK(s, dir, k)
+    val graded = lex
+      .join(all.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("rel", greatest(round(
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")),
+        6), lit(0.0)))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val d12 = (c: Column) => sum(round(c, 12).cast(DecimalType(28, 12)))
+    graded
+      .withColumn("irk", row_number().over(wIdeal))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"),
+        d12(col("rel") * element_at(wArr, col("rk"))).as("dcg"),
+        d12(col("rel") * element_at(wArr, col("irk"))).as("idcg"))
+      .select(col("query_id"), col("n").cast(IntegerType).as("n"),
+        round(col("dcg").cast(DoubleType), 6).as("dcg"),
+        round(col("idcg").cast(DoubleType), 6).as("idcg"),
+        when(col("idcg") > 0,
+          round(col("dcg").cast(DoubleType) /
+            col("idcg").cast(DoubleType), 6)).as("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** q230: RECIPROCAL-RANK FUSION — the standard hybrid-search
     * combiner (Cormack et al. 2009): each retriever contributes
     * 1/(60 + rank) per result, missing results contribute nothing,
@@ -958,6 +1010,47 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q231_ndcg_lexical" -> {
+      val wl = "[" + ndcgWeights(10).mkString(", ") + "]"
+      s"""WITH e AS ($embS),
+         |ts AS (SELECT doc_id,
+         |    list_distinct(${TextPrims.tokensS("text")}) AS ts
+         |  FROM documents),
+         |qs AS (SELECT doc_id AS query_id, ts AS qts FROM ts
+         |  WHERE doc_id < 10),
+         |lx AS (SELECT qs.query_id, t.doc_id AS neighbor_id,
+         |    round(CAST(len(list_intersect(qs.qts, t.ts)) AS DOUBLE) /
+         |      (len(qs.qts) + len(t.ts) - len(list_intersect(qs.qts, t.ts))),
+         |      6) AS jac
+         |  FROM qs JOIN ts t ON t.doc_id <> qs.query_id
+         |  WHERE len(list_intersect(qs.qts, t.ts)) >= 1),
+         |lex AS (SELECT query_id, neighbor_id, rk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY jac DESC, neighbor_id) AS rk FROM lx)
+         |  WHERE rk <= 10),
+         |g AS (SELECT lex.query_id, lex.neighbor_id, lex.rk,
+         |    greatest(round(${simS(s"${dotS("q.e", "n.e")}",
+           "q.nrm", "n.nrm")}, 6), 0.0) AS rel
+         |  FROM lex
+         |  JOIN e n ON lex.neighbor_id = n.vec_id
+         |  JOIN e q ON lex.query_id = q.vec_id),
+         |i AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, neighbor_id) AS irk FROM g),
+         |a AS (SELECT query_id, COUNT(*) AS n,
+         |    SUM(CAST(round(rel * ($wl)[rk], 12) AS DECIMAL(28,12)))
+         |      AS dcg,
+         |    SUM(CAST(round(rel * ($wl)[irk], 12) AS DECIMAL(28,12)))
+         |      AS idcg
+         |  FROM i GROUP BY query_id)
+         |SELECT query_id, CAST(n AS INTEGER) AS n,
+         |  round(CAST(dcg AS DOUBLE), 6) AS dcg,
+         |  round(CAST(idcg AS DOUBLE), 6) AS idcg,
+         |  CASE WHEN idcg > 0 THEN
+         |    round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM a ORDER BY query_id""".stripMargin
+    },
     "q230_rrf_fusion" ->
       s"""WITH e AS ($embS),
          |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM e

@@ -312,6 +312,18 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_grams")))
   }
 
+  test("q232 LSH planted PR: full recall on planted pairs, metrics coherent") {
+    val r = Dedup.lshPlantedPr(spark, sfDir).collect().head
+    // the drop-last-token variants sit at Jaccard >= ~0.9: 2-wide bands
+    // over 8 hashes recover essentially all of them
+    assert(r.getAs[Double]("recall") >= 0.95, r.toString)
+    assert(r.getAs[Int]("n_hit") <= r.getAs[Int]("n_truth"))
+    assert(r.getAs[Int]("n_hit") <= r.getAs[Int]("n_cand"))
+    val (p, rec, f1) = (r.getAs[Double]("precision_planted"),
+      r.getAs[Double]("recall"), r.getAs[Double]("f1_planted"))
+    assert(math.abs(f1 - 2 * p * rec / (p + rec)) < 1e-5)
+  }
+
   test("q226 cluster sizes: histogram mass equals the labeled corpus") {
     val hist = Dedup.dupClusterSizes(spark, sfDir).collect()
     val comp = Dedup.dedupComponents(spark, sfDir).collect()

@@ -278,6 +278,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q231 nDCG: bounded by 1, idcg >= dcg, ideal ordering achieves 1") {
+    val rows = graft.similarity.Similarity.ndcgLexical(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (dcg, idcg) = (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"))
+      assert(idcg >= dcg - 1e-9, r.toString)
+      if (!r.isNullAt(4)) {
+        val ndcg = r.getAs[Double]("ndcg")
+        assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      }
+      assert(r.getAs[Int]("n") <= 10)
+    }
+  }
+
   test("q217 JL: unbiased scale — distortions in the predicted sqrt(1/k) regime") {
     val rows = graft.similarity.Similarity.jlDistortion(spark, sfDir).collect()
     assert(rows.length === 10)
