@@ -418,6 +418,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q210/q221/q228: token-stat rollups stay scan+agg, never a join blowup") {
+    // (queries, max scans): burstiness adds a column-pruned 1-row
+    // corpus-count pass next to its token scan
+    for ((df, maxScans) <- Seq(
+      (graft.text.TextOps.giniConcentration(spark, sfDir), 1),
+      (graft.text.TextOps.tokenBurstiness(spark, sfDir), 2),
+      (graft.text.TextOps.qualityLengthOls(spark, sfDir), 1))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert("FileScan parquet".r.findAllIn(plan).length <= maxScans, plan)
+    }
+  }
+
+  test("q224 trimmed mean: one partition window feeds one final agg") {
+    val plan = planOf(graft.analytics.Advanced.trimmedMean(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).length === 1, plan)
+    // the rank cut is a Window, not a self-join
+    assert(plan.contains("Window") || plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("RewriteWindowTopK: fires on filter-only row_number, skips others") {
     // q33's neighbor top-k and its =1 vote pick both drop the rank —
     // the rule must replace their Windows with bounded-heap TopKPerKey
