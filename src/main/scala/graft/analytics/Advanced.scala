@@ -889,13 +889,21 @@ object Advanced {
     edges.map { case (name, child, ck, parent, pk) =>
       val c = t(s, dir, child).select(col(ck).as("k"))
       val p = t(s, dir, parent).select(col(pk).as("k")).distinct()
-      val orphans = c.join(p, Seq("k"), "left_anti")
+      // NULL child keys are counted SEPARATELY, never as orphans: a
+      // left_anti treats NULL as no-match (orphan) while a SQL NOT IN
+      // returns NULL (kept) — filtering them out before the anti-join
+      // and pairing the oracle with NOT EXISTS makes the two engines
+      // agree by construction (round-9 ADVICE)
+      val orphans = c.filter(col("k").isNotNull)
+        .join(p, Seq("k"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
       c.agg(count(lit(1)).as("n_child"),
-          countDistinct(col("k")).as("n_keys"))
+          countDistinct(col("k")).as("n_keys"),
+          count(when(col("k").isNull, lit(1))).as("n_null_keys"))
         .crossJoin(orphans)
         .select(lit(name).as("edge"), col("n_child"),
           col("n_keys").cast(IntegerType).as("n_keys"),
+          col("n_null_keys").cast(IntegerType).as("n_null_keys"),
           col("n_orphans").cast(IntegerType).as("n_orphans"))
     }.reduce(_ unionByName _).orderBy("edge")
   }
@@ -2932,9 +2940,12 @@ object Advanced {
            |  (SELECT COUNT(*) FROM $child) AS n_child,
            |  CAST((SELECT COUNT(DISTINCT $ck) FROM $child) AS INTEGER)
            |    AS n_keys,
-           |  CAST((SELECT COUNT(*) FROM $child
-           |    WHERE $ck NOT IN (SELECT $pk FROM $parent)) AS INTEGER)
-           |    AS n_orphans""".stripMargin
+           |  CAST((SELECT COUNT(*) FROM $child WHERE $ck IS NULL)
+           |    AS INTEGER) AS n_null_keys,
+           |  CAST((SELECT COUNT(*) FROM $child c
+           |    WHERE c.$ck IS NOT NULL AND NOT EXISTS
+           |      (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))
+           |    AS INTEGER) AS n_orphans""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY edge"
     },
     "q214_stratified_kfold" -> {

@@ -235,7 +235,13 @@ object Dedup extends org.apache.spark.internal.Logging {
       .agg(count(lit(1)).as("n_hit"))
     val nc = cand.agg(count(lit(1)).as("n_cand"))
     val nt = truth.agg(count(lit(1)).as("n_truth"))
-    val p = col("n_hit").cast(DoubleType) / col("n_cand")
+    // degenerate-config guards (round-9 ADVICE): n_cand = 0 divides by
+    // zero and n_hit = 0 makes f1 = 0/0 — NaN on Spark but a different
+    // NULL/NaN choice in other engines, so BOTH sides emit NULL for the
+    // undefined cells (matching CASE in the oracle) instead of relying
+    // on IEEE division agreeing cross-engine
+    val p = when(col("n_cand") > 0,
+      col("n_hit").cast(DoubleType) / col("n_cand"))
     val r = col("n_hit").cast(DoubleType) / col("n_truth")
     nc.crossJoin(nt).crossJoin(hit)
       .select(col("n_cand").cast(IntegerType).as("n_cand"),
@@ -243,7 +249,8 @@ object Dedup extends org.apache.spark.internal.Logging {
         col("n_hit").cast(IntegerType).as("n_hit"),
         round(p, 6).as("precision_planted"),
         round(r, 6).as("recall"),
-        round(lit(2.0) * p * r / (p + r), 6).as("f1_planted"))
+        round(when(col("n_cand") > 0 && (p + r) > 0,
+          lit(2.0) * p * r / (p + r)), 6).as("f1_planted"))
   }
 
   /** q226: DUP-CLUSTER SIZE DISTRIBUTION — the histogram of q63's
@@ -1271,12 +1278,17 @@ object Dedup extends org.apache.spark.internal.Logging {
          |SELECT CAST(n_cand AS INTEGER) AS n_cand,
          |  CAST(n_truth AS INTEGER) AS n_truth,
          |  CAST(n_hit AS INTEGER) AS n_hit,
-         |  round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision_planted,
+         |  round(CASE WHEN n_cand > 0
+         |    THEN CAST(n_hit AS DOUBLE) / n_cand END, 6)
+         |    AS precision_planted,
          |  round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
-         |  round(2.0 * (CAST(n_hit AS DOUBLE) / n_cand)
+         |  round(CASE WHEN n_cand > 0 AND
+         |      CAST(n_hit AS DOUBLE) / n_cand
+         |        + CAST(n_hit AS DOUBLE) / n_truth > 0
+         |    THEN 2.0 * (CAST(n_hit AS DOUBLE) / n_cand)
          |      * (CAST(n_hit AS DOUBLE) / n_truth) /
-         |    (CAST(n_hit AS DOUBLE) / n_cand
-         |      + CAST(n_hit AS DOUBLE) / n_truth), 6) AS f1_planted
+         |      (CAST(n_hit AS DOUBLE) / n_cand
+         |        + CAST(n_hit AS DOUBLE) / n_truth) END, 6) AS f1_planted
          |FROM nc, nt, hit""".stripMargin,
     "q226_dup_cluster_sizes" ->
       s"""$compChainS

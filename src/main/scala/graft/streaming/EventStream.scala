@@ -154,7 +154,8 @@ object EventStream {
       }
   }
 
-  final case class EwmaState(lastUs: Long, ewma: Double, n: Long)
+  final case class EwmaState(lastUs: Long, lastEid: Long, ewma: Double,
+                             n: Long)
   final case class EwmaPoint(user_id: Long, event_id: Long, n: Long,
                              ewma: Double)
 
@@ -164,13 +165,22 @@ object EventStream {
     * cannot express: the recursion depends on EVERY prior value, so it
     * must live in keyed state, not a frame. Emits one point per event.
     *
-    * Determinism: events fold in (event-time, event_id) order — a total
-    * order, so the emitted series is a pure function of the data
-    * regardless of micro-batch slicing; each step is the fixed IEEE
-    * expression α·v + (1−α)·e over the raw input doubles (no rescaling,
-    * no rounding), which a batch recursion over the same doubles
-    * reproduces bit-for-bit. State per user is ONE (ts, ewma, n) triple
-    * — constant-size state, the shape that runs forever. */
+    * Determinism contract: events fold in (event-time, event_id) order
+    * — a total order WITHIN each micro-batch, and the state carries the
+    * high-water mark (lastUs, lastEid) so a straggler that arrives in a
+    * later batch with (ts, event_id) ≤ the mark is DROPPED rather than
+    * folded after newer events (folding it would silently diverge from
+    * the documented total-order recursion and from the q194
+    * recursive-CTE oracle). Under that contract the emitted series for
+    * the KEPT events is a pure function of the data regardless of
+    * micro-batch slicing; each step is the fixed IEEE expression
+    * α·v + (1−α)·e over the raw input doubles (no rescaling, no
+    * rounding), which a batch recursion over the same doubles
+    * reproduces bit-for-bit. Deployments that must not lose stragglers
+    * put a watermark+sort stage in front (the q212 staging pattern);
+    * the drop-don't-reorder policy here is the one that keeps state
+    * constant-size — one (ts, eid, ewma, n) tuple per user, the shape
+    * that runs forever. */
   def ewmaByUser(events: Dataset[Event],
                  alpha: Double = 0.5): Dataset[EwmaPoint] = {
     import events.sparkSession.implicits._
@@ -183,11 +193,15 @@ object EventStream {
           val out = scala.collection.mutable.ListBuffer.empty[EwmaPoint]
           sorted.foreach { e =>
             val t = tsMicros(e.ts)
-            st =
-              if (st == null) EwmaState(t, e.value, 1L)
-              else EwmaState(t,
-                alpha * e.value + (1 - alpha) * st.ewma, st.n + 1)
-            out += EwmaPoint(userId, e.event_id, st.n, st.ewma)
+            val late = st != null &&
+              (t < st.lastUs || (t == st.lastUs && e.event_id <= st.lastEid))
+            if (!late) {
+              st =
+                if (st == null) EwmaState(t, e.event_id, e.value, 1L)
+                else EwmaState(t, e.event_id,
+                  alpha * e.value + (1 - alpha) * st.ewma, st.n + 1)
+              out += EwmaPoint(userId, e.event_id, st.n, st.ewma)
+            }
           }
           if (st != null) state.update(st)
           out.iterator

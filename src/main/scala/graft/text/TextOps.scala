@@ -636,10 +636,15 @@ object TextOps {
     * fixed double expressions with the q183 9-dp product rounding. */
   def qualityLengthOls(s: SparkSession, dir: String): DataFrame = {
     val d9 = (c: Column) => sum(round(c, 9).cast(DecimalType(28, 9)))
-    val xy = docs(s, dir).select(col("source"),
-        round(log(bpeTokensC(col("text")).cast(DoubleType)), 6).as("x"),
+    // toks > 0 on BOTH engines: Spark log(0) is NULL but DuckDB ln(0.0)
+    // is -inf, so an IS-NOT-NULL filter alone diverges on token-free
+    // docs (round-9 ADVICE) — the explicit predicate is the portable one
+    val xy = docs(s, dir)
+      .select(col("source"), bpeTokensC(col("text")).as("toks"),
         qualityScoreC.as("y"))
-      .filter(col("x").isNotNull)
+      .filter(col("toks") > 0)
+      .select(col("source"),
+        round(log(col("toks").cast(DoubleType)), 6).as("x"), col("y"))
     val m = xy.groupBy("source").agg(
       count(lit(1)).cast(DoubleType).as("n"),
       sum(col("x").cast(DecimalType(18, 6))).cast(DoubleType).as("sx"),
@@ -1752,11 +1757,12 @@ object TextOps {
          |mq AS (SELECT doc_id, source, text, t,
          |    $qualityMeasureColsS
          |  FROM m0),
-         |xy AS (SELECT source,
-         |    round(ln(CAST(${graft.functions.TextPrims.bpeTokensS("text")}
-         |      AS DOUBLE)), 6) AS x,
+         |xy0 AS (SELECT source,
+         |    ${graft.functions.TextPrims.bpeTokensS("text")} AS toks,
          |    $QualityScoreS AS y
          |  FROM mq),
+         |xy AS (SELECT source, round(ln(CAST(toks AS DOUBLE)), 6) AS x, y
+         |  FROM xy0 WHERE toks > 0),
          |m AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
          |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
          |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,

@@ -418,6 +418,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaByUser: cross-batch straggler is dropped, not folded late") {
+    // the documented event-time contract: an event arriving in a LATER
+    // micro-batch with (ts, event_id) at or below the per-user
+    // high-water mark must be dropped — folding it after newer events
+    // would produce a series that no total-order recursion over the
+    // data can reproduce (the round-9 ADVICE gap)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.ewmaByUser(input.toDS()).writeStream
+      .format("memory").queryName("ewma_ooo_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "view", 1.0),
+        Event(2, ts(10), 7, "view", 3.0))
+      q.processAllAvailable()
+      // batch 2: a straggler BEFORE the mark (dropped), a tie AT the
+      // mark with a lower event_id (dropped), then a genuine new event
+      // that must fold from the pre-straggler state
+      input.addData(
+        Event(9, ts(5), 7, "view", 100.0),
+        Event(0, ts(10), 7, "view", 100.0),
+        Event(3, ts(20), 7, "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("ewma_ooo_out").as[EventStream.EwmaPoint]
+        .collect().sortBy(p => (p.user_id, p.n))
+      // 1.0 → .5*3+.5*1=2.0 → .5*5+.5*2=3.5; stragglers emit nothing
+      assert(out.map(p => (p.user_id, p.event_id, p.n, p.ewma)).toSeq === Seq(
+        (7L, 1L, 1L, 1.0), (7L, 2L, 2L, 2.0), (7L, 3L, 3L, 3.5)))
+    } finally q.stop()
+  }
+
   test("q212 drift histogram: streamed cells equal the batch computation") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.driftHistogramParity(spark, sfDir)
