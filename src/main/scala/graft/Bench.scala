@@ -127,7 +127,21 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"reps":$reps,"sf":"$sfDir"}""")
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"reps":$reps,"sf":"$sfDir"}"""
+    println(totalLine)
+    // standalone artifact: the stdout capture that becomes BENCH_r{N}.json
+    // truncates to a tail window, losing most per-query timings — writing
+    // the full total line to its own file makes round-over-round
+    // adjudication one read instead of a rerun. Skipped only on request
+    // (SPARK_GRAFT_BENCH_OUT=/dev/null) or an unwritable cwd.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_TOTAL.json")
+    if (outPath != "/dev/null")
+      try {
+        val w = new java.io.PrintWriter(outPath, "UTF-8")
+        try w.println(totalLine) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

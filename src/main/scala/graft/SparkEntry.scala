@@ -553,6 +553,9 @@ object SparkEntry {
     // LSH candidates graded against the planted near-dup truth set
     "q232_lsh_planted_pr"     -> ((s, d) =>
       graft.dedup.Dedup.lshPlantedPr(s, d)),
+    // q211's amortized twin: build-once persisted PQ index, probe-only
+    "q233_pq_adc_persisted"   -> ((s, d) =>
+      graft.ml.PqCodebook.pqAdcPersisted(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -268,4 +268,22 @@ class MlSpec extends SparkSpec {
     val mean = rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
     assert(mean > 2 * randomRecall, s"mean $mean vs random $randomRecall")
   }
+
+  test("q233 persisted PQ index answers exactly like the in-memory q211") {
+    // the amortization contract: build-once artifacts reloaded from
+    // parquet must reproduce the live pipeline row-for-row — codebook
+    // doubles, codes, and ground truth all survive the round trip
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getDouble(2))
+    val live = graft.ml.PqCodebook.pqAdcRecall(spark, sfDir)
+      .collect().map(key).toSeq
+    val persisted = graft.ml.PqCodebook.pqAdcPersisted(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(persisted === live)
+    // second call must hit the already-built index (probe-only path)
+    // and still agree — the steady state the floor measures
+    val again = graft.ml.PqCodebook.pqAdcPersisted(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(again === live)
+  }
 }
