@@ -556,6 +556,9 @@ object SparkEntry {
     // q211's amortized twin: build-once persisted PQ index, probe-only
     "q233_pq_adc_persisted"   -> ((s, d) =>
       graft.ml.PqCodebook.pqAdcPersisted(s, d)),
+    // 14th streaming surface: native session_window vs the q50 batch oracle
+    "q234_session_window_stream" -> ((s, d) =>
+      graft.streaming.EventStream.sessionWindowParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1091,6 +1091,107 @@ object EventStream {
     }
   }
 
+  /** q234 — NATIVE session_window() parity, the fourteenth streaming
+    * surface and the builtin twin of q130: the same 2-hour-gap
+    * sessionization expressed as Spark's `session_window` AGGREGATION
+    * (merging event-time windows under a watermark — zero custom state
+    * code) instead of flatMapGroupsWithState. Together the two surfaces
+    * prove both stateful session paths: q130 grades the
+    * escape-hatch-state API, this grades the declarative one Catalyst
+    * can optimize and AQE can re-plan.
+    *
+    * Semantics alignment with the q50 batch oracle (which BREAKS a
+    * session only when a gap strictly exceeds 2 h, i.e. a gap of
+    * exactly 2 h still merges): session_window merges an event only
+    * while its timestamp is strictly inside [start, last+gap), so the
+    * gap is 2 h + 1 µs — the smallest event-time quantum — making the
+    * merge predicate `diff ≤ 2 h` on both engines. session_start is
+    * the window start (min ts); session_end = window end − gap (the
+    * max ts, exactly — timestamps are µs-aligned so the subtraction is
+    * lossless); per-session sums route through DECIMAL(18,4) (dsum
+    * convention). The per-user session_idx is derived on the tiny
+    * read-back by one row_number window — ordinal labeling, not
+    * session logic.
+    *
+    * Harness: q85's sentinel staging verbatim (one data file + one
+    * far-future sentinel, maxFilesPerTrigger=1, watermark at the
+    * source, no-data micro-batch flushes the trailing sessions). The
+    * sentinel's own session never finalizes and its user_id −1 is
+    * filtered on read-back. Oracle: q50's batch SQL, unmodified —
+    * the streamed sessions must reproduce the batch gaps-and-islands
+    * build EXACTLY, trailing sessions included (q130, lacking a
+    * watermark, had to exclude them; the builtin closes that gap).
+    *
+    * Shape at 100 TB: state is (user, open-session accumulator) bounded
+    * by the watermark horizon; the aggregation shuffles on user_id with
+    * partial merge per micro-batch — the same plan a 1000-executor
+    * cluster runs; swap [[kafkaSource]] in and drop the staging. */
+  def sessionWindowParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = s.conf.getOption(noDataKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(noDataKey, "true")
+    s.conf.set(partsKey, "8")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q234")
+    var q: StreamingQuery = null
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val stage0 = tmp.resolve("stage0")
+      events.coalesce(1).write.mode("overwrite").parquet(stage0.toString)
+      moveOnlyParquet(stage0, in.resolve("aa-data.parquet"),
+        mtimeMs = 1000000L)
+      val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+      val stage = tmp.resolve("sentinel")
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 86400000L),
+           -1L, "__watermark_sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      moveOnlyParquet(stage, in.resolve("zz-sentinel.parquet"),
+        mtimeMs = 1060000L)
+      val gap = "2 hours 1 microsecond"
+      val src = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val sessions = src
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), gap))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          (col("session_window.end") - expr(s"INTERVAL '$gap'"))
+            .as("session_end"),
+          col("n_events"), col("sum_value"))
+      q = toParquet(sessions, tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q234 session_window stream did not terminate within 300 s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_start")
+      s.read.parquet(tmp.resolve("out").toString)
+        .filter(col("user_id") =!= -1L)
+        .withColumn("session_idx",
+          row_number().over(w).cast(IntegerType))
+        .select(col("user_id"), col("session_idx"), col("session_start"),
+          col("session_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_idx")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None    => s.conf.unset(noDataKey)
+      }
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q85's oracle is q21's (the streaming path must reproduce the batch
     * aggregation exactly); q107's is q88's (the streaming merge must
     * reproduce the batch MERGE exactly); q109's is the batch interval
@@ -1106,6 +1207,11 @@ object EventStream {
     // on the single-batch answer regardless of micro-batch splits
     "q169_incremental_dedup_stream" ->
       graft.dedup.Dedup.oracleSql("q153_incremental_dedup"),
+    // q234's oracle IS q50's, unmodified: the builtin session_window
+    // stream must reproduce the batch gaps-and-islands sessionization
+    // exactly, trailing sessions included
+    "q234_session_window_stream" ->
+      graft.analytics.Advanced.oracleSql("q50_sessionize_batch"),
     "q212_stream_drift_hist" -> {
       val qs = (1 until 10).map(i => i.toDouble / 10)
       s"""WITH e AS (SELECT event_type, ts,

@@ -451,6 +451,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q234 session_window: streamed sessions equal the batch build, " +
+      "trailing sessions included") {
+    // the builtin session_window surface must reproduce q50's batch
+    // gaps-and-islands result EXACTLY — unlike q130, nothing is
+    // excluded: the watermark+sentinel harness closes every session
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, r.getLong(4), r.getDouble(5))
+    val streamed = EventStream.sessionWindowParity(spark, sfDir)
+      .collect().map(key).toSeq
+    val batch = graft.analytics.Advanced.sessionizeBatch(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(streamed === batch)
+  }
+
   test("q212 drift histogram: streamed cells equal the batch computation") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.driftHistogramParity(spark, sfDir)
