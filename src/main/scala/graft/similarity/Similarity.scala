@@ -773,8 +773,65 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Hot-cell guard for [[semDedup]] (round-9 verdict watch item): the
+    * in-cell self-join is O(cell²), and the quantizer's K is fixed, so
+    * at 100 TB a dominant cell (one language, one boilerplate family)
+    * would go quadratic. This sub-quantizes every cell whose population
+    * exceeds `maxCell` with deterministic sign-LSH: `bits` fixed ±1
+    * hyperplanes (seeded integer mix — a pure function of (bit, dim),
+    * reproducible everywhere), each vector's sub-code is the sign
+    * pattern of its hyperplane projections, and the compare key becomes
+    * (cluster, sub-code). Spherically coherent — a cosine-0.999 pair
+    * splits per bit with probability θ/π ≈ 1.4 %, the same granularity
+    * tradeoff raising the quantizer's K makes — and ONE extra narrow
+    * map over the hot cells only: no second Lloyd chain, no per-cell
+    * driver loop, no shuffle beyond the join that follows anyway.
+    * `bits` per hot cell = ⌈log₂(n/maxCell)⌉ (expected sub-cell ≈
+    * maxCell for spread data); cold cells keep sub-code 0, so when no
+    * cell is hot the keys equal the clusters and the output is
+    * BIT-IDENTICAL to the unguarded plan (the fixture/oracle path).
+    * Inherent limit, documented: a cell of IDENTICAL vectors cannot be
+    * split by any semantic quantizer (every hyperplane agrees); that
+    * regime is exact-dup mass and belongs to q26's hash dedup upstream.
+    * Returns the cells frame plus a `cell` compare-key column. */
+  private[graft] def subQuantize(cells: DataFrame, maxCell: Int): DataFrame = {
+    require(maxCell >= 1, s"maxCell out of range: $maxCell")
+    // K rows — bounded driver materialization (R7 policy)
+    val sizes = cells.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val hot = sizes.filter(_._2 > maxCell)
+    val clusterKey = col("cluster").cast(LongType) * lit(1L << 17)
+    if (hot.isEmpty) return cells.withColumn("cell", clusterKey)
+    def bitsOf(n: Long): Int =
+      math.ceil(math.log(n.toDouble / maxCell) / math.log(2.0)).toInt
+        .max(1).min(16)
+    val maxBits = hot.map { case (_, n) => bitsOf(n) }.max
+    val dim = 64
+    // deterministic ±1 hyperplanes from a Weyl/LCG integer mix
+    def plane(i: Int): Column = array((0 until dim).map { j =>
+      val h = (i * 1000003L + j) * 2654435761L
+      lit(if (((h >> 16) & 1L) == 0L) 1.0 else -1.0)
+    }: _*)
+    val code = (0 until maxBits).map { i =>
+      (dotp(col("e"), plane(i)) > 0).cast(LongType) * lit(1L << i)
+    }.reduce(_ + _)
+    // per-cluster mask: hot cells keep bitsOf(n) low bits, cold cells 0
+    val bitsFor = hot.foldLeft(lit(0L)) { case (acc, (c, n)) =>
+      when(col("cluster") === c, lit(1L << bitsOf(n))).otherwise(acc)
+    }
+    cells.withColumn("cell",
+      clusterKey + pmod(code, greatest(bitsFor, lit(1L))))
+  }
+
   def semDedup(s: SparkSession, dir: String,
-               threshold: Double = 0.999): DataFrame = {
+               threshold: Double = 0.999): DataFrame =
+    semDedupBounded(s, dir, threshold, maxCell = 100000)
+
+  /** q181 body with the hot-cell bound explicit (the spec drives it with
+    * an adversarial bound; [[semDedup]]'s default is far above every
+    * fixture cell so the oracle path never re-quantizes). */
+  def semDedupBounded(s: SparkSession, dir: String,
+                      threshold: Double, maxCell: Int): DataFrame = {
     val off = VariantVecOffset
     val base = emb(s, dir).select(col("vec_id"), col("e"))
     val aug = base
@@ -793,20 +850,22 @@ object Similarity {
     // assignment materialized ONCE: both sides of the in-cell self-join
     // read it — without the checkpoint the broadcast-assign subtree
     // (scan + K-way cross + window) executes twice
-    val cells = aug.crossJoin(broadcast(centers))
-      .withColumn("sim",
-        cosineFromNorms(dotp(col("e"), col("c")), col("nrm"), col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cluster"))
-      .localCheckpoint()
-    val keep = cells.select(col("cluster"), col("vec_id").as("kept_id"),
-      col("e").as("ea"), col("nrm").as("na"))
-    val cand = cells.select(col("cluster"), col("vec_id"),
+    val cells = subQuantize(
+      aug.crossJoin(broadcast(centers))
+        .withColumn("sim",
+          cosineFromNorms(dotp(col("e"), col("c")), col("nrm"), col("cn")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cluster"))
+        .localCheckpoint(),
+      maxCell)
+    val keep = cells.select(col("cell"), col("cluster"),
+      col("vec_id").as("kept_id"), col("e").as("ea"), col("nrm").as("na"))
+    val cand = cells.select(col("cell"), col("vec_id"),
       col("e").as("eb"), col("nrm").as("nb"))
     val wBest = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("kept_id"))
-    keep.join(cand, Seq("cluster"))
+    keep.join(cand, Seq("cell"))
       .filter(col("kept_id") < col("vec_id"))
       .withColumn("cosine", round(
         cosineFromNorms(dotp(col("ea"), col("eb")), col("na"), col("nb")), 6))

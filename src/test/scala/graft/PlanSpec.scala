@@ -343,12 +343,12 @@ class PlanSpec extends SparkSpec {
 
   test("q181 semDedup: pair pass is an equi-join on the cell key, never all-pairs") {
     val plan = planOf(graft.similarity.Similarity.semDedup(spark, sfDir))
-    // the in-cell self-join must hash/sort-join on cluster — a cartesian
-    // (or nested-loop fed by the id inequality alone) is the all-pairs
-    // plan SemDeDup exists to avoid
+    // the in-cell self-join must hash/sort-join on the (possibly
+    // sub-quantized) cell key — a cartesian (or nested-loop fed by the
+    // id inequality alone) is the all-pairs plan SemDeDup exists to avoid
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("cluster"), plan)
+    assert(plan.contains("cell"), plan)
   }
 
   test("q184/q185: model scoring joins stay equi-joins on token keys") {

@@ -136,6 +136,45 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getLong(0) >= off))
   }
 
+  test("q181 hot-cell guard: an adversarial single cluster splits under " +
+      "the bound; planted answer survives an active guard") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // adversarial fixture: EVERY vector forced into one cluster
+    val one = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+      .withColumn("cluster", lit(0).cast(IntegerType))
+    val n = one.count()
+    val maxCell = 100
+    val sizes = graft.similarity.Similarity.subQuantize(one, maxCell)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    // spread vectors split near-evenly under sign-LSH: no compare group
+    // may stay quadratic — bound with 2x slack for hash unevenness
+    assert(sizes.length > 1 && sizes.sum === n)
+    assert(sizes.max <= 2L * maxCell, sizes.sorted.reverse.take(5).toSeq)
+    // inert path: a bound above every cell keeps cell == cluster key
+    val inert = graft.similarity.Similarity
+      .subQuantize(one, maxCell = Int.MaxValue)
+      .select((col("cell") === col("cluster").cast(LongType) * (1L << 17))
+        .as("ok")).collect()
+    assert(inert.forall(_.getBoolean(0)))
+    // ACTIVE guard on the real q181 pipeline: planted variants are exact
+    // scalar multiples, so every hyperplane sign agrees and no planted
+    // pair can split — the q181 answer is invariant under the guard
+    val off = graft.similarity.Similarity.VariantVecOffset
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val guarded = graft.similarity.Similarity
+      .semDedupBounded(spark, sfDir, threshold = 0.999, maxCell = 50)
+      .collect().map(key).toSeq
+    val standard = graft.similarity.Similarity.semDedup(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(guarded.map(r => (r._1, r._3, r._4)) ===
+      standard.map(r => (r._1, r._3, r._4)))
+    assert(guarded.forall(r => r._3 === r._1 % off))
+  }
+
   test("q166 diverseSelect: greedy max-min invariants hold") {
     val rows = Similarity.diverseSelect(spark, sfDir, k = 8).collect()
     assert(rows.length === 8)
