@@ -895,7 +895,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     * INSIDE the round: hop(h3) = h3 proves h3 is the fixpoint of the
     * monotone min-label map, so a seeded graph of diameter ≤ 4 finishes
     * in ONE driver action. */
-  private[graft] def components(pairs: DataFrame): DataFrame = {
+  private[graft] def components(pairs: DataFrame): DataFrame =
+    componentsWithRounds(pairs)._1
+
+  /** [[components]] plus the number of driver actions the BSP loop took —
+    * the scale-ramp spec asserts the one-action convergence claim on a
+    * ×10 graph instead of taking the scaladoc's word for it. */
+  private[graft] def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(eager = false)
@@ -930,7 +936,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       logInfo(f"components round $round ($changed changed): " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    labels
+    (labels, round)
   }
 
   /** q72: the dedup pipeline's OUTPUT step — canonical selection. Keep the
