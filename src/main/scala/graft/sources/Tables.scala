@@ -570,6 +570,45 @@ object Sinks {
       df.coalesce(1).write.mode("overwrite").json(s"$baseDir/$collection")
   }
 
+  /** MongoDB result sink (S7, the reference's mongo-spark path —
+    * knn_classification.py:267-271 writes result docs to the collections
+    * scripts/mongo-init.js:8-22 creates). The `"mongodb"` format string
+    * resolves at RUNTIME through Spark's DataSource registry, so this
+    * compiles and ships in the offline build; it only needs the
+    * mongo-spark-connector jar on the classpath when actually invoked
+    * (the env-gated live smoke — LiveSmokeSpec — is the caller). Append
+    * mode: the reference's result collections are event logs, not
+    * snapshots. */
+  final class MongoResultSink(uri: String, database: String)
+      extends ResultSink {
+    def write(collection: String, df: DataFrame): Unit =
+      df.write.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .mode("append").save()
+  }
+
+  /** Env-flag contract for the live-connector smoke (round-10 verdict
+    * item 7): `SPARK_GRAFT_KAFKA=host:port[/topic]` enables the Kafka
+    * leg, `SPARK_GRAFT_MONGO=mongodb://...[/db]` the Mongo leg. Absent
+    * vars ⇒ the smoke skips cleanly (the sandbox has no broker or
+    * connector jars; the operator graphs stay proven through the file
+    * twins). */
+  def liveKafka: Option[(String, String)] =
+    sys.env.get("SPARK_GRAFT_KAFKA").map { v =>
+      v.split("/", 2) match {
+        case Array(b, t) => (b, t)
+        case _           => (v, "us_accidents")
+      }
+    }
+  def liveMongo: Option[(String, String)] =
+    sys.env.get("SPARK_GRAFT_MONGO").map { v =>
+      val i = v.lastIndexOf('/')
+      if (i > "mongodb://".length) (v.substring(0, i), v.substring(i + 1))
+      else (v, "us_accidents")
+    }
+
   /** The reference deployment's collection set (scripts/mongo-init.js:8-14)
     * — ResultSink targets should come from here so an offline JSON dir is
     * layout-compatible with the Mongo database the reference initializes. */
