@@ -559,6 +559,9 @@ object SparkEntry {
     // 14th streaming surface: native session_window vs the q50 batch oracle
     "q234_session_window_stream" -> ((s, d) =>
       graft.streaming.EventStream.sessionWindowParity(s, d)),
+    // IVFADC: coarse cell + PQ over residuals — the FAISS IVFx,PQy shape
+    "q235_ivfadc_recall"      -> ((s, d) =>
+      graft.ml.PqCodebook.ivfAdcRecall(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -290,6 +290,119 @@ object PqCodebook {
       .orderBy("query_id")
   }
 
+  /** q235: IVFADC — the COMBINED index (Jégou et al. 2011 §IV): q61's
+    * coarse quantizer and q211's product quantizer composed the way
+    * production billion-vector indexes (FAISS IVFx,PQy) actually are —
+    * PQ codebooks train on RESIDUALS r = e − c_coarse, not raw vectors,
+    * because residuals concentrate near the origin and the same K
+    * codewords buy far less quantization error there. A vector is
+    * stored as (coarse cell, Blocks sub-codes); a query builds one LUT
+    * PER PROBED CELL from its own residual against that cell, and the
+    * approximate distance ‖q − v‖² ≈ ‖(q − c_j) − r̂_v‖² is again a
+    * Blocks-term table sum. Here nprobe = K (all 4 coarse cells — the
+    * exhaustive-probe config, so recall measures the PQ residual
+    * compression alone, not cell-miss loss; production sets nprobe ≪
+    * #cells and the LUT frame shrinks proportionally). Reports
+    * recall@k vs the exact top-k — the number that justifies the
+    * residual trick over q211's raw-vector PQ.
+    *
+    * Determinism: coarse and residual Lloyd chains inherit LloydExact's
+    * bit-exact discipline (residuals are differences of dyadic doubles,
+    * so the DECIMAL(28,9) mean cast still has no rounding-mode edge);
+    * LUT entries are the fixed-fold ‖·‖² expression rounded to 9 dp;
+    * ADC sums accumulate in DECIMAL(28,9); both top-k windows tie-break
+    * on vec_id.
+    *
+    * Shape at 100 TB: identical to q211's scan economics (narrow int
+    * codes + broadcast LUT equi-join + hash-agg) with the coarse cell
+    * as a leading partition key — the probed-cells filter IS partition
+    * pruning when codes are stored partitioned by cell (q170/q233's
+    * layout). */
+  def ivfAdcRecall(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val pts = LloydExact.points(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count()
+    try {
+      val coarse = LloydExact.centersFor(pts)
+      // residuals: one assignment + broadcast-K join, materialized once
+      // (4 block chains + the code/coarse join all read it)
+      val res = LloydExact.assign(pts, coarse)
+        .join(broadcast(coarse), Seq("cluster"))
+        .select(col("vec_id"), col("cluster").as("coarse"),
+          zip_with(col("e"), col("c"), (x, y) => x - y).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      try {
+        // per-query residual AGAINST EVERY PROBED CELL (nprobe = K)
+        val qres = pts.filter(col("vec_id") < 10)
+          .crossJoin(broadcast(coarse))
+          .select(col("vec_id").as("query_id"),
+            col("cluster").as("coarse"),
+            zip_with(col("e"), col("c"), (x, y) => x - y).as("qr"))
+          .localCheckpoint()
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(Blocks)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val trained = try {
+          Await.result(Future.sequence((0 until Blocks).map { b =>
+            Future {
+              val sub = res.select(col("vec_id"),
+                slice(col("r"), b * SubDim + 1, SubDim).as("e"))
+              val centers = LloydExact.centersFor(sub)
+              val codes = LloydExact.assign(sub, centers)
+                .select(col("vec_id"), lit(b).as("block"),
+                  col("cluster").as("code"))
+              val qs = qres.select(col("query_id"), col("coarse"),
+                slice(col("qr"), b * SubDim + 1, SubDim).as("qe"))
+              val lut = qs.crossJoin(broadcast(centers))
+                .select(col("query_id"), col("coarse"), lit(b).as("block"),
+                  col("cluster").as("code"),
+                  round(dotp(col("qe"), col("qe")) -
+                    lit(2.0) * dotp(col("qe"), col("c")) +
+                    dotp(col("c"), col("c")), 9).as("d"))
+              (codes.localCheckpoint(), lut.localCheckpoint())
+            }
+          }), Duration(10, "min"))
+        } finally { pool.shutdownNow(); () }
+        val codes = trained.map(_._1).reduce(_ unionByName _)
+          .join(res.select(col("vec_id"), col("coarse")), "vec_id")
+        val lut = trained.map(_._2).reduce(_ unionByName _)
+        val wPq = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("ad"), col("vec_id"))
+        val topAdc = codes.join(broadcast(lut), Seq("coarse", "block", "code"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum(col("d").cast(DecimalType(28, 9))).as("adx"))
+          .withColumn("ad", col("adx").cast(DoubleType))
+          .withColumn("rk", row_number().over(wPq)).filter(col("rk") <= k)
+          .select("query_id", "vec_id")
+        val q = pts.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val wEx = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("ed"), col("vec_id"))
+        val topEx = pts.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("ed", dotp(col("qe"), col("qe")) -
+            lit(2.0) * dotp(col("qe"), col("e")) +
+            dotp(col("e"), col("e")))
+          .withColumn("rk", row_number().over(wEx)).filter(col("rk") <= k)
+          .select("query_id", "vec_id")
+        val common = topAdc.join(topEx, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("nc"))
+        topEx.select("query_id").distinct()
+          .join(common, Seq("query_id"), "left")
+          .withColumn("n_common", coalesce(col("nc"), lit(0L)))
+          .select(col("query_id"),
+            col("n_common").cast(IntegerType).as("n_common"),
+            round(col("n_common").cast(DoubleType) / k, 6).as("recall_at_k"))
+          .orderBy("query_id")
+          .localCheckpoint()
+      } finally { res.unpersist(); () }
+    } finally { pts.unpersist(); () }
+  }
+
   def oracleSql: Map[String, String] = {
     import LloydExact.{dotS, Iters}
     val blockCtes = (0 until Blocks).map { b =>
@@ -367,6 +480,78 @@ object PqCodebook {
       "q211_pq_adc_recall" -> adcRecallSql,
       // q233's oracle IS q211's: the persisted index must answer the
       // identical recall question — hash-equality proves the round-trip
-      "q233_pq_adc_persisted" -> adcRecallSql)
+      "q233_pq_adc_persisted" -> adcRecallSql,
+      "q235_ivfadc_recall" -> {
+        val coarseChain = LloydExact.lloydCtesFor(
+          "SELECT vec_id, e FROM e0", "g")
+        val resBlockChains = (0 until Blocks).map { b =>
+          LloydExact.lloydCtesFor(
+            s"""SELECT vec_id, list_slice(res.r, ${b * SubDim + 1},
+               | ${(b + 1) * SubDim}) AS e FROM res""".stripMargin
+              .replace("\n", " "),
+            s"rb$b")
+        }.mkString(",\n")
+        val codesUnion = (0 until Blocks).map(b =>
+          s"SELECT vec_id, $b AS block, cluster AS code FROM rb${b}afinal")
+          .mkString("\nUNION ALL\n")
+        val lutUnion = (0 until Blocks).map { b =>
+          val d = s"${dotS("q.qs", "q.qs")} - 2 * ${dotS("q.qs", "cb.c")}" +
+            s" + ${dotS("cb.c", "cb.c")}"
+          s"""SELECT q.query_id, q.coarse, $b AS block,
+             |  cb.cluster AS code, round($d, 9) AS d
+             |FROM (SELECT query_id, coarse,
+             |    list_slice(qr, ${b * SubDim + 1}, ${(b + 1) * SubDim})
+             |      AS qs FROM qres) q
+             |CROSS JOIN rb${b}c$Iters cb""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val ed = s"${dotS("q.qe", "q.qe")} - 2 * ${dotS("q.qe", "n.e")}" +
+          s" + ${dotS("n.e", "n.e")}"
+        s"""WITH e0 AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |$coarseChain,
+           |res AS (SELECT a.vec_id, a.cluster AS coarse,
+           |    list_transform(generate_series(1, len(a.e)),
+           |      i -> a.e[i] - c.c[i]) AS r
+           |  FROM gafinal a JOIN gc$Iters c ON a.cluster = c.cluster),
+           |$resBlockChains,
+           |codes AS ($codesUnion),
+           |codesx AS (SELECT c.vec_id, r.coarse, c.block, c.code
+           |  FROM codes c JOIN res r ON c.vec_id = r.vec_id),
+           |qres AS (SELECT q.vec_id AS query_id, c.cluster AS coarse,
+           |    list_transform(generate_series(1, len(q.e)),
+           |      i -> q.e[i] - c.c[i]) AS qr
+           |  FROM (SELECT vec_id, e FROM e0 WHERE vec_id < 10) q
+           |  CROSS JOIN gc$Iters c),
+           |lut AS ($lutUnion),
+           |adc AS (SELECT lut.query_id, cx.vec_id,
+           |    CAST(SUM(CAST(d AS DECIMAL(28,9))) AS DOUBLE) AS ad
+           |  FROM codesx cx JOIN lut
+           |    ON cx.coarse = lut.coarse AND cx.block = lut.block
+           |      AND cx.code = lut.code
+           |  WHERE cx.vec_id <> lut.query_id
+           |  GROUP BY lut.query_id, cx.vec_id),
+           |topadc AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY ad, vec_id) AS rk FROM adc)
+           |  WHERE rk <= 10),
+           |ex AS (SELECT q.query_id, n.vec_id, $ed AS ed
+           |  FROM (SELECT vec_id AS query_id, e AS qe FROM e0
+           |    WHERE vec_id < 10) q
+           |  CROSS JOIN e0 n WHERE n.vec_id <> q.query_id),
+           |topex AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY ed, vec_id) AS rk FROM ex)
+           |  WHERE rk <= 10),
+           |common AS (SELECT topadc.query_id, COUNT(*) AS nc
+           |  FROM topadc JOIN topex ON topadc.query_id = topex.query_id
+           |    AND topadc.vec_id = topex.vec_id
+           |  GROUP BY topadc.query_id)
+           |SELECT q.query_id, CAST(COALESCE(nc, 0) AS INTEGER) AS n_common,
+           |  round(CAST(COALESCE(nc, 0) AS DOUBLE) / 10, 6) AS recall_at_k
+           |FROM (SELECT DISTINCT query_id FROM topex) q
+           |LEFT JOIN common ON q.query_id = common.query_id
+           |ORDER BY q.query_id""".stripMargin
+      })
   }
 }

@@ -269,6 +269,21 @@ class MlSpec extends SparkSpec {
     assert(mean > 2 * randomRecall, s"mean $mean vs random $randomRecall")
   }
 
+  test("q235 IVFADC: recall bounded, and the residual trick does not " +
+      "lose to random overlap") {
+    val rows = graft.ml.PqCodebook.ivfAdcRecall(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Int]("n_common") === math.round(rec * 10).toInt)
+    }
+    val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    val randomRecall = 10.0 / (n - 1)
+    val mean = rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    assert(mean > 2 * randomRecall, s"mean $mean vs random $randomRecall")
+  }
+
   test("q233 persisted PQ index answers exactly like the in-memory q211") {
     // the amortization contract: build-once artifacts reloaded from
     // parquet must reproduce the live pipeline row-for-row — codebook
