@@ -187,7 +187,10 @@ object PqCodebook {
   val IndexFormatVersion = "v1"
 
   private def indexRoot(dir: String): java.nio.file.Path = {
-    val canon = new java.io.File(dir).getCanonicalPath
+    val src = new java.io.File(dir, "embeddings.parquet")
+    // corpus mtime in the key: a regenerated fixture at the same path
+    // must build a fresh index, never read a stale one
+    val canon = s"${src.getCanonicalPath}@${src.lastModified}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$IndexFormatVersion|$canon".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
