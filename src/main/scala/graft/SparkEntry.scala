@@ -562,6 +562,9 @@ object SparkEntry {
     // IVFADC: coarse cell + PQ over residuals — the FAISS IVFx,PQy shape
     "q235_ivfadc_recall"      -> ((s, d) =>
       graft.ml.PqCodebook.ivfAdcRecall(s, d)),
+    // nprobe sweep: the IVF recall-vs-scan-cost frontier per probe width
+    "q236_ivf_nprobe_sweep"   -> ((s, d) =>
+      graft.similarity.Similarity.ivfNprobeSweep(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

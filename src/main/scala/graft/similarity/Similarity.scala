@@ -312,6 +312,70 @@ object Similarity {
     * evaluation loop every production ANN deployment runs (approximation
     * quality is a number, not a hope). Both sides are deterministic, so
     * the per-query hit count is oracle-checkable. */
+  /** q236: IVF NPROBE SWEEP — the recall-vs-scan-cost CURVE for the
+    * coarse index, per query and probe width: cells rank by coarse
+    * distance ‖q − c_j‖² (ties to the smaller cluster id), nprobe = w
+    * probes the top-w cells, and the report gives n_scanned (vectors
+    * actually touched) and recall@k against the exact top-k for every
+    * w ∈ 1..K. This is THE production IVF tuning knob — q71 grades one
+    * operating point; this measures the whole frontier, and nprobe = K
+    * must land recall 1.0 by construction (probing every cell IS the
+    * exact scan), which the spec asserts along with monotonicity.
+    *
+    * Shape at 100 TB: ONE equi-join of the assignment onto the
+    * (|queries|·K)-row ranked-cell frame produces every (query,
+    * candidate, cell_rank) exactly once; the w-axis is an explode over
+    * 4 ints on that frame, not 4 re-scans; per-(query, w) top-k windows
+    * and one hash-agg close it. With codes stored partitioned by cell
+    * (q170/q233 layout) the cell_rank ≤ w filter IS partition pruning. */
+  def ivfNprobeSweep(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val pts = graft.ml.LloydExact.points(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count()
+    try {
+      val centers = graft.ml.LloydExact.centersFor(pts)
+      val nCells = graft.ml.LloydExact.K
+      val q = pts.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      val wCell = Window.partitionBy("query_id")
+        .orderBy(col("cd"), col("cluster"))
+      val qcell = q.crossJoin(broadcast(centers))
+        .withColumn("cd", dotp(col("c"), col("c")) -
+          lit(2.0) * dotp(col("qe"), col("c")))
+        .withColumn("cell_rank", row_number().over(wCell))
+        .select(col("query_id"), col("qe"), col("cluster"), col("cell_rank"))
+      val cand = graft.ml.LloydExact.assign(pts, centers)
+        .join(broadcast(qcell), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("ed", dotp(col("qe"), col("qe")) -
+          lit(2.0) * dotp(col("qe"), col("e")) + dotp(col("e"), col("e")))
+        .select(col("query_id"), col("vec_id"), col("cell_rank"), col("ed"))
+        .localCheckpoint() // truth + sweep both read it
+      val wEx = Window.partitionBy("query_id").orderBy(col("ed"), col("vec_id"))
+      val truth = cand.withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") <= k).select("query_id", "vec_id")
+      val sweep = cand.withColumn("nprobe",
+          explode(array((1 to nCells).map(lit): _*)))
+        .filter(col("cell_rank") <= col("nprobe"))
+      val wS = Window.partitionBy("query_id", "nprobe")
+        .orderBy(col("ed"), col("vec_id"))
+      val topw = sweep.withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= k).select("query_id", "nprobe", "vec_id")
+      val hits = topw.join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id", "nprobe").agg(count(lit(1)).as("nh"))
+      sweep.groupBy("query_id", "nprobe")
+        .agg(count(lit(1)).as("n_scanned"))
+        .join(hits, Seq("query_id", "nprobe"), "left")
+        .select(col("query_id"),
+          col("nprobe").cast(IntegerType).as("nprobe"),
+          col("n_scanned").cast(IntegerType).as("n_scanned"),
+          round(coalesce(col("nh"), lit(0L)).cast(DoubleType) / k, 6)
+            .as("recall_at_k"))
+        .orderBy("query_id", "nprobe")
+        .localCheckpoint()
+    } finally { pts.unpersist(); () }
+  }
+
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val bf = cosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
     val iv = annIvf(s, dir)
@@ -1458,6 +1522,51 @@ object Similarity {
     // q170's oracle IS q61's: the persisted index must answer the same
     // queries identically — the round trip is the thing under test
     "q170_ann_ivf_persisted" -> q61OracleS,
+    "q236_ivf_nprobe_sweep" -> {
+      import graft.ml.LloydExact.{Iters, K => LK}
+      val chain = graft.ml.LloydExact.lloydCtesFor(
+        """SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings""".stripMargin, "g")
+      val ws = (1 to LK).mkString(", ")
+      s"""WITH $chain,
+         |qc AS (SELECT query_id, cluster, cell_rank FROM (
+         |  SELECT q.vec_id AS query_id, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${dotS("c.c", "c.c")} - 2 * ${dotS("q.e", "c.c")},
+         |      c.cluster) AS cell_rank
+         |  FROM (SELECT vec_id, e FROM ge WHERE vec_id < 10) q
+         |  CROSS JOIN gc$Iters c)),
+         |cand AS (SELECT qc.query_id, a.vec_id, qc.cell_rank,
+         |    ${dotS("q.e", "q.e")} - 2 * ${dotS("q.e", "a.e")}
+         |      + ${dotS("a.e", "a.e")} AS ed
+         |  FROM gafinal a JOIN qc ON a.cluster = qc.cluster
+         |  JOIN ge q ON q.vec_id = qc.query_id
+         |  WHERE a.vec_id <> qc.query_id),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY ed, vec_id) AS rk FROM cand)
+         |  WHERE rk <= 10),
+         |sweep AS (SELECT query_id, vec_id, cell_rank, ed, nprobe
+         |  FROM cand CROSS JOIN (SELECT unnest([$ws]) AS nprobe) w
+         |  WHERE cell_rank <= nprobe),
+         |topw AS (SELECT query_id, nprobe, vec_id FROM (
+         |  SELECT query_id, nprobe, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id, nprobe ORDER BY ed, vec_id) AS rk
+         |  FROM sweep) WHERE rk <= 10),
+         |sc AS (SELECT query_id, nprobe, COUNT(*) AS n_scanned
+         |  FROM sweep GROUP BY query_id, nprobe),
+         |hits AS (SELECT t.query_id, t.nprobe, COUNT(*) AS nh
+         |  FROM topw t JOIN truth ON t.query_id = truth.query_id
+         |    AND t.vec_id = truth.vec_id
+         |  GROUP BY t.query_id, t.nprobe)
+         |SELECT sc.query_id, CAST(sc.nprobe AS INTEGER) AS nprobe,
+         |  CAST(sc.n_scanned AS INTEGER) AS n_scanned,
+         |  round(CAST(COALESCE(nh, 0) AS DOUBLE) / 10, 6) AS recall_at_k
+         |FROM sc LEFT JOIN hits
+         |  ON sc.query_id = hits.query_id AND sc.nprobe = hits.nprobe
+         |ORDER BY sc.query_id, sc.nprobe""".stripMargin
+    },
     "q171_ann_sq8" ->
       s"""WITH e0 AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

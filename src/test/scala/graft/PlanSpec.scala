@@ -314,6 +314,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("q233 persisted-PQ probe: index-only scans, zero nested loops") {
+    val plan = planOf(graft.ml.PqCodebook.pqAdcPersisted(spark, sfDir))
+    // the steady-state probe must read ONLY the persisted index — an
+    // embeddings scan would mean the plan silently retrains or re-reads
+    // the corpus the index exists to replace
+    assert(plan.contains("graft-pq-index"), plan)
+    assert(!plan.contains("embeddings"), plan)
+    // ADC is equi-join + hash-agg end to end: unlike q211/q235 there is
+    // no exact-baseline crossJoin anywhere in the probe
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q164 split leakage: bucket equi-join, no cross product") {
     val plan = planOf(
       graft.similarity.Similarity.crossSplitLeakage(spark, sfDir))

@@ -175,6 +175,26 @@ class SimilaritySpec extends SparkSpec {
     assert(guarded.forall(r => r._3 === r._1 % off))
   }
 
+  test("q236 nprobe sweep: recall monotone, exact at full probe width") {
+    val rows = Similarity.ivfNprobeSweep(spark, sfDir).collect()
+    val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    val k = graft.ml.LloydExact.K
+    assert(rows.length === 10 * k)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val byW = rs.sortBy(_.getAs[Int]("nprobe"))
+      val recalls = byW.map(_.getAs[Double]("recall_at_k"))
+      val scanned = byW.map(_.getAs[Int]("n_scanned"))
+      // wider probes can only add candidates: both curves nondecreasing
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+        s"q$qid recall ${recalls.toSeq}")
+      assert(scanned.zip(scanned.tail).forall { case (a, b) => b >= a },
+        s"q$qid scanned ${scanned.toSeq}")
+      // probing EVERY cell is the exact scan: recall 1.0, corpus covered
+      assert(recalls.last === 1.0, s"q$qid ${recalls.toSeq}")
+      assert(scanned.last === n - 1, s"q$qid ${scanned.toSeq}")
+    }
+  }
+
   test("q166 diverseSelect: greedy max-min invariants hold") {
     val rows = Similarity.diverseSelect(spark, sfDir, k = 8).collect()
     assert(rows.length === 8)
