@@ -565,6 +565,9 @@ object SparkEntry {
     // nprobe sweep: the IVF recall-vs-scan-cost frontier per probe width
     "q236_ivf_nprobe_sweep"   -> ((s, d) =>
       graft.similarity.Similarity.ivfNprobeSweep(s, d)),
+    // longest shared token span per cross-source pair (Lee et al. dedup)
+    "q237_shared_spans"       -> ((s, d) =>
+      graft.dedup.Dedup.sharedSpans(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

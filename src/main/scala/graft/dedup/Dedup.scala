@@ -1226,6 +1226,59 @@ object Dedup extends org.apache.spark.internal.Logging {
     } finally { grams.unpersist(); () }
   }
 
+  /** q237: LONGEST SHARED TOKEN SPAN — exact-substring decontamination
+    * at span granularity (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", public): q131 says WHICH source
+    * pairs share 13-grams; this says HOW LONG the shared passages
+    * actually run, per cross-source doc pair — the number that
+    * separates a quoted sentence from a wholesale copied document, and
+    * the one a decontamination policy thresholds on ("strip spans ≥ 50
+    * tokens" is the paper's rule). Gaps-and-islands over positional
+    * gram matches: explode grams WITH POSITION, equi-join on the gram
+    * hash across sources, and within each (pair, pos_a − pos_b)
+    * diagonal a run of consecutive pos_a values is one shared span of
+    * run_length + n − 1 tokens. Reports the top-`k` pairs by their
+    * longest span.
+    *
+    * Shape at 100 TB: the join is hash-equi on the gram key — the
+    * positional variant of q131's incidence join, bounded by shared-gram
+    * occurrences (not corpus²); in production it runs on the doc pairs
+    * q131's source gate already flagged, with q227's hub exclusion
+    * keeping boilerplate grams out of the key. The diagonal trick makes
+    * span assembly two window functions — no per-pair alignment loop. */
+  def sharedSpans(s: SparkSession, dir: String, n: Int = 13,
+                  k: Int = 20): DataFrame = {
+    val grams = Tables.fanOut(
+        docs(s, dir).select("doc_id", "source", "text"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        posexplode(shinglesC(tokensC(col("text")), n)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        md5(col("sh")).as("h"))
+      .localCheckpoint()
+    val m = grams.as("a")
+      .join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .select(col("a.doc_id").as("doc_a"), col("a.source").as("src_a"),
+        col("b.doc_id").as("doc_b"), col("b.source").as("src_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .distinct()
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("dg"))
+      .orderBy("pos_a")
+    val wTop = org.apache.spark.sql.expressions.Window.orderBy(col("span_tokens").desc,
+      col("doc_a"), col("doc_b"))
+    m.withColumn("dg", col("pos_a") - col("pos_b"))
+      .withColumn("isl", col("pos_a") - row_number().over(wIsl))
+      .groupBy("doc_a", "src_a", "doc_b", "src_b", "dg", "isl")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("doc_a", "src_a", "doc_b", "src_b")
+      .agg((max(col("len")) + (n - 1)).cast(IntegerType).as("span_tokens"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select("doc_a", "doc_b", "src_a", "src_b", "span_tokens")
+      .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -1748,6 +1801,36 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  n_docs_lo, n_docs_hi, n_shared_grams
          |FROM dc JOIN gc ON dc.src_lo = gc.src_lo AND dc.src_hi = gc.src_hi
          |ORDER BY dc.src_lo, dc.src_hi""".stripMargin,
+    "q237_shared_spans" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |    ${shinglesS(tokensS("text"), 13)} AS sh
+         |  FROM documents),
+         |g AS (SELECT doc_id, source,
+         |    CAST(u['pos'] AS INTEGER) AS pos, u['h'] AS h
+         |  FROM (SELECT doc_id, source,
+         |      unnest(list_transform(generate_series(1, len(sh)),
+         |        i -> {'pos': i - 1, 'h': md5(sh[i])})) AS u
+         |    FROM tok)),
+         |m AS (SELECT DISTINCT a.doc_id AS doc_a, a.source AS src_a,
+         |    b.doc_id AS doc_b, b.source AS src_b,
+         |    a.pos AS pos_a, b.pos AS pos_b
+         |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source),
+         |r AS (SELECT doc_a, src_a, doc_b, src_b,
+         |    pos_a - pos_b AS dg,
+         |    pos_a - ROW_NUMBER() OVER (
+         |      PARTITION BY doc_a, doc_b, pos_a - pos_b
+         |      ORDER BY pos_a) AS isl
+         |  FROM m),
+         |runs AS (SELECT doc_a, src_a, doc_b, src_b, COUNT(*) AS len
+         |  FROM r GROUP BY doc_a, src_a, doc_b, src_b, dg, isl),
+         |best AS (SELECT doc_a, src_a, doc_b, src_b,
+         |    CAST(MAX(len) + 12 AS INTEGER) AS span_tokens
+         |  FROM runs GROUP BY doc_a, src_a, doc_b, src_b)
+         |SELECT doc_a, doc_b, src_a, src_b, span_tokens
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |    ORDER BY span_tokens DESC, doc_a, doc_b) AS rk FROM best)
+         |WHERE rk <= 20
+         |ORDER BY span_tokens DESC, doc_a, doc_b""".stripMargin,
   )
 
   /** DuckDB CTE chain ending in `s AS (SELECT doc_id, simhash)` — the

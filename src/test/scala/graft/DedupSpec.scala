@@ -17,6 +17,33 @@ class DedupSpec extends SparkSpec {
     assert(res.forall(_.getAs[Long]("canonical_id") < Dedup.VariantIdOffset))
   }
 
+  test("q237 shared spans: ordered, >= gram width, top pair matches a " +
+      "driver LCS recount") {
+    val rows = Dedup.sharedSpans(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val spans = rows.map(_.getAs[Int]("span_tokens"))
+    // one shared 13-gram is the floor; ranking is span-descending
+    assert(spans.forall(_ >= 13))
+    assert(spans.zip(spans.tail).forall { case (a, b) => a >= b })
+    // independent verification: recount the top pair's longest common
+    // token run with a driver-side DP over the raw texts
+    val top = rows.head
+    val txt = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(top.getLong(0), top.getLong(1)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+")
+    val (a, b) = (toks(txt(top.getLong(0))), toks(txt(top.getLong(1))))
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      if (a(i - 1) == b(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        best = best.max(dp(i)(j))
+      }
+    assert(top.getAs[Int]("span_tokens") === best)
+  }
+
   test("LSH candidates recover most injected near-dup pairs") {
     val pairs = Dedup.lshCandidatePairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
