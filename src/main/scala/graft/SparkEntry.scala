@@ -568,6 +568,9 @@ object SparkEntry {
     // longest shared token span per cross-source pair (Lee et al. dedup)
     "q237_shared_spans"       -> ((s, d) =>
       graft.dedup.Dedup.sharedSpans(s, d)),
+    // strip accounting: union of >=30-token shared spans per source
+    "q238_span_strip_plan"    -> ((s, d) =>
+      graft.dedup.Dedup.spanStripPlan(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1279,6 +1279,70 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"))
   }
 
+  /** q238: SPAN-STRIP ACCOUNTING — the ACTION side of q237: if policy
+    * strips every shared span of ≥ `minSpan` tokens from the
+    * lexicographically-later source of each contaminated pair (the
+    * deterministic "benchmark wins, crawl loses" priority rule), how
+    * much text actually goes? Per source: docs touched, tokens flagged
+    * (the UNION of covered positions — overlapping spans from different
+    * pairs must not double-count, so the flagged set is
+    * distinct-position counting, not a sum of span lengths), the
+    * source's total tokens, and the flagged fraction — the number that
+    * says whether decontamination is a trim or an amputation.
+    *
+    * Shape at 100 TB: q237's diagonal-island chain plus one
+    * sequence-explode of qualifying spans (bounded by flagged-span
+    * volume, not corpus size) and two hash-aggs; the source token
+    * totals ride the existing corpus scan. */
+  def spanStripPlan(s: SparkSession, dir: String, n: Int = 13,
+                    minSpan: Int = 30): DataFrame = {
+    val grams = Tables.fanOut(
+        docs(s, dir).select("doc_id", "source", "text"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        posexplode(shinglesC(tokensC(col("text")), n)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        md5(col("sh")).as("h"))
+      .localCheckpoint()
+    val m = grams.as("a")
+      .join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      // strip side = the LATER source (b): accounting runs in b's
+      // position coordinates
+      .select(col("b.doc_id").as("doc_id"), col("b.source").as("source"),
+        col("a.doc_id").as("doc_o"), col("b.pos").as("pos_b"),
+        (col("a.pos") - col("b.pos")).as("dg"))
+      .distinct()
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("doc_o"), col("dg"))
+      .orderBy("pos_b")
+    val flagged = m
+      .withColumn("isl", col("pos_b") - row_number().over(wIsl))
+      .groupBy("doc_id", "source", "doc_o", "dg", "isl")
+      .agg(min(col("pos_b")).as("p0"), count(lit(1)).as("len"))
+      .filter(col("len") + (n - 1) >= minSpan)
+      // covered token positions of the island: p0 .. p0 + len - 1 + n - 1
+      .select(col("doc_id"), col("source"),
+        explode(sequence(col("p0"), col("p0") + col("len") + (n - 2)))
+          .as("tp"))
+      .distinct()
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).cast(IntegerType)
+          .as("n_docs_flagged"),
+        count(lit(1)).cast(IntegerType).as("n_tokens_flagged"))
+    val totals = docs(s, dir)
+      .select(col("source"), size(tokensC(col("text"))).as("nt"))
+      .groupBy("source")
+      .agg(sum(col("nt")).cast(IntegerType).as("n_tokens_total"))
+    totals.join(flagged, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs_flagged"), lit(0)).as("n_docs_flagged"),
+        coalesce(col("n_tokens_flagged"), lit(0)).as("n_tokens_flagged"),
+        col("n_tokens_total"),
+        round(coalesce(col("n_tokens_flagged"), lit(0)).cast(DoubleType) /
+          col("n_tokens_total"), 6).as("flagged_frac"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -1831,6 +1895,46 @@ object Dedup extends org.apache.spark.internal.Logging {
          |    ORDER BY span_tokens DESC, doc_a, doc_b) AS rk FROM best)
          |WHERE rk <= 20
          |ORDER BY span_tokens DESC, doc_a, doc_b""".stripMargin,
+    "q238_span_strip_plan" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |    ${shinglesS(tokensS("text"), 13)} AS sh
+         |  FROM documents),
+         |g AS (SELECT doc_id, source,
+         |    CAST(u['pos'] AS INTEGER) AS pos, u['h'] AS h
+         |  FROM (SELECT doc_id, source,
+         |      unnest(list_transform(generate_series(1, len(sh)),
+         |        i -> {'pos': i - 1, 'h': md5(sh[i])})) AS u
+         |    FROM tok)),
+         |m AS (SELECT DISTINCT b.doc_id AS doc_id, b.source AS source,
+         |    a.doc_id AS doc_o, b.pos AS pos_b, a.pos - b.pos AS dg
+         |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source),
+         |r AS (SELECT doc_id, source, doc_o, dg, pos_b,
+         |    pos_b - ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id, doc_o, dg ORDER BY pos_b) AS isl
+         |  FROM m),
+         |isles AS (SELECT doc_id, source, MIN(pos_b) AS p0,
+         |    COUNT(*) AS len
+         |  FROM r GROUP BY doc_id, source, doc_o, dg, isl
+         |  HAVING COUNT(*) + 12 >= 30),
+         |fl AS (SELECT DISTINCT doc_id, source, tp
+         |  FROM (SELECT doc_id, source,
+         |      unnest(generate_series(p0, p0 + len + 11)) AS tp
+         |    FROM isles)),
+         |fagg AS (SELECT source,
+         |    CAST(COUNT(DISTINCT doc_id) AS INTEGER) AS n_docs_flagged,
+         |    CAST(COUNT(*) AS INTEGER) AS n_tokens_flagged
+         |  FROM fl GROUP BY source),
+         |tot AS (SELECT source,
+         |    CAST(SUM(len(${tokensS("text")})) AS INTEGER) AS n_tokens_total
+         |  FROM documents GROUP BY source)
+         |SELECT tot.source AS source,
+         |  COALESCE(n_docs_flagged, 0) AS n_docs_flagged,
+         |  COALESCE(n_tokens_flagged, 0) AS n_tokens_flagged,
+         |  n_tokens_total,
+         |  round(CAST(COALESCE(n_tokens_flagged, 0) AS DOUBLE)
+         |    / n_tokens_total, 6) AS flagged_frac
+         |FROM tot LEFT JOIN fagg ON tot.source = fagg.source
+         |ORDER BY tot.source""".stripMargin,
   )
 
   /** DuckDB CTE chain ending in `s AS (SELECT doc_id, simhash)` — the

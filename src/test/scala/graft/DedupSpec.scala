@@ -44,6 +44,35 @@ class DedupSpec extends SparkSpec {
     assert(top.getAs[Int]("span_tokens") === best)
   }
 
+  test("q238 strip plan: every source reported, flagged set consistent " +
+      "with q237 spans") {
+    val rows = Dedup.spanStripPlan(spark, sfDir).collect()
+    val nSources = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(rows.length === nSources)
+    rows.foreach { r =>
+      val (fd, ft, tot) = (r.getAs[Int]("n_docs_flagged"),
+        r.getAs[Int]("n_tokens_flagged"), r.getAs[Int]("n_tokens_total"))
+      assert(fd >= 0 && ft >= 0 && tot > 0)
+      // a flagged doc carries >= minSpan flagged tokens; none flagged
+      // means zero tokens flagged
+      if (fd == 0) assert(ft === 0) else assert(ft >= 30)
+      assert(ft <= tot)
+      assert(math.abs(r.getAs[Double]("flagged_frac") -
+        ft.toDouble / tot) < 1e-6)
+    }
+    // consistency with q237: a >= 30-token top span implies its LATER
+    // source flags at least one doc
+    val spans = Dedup.sharedSpans(spark, sfDir).collect()
+      .filter(_.getAs[Int]("span_tokens") >= 30)
+    val flaggedSources = rows.filter(_.getAs[Int]("n_docs_flagged") > 0)
+      .map(_.getString(0)).toSet
+    spans.foreach { sp =>
+      val later = Seq(sp.getAs[String]("src_a"), sp.getAs[String]("src_b")).max
+      assert(flaggedSources.contains(later), sp.toString)
+    }
+  }
+
   test("LSH candidates recover most injected near-dup pairs") {
     val pairs = Dedup.lshCandidatePairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
