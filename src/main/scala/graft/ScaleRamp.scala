@@ -57,7 +57,8 @@ object ScaleRamp {
     "ann_ivf"          -> "q61_ann_ivf",
     "pq_codebook"      -> "q201_pq_codebook",
     "stream_parity"    -> "q85_stream_parity",
-    "column_profile"   -> "q152_column_profile")
+    "column_profile"   -> "q152_column_profile",
+    "shared_spans"     -> "q237_shared_spans")
 
   def stage(s: SparkSession, baseDir: String, outDir: String,
             factor: Int): Unit = {

@@ -314,6 +314,18 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("q237/q238 span chain: positional gram join is hash-equi, " +
+      "never cartesian") {
+    for (df <- Seq(graft.dedup.Dedup.sharedSpans(spark, sfDir),
+      graft.dedup.Dedup.spanStripPlan(spark, sfDir))) {
+      val plan = planOf(df)
+      // the only join is on the gram hash — an all-pairs plan here is
+      // exactly the quadratic the banded/keyed design exists to avoid
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("q233 persisted-PQ probe: index-only scans, zero nested loops") {
     val plan = planOf(graft.ml.PqCodebook.pqAdcPersisted(spark, sfDir))
     // the steady-state probe must read ONLY the persisted index — an
