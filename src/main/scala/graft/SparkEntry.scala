@@ -571,6 +571,9 @@ object SparkEntry {
     // strip accounting: union of >=30-token shared spans per source
     "q238_span_strip_plan"    -> ((s, d) =>
       graft.dedup.Dedup.spanStripPlan(s, d)),
+    // PII scan: per-source redaction pre-flight over 4 pattern families
+    "q239_pii_scan"           -> ((s, d) =>
+      graft.text.TextOps.piiScan(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

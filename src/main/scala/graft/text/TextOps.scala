@@ -19,6 +19,50 @@ object TextOps {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** q239's pattern set. Written in the REGEX INTERSECTION of Java
+    * (Spark) and RE2 (DuckDB and most scanners): character classes,
+    * bounded repetition, non-capturing groups, `\b`, `\d` — no
+    * backreferences or lookaround, so both engines (and a production
+    * RE2-based scanner) match the identical language. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email"    -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4"     -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "phone"    -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ssn_like" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** q239: PII SCAN — the redaction pre-flight every training-data
+    * release runs (emails, IPv4 addresses, phone-shaped and
+    * SSN-shaped numbers): per (source, pattern family), how many docs
+    * carry at least one hit and how many hits there are in total — the
+    * numbers that decide between "redact inline" and "quarantine the
+    * feed". Zero hits on a clean corpus IS the desired answer; the
+    * detection logic itself is unit-proven on planted fixtures
+    * (TextOpsSpec) since a clean corpus can't exercise it.
+    *
+    * Shape at 100 TB: one corpus scan, all four patterns evaluated
+    * per row inside codegen (regexp_extract_all on the same string),
+    * one hash-agg on source; the tall report is a stack over the
+    * per-source aggregate — |sources|×4 rows. */
+  def piiScanOf(d: DataFrame): DataFrame = {
+    val counted = d.select(col("source") +: PiiPatterns.map { case (nm, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).as(s"c_$nm")
+    }: _*)
+    val aggs = PiiPatterns.flatMap { case (nm, _) => Seq(
+      count(when(col(s"c_$nm") > 0, lit(1))).cast(IntegerType)
+        .as(s"d_$nm"),
+      sum(col(s"c_$nm")).cast(IntegerType).as(s"h_$nm")) }
+    val stackArgs = PiiPatterns
+      .map { case (nm, _) => s"'$nm', d_$nm, h_$nm" }.mkString(", ")
+    counted.groupBy("source").agg(aggs.head, aggs.tail: _*)
+      .selectExpr("source",
+        s"stack(${PiiPatterns.length}, $stackArgs) " +
+          "AS (pii_type, n_docs_hit, n_hits)")
+      .orderBy("source", "pii_type")
+  }
+
+  def piiScan(s: SparkSession, dir: String): DataFrame =
+    piiScanOf(docs(s, dir).select("source", "text"))
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens, chars,
     * distinct-token ratio (type-token ratio). */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
@@ -1730,6 +1774,25 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q239_pii_scan" -> {
+      val cols = PiiPatterns.map { case (nm, p) =>
+        s"len(regexp_extract_all(text, '$p')) AS c_$nm" }.mkString(", ")
+      val aggs = PiiPatterns.map { case (nm, _) =>
+        s"""CAST(COUNT(CASE WHEN c_$nm > 0 THEN 1 END) AS INTEGER)
+           |      AS d_$nm,
+           |    CAST(SUM(c_$nm) AS INTEGER) AS h_$nm""".stripMargin
+      }.mkString(",\n    ")
+      val arms = PiiPatterns.map { case (nm, _) =>
+        s"""SELECT source, '$nm' AS pii_type, d_$nm AS n_docs_hit,
+           |  h_$nm AS n_hits FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT source, $cols FROM documents),
+         |a AS (SELECT source,
+         |    $aggs
+         |  FROM c GROUP BY source)
+         |$arms
+         |ORDER BY source, pii_type""".stripMargin
+    },
     "q229_lang_kappa" ->
       s"""WITH d AS (SELECT doc_id, lang, $T AS t FROM documents),
          |sc AS (SELECT doc_id, lang, $langScoresS FROM d),

@@ -561,4 +561,30 @@ class TextPrimsSpec extends SparkSpec {
       assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
     }
   }
+
+  test("q239 PII scan: planted fixtures detect, clean text stays zero") {
+    // the fixture corpus is PII-free (the oracle path proves the
+    // all-zero report); detection itself is proven here on planted rows
+    import spark.implicits._
+    val rows = Seq(
+      ("s1", "contact me at jane.doe+spam@example.co.uk or bob@x.io ok"),
+      ("s1", "server at 10.0.255.7 answered, backup at 192.168.1.1."),
+      ("s2", "call 555-867-5309 or 555 123 4567 re: ssn 078-05-1120"),
+      ("s2", "perfectly clean text with a year 2026 and version 1.2"),
+      ("s3", "not an email: foo@@bar, not an ip: 1.2.3, not a phone: 12-34"))
+      .toDF("source", "text")
+    val out = graft.text.TextOps.piiScanOf(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Int]("n_docs_hit"), r.getAs[Int]("n_hits"))).toMap
+    assert(out(("s1", "email")) === (1, 2))
+    assert(out(("s1", "ipv4")) === (1, 2))
+    assert(out(("s1", "phone")) === (0, 0))
+    assert(out(("s2", "phone")) === (1, 2))
+    assert(out(("s2", "ssn_like")) === (1, 1))
+    assert(out(("s2", "email")) === (0, 0))
+    // the negative row: every family stays clean
+    graft.text.TextOps.PiiPatterns.foreach { case (nm, _) =>
+      assert(out(("s3", nm)) === (0, 0), nm)
+    }
+  }
 }
