@@ -574,6 +574,9 @@ object SparkEntry {
     // PII scan: per-source redaction pre-flight over 4 pattern families
     "q239_pii_scan"           -> ((s, d) =>
       graft.text.TextOps.piiScan(s, d)),
+    // PII redaction: tag rewrite + xor content checksums per source
+    "q240_pii_redact"         -> ((s, d) =>
+      graft.text.TextOps.piiRedact(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

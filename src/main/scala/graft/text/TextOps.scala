@@ -63,6 +63,42 @@ object TextOps {
   def piiScan(s: SparkSession, dir: String): DataFrame =
     piiScanOf(docs(s, dir).select("source", "text"))
 
+  /** The q240 redaction transform over a text Column: each pattern
+    * family's hits are replaced by its `<TYPE>` tag, families applied
+    * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
+    * identically everywhere). */
+  def redactC(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (nm, p)) =>
+      regexp_replace(c, p, s"<${nm.toUpperCase}>") }
+
+  /** q240: PII REDACTION — q239's ACTION: rewrite every hit to its
+    * family tag and account for the result per source: docs changed,
+    * and an order-independent xor checksum of the redacted text (the
+    * q139 convention — 60-bit md5 prefixes under bit_xor), which is
+    * the artifact a release manifest pins. On the PII-free fixture the
+    * redacted corpus equals the original — n_docs_changed 0 and the
+    * checksum equal to the raw corpus checksum IS the oracle-checked
+    * no-op proof; the planted-fixture spec proves the rewrite itself.
+    *
+    * Shape at 100 TB: one corpus scan, 4 codegen'd regexp_replaces per
+    * row, one hash-agg — the map-only transform production redaction
+    * is. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val red = docs(s, dir).select(col("source"), col("text"),
+      redactC(col("text")).as("redacted"))
+    red.groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        count(when(col("redacted") =!= col("text"), lit(1)))
+          .cast(IntegerType).as("n_docs_changed"),
+        expr("bit_xor(CAST(conv(substring(md5(redacted), 1, 15), 16, 10) " +
+          "AS BIGINT))").as("xor_redacted"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
+          "AS BIGINT))").as("xor_raw"))
+      .select(col("source"), col("n_docs"), col("n_docs_changed"),
+        col("xor_redacted"), col("xor_raw"))
+      .orderBy("source")
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens, chars,
     * distinct-token ratio (type-token ratio). */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
@@ -1774,6 +1810,19 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q240_pii_redact" -> {
+      val red = PiiPatterns.foldLeft("text") { case (e, (nm, p)) =>
+        s"regexp_replace($e, '$p', '<${nm.toUpperCase}>', 'g')" }
+      s"""WITH r AS (SELECT source, text, $red AS redacted FROM documents)
+         |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(COUNT(CASE WHEN redacted <> text THEN 1 END) AS INTEGER)
+         |    AS n_docs_changed,
+         |  bit_xor(${graft.functions.TextPrims.hex60S("md5(redacted)")})
+         |    AS xor_redacted,
+         |  bit_xor(${graft.functions.TextPrims.hex60S("md5(text)")})
+         |    AS xor_raw
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
     "q239_pii_scan" -> {
       val cols = PiiPatterns.map { case (nm, p) =>
         s"len(regexp_extract_all(text, '$p')) AS c_$nm" }.mkString(", ")

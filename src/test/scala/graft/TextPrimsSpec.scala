@@ -587,4 +587,19 @@ class TextPrimsSpec extends SparkSpec {
       assert(out(("s3", nm)) === (0, 0), nm)
     }
   }
+
+  test("q240 redaction: planted hits rewrite to tags, clean text is " +
+      "byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val red = Seq(
+      "mail jane@x.io from 10.0.0.1 then dial 555-867-5309 ssn 078-05-1120",
+      "clean text stays clean, even with 2026 and 1.2.3")
+      .toDF("text")
+      .select(graft.text.TextOps.redactC(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(red(0) ===
+      "mail <EMAIL> from <IPV4> then dial <PHONE> ssn <SSN_LIKE>")
+    assert(red(1) === "clean text stays clean, even with 2026 and 1.2.3")
+  }
 }
