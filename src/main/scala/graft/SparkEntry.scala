@@ -577,6 +577,9 @@ object SparkEntry {
     // PII redaction: tag rewrite + xor content checksums per source
     "q240_pii_redact"         -> ((s, d) =>
       graft.text.TextOps.piiRedact(s, d)),
+    // next-fit sequence packing: utilization per source at 2048 tokens
+    "q241_seq_packing"        -> ((s, d) =>
+      graft.text.TextOps.seqPacking(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

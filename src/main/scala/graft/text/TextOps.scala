@@ -63,6 +63,58 @@ object TextOps {
   def piiScan(s: SparkSession, dir: String): DataFrame =
     piiScanOf(docs(s, dir).select("source", "text"))
 
+  /** q241: SEQUENCE-PACKING EFFICIENCY — the training-prep step that
+    * turns documents into fixed-budget training sequences: within each
+    * source, docs pack NEXT-FIT in doc_id order (the streaming-friendly
+    * policy a sharded packer actually runs — no lookahead, no
+    * reordering) into `budget`-token bins; a doc that doesn't fit
+    * starts a new sequence, and an over-budget doc occupies its own
+    * (overflowing) sequence. Reports, per source: docs, sequences,
+    * over-budget docs, total BPE tokens, and utilization
+    * total/(n_seqs·budget) — the padding-waste number that decides
+    * budget and shard policy.
+    *
+    * The per-source fold is genuinely sequential (each bin boundary
+    * depends on every earlier one — the capped-running-total recursion
+    * no window frame expresses), so this is one of the few typed
+    * `mapGroups` sites (SURVEY §2.11 policy: imperative logic only
+    * where it IS the semantics). Sources pack independently — the
+    * parallelism axis at 100 TB is the source/shard key, each group
+    * streams its iterator once in sorted order. Oracle: the identical
+    * recursion as a DuckDB RECURSIVE CTE (the q194 pattern,
+    * batch-side). */
+  def seqPacking(s: SparkSession, dir: String,
+                 budget: Int = 2048): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = s
+    import spark.implicits._
+    val toks = docs(s, dir).select(col("source"), col("doc_id"),
+      bpeTokensC(col("text")).as("toks"))
+      .as[(String, Long, Int)]
+    val packed = toks.groupByKey(_._1).mapGroups { (src, it) =>
+      val rows = it.toSeq.sortBy(_._2)
+      var fill = 0L
+      var seqs = 0L
+      var total = 0L
+      var overflow = 0L
+      rows.foreach { case (_, _, t) =>
+        total += t
+        if (t > budget) overflow += 1
+        if (seqs == 0L || fill + t > budget) { seqs += 1; fill = t.toLong }
+        else fill += t
+      }
+      (src, rows.size.toLong, seqs, overflow, total)
+    }.toDF("source", "n_docs", "n_seqs", "n_overflow", "total_tokens")
+    packed.select(col("source"),
+        col("n_docs").cast(IntegerType).as("n_docs"),
+        col("n_seqs").cast(IntegerType).as("n_seqs"),
+        col("n_overflow").cast(IntegerType).as("n_overflow"),
+        col("total_tokens").cast(IntegerType).as("total_tokens"),
+        round(col("total_tokens").cast(DoubleType) /
+          (col("n_seqs") * budget), 6).as("utilization"))
+      .orderBy("source")
+  }
+
   /** The q240 redaction transform over a text Column: each pattern
     * family's hits are replaced by its `<TYPE>` tag, families applied
     * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
@@ -1810,6 +1862,31 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q241_seq_packing" ->
+      s"""WITH RECURSIVE d AS (SELECT source,
+         |    ${graft.functions.TextPrims.bpeTokensS("text")} AS toks,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS rn
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, rn, toks, CAST(toks AS BIGINT) AS fill,
+         |    CAST(1 AS BIGINT) AS seq
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.rn, d.toks,
+         |    CASE WHEN p.fill + d.toks <= 2048
+         |      THEN p.fill + d.toks ELSE CAST(d.toks AS BIGINT) END,
+         |    CASE WHEN p.fill + d.toks <= 2048 THEN p.seq ELSE p.seq + 1
+         |      END
+         |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+         |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(MAX(seq) AS INTEGER) AS n_seqs,
+         |  CAST(COUNT(CASE WHEN toks > 2048 THEN 1 END) AS INTEGER)
+         |    AS n_overflow,
+         |  CAST(SUM(toks) AS INTEGER) AS total_tokens,
+         |  round(CAST(SUM(toks) AS DOUBLE) / (MAX(seq) * 2048), 6)
+         |    AS utilization
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "q240_pii_redact" -> {
       val red = PiiPatterns.foldLeft("text") { case (e, (nm, p)) =>
         s"regexp_replace($e, '$p', '<${nm.toUpperCase}>', 'g')" }

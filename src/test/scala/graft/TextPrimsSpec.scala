@@ -588,6 +588,36 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q241 packing: next-fit recounted in the driver, invariants hold") {
+    import org.apache.spark.sql.functions._
+    val budget = 2048
+    val rows = graft.text.TextOps.seqPacking(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, ns, tot) = (r.getAs[Int]("n_docs"), r.getAs[Int]("n_seqs"),
+        r.getAs[Int]("total_tokens"))
+      assert(ns >= 1 && ns <= nd) // never more sequences than docs
+      if (r.getAs[Int]("n_overflow") == 0)
+        assert(ns >= math.ceil(tot.toDouble / budget).toInt)
+      assert(math.abs(r.getAs[Double]("utilization") -
+        BigDecimal(tot.toDouble / (ns.toLong * budget))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // independent recount of one source's fold
+    val src = rows.head.getString(0)
+    val toks = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("source") === src).orderBy("doc_id")
+      .select(graft.functions.TextPrims.bpeTokensC(col("text")))
+      .collect().map(_.getInt(0))
+    var (fill, seqs) = (0L, 0)
+    toks.foreach { t =>
+      if (seqs == 0 || fill + t > budget) { seqs += 1; fill = t.toLong }
+      else fill += t
+    }
+    assert(rows.head.getAs[Int]("n_seqs") === seqs)
+    assert(rows.head.getAs[Int]("total_tokens") === toks.map(_.toLong).sum)
+  }
+
   test("q240 redaction: planted hits rewrite to tags, clean text is " +
       "byte-identical") {
     import spark.implicits._
