@@ -580,6 +580,9 @@ object SparkEntry {
     // next-fit sequence packing: utilization per source at 2048 tokens
     "q241_seq_packing"        -> ((s, d) =>
       graft.text.TextOps.seqPacking(s, d)),
+    // the whole curation pipeline as one query: per-stage attrition
+    "q242_curation_funnel"    -> ((s, d) =>
+      graft.text.TextOps.curationFunnel(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

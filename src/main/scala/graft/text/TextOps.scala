@@ -115,6 +115,43 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q242: CURATION FUNNEL — the whole release pipeline as ONE query
+    * with per-stage accounting: corpus → q23 quality gate → exact-dedup
+    * canonical keep → PII-clean gate (q240's redaction is a no-op on
+    * the kept text) → token-length band. Each row is (stage, docs,
+    * BPE tokens) — the attrition report every curation run publishes,
+    * and the end-to-end proof that the individually-verified stages
+    * COMPOSE (shared column exprs: qualityScoreC, redactC, bpeTokensC —
+    * the stages ARE the q23/q26/q240 operators, not re-spellings).
+    *
+    * Shape at 100 TB: one corpus scan computes every per-doc column,
+    * materialized once; the stages are filters + one hash-agg dedup
+    * keep (min doc_id per content hash) + five tiny aggregates. */
+  def curationFunnel(s: SparkSession, dir: String, qMin: Double = 0.5,
+                     minToks: Int = 10, maxToks: Int = 5000): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+        qualityScoreC.as("q"), bpeTokensC(col("text")).as("toks"),
+        md5(col("text")).as("h"),
+        (redactC(col("text")) === col("text")).as("clean"))
+      .localCheckpoint() // five stage aggregates + the keep set read it
+    val s1 = base.filter(col("q") >= qMin)
+    val keep = s1.groupBy("h").agg(min("doc_id").as("doc_id"))
+    val s2 = s1.join(keep, Seq("h", "doc_id"), "left_semi")
+    val s3 = s2.filter(col("clean"))
+    val s4 = s3.filter(col("toks") >= minToks && col("toks") <= maxToks)
+    def stage(nm: String, d: DataFrame) =
+      d.agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        coalesce(sum(col("toks")), lit(0L)).cast(IntegerType)
+          .as("n_tokens"))
+        .select(lit(nm).as("stage"), col("n_docs"), col("n_tokens"))
+    stage("0_corpus", base)
+      .unionByName(stage("1_quality", s1))
+      .unionByName(stage("2_exact_dedup", s2))
+      .unionByName(stage("3_pii_clean", s3))
+      .unionByName(stage("4_len_band", s4))
+      .orderBy("stage")
+  }
+
   /** The q240 redaction transform over a text Column: each pattern
     * family's hits are replaced by its `<TYPE>` tag, families applied
     * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
@@ -1862,6 +1899,38 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q242_curation_funnel" -> {
+      val red = PiiPatterns.foldLeft("text") { case (e, (nm, p)) =>
+        s"regexp_replace($e, '$p', '<${nm.toUpperCase}>', 'g')" }
+      def arm(nm: String, rel: String) =
+        s"""SELECT '$nm' AS stage, CAST(COUNT(*) AS INTEGER) AS n_docs,
+           |  CAST(COALESCE(SUM(toks), 0) AS INTEGER) AS n_tokens
+           |FROM $rel""".stripMargin
+      s"""WITH m0 AS (SELECT doc_id, text, $T AS t FROM documents),
+         |mq AS (SELECT doc_id, text, t,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |base AS (SELECT doc_id, $QualityScoreS AS q,
+         |    ${graft.functions.TextPrims.bpeTokensS("text")} AS toks,
+         |    md5(text) AS h, $red = text AS clean
+         |  FROM mq),
+         |s1 AS (SELECT * FROM base WHERE q >= 0.5),
+         |k AS (SELECT h, MIN(doc_id) AS doc_id FROM s1 GROUP BY h),
+         |s2 AS (SELECT s1.* FROM s1 JOIN k
+         |  ON s1.h = k.h AND s1.doc_id = k.doc_id),
+         |s3 AS (SELECT * FROM s2 WHERE clean),
+         |s4 AS (SELECT * FROM s3 WHERE toks BETWEEN 10 AND 5000)
+         |${arm("0_corpus", "base")}
+         |UNION ALL
+         |${arm("1_quality", "s1")}
+         |UNION ALL
+         |${arm("2_exact_dedup", "s2")}
+         |UNION ALL
+         |${arm("3_pii_clean", "s3")}
+         |UNION ALL
+         |${arm("4_len_band", "s4")}
+         |ORDER BY stage""".stripMargin
+    },
     "q241_seq_packing" ->
       s"""WITH RECURSIVE d AS (SELECT source,
          |    ${graft.functions.TextPrims.bpeTokensS("text")} AS toks,

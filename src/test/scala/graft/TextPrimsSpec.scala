@@ -588,6 +588,22 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q242 funnel: stages monotone, dedup keep matches a direct count") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextOps.curationFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("0_corpus", "1_quality",
+      "2_exact_dedup", "3_pii_clean", "4_len_band"))
+    val docsN = rows.map(_.getAs[Int]("n_docs"))
+    val toksN = rows.map(_.getAs[Int]("n_tokens"))
+    // a funnel only ever narrows
+    assert(docsN.zip(docsN.tail).forall { case (a, b) => a >= b })
+    assert(toksN.zip(toksN.tail).forall { case (a, b) => a >= b })
+    assert(docsN.head === graft.sources.Tables
+      .load(spark, sfDir, "documents").count())
+    // the fixture corpus is PII-free: the pii stage must drop nothing
+    assert(docsN(3) === docsN(2))
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
