@@ -1338,8 +1338,11 @@ object Dedup extends org.apache.spark.internal.Logging {
         coalesce(col("n_docs_flagged"), lit(0)).as("n_docs_flagged"),
         coalesce(col("n_tokens_flagged"), lit(0)).as("n_tokens_flagged"),
         col("n_tokens_total"),
-        round(coalesce(col("n_tokens_flagged"), lit(0)).cast(DoubleType) /
-          col("n_tokens_total"), 6).as("flagged_frac"))
+        // a token-free source makes the fraction 0/0 — NULL on both
+        // engines instead of an engine-specific NaN (q232 lesson)
+        round(when(col("n_tokens_total") > 0,
+          coalesce(col("n_tokens_flagged"), lit(0)).cast(DoubleType) /
+            col("n_tokens_total")), 6).as("flagged_frac"))
       .orderBy("source")
   }
 
@@ -1931,8 +1934,9 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  COALESCE(n_docs_flagged, 0) AS n_docs_flagged,
          |  COALESCE(n_tokens_flagged, 0) AS n_tokens_flagged,
          |  n_tokens_total,
-         |  round(CAST(COALESCE(n_tokens_flagged, 0) AS DOUBLE)
-         |    / n_tokens_total, 6) AS flagged_frac
+         |  round(CASE WHEN n_tokens_total > 0
+         |    THEN CAST(COALESCE(n_tokens_flagged, 0) AS DOUBLE)
+         |      / n_tokens_total END, 6) AS flagged_frac
          |FROM tot LEFT JOIN fagg ON tot.source = fagg.source
          |ORDER BY tot.source""".stripMargin,
   )
