@@ -583,6 +583,9 @@ object SparkEntry {
     // the whole curation pipeline as one query: per-stage attrition
     "q242_curation_funnel"    -> ((s, d) =>
       graft.text.TextOps.curationFunnel(s, d)),
+    // q235's amortized twin: build-once persisted IVFADC, probe-only
+    "q243_ivfadc_persisted"   -> ((s, d) =>
+      graft.ml.PqCodebook.ivfAdcPersisted(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

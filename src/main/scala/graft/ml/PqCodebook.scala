@@ -406,6 +406,140 @@ object PqCodebook {
     } finally { pts.unpersist(); () }
   }
 
+  /** q243: PERSISTED IVFADC — q235's amortized twin, closing the same
+    * loop q233 closed for raw-vector PQ: the combined index's artifacts
+    * (coarse centroids, per-block residual codebooks, codes partitioned
+    * by block with the coarse cell as a data column, the raw query
+    * vectors, and the exact ground truth) are trained and written ONCE
+    * into a content+mtime-keyed directory; every subsequent call
+    * answers the recall query from the reloaded artifacts alone — no
+    * Lloyd chain, no exact crossJoin. The probe-side LUT re-derives
+    * per-cell query residuals from the PERSISTED coarse centroids
+    * (elementwise subtraction commutes with sub-vector slicing, so the
+    * doubles are bit-identical to q235's live pipeline), and
+    * hash-equality against q235's oracle proves the round trip
+    * lossless. Steady-state cost is the q233 shape: narrow codes scan +
+    * broadcast LUT equi-join + hash-agg. */
+  val IvfAdcFormatVersion = "v1"
+
+  private def ivfAdcRoot(dir: String): java.nio.file.Path = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val canon = s"${src.getCanonicalPath}@${src.lastModified}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ivfadc|$IvfAdcFormatVersion|$canon".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-ivfadc-index-$key")
+  }
+
+  private def buildIvfAdcIndex(s: SparkSession, dir: String,
+                               root: java.nio.file.Path, k: Int): Unit = {
+    val staging = root.resolveSibling(root.getFileName.toString + ".staging")
+    rmIfPresent(staging)
+    val pts = LloydExact.points(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count()
+    try {
+      val coarse = LloydExact.centersFor(pts)
+      coarse.select(col("cluster"), col("c")).coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("coarse").toString)
+      val res = LloydExact.assign(pts, coarse)
+        .join(broadcast(coarse), Seq("cluster"))
+        .select(col("vec_id"), col("cluster").as("coarse"),
+          zip_with(col("e"), col("c"), (x, y) => x - y).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(Blocks)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          Await.result(Future.sequence((0 until Blocks).map { b =>
+            Future {
+              val sub = res.select(col("vec_id"),
+                slice(col("r"), b * SubDim + 1, SubDim).as("e"))
+              val centers = LloydExact.centersFor(sub)
+              centers.select(col("cluster"), col("c")).coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging.resolve(s"codebooks/block=$b").toString)
+              LloydExact.assign(sub, centers)
+                .select(col("vec_id"), col("cluster").as("code"))
+                .join(res.select(col("vec_id"), col("coarse")), "vec_id")
+                .write.mode("overwrite")
+                .parquet(staging.resolve(s"codes/block=$b").toString)
+            }
+          }), Duration(10, "min"))
+        } finally { pool.shutdownNow(); () }
+        pts.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(staging.resolve("queries").toString)
+        val q = pts.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val wEx = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("ed"), col("vec_id"))
+        pts.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("ed", dotp(col("qe"), col("qe")) -
+            lit(2.0) * dotp(col("qe"), col("e")) + dotp(col("e"), col("e")))
+          .withColumn("rk", row_number().over(wEx)).filter(col("rk") <= k)
+          .select("query_id", "vec_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(staging.resolve("truth").toString)
+      } finally { res.unpersist(); () }
+      rmIfPresent(root)
+      try { java.nio.file.Files.move(staging, root); () }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        rmIfPresent(staging) }
+    } finally { pts.unpersist(); () }
+  }
+
+  def ivfAdcPersisted(s: SparkSession, dir: String,
+                      k: Int = 10): DataFrame = {
+    val root = ivfAdcRoot(dir)
+    if (!java.nio.file.Files.isDirectory(root.resolve("truth")))
+      buildIvfAdcIndex(s, dir, root, k)
+    val coarse = s.read.parquet(root.resolve("coarse").toString)
+    val codebooks = s.read.parquet(root.resolve("codebooks").toString)
+    val codes = s.read.parquet(root.resolve("codes").toString)
+      .select(col("vec_id"), col("coarse"), col("block"), col("code"))
+    val queries = s.read.parquet(root.resolve("queries").toString)
+    val truth = s.read.parquet(root.resolve("truth").toString)
+    val qcell = queries.crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("cluster").as("coarse"),
+        zip_with(col("qe"), col("c"), (x, y) => x - y).as("qr"))
+    val lut = qcell
+      .withColumn("block", explode(array((0 until Blocks).map(lit): _*)))
+      .withColumn("qs",
+        slice(col("qr"), col("block") * SubDim + 1, lit(SubDim)))
+      .join(broadcast(codebooks), Seq("block"))
+      .select(col("query_id"), col("coarse"), col("block"),
+        col("cluster").as("code"),
+        round(dotp(col("qs"), col("qs")) -
+          lit(2.0) * dotp(col("qs"), col("c")) +
+          dotp(col("c"), col("c")), 9).as("d"))
+    val wPq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ad"), col("vec_id"))
+    val topAdc = codes.join(broadcast(lut), Seq("coarse", "block", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d").cast(DecimalType(28, 9))).as("adx"))
+      .withColumn("ad", col("adx").cast(DoubleType))
+      .withColumn("rk", row_number().over(wPq)).filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+    val common = topAdc.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("nc"))
+    truth.select("query_id").distinct()
+      .join(common, Seq("query_id"), "left")
+      .withColumn("n_common", coalesce(col("nc"), lit(0L)))
+      .select(col("query_id"),
+        col("n_common").cast(IntegerType).as("n_common"),
+        round(col("n_common").cast(DoubleType) / k, 6).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   def oracleSql: Map[String, String] = {
     import LloydExact.{dotS, Iters}
     val blockCtes = (0 until Blocks).map { b =>
@@ -484,7 +618,16 @@ object PqCodebook {
       // q233's oracle IS q211's: the persisted index must answer the
       // identical recall question — hash-equality proves the round-trip
       "q233_pq_adc_persisted" -> adcRecallSql,
-      "q235_ivfadc_recall" -> {
+      "q235_ivfadc_recall" -> ivfAdcSql,
+      // q243's oracle IS q235's: the persisted combined index must
+      // answer the identical recall question — hash-equality proves
+      // the round trip lossless
+      "q243_ivfadc_persisted" -> ivfAdcSql)
+  }
+
+  private lazy val ivfAdcSql: String = {
+    import LloydExact.{dotS, Iters}
+    {
         val coarseChain = LloydExact.lloydCtesFor(
           "SELECT vec_id, e FROM e0", "g")
         val resBlockChains = (0 until Blocks).map { b =>
@@ -555,6 +698,6 @@ object PqCodebook {
            |FROM (SELECT DISTINCT query_id FROM topex) q
            |LEFT JOIN common ON q.query_id = common.query_id
            |ORDER BY q.query_id""".stripMargin
-      })
+      }
   }
 }

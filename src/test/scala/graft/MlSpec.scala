@@ -284,6 +284,19 @@ class MlSpec extends SparkSpec {
     assert(mean > 2 * randomRecall, s"mean $mean vs random $randomRecall")
   }
 
+  test("q243 persisted IVFADC answers exactly like the live q235") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getDouble(2))
+    val live = graft.ml.PqCodebook.ivfAdcRecall(spark, sfDir)
+      .collect().map(key).toSeq
+    val persisted = graft.ml.PqCodebook.ivfAdcPersisted(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(persisted === live)
+    val again = graft.ml.PqCodebook.ivfAdcPersisted(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(again === live)
+  }
+
   test("q233 persisted PQ index answers exactly like the in-memory q211") {
     // the amortization contract: build-once artifacts reloaded from
     // parquet must reproduce the live pipeline row-for-row — codebook

@@ -340,6 +340,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q243 persisted-IVFADC probe: index-only scans; the only nested " +
+      "loop is the broadcast K-row coarse-centroid LUT derivation") {
+    val plan = planOf(graft.ml.PqCodebook.ivfAdcPersisted(spark, sfDir))
+    assert(plan.contains("graft-ivfadc-index"), plan)
+    assert(!plan.contains("embeddings"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // LUT derivation crossJoins 10 queries x K persisted centroids —
+    // broadcast-tiny by construction; the codes-side ADC join must be
+    // the hash join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q164 split leakage: bucket equi-join, no cross product") {
     val plan = planOf(
       graft.similarity.Similarity.crossSplitLeakage(spark, sfDir))
