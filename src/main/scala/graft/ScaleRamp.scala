@@ -58,7 +58,8 @@ object ScaleRamp {
     "pq_codebook"      -> "q201_pq_codebook",
     "stream_parity"    -> "q85_stream_parity",
     "column_profile"   -> "q152_column_profile",
-    "shared_spans"     -> "q237_shared_spans")
+    "shared_spans"     -> "q237_shared_spans",
+    "curation_funnel"  -> "q242_curation_funnel")
 
   def stage(s: SparkSession, baseDir: String, outDir: String,
             factor: Int): Unit = {
