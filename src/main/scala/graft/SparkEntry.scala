@@ -586,6 +586,9 @@ object SparkEntry {
     // q235's amortized twin: build-once persisted IVFADC, probe-only
     "q243_ivfadc_persisted"   -> ((s, d) =>
       graft.ml.PqCodebook.ivfAdcPersisted(s, d)),
+    // filter ablation: solo vs marginal cost per quality rule
+    "q244_filter_ablation"    -> ((s, d) =>
+      graft.text.TextOps.filterAblation(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -152,6 +152,83 @@ object TextOps {
       .orderBy("stage")
   }
 
+  /** q244: FILTER ABLATION MATRIX — the analysis a curation team runs
+    * BEFORE committing to a filter chain: for each named quality rule,
+    * (a) SOLO cost — docs/BPE tokens the rule would remove if applied
+    * alone, and (b) MARGINAL cost — docs/tokens it removes on top of
+    * every earlier rule in the declared order (fail_i AND pass_1..i-1).
+    * Solo≫marginal means the rule is mostly redundant with its
+    * predecessors; marginal≈solo means it carves an independent slice.
+    * Row 0 carries the corpus denominators so every percentage is
+    * derivable from the report alone.
+    *
+    * Rules (thresholds sit inside the fixture's measured quantile
+    * range so each rule bites without zeroing the corpus):
+    * 1_quality — q23 score < qMin; 2_diversity — type-token ratio
+    * < minTtr (degenerate repetition); 3_stopword — stopword ratio
+    * < minStop (non-prose); 4_len_band — BPE tokens outside
+    * [minToks, maxToks].
+    *
+    * Shape at 100 TB: one corpus scan computes every per-doc signal
+    * inside codegen, ONE hash-agg produces all 16 rule sums + 2
+    * denominators (no per-rule passes), and the tall report is a
+    * 5-row stack of that single aggregate row. All counts are integer
+    * sums, so the oracle matches exactly; the predicates compare
+    * 6-dp-rounded ratios on both engines (decimal rulebook). */
+  def filterAblation(s: SparkSession, dir: String, qMin: Double = 0.5,
+                     minTtr: Double = 0.35, minStop: Double = 0.02,
+                     minToks: Int = 20, maxToks: Int = 5000): DataFrame = {
+    val t = tokensC(col("text"))
+    val words = size(t).cast(DoubleType)
+    val per = docs(s, dir).select(
+      bpeTokensC(col("text")).as("toks"),
+      qualityScoreC.as("q"),
+      round(size(array_distinct(t)).cast(DoubleType) / words, 6).as("ttr"),
+      round(countInSetC(t, Stopwords).cast(DoubleType) / words, 6)
+        .as("stopr"))
+    val rules: Seq[(String, Column)] = Seq(
+      "1_quality"   -> (col("q") < qMin),
+      "2_diversity" -> (col("ttr") < minTtr),
+      "3_stopword"  -> (col("stopr") < minStop),
+      "4_len_band"  -> (col("toks") < minToks || col("toks") > maxToks))
+    val sums = rules.zipWithIndex.flatMap { case ((nm, fail), i) =>
+      val marg = rules.take(i).map(r => !r._2)
+        .foldLeft(fail) { case (c, pass) => c && pass }
+      Seq(
+        count(when(fail, lit(1))).cast(IntegerType).as(s"ds_$i"),
+        coalesce(sum(when(fail, col("toks"))), lit(0L))
+          .cast(IntegerType).as(s"ts_$i"),
+        count(when(marg, lit(1))).cast(IntegerType).as(s"dm_$i"),
+        coalesce(sum(when(marg, col("toks"))), lit(0L))
+          .cast(IntegerType).as(s"tm_$i"))
+    } ++ Seq(
+      count(lit(1)).cast(IntegerType).as("n_all"),
+      sum(col("toks")).cast(IntegerType).as("t_all"))
+    val stackArgs = (Seq("0, '0_corpus', n_all, t_all, n_all, t_all") ++
+      rules.zipWithIndex.map { case ((nm, _), i) =>
+        s"${i + 1}, '$nm', ds_$i, ts_$i, dm_$i, tm_$i" }).mkString(", ")
+    per.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${rules.length + 1}, $stackArgs) AS " +
+        "(rule_idx, rule, n_docs_solo, n_tokens_solo, " +
+        "n_docs_marg, n_tokens_marg)")
+      .selectExpr("CAST(rule_idx AS INTEGER) AS rule_idx", "rule",
+        "n_docs_solo", "n_tokens_solo", "n_docs_marg", "n_tokens_marg")
+      .orderBy("rule_idx")
+  }
+
+  /** The all-rules-pass predicate of [[filterAblation]]'s default
+    * thresholds over a raw `documents` relation — exposed so the spec
+    * can recount the survivor set independently of the stack plumbing. */
+  private[graft] def survivorPredicate: Column = {
+    val t = tokensC(col("text"))
+    val words = size(t).cast(DoubleType)
+    val toks = bpeTokensC(col("text"))
+    (qualityScoreC >= 0.5) &&
+      (round(size(array_distinct(t)).cast(DoubleType) / words, 6) >= 0.35) &&
+      (round(countInSetC(t, Stopwords).cast(DoubleType) / words, 6) >= 0.02) &&
+      (toks >= 20 && toks <= 5000)
+  }
+
   /** The q240 redaction transform over a text Column: each pattern
     * family's hits are replaced by its `<TYPE>` tag, families applied
     * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
@@ -1899,6 +1976,51 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q244_filter_ablation" -> {
+      val rules = Seq(
+        "1_quality"   -> "q < 0.5",
+        "2_diversity" -> "ttr < 0.35",
+        "3_stopword"  -> "stopr < 0.02",
+        "4_len_band"  -> "(toks < 20 OR toks > 5000)")
+      val flags = rules.zipWithIndex
+        .map { case ((_, p), i) => s"$p AS f$i" }.mkString(",\n    ")
+      val sums = rules.indices.flatMap { i =>
+        val marg = (s"f$i" +: (0 until i).map(j => s"NOT f$j"))
+          .mkString(" AND ")
+        Seq(
+          s"CAST(COUNT(CASE WHEN f$i THEN 1 END) AS INTEGER) AS ds_$i",
+          s"CAST(COALESCE(SUM(CASE WHEN f$i THEN toks END), 0) AS INTEGER) AS ts_$i",
+          s"CAST(COUNT(CASE WHEN $marg THEN 1 END) AS INTEGER) AS dm_$i",
+          s"CAST(COALESCE(SUM(CASE WHEN $marg THEN toks END), 0) AS INTEGER) AS tm_$i")
+      }.mkString(",\n    ")
+      val arms = (Seq(
+        "SELECT 0 AS rule_idx, '0_corpus' AS rule, n_all AS n_docs_solo, " +
+          "t_all AS n_tokens_solo, n_all AS n_docs_marg, " +
+          "t_all AS n_tokens_marg FROM a") ++
+        rules.zipWithIndex.map { case ((nm, _), i) =>
+          s"SELECT ${i + 1}, '$nm', ds_$i, ts_$i, dm_$i, tm_$i FROM a" })
+        .mkString("\nUNION ALL\n")
+      s"""WITH m0 AS (SELECT doc_id, text, $T AS t FROM documents),
+         |mq AS (SELECT doc_id, text, t,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |b AS (SELECT
+         |    ${graft.functions.TextPrims.bpeTokensS("text")} AS toks,
+         |    $QualityScoreS AS q,
+         |    round(CAST(len(list_distinct(t)) AS DOUBLE) / words, 6) AS ttr,
+         |    round(stops / words, 6) AS stopr
+         |  FROM mq),
+         |f AS (SELECT toks,
+         |    $flags
+         |  FROM b),
+         |a AS (SELECT
+         |    $sums,
+         |    CAST(COUNT(*) AS INTEGER) AS n_all,
+         |    CAST(SUM(toks) AS INTEGER) AS t_all
+         |  FROM f)
+         |$arms
+         |ORDER BY rule_idx""".stripMargin
+    },
     "q242_curation_funnel" -> {
       val red = PiiPatterns.foldLeft("text") { case (e, (nm, p)) =>
         s"regexp_replace($e, '$p', '<${nm.toUpperCase}>', 'g')" }

@@ -604,6 +604,43 @@ class TextPrimsSpec extends SparkSpec {
     assert(docsN(3) === docsN(2))
   }
 
+  test("q244 ablation: marginal<=solo, first rule marginal==solo, " +
+      "denominators and the quality rule recounted directly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextOps.filterAblation(spark, sfDir).collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("0_corpus", "1_quality",
+      "2_diversity", "3_stopword", "4_len_band"))
+    val corpus = rows.head
+    val docsDf = graft.sources.Tables.load(spark, sfDir, "documents")
+    assert(corpus.getAs[Int]("n_docs_solo") === docsDf.count())
+    val ruleRows = rows.tail
+    ruleRows.foreach { r =>
+      // a rule can never remove MORE after earlier rules already filtered
+      assert(r.getAs[Int]("n_docs_marg") <= r.getAs[Int]("n_docs_solo"),
+        r.getString(1))
+      assert(r.getAs[Int]("n_tokens_marg") <= r.getAs[Int]("n_tokens_solo"),
+        r.getString(1))
+      // thresholds were chosen so every rule bites on the fixture
+      assert(r.getAs[Int]("n_docs_solo") > 0, r.getString(1))
+      // ... without zeroing the corpus
+      assert(r.getAs[Int]("n_docs_solo") < corpus.getAs[Int]("n_docs_solo"),
+        r.getString(1))
+    }
+    // rule 1 sees the raw corpus: marginal IS solo
+    assert(ruleRows.head.getAs[Int]("n_docs_marg") ===
+      ruleRows.head.getAs[Int]("n_docs_solo"))
+    // marginal doc losses partition the removed set: their sum plus the
+    // survivor count must equal the corpus
+    val removed = ruleRows.map(_.getAs[Int]("n_docs_marg")).sum
+    val survivors = docsDf
+      .filter(graft.text.TextOps.survivorPredicate).count()
+    assert(removed + survivors === corpus.getAs[Int]("n_docs_solo"))
+    // independent recount of the quality rule's solo arm via q23's op
+    val qSolo = graft.text.TextOps.qualityScore(spark, sfDir)
+      .filter(col("quality_score") < 0.5).count()
+    assert(ruleRows.head.getAs[Int]("n_docs_solo") === qSolo)
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
