@@ -589,6 +589,9 @@ object SparkEntry {
     // filter ablation: solo vs marginal cost per quality rule
     "q244_filter_ablation"    -> ((s, d) =>
       graft.text.TextOps.filterAblation(s, d)),
+    // top principal component by bit-exact power iteration
+    "q245_pca_power"          -> ((s, d) =>
+      graft.ml.PcaPower.pcaPower(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -773,6 +776,7 @@ object SparkEntry {
     graft.ml.GiniStump.oracleSql ++
     graft.ml.Knn.oracleSql ++
     graft.ml.PqCodebook.oracleSql ++
+    graft.ml.PcaPower.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
       "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText,
       "q122_exists_churn" -> graft.sql.Catalog.ExistsChurnSqlText) ++ {

@@ -1,0 +1,166 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorExprs.dotp
+import graft.sources.Tables
+
+/** q245: TOP PRINCIPAL COMPONENT of the embedding covariance by power
+  * iteration — the spectral summary a training-data team reads before
+  * whitening, dimensionality reduction, or an anisotropy audit ("is the
+  * embedding space collapsing onto one direction?"). Reports, per
+  * dimension: the mean, the diagonal variance, and the dominant
+  * eigenvector loading, plus the leading eigenvalue and the explained
+  * variance ratio λ₁/trace(C).
+  *
+  * Bit-exact determinism (no RNG, no partition dependence):
+  *  - per-dimension means and the (j,k) covariance entries accumulate as
+  *    exact DECIMAL sums of doubles (the LloydExact convention — dyadic
+  *    rationals can't hit a decimal rounding tie), so C is identical on
+  *    1 core, 32 threads, or the DuckDB oracle;
+  *  - the iteration starts from the FIXED vector v₀ = (0.125,…) (exactly
+  *    representable: 1/√64) and runs a fixed `Iters` matrix-vector
+  *    products; every product row is the codegen'd fixed-fold
+  *    [[graft.functions.VectorExprs.dotp]], whose ascending left fold is
+  *    bit-identical to the oracle's `list_reduce` spelling;
+  *  - the eigenvector's sign is pinned by v₀, not normalized after the
+  *    fact — both engines walk the same orbit.
+  *
+  * Shape at 100 TB: ONE wide pass builds the D² covariance — the
+  * per-vector outer product explodes to D² terms that partial-aggregate
+  * map-side onto 4096 (j,k) keys, so the shuffle carries
+  * O(D²·partitions) rows regardless of corpus size. Everything after
+  * (the D-row matrix frame, the T D-dot iterations) is
+  * driver-scale-constant work expressed as tiny broadcast joins; no
+  * step ever materializes more than D² rows. */
+object PcaPower {
+  val Dim = 64
+  val Iters = 12
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("e"))
+
+  /** (pos, m) → 1-row frame with the D-array ordered by pos. */
+  private def toArr(df: DataFrame, pos: String, v: String,
+                    out: String): DataFrame =
+    df.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col(pos), col(v)))),
+        x => x.getField(v)).as(out))
+
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val n = p.count()
+    // exact decimal per-dimension means
+    val mu = p.select(posexplode(col("e")).as(Seq("pos", "val")))
+      .groupBy("pos")
+      .agg((sum(col("val").cast(DecimalType(28, 9))).cast(DoubleType) /
+        count(lit(1))).as("mu"))
+      .localCheckpoint()
+    val muArr = toArr(mu, "pos", "mu", "mu_arr")
+    // centered vectors, then the outer-product covariance: the explode
+    // partial-aggregates onto D^2 keys before any shuffle
+    val centered = p.crossJoin(broadcast(muArr))
+      .select(zip_with(col("e"), col("mu_arr"), (a, b) => a - b).as("c"))
+    val cov = centered
+      .select(col("c"), posexplode(col("c")).as(Seq("j", "cj")))
+      .select(col("j"),
+        posexplode(transform(col("c"), ck => col("cj") * ck))
+          .as(Seq("k", "prod")))
+      .groupBy("j", "k")
+      .agg((sum(col("prod").cast(DecimalType(28, 12))).cast(DoubleType) /
+        lit(n - 1).cast(DoubleType)).as("cov"))
+      .localCheckpoint() // read by the matrix frame, the diag and trace
+    val cRows = cov.groupBy("j")
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("cov")))),
+        x => x.getField("cov")).as("crow"))
+      .localCheckpoint() // read once per iteration
+    val trace = cov.filter(col("j") === col("k"))
+      .agg(sum(col("cov").cast(DecimalType(28, 12))).cast(DoubleType)
+        .as("tr"))
+    // power iteration from the exactly-representable v0 = 1/sqrt(D)
+    var v: DataFrame = s.range(1)
+      .select(array(Seq.fill(Dim)(lit(0.125)): _*).as("v"),
+        lit(0.0).as("nrm"))
+    for (_ <- 1 to Iters) {
+      val w = cRows.crossJoin(broadcast(v.select("v")))
+        .select(col("j"), dotp(col("crow"), col("v")).as("wj"))
+      v = toArr(w, "j", "wj", "w")
+        .select(col("w"), sqrt(dotp(col("w"), col("w"))).as("nrm"))
+        .select(transform(col("w"), x => x / col("nrm")).as("v"),
+          col("nrm"))
+        .localCheckpoint()
+    }
+    val perDim = v.select(posexplode(col("v")).as(Seq("dim", "loading")),
+      col("nrm"))
+    perDim
+      .join(mu.withColumnRenamed("pos", "dim"), "dim")
+      .join(cov.filter(col("j") === col("k"))
+        .select(col("j").as("dim"), col("cov").as("variance")), "dim")
+      .crossJoin(broadcast(trace))
+      .select(col("dim").cast(IntegerType).as("dim"),
+        round(col("mu"), 6).as("mu_dim"),
+        round(col("variance"), 6).as("var_dim"),
+        round(col("loading"), 6).as("loading"),
+        round(col("nrm"), 6).as("lambda1"),
+        round(col("nrm") / col("tr"), 6).as("explained"))
+      .orderBy("dim")
+  }
+
+  // ---------------------------------------------------------------- oracle
+  import LloydExact.dotS
+
+  def oracleSql: Map[String, String] = {
+    val iterCtes = (1 to Iters).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS (SELECT list(wj ORDER BY j) AS w FROM (
+         |  SELECT j, ${dotS("crow", "v")} AS wj FROM crows, $prev)),
+         |v$t AS (SELECT list_transform(w, x ->
+         |    x / sqrt(${dotS("w", "w")})) AS v,
+         |  sqrt(${dotS("w", "w")}) AS nrm FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    Map("q245_pca_power" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |x AS (SELECT vec_id, u['pos'] AS pos, u['val'] AS val FROM (
+         |  SELECT vec_id, unnest(list_transform(
+         |    generate_series(1, len(e)), i -> {'pos': i - 1, 'val': e[i]}))
+         |    AS u FROM e)),
+         |mu AS (SELECT pos,
+         |    CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+         |      AS mu
+         |  FROM x GROUP BY pos),
+         |cx AS (SELECT x.vec_id, x.pos AS j, x.val - mu.mu AS cv
+         |  FROM x JOIN mu ON x.pos = mu.pos),
+         |cov AS (SELECT a.j, b.j AS k,
+         |    CAST(SUM(CAST(a.cv * b.cv AS DECIMAL(28,12))) AS DOUBLE) /
+         |      ((SELECT COUNT(*) FROM e) - 1) AS cov
+         |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+         |  GROUP BY a.j, b.j),
+         |crows AS (SELECT j, list(cov ORDER BY k) AS crow
+         |  FROM cov GROUP BY j),
+         |tr AS (SELECT CAST(SUM(CAST(cov AS DECIMAL(28,12))) AS DOUBLE)
+         |    AS tr
+         |  FROM cov WHERE j = k),
+         |v0 AS (SELECT list_transform(generate_series(1, $Dim),
+         |    i -> CAST(0.125 AS DOUBLE)) AS v),
+         |$iterCtes,
+         |vd AS (SELECT u['dim'] AS dim, u['l'] AS loading FROM (
+         |  SELECT unnest(list_transform(generate_series(1, $Dim),
+         |    i -> {'dim': i - 1, 'l': v[i]})) AS u FROM v$Iters))
+         |SELECT CAST(vd.dim AS INTEGER) AS dim,
+         |  round(mu.mu, 6) AS mu_dim,
+         |  round(d.cov, 6) AS var_dim,
+         |  round(vd.loading, 6) AS loading,
+         |  round(v$Iters.nrm, 6) AS lambda1,
+         |  round(v$Iters.nrm / tr.tr, 6) AS explained
+         |FROM vd
+         |JOIN mu ON mu.pos = vd.dim
+         |JOIN cov d ON d.j = vd.dim AND d.k = vd.dim
+         |CROSS JOIN v$Iters CROSS JOIN tr
+         |ORDER BY dim""".stripMargin)
+  }
+}

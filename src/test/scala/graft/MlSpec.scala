@@ -314,4 +314,51 @@ class MlSpec extends SparkSpec {
       .collect().map(key).toSeq
     assert(again === live)
   }
+
+  test("q245 power iteration reproduced by an independent driver-side " +
+      "recompute; unit norm, eigen-residual, explained ratio") {
+    val rows = PcaPower.pcaPower(spark, sfDir).collect().sortBy(_.getInt(0))
+    assert(rows.length === PcaPower.Dim)
+    val v = rows.map(_.getAs[Double]("loading"))
+    val lambda = rows.head.getAs[Double]("lambda1")
+    val explained = rows.head.getAs[Double]("explained")
+    // unit eigenvector (loadings are 6-dp rounded: allow that slack)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-4)
+    assert(explained > 0.0 && explained <= 1.0)
+    // independent recompute: plain-double covariance + the same fixed
+    // 12-step orbit from v0 = 1/sqrt(D). Summation order differs from
+    // the engine's decimal path, so agreement at 1e-5 IS the evidence
+    // the operator computes the declared mathematical object, not an
+    // artifact of its own plumbing.
+    val d = PcaPower.Dim
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = e.length
+    val mu = Array.tabulate(d)(j => e.map(_(j)).sum / n)
+    val c = Array.tabulate(d, d) { (j, k) =>
+      e.map(r => (r(j) - mu(j)) * (r(k) - mu(k))).sum / (n - 1)
+    }
+    var vv = Array.fill(d)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to PcaPower.Iters) {
+      val w = Array.tabulate(d)(j =>
+        (0 until d).map(k => c(j)(k) * vv(k)).sum)
+      nrm = math.sqrt(w.map(x => x * x).sum)
+      vv = w.map(_ / nrm)
+    }
+    assert(math.abs(nrm - lambda) < 1e-5, s"lambda $lambda vs $nrm")
+    v.zip(vv).zipWithIndex.foreach { case ((a, b), j) =>
+      assert(math.abs(a - b) < 1e-5, s"loading[$j] $a vs $b")
+    }
+    // residual ||Cv - lambda*v|| is small relative to lambda: the orbit
+    // is near the dominant eigenvector, not just deterministic noise
+    val cv = Array.tabulate(d)(j => (0 until d).map(k => c(j)(k) * v(k)).sum)
+    val resid = math.sqrt(cv.zip(v).map { case (a, b) =>
+      val r = a - lambda * b; r * r }.sum)
+    assert(resid < 0.2 * lambda, s"residual $resid vs lambda $lambda")
+    // trace consistency: explained == lambda / sum(var_dim) within 6-dp
+    val trace = rows.map(_.getAs[Double]("var_dim")).sum
+    assert(math.abs(explained - lambda / trace) < 1e-4)
+  }
 }
