@@ -592,6 +592,9 @@ object SparkEntry {
     // top principal component by bit-exact power iteration
     "q245_pca_power"          -> ((s, d) =>
       graft.ml.PcaPower.pcaPower(s, d)),
+    // BPE tokenizer training: first 6 merge steps, relationally
+    "q246_bpe_merges"         -> ((s, d) =>
+      graft.text.BpeTrain.bpeMerges(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -777,6 +780,7 @@ object SparkEntry {
     graft.ml.Knn.oracleSql ++
     graft.ml.PqCodebook.oracleSql ++
     graft.ml.PcaPower.oracleSql ++
+    graft.text.BpeTrain.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
       "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText,
       "q122_exists_churn" -> graft.sql.Catalog.ExistsChurnSqlText) ++ {

@@ -1,0 +1,173 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextPrims._
+import graft.sources.Tables
+
+/** q246: BPE TOKENIZER TRAINING — the first `Merges` merge steps of
+  * byte-pair encoding over the corpus word-type table, as pure
+  * relational algebra. Each step: (1) count every adjacent symbol pair
+  * weighted by word frequency, (2) pick the most frequent pair (ties:
+  * lexicographically smallest), (3) rewrite every word's symbol
+  * sequence, merging occurrences greedily LEFTMOST NON-OVERLAPPING —
+  * the rule real BPE tokenizers apply. Reports, per step: the merged
+  * pair, its count, and the post-merge corpus symbol count + symbol
+  * vocabulary size (the compression curve a tokenizer team reads to
+  * size the merge table).
+  *
+  * The leftmost-non-overlap subtlety: two candidate matches can only
+  * overlap when left==right (a run "aaa" matches (a,a) at two adjacent
+  * positions but may merge only once). Runs of consecutive matches are
+  * grouped by the classic pos−rank key and every ODD match inside its
+  * run is suppressed — exactly the greedy scan a sequential tokenizer
+  * performs, but expressed as two window passes so it runs distributed.
+  *
+  * Determinism: integer arithmetic end to end (frequencies, counts,
+  * positions) — no float anywhere, so the DuckDB oracle (the identical
+  * algorithm as chained CTEs from the same spelling generator) matches
+  * exactly by construction.
+  *
+  * Shape at 100 TB: the state is the WORD-TYPE table (types × avg word
+  * length rows — millions, not trillions — after the one corpus-scan
+  * frequency agg), repartitioned by word so every per-step window and
+  * rewrite is a within-partition pass; the pair-count agg partial-
+  * aggregates map-side onto the tiny pair-key space; the per-step state
+  * is localCheckpoint'ed so `Merges` steps stay `Merges` jobs, not a
+  * nested-lineage replay. */
+object BpeTrain {
+  val Merges = 6
+
+  private def wordWin = Window.partitionBy("word").orderBy("pos")
+
+  /** (word, freq, pos, sym): the symbol table of a (word, freq) frame. */
+  private[graft] def symbolsOf(words: DataFrame): DataFrame =
+    words.filter(length(col("word")) > 0)
+      .select(col("word"), col("freq"),
+        posexplode(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as(Seq("pos0", "sym")))
+      .select(col("word"), col("freq"),
+        (col("pos0") + 1).cast(IntegerType).as("pos"), col("sym"))
+
+  private def symbols0(s: SparkSession, dir: String): DataFrame =
+    symbolsOf(Tables.load(s, dir, "documents")
+      .select(explode(tokensC(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq")))
+
+  /** One merge step: (post-merge symbol table, 1-row step report). */
+  private def step(tbl: DataFrame, stepNo: Int): (DataFrame, DataFrame) = {
+    val p = tbl.withColumn("nxt", lead("sym", 1).over(wordWin))
+    val best = p.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("l"), col("nxt").as("r"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(1)
+    val m = p.crossJoin(broadcast(best))
+      .withColumn("marked",
+        coalesce(col("sym") === col("l") && col("nxt") === col("r"),
+          lit(false)))
+      .withColumn("idx", sum(when(col("marked"), 1).otherwise(0))
+        .over(wordWin.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("runkey", when(col("marked"), col("pos") - col("idx")))
+      .withColumn("minidx", min(when(col("marked"), col("idx")))
+        .over(Window.partitionBy("word", "runkey")))
+      .withColumn("keep",
+        col("marked") && (col("idx") - col("minidx")) % 2 === 0)
+      .withColumn("consumed",
+        coalesce(lag("keep", 1).over(wordWin), lit(false)))
+    val next = m.filter(!col("consumed"))
+      .withColumn("sym2",
+        when(col("keep"), concat(col("l"), col("r"))).otherwise(col("sym")))
+      .select(col("word"), col("freq"),
+        row_number().over(wordWin).cast(IntegerType).as("pos"),
+        col("sym2").as("sym"))
+      .localCheckpoint()
+    val stats = next.agg(sum("freq").as("corpus_syms"),
+      countDistinct("sym").cast(IntegerType).as("sym_types"))
+    val report = best.crossJoin(stats)
+      .select(lit(stepNo).cast(IntegerType).as("step"),
+        col("l").as("lsym"), col("r").as("rsym"),
+        col("cnt").as("pair_count"), col("corpus_syms"), col("sym_types"))
+    (next, report)
+  }
+
+  /** The merge loop over an arbitrary symbol table — exposed so the
+    * spec can drive adversarial fixtures (same-symbol runs) through the
+    * exact production path. */
+  private[graft] def mergeLoop(symbols: DataFrame,
+                               merges: Int = Merges): DataFrame = {
+    var tbl = symbols.localCheckpoint()
+    var reports = Vector.empty[DataFrame]
+    for (i <- 1 to merges) {
+      val (next, report) = step(tbl, i)
+      tbl = next
+      reports :+= report
+    }
+    reports.reduce(_ unionByName _).orderBy("step")
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    mergeLoop(Tables.fanOut(symbols0(s, dir), "word"))
+
+  // ---------------------------------------------------------------- oracle
+  private val T = tokensS("text")
+
+  /** The per-step CTE block — the same algorithm as [[step]], spelled
+    * once and instantiated per iteration so Spark and oracle cannot
+    * drift. */
+  private def stepCtes(i: Int): String = {
+    val prev = s"t${i - 1}"
+    s"""p$i AS (SELECT word, freq, pos, sym,
+       |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM $prev),
+       |b$i AS (SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY cnt DESC, l, r LIMIT 1),
+       |m$i AS (SELECT p.word, p.freq, p.pos, p.sym, b.l, b.r, b.cnt,
+       |    COALESCE(p.sym = b.l AND p.nxt = b.r, FALSE) AS marked,
+       |    SUM(CASE WHEN COALESCE(p.sym = b.l AND p.nxt = b.r, FALSE)
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY p.word ORDER BY p.pos
+       |      ROWS UNBOUNDED PRECEDING) AS idx
+       |  FROM p$i p CROSS JOIN b$i b),
+       |k$i AS (SELECT *, CASE WHEN marked THEN pos - idx END AS runkey
+       |  FROM m$i),
+       |x$i AS (SELECT *, marked AND ((idx - MIN(CASE WHEN marked THEN idx
+       |      END) OVER (PARTITION BY word, runkey)) % 2 = 0) AS keep
+       |  FROM k$i),
+       |y$i AS (SELECT *, COALESCE(lag(keep) OVER (PARTITION BY word
+       |      ORDER BY pos), FALSE) AS consumed
+       |  FROM x$i),
+       |t$i AS (SELECT word, freq,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+       |      AS INTEGER) AS pos,
+       |    CASE WHEN keep THEN l || r ELSE sym END AS sym
+       |  FROM y$i WHERE NOT consumed),
+       |s$i AS (SELECT CAST($i AS INTEGER) AS step, b.l AS lsym,
+       |    b.r AS rsym, b.cnt AS pair_count, st.corpus_syms, st.sym_types
+       |  FROM b$i b CROSS JOIN (SELECT CAST(SUM(freq) AS BIGINT)
+       |      AS corpus_syms,
+       |    CAST(COUNT(DISTINCT sym) AS INTEGER) AS sym_types FROM t$i) st)"""
+      .stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q246_bpe_merges" -> {
+      val steps = (1 to Merges).map(stepCtes).mkString(",\n")
+      val arms = (1 to Merges).map(i => s"SELECT * FROM s$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest($T) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word),
+         |t0 AS (SELECT word, freq, CAST(u['pos'] AS INTEGER) AS pos,
+         |    u['sym'] AS sym
+         |  FROM (SELECT word, freq, unnest(list_transform(
+         |    generate_series(1, length(word)),
+         |    i -> {'pos': i, 'sym': substr(word, i, 1)})) AS u FROM w)),
+         |$steps
+         |$arms
+         |ORDER BY step""".stripMargin
+    })
+}

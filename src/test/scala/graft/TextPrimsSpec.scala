@@ -641,6 +641,70 @@ class TextPrimsSpec extends SparkSpec {
     assert(ruleRows.head.getAs[Int]("n_docs_solo") === qSolo)
   }
 
+  test("q246 BPE: greedy leftmost non-overlap on same-symbol runs, " +
+      "counts and rewrites checked by hand") {
+    import spark.implicits._
+    // "aaaa"/"aaaaa" exercise the l==r overlap rule; "ab" the plain case
+    val words = Seq(("aaaa", 3L), ("aaaaa", 2L), ("ab", 10L))
+      .toDF("word", "freq")
+    val out = graft.text.BpeTrain
+      .mergeLoop(graft.text.BpeTrain.symbolsOf(words), 2)
+      .collect()
+    val s1 = out(0)
+    // (a,a) counted at every adjacent position: 3·3 + 4·2 = 17 > (a,b) 10
+    assert((s1.getAs[String]("lsym"), s1.getAs[String]("rsym")) === ("a", "a"))
+    assert(s1.getAs[Long]("pair_count") === 17L)
+    // greedy leftmost: aaaa→[aa,aa], aaaaa→[aa,aa,a] (odd tail survives),
+    // ab untouched: corpus = 3·2 + 2·3 + 10·2 = 32
+    assert(s1.getAs[Long]("corpus_syms") === 32L)
+    assert(s1.getAs[Int]("sym_types") === 3) // {aa, a, b}
+    val s2 = out(1)
+    // now (aa,aa)=3+2=5, (aa,a)=2, (a,b)=10 → best (a,b)
+    assert((s2.getAs[String]("lsym"), s2.getAs[String]("rsym")) === ("a", "b"))
+    assert(s2.getAs[Long]("pair_count") === 10L)
+    assert(s2.getAs[Long]("corpus_syms") === 22L)
+    assert(s2.getAs[Int]("sym_types") === 3) // {aa, a, ab}
+  }
+
+  test("q246 corpus merges equal a classic sequential BPE " +
+      "reimplementation run on the driver") {
+    val freqs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(explode(TextPrims.tokensC(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // classic mutable-scan BPE: the imperative algorithm the relational
+    // operator claims to equal
+    var table: Map[Vector[String], Long] =
+      freqs.map { case (w, f) => w.toVector.map(_.toString) -> f }
+    val expected = (1 to graft.text.BpeTrain.Merges).map { step =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- table; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((l, r), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      table = table.toSeq.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2 // greedy leftmost, skip consumed
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> f
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      val corpus = table.map { case (syms, f) => syms.length * f }.sum
+      val types = table.keys.flatten.toSet.size
+      (step, l, r, cnt, corpus, types)
+    }
+    val got = graft.text.BpeTrain.bpeMerges(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lsym"),
+        r.getAs[String]("rsym"), r.getAs[Long]("pair_count"),
+        r.getAs[Long]("corpus_syms"), r.getAs[Int]("sym_types"))).toSeq
+    assert(got === expected)
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
