@@ -595,6 +595,9 @@ object SparkEntry {
     // BPE tokenizer training: first 6 merge steps, relationally
     "q246_bpe_merges"         -> ((s, d) =>
       graft.text.BpeTrain.bpeMerges(s, d)),
+    // 15th streaming surface: stream-stream LEFT SEMI interval join
+    "q247_semi_join_parity"   -> ((s, d) =>
+      graft.streaming.EventStream.semiJoinParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

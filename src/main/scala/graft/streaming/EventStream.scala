@@ -347,27 +347,48 @@ object EventStream {
     * watermark passes the range bound, so state is O(rate × horizon)
     * regardless of how long the streams run — the property that makes the
     * join viable on an unbounded 100 TB/day firehose. */
-  def correlateStreams(clicks: DataFrame, errors: DataFrame,
-                       watermark: String = "2 hours",
-                       rangeSec: Long = 30 * 60,
-                       joinType: String = "inner"): DataFrame = {
-    val c = clicks.filter(col("event_type") === "click")
+  private def clickSide(clicks: DataFrame, watermark: String): DataFrame =
+    clicks.filter(col("event_type") === "click")
       .withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
-    val e = errors.filter(col("event_type") === "error")
+
+  private def errorSide(errors: DataFrame, watermark: String): DataFrame =
+    errors.filter(col("event_type") === "error")
       .withWatermark("ts", watermark)
       .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
         col("ts").as("error_ts"))
-    c.join(e,
-        col("user_id") === col("err_user") &&
-          col("error_ts") >= col("click_ts") &&
-          col("error_ts") <= col("click_ts") +
-            expr(s"INTERVAL $rangeSec SECONDS"),
-        joinType)
+
+  private def intervalCond(rangeSec: Long) =
+    col("user_id") === col("err_user") &&
+      col("error_ts") >= col("click_ts") &&
+      col("error_ts") <= col("click_ts") +
+        expr(s"INTERVAL $rangeSec SECONDS")
+
+  def correlateStreams(clicks: DataFrame, errors: DataFrame,
+                       watermark: String = "2 hours",
+                       rangeSec: Long = 30 * 60,
+                       joinType: String = "inner"): DataFrame =
+    clickSide(clicks, watermark)
+      .join(errorSide(errors, watermark), intervalCond(rangeSec), joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("error_id"), col("error_ts"))
-  }
+
+  /** Stream-stream LEFT SEMI interval join: each click emitted ONCE iff
+    * the same user raised at least one error within `rangeSec` seconds
+    * after it — the alerting/eligibility shape ("did X follow?") where
+    * the consumer needs the fact, not the matching rows. Semi joins
+    * keep the same four keyed state stores as the inner form and evict
+    * by the identical watermark arithmetic, but the left row leaves
+    * state at its FIRST match — output cardinality is bounded by the
+    * click stream, never the match multiplicity, which is what makes
+    * the shape safe when one click can correlate with thousands of
+    * errors on an unbounded firehose. */
+  def correlateSemi(clicks: DataFrame, errors: DataFrame,
+                    watermark: String = "2 hours",
+                    rangeSec: Long = 30 * 60): DataFrame =
+    clickSide(clicks, watermark)
+      .join(errorSide(errors, watermark), intervalCond(rangeSec), "left_semi")
 
   /** q85 — oracle-checked streaming parity: the SAME hourly aggregation as
     * q21 (`Relational.tumblingWindowAgg`), executed INCREMENTALLY by
@@ -575,6 +596,45 @@ object EventStream {
         "q109 interval-join stream did not terminate within 300 s")
       s.read.parquet(tmp.resolve("out").toString)
         .orderBy("click_id", "error_id")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
+  /** q247 — oracle-checked stream-stream LEFT-SEMI interval-join parity
+    * (15th streaming surface; q109 = inner, q135 = left outer, this =
+    * the one join type whose EMISSION rule differs from both: a row
+    * fires on its first match and is then retired from state). Like
+    * q109, no sentinel staging is needed — a semi match is emitted in
+    * the micro-batch where it is found, the watermark only bounds
+    * state — and because the output is raw click columns there is no
+    * DECIMAL routing. The oracle is the batch EXISTS over the same
+    * window: hash-equality proves first-match-once semantics (a
+    * duplicate emission per extra error, or a dropped click, both
+    * break the hash). */
+  def semiJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q247")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(in.toString)
+      val matched = correlateSemi(
+        fileSource(s, in.toString), fileSource(s, in.toString))
+      q = toParquet(matched, tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q247 semi-join stream did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .orderBy("click_id")
         .localCheckpoint()
     } finally {
       s.conf.set(partsKey, partsPrev)
@@ -1300,6 +1360,15 @@ object EventStream {
         |  AND c.user_id = e.user_id
         |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, error_id""".stripMargin,
+    "q247_semi_join_parity" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM events c
+        |WHERE c.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.event_type = 'error' AND e.user_id = c.user_id
+        |    AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE)
+        |ORDER BY click_id""".stripMargin,
     "q111_dedup_parity" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  COUNT(*) AS n,

@@ -298,6 +298,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q247 semi join emits a multiply-matched click ONCE, " +
+      "unmatched clicks never") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    clicks.addData(
+      Event(10, ts(0), 7, "click", 1.0), // two in-range errors → ONE row
+      Event(11, ts(60), 7, "click", 1.0), // no error within 30 min after
+      Event(12, ts(0), 9, "click", 1.0)) // other user, no errors
+    errors.addData(
+      Event(20, ts(10), 7, "error", 0.0), // in range for click 10
+      Event(21, ts(20), 7, "error", 0.0), // ALSO in range for click 10
+      Event(22, ts(5), 8, "error", 0.0)) // user without clicks
+    val matched = EventStream.correlateSemi(
+      clicks.toDS().toDF(), errors.toDS().toDF())
+    val q = matched.writeStream.format("memory").queryName("semi_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("semi_out").select("click_id").collect()
+        .map(_.getLong(0)).sorted
+      // first-match-once: the double match may NOT duplicate click 10
+      assert(out.toSeq === Seq(10L))
+    } finally q.stop()
+  }
+
   test("dedupStream drops in-watermark re-deliveries, keeps distinct keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
