@@ -598,6 +598,9 @@ object SparkEntry {
     // 15th streaming surface: stream-stream LEFT SEMI interval join
     "q247_semi_join_parity"   -> ((s, d) =>
       graft.streaming.EventStream.semiJoinParity(s, d)),
+    // second principal component by deflation, same bit-exact orbit
+    "q248_pca_deflate"        -> ((s, d) =>
+      graft.ml.PcaPower.pcaDeflate(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

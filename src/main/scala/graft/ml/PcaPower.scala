@@ -50,21 +50,22 @@ object PcaPower {
       .agg(transform(array_sort(collect_list(struct(col(pos), col(v)))),
         x => x.getField(v)).as(out))
 
-  def pcaPower(s: SparkSession, dir: String): DataFrame = {
-    val p = pts(s, dir)
-    val n = p.count()
-    // exact decimal per-dimension means
-    val mu = p.select(posexplode(col("e")).as(Seq("pos", "val")))
+  /** Exact-decimal per-dimension means of (vec_id, e). */
+  private def meansOf(p: DataFrame): DataFrame =
+    p.select(posexplode(col("e")).as(Seq("pos", "val")))
       .groupBy("pos")
       .agg((sum(col("val").cast(DecimalType(28, 9))).cast(DoubleType) /
         count(lit(1))).as("mu"))
       .localCheckpoint()
+
+  /** The (j, k, cov) covariance entries — exact-decimal sums of centered
+    * products; the explode partial-aggregates onto D² keys before any
+    * shuffle. */
+  private def covOf(p: DataFrame, mu: DataFrame, n: Long): DataFrame = {
     val muArr = toArr(mu, "pos", "mu", "mu_arr")
-    // centered vectors, then the outer-product covariance: the explode
-    // partial-aggregates onto D^2 keys before any shuffle
     val centered = p.crossJoin(broadcast(muArr))
       .select(zip_with(col("e"), col("mu_arr"), (a, b) => a - b).as("c"))
-    val cov = centered
+    centered
       .select(col("c"), posexplode(col("c")).as(Seq("j", "cj")))
       .select(col("j"),
         posexplode(transform(col("c"), ck => col("cj") * ck))
@@ -73,14 +74,19 @@ object PcaPower {
       .agg((sum(col("prod").cast(DecimalType(28, 12))).cast(DoubleType) /
         lit(n - 1).cast(DoubleType)).as("cov"))
       .localCheckpoint() // read by the matrix frame, the diag and trace
-    val cRows = cov.groupBy("j")
+  }
+
+  /** (j, crow): the D-row matrix frame of a (j, k, cov) entry set. */
+  private def rowsOf(cov: DataFrame): DataFrame =
+    cov.groupBy("j")
       .agg(transform(array_sort(collect_list(struct(col("k"), col("cov")))),
         x => x.getField("cov")).as("crow"))
       .localCheckpoint() // read once per iteration
-    val trace = cov.filter(col("j") === col("k"))
-      .agg(sum(col("cov").cast(DecimalType(28, 12))).cast(DoubleType)
-        .as("tr"))
-    // power iteration from the exactly-representable v0 = 1/sqrt(D)
+
+  /** `Iters` power-iteration steps from v0 = (0.125,…): a 1-row frame
+    * (v, nrm) — the unit vector and the final pre-normalization norm
+    * (the eigenvalue estimate). */
+  private def iterate(s: SparkSession, cRows: DataFrame): DataFrame = {
     var v: DataFrame = s.range(1)
       .select(array(Seq.fill(Dim)(lit(0.125)): _*).as("v"),
         lit(0.0).as("nrm"))
@@ -93,6 +99,22 @@ object PcaPower {
           col("nrm"))
         .localCheckpoint()
     }
+    v
+  }
+
+  private def traceOf(cov: DataFrame): DataFrame =
+    cov.filter(col("j") === col("k"))
+      .agg(sum(col("cov").cast(DecimalType(28, 12))).cast(DoubleType)
+        .as("tr"))
+
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val n = p.count()
+    val mu = meansOf(p)
+    val cov = covOf(p, mu, n)
+    val cRows = rowsOf(cov)
+    val trace = traceOf(cov)
+    val v = iterate(s, cRows)
     val perDim = v.select(posexplode(col("v")).as(Seq("dim", "loading")),
       col("nrm"))
     perDim
@@ -109,45 +131,95 @@ object PcaPower {
       .orderBy("dim")
   }
 
+  /** q248: SECOND PRINCIPAL COMPONENT by DEFLATION — the same fixed
+    * orbit run again on C₂ = C − λ₁·v₁v₁ᵀ. Reports both loadings per
+    * dimension, both eigenvalue estimates, the cumulative explained
+    * ratio, and the v₁·v₂ orthogonality dot — the number that certifies
+    * the deflation actually removed the first direction. Every deflated
+    * entry is the literal double expression `cov − nrm·v[j+1]·v[k+1]`
+    * spelled identically in both engines, so determinism carries over
+    * from q245 unchanged. */
+  def pcaDeflate(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val n = p.count()
+    val cov = covOf(p, meansOf(p), n)
+    val trace = traceOf(cov)
+    val v1 = iterate(s, rowsOf(cov))
+    val cov2 = cov.crossJoin(broadcast(v1))
+      .select(col("j"), col("k"),
+        (col("cov") - col("nrm") * expr("element_at(v, j + 1)") *
+          expr("element_at(v, k + 1)")).as("cov"))
+    val v2 = iterate(s, rowsOf(cov2))
+    val combo = v1.select(col("v").as("v1"), col("nrm").as("l1"))
+      .crossJoin(v2.select(col("v").as("v2"), col("nrm").as("l2")))
+      .select(col("v1"), col("v2"), col("l1"), col("l2"),
+        dotp(col("v1"), col("v2")).as("ortho"))
+    combo
+      .select(posexplode(arrays_zip(col("v1"), col("v2")))
+          .as(Seq("dim", "z")),
+        col("l1"), col("l2"), col("ortho"))
+      .crossJoin(broadcast(trace))
+      .select(col("dim").cast(IntegerType).as("dim"),
+        round(col("z.v1"), 6).as("loading1"),
+        round(col("z.v2"), 6).as("loading2"),
+        round(col("l1"), 6).as("lambda1"),
+        round(col("l2"), 6).as("lambda2"),
+        round((col("l1") + col("l2")) / col("tr"), 6).as("cum_explained"),
+        round(col("ortho"), 6).as("ortho_dot"))
+      .orderBy("dim")
+  }
+
   // ---------------------------------------------------------------- oracle
   import LloydExact.dotS
 
-  def oracleSql: Map[String, String] = {
-    val iterCtes = (1 to Iters).map { t =>
-      val prev = if (t == 1) "v0" else s"v${t - 1}"
-      s"""w$t AS (SELECT list(wj ORDER BY j) AS w FROM (
-         |  SELECT j, ${dotS("crow", "v")} AS wj FROM crows, $prev)),
-         |v$t AS (SELECT list_transform(w, x ->
+  /** The shared covariance CTE block (e, x, mu, cx, cov, crows, tr). */
+  private def baseCtes: String =
+    s"""e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |x AS (SELECT vec_id, u['pos'] AS pos, u['val'] AS val FROM (
+       |  SELECT vec_id, unnest(list_transform(
+       |    generate_series(1, len(e)), i -> {'pos': i - 1, 'val': e[i]}))
+       |    AS u FROM e)),
+       |mu AS (SELECT pos,
+       |    CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+       |      AS mu
+       |  FROM x GROUP BY pos),
+       |cx AS MATERIALIZED (SELECT x.vec_id, x.pos AS j, x.val - mu.mu AS cv
+       |  FROM x JOIN mu ON x.pos = mu.pos),
+       |cov AS MATERIALIZED (SELECT a.j, b.j AS k,
+       |    CAST(SUM(CAST(a.cv * b.cv AS DECIMAL(28,12))) AS DOUBLE) /
+       |      ((SELECT COUNT(*) FROM e) - 1) AS cov
+       |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+       |  GROUP BY a.j, b.j),
+       |crows AS MATERIALIZED (SELECT j, list(cov ORDER BY k) AS crow
+       |  FROM cov GROUP BY j),
+       |tr AS (SELECT CAST(SUM(CAST(cov AS DECIMAL(28,12))) AS DOUBLE)
+       |    AS tr
+       |  FROM cov WHERE j = k)""".stripMargin
+
+  /** A `p`-prefixed power-iteration CTE chain over matrix frame
+    * `crowsRel` — ${p}v0 … ${p}v`Iters`. Every step is MATERIALIZED:
+    * each ${p}v CTE is referenced three times by its successor, so
+    * DuckDB's default inlining would expand the chain 3^Iters-fold. */
+  private def iterChain(p: String, crowsRel: String): String = {
+    val steps = (1 to Iters).map { t =>
+      val prev = s"${p}v${t - 1}"
+      s"""${p}w$t AS MATERIALIZED (SELECT list(wj ORDER BY j) AS w FROM (
+         |  SELECT j, ${dotS("crow", "v")} AS wj FROM $crowsRel, $prev)),
+         |${p}v$t AS MATERIALIZED (SELECT list_transform(w, x ->
          |    x / sqrt(${dotS("w", "w")})) AS v,
-         |  sqrt(${dotS("w", "w")}) AS nrm FROM w$t)""".stripMargin
+         |  sqrt(${dotS("w", "w")}) AS nrm FROM ${p}w$t)""".stripMargin
     }.mkString(",\n")
-    Map("q245_pca_power" ->
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |x AS (SELECT vec_id, u['pos'] AS pos, u['val'] AS val FROM (
-         |  SELECT vec_id, unnest(list_transform(
-         |    generate_series(1, len(e)), i -> {'pos': i - 1, 'val': e[i]}))
-         |    AS u FROM e)),
-         |mu AS (SELECT pos,
-         |    CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
-         |      AS mu
-         |  FROM x GROUP BY pos),
-         |cx AS (SELECT x.vec_id, x.pos AS j, x.val - mu.mu AS cv
-         |  FROM x JOIN mu ON x.pos = mu.pos),
-         |cov AS (SELECT a.j, b.j AS k,
-         |    CAST(SUM(CAST(a.cv * b.cv AS DECIMAL(28,12))) AS DOUBLE) /
-         |      ((SELECT COUNT(*) FROM e) - 1) AS cov
-         |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id
-         |  GROUP BY a.j, b.j),
-         |crows AS (SELECT j, list(cov ORDER BY k) AS crow
-         |  FROM cov GROUP BY j),
-         |tr AS (SELECT CAST(SUM(CAST(cov AS DECIMAL(28,12))) AS DOUBLE)
-         |    AS tr
-         |  FROM cov WHERE j = k),
-         |v0 AS (SELECT list_transform(generate_series(1, $Dim),
-         |    i -> CAST(0.125 AS DOUBLE)) AS v),
-         |$iterCtes,
+    s"""${p}v0 AS (SELECT list_transform(generate_series(1, $Dim),
+       |    i -> CAST(0.125 AS DOUBLE)) AS v),
+       |$steps""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q245_pca_power" ->
+      s"""WITH $baseCtes,
+         |${iterChain("", "crows")},
          |vd AS (SELECT u['dim'] AS dim, u['l'] AS loading FROM (
          |  SELECT unnest(list_transform(generate_series(1, $Dim),
          |    i -> {'dim': i - 1, 'l': v[i]})) AS u FROM v$Iters))
@@ -161,6 +233,27 @@ object PcaPower {
          |JOIN mu ON mu.pos = vd.dim
          |JOIN cov d ON d.j = vd.dim AND d.k = vd.dim
          |CROSS JOIN v$Iters CROSS JOIN tr
+         |ORDER BY dim""".stripMargin,
+    "q248_pca_deflate" ->
+      s"""WITH $baseCtes,
+         |${iterChain("", "crows")},
+         |cov2 AS MATERIALIZED (SELECT c.j, c.k,
+         |    c.cov - v.nrm * v.v[c.j + 1] * v.v[c.k + 1] AS cov
+         |  FROM cov c CROSS JOIN v$Iters v),
+         |crows2 AS MATERIALIZED (SELECT j, list(cov ORDER BY k) AS crow
+         |  FROM cov2 GROUP BY j),
+         |${iterChain("b", "crows2")},
+         |vd AS (SELECT u['dim'] AS dim, u['l1'] AS l1, u['l2'] AS l2
+         |  FROM (SELECT unnest(list_transform(generate_series(1, $Dim),
+         |    i -> {'dim': i - 1, 'l1': a.v[i], 'l2': b.v[i]})) AS u
+         |  FROM v$Iters a CROSS JOIN bv$Iters b))
+         |SELECT CAST(vd.dim AS INTEGER) AS dim,
+         |  round(vd.l1, 6) AS loading1,
+         |  round(vd.l2, 6) AS loading2,
+         |  round(a.nrm, 6) AS lambda1,
+         |  round(b.nrm, 6) AS lambda2,
+         |  round((a.nrm + b.nrm) / tr.tr, 6) AS cum_explained,
+         |  round(${dotS("a.v", "b.v")}, 6) AS ortho_dot
+         |FROM vd CROSS JOIN v$Iters a CROSS JOIN bv$Iters b CROSS JOIN tr
          |ORDER BY dim""".stripMargin)
-  }
 }
