@@ -601,6 +601,9 @@ object SparkEntry {
     // second principal component by deflation, same bit-exact orbit
     "q248_pca_deflate"        -> ((s, d) =>
       graft.ml.PcaPower.pcaDeflate(s, d)),
+    // learned-merge compression per source: the q246 eval step
+    "q249_bpe_compression"    -> ((s, d) =>
+      graft.text.BpeTrain.bpeCompression(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -112,6 +112,43 @@ object BpeTrain {
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     mergeLoop(Tables.fanOut(symbols0(s, dir), "word"))
 
+  /** q249: BPE COMPRESSION — the evaluation that justifies a merge
+    * table: apply q246's learned merges back to the corpus and report,
+    * per source, the words / post-merge symbols / characters totals and
+    * the two ratios a tokenizer team tracks — chars-per-symbol (how
+    * much text each symbol carries; 1.0 = no compression) and
+    * symbols-per-word (the q167 fertility analogue under the LEARNED
+    * vocabulary instead of a fixed regex). Sources whose spelling the
+    * merges fit compress harder — the per-source spread is the
+    * domain-mismatch signal.
+    *
+    * Shape at 100 TB: the merge loop runs on the word-TYPE table (q246,
+    * types not instances); application back to the corpus is a
+    * broadcast-size join of per-type symbol lengths against the
+    * per-(source, word) count aggregate — one corpus scan, integer
+    * arithmetic end to end. */
+  def bpeCompression(s: SparkSession, dir: String): DataFrame = {
+    var tbl = Tables.fanOut(symbols0(s, dir), "word").localCheckpoint()
+    for (i <- 1 to Merges) tbl = step(tbl, i)._1
+    val symLen = tbl.groupBy("word")
+      .agg(count(lit(1)).cast(IntegerType).as("sym_len"))
+    val wordCnt = Tables.load(s, dir, "documents")
+      .select(col("source"), explode(tokensC(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    wordCnt.join(symLen, "word")
+      .groupBy("source")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("sym_len")).as("n_syms"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_syms"), col("n_chars"),
+        round(col("n_chars").cast(DoubleType) / col("n_syms"), 6)
+          .as("chars_per_sym"),
+        round(col("n_syms").cast(DoubleType) / col("n_words"), 6)
+          .as("syms_per_word"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- oracle
   private val T = tokensS("text")
 
@@ -153,21 +190,43 @@ object BpeTrain {
       .stripMargin
   }
 
+  /** The shared corpus + merge-chain CTE prefix (w, t0, step CTEs). */
+  private def chainCtes: String = {
+    val steps = (1 to Merges).map(stepCtes).mkString(",\n")
+    s"""w AS (SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest($T) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |t0 AS (SELECT word, freq, CAST(u['pos'] AS INTEGER) AS pos,
+       |    u['sym'] AS sym
+       |  FROM (SELECT word, freq, unnest(list_transform(
+       |    generate_series(1, length(word)),
+       |    i -> {'pos': i, 'sym': substr(word, i, 1)})) AS u FROM w)),
+       |$steps""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q246_bpe_merges" -> {
-      val steps = (1 to Merges).map(stepCtes).mkString(",\n")
       val arms = (1 to Merges).map(i => s"SELECT * FROM s$i")
         .mkString("\nUNION ALL\n")
-      s"""WITH w AS (SELECT word, COUNT(*) AS freq FROM (
-         |    SELECT unnest($T) AS word FROM documents)
-         |  WHERE length(word) > 0 GROUP BY word),
-         |t0 AS (SELECT word, freq, CAST(u['pos'] AS INTEGER) AS pos,
-         |    u['sym'] AS sym
-         |  FROM (SELECT word, freq, unnest(list_transform(
-         |    generate_series(1, length(word)),
-         |    i -> {'pos': i, 'sym': substr(word, i, 1)})) AS u FROM w)),
-         |$steps
+      s"""WITH $chainCtes
          |$arms
          |ORDER BY step""".stripMargin
-    })
+    },
+    "q249_bpe_compression" ->
+      s"""WITH $chainCtes,
+         |sl AS (SELECT word, CAST(COUNT(*) AS INTEGER) AS sym_len
+         |  FROM t$Merges GROUP BY word),
+         |wc AS (SELECT source, word, COUNT(*) AS cnt FROM (
+         |    SELECT source, unnest($T) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY source, word)
+         |SELECT wc.source,
+         |  CAST(SUM(wc.cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(wc.cnt * sl.sym_len) AS BIGINT) AS n_syms,
+         |  CAST(SUM(wc.cnt * length(wc.word)) AS BIGINT) AS n_chars,
+         |  round(CAST(SUM(wc.cnt * length(wc.word)) AS DOUBLE) /
+         |    SUM(wc.cnt * sl.sym_len), 6) AS chars_per_sym,
+         |  round(CAST(SUM(wc.cnt * sl.sym_len) AS DOUBLE) /
+         |    SUM(wc.cnt), 6) AS syms_per_word
+         |FROM wc JOIN sl ON wc.word = sl.word
+         |GROUP BY wc.source ORDER BY wc.source""".stripMargin)
 }

@@ -705,6 +705,37 @@ class TextPrimsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q249 compression: merges only shrink, totals recounted directly") {
+    import spark.implicits._
+    val rows = graft.text.BpeTrain.bpeCompression(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, sy, ch) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_syms"),
+        r.getAs[Long]("n_chars"))
+      // a merge never lengthens: chars >= symbols >= words
+      assert(ch >= sy && sy >= w, r.getString(0))
+      assert(r.getAs[Double]("chars_per_sym") >= 1.0)
+      assert(r.getAs[Double]("syms_per_word") >= 1.0)
+      // 6 merges on this corpus must actually compress something
+    }
+    assert(rows.map(_.getAs[Long]("n_syms")).sum <
+      rows.map(_.getAs[Long]("n_chars")).sum)
+    // n_chars recounted straight off the corpus, bypassing the merge loop
+    val direct = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(TextPrims.tokensC(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source").agg(sum(length(col("word"))).as("ch"),
+        count(lit(1)).as("w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (ch, w) = direct(r.getString(0))
+      assert(r.getAs[Long]("n_chars") === ch)
+      assert(r.getAs[Long]("n_words") === w)
+    }
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
