@@ -604,6 +604,9 @@ object SparkEntry {
     // learned-merge compression per source: the q246 eval step
     "q249_bpe_compression"    -> ((s, d) =>
       graft.text.BpeTrain.bpeCompression(s, d)),
+    // leave-one-source-out corpus impact: totals-minus-source valuation
+    "q250_loo_source_impact"  -> ((s, d) =>
+      graft.text.TextOps.looSourceImpact(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -229,6 +229,49 @@ object TextOps {
       (toks >= 20 && toks <= 5000)
   }
 
+  /** q250: LEAVE-ONE-SOURCE-OUT IMPACT — the cheapest useful data
+    * valuation: for every source, the corpus-level mean quality and
+    * mean BPE-token length IF that source were dropped, and the delta
+    * against the full-corpus mean. A source whose removal RAISES mean
+    * quality is a net drag; the token delta shows whether it also
+    * shifts the length profile. Exact totals-minus-source arithmetic —
+    * no second corpus pass per source, which is what makes LOO viable
+    * over thousands of sources at 100 TB: one scan, one source-level
+    * agg, one broadcast of the 1-row totals.
+    *
+    * Determinism: quality quantizes to micro-units (q140's convention)
+    * so sums are exact BIGINTs; the derived means stay UNROUNDED (the
+    * q55 precedent — identical input doubles need no rounding to
+    * hash-match, and re-rounding a mean splits at .5 boundaries). */
+  def looSourceImpact(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir).select(col("source"),
+      (qualityScoreC.cast(DecimalType(18, 6)) * 1000000)
+        .cast(LongType).as("qmu"),
+      bpeTokensC(col("text")).cast(LongType).as("toks"))
+    val bySrc = per.groupBy("source")
+      .agg(count(lit(1)).as("ns"), sum("qmu").as("sq"),
+        sum("toks").as("st"))
+      .localCheckpoint() // read by the totals agg and the report
+    val tot = bySrc.agg(sum("ns").as("n"), sum("sq").as("totq"),
+      sum("st").as("tott"))
+    val gq = col("totq").cast(DoubleType) / col("n") / lit(1000000.0)
+    val lq = (col("totq") - col("sq")).cast(DoubleType) /
+      (col("n") - col("ns")) / lit(1000000.0)
+    val gt = col("tott").cast(DoubleType) / col("n")
+    val lt = (col("tott") - col("st")).cast(DoubleType) /
+      (col("n") - col("ns"))
+    val some = col("n") > col("ns") // single-source corpus: NULL, not inf
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("ns").cast(IntegerType).as("n_docs"),
+        gq.as("glob_mean_q"),
+        when(some, lq).as("loo_mean_q"),
+        when(some, lq - gq).as("delta_mean_q"),
+        gt.as("glob_mean_toks"),
+        when(some, lt).as("loo_mean_toks"),
+        when(some, lt - gt).as("delta_mean_toks"))
+      .orderBy("source")
+  }
+
   /** The q240 redaction transform over a text Column: each pattern
     * family's hits are replaced by its `<TYPE>` tag, families applied
     * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
@@ -1976,6 +2019,37 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q250_loo_source_impact" ->
+      s"""WITH m0 AS (SELECT source, text, $T AS t FROM documents),
+         |mq AS (SELECT source, text, t,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |per AS (SELECT source,
+         |    CAST(CAST($QualityScoreS AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS qmu,
+         |    CAST(${graft.functions.TextPrims.bpeTokensS("text")}
+         |      AS BIGINT) AS toks
+         |  FROM mq),
+         |b AS (SELECT source, COUNT(*) AS ns,
+         |    CAST(SUM(qmu) AS BIGINT) AS sq,
+         |    CAST(SUM(toks) AS BIGINT) AS st
+         |  FROM per GROUP BY source),
+         |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n,
+         |    CAST(SUM(sq) AS BIGINT) AS totq,
+         |    CAST(SUM(st) AS BIGINT) AS tott FROM b)
+         |SELECT b.source, CAST(b.ns AS INTEGER) AS n_docs,
+         |  CAST(totq AS DOUBLE) / n / 1000000.0 AS glob_mean_q,
+         |  CASE WHEN n > ns THEN CAST(totq - sq AS DOUBLE) / (n - ns)
+         |    / 1000000.0 END AS loo_mean_q,
+         |  CASE WHEN n > ns THEN CAST(totq - sq AS DOUBLE) / (n - ns)
+         |      / 1000000.0 - CAST(totq AS DOUBLE) / n / 1000000.0
+         |    END AS delta_mean_q,
+         |  CAST(tott AS DOUBLE) / n AS glob_mean_toks,
+         |  CASE WHEN n > ns THEN CAST(tott - st AS DOUBLE) / (n - ns)
+         |    END AS loo_mean_toks,
+         |  CASE WHEN n > ns THEN CAST(tott - st AS DOUBLE) / (n - ns)
+         |      - CAST(tott AS DOUBLE) / n END AS delta_mean_toks
+         |FROM b CROSS JOIN tot ORDER BY b.source""".stripMargin,
     "q244_filter_ablation" -> {
       val rules = Seq(
         "1_quality"   -> "q < 0.5",

@@ -736,6 +736,35 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q250 LOO impact: deltas consistent, one source recounted by an " +
+      "actual leave-out pass") {
+    import spark.implicits._
+    val rows = graft.text.TextOps.looSourceImpact(spark, sfDir).collect()
+    val docsDf = graft.sources.Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Int]("n_docs")).sum === docsDf.count())
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("delta_mean_q") -
+        (r.getAs[Double]("loo_mean_q") - r.getAs[Double]("glob_mean_q")))
+        < 1e-12, r.getString(0))
+      assert(math.abs(r.getAs[Double]("delta_mean_toks") -
+        (r.getAs[Double]("loo_mean_toks") -
+          r.getAs[Double]("glob_mean_toks"))) < 1e-12, r.getString(0))
+    }
+    // the totals-minus-source shortcut vs an ACTUAL second pass without
+    // the source — the identity the operator's scale story rests on
+    val src = rows.head.getString(0)
+    val ids = docsDf.filter(col("source") =!= src).select("doc_id")
+    val loo = graft.text.TextOps.qualityScore(spark, sfDir)
+      .join(ids, "doc_id")
+      .agg((sum((col("quality_score").cast(
+          org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+        .cast(org.apache.spark.sql.types.LongType)).cast(
+          org.apache.spark.sql.types.DoubleType) /
+        count(lit(1)) / lit(1000000.0)).as("m"))
+      .collect().head.getDouble(0)
+    assert(math.abs(rows.head.getAs[Double]("loo_mean_q") - loo) < 1e-12)
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
