@@ -607,6 +607,9 @@ object SparkEntry {
     // leave-one-source-out corpus impact: totals-minus-source valuation
     "q250_loo_source_impact"  -> ((s, d) =>
       graft.text.TextOps.looSourceImpact(s, d)),
+    // all-pairs KS + Benjamini-Hochberg FDR at q=0.05
+    "q251_ks_fdr"             -> ((s, d) =>
+      graft.analytics.Advanced.ksFdr(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1057,6 +1057,82 @@ object Advanced {
         .as("scaled_d"))
   }
 
+  /** q251: ALL-PAIRS KS + BENJAMINI–HOCHBERG FDR — the multiple-testing
+    * step q209 stops short of: the KS statistic for EVERY event-type
+    * pair, an asymptotic p-value, and BH-adjusted p-values with a 5%
+    * FDR verdict — the report that decides which distribution shifts
+    * are real when dozens of pairs are screened at once.
+    *
+    * p-values use the Numerical-Recipes asymptotic: λ = (√nₑ + 0.12 +
+    * 0.11/√nₑ)·D with nₑ = n_a·n_b/(n_a+n_b), and the alternating
+    * series 2·Σ(−1)^{k−1}e^{−2k²λ²} TRUNCATED at 5 terms — a fixed
+    * IEEE expression, with each exp() term rounded 9-dp at the row
+    * (the q183 ln rule: libm exp is not guaranteed cross-engine
+    * bit-identical; the series sum of rounded terms is). BH is pure
+    * window algebra: rank by p, raw_i = p·m/i, adjusted = the reverse
+    * running minimum, clamped to 1.
+    *
+    * Shape at 100 TB: values quantize to micro-units; the per-(type,
+    * value) agg collapses the fact table; the |V|×|T| ECDF grid and the
+    * |V|×T² pair comparison are bounded by distinct values × a handful
+    * of types, and the BH window runs on T² rows. */
+  def ksFdr(s: SparkSession, dir: String): DataFrame =
+    ksFdrOf(t(s, dir, "events"))
+
+  /** [[ksFdr]] over an arbitrary (event_type, value) frame — exposed so
+    * the spec can drive a planted-shift fixture through the exact
+    * production path. */
+  private[graft] def ksFdrOf(events: DataFrame): DataFrame = {
+    val vq = (col("value").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val pv = events
+      .select(col("event_type"), vq.as("vq"))
+      .groupBy("event_type", "vq").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid + totals + distinct values all read it
+    val vals = pv.select("vq").distinct()
+    val types = pv.groupBy("event_type").agg(sum("n").as("ntot"))
+    val grid = types.crossJoin(vals)
+      .join(pv, Seq("event_type", "vq"), "left")
+      .na.fill(0L, Seq("n"))
+    val cum = grid.withColumn("c",
+      sum("n").over(Window.partitionBy("event_type").orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val f = cum.select(col("event_type"), col("ntot"), col("vq"),
+      (col("c").cast(DoubleType) / col("ntot")).as("fv"))
+    val a = f.select(col("event_type").as("type_a"), col("ntot").as("na"),
+      col("vq"), col("fv").as("fa"))
+    val b = f.select(col("event_type").as("type_b"), col("ntot").as("nb"),
+      col("vq"), col("fv").as("fb"))
+    val d = a.join(b, Seq("vq")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b", "na", "nb")
+      .agg(max(abs(col("fa") - col("fb"))).as("d"))
+    val sq = sqrt(col("na").cast(DoubleType) * col("nb") /
+      (col("na") + col("nb")).cast(DoubleType))
+    val lam = (sq + lit(0.12) + lit(0.11) / sq) * col("d")
+    val withLam = d.withColumn("lam", lam)
+    def term(k: Int) = round(exp(lit(-2.0 * k * k) *
+      col("lam") * col("lam")), 9)
+    val p = least(lit(1.0), greatest(lit(0.0),
+      lit(2.0) * (term(1) - term(2) + term(3) - term(4) + term(5))))
+    val ranked = withLam.withColumn("p", p)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("p"), col("type_a"), col("type_b"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy()))
+    val adj = ranked.withColumn("madj",
+      min(col("p") * col("m") / col("rnk")).over(
+        Window.orderBy(col("rnk").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    adj.select(col("type_a"), col("type_b"),
+        col("na").cast(IntegerType).as("n_a"),
+        col("nb").cast(IntegerType).as("n_b"),
+        col("d").as("d_stat"), col("lam").as("lambda"),
+        col("p").as("p_value"), col("rnk").cast(IntegerType).as("rnk"),
+        least(lit(1.0), col("madj")).as("p_adj"),
+        (least(lit(1.0), col("madj")) <= 0.05).as("significant"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q205: PSI DRIFT — the Population Stability Index, the production
     * standard for feature-distribution monitoring: decile boundaries
     * are fit on a REFERENCE window (days 1–15), both windows' values
@@ -3014,6 +3090,57 @@ object Advanced {
         |    sqrt(nad * nbd / 12 *
         |      ((ntd + 1) - tsd / (ntd * (ntd - 1)))) AS z
         |FROM f ORDER BY event_type""".stripMargin,
+    "q251_ks_fdr" -> {
+      val terms = Seq(1, 2, 3, 4, 5).map(k =>
+        s"round(exp(${-2.0 * k * k} * lam * lam), 9)")
+      val series = s"(${terms(0)} - ${terms(1)} + ${terms(2)} - " +
+        s"${terms(3)} + ${terms(4)})"
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
+         |  FROM events),
+         |pv AS (SELECT event_type, vq, COUNT(*) AS n
+         |  FROM e GROUP BY event_type, vq),
+         |vals AS (SELECT DISTINCT vq FROM pv),
+         |types AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS ntot
+         |  FROM pv GROUP BY event_type),
+         |grid AS (SELECT t.event_type, t.ntot, v.vq,
+         |    COALESCE(pv.n, 0) AS n
+         |  FROM types t CROSS JOIN vals v
+         |  LEFT JOIN pv ON pv.event_type = t.event_type AND pv.vq = v.vq),
+         |cum AS (SELECT event_type, ntot, vq,
+         |    SUM(n) OVER (PARTITION BY event_type ORDER BY vq
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM grid),
+         |f AS (SELECT event_type, ntot, vq,
+         |    CAST(c AS DOUBLE) / ntot AS fv
+         |  FROM cum),
+         |d AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.ntot AS na, b.ntot AS nb, MAX(ABS(a.fv - b.fv)) AS d
+         |  FROM f a JOIN f b ON a.vq = b.vq AND a.event_type < b.event_type
+         |  GROUP BY 1, 2, 3, 4),
+         |l AS (SELECT *,
+         |    (sqrt(CAST(na AS DOUBLE) * nb / CAST(na + nb AS DOUBLE))
+         |      + 0.12 + 0.11 / sqrt(CAST(na AS DOUBLE) * nb /
+         |        CAST(na + nb AS DOUBLE))) * d AS lam
+         |  FROM d),
+         |pp AS (SELECT *,
+         |    LEAST(1.0, GREATEST(0.0, 2.0 * $series)) AS p
+         |  FROM l),
+         |ranked AS (SELECT *,
+         |    ROW_NUMBER() OVER (ORDER BY p, type_a, type_b) AS rnk,
+         |    COUNT(*) OVER () AS m
+         |  FROM pp),
+         |adj AS (SELECT *,
+         |    MIN(p * m / rnk) OVER (ORDER BY rnk DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS madj
+         |  FROM ranked)
+         |SELECT type_a, type_b, CAST(na AS INTEGER) AS n_a,
+         |  CAST(nb AS INTEGER) AS n_b, d AS d_stat, lam AS lambda,
+         |  p AS p_value, CAST(rnk AS INTEGER) AS rnk,
+         |  LEAST(1.0, madj) AS p_adj,
+         |  LEAST(1.0, madj) <= 0.05 AS significant
+         |FROM adj ORDER BY type_a, type_b""".stripMargin
+    },
     "q209_ks_two_sample" ->
       """WITH e AS (SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq

@@ -812,4 +812,40 @@ class AdvancedSpec extends SparkSpec {
       assert(r.getAs[Int]("n_ab") >= 3)
     }
   }
+
+  test("q251 KS+BH: planted shift flagged, null pair not; BH algebra " +
+      "recomputed on the driver") {
+    import spark.implicits._
+    // A and B share a distribution; C is shifted by +5 — only the two
+    // C-pairs should survive the 5% FDR
+    val rows = (0 until 400).flatMap { i =>
+      val v = (i % 100) / 10.0
+      Seq(("A", v), ("B", v), ("C", v + 5.0))
+    }.toDF("event_type", "value")
+    val out = Advanced.ksFdrOf(rows).collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(!byPair(("A", "B")).getAs[Boolean]("significant"))
+    assert(byPair(("A", "C")).getAs[Boolean]("significant"))
+    assert(byPair(("B", "C")).getAs[Boolean]("significant"))
+    // identical samples ⇒ D = 0 exactly, p = 1
+    assert(byPair(("A", "B")).getAs[Double]("d_stat") === 0.0)
+    assert(byPair(("A", "B")).getAs[Double]("p_value") === 1.0)
+    // BH recomputed from the reported raw p's: sort ascending, reverse
+    // running min of p*m/i, clamp at 1 — must reproduce p_adj exactly
+    val m = out.length
+    val sorted = out.sortBy(_.getAs[Int]("rnk"))
+    val raw = sorted.map(r =>
+      r.getAs[Double]("p_value") * m / r.getAs[Int]("rnk"))
+    val adj = raw.scanRight(Double.MaxValue)(math.min).init
+      .map(math.min(1.0, _))
+    sorted.zip(adj).foreach { case (r, e) =>
+      assert(math.abs(r.getAs[Double]("p_adj") - e) < 1e-12,
+        s"${r.getString(0)}-${r.getString(1)}")
+    }
+    // p_adj >= p always, and never above 1
+    out.foreach { r =>
+      assert(r.getAs[Double]("p_adj") >= r.getAs[Double]("p_value") - 1e-12)
+      assert(r.getAs[Double]("p_adj") <= 1.0)
+    }
+  }
 }
