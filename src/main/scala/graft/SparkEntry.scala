@@ -610,6 +610,9 @@ object SparkEntry {
     // all-pairs KS + Benjamini-Hochberg FDR at q=0.05
     "q251_ks_fdr"             -> ((s, d) =>
       graft.analytics.Advanced.ksFdr(s, d)),
+    // isotonic (PAV) calibration of quality vs is-English rate
+    "q252_isotonic_calibration" -> ((s, d) =>
+      graft.text.TextOps.isotonicCalibration(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -272,6 +272,74 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q252: ISOTONIC CALIBRATION (pool-adjacent-violators) — monotone
+    * calibration of the q23 quality score against a binary outcome
+    * (here: "is the doc English?"), the regression step behind every
+    * calibrated quality-classifier threshold. Docs rank into `bins`
+    * equal-frequency score bins; the empirical positive rate per bin is
+    * then isotonic-regressed via the MINIMAX CLOSED FORM
+    * iso(i) = max_{j≤i} min_{k≥j} avg(rate over bins j..k) — provably
+    * equal to sequential PAV (the spec re-proves it per run against a
+    * classic stack implementation), but expressed as pure relational
+    * algebra: prefix sums + a bins² pair join + two running extremes.
+    *
+    * Determinism: bin assignment is ntile over the total order
+    * (6-dp score, doc_id); pooled averages are int/int doubles; min/max
+    * of identical doubles. Shape: everything after binning runs on a
+    * `bins`-row frame (bins³ on 20 rows is constant). The global ntile
+    * is a single-partition window — exact and fine to ~10⁸ rows; the
+    * 100 TB substitution is percentile BOUNDARY binning (the q205 PSI
+    * pattern: one percentile agg + a broadcast boundary array), which
+    * trades per-bin equal counts at score ties for a shuffle-free scan.
+    * The isotonic algebra downstream is identical either way. */
+  def isotonicCalibration(s: SparkSession, dir: String,
+                          bins: Int = 20): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"),
+      (qualityScoreC.cast(DecimalType(18, 6)) * 1000000)
+        .cast(LongType).as("qmu"),
+      (col("lang") === "en").cast(LongType).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qmu"), col("doc_id")) // TOTAL order: ntile is stable
+    val binned = scored
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("e"), sum("qmu").as("sq"))
+      .localCheckpoint() // feeds prefix frame + report join
+    val pw = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val prefix = binned
+      .select(col("bin"), sum("n").over(pw).as("cn"),
+        sum("e").over(pw).as("ce"))
+    val zero = s.sql("SELECT 0 AS bin, CAST(0 AS BIGINT) AS cn, " +
+      "CAST(0 AS BIGINT) AS ce")
+    val p = prefix.unionByName(zero)
+    val kk = p.select(col("bin").as("k"), col("cn").as("nk"),
+      col("ce").as("ek")).filter(col("k") >= 1)
+    val jj = p.select(col("bin").as("j0"), col("cn").as("nj"),
+      col("ce").as("ej"))
+    val avg = kk.join(jj, col("j0") < col("k"))
+      .select((col("j0") + 1).as("j"), col("k"),
+        ((col("ek") - col("ej")).cast(DoubleType) /
+          (col("nk") - col("nj")).cast(DoubleType)).as("a"))
+    val mj = avg.groupBy("j").agg(min("a").as("m"))
+    val iso = mj.withColumn("iso",
+      max("m").over(org.apache.spark.sql.expressions.Window.orderBy("j")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    binned.join(iso, col("bin") === col("j"))
+      .select(col("bin").cast(IntegerType).as("bin"),
+        col("n").cast(IntegerType).as("n_docs"),
+        col("e").cast(IntegerType).as("n_pos"),
+        (col("sq").cast(DoubleType) / col("n") / lit(1000000.0))
+          .as("bin_mean_q"),
+        (col("e").cast(DoubleType) / col("n")).as("rate"),
+        col("iso").as("iso_rate"))
+      .orderBy("bin")
+  }
+
   /** The q240 redaction transform over a text Column: each pattern
     * family's hits are replaced by its `<TYPE>` tag, families applied
     * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
@@ -2019,6 +2087,46 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q252_isotonic_calibration" ->
+      s"""WITH m0 AS (SELECT doc_id, lang, text, $T AS t FROM documents),
+         |mq AS (SELECT doc_id, lang, text, t,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |scored AS (SELECT doc_id,
+         |    CAST(CAST($QualityScoreS AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS qmu,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM mq),
+         |binned AS (SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT)
+         |      AS e, CAST(SUM(qmu) AS BIGINT) AS sq
+         |  FROM (SELECT qmu, pos,
+         |      NTILE(20) OVER (ORDER BY qmu, doc_id) AS bin
+         |    FROM scored)
+         |  GROUP BY bin),
+         |prefix AS (SELECT bin,
+         |    CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         |    CAST(SUM(e) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ce
+         |  FROM binned),
+         |p AS (SELECT * FROM prefix
+         |  UNION ALL SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         |avgs AS (SELECT jj.bin + 1 AS j, kk.bin AS k,
+         |    CAST(kk.ce - jj.ce AS DOUBLE) / CAST(kk.cn - jj.cn AS DOUBLE)
+         |      AS a
+         |  FROM p kk JOIN p jj ON jj.bin < kk.bin WHERE kk.bin >= 1),
+         |mj AS (SELECT j, MIN(a) AS m FROM avgs GROUP BY j),
+         |iso AS (SELECT j, MAX(m) OVER (ORDER BY j ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS iso
+         |  FROM mj)
+         |SELECT CAST(b.bin AS INTEGER) AS bin,
+         |  CAST(b.n AS INTEGER) AS n_docs,
+         |  CAST(b.e AS INTEGER) AS n_pos,
+         |  CAST(b.sq AS DOUBLE) / b.n / 1000000.0 AS bin_mean_q,
+         |  CAST(b.e AS DOUBLE) / b.n AS rate,
+         |  iso.iso AS iso_rate
+         |FROM binned b JOIN iso ON b.bin = iso.j
+         |ORDER BY bin""".stripMargin,
     "q250_loo_source_impact" ->
       s"""WITH m0 AS (SELECT source, text, $T AS t FROM documents),
          |mq AS (SELECT source, text, t,

@@ -765,6 +765,39 @@ class TextPrimsSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("loo_mean_q") - loo) < 1e-12)
   }
 
+  test("q252 isotonic: minimax fit equals classic stack PAV, monotone, " +
+      "mass-preserving") {
+    val rows = graft.text.TextOps.isotonicCalibration(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length === 20)
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    // monotone nondecreasing
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b + 1e-12 })
+    // PAV preserves the weighted total: sum n*iso == sum positives
+    val mass = rows.map(r =>
+      r.getAs[Int]("n_docs") * r.getAs[Double]("iso_rate")).sum
+    val pos = rows.map(_.getAs[Int]("n_pos").toLong).sum
+    assert(math.abs(mass - pos) < 1e-6, s"$mass vs $pos")
+    // the minimax closed form vs the classic sequential stack PAV
+    val stack = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    rows.foreach { r =>
+      var (w, s2) = (r.getAs[Int]("n_docs").toDouble,
+        r.getAs[Int]("n_pos").toDouble)
+      while (stack.nonEmpty && stack.last._2 / stack.last._1 >= s2 / w) {
+        val (pw, ps) = stack.remove(stack.length - 1)
+        w += pw; s2 += ps
+      }
+      stack += ((w, s2))
+    }
+    val expected = stack.flatMap { case (w, s2) =>
+      Seq.fill(math.round(w).toInt)(s2 / w) }
+    // expand per-doc then re-collapse per bin (bins are equal-size here)
+    val perBin = expected.grouped(expected.length / 20).map(_.head).toSeq
+    iso.zip(perBin).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-9, s"bin ${i + 1}: $a vs $b")
+    }
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
