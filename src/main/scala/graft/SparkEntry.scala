@@ -613,6 +613,9 @@ object SparkEntry {
     // isotonic (PAV) calibration of quality vs is-English rate
     "q252_isotonic_calibration" -> ((s, d) =>
       graft.text.TextOps.isotonicCalibration(s, d)),
+    // 16th streaming surface: Spark 4 transformWithState + RocksDB
+    "q253_tws_parity"         -> ((s, d) =>
+      graft.streaming.EventStream.twsParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

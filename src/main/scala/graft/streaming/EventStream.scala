@@ -643,6 +643,123 @@ object EventStream {
     }
   }
 
+  final case class UserAgg(n: Long, sumScaled: Long, maxV: Double)
+  final case class UserTotals(user_id: Long, n: Long, sum_value: Double,
+                              max_value: Double)
+
+  /** Per-user running totals on the Spark 4 `transformWithState` API —
+    * the arbitrary-state successor to (flat)mapGroupsWithState, with
+    * explicitly named, individually-evolvable state variables behind a
+    * `StatefulProcessorHandle` (RocksDB-backed). The sum accumulates in
+    * fixed-point 1e-4 units (the [[SessionState]] convention) so the
+    * fold is exact integer addition — identical no matter how events
+    * slice across micro-batches; max is order-independent. Emits the
+    * cumulative totals for every key touched by a batch (Update-mode
+    * semantics: latest emission per key is the answer). */
+  class PeakStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, UserTotals] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit =
+      st = getHandle.getValueState[UserAgg]("agg",
+        org.apache.spark.sql.Encoders.product[UserAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      var s = if (st.exists()) st.get()
+              else UserAgg(0L, 0L, Double.NegativeInfinity)
+      rows.foreach { e =>
+        s = UserAgg(s.n + 1,
+          s.sumScaled + math.rint(e.value * 10000.0).toLong,
+          math.max(s.maxV, e.value))
+      }
+      st.update(s)
+      Iterator.single(UserTotals(key, s.n, s.sumScaled / 10000.0, s.maxV))
+    }
+  }
+
+  def userStatsTws(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PeakStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[UserTotals])
+  }
+
+  /** q253 — TRANSFORMWITHSTATE parity, the sixteenth streaming surface
+    * and the only one on the Spark 4 arbitrary-state API (q130/q194
+    * grade the legacy (flat)mapGroupsWithState path; this grades its
+    * successor, which requires the RocksDB state store). The staged
+    * events split into TWO mtime-ordered slices with
+    * maxFilesPerTrigger=1, so every user's totals fold across a real
+    * micro-batch boundary through named RocksDB state; per-key
+    * emissions are cumulative (Update semantics through a foreachBatch
+    * parquet append — the q147 sink pattern), and the batch side keeps
+    * each user's highest-n emission. The oracle is the plain batch
+    * aggregate: hash-equality proves the cross-batch fold loses
+    * nothing, double-counts nothing. */
+  def twsParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q253")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provPrev = s.conf.getOption(provKey)
+    s.conf.set(partsKey, "8")
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      // two slices, strictly ordered mtimes → two micro-batches
+      Seq(0, 1).foreach { slice =>
+        events.filter(col("event_id") % 2 === slice)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(in.resolve(s"slice$slice").toString)
+        Thread.sleep(1100) // FileStreamSource orders batches by mtime
+      }
+      val ds = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString + "/*")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val out = tmp.resolve("out").toString
+      q = userStatsTws(ds).toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q253 transformWithState stream did not terminate within 300 s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc)
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // the latest (highest-n) emission per key
+        .select("user_id", "n", "sum_value", "max_value")
+        .orderBy("user_id")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      provPrev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q111 — oracle-checked streaming-DEDUP parity, closing the fourth
     * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
     * join, this = keyed dedup): the staged events copy is polluted with a
@@ -1360,6 +1477,11 @@ object EventStream {
         |  AND c.user_id = e.user_id
         |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, error_id""".stripMargin,
+    "q253_tws_parity" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q247_semi_join_parity" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |  CAST(c.ts AS TIMESTAMP) AS click_ts

@@ -325,6 +325,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q253 transformWithState folds named RocksDB state across " +
+      "micro-batches; emissions are cumulative") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.userStatsTws(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts(0), 7, "click", 1.5),
+        EventStream.Event(2, ts(1), 7, "view", 2.5),
+        EventStream.Event(3, ts(2), 9, "click", 4.0))
+      q.processAllAvailable()
+      in.addData( // batch 2: user 7 continues, user 9 silent
+        EventStream.Event(4, ts(3), 7, "error", 0.5))
+      q.processAllAvailable()
+      val out = spark.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3)))
+      // user 7: cumulative emissions (2, 4.0) then (3, 4.5) — the
+      // second PROVES batch-2 state started from batch-1's fold
+      assert(out.toSet === Set((7L, 2L, 4.0, 2.5), (7L, 3L, 4.5, 2.5),
+        (9L, 1L, 4.0, 4.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("dedupStream drops in-watermark re-deliveries, keeps distinct keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
