@@ -616,6 +616,9 @@ object SparkEntry {
     // 16th streaming surface: Spark 4 transformWithState + RocksDB
     "q253_tws_parity"         -> ((s, d) =>
       graft.streaming.EventStream.twsParity(s, d)),
+    // dup-graph triangle census: transitivity of the near-dup relation
+    "q254_dup_graph_triangles" -> ((s, d) =>
+      graft.dedup.Dedup.dupGraphTriangles(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

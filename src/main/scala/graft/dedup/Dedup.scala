@@ -269,6 +269,49 @@ object Dedup extends org.apache.spark.internal.Logging {
         col("n_clusters").cast(IntegerType).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** q254: DUP-GRAPH TRIANGLE CENSUS — transitivity of the near-dup
+    * relation: if A~B and B~C usually imply A~C, candidate clusters are
+    * tight (transitive closure over-merges little and the canonical-keep
+    * step is safe); low transitivity means band collisions are chaining
+    * unrelated docs and the verify threshold needs raising. Reports
+    * nodes, edges, wedges (open 2-paths), triangles, and the global
+    * clustering coefficient 3·T/W in one row.
+    *
+    * Triangle counting is the ordered two-hop join: edges are stored
+    * a<b, so each triangle {x<y<z} is found exactly once as the path
+    * x–y–z semi-joined against the closing edge (x,z) — the standard
+    * compact-forward shape whose join keys are node ids, scale-safe on
+    * a skew-guarded candidate graph (q227's hub audit is the guard).
+    * Integer arithmetic end to end except the final coefficient. */
+  def dupGraphTriangles(s: SparkSession, dir: String,
+                        cfg: DedupConfig = DedupConfig.Default): DataFrame =
+    triangleCensusOf(lshCandidatePairs(s, dir, cfg)
+      .select("doc_a", "doc_b").localCheckpoint())
+
+  /** The census over an arbitrary a<b edge frame — exposed so the spec
+    * can hand-check a known graph through the production joins. */
+  private[graft] def triangleCensusOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("doc_a").as("id"))
+      .unionAll(edges.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(
+      count(lit(1)).cast(IntegerType).as("n_nodes"),
+      (sum(col("d") * (col("d") - 1)) / 2).cast(LongType).as("n_wedges"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val paths = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(edges.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+    val tri = paths
+      .join(edges.select(col("doc_a").as("a"), col("doc_b").as("c")),
+        Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    degStats.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("transitivity"))
+  }
+
   /** q227: DUP-GRAPH DEGREE AUDIT — per-node degree distribution of
     * the LSH candidate graph plus the top hubs: a node whose degree
     * rivals the corpus is a boilerplate magnet (its shingles collide
@@ -1422,6 +1465,26 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  CAST(COUNT(*) AS INTEGER) AS n_clusters
          |FROM (SELECT comp.comp, COUNT(*) AS sz FROM comp GROUP BY comp.comp)
          |GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    "q254_dup_graph_triangles" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |deg AS (SELECT id, COUNT(*) AS d FROM
+         |  (SELECT doc_a AS id FROM pairs
+         |   UNION ALL SELECT doc_b FROM pairs) GROUP BY id),
+         |ds AS (SELECT CAST(COUNT(*) AS INTEGER) AS n_nodes,
+         |    CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+         |ne AS (SELECT COUNT(*) AS n_edges FROM pairs),
+         |tri AS (SELECT COUNT(*) AS n_triangles FROM (
+         |  SELECT e1.doc_a AS a, e2.doc_b AS c
+         |  FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a) p
+         |  WHERE EXISTS (SELECT 1 FROM pairs e3
+         |    WHERE e3.doc_a = p.a AND e3.doc_b = p.c))
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |    THEN 3.0 * n_triangles / n_wedges END AS transitivity
+         |FROM ds CROSS JOIN ne CROSS JOIN tri""".stripMargin,
     "q227_dup_graph_degrees" ->
       s"""${sigSelectS(nearDupCorpusS)},
          |bk AS ($bandUnnestS),

@@ -418,4 +418,24 @@ class DedupSpec extends SparkSpec {
     // m=65536 bits over ~500 index hashes: FP rate must be far under 1%
     assert(r.getAs[Double]("fp_rate") < 0.01)
   }
+
+  test("q254 triangle census hand-checked on a known graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (3,4): 2 triangles (1-2-3, 1-2-4);
+    // plus a dangling path 5-6-7: 0 triangles, 1 wedge at 6.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val r = Dedup.triangleCensusOf(edges).collect().head
+    assert(r.getAs[Int]("n_nodes") === 7)
+    assert(r.getAs[Long]("n_edges") === 7L)
+    // degrees: 1→3, 2→3, 3→2, 4→2, 5→1, 6→2, 7→1 ⇒ wedges 3+3+1+1+1=9
+    assert(r.getAs[Long]("n_wedges") === 9L)
+    assert(r.getAs[Long]("n_triangles") === 2L)
+    assert(math.abs(r.getAs[Double]("transitivity") - 6.0 / 9.0) < 1e-12)
+    // edgeless graph: wedges 0 ⇒ transitivity NULL, not a div-by-zero
+    val lone = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r2 = Dedup.triangleCensusOf(lone).collect().head
+    assert(r2.getAs[Long]("n_wedges") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("transitivity")))
+  }
 }
