@@ -719,16 +719,19 @@ object EventStream {
       java.nio.file.Files.createDirectories(in)
       val events = graft.sources.Tables.load(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      // two slices, strictly ordered mtimes → two micro-batches
+      // two slices, strictly ordered STAMPED mtimes → two micro-batches
+      // (explicit FileTime instead of sleeping between writes: the
+      // staging cost stays off the measured path)
       Seq(0, 1).foreach { slice =>
+        val stage = tmp.resolve(s"stage$slice")
         events.filter(col("event_id") % 2 === slice)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(in.resolve(s"slice$slice").toString)
-        Thread.sleep(1100) // FileStreamSource orders batches by mtime
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        moveOnlyParquet(stage, in.resolve(s"slice$slice.parquet"),
+          1000000000000L + slice * 60000L)
       }
       val ds = s.readStream.schema(eventSchema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(in.toString + "/*")
+        .parquet(in.toString)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[Event]
       val out = tmp.resolve("out").toString
