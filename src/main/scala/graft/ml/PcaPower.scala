@@ -61,7 +61,7 @@ object PcaPower {
   /** The (j, k, cov) covariance entries — exact-decimal sums of centered
     * products; the explode partial-aggregates onto D² keys before any
     * shuffle. */
-  private def covOf(p: DataFrame, mu: DataFrame, n: Long): DataFrame = {
+  private def covPlanOf(p: DataFrame, mu: DataFrame, n: Long): DataFrame = {
     val muArr = toArr(mu, "pos", "mu", "mu_arr")
     val centered = p.crossJoin(broadcast(muArr))
       .select(zip_with(col("e"), col("mu_arr"), (a, b) => a - b).as("c"))
@@ -73,7 +73,18 @@ object PcaPower {
       .groupBy("j", "k")
       .agg((sum(col("prod").cast(DecimalType(28, 12))).cast(DoubleType) /
         lit(n - 1).cast(DoubleType)).as("cov"))
+  }
+
+  private def covOf(p: DataFrame, mu: DataFrame, n: Long): DataFrame =
+    covPlanOf(p, mu, n)
       .localCheckpoint() // read by the matrix frame, the diag and trace
+
+  /** The un-checkpointed covariance plan — PlanSpec pins its shape
+    * (map-side partial agg, broadcast mean join, no cartesian). */
+  private[graft] def covFrameForPlan(s: SparkSession, dir: String)
+      : DataFrame = {
+    val p = pts(s, dir)
+    covPlanOf(p, meansOf(p), p.count())
   }
 
   /** (j, crow): the D-row matrix frame of a (j, k, cov) entry set. */

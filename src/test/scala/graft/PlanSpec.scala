@@ -577,4 +577,39 @@ class PlanSpec extends SparkSpec {
         readSchema)
     }
   }
+
+  test("q244/q250: one corpus scan, one aggregate pass — no per-rule " +
+      "or per-source re-scan") {
+    val ablation = planOf(graft.text.TextOps.filterAblation(spark, sfDir))
+    // all 16 rule sums + denominators come out of a single scan
+    assert("FileScan parquet".r.findAllIn(ablation).length === 1, ablation)
+    assert(!ablation.contains("CartesianProduct"), ablation)
+    val loo = planOf(graft.text.TextOps.looSourceImpact(spark, sfDir))
+    // the totals side is the checkpointed per-source agg, not a rescan,
+    // and it reaches the report as a broadcast
+    assert(!loo.contains("FileScan parquet"), loo) // localCheckpoint RDD
+    assert(loo.contains("BroadcastNestedLoopJoin") ||
+      loo.contains("BroadcastExchange"), loo)
+  }
+
+  test("q245 covariance: the D^2 explode partial-aggregates before its " +
+      "exchange; no cartesian of big sides") {
+    // inspect the covariance-entry frame itself (pcaPower checkpoints
+    // it away): explode to (j,k,prod) must partial-agg map-side
+    val plan = planOf(graft.ml.PcaPower.covFrameForPlan(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 1-row mean array joins in as a broadcast, never shuffles the
+    // embedding side
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q254 triangles: two-hop closure is hash joins on node ids, " +
+      "never a nested-loop blowup") {
+    val plan = planOf(graft.dedup.Dedup.dupGraphTriangles(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the closing edge check is a semi join
+    assert(plan.contains("LeftSemi"), plan)
+  }
 }
