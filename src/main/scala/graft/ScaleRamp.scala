@@ -59,7 +59,11 @@ object ScaleRamp {
     "stream_parity"    -> "q85_stream_parity",
     "column_profile"   -> "q152_column_profile",
     "shared_spans"     -> "q237_shared_spans",
-    "curation_funnel"  -> "q242_curation_funnel")
+    "curation_funnel"  -> "q242_curation_funnel",
+    "pca_power"        -> "q245_pca_power",
+    "bpe_merges"       -> "q246_bpe_merges",
+    "dup_triangles"    -> "q254_dup_graph_triangles",
+    "tws_stream"       -> "q253_tws_parity")
 
   def stage(s: SparkSession, baseDir: String, outDir: String,
             factor: Int): Unit = {
