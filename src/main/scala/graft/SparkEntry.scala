@@ -619,6 +619,9 @@ object SparkEntry {
     // dup-graph triangle census: transitivity of the near-dup relation
     "q254_dup_graph_triangles" -> ((s, d) =>
       graft.dedup.Dedup.dupGraphTriangles(s, d)),
+    // binned Theil-Sen robust slope: q228 OLS's robust twin
+    "q255_theil_sen"          -> ((s, d) =>
+      graft.text.TextOps.theilSen(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

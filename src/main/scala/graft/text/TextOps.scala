@@ -340,6 +340,66 @@ object TextOps {
       .orderBy("bin")
   }
 
+  /** q255: BINNED THEIL–SEN — the robust twin of q228's OLS: the
+    * median of pairwise slopes between per-source quantile-bin
+    * centroids of (ln BPE tokens, quality). Where OLS lets one spam
+    * cluster drag the fitted quality–length relationship, the slope
+    * median ignores up to half the bins being corrupted — the
+    * robust-regression check a curation team runs when the OLS slope
+    * looks implausible.
+    *
+    * Binned, not all-pairs: raw Theil–Sen is O(n²) per source; the
+    * `bins`-centroid variant keeps the estimator's breakdown behavior
+    * at O(bins²) slopes — constant per source, any corpus size. The
+    * per-source ntile runs over the (x, doc_id) TOTAL order inside a
+    * source-partitioned window (the parallelism axis), centroids are
+    * exact decimal means of 6-dp ln values / micro-unit qualities, and
+    * the median is (min+max)/2 of the two order-statistic rows — all
+    * deterministic doubles, reported unrounded (q55 rule). */
+  /** The per-source (i, j, sl) slope frame — exposed so the spec can
+    * recompute the median independently of the order-statistic window. */
+  private[graft] def theilSenSlopes(s: SparkSession, dir: String,
+                                    bins: Int = 16): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val per = docs(s, dir).select(col("source"), col("doc_id"),
+        bpeTokensC(col("text")).as("toks"),
+        (qualityScoreC.cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType).as("ymu"))
+      .filter(col("toks") > 0) // ln(0) diverges cross-engine (q228 rule)
+      .withColumn("x", round(log(col("toks").cast(DoubleType)), 6))
+    val w = W.partitionBy("source").orderBy(col("x"), col("doc_id"))
+    val b = per.withColumn("bin", ntile(bins).over(w))
+      .groupBy("source", "bin")
+      .agg((sum(col("x").cast(DecimalType(18, 6))).cast(DoubleType) /
+          count(lit(1))).as("xc"),
+        (sum("ymu").cast(DoubleType) / count(lit(1)) / lit(1000000.0))
+          .as("yc"))
+      .localCheckpoint() // both sides of the pair join read it
+    val p2 = b.select(col("source"), col("bin").as("j"),
+      col("xc").as("x2"), col("yc").as("y2"))
+    b.select(col("source"), col("bin").as("i"),
+        col("xc").as("x1"), col("yc").as("y1"))
+      .join(p2, Seq("source"))
+      .filter(col("i") < col("j") && col("x2") =!= col("x1"))
+      .select(col("source"), col("i"), col("j"),
+        ((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("sl"))
+  }
+
+  def theilSen(s: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ranked = theilSenSlopes(s, dir, bins)
+      .withColumn("rn", row_number().over(
+        W.partitionBy("source").orderBy(col("sl"), col("i"), col("j"))))
+      .withColumn("ns", count(lit(1)).over(W.partitionBy("source")))
+    ranked
+      .filter(col("rn") === expr("(ns + 1) div 2") ||
+        col("rn") === expr("ns div 2 + 1"))
+      .groupBy("source")
+      .agg(max(col("ns")).cast(IntegerType).as("n_slopes"),
+        ((min(col("sl")) + max(col("sl"))) / 2).as("ts_slope"))
+      .orderBy("source")
+  }
+
   /** The q240 redaction transform over a text Column: each pattern
     * family's hits are replaced by its `<TYPE>` tag, families applied
     * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
@@ -2087,6 +2147,42 @@ object TextOps {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q255_theil_sen" ->
+      s"""WITH m0 AS (SELECT doc_id, source, text, $T AS t FROM documents),
+         |mq AS (SELECT doc_id, source, text, t,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |per AS (SELECT source, doc_id,
+         |    ${graft.functions.TextPrims.bpeTokensS("text")} AS toks,
+         |    CAST(CAST($QualityScoreS AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS ymu
+         |  FROM mq),
+         |px AS (SELECT source, doc_id, ymu,
+         |    round(ln(CAST(toks AS DOUBLE)), 6) AS x
+         |  FROM per WHERE toks > 0),
+         |b AS (SELECT source, bin,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |      AS xc,
+         |    CAST(SUM(ymu) AS DOUBLE) / COUNT(*) / 1000000.0 AS yc
+         |  FROM (SELECT source, x, ymu,
+         |      NTILE(16) OVER (PARTITION BY source ORDER BY x, doc_id)
+         |        AS bin
+         |    FROM px)
+         |  GROUP BY source, bin),
+         |sl AS (SELECT a.source, a.bin AS i, c.bin AS j,
+         |    (c.yc - a.yc) / (c.xc - a.xc) AS sl
+         |  FROM b a JOIN b c ON a.source = c.source AND a.bin < c.bin
+         |  WHERE c.xc <> a.xc),
+         |ranked AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY sl, i, j)
+         |      AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS ns
+         |  FROM sl)
+         |SELECT source, CAST(MAX(ns) AS INTEGER) AS n_slopes,
+         |  (MIN(sl) + MAX(sl)) / 2 AS ts_slope
+         |FROM ranked
+         |WHERE rn = (ns + 1) // 2 OR rn = ns // 2 + 1
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q252_isotonic_calibration" ->
       s"""WITH m0 AS (SELECT doc_id, lang, text, $T AS t FROM documents),
          |mq AS (SELECT doc_id, lang, text, t,

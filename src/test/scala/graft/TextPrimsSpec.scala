@@ -798,6 +798,24 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q255 Theil-Sen: order-statistic median equals a driver-side " +
+      "sort-and-pick over the same slope set") {
+    val out = graft.text.TextOps.theilSen(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Int]("n_slopes"), r.getAs[Double]("ts_slope"))).toMap
+    assert(out.nonEmpty)
+    val slopes = graft.text.TextOps.theilSenSlopes(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    assert(out.keySet === slopes.keySet)
+    slopes.foreach { case (src, rows) =>
+      val sorted = rows.map(_.getAs[Double]("sl")).sorted
+      val n = sorted.length
+      val med = (sorted((n - 1) / 2) + sorted(n / 2)) / 2
+      assert(out(src)._1 === n, src)
+      assert(out(src)._2 === med, s"$src: ${out(src)._2} vs $med")
+    }
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
