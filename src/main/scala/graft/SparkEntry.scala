@@ -622,6 +622,9 @@ object SparkEntry {
     // binned Theil-Sen robust slope: q228 OLS's robust twin
     "q255_theil_sen"          -> ((s, d) =>
       graft.text.TextOps.theilSen(s, d)),
+    // q252's 100-TB twin: percentile-boundary bins, same PAV algebra
+    "q256_isotonic_boundary"  -> ((s, d) =>
+      graft.text.TextOps.isotonicBoundary(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

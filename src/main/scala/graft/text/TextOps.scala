@@ -304,7 +304,48 @@ object TextOps {
       .withColumn("bin", ntile(bins).over(w))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("pos").as("e"), sum("qmu").as("sq"))
-      .localCheckpoint() // feeds prefix frame + report join
+    pavOf(binned)
+  }
+
+  /** q256: the 100-TB twin of q252 — identical isotonic algebra, but
+    * bins come from GLOBAL percentile BOUNDARIES (one exact-percentile
+    * agg over micro-unit scores + a broadcast 19-value array, the q205
+    * PSI pattern) instead of a single-partition ntile window. Bin
+    * populations are near-equal rather than exactly equal (score ties
+    * land together), which is the correct trade at scale: no global
+    * sort, no single-partition window — the binning is a shuffle-free
+    * scan. Same output contract as q252. */
+  def isotonicBoundary(s: SparkSession, dir: String,
+                       bins: Int = 20): DataFrame = {
+    val scored = docs(s, dir).select(
+      (qualityScoreC.cast(DecimalType(18, 6)) * 1000000)
+        .cast(LongType).as("qmu"),
+      (col("lang") === "en").cast(LongType).as("pos"))
+      .localCheckpoint() // boundary agg + binning pass both read it
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val bnd = scored.agg(
+      expr(s"percentile(qmu, array(${qs.mkString(", ")}))").as("bnd"))
+    val binned = scored.crossJoin(broadcast(bnd))
+      .withColumn("bin",
+        (size(filter(col("bnd"), b => col("qmu").cast(DoubleType) > b)) + 1)
+          .cast(IntegerType))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("e"), sum("qmu").as("sq"))
+    pavOf(binned)
+  }
+
+  /** The PAV minimax algebra over a (bin, n, e, sq) frame — shared by
+    * q252 (ntile bins) and q256 (percentile-boundary bins). Bin labels
+    * are RE-NUMBERED densely first: boundary binning can leave a bin
+    * empty (coinciding percentiles), and the pooled-average pair
+    * algebra assumes consecutive labels. */
+  private def pavOf(binnedIn: DataFrame): DataFrame = {
+    val s = binnedIn.sparkSession
+    val binned = binnedIn
+      .withColumn("bin", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("bin"))
+        .cast(IntegerType))
+      .localCheckpoint() // feeds prefix + report join
     val pw = org.apache.spark.sql.expressions.Window.orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window
@@ -2146,6 +2187,48 @@ object TextOps {
       s"CASE WHEN s_$l > 0 AND $beats THEN '$l' ELSE $e END"
     }
 
+  /** The scored-corpus CTEs q252/q256 share (m0, mq, scored). */
+  private def isoScoredCtesS: String =
+    s"""m0 AS (SELECT doc_id, lang, text, $T AS t FROM documents),
+       |mq AS (SELECT doc_id, lang, text, t,
+       |    $qualityMeasureColsS
+       |  FROM m0),
+       |scored AS (SELECT doc_id,
+       |    CAST(CAST($QualityScoreS AS DECIMAL(18,6)) * 1000000
+       |      AS BIGINT) AS qmu,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM mq)""".stripMargin
+
+  /** The PAV minimax tail over a `binned(bin, n, e, sq)` CTE — the SQL
+    * twin of [[pavOf]], shared by the q252 and q256 oracles. */
+  private val PavSqlTail: String =
+    """b0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY bin) AS INTEGER)
+      |    AS bin, n, e, sq FROM binned),
+      |prefix AS (SELECT bin,
+      |    CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+      |    CAST(SUM(e) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ce
+      |  FROM b0),
+      |p AS (SELECT * FROM prefix
+      |  UNION ALL SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |avgs AS (SELECT jj.bin + 1 AS j, kk.bin AS k,
+      |    CAST(kk.ce - jj.ce AS DOUBLE) / CAST(kk.cn - jj.cn AS DOUBLE)
+      |      AS a
+      |  FROM p kk JOIN p jj ON jj.bin < kk.bin WHERE kk.bin >= 1),
+      |mj AS (SELECT j, MIN(a) AS m FROM avgs GROUP BY j),
+      |iso AS (SELECT j, MAX(m) OVER (ORDER BY j ROWS BETWEEN
+      |    UNBOUNDED PRECEDING AND CURRENT ROW) AS iso
+      |  FROM mj)
+      |SELECT CAST(b.bin AS INTEGER) AS bin,
+      |  CAST(b.n AS INTEGER) AS n_docs,
+      |  CAST(b.e AS INTEGER) AS n_pos,
+      |  CAST(b.sq AS DOUBLE) / b.n / 1000000.0 AS bin_mean_q,
+      |  CAST(b.e AS DOUBLE) / b.n AS rate,
+      |  iso.iso AS iso_rate
+      |FROM b0 b JOIN iso ON b.bin = iso.j
+      |ORDER BY bin""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q255_theil_sen" ->
       s"""WITH m0 AS (SELECT doc_id, source, text, $T AS t FROM documents),
@@ -2184,45 +2267,28 @@ object TextOps {
          |WHERE rn = (ns + 1) // 2 OR rn = ns // 2 + 1
          |GROUP BY source ORDER BY source""".stripMargin,
     "q252_isotonic_calibration" ->
-      s"""WITH m0 AS (SELECT doc_id, lang, text, $T AS t FROM documents),
-         |mq AS (SELECT doc_id, lang, text, t,
-         |    $qualityMeasureColsS
-         |  FROM m0),
-         |scored AS (SELECT doc_id,
-         |    CAST(CAST($QualityScoreS AS DECIMAL(18,6)) * 1000000
-         |      AS BIGINT) AS qmu,
-         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-         |  FROM mq),
+      s"""WITH $isoScoredCtesS,
          |binned AS (SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT)
          |      AS e, CAST(SUM(qmu) AS BIGINT) AS sq
          |  FROM (SELECT qmu, pos,
          |      NTILE(20) OVER (ORDER BY qmu, doc_id) AS bin
          |    FROM scored)
          |  GROUP BY bin),
-         |prefix AS (SELECT bin,
-         |    CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
-         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
-         |    CAST(SUM(e) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
-         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ce
-         |  FROM binned),
-         |p AS (SELECT * FROM prefix
-         |  UNION ALL SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-         |avgs AS (SELECT jj.bin + 1 AS j, kk.bin AS k,
-         |    CAST(kk.ce - jj.ce AS DOUBLE) / CAST(kk.cn - jj.cn AS DOUBLE)
-         |      AS a
-         |  FROM p kk JOIN p jj ON jj.bin < kk.bin WHERE kk.bin >= 1),
-         |mj AS (SELECT j, MIN(a) AS m FROM avgs GROUP BY j),
-         |iso AS (SELECT j, MAX(m) OVER (ORDER BY j ROWS BETWEEN
-         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS iso
-         |  FROM mj)
-         |SELECT CAST(b.bin AS INTEGER) AS bin,
-         |  CAST(b.n AS INTEGER) AS n_docs,
-         |  CAST(b.e AS INTEGER) AS n_pos,
-         |  CAST(b.sq AS DOUBLE) / b.n / 1000000.0 AS bin_mean_q,
-         |  CAST(b.e AS DOUBLE) / b.n AS rate,
-         |  iso.iso AS iso_rate
-         |FROM binned b JOIN iso ON b.bin = iso.j
-         |ORDER BY bin""".stripMargin,
+         |$PavSqlTail""".stripMargin,
+    "q256_isotonic_boundary" -> {
+      val qs = (1 until 20).map(i => i.toDouble / 20)
+      s"""WITH $isoScoredCtesS,
+         |bnd AS (SELECT quantile_cont(qmu, [${qs.mkString(", ")}])
+         |    AS bnd FROM scored),
+         |binned AS (SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT)
+         |      AS e, CAST(SUM(qmu) AS BIGINT) AS sq
+         |  FROM (SELECT qmu, pos,
+         |      CAST(len(list_filter(bnd.bnd,
+         |        b -> CAST(qmu AS DOUBLE) > b)) + 1 AS INTEGER) AS bin
+         |    FROM scored CROSS JOIN bnd)
+         |  GROUP BY bin),
+         |$PavSqlTail""".stripMargin
+    },
     "q250_loo_source_impact" ->
       s"""WITH m0 AS (SELECT source, text, $T AS t FROM documents),
          |mq AS (SELECT source, text, t,

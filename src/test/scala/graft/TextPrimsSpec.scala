@@ -816,6 +816,39 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q256 boundary isotonic: stack PAV over UNEVEN bins reproduced, " +
+      "full corpus covered") {
+    val rows = graft.text.TextOps.isotonicBoundary(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getAs[Int]("n_docs")).sum ===
+      graft.sources.Tables.load(spark, sfDir, "documents").count())
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b + 1e-12 })
+    // general stack PAV (no equal-bin assumption), expanded bin-wise
+    val stack = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    rows.foreach { r =>
+      var (w, s2) = (r.getAs[Int]("n_docs").toDouble,
+        r.getAs[Int]("n_pos").toDouble)
+      while (stack.nonEmpty && stack.last._2 / stack.last._1 >= s2 / w) {
+        val (pw, ps) = stack.remove(stack.length - 1)
+        w += pw; s2 += ps
+      }
+      stack += ((w, s2))
+    }
+    val expected = collection.mutable.ArrayBuffer.empty[Double]
+    var bi = 0
+    stack.foreach { case (w, s2) =>
+      var acc = 0.0
+      while (acc < w - 1e-9) {
+        acc += rows(bi).getAs[Int]("n_docs"); expected += s2 / w; bi += 1
+      }
+    }
+    assert(bi === rows.length) // block weights partition the bins exactly
+    iso.zip(expected).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-9, s"bin ${i + 1}: $a vs $b")
+    }
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
