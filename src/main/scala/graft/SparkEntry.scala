@@ -625,6 +625,9 @@ object SparkEntry {
     // q252's 100-TB twin: percentile-boundary bins, same PAV algebra
     "q256_isotonic_boundary"  -> ((s, d) =>
       graft.text.TextOps.isotonicBoundary(s, d)),
+    // count-min sketch heavy hitters: estimate-vs-exact calibration
+    "q257_count_min"          -> ((s, d) =>
+      graft.text.TextOps.countMinTokens(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

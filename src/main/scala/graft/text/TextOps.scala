@@ -441,6 +441,57 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q257: COUNT-MIN SKETCH heavy hitters — frequency estimation in
+    * d·w integer counters instead of a token-type table: 4 seeded
+    * 60-bit md5 hash rows × 1024 buckets (the q195 Bloom hashing
+    * convention), estimate = min over rows of the collided counter.
+    * Reports the top-k exact tokens with their sketch estimates,
+    * overcounts and relative errors — the calibration a pipeline runs
+    * before trusting the sketch as its at-scale frequency oracle. The
+    * CM guarantee (estimate ≥ truth, always) is spec-asserted and
+    * visible in the report: `overcount` is never negative.
+    *
+    * Deterministic: seeded md5 buckets, integer counters — exact
+    * oracle. Shape at 100 TB: the sketch builds FROM the per-type
+    * count agg (weighted insert — identical counters to per-occurrence
+    * insertion, one corpus scan + a 4096-key agg); the exact side here
+    * is the fixture-scale ground truth the report compares against. */
+  def countMinTokens(s: SparkSession, dir: String, d: Int = 4,
+                     w: Int = 1024, k: Int = 20): DataFrame =
+    countMinOf(docs(s, dir)
+      .select(explode(tokensC(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0), d, w, k)
+
+  /** The sketch + calibration over an arbitrary (tok) frame — exposed
+    * so the spec can force collisions with a tiny width. */
+  private[graft] def countMinOf(toks: DataFrame, d: Int, w: Int,
+                                k: Int): DataFrame = {
+    def buckets(tok: Column): Column = array((0 until d).map { j =>
+      struct(lit(j).as("j"),
+        pmod(hex60C(seededMd5C(j, tok)), lit(w.toLong)).as("bucket"))
+    }: _*)
+    val exact = toks
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // sketch build + top-k both read it
+    val sketch = exact
+      .select(explode(buckets(col("tok"))).as("jb"), col("cnt"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(sum("cnt").as("counter"))
+    val top = exact.orderBy(col("cnt").desc, col("tok")).limit(k)
+    top.select(col("tok"), col("cnt"),
+        explode(buckets(col("tok"))).as("jb"))
+      .select(col("tok"), col("cnt"), col("jb.j").as("j"),
+        col("jb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("tok", "cnt")
+      .agg(min("counter").as("est"))
+      .select(col("tok").as("token"), col("cnt").as("n_exact"),
+        col("est").as("n_est"), (col("est") - col("cnt")).as("overcount"),
+        ((col("est") - col("cnt")).cast(DoubleType) / col("cnt"))
+          .as("rel_err"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   /** The q240 redaction transform over a text Column: each pattern
     * family's hits are replaced by its `<TYPE>` tag, families applied
     * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
@@ -2230,6 +2281,33 @@ object TextOps {
       |ORDER BY bin""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q257_count_min" -> {
+      def bucketS(j: Int, tok: String) =
+        s"${graft.functions.TextPrims.hex60S(
+          graft.functions.TextPrims.seededMd5S(j, tok))} % 1024"
+      val sketchArms = (0 until 4).map(j =>
+        s"SELECT $j AS j, ${bucketS(j, "tok")} AS bucket, cnt FROM exact")
+        .mkString("\nUNION ALL\n")
+      val probeArms = (0 until 4).map(j =>
+        s"SELECT tok, cnt, $j AS j, ${bucketS(j, "tok")} AS bucket " +
+          "FROM top").mkString("\nUNION ALL\n")
+      s"""WITH exact AS (SELECT tok, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($T) AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY tok),
+         |ins AS ($sketchArms),
+         |sketch AS (SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS counter
+         |  FROM ins GROUP BY j, bucket),
+         |top AS (SELECT * FROM exact ORDER BY cnt DESC, tok LIMIT 20),
+         |probes AS ($probeArms),
+         |est AS (SELECT p.tok, p.cnt, MIN(s.counter) AS est
+         |  FROM probes p JOIN sketch s
+         |    ON p.j = s.j AND p.bucket = s.bucket
+         |  GROUP BY p.tok, p.cnt)
+         |SELECT tok AS token, CAST(cnt AS BIGINT) AS n_exact,
+         |  est AS n_est, est - cnt AS overcount,
+         |  CAST(est - cnt AS DOUBLE) / cnt AS rel_err
+         |FROM est ORDER BY n_exact DESC, token""".stripMargin
+    },
     "q255_theil_sen" ->
       s"""WITH m0 AS (SELECT doc_id, source, text, $T AS t FROM documents),
          |mq AS (SELECT doc_id, source, text, t,

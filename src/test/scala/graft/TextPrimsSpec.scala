@@ -849,6 +849,45 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q257 count-min: never undercounts, collisions overcount, " +
+      "sketch recomputed on the driver at forced-collision width") {
+    import spark.implicits._
+    // 40 distinct tokens into 2 rows x 8 buckets: collisions guaranteed
+    val toks = (0 until 40).flatMap(i =>
+      Seq.fill(i + 1)(s"tok$i")).toDF("tok")
+    val out = graft.text.TextOps.countMinOf(toks, d = 2, w = 8, k = 40)
+      .collect()
+    assert(out.length === 40)
+    // the CM guarantee: estimate >= truth for EVERY token
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        r.getString(0))
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("n_est") - r.getAs[Long]("n_exact"))
+    }
+    // 40 keys in 8 buckets MUST collide somewhere
+    assert(out.exists(_.getAs[Long]("overcount") > 0))
+    // independent driver recompute of the whole sketch
+    val exact = (0 until 40).map(i => s"tok$i" -> (i + 1).toLong).toMap
+    // recompute buckets EXACTLY as the engine does: 60-bit md5 prefix
+    def bucket60(j: Int, t: String): Long = {
+      val d2 = java.security.MessageDigest.getInstance("MD5")
+      val hex = d2.digest(s"$j#$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    val counters = collection.mutable.Map.empty[(Int, Long), Long]
+    for ((t, c) <- exact; j <- 0 until 2) {
+      val key = (j, bucket60(j, t))
+      counters(key) = counters.getOrElse(key, 0L) + c
+    }
+    out.foreach { r =>
+      val t = r.getString(0)
+      val est = (0 until 2).map(j => counters((j, bucket60(j, t)))).min
+      assert(r.getAs[Long]("n_est") === est, t)
+    }
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
