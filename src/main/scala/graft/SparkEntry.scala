@@ -628,6 +628,9 @@ object SparkEntry {
     // count-min sketch heavy hitters: estimate-vs-exact calibration
     "q257_count_min"          -> ((s, d) =>
       graft.text.TextOps.countMinTokens(s, d)),
+    // PCA projection per label: 2-D separability in the dominant plane
+    "q258_pca_projection"     -> ((s, d) =>
+      graft.ml.PcaPower.pcaProjection(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

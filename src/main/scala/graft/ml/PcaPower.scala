@@ -61,17 +61,28 @@ object PcaPower {
   /** The (j, k, cov) covariance entries — exact-decimal sums of centered
     * products; the explode partial-aggregates onto D² keys before any
     * shuffle. */
+  /** Centered vector, QUANTIZED at 7 dp. The quantization is what makes
+    * the covariance bit-exact cross-engine: a product of two 7-dp
+    * decimals is an exact 14-dp decimal whose nearest double recovers
+    * it exactly under a scale-14 cast on BOTH engines — whereas casting
+    * raw full-mantissa doubles to DECIMAL straddles Spark's
+    * shortest-string vs DuckDB's exact-binary rounding ~1e-5/value at
+    * scale 12 (observed at sf0.1). Rounding at 7 dp has 1e-10/value
+    * straddle margin — the rulebook trade. */
+  private def centeredC: Column =
+    zip_with(col("e"), col("mu_arr"), (a, b) => round(a - b, 7))
+
   private def covPlanOf(p: DataFrame, mu: DataFrame, n: Long): DataFrame = {
     val muArr = toArr(mu, "pos", "mu", "mu_arr")
     val centered = p.crossJoin(broadcast(muArr))
-      .select(zip_with(col("e"), col("mu_arr"), (a, b) => a - b).as("c"))
+      .select(centeredC.as("c"))
     centered
       .select(col("c"), posexplode(col("c")).as(Seq("j", "cj")))
       .select(col("j"),
         posexplode(transform(col("c"), ck => col("cj") * ck))
           .as(Seq("k", "prod")))
       .groupBy("j", "k")
-      .agg((sum(col("prod").cast(DecimalType(28, 12))).cast(DoubleType) /
+      .agg((sum(col("prod").cast(DecimalType(38, 14))).cast(DoubleType) /
         lit(n - 1).cast(DoubleType)).as("cov"))
   }
 
@@ -156,11 +167,7 @@ object PcaPower {
     val cov = covOf(p, meansOf(p), n)
     val trace = traceOf(cov)
     val v1 = iterate(s, rowsOf(cov))
-    val cov2 = cov.crossJoin(broadcast(v1))
-      .select(col("j"), col("k"),
-        (col("cov") - col("nrm") * expr("element_at(v, j + 1)") *
-          expr("element_at(v, k + 1)")).as("cov"))
-    val v2 = iterate(s, rowsOf(cov2))
+    val v2 = iterate(s, rowsOf(deflateOf(cov, v1)))
     val combo = v1.select(col("v").as("v1"), col("nrm").as("l1"))
       .crossJoin(v2.select(col("v").as("v2"), col("nrm").as("l2")))
       .select(col("v1"), col("v2"), col("l1"), col("l2"),
@@ -180,6 +187,63 @@ object PcaPower {
       .orderBy("dim")
   }
 
+  /** C₂ = C − λ₁·v₁v₁ᵀ, spelled identically in both engines. */
+  private def deflateOf(cov: DataFrame, v1: DataFrame): DataFrame =
+    cov.crossJoin(broadcast(v1))
+      .select(col("j"), col("k"),
+        (col("cov") - col("nrm") * expr("element_at(v, j + 1)") *
+          expr("element_at(v, k + 1)")).as("cov"))
+
+  /** q258: PCA PROJECTION per label — the APPLICATION step of the
+    * spectral family: every embedding projected onto the two leading
+    * directions (the q245/q248 orbits), then summarized per class
+    * label: count, centroid, and within-class variance in PC space —
+    * the 2-D separability report a labeling/evaluation pipeline reads
+    * to see whether classes are linearly distinguishable in the
+    * dominant plane. Projections are the codegen'd fixed-fold dot of
+    * the centered vector with the broadcast loadings (one corpus-scan
+    * map, zero extra shuffle beyond the label agg); moments accumulate
+    * as exact DECIMAL sums, means left unrounded (q55 rule). */
+  def pcaProjection(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("e"), col("label"))
+    val p = raw.select("vec_id", "e")
+    val n = p.count()
+    val mu = meansOf(p)
+    val cov = covOf(p, mu, n)
+    val v1 = iterate(s, rowsOf(cov))
+    val v2 = iterate(s, rowsOf(deflateOf(cov, v1)))
+    val muArr = toArr(mu, "pos", "mu", "mu_arr")
+    def cvec = centeredC // same 7-dp quantized centering as the covariance
+    // projections QUANTIZE to micro-units before any aggregation: a
+    // raw full-mantissa double cast straight to DECIMAL straddles
+    // Spark's shortest-string vs DuckDB's exact-binary rounding about
+    // once per 1e5 values at scale 12 (observed at sf0.1) — at scale 6
+    // the margin is 1e-11 per value, and every moment after is integer
+    val projected = raw.crossJoin(broadcast(muArr))
+      .crossJoin(broadcast(v1.select(col("v").as("v1"))))
+      .crossJoin(broadcast(v2.select(col("v").as("v2"))))
+      .select(col("label"),
+        (dotp(cvec, col("v1")).cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType).as("pc1"),
+        (dotp(cvec, col("v2")).cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType).as("pc2"))
+    def m(c: String) =
+      sum(col(c)).cast(DoubleType) / count(lit(1)) / lit(1000000.0)
+    def v(c: String) =
+      (sum(col(c) * col(c)).cast(DoubleType) / count(lit(1)) -
+        (sum(col(c)).cast(DoubleType) / count(lit(1))) *
+        (sum(col(c)).cast(DoubleType) / count(lit(1)))) / lit(1.0e12)
+    projected.groupBy("label")
+      .agg(count(lit(1)).cast(IntegerType).as("n"),
+        m("pc1").as("mean_pc1"), m("pc2").as("mean_pc2"),
+        v("pc1").as("var_pc1"), v("pc2").as("var_pc2"))
+      .select(col("label").cast(IntegerType).as("label"), col("n"),
+        col("mean_pc1"), col("mean_pc2"), col("var_pc1"), col("var_pc2"))
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------- oracle
   import LloydExact.dotS
 
@@ -196,10 +260,11 @@ object PcaPower {
        |    CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
        |      AS mu
        |  FROM x GROUP BY pos),
-       |cx AS MATERIALIZED (SELECT x.vec_id, x.pos AS j, x.val - mu.mu AS cv
+       |cx AS MATERIALIZED (SELECT x.vec_id, x.pos AS j,
+       |    round(x.val - mu.mu, 7) AS cv
        |  FROM x JOIN mu ON x.pos = mu.pos),
        |cov AS MATERIALIZED (SELECT a.j, b.j AS k,
-       |    CAST(SUM(CAST(a.cv * b.cv AS DECIMAL(28,12))) AS DOUBLE) /
+       |    CAST(SUM(CAST(a.cv * b.cv AS DECIMAL(38,14))) AS DOUBLE) /
        |      ((SELECT COUNT(*) FROM e) - 1) AS cov
        |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id
        |  GROUP BY a.j, b.j),
@@ -245,6 +310,39 @@ object PcaPower {
          |JOIN cov d ON d.j = vd.dim AND d.k = vd.dim
          |CROSS JOIN v$Iters CROSS JOIN tr
          |ORDER BY dim""".stripMargin,
+    "q258_pca_projection" -> {
+      def mS(c: String) =
+        s"CAST(SUM($c) AS DOUBLE) / COUNT(*) / 1000000.0"
+      def vS(c: String) = {
+        val raw = s"CAST(SUM($c) AS DOUBLE) / COUNT(*)"
+        s"(CAST(SUM($c * $c) AS DOUBLE) / COUNT(*) - ($raw) * ($raw)) " +
+          "/ 1.0e12"
+      }
+      s"""WITH $baseCtes,
+         |${iterChain("", "crows")},
+         |cov2 AS MATERIALIZED (SELECT c.j, c.k,
+         |    c.cov - v.nrm * v.v[c.j + 1] * v.v[c.k + 1] AS cov
+         |  FROM cov c CROSS JOIN v$Iters v),
+         |crows2 AS MATERIALIZED (SELECT j, list(cov ORDER BY k) AS crow
+         |  FROM cov2 GROUP BY j),
+         |${iterChain("b", "crows2")},
+         |cvec AS (SELECT vec_id, list(cv ORDER BY j) AS c
+         |  FROM cx GROUP BY vec_id),
+         |proj AS (SELECT emb.label,
+         |    CAST(CAST(${dotS("cvec.c", "a.v")} AS DECIMAL(18,6))
+         |      * 1000000 AS BIGINT) AS pc1,
+         |    CAST(CAST(${dotS("cvec.c", "b.v")} AS DECIMAL(18,6))
+         |      * 1000000 AS BIGINT) AS pc2
+         |  FROM cvec JOIN embeddings emb ON cvec.vec_id = emb.vec_id
+         |  CROSS JOIN v$Iters a CROSS JOIN bv$Iters b)
+         |SELECT CAST(label AS INTEGER) AS label,
+         |  CAST(COUNT(*) AS INTEGER) AS n,
+         |  ${mS("pc1")} AS mean_pc1,
+         |  ${mS("pc2")} AS mean_pc2,
+         |  ${vS("pc1")} AS var_pc1,
+         |  ${vS("pc2")} AS var_pc2
+         |FROM proj GROUP BY label ORDER BY label""".stripMargin
+    },
     "q248_pca_deflate" ->
       s"""WITH $baseCtes,
          |${iterChain("", "crows")},

@@ -412,4 +412,41 @@ class MlSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-5, s"loading2[$j] $a vs $b")
     }
   }
+
+  test("q258 projection: label moments recomputed by projecting on the " +
+      "driver with the q245/q248 loadings") {
+    val rows = PcaPower.pcaProjection(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val d = PcaPower.Dim
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("embedding", "label").collect()
+      .map(r => (r.getSeq[Float](0).map(_.toDouble).toArray, r.getInt(1)))
+    assert(rows.values.map(_.getAs[Int]("n")).sum === emb.length)
+    rows.values.foreach { r =>
+      assert(r.getAs[Double]("var_pc1") >= 0.0)
+      assert(r.getAs[Double]("var_pc2") >= 0.0)
+    }
+    // loadings/means from the 6-dp q245/q248 reports; agreement at 1e-3
+    // proves the projection is the declared linear map, independent of
+    // the engine's own centered/quantized path
+    val pca1 = PcaPower.pcaPower(spark, sfDir).collect().sortBy(_.getInt(0))
+    val mu = pca1.map(_.getAs[Double]("mu_dim"))
+    val pca2 = PcaPower.pcaDeflate(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+    val v1 = pca2.map(_.getAs[Double]("loading1"))
+    val v2 = pca2.map(_.getAs[Double]("loading2"))
+    val byLabel = emb.groupBy(_._2)
+    byLabel.foreach { case (lbl, vs) =>
+      val pc1s = vs.map { case (e, _) =>
+        (0 until d).map(j => (e(j) - mu(j)) * v1(j)).sum }
+      val pc2s = vs.map { case (e, _) =>
+        (0 until d).map(j => (e(j) - mu(j)) * v2(j)).sum }
+      val r = rows(lbl)
+      assert(r.getAs[Int]("n") === vs.length)
+      assert(math.abs(r.getAs[Double]("mean_pc1") -
+        pc1s.sum / vs.length) < 1e-3, s"label $lbl pc1")
+      assert(math.abs(r.getAs[Double]("mean_pc2") -
+        pc2s.sum / vs.length) < 1e-3, s"label $lbl pc2")
+    }
+  }
 }
