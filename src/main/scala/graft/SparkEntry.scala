@@ -631,6 +631,9 @@ object SparkEntry {
     // PCA projection per label: 2-D separability in the dominant plane
     "q258_pca_projection"     -> ((s, d) =>
       graft.ml.PcaPower.pcaProjection(s, d)),
+    // from-scratch relational HyperLogLog: oracle-checkable sketch
+    "q259_hll_distinct"       -> ((s, d) =>
+      graft.text.TextOps.hllDistinct(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

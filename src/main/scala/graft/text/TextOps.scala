@@ -492,6 +492,79 @@ object TextOps {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** α_m · m² for m = 1024, as a shared 12-dp literal (the Benford
+    * convention — no runtime transcendental). */
+  private[graft] val HllAlphaM2: Double =
+    BigDecimal(0.7213 / (1.0 + 1.079 / 1024) * 1024.0 * 1024.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** q259: HYPERLOGLOG FROM SCRATCH — the distinct-count sketch as
+    * pure relational algebra, which makes it ORACLE-CHECKABLE (q81's
+    * approx stats use Spark's internal HLL++, whose register layout is
+    * opaque — that row is the suite's one sketch without an exact
+    * oracle; this closes the gap). Per source, over distinct tokens:
+    * 1024 registers from a 60-bit seeded md5 (register = h mod m, rank
+    * = leading zeros of the remaining 50-bit field + 1, via the bin()
+    * string — integer everywhere), the harmonic estimate, the
+    * linear-counting small-range branch, and the relative error vs the
+    * exact distinct count.
+    *
+    * The determinism trick: Σ 2^−Mⱼ over registers spans 50 binary
+    * orders — inexact and order-dependent in a double accumulator.
+    * Registers instead contribute the INTEGER 2^(50−Mⱼ) (empty → 2^50),
+    * summed exactly as BIGINT; the estimate divides α·m²·2^50 by that
+    * integer once. Rank ties, registers, counts: all integer.
+    *
+    * Shape at 100 TB: distinct-token dedup is a hash agg; registers
+    * partial-aggregate onto (source × 1024) max keys map-side — the
+    * classic mergeable-sketch layout, here spelled as groupBy.max. */
+  def hllDistinct(s: SparkSession, dir: String, p: Int = 10): DataFrame =
+    hllOf(docs(s, dir)
+      .select(col("source"), explode(tokensC(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0), p)
+
+  /** The sketch over an arbitrary (source, tok) frame — exposed so the
+    * spec can drive a cardinality large enough to hit the raw harmonic
+    * branch (the fixture's ~31-token vocab always linear-counts). */
+  private[graft] def hllOf(toksIn: DataFrame, p: Int = 10): DataFrame = {
+    val m = 1 << p
+    val toks = toksIn
+      .distinct()
+      .localCheckpoint() // registers + exact counts both read it
+    val h = hex60C(seededMd5C(0, col("tok")))
+    val rank = when(col("z") === 0, lit(51))
+      .otherwise(lit(51) - length(bin(col("z"))))
+    val regs = toks
+      .select(col("source"), pmod(h, lit(m.toLong)).as("idx"),
+        shiftright(h, p).as("z")) // the upper 50-bit field, integer shift
+      .withColumn("rank", rank)
+      .groupBy("source", "idx").agg(max("rank").as("mx"))
+    val sums = regs.groupBy("source")
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - mx)"))
+          .cast(LongType).as("isum_filled"))
+      .withColumn("v0", lit(m.toLong) - col("n_filled"))
+      // empty registers contribute 2^50 each, exactly
+      .withColumn("isum",
+        col("isum_filled") + col("v0") * lit(1L << 50))
+    val raw = lit(HllAlphaM2) * lit((1L << 50).toDouble) /
+      col("isum").cast(DoubleType)
+    val est = when(raw <= lit(2.5 * m) && col("v0") > 0,
+      lit(m.toDouble) *
+        round(log(lit(m.toDouble) / col("v0").cast(DoubleType)), 6))
+      .otherwise(raw)
+    val exact = toks.groupBy("source")
+      .agg(countDistinct("tok").as("n_exact"))
+    sums.join(exact, "source")
+      .select(col("source"),
+        col("n_exact").cast(IntegerType).as("n_exact"),
+        col("n_filled").cast(IntegerType).as("n_filled"),
+        round(est, 6).as("hll_est"),
+        round((est - col("n_exact").cast(DoubleType)) /
+          col("n_exact").cast(DoubleType), 6).as("rel_err"))
+      .orderBy("source")
+  }
+
   /** The q240 redaction transform over a text Column: each pattern
     * family's hits are replaced by its `<TYPE>` tag, families applied
     * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
@@ -2281,6 +2354,47 @@ object TextOps {
       |ORDER BY bin""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q259_hll_distinct" -> {
+      val h = graft.functions.TextPrims.hex60S(
+        graft.functions.TextPrims.seededMd5S(0, "tok"))
+      s"""WITH toks AS (SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest($T) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |hh AS (SELECT source, $h AS h FROM toks),
+         |rr AS (SELECT source, h % 1024 AS idx, h // 1024 AS z FROM hh),
+         |rk AS (SELECT source, idx,
+         |    CASE WHEN z = 0 THEN 51 ELSE 51 - length(bin(z)) END AS rank
+         |  FROM rr),
+         |regs AS (SELECT source, idx, MAX(rank) AS mx
+         |  FROM rk GROUP BY source, idx),
+         |sums AS (SELECT source, COUNT(*) AS n_filled,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (50 - mx)) AS BIGINT)
+         |      AS isum_filled
+         |  FROM regs GROUP BY source),
+         |fl AS (SELECT source, n_filled,
+         |    1024 - n_filled AS v0,
+         |    isum_filled + (1024 - n_filled) *
+         |      (CAST(1 AS BIGINT) << 50) AS isum
+         |  FROM sums),
+         |est AS (SELECT source, n_filled, v0,
+         |    $HllAlphaM2 * CAST(CAST(1 AS BIGINT) << 50 AS DOUBLE)
+         |      / CAST(isum AS DOUBLE) AS raw
+         |  FROM fl),
+         |fin AS (SELECT source, n_filled,
+         |    CASE WHEN raw <= ${2.5 * 1024} AND v0 > 0
+         |      THEN 1024.0 * round(ln(1024.0 / CAST(v0 AS DOUBLE)), 6)
+         |      ELSE raw END AS e
+         |  FROM est),
+         |ex AS (SELECT source, COUNT(DISTINCT tok) AS n_exact FROM toks
+         |  GROUP BY source)
+         |SELECT ex.source, CAST(ex.n_exact AS INTEGER) AS n_exact,
+         |  CAST(fin.n_filled AS INTEGER) AS n_filled,
+         |  round(fin.e, 6) AS hll_est,
+         |  round((fin.e - CAST(ex.n_exact AS DOUBLE))
+         |    / CAST(ex.n_exact AS DOUBLE), 6) AS rel_err
+         |FROM fin JOIN ex ON fin.source = ex.source
+         |ORDER BY ex.source""".stripMargin
+    },
     "q257_count_min" -> {
       def bucketS(j: Int, tok: String) =
         s"${graft.functions.TextPrims.hex60S(

@@ -888,6 +888,38 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q259 HLL: raw harmonic branch within theoretical error at 5k " +
+      "cardinality; registers recomputed on the driver") {
+    import spark.implicits._
+    val toks = (0 until 5000).map(i => ("big", s"item$i")).toDF("source", "tok")
+    val out = graft.text.TextOps.hllOf(toks).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Int]("n_exact") === 5000)
+    // 5000 >> 2.5m: the raw branch; HLL std error is 1.04/sqrt(1024)
+    // ~3.3% — allow 4 sigma
+    assert(math.abs(r.getAs[Double]("rel_err")) < 0.13,
+      r.getAs[Double]("rel_err").toString)
+    // independent register recompute: 60-bit md5 prefix, idx/rank split
+    def h60(t: String): Long = {
+      val d2 = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(d2.digest(s"0#$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val regs = collection.mutable.Map.empty[Long, Int]
+    (0 until 5000).foreach { i =>
+      val h = h60(s"item$i")
+      val (idx, z) = (h % 1024, h >> 10)
+      val rank = if (z == 0) 51 else 51 - java.lang.Long.toBinaryString(z).length
+      regs(idx) = math.max(regs.getOrElse(idx, 0), rank)
+    }
+    assert(r.getAs[Int]("n_filled") === regs.size)
+    val isum = regs.values.map(mx => 1L << (50 - mx)).sum +
+      (1024L - regs.size) * (1L << 50)
+    val raw = graft.text.TextOps.HllAlphaM2 * (1L << 50).toDouble / isum
+    assert(math.abs(r.getAs[Double]("hll_est") - raw) < 1e-5)
+  }
+
   test("q241 packing: next-fit recounted in the driver, invariants hold") {
     import org.apache.spark.sql.functions._
     val budget = 2048
