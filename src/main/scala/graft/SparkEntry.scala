@@ -634,6 +634,9 @@ object SparkEntry {
     // from-scratch relational HyperLogLog: oracle-checkable sketch
     "q259_hll_distinct"       -> ((s, d) =>
       graft.text.TextOps.hllDistinct(s, d)),
+    // 17th streaming surface: incremental HLL in MapState registers
+    "q260_hll_stream"         -> ((s, d) =>
+      graft.streaming.EventStream.hllStreamParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

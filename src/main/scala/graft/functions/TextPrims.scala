@@ -115,6 +115,16 @@ object TextPrims {
       d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
   }
 
+  /** JVM twin of [[hex60C]]/[[hex60S]]: the 60-bit md5 prefix — used by
+    * stateful streaming processors (q260's HLL registers) so the
+    * in-processor hash is bit-identical to the relational spelling. */
+  def javaMd5Hex60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+  }
+
   // ------------------------------------------------------------ lang / stop
   /** Marker stopwords per language for the n-gram language-ID heuristic.
     * Order = tie-break priority. */

@@ -763,6 +763,148 @@ object EventStream {
     }
   }
 
+  final case class HllRow(event_type: String, n_seen: Long, n_filled: Int,
+                          hll_est: Double)
+
+  /** Streaming HyperLogLog per event type over user ids — the
+    * production cardinality monitor: 1024 named-MapState registers per
+    * key (register index → max rank), folded incrementally across
+    * micro-batches; each batch emits the key's current estimate using
+    * q259's exact integer-sum formula (registers contribute BIGINT
+    * 2^(50−rank) terms; the α literal and the 6-dp-rounded
+    * linear-counting branch are shared with the batch operator).
+    * Because registers are max-merged, the fold is order- and
+    * batch-slicing-independent — the mergeability property that makes
+    * HLL the sketch production streams actually run. */
+  class HllProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, Event, HllRow] {
+    @transient private var regs:
+      org.apache.spark.sql.streaming.MapState[Long, Int] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit = {
+      regs = getHandle.getMapState[Long, Int]("regs",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[HllRow] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        val h = graft.functions.TextPrims.javaMd5Hex60(
+          s"0#${e.user_id}")
+        val (idx, z) = (h % 1024, h >> 10)
+        val rank =
+          if (z == 0) 51 else 51 - java.lang.Long.toBinaryString(z).length
+        val cur = if (regs.containsKey(idx)) regs.getValue(idx) else 0
+        if (rank > cur) regs.updateValue(idx, rank)
+      }
+      seen.update(n)
+      var filled = 0
+      var isumFilled = 0L
+      regs.iterator().foreach { case (_, mx) =>
+        filled += 1
+        isumFilled += 1L << (50 - mx)
+      }
+      val v0 = 1024L - filled
+      val isum = isumFilled + v0 * (1L << 50)
+      val raw = graft.text.TextOps.HllAlphaM2 * (1L << 50).toDouble / isum
+      val est =
+        if (raw <= 2.5 * 1024 && v0 > 0)
+          1024.0 * BigDecimal(math.log(1024.0 / v0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else raw
+      Iterator.single(HllRow(key, n, filled,
+        BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }
+  }
+
+  def hllStream(events: Dataset[Event]): Dataset[HllRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new HllProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[HllRow])
+  }
+
+  /** q260 — STREAMING HLL parity, the seventeenth streaming surface
+    * and the second on the Spark 4 API (q253 = ValueState; this =
+    * MapState, the register-map layout a streaming sketch actually
+    * needs). Two mtime-stamped slices fold through the register state;
+    * the batch side keeps each key's LATEST emission (by the strictly
+    * growing n_seen counter) and the oracle recomputes the identical
+    * sketch — idx,
+    * ranks, integer harmonic sum, 6-dp linear-counting branch — over
+    * the full events table in DuckDB. Hash-equality proves register
+    * max-merge across batch boundaries loses nothing. */
+  def hllStreamParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q260")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provPrev = s.conf.getOption(provKey)
+    s.conf.set(partsKey, "8")
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      Seq(0, 1).foreach { slice =>
+        val stage = tmp.resolve(s"stage$slice")
+        events.filter(col("event_id") % 2 === slice)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        moveOnlyParquet(stage, in.resolve(s"slice$slice.parquet"),
+          1000000000000L + slice * 60000L)
+      }
+      val ds = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val out = tmp.resolve("out").toString
+      q = hllStream(ds).toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q260 HLL stream did not terminate within 300 s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("n_seen").desc)
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "n_filled", "hll_est")
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      provPrev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q111 — oracle-checked streaming-DEDUP parity, closing the fourth
     * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
     * join, this = keyed dedup): the staged events copy is polluted with a
@@ -1480,6 +1622,37 @@ object EventStream {
         |  AND c.user_id = e.user_id
         |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, error_id""".stripMargin,
+    "q260_hll_stream" -> {
+      val h = graft.functions.TextPrims.hex60S("md5('0#' || uid)")
+      s"""WITH u AS (SELECT DISTINCT event_type,
+         |    CAST(user_id AS VARCHAR) AS uid FROM events),
+         |hh AS (SELECT event_type, $h AS h FROM u),
+         |rr AS (SELECT event_type, h % 1024 AS idx, h // 1024 AS z
+         |  FROM hh),
+         |rk AS (SELECT event_type, idx,
+         |    CASE WHEN z = 0 THEN 51 ELSE 51 - length(bin(z)) END AS rank
+         |  FROM rr),
+         |regs AS (SELECT event_type, idx, MAX(rank) AS mx
+         |  FROM rk GROUP BY event_type, idx),
+         |sums AS (SELECT event_type, COUNT(*) AS n_filled,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (50 - mx)) AS BIGINT)
+         |      AS isum_filled
+         |  FROM regs GROUP BY event_type),
+         |fl AS (SELECT event_type, n_filled, 1024 - n_filled AS v0,
+         |    isum_filled + (1024 - n_filled) *
+         |      (CAST(1 AS BIGINT) << 50) AS isum
+         |  FROM sums),
+         |est AS (SELECT event_type, n_filled, v0,
+         |    ${graft.text.TextOps.HllAlphaM2} *
+         |      CAST(CAST(1 AS BIGINT) << 50 AS DOUBLE)
+         |      / CAST(isum AS DOUBLE) AS raw
+         |  FROM fl)
+         |SELECT event_type, CAST(n_filled AS INTEGER) AS n_filled,
+         |  round(CASE WHEN raw <= ${2.5 * 1024} AND v0 > 0
+         |    THEN 1024.0 * round(ln(1024.0 / CAST(v0 AS DOUBLE)), 6)
+         |    ELSE raw END, 6) AS hll_est
+         |FROM est ORDER BY event_type""".stripMargin
+    },
     "q253_tws_parity" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,

@@ -362,6 +362,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q260 streaming HLL: registers max-merge across batches; final " +
+      "estimate equals a driver recompute over the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.hllStream(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 50).map(u =>
+        EventStream.Event(u, ts(u), u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      in.addData((26 to 80).map(u => // overlaps 26-50: idempotent merge
+        EventStream.Event(100 + u, ts(100 + u), u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hll_out")
+        .orderBy(org.apache.spark.sql.functions.col("n_seen").desc)
+        .collect()
+      assert(rows.length === 2) // one emission per batch
+      val fin = rows.head
+      assert(fin.getAs[Long]("n_seen") === 105L) // 50 + 55 events folded
+      // driver recompute over the DISTINCT union 1..80
+      val regs = collection.mutable.Map.empty[Long, Int]
+      (1 to 80).foreach { u =>
+        val h = graft.functions.TextPrims.javaMd5Hex60(s"0#$u")
+        val (idx, z) = (h % 1024, h >> 10)
+        val rank = if (z == 0) 51
+          else 51 - java.lang.Long.toBinaryString(z).length
+        regs(idx) = math.max(regs.getOrElse(idx, 0), rank)
+      }
+      assert(fin.getAs[Int]("n_filled") === regs.size)
+      val v0 = 1024L - regs.size
+      val expected = 1024.0 * BigDecimal(math.log(1024.0 / v0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(fin.getAs[Double]("hll_est") -
+        BigDecimal(expected).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("dedupStream drops in-watermark re-deliveries, keeps distinct keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
