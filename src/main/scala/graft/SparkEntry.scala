@@ -637,6 +637,9 @@ object SparkEntry {
     // 17th streaming surface: incremental HLL in MapState registers
     "q260_hll_stream"         -> ((s, d) =>
       graft.streaming.EventStream.hllStreamParity(s, d)),
+    // 18th streaming surface: ListState bounded replay buffer
+    "q261_replay_buffer"      -> ((s, d) =>
+      graft.streaming.EventStream.replayParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

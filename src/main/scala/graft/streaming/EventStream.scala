@@ -905,6 +905,126 @@ object EventStream {
     }
   }
 
+  final case class Slot(us: Long, eid: Long)
+  final case class ReplayRow(user_id: Long, n_seen: Long, n_buf: Int,
+                             last5: String)
+
+  /** Per-user bounded REPLAY BUFFER on `transformWithState` ListState —
+    * the "last N events per key" state shape (session replay, fraud
+    * review, debugging context) that neither an aggregate nor a map
+    * naturally models. The buffer holds the 5 latest (event-time,
+    * event_id) slots, merged and re-truncated per batch, so the result
+    * is a pure function of the event set — independent of batch
+    * slicing or arrival order within a batch. */
+  class ReplayProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, ReplayRow] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[Slot] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit = {
+      buf = getHandle.getListState[Slot]("buf",
+        org.apache.spark.sql.Encoders.product[Slot],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ReplayRow] = {
+      val existing =
+        if (buf.exists()) buf.get().toVector else Vector.empty[Slot]
+      var n = if (seen.exists()) seen.get() else 0L
+      val incoming = rows.map { e =>
+        n += 1
+        Slot(tsMicros(e.ts), e.event_id)
+      }.toVector
+      val kept = (existing ++ incoming)
+        .sortBy(s => (-s.us, -s.eid)).take(5)
+      buf.put(kept.toArray)
+      seen.update(n)
+      Iterator.single(ReplayRow(key, n, kept.length,
+        kept.map(_.eid).mkString(",")))
+    }
+  }
+
+  def replayStream(events: Dataset[Event]): Dataset[ReplayRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ReplayProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[ReplayRow])
+  }
+
+  /** q261 — REPLAY-BUFFER parity, the eighteenth streaming surface,
+    * completing the `transformWithState` state-type triad (q253 =
+    * ValueState, q260 = MapState, this = ListState). Two mtime-ordered
+    * slices interleave every user's events across a batch boundary, so
+    * the kept-5 buffer must merge stored slots with new arrivals —
+    * order-independence made falsifiable. The oracle is the batch
+    * top-5-latest window per user, the ids joined newest-first. */
+  def replayParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q261")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provPrev = s.conf.getOption(provKey)
+    s.conf.set(partsKey, "8")
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      Seq(0, 1).foreach { slice =>
+        val stage = tmp.resolve(s"stage$slice")
+        events.filter(col("event_id") % 2 === slice)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        moveOnlyParquet(stage, in.resolve(s"slice$slice.parquet"),
+          1000000000000L + slice * 60000L)
+      }
+      val ds = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val out = tmp.resolve("out").toString
+      q = replayStream(ds).toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q261 replay stream did not terminate within 300 s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_seen").desc)
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "n_buf", "last5")
+        .orderBy("user_id")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      provPrev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q111 — oracle-checked streaming-DEDUP parity, closing the fourth
     * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
     * join, this = keyed dedup): the staged events copy is polluted with a
@@ -1622,6 +1742,16 @@ object EventStream {
         |  AND c.user_id = e.user_id
         |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, error_id""".stripMargin,
+    "q261_replay_buffer" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_buf,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS last5
+        |FROM r WHERE rn <= 5
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q260_hll_stream" -> {
       val h = graft.functions.TextPrims.hex60S("md5('0#' || uid)")
       s"""WITH u AS (SELECT DISTINCT event_type,

@@ -412,6 +412,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q261 replay buffer: cross-batch merge re-sorts an out-of-order " +
+      "arrival and caps at 5") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.replayStream(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("replay_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 4).map(i =>
+        EventStream.Event(i, ts(i * 10), 7, "click", 1.0)): _*)
+      q.processAllAvailable()
+      in.addData( // 99 is newest; 5 lands BETWEEN stored slots (ts 15)
+        EventStream.Event(99, ts(100), 7, "click", 1.0),
+        EventStream.Event(5, ts(15), 7, "click", 1.0),
+        EventStream.Event(6, ts(35), 7, "click", 1.0))
+      q.processAllAvailable()
+      val fin = spark.table("replay_out")
+        .orderBy(org.apache.spark.sql.functions.col("n_seen").desc)
+        .collect().head
+      assert(fin.getAs[Long]("n_seen") === 7L)
+      assert(fin.getAs[Int]("n_buf") === 5)
+      // newest-first by ts: 99(t100), 4(t40), 6(t35), 3(t30), 2(t20);
+      // the out-of-order 5(t15) and 1(t10) are evicted
+      assert(fin.getAs[String]("last5") === "99,4,6,3,2")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("dedupStream drops in-watermark re-deliveries, keeps distinct keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
