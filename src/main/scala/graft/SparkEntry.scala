@@ -640,6 +640,9 @@ object SparkEntry {
     // 18th streaming surface: ListState bounded replay buffer
     "q261_replay_buffer"      -> ((s, d) =>
       graft.streaming.EventStream.replayParity(s, d)),
+    // tombstoned IVF: deletions excluded at probe time, no rebuild
+    "q262_ivf_tombstones"     -> ((s, d) =>
+      graft.similarity.Similarity.annIvfTombstones(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

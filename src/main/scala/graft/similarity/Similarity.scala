@@ -213,12 +213,17 @@ object Similarity {
 
   /** The IVF probe over an index frame (fresh-built or reloaded):
     * queries restricted to their own cell, per-query top-k. */
-  private def probeIvf(cells: DataFrame): DataFrame = {
+  private def probeIvf(cells: DataFrame,
+                       tombstones: Option[DataFrame] = None): DataFrame = {
     val q = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cluster"))
-    val cand = cells.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+    val cand0 = cells.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
       col("nrm").as("nn"), col("cluster"))
+    // deletions never rewrite the index: the (bounded, between
+    // compactions) tombstone list broadcasts and anti-joins at probe time
+    val cand = tombstones.fold(cand0)(t =>
+      cand0.join(broadcast(t), Seq("neighbor_id"), "left_anti"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand.join(broadcast(q), "cluster")
@@ -249,6 +254,30 @@ object Similarity {
       ivfCells(s, dir).write.partitionBy("cluster").parquet(path)
       // materialize off the staging dir before the finally deletes it
       probeIvf(s.read.parquet(path)).localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
+  /** q262: TOMBSTONED IVF — the deletion path of a production vector
+    * store: the persisted index (q170) is NEVER rewritten when vectors
+    * are deleted; a tombstone list (here the deterministic
+    * vec_id%10==3 plane, queries exempt) broadcasts and anti-joins at
+    * probe time, and compaction is deferred until tombstones grow past
+    * a threshold. Results must equal an IVF probe over the corpus
+    * WITH the deleted vectors absent — the oracle states exactly that,
+    * so hash-equality proves no deleted neighbor leaks into a top-k
+    * and no surviving neighbor is lost (ranks re-close over the
+    * survivors). The GDPR-shaped operation every 100 TB index needs:
+    * delete cost is O(|tombstones|), not an index rebuild. */
+  def annIvfTombstones(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q262")
+    try {
+      val path = tmp.resolve("ivf").toString
+      ivfCells(s, dir).write.partitionBy("cluster").parquet(path)
+      val idx = s.read.parquet(path)
+      val tomb = idx
+        .filter(col("vec_id") % 10 === 3 && col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"))
+      probeIvf(idx, Some(tomb)).localCheckpoint()
     } finally Tables.rmTree(tmp)
   }
 
@@ -1113,7 +1142,10 @@ object Similarity {
 
   /** q61's SQL — shared verbatim by q170 (the persisted-index round trip
     * must answer identically). */
-  private lazy val q61OracleS: String = {
+  /** The IVF-probe oracle, parameterized by an extra candidate
+    * predicate — "TRUE" for q61/q170, the tombstone exclusion for
+    * q262. One spelling, three queries. */
+  private def ivfOracleS(candFilter: String): String = {
     val L = graft.ml.LloydExact
     s"""WITH ${L.lloydCtesS},
        |cells AS (SELECT vec_id, e, cluster,
@@ -1123,7 +1155,7 @@ object Similarity {
        |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
        |    ${simS(s"${L.dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
        |  FROM q JOIN cells n USING (cluster)
-       |  WHERE n.vec_id <> q.query_id),
+       |  WHERE n.vec_id <> q.query_id AND ($candFilter)),
        |r AS (SELECT query_id, neighbor_id, sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
@@ -1131,6 +1163,8 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
        |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
+
+  private lazy val q61OracleS: String = ivfOracleS("TRUE")
 
   def oracleSql: Map[String, String] = Map(
     "q231_ndcg_lexical" -> {
@@ -1522,6 +1556,8 @@ object Similarity {
     // q170's oracle IS q61's: the persisted index must answer the same
     // queries identically — the round trip is the thing under test
     "q170_ann_ivf_persisted" -> q61OracleS,
+    "q262_ivf_tombstones" ->
+      ivfOracleS("NOT (n.vec_id % 10 = 3 AND n.vec_id >= 10)"),
     "q236_ivf_nprobe_sweep" -> {
       import graft.ml.LloydExact.{Iters, K => LK}
       val chain = graft.ml.LloydExact.lloydCtesFor(

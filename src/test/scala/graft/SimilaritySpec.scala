@@ -365,4 +365,35 @@ class SimilaritySpec extends SparkSpec {
       assert(mean > 0.01, s"q${r.getLong(0)} mean $mean")
     }
   }
+
+  test("q262 tombstones: no deleted neighbor leaks, untouched queries " +
+      "identical to q170, prefixes shared up to the first eviction") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getDouble(3))
+    val live = graft.similarity.Similarity.annIvfPersisted(spark, sfDir)
+      .collect().map(key).groupBy(_._1)
+    val tomb = graft.similarity.Similarity.annIvfTombstones(spark, sfDir)
+      .collect().map(key).groupBy(_._1)
+    assert(tomb.keySet === live.keySet)
+    tomb.values.flatten.foreach { case (_, n, _, _) =>
+      assert(!(n % 10 == 3 && n >= 10), s"deleted neighbor $n leaked")
+    }
+    live.foreach { case (qid, l) =>
+      val t = tomb(qid)
+      val firstDeleted = l.indexWhere { case (_, n, _, _) =>
+        n % 10 == 3 && n >= 10 }
+      if (firstDeleted < 0) {
+        // no tombstoned neighbor in the live top-5: rows must be
+        // IDENTICAL (deletion of non-neighbors cannot perturb ranks)
+        assert(t.toSeq === l.toSeq, s"query $qid")
+      } else {
+        // the prefix before the first eviction survives verbatim
+        assert(t.toSeq.take(firstDeleted) === l.toSeq.take(firstDeleted),
+          s"query $qid")
+      }
+    }
+    // the fixture's id plane guarantees at least one eviction happens
+    assert(live.values.exists(_.exists { case (_, n, _, _) =>
+      n % 10 == 3 && n >= 10 }))
+  }
 }
