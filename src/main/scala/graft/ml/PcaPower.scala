@@ -107,21 +107,41 @@ object PcaPower {
 
   /** `Iters` power-iteration steps from v0 = (0.125,…): a 1-row frame
     * (v, nrm) — the unit vector and the final pre-normalization norm
-    * (the eigenvalue estimate). */
+    * (the eigenvalue estimate).
+    *
+    * The orbit runs ON THE DRIVER over the collected D×D matrix — an
+    * R7-compliant O(D²) materialization (constant in corpus size) that
+    * replaces 12 × (tiny job + checkpoint) with microseconds of JVM
+    * arithmetic. Bit-exactness is preserved because every operation
+    * replicates the relational spelling's IEEE order exactly: the
+    * matrix-vector and norm dots are the same ascending `s += x·y`
+    * fold as the codegen'd [[dotp]] (and the oracle's `list_reduce`),
+    * division and sqrt are single correctly-rounded IEEE ops. The
+    * earlier DataFrame-iteration form produced the identical frame —
+    * verified by the unchanged q245/q248/q258 oracle hashes. */
   private def iterate(s: SparkSession, cRows: DataFrame): DataFrame = {
-    var v: DataFrame = s.range(1)
-      .select(array(Seq.fill(Dim)(lit(0.125)): _*).as("v"),
-        lit(0.0).as("nrm"))
+    val c: Array[Array[Double]] = cRows.collect()
+      .map(r => (r.get(r.fieldIndex("j")).asInstanceOf[Number].longValue,
+        r.getSeq[Double](r.fieldIndex("crow")).toArray))
+      .sortBy(_._1).map(_._2)
+    require(c.length == Dim, s"matrix frame has ${c.length} rows")
+    var v = Array.fill(Dim)(0.125)
+    var nrm = 0.0
     for (_ <- 1 to Iters) {
-      val w = cRows.crossJoin(broadcast(v.select("v")))
-        .select(col("j"), dotp(col("crow"), col("v")).as("wj"))
-      v = toArr(w, "j", "wj", "w")
-        .select(col("w"), sqrt(dotp(col("w"), col("w"))).as("nrm"))
-        .select(transform(col("w"), x => x / col("nrm")).as("v"),
-          col("nrm"))
-        .localCheckpoint()
+      val w = Array.tabulate(Dim) { j =>
+        var acc = 0.0
+        var k = 0
+        while (k < Dim) { acc += c(j)(k) * v(k); k += 1 }
+        acc
+      }
+      var sq = 0.0
+      var i = 0
+      while (i < Dim) { sq += w(i) * w(i); i += 1 }
+      nrm = math.sqrt(sq)
+      v = w.map(_ / nrm)
     }
-    v
+    import s.implicits._
+    Seq((v.toSeq, nrm)).toDF("v", "nrm")
   }
 
   private def traceOf(cov: DataFrame): DataFrame =
