@@ -249,12 +249,17 @@ object PcaPower {
           .cast(LongType).as("pc1"),
         (dotp(cvec, col("v2")).cast(DecimalType(18, 6)) * 1000000)
           .cast(LongType).as("pc2"))
+    // moments sum as DECIMAL(38,0): each pc*pc is up to ~2.6e14, so a
+    // plain Long sum silently wraps past ~35k rows per label while
+    // DuckDB promotes BIGINT sums to HUGEINT — the exact decimal sum
+    // matches the oracle's exact-integer-then-double path bit-for-bit
+    def exact(c: Column) = sum(c.cast(DecimalType(38, 0)))
     def m(c: String) =
-      sum(col(c)).cast(DoubleType) / count(lit(1)) / lit(1000000.0)
+      exact(col(c)).cast(DoubleType) / count(lit(1)) / lit(1000000.0)
     def v(c: String) =
-      (sum(col(c) * col(c)).cast(DoubleType) / count(lit(1)) -
-        (sum(col(c)).cast(DoubleType) / count(lit(1))) *
-        (sum(col(c)).cast(DoubleType) / count(lit(1)))) / lit(1.0e12)
+      (exact(col(c) * col(c)).cast(DoubleType) / count(lit(1)) -
+        (exact(col(c)).cast(DoubleType) / count(lit(1))) *
+        (exact(col(c)).cast(DoubleType) / count(lit(1)))) / lit(1.0e12)
     projected.groupBy("label")
       .agg(count(lit(1)).cast(IntegerType).as("n"),
         m("pc1").as("mean_pc1"), m("pc2").as("mean_pc2"),

@@ -186,11 +186,14 @@ object PqCodebook {
     * for. */
   val IndexFormatVersion = "v1"
 
-  private def indexRoot(dir: String): java.nio.file.Path = {
+  private def indexRoot(dir: String, k: Int): java.nio.file.Path = {
     val src = new java.io.File(dir, "embeddings.parquet")
     // corpus mtime in the key: a regenerated fixture at the same path
-    // must build a fresh index, never read a stale one
-    val canon = s"${src.getCanonicalPath}@${src.lastModified}"
+    // must build a fresh index, never read a stale one. k is in the
+    // key too — the persisted `truth` file is the exact top-k ground
+    // truth, so reusing it for a different k would divide recall by
+    // the wrong denominator.
+    val canon = s"${src.getCanonicalPath}@${src.lastModified}@k=$k"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$IndexFormatVersion|$canon".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -259,7 +262,7 @@ object PqCodebook {
   }
 
   def pqAdcPersisted(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val root = indexRoot(dir)
+    val root = indexRoot(dir, k)
     if (!java.nio.file.Files.isDirectory(root.resolve("truth")))
       buildIndex(s, dir, root, k)
     // steady state: everything below reads ONLY the persisted index
@@ -422,9 +425,11 @@ object PqCodebook {
     * broadcast LUT equi-join + hash-agg. */
   val IvfAdcFormatVersion = "v1"
 
-  private def ivfAdcRoot(dir: String): java.nio.file.Path = {
+  private def ivfAdcRoot(dir: String, k: Int): java.nio.file.Path = {
     val src = new java.io.File(dir, "embeddings.parquet")
-    val canon = s"${src.getCanonicalPath}@${src.lastModified}"
+    // k in the key for the same reason as indexRoot: the persisted
+    // ground truth is top-k-specific.
+    val canon = s"${src.getCanonicalPath}@${src.lastModified}@k=$k"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"ivfadc|$IvfAdcFormatVersion|$canon".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -498,7 +503,7 @@ object PqCodebook {
 
   def ivfAdcPersisted(s: SparkSession, dir: String,
                       k: Int = 10): DataFrame = {
-    val root = ivfAdcRoot(dir)
+    val root = ivfAdcRoot(dir, k)
     if (!java.nio.file.Files.isDirectory(root.resolve("truth")))
       buildIvfAdcIndex(s, dir, root, k)
     val coarse = s.read.parquet(root.resolve("coarse").toString)

@@ -803,8 +803,10 @@ object EventStream {
         val h = graft.functions.TextPrims.javaMd5Hex60(
           s"0#${e.user_id}")
         val (idx, z) = (h % 1024, h >> 10)
+        // rank clamped to 50 on z == 0 (mirrors hllOf): a stored 51
+        // would shift by -1 below, which wraps to Long.MIN_VALUE.
         val rank =
-          if (z == 0) 51 else 51 - java.lang.Long.toBinaryString(z).length
+          if (z == 0) 50 else 51 - java.lang.Long.toBinaryString(z).length
         val cur = if (regs.containsKey(idx)) regs.getValue(idx) else 0
         if (rank > cur) regs.updateValue(idx, rank)
       }

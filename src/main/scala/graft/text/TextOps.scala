@@ -77,12 +77,18 @@ object TextOps {
     * The per-source fold is genuinely sequential (each bin boundary
     * depends on every earlier one — the capped-running-total recursion
     * no window frame expresses), so this is one of the few typed
-    * `mapGroups` sites (SURVEY §2.11 policy: imperative logic only
-    * where it IS the semantics). Sources pack independently — the
-    * parallelism axis at 100 TB is the source/shard key, each group
-    * streams its iterator once in sorted order. Oracle: the identical
-    * recursion as a DuckDB RECURSIVE CTE (the q194 pattern,
-    * batch-side). */
+    * `mapPartitions` sites (SURVEY §2.11 policy: imperative logic only
+    * where it IS the semantics). Spark does the ordering — repartition
+    * on source + sortWithinPartitions(source, doc_id) is a spill-safe
+    * distributed sort — and the fold then streams each partition's
+    * iterator ONCE with O(1) state (five counters + one lookahead row),
+    * emitting at group boundaries. No group is ever materialized: a
+    * 100 TB source packs in constant executor memory. (groupByKey +
+    * mapGroups can't do this — its generated key column hides the
+    * source ordering, forcing `it.toSeq.sortBy` buffering.) Sources
+    * pack independently — the parallelism axis at 100 TB is the
+    * source/shard key. Oracle: the identical recursion as a DuckDB
+    * RECURSIVE CTE (the q194 pattern, batch-side). */
   def seqPacking(s: SparkSession, dir: String,
                  budget: Int = 2048): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
@@ -90,20 +96,36 @@ object TextOps {
     import spark.implicits._
     val toks = docs(s, dir).select(col("source"), col("doc_id"),
       bpeTokensC(col("text")).as("toks"))
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
       .as[(String, Long, Int)]
-    val packed = toks.groupByKey(_._1).mapGroups { (src, it) =>
-      val rows = it.toSeq.sortBy(_._2)
-      var fill = 0L
-      var seqs = 0L
-      var total = 0L
-      var overflow = 0L
-      rows.foreach { case (_, _, t) =>
-        total += t
-        if (t > budget) overflow += 1
-        if (seqs == 0L || fill + t > budget) { seqs += 1; fill = t.toLong }
-        else fill += t
+    val packed = toks.mapPartitions { it =>
+      new Iterator[(String, Long, Long, Long, Long)] {
+        private var pending: (String, Long, Int) =
+          if (it.hasNext) it.next() else null
+        def hasNext: Boolean = pending != null
+        def next(): (String, Long, Long, Long, Long) = {
+          val src = pending._1
+          var nDocs = 0L
+          var fill = 0L
+          var seqs = 0L
+          var total = 0L
+          var overflow = 0L
+          var cur = pending
+          while (cur != null && cur._1 == src) {
+            val t = cur._3
+            nDocs += 1
+            total += t
+            if (t > budget) overflow += 1
+            if (seqs == 0L || fill + t > budget) {
+              seqs += 1; fill = t.toLong
+            } else fill += t
+            cur = if (it.hasNext) it.next() else null
+          }
+          pending = cur
+          (src, nDocs, seqs, overflow, total)
+        }
       }
-      (src, rows.size.toLong, seqs, overflow, total)
     }.toDF("source", "n_docs", "n_seqs", "n_overflow", "total_tokens")
     packed.select(col("source"),
         col("n_docs").cast(IntegerType).as("n_docs"),
@@ -180,11 +202,18 @@ object TextOps {
                      minToks: Int = 20, maxToks: Int = 5000): DataFrame = {
     val t = tokensC(col("text"))
     val words = size(t).cast(DoubleType)
+    // ratio signals are NULL on token-free docs (q228 rule): an
+    // unguarded x/0 is NaN on Spark but engine-dependent in SQL, and
+    // `NOT (NaN < t)` = true while `NOT NULL` = NULL — NULL on BOTH
+    // engines keeps the marginal chains in agreement.
     val per = docs(s, dir).select(
       bpeTokensC(col("text")).as("toks"),
       qualityScoreC.as("q"),
-      round(size(array_distinct(t)).cast(DoubleType) / words, 6).as("ttr"),
-      round(countInSetC(t, Stopwords).cast(DoubleType) / words, 6)
+      when(size(t) > 0,
+        round(size(array_distinct(t)).cast(DoubleType) / words, 6))
+        .as("ttr"),
+      when(size(t) > 0,
+        round(countInSetC(t, Stopwords).cast(DoubleType) / words, 6))
         .as("stopr"))
     val rules: Seq[(String, Column)] = Seq(
       "1_quality"   -> (col("q") < qMin),
@@ -532,7 +561,12 @@ object TextOps {
       .distinct()
       .localCheckpoint() // registers + exact counts both read it
     val h = hex60C(seededMd5C(0, col("tok")))
-    val rank = when(col("z") === 0, lit(51))
+    // z == 0 (all 50 hash bits zero, ~2^-50/key) is clamped to rank 50,
+    // not 51: a stored 51 would make `1 << (50 - mx)` a negative shift,
+    // which wraps on the JVM and is engine-defined in SQL — merging the
+    // impossible-in-practice rank into 50 keeps every register
+    // contribution an exact positive BIGINT on both engines.
+    val rank = when(col("z") === 0, lit(50))
       .otherwise(lit(51) - length(bin(col("z"))))
     val regs = toks
       .select(col("source"), pmod(h, lit(m.toLong)).as("idx"),
@@ -2363,7 +2397,7 @@ object TextOps {
          |hh AS (SELECT source, $h AS h FROM toks),
          |rr AS (SELECT source, h % 1024 AS idx, h // 1024 AS z FROM hh),
          |rk AS (SELECT source, idx,
-         |    CASE WHEN z = 0 THEN 51 ELSE 51 - length(bin(z)) END AS rank
+         |    CASE WHEN z = 0 THEN 50 ELSE 51 - length(bin(z)) END AS rank
          |  FROM rr),
          |regs AS (SELECT source, idx, MAX(rank) AS mx
          |  FROM rk GROUP BY source, idx),
@@ -2543,8 +2577,11 @@ object TextOps {
          |b AS (SELECT
          |    ${graft.functions.TextPrims.bpeTokensS("text")} AS toks,
          |    $QualityScoreS AS q,
-         |    round(CAST(len(list_distinct(t)) AS DOUBLE) / words, 6) AS ttr,
-         |    round(stops / words, 6) AS stopr
+         |    CASE WHEN words > 0 THEN
+         |      round(CAST(len(list_distinct(t)) AS DOUBLE) / words, 6)
+         |      END AS ttr,
+         |    CASE WHEN words > 0 THEN round(stops / words, 6) END
+         |      AS stopr
          |  FROM mq),
          |f AS (SELECT toks,
          |    $flags
