@@ -643,6 +643,9 @@ object SparkEntry {
     // tombstoned IVF: deletions excluded at probe time, no rebuild
     "q262_ivf_tombstones"     -> ((s, d) =>
       graft.similarity.Similarity.annIvfTombstones(s, d)),
+    // q251's 100-TB twin: KS on pooled percentile-boundary support
+    "q263_ks_fdr_binned"      -> ((s, d) =>
+      graft.analytics.Advanced.ksFdrBinned(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1106,6 +1106,14 @@ object Advanced {
     val d = a.join(b, Seq("vq")).filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b", "na", "nb")
       .agg(max(abs(col("fa") - col("fb"))).as("d"))
+    ksTailOf(d)
+  }
+
+  /** The asymptotic-p + Benjamini–Hochberg tail shared by q251 (exact
+    * support) and q263 (binned support): input is one row per type
+    * pair (type_a, type_b, na, nb, d). Kept as ONE spelling so the
+    * twins differ only in how the ECDF grid is built. */
+  private def ksTailOf(d: DataFrame): DataFrame = {
     val sq = sqrt(col("na").cast(DoubleType) * col("nb") /
       (col("na") + col("nb")).cast(DoubleType))
     val lam = (sq + lit(0.12) + lit(0.11) / sq) * col("d")
@@ -1131,6 +1139,76 @@ object Advanced {
         least(lit(1.0), col("madj")).as("p_adj"),
         (least(lit(1.0), col("madj")) <= 0.05).as("significant"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** q263: BINNED-SUPPORT KS + BH — q251's 100 TB twin (the
+    * q252→q256 pattern applied to KS). q251 evaluates the ECDF gap at
+    * EVERY distinct quantized value — exact, but on a genuinely
+    * continuous value domain the grid is O(|distinct| × |types|) rows.
+    * Here the gap is evaluated only at `bins` POOLED equi-mass
+    * percentile boundaries (exact interpolated percentile over the
+    * micro-unit integers — Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, with dyadic i/bins fractions so the
+    * interpolation arithmetic is exactly representable), capping the
+    * ECDF grid at O(bins × types) and the pair comparison at
+    * O(bins × types²) whatever the corpus size.
+    *
+    * The binned D understates the exact D by at most the largest mass
+    * either distribution places strictly inside one boundary interval
+    * (the ECDF gap moves by at most that much between evaluation
+    * points) — for equi-mass pooled boundaries that is ≈ c/bins;
+    * AdvancedSpec pins |D_binned − D_exact| on the planted-shift
+    * fixture. The p-value/BH tail is the IDENTICAL [[ksTailOf]]
+    * spelling as q251.
+    *
+    * Shape at 100 TB: one collapse of the fact table to (type, value,
+    * n) rows; boundaries come from the collapsed relation via the
+    * frequency-weighted exact percentile (state = distinct values, not
+    * rows); binning is a broadcast (bins−1)-value array + codegen'd
+    * HOF count; everything after runs on types × bins rows. */
+  def ksFdrBinned(s: SparkSession, dir: String, bins: Int = 16): DataFrame =
+    ksFdrBinnedOf(t(s, dir, "events"), bins)
+
+  private[graft] def ksFdrBinnedOf(events: DataFrame,
+                                   bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val vq = (col("value").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val pv = events
+      .select(col("event_type"), vq.as("vq"))
+      .groupBy("event_type", "vq").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // boundaries + bin counts + totals all read it
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val bnd = pv.agg(
+      expr(s"percentile(vq, array(${qs.mkString(", ")}), n)").as("bnd"))
+    val binned = pv.crossJoin(broadcast(bnd))
+      .withColumn("bin",
+        size(filter(col("bnd"), b => col("vq").cast(DoubleType) > b))
+          .cast(IntegerType))
+      .groupBy("event_type", "bin").agg(sum("n").as("n"))
+    val types = pv.groupBy("event_type").agg(sum("n").as("ntot"))
+    val ids = events.sparkSession.range(0, bins.toLong)
+      .select(col("id").cast(IntegerType).as("bin"))
+    val grid = types.crossJoin(ids)
+      .join(binned, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n"))
+    val cum = grid.withColumn("c",
+      sum("n").over(Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // ECDF at internal boundary i (1..bins-1) = mass through bin i-1;
+    // beyond the last boundary both ECDFs are 1, gap 0 — no row needed
+    val f = cum.filter(col("bin") <= bins - 2)
+      .select(col("event_type"), col("ntot"),
+        (col("bin") + 1).as("bix"),
+        (col("c").cast(DoubleType) / col("ntot")).as("fv"))
+    val a = f.select(col("event_type").as("type_a"), col("ntot").as("na"),
+      col("bix"), col("fv").as("fa"))
+    val b = f.select(col("event_type").as("type_b"), col("ntot").as("nb"),
+      col("bix"), col("fv").as("fb"))
+    val d = a.join(b, Seq("bix")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b", "na", "nb")
+      .agg(max(abs(col("fa") - col("fb"))).as("d"))
+    ksTailOf(d)
   }
 
   /** q205: PSI DRIFT — the Population Stability Index, the production
@@ -2386,6 +2464,39 @@ object Advanced {
 
   // ---------------------------------------------------------------- oracles
 
+  /** The asymptotic-p + BH tail CTEs (l/pp/ranked/adj + final SELECT)
+    * shared by the q251 and q263 oracles — the SQL spelling of
+    * [[ksTailOf]]. Expects a preceding CTE `d` with
+    * (type_a, type_b, na, nb, d). */
+  private def ksTailSql: String = {
+    val terms = Seq(1, 2, 3, 4, 5).map(k =>
+      s"round(exp(${-2.0 * k * k} * lam * lam), 9)")
+    val series = s"(${terms(0)} - ${terms(1)} + ${terms(2)} - " +
+      s"${terms(3)} + ${terms(4)})"
+    s"""l AS (SELECT *,
+       |    (sqrt(CAST(na AS DOUBLE) * nb / CAST(na + nb AS DOUBLE))
+       |      + 0.12 + 0.11 / sqrt(CAST(na AS DOUBLE) * nb /
+       |        CAST(na + nb AS DOUBLE))) * d AS lam
+       |  FROM d),
+       |pp AS (SELECT *,
+       |    LEAST(1.0, GREATEST(0.0, 2.0 * $series)) AS p
+       |  FROM l),
+       |ranked AS (SELECT *,
+       |    ROW_NUMBER() OVER (ORDER BY p, type_a, type_b) AS rnk,
+       |    COUNT(*) OVER () AS m
+       |  FROM pp),
+       |adj AS (SELECT *,
+       |    MIN(p * m / rnk) OVER (ORDER BY rnk DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS madj
+       |  FROM ranked)
+       |SELECT type_a, type_b, CAST(na AS INTEGER) AS n_a,
+       |  CAST(nb AS INTEGER) AS n_b, d AS d_stat, lam AS lambda,
+       |  p AS p_value, CAST(rnk AS INTEGER) AS rnk,
+       |  LEAST(1.0, madj) AS p_adj,
+       |  LEAST(1.0, madj) <= 0.05 AS significant
+       |FROM adj ORDER BY type_a, type_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q179_markov_eval" -> {
       val bkt = graft.functions.TextPrims
@@ -3090,11 +3201,7 @@ object Advanced {
         |    sqrt(nad * nbd / 12 *
         |      ((ntd + 1) - tsd / (ntd * (ntd - 1)))) AS z
         |FROM f ORDER BY event_type""".stripMargin,
-    "q251_ks_fdr" -> {
-      val terms = Seq(1, 2, 3, 4, 5).map(k =>
-        s"round(exp(${-2.0 * k * k} * lam * lam), 9)")
-      val series = s"(${terms(0)} - ${terms(1)} + ${terms(2)} - " +
-        s"${terms(3)} + ${terms(4)})"
+    "q251_ks_fdr" ->
       s"""WITH e AS (SELECT event_type,
          |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
          |  FROM events),
@@ -3118,28 +3225,43 @@ object Advanced {
          |    a.ntot AS na, b.ntot AS nb, MAX(ABS(a.fv - b.fv)) AS d
          |  FROM f a JOIN f b ON a.vq = b.vq AND a.event_type < b.event_type
          |  GROUP BY 1, 2, 3, 4),
-         |l AS (SELECT *,
-         |    (sqrt(CAST(na AS DOUBLE) * nb / CAST(na + nb AS DOUBLE))
-         |      + 0.12 + 0.11 / sqrt(CAST(na AS DOUBLE) * nb /
-         |        CAST(na + nb AS DOUBLE))) * d AS lam
-         |  FROM d),
-         |pp AS (SELECT *,
-         |    LEAST(1.0, GREATEST(0.0, 2.0 * $series)) AS p
-         |  FROM l),
-         |ranked AS (SELECT *,
-         |    ROW_NUMBER() OVER (ORDER BY p, type_a, type_b) AS rnk,
-         |    COUNT(*) OVER () AS m
-         |  FROM pp),
-         |adj AS (SELECT *,
-         |    MIN(p * m / rnk) OVER (ORDER BY rnk DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS madj
-         |  FROM ranked)
-         |SELECT type_a, type_b, CAST(na AS INTEGER) AS n_a,
-         |  CAST(nb AS INTEGER) AS n_b, d AS d_stat, lam AS lambda,
-         |  p AS p_value, CAST(rnk AS INTEGER) AS rnk,
-         |  LEAST(1.0, madj) AS p_adj,
-         |  LEAST(1.0, madj) <= 0.05 AS significant
-         |FROM adj ORDER BY type_a, type_b""".stripMargin
+         |$ksTailSql""".stripMargin,
+    "q263_ks_fdr_binned" -> {
+      val bins = 16
+      val qs = (1 until bins).map(i => i.toDouble / bins)
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vq
+         |  FROM events),
+         |pv AS (SELECT event_type, vq, COUNT(*) AS n
+         |  FROM e GROUP BY event_type, vq),
+         |bnd AS (SELECT quantile_cont(vq, [${qs.mkString(", ")}]) AS bnd
+         |  FROM e),
+         |binned AS (SELECT event_type,
+         |    CAST(len(list_filter(bnd.bnd,
+         |      b -> CAST(vq AS DOUBLE) > b)) AS INTEGER) AS bin,
+         |    CAST(SUM(n) AS BIGINT) AS n
+         |  FROM pv CROSS JOIN bnd GROUP BY 1, 2),
+         |types AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS ntot
+         |  FROM pv GROUP BY event_type),
+         |ids AS (SELECT unnest(generate_series(0, ${bins - 1})) AS bin),
+         |grid AS (SELECT t.event_type, t.ntot, i.bin,
+         |    COALESCE(b.n, 0) AS n
+         |  FROM types t CROSS JOIN ids i
+         |  LEFT JOIN binned b
+         |    ON b.event_type = t.event_type AND b.bin = i.bin),
+         |cum AS (SELECT event_type, ntot, bin,
+         |    SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM grid),
+         |f AS (SELECT event_type, ntot, bin + 1 AS bix,
+         |    CAST(c AS DOUBLE) / ntot AS fv
+         |  FROM cum WHERE bin <= ${bins - 2}),
+         |d AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.ntot AS na, b.ntot AS nb, MAX(ABS(a.fv - b.fv)) AS d
+         |  FROM f a JOIN f b
+         |    ON a.bix = b.bix AND a.event_type < b.event_type
+         |  GROUP BY 1, 2, 3, 4),
+         |$ksTailSql""".stripMargin
     },
     "q209_ks_two_sample" ->
       """WITH e AS (SELECT event_type,

@@ -848,4 +848,42 @@ class AdvancedSpec extends SparkSpec {
       assert(r.getAs[Double]("p_adj") <= 1.0)
     }
   }
+
+  test("q263 binned KS: |D_binned - D_exact| within the interval-mass " +
+      "bound; planted-shift verdicts preserved") {
+    import spark.implicits._
+    // same planted-shift fixture as the q251 test
+    val rows = (0 until 400).flatMap { i =>
+      val v = (i % 100) / 10.0
+      Seq(("A", v), ("B", v), ("C", v + 5.0))
+    }.toDF("event_type", "value")
+    val bins = 16
+    val exact = Advanced.ksFdrOf(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val binned = Advanced.ksFdrBinnedOf(rows, bins).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(binned.keySet == exact.keySet)
+    binned.foreach { case (k, rb) =>
+      val db = rb.getAs[Double]("d_stat")
+      val de = exact(k).getAs[Double]("d_stat")
+      // boundary support is a subset of the exact evaluation points, so
+      // the binned D can only UNDERSTATE the exact D...
+      assert(db <= de + 1e-12, s"$k: binned $db > exact $de")
+      // ...and by at most the largest mass one type places inside a
+      // single pooled equi-mass interval — ≤ 3/bins here, since each
+      // pooled bin holds 1/bins of the 3-type union
+      assert(de - db <= 3.0 / bins + 1e-12,
+        s"$k: exact $de binned $db exceeds interval-mass bound")
+      // n_a/n_b carried through identically
+      assert(rb.getAs[Int]("n_a") == exact(k).getAs[Int]("n_a"))
+      assert(rb.getAs[Int]("n_b") == exact(k).getAs[Int]("n_b"))
+    }
+    // the screening verdicts the report exists for are unchanged
+    assert(!binned(("A", "B")).getAs[Boolean]("significant"))
+    assert(binned(("A", "C")).getAs[Boolean]("significant"))
+    assert(binned(("B", "C")).getAs[Boolean]("significant"))
+    // identical samples evaluate identically on any support
+    assert(binned(("A", "B")).getAs[Double]("d_stat") === 0.0)
+    assert(binned(("A", "B")).getAs[Double]("p_value") === 1.0)
+  }
 }
