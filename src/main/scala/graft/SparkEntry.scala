@@ -646,6 +646,9 @@ object SparkEntry {
     // q251's 100-TB twin: KS on pooled percentile-boundary support
     "q263_ks_fdr_binned"      -> ((s, d) =>
       graft.analytics.Advanced.ksFdrBinned(s, d)),
+    // 19th streaming surface: event-time timers close trailing sessions
+    "q264_timer_sessions"     -> ((s, d) =>
+      graft.streaming.EventStream.timerSessionParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1027,6 +1027,210 @@ object EventStream {
     }
   }
 
+  /** Session accumulator for the timer-closed sessionizer: the
+    * [[SessionState]] conventions (µs event times, fixed-point 1e-4
+    * sum) plus the ms timestamp of the currently registered event-time
+    * timer (0 = none) so a re-registration can delete its predecessor
+    * exactly — a stale timer left behind would fire after the session
+    * extended and close it early. */
+  final case class TimedSession(start: Long, lastTs: Long, nEvents: Long,
+                                sumScaled: Long, timerMs: Long)
+
+  /** Gap sessionization where the trailing session is closed by a
+    * REGISTERED EVENT-TIME TIMER — the remaining Spark-4 stateful
+    * primitive after the q253/q260/q261 state-type triad
+    * (TimeMode.EventTime + registerTimer/handleExpiredTimer instead of
+    * TimeMode.None). In-batch closures (an arriving event whose gap
+    * exceeds `gapMs`) emit from handleInputRows, exactly like
+    * [[sessionize]]; the timer path is LOAD-BEARING for every session
+    * the data never closes — each batch re-registers a timer at
+    * lastTs + gap + 1 ms, and when the watermark passes it,
+    * handleExpiredTimer emits the session and clears state. Without
+    * the timer callback every user's trailing session would be missing
+    * and the q50 hash would fail.
+    *
+    * Early-closure safety: the timer fires only once the watermark
+    * passes lastTs + gap, and any event that could still merge has
+    * ts ≤ lastTs + gap — below the watermark, so the engine would have
+    * dropped it as late anyway. Timer expiry and late-drop are fenced
+    * by the SAME watermark, which is what makes event-time timers
+    * correct under reordering. */
+  class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, UserSession] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[TimedSession] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit =
+      st = getHandle.getValueState[TimedSession]("session",
+        org.apache.spark.sql.Encoders.product[TimedSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def emit(key: Long, c: TimedSession): UserSession =
+      UserSession(key, microsTs(c.start), microsTs(c.lastTs), c.nEvents,
+        c.sumScaled / 1e4)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSession] = {
+      val sorted = rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ListBuffer.empty[UserSession]
+      var cur: TimedSession = if (st.exists()) st.get() else null
+      sorted.foreach { e =>
+        val t = tsMicros(e.ts)
+        if (cur == null) cur = TimedSession(t, t, 0, 0L, 0L)
+        else if (t - cur.lastTs > gapMs * 1000L) {
+          out += emit(key, cur)
+          // carry timerMs: ONE delete below covers the whole batch
+          cur = TimedSession(t, t, 0, 0L, cur.timerMs)
+        }
+        cur = cur.copy(lastTs = t, nEvents = cur.nEvents + 1,
+          sumScaled = cur.sumScaled + math.rint(e.value * 1e4).toLong)
+      }
+      if (cur != null) {
+        if (cur.timerMs > 0) getHandle.deleteTimer(cur.timerMs)
+        // +1 ms past the merge horizon: an event at exactly lastTs+gap
+        // (which still merges) sits below the expiry, not at it
+        val timer = math.floorDiv(cur.lastTs, 1000L) + gapMs + 1L
+        getHandle.registerTimer(timer)
+        st.update(cur.copy(timerMs = timer))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[UserSession] = {
+      // the timerMs guard is defense-in-depth: deleteTimer above should
+      // make a stale expiry impossible
+      if (st.exists() && st.get().timerMs == info.getExpiryTimeInMs) {
+        val closed = emit(key, st.get())
+        st.clear()
+        Iterator.single(closed)
+      } else Iterator.empty
+    }
+  }
+
+  /** q264 — EVENT-TIME-TIMER parity, the nineteenth streaming surface:
+    * [[SessionTimerProcessor]] run over time-ordered slices + TWO
+    * far-future sentinels, against q50's batch gaps-and-islands oracle
+    * UNMODIFIED (the q234 bar: trailing sessions included — here they
+    * exist in the output only because the timers fired).
+    *
+    * Staging slices split at the TIME MIDPOINT, not event_id parity:
+    * with an event-time watermark, id-interleaved slices would put
+    * every second-batch event below the first batch's watermark and
+    * the engine would drop them as late. Time-ordered slices keep
+    * every arrival ahead of the watermark (slice-1 events are ≥ mid
+    * while the watermark trails at mid − 2 h), so nothing is dropped
+    * and the cross-batch fold + timer closures must reproduce the
+    * batch session set exactly. Two sentinels because TWS fires no
+    * timers in a trailing no-data batch (see the staging comment).
+    *
+    * Shape at 100 TB: state is one open session + one timer per user
+    * within the watermark horizon — RocksDB-backed, keyed by the
+    * shuffle; timers are range-scanned per partition. Swap
+    * [[kafkaSource]] in and drop the staging. */
+  def timerSessionParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q264")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provPrev = s.conf.getOption(provKey)
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = s.conf.getOption(noDataKey)
+    s.conf.set(partsKey, "8")
+    s.conf.set(noDataKey, "true")
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val bounds = events.agg(min("ts"), max("ts")).head()
+      val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val mid = new java.sql.Timestamp(
+        (minTs.getTime + maxTs.getTime) / 2)
+      Seq(("aa", col("ts") < lit(mid)), ("bb", col("ts") >= lit(mid)))
+        .zipWithIndex.foreach { case ((nm, pred), i) =>
+          val stage = tmp.resolve(s"stage$nm")
+          events.filter(pred).coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+          moveOnlyParquet(stage, in.resolve(s"$nm-slice.parquet"),
+            1000000000000L + i * 60000L)
+        }
+      // TWO sentinels: unlike the windowed-aggregation surfaces, a TWS
+      // query under AvailableNow does not run a timer-firing no-data
+      // batch after the last file — the watermark a sentinel advances
+      // is only CONSUMED by the next real batch. Sentinel 1 (+7 d)
+      // raises the watermark past every real timer; sentinel 2 (+14 d)
+      // is the batch those timers actually fire in. And the sentinel
+      // rows must NOT be pre-filtered before the processor: a
+      // user_id filter doesn't reference ts, so Catalyst pushes it
+      // BELOW the EventTimeWatermark node and the sentinel would never
+      // reach the watermark operator (observed: watermark pinned at
+      // the last real slice). The −1 sessions are dropped on read-back
+      // instead, the q234 convention.
+      Seq(("zy", 7L, -1L), ("zz", 14L, -2L)).zipWithIndex
+        .foreach { case ((nm, days, eid), i) =>
+          val stage = tmp.resolve(s"sentinel$nm")
+          Seq((eid,
+               new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+               -1L, "__watermark_sentinel__", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value",
+              "props")
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          moveOnlyParquet(stage, in.resolve(s"$nm-sentinel.parquet"),
+            1000000000000L + 120000L + i * 60000L)
+        }
+      val ds = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .withWatermark("ts", "2 hours")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val sessions = ds.groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor(gapMs = 7200000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[UserSession])
+      val out = tmp.resolve("out").toString
+      q = sessions.toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q264 timer-session stream did not terminate within 300 s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_start")
+      s.read.parquet(out)
+        .filter(col("user_id") =!= -1L) // the sentinels' own sessions
+        .withColumn("session_idx",
+          row_number().over(w).cast(IntegerType))
+        .select(col("user_id"), col("session_idx"), col("session_start"),
+          col("session_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_idx")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None    => s.conf.unset(noDataKey)
+      }
+      provPrev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q111 — oracle-checked streaming-DEDUP parity, closing the fourth
     * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
     * join, this = keyed dedup): the staged events copy is polluted with a
@@ -1655,6 +1859,11 @@ object EventStream {
     // stream must reproduce the batch gaps-and-islands sessionization
     // exactly, trailing sessions included
     "q234_session_window_stream" ->
+      graft.analytics.Advanced.oracleSql("q50_sessionize_batch"),
+    // q264's oracle IS q50's too: the timer-closed session set must
+    // reproduce the batch gaps-and-islands build exactly — trailing
+    // sessions exist in the stream output only because timers fired
+    "q264_timer_sessions" ->
       graft.analytics.Advanced.oracleSql("q50_sessionize_batch"),
     "q212_stream_drift_hist" -> {
       val qs = (1 until 10).map(i => i.toDouble / 10)

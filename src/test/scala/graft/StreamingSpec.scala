@@ -450,6 +450,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q264 timer sessions: in-batch closures emit immediately, timer " +
+      "closures fire as the watermark passes, extensions re-arm the timer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    def th(h: Double) = new Timestamp(
+      Timestamp.valueOf("2026-01-01 00:00:00").getTime +
+        (h * 3600000L).toLong)
+    val in = MemoryStream[EventStream.Event]
+    val sessions = in.toDS()
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new EventStream.SessionTimerProcessor(gapMs = 7200000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[EventStream.UserSession])
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("timer_out").outputMode(OutputMode.Append()).start()
+    try {
+      // b1: u7 opens [0, 1h]; u8 opens [0, 0] — nothing closes
+      in.addData(
+        EventStream.Event(1, th(0), 7, "click", 1.0),
+        EventStream.Event(2, th(1), 7, "click", 1.0),
+        EventStream.Event(3, th(0), 8, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("timer_out").count() === 0L)
+      // b2: u7@2.5h EXTENDS (gap 1.5h ≤ 2h — the stale 3h-timer must be
+      // replaced, not fire later); u8@10h closes u8's [0,0] IN-BATCH
+      in.addData(
+        EventStream.Event(4, th(2.5), 7, "click", 1.0),
+        EventStream.Event(5, th(10), 8, "click", 1.0))
+      q.processAllAvailable()
+      // b3: watermark is now 8h (10h − 2h): u7's re-armed 4.5h-timer
+      // fires; u8's 12h-timer does not
+      in.addData(EventStream.Event(6, th(100), 9, "click", 1.0))
+      q.processAllAvailable()
+      // b4: watermark 98h: u8's trailing session fires; u9's first
+      // session closes in-batch
+      in.addData(EventStream.Event(7, th(200), 9, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("timer_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      assert(out === Set(
+        (8L, th(0), th(0), 1L),      // in-batch closure (b2)
+        (7L, th(0), th(2.5), 3L),    // timer closure (b3) — extension kept
+        (8L, th(10), th(10), 1L),    // timer closure (b4)
+        (9L, th(100), th(100), 1L))) // in-batch closure (b4)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("dedupStream drops in-watermark re-deliveries, keeps distinct keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
