@@ -649,6 +649,9 @@ object SparkEntry {
     // 19th streaming surface: event-time timers close trailing sessions
     "q264_timer_sessions"     -> ((s, d) =>
       graft.streaming.EventStream.timerSessionParity(s, d)),
+    // tombstone compaction: cell-local generational rewrite, q262 oracle
+    "q265_ivf_compacted"      -> ((s, d) =>
+      graft.similarity.Similarity.annIvfCompacted(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -281,6 +281,50 @@ object Similarity {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q265: IVF TOMBSTONE COMPACTION — the step q262 defers: when the
+    * tombstone list grows past threshold, fold the deletions into the
+    * physical index. The compaction is GENERATIONAL and cell-local —
+    * only the cells that actually contain tombstoned vectors are
+    * rewritten (anti-join within those partitions → gen1); every
+    * untouched cell keeps serving from gen0 unchanged, so compaction
+    * cost is O(affected cells), never an index rebuild. The
+    * post-compaction probe runs with NO tombstone filter — the
+    * exclusion is now physical — and its oracle is q262's VERBATIM:
+    * hash-equality proves the rewrite dropped exactly the tombstoned
+    * vectors and nothing else, i.e. compact(tombstones) ∘ probe ≡
+    * probe(anti-join tombstones). Completes the index lifecycle:
+    * build (q61) → persist (q170) → delete (q262) → compact (this).
+    *
+    * Shape at 100 TB: the affected-cell set is bounded by K (collected
+    * as a K-row driver list); the rewrite reads only those partitions
+    * (partition pruning on the cluster directory key), and the probe
+    * unions two partitioned generations — the LSM-flavored layout
+    * production vector stores actually run. */
+  def annIvfCompacted(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q265")
+    try {
+      val gen0 = tmp.resolve("gen0").toString
+      ivfCells(s, dir).write.partitionBy("cluster").parquet(gen0)
+      val idx = s.read.parquet(gen0)
+      val tombPred = col("vec_id") % 10 === 3 && col("vec_id") >= 10
+      val tomb = idx.filter(tombPred)
+        .select(col("vec_id").as("neighbor_id"))
+      // the cells compaction touches: bounded by K, driver-collected
+      val affected = idx.filter(tombPred)
+        .select("cluster").distinct().collect()
+        .map(_.get(0).toString.toInt)
+      val gen1 = tmp.resolve("gen1").toString
+      idx.filter(col("cluster").isin(affected.map(Integer.valueOf): _*))
+        .join(broadcast(tomb),
+          col("vec_id") === col("neighbor_id"), "left_anti")
+        .write.partitionBy("cluster").parquet(gen1)
+      val compacted = s.read.parquet(gen1).unionByName(
+        idx.filter(!col("cluster")
+          .isin(affected.map(Integer.valueOf): _*)))
+      probeIvf(compacted).localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** q171: SQ8-QUANTIZED ANN with exact re-rank — the memory-compression
     * path of a production vector store: vectors quantize to int8 with a
     * single global symmetric scale (A = max |component|, computed from
@@ -1557,6 +1601,10 @@ object Similarity {
     // queries identically — the round trip is the thing under test
     "q170_ann_ivf_persisted" -> q61OracleS,
     "q262_ivf_tombstones" ->
+      ivfOracleS("NOT (n.vec_id % 10 = 3 AND n.vec_id >= 10)"),
+    // q265's oracle IS q262's: a lossless compaction answers the probe
+    // exactly as the tombstone-filtered index did
+    "q265_ivf_compacted" ->
       ivfOracleS("NOT (n.vec_id % 10 = 3 AND n.vec_id >= 10)"),
     "q236_ivf_nprobe_sweep" -> {
       import graft.ml.LloydExact.{Iters, K => LK}
