@@ -652,6 +652,9 @@ object SparkEntry {
     // tombstone compaction: cell-local generational rewrite, q262 oracle
     "q265_ivf_compacted"      -> ((s, d) =>
       graft.similarity.Similarity.annIvfCompacted(s, d)),
+    // top-r PCA in ONE blocked orthogonal-iteration chain (r=4)
+    "q266_pca_block"          -> ((s, d) =>
+      graft.ml.PcaPower.pcaBlock(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

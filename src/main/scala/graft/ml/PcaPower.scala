@@ -144,6 +144,117 @@ object PcaPower {
     Seq((v.toSeq, nrm)).toDF("v", "nrm")
   }
 
+  val BlockR = 4
+
+  /** q266's engine: `Iters` BLOCKED orthogonal-iteration steps — the
+    * generalization of [[iterate]] from a vector orbit to a D×r matrix
+    * orbit (r = [[BlockR]]): per step, W = C·Q then Q = classical
+    * Gram-Schmidt(W) in a FIXED column order. Starts from the exact
+    * dyadic comb block Q₀[i][j] = 0.25·[i ≡ j (mod r)] (disjoint
+    * supports → exactly orthonormal, exactly representable). Every
+    * operation replicates the oracle's spelling bit-for-bit: matrix
+    * rows, projection coefficients and norms are the ascending
+    * `s += x·y` fold (≡ `list_reduce` dotS ≡ codegen'd dotp);
+    * projections subtract sequentially (u −= d_p·q_p for p < j, the
+    * SQL's left-associated `w[i] − d1·q1[i] − d2·q2[i]`); division and
+    * sqrt are single correctly-rounded IEEE ops. Returns the 1-row
+    * frame (q1..q4 loadings, n1..n4 pre-normalization norms = the
+    * eigenvalue estimates, d12..d34 pairwise orthogonality dots). */
+  private def blockIterate(s: SparkSession, cRows: DataFrame): DataFrame = {
+    val c: Array[Array[Double]] = cRows.collect()
+      .map(r => (r.get(r.fieldIndex("j")).asInstanceOf[Number].longValue,
+        r.getSeq[Double](r.fieldIndex("crow")).toArray))
+      .sortBy(_._1).map(_._2)
+    require(c.length == Dim, s"matrix frame has ${c.length} rows")
+    val r = BlockR
+    var q = Array.tabulate(Dim, r)((i, j) => if (i % r == j) 0.25 else 0.0)
+    val n = Array.fill(r)(0.0)
+    for (_ <- 1 to Iters) {
+      val w = Array.tabulate(Dim, r) { (i, cx) =>
+        var acc = 0.0
+        var k = 0
+        while (k < Dim) { acc += c(i)(k) * q(k)(cx); k += 1 }
+        acc
+      }
+      val nq = Array.ofDim[Double](Dim, r)
+      for (cx <- 0 until r) {
+        val u = Array.tabulate(Dim)(i => w(i)(cx))
+        for (p <- 0 until cx) {
+          var d = 0.0
+          var i = 0
+          while (i < Dim) { d += nq(i)(p) * w(i)(cx); i += 1 }
+          var i2 = 0
+          while (i2 < Dim) { u(i2) -= d * nq(i2)(p); i2 += 1 }
+        }
+        var sq = 0.0
+        var i3 = 0
+        while (i3 < Dim) { sq += u(i3) * u(i3); i3 += 1 }
+        n(cx) = math.sqrt(sq)
+        var i4 = 0
+        while (i4 < Dim) { nq(i4)(cx) = u(i4) / n(cx); i4 += 1 }
+      }
+      q = nq
+    }
+    def qc(j: Int) = (0 until Dim).map(i => q(i)(j)).toSeq
+    def od(a: Int, b: Int): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < Dim) { d += q(i)(a) * q(i)(b); i += 1 }
+      d
+    }
+    import s.implicits._
+    Seq((qc(0), qc(1), qc(2), qc(3), n(0), n(1), n(2), n(3),
+      od(0, 1), od(0, 2), od(0, 3), od(1, 2), od(1, 3), od(2, 3)))
+      .toDF("q1", "q2", "q3", "q4", "n1", "n2", "n3", "n4",
+        "d12", "d13", "d14", "d23", "d24", "d34")
+  }
+
+  /** q266: TOP-r PCA BY BLOCKED ORTHOGONAL ITERATION — q245/q248 get
+    * components one deflation at a time (two full orbits); this gets
+    * ALL leading components in ONE chain: per step, multiply the D×r
+    * block by C and re-orthonormalize (QR via classical Gram-Schmidt in
+    * fixed column order) — the shape a whitening / dimensionality-
+    * reduction pipeline actually runs. Reports, per dimension, the four
+    * loadings, the four eigenvalue estimates (pre-normalization norms),
+    * the cumulative explained ratio, and ortho_max — the largest
+    * pairwise |qᵢ·qⱼ|, the certificate that the block stayed
+    * orthonormal. Oracle: the identical orbit as a generated DuckDB CTE
+    * chain ([[iterChain]] generalized to the matrix orbit) — same
+    * covariance CTEs, same fold order, same Gram-Schmidt spelling.
+    *
+    * Shape at 100 TB: identical to q245 — ONE wide covariance pass;
+    * the orbit is O(D²·r·Iters) driver arithmetic on the collected
+    * 64×64 matrix (R7-bounded), 4× cheaper than four deflation
+    * orbits. */
+  def pcaBlock(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val n = p.count()
+    val cov = covOf(p, meansOf(p), n)
+    val trace = traceOf(cov)
+    val blk = blockIterate(s, rowsOf(cov))
+    blk.select(posexplode(arrays_zip(col("q1"), col("q2"), col("q3"),
+        col("q4"))).as(Seq("dim", "z")),
+        col("n1"), col("n2"), col("n3"), col("n4"),
+        col("d12"), col("d13"), col("d14"), col("d23"), col("d24"),
+        col("d34"))
+      .crossJoin(broadcast(trace))
+      .select(col("dim").cast(IntegerType).as("dim"),
+        round(col("z.q1"), 6).as("loading1"),
+        round(col("z.q2"), 6).as("loading2"),
+        round(col("z.q3"), 6).as("loading3"),
+        round(col("z.q4"), 6).as("loading4"),
+        round(col("n1"), 6).as("lambda1"),
+        round(col("n2"), 6).as("lambda2"),
+        round(col("n3"), 6).as("lambda3"),
+        round(col("n4"), 6).as("lambda4"),
+        round((col("n1") + col("n2") + col("n3") + col("n4")) /
+          col("tr"), 6).as("cum_explained"),
+        round(greatest(abs(col("d12")), abs(col("d13")),
+          abs(col("d14")), abs(col("d23")), abs(col("d24")),
+          abs(col("d34"))), 6).as("ortho_max"))
+      .orderBy("dim")
+  }
+
   private def traceOf(cov: DataFrame): DataFrame =
     cov.filter(col("j") === col("k"))
       .agg(sum(col("cov").cast(DecimalType(28, 12))).cast(DoubleType)
@@ -317,7 +428,96 @@ object PcaPower {
        |$steps""".stripMargin
   }
 
+  /** The q266 blocked-orbit CTE chain — [[iterChain]] generalized to the
+    * D×[[BlockR]] matrix orbit. Per step t: `mw$t` multiplies (4 dotS
+    * per matrix row), then four Gram-Schmidt stages normalize column by
+    * column — projection coefficients are staged as scalars in a
+    * subquery so [[dotS]]'s `i` lambda never nests inside the
+    * elementwise `i` lambda (DuckDB shadowing hazard). Every CTE is
+    * MATERIALIZED: each is referenced multiple times by its successor,
+    * and DuckDB's default inlining would blow up exponentially down the
+    * 12-step chain (the q245 lesson). Names are `m`-prefixed to stay
+    * clear of iterChain's `v`/`w`/`bv`/`bw` planes. */
+  private def blockChain: String = {
+    val r = BlockR
+    def gsCols(n: Int) = (1 to n).map(c => s"q$c").mkString(", ")
+    def nCols(n: Int) = (1 to n).map(c => s"n$c").mkString(", ")
+    def wCols(from: Int) = (from to r).map(c => s"w$c").mkString(", ")
+    val q0Cols = (1 to r).map { c =>
+      s"""list_transform(generate_series(1, $Dim), i ->
+         |    CASE WHEN (i - 1) % $r = ${c - 1} THEN CAST(0.25 AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END) AS q$c""".stripMargin
+    }.mkString(",\n  ")
+    val steps = (1 to Iters).map { t =>
+      val prev = if (t == 1) "mq0" else s"mq${t - 1}"
+      val mult = (1 to r).map(c => s"${dotS("crow", s"q$c")} AS a$c")
+        .mkString(",\n    ")
+      val lists = (1 to r).map(c => s"list(a$c ORDER BY j) AS w$c")
+        .mkString(", ")
+      val gs = (1 to r).map { c =>
+        val kept = if (c == 1) wCols(2)
+          else if (c < r) s"${wCols(c + 1)}, ${nCols(c - 1)}, ${gsCols(c - 1)}"
+          else s"${nCols(c - 1)}, ${gsCols(c - 1)}"
+        val uRel =
+          if (c == 1) s"(SELECT w1 AS u$c, ${wCols(2)} FROM mw$t)"
+          else {
+            val ds = (1 to c - 1).map(p =>
+              s"${dotS(s"q$p", s"w$c")} AS d$p").mkString(",\n      ")
+            val sub = (1 to c - 1).map(p => s" - d$p * q$p[i]").mkString
+            s"""(SELECT $kept,
+               |    list_transform(generate_series(1, $Dim), i ->
+               |      w$c[i]$sub) AS u$c
+               |  FROM (SELECT $kept, w$c,
+               |      $ds
+               |    FROM mg$t${c - 1}))""".stripMargin
+          }
+        s"""mg$t$c AS MATERIALIZED (SELECT $kept,
+           |    sqrt(${dotS(s"u$c", s"u$c")}) AS n$c,
+           |    list_transform(u$c, x ->
+           |      x / sqrt(${dotS(s"u$c", s"u$c")})) AS q$c
+           |  FROM $uRel)""".stripMargin
+      }.mkString(",\n")
+      s"""mw$t AS MATERIALIZED (SELECT $lists FROM (
+         |  SELECT j,
+         |    $mult
+         |  FROM crows, $prev)),
+         |$gs,
+         |mq$t AS MATERIALIZED (SELECT ${gsCols(r)}, ${nCols(r)}
+         |  FROM mg$t$r)""".stripMargin
+    }.mkString(",\n")
+    s"""mq0 AS (SELECT
+       |  $q0Cols),
+       |$steps""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q266_pca_block" -> {
+      val last = s"mq$Iters"
+      val pairs = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+      val omax = pairs.map { case (a, b) =>
+        s"abs(${dotS(s"q$a", s"q$b")})" }.mkString("greatest(", ", ", ")")
+      s"""WITH $baseCtes,
+         |$blockChain,
+         |vd AS (SELECT u['dim'] AS dim, u['l1'] AS l1, u['l2'] AS l2,
+         |    u['l3'] AS l3, u['l4'] AS l4
+         |  FROM (SELECT unnest(list_transform(generate_series(1, $Dim),
+         |    i -> {'dim': i - 1, 'l1': q1[i], 'l2': q2[i], 'l3': q3[i],
+         |      'l4': q4[i]})) AS u FROM $last)),
+         |od AS (SELECT $omax AS omax FROM $last)
+         |SELECT CAST(vd.dim AS INTEGER) AS dim,
+         |  round(vd.l1, 6) AS loading1,
+         |  round(vd.l2, 6) AS loading2,
+         |  round(vd.l3, 6) AS loading3,
+         |  round(vd.l4, 6) AS loading4,
+         |  round(b.n1, 6) AS lambda1,
+         |  round(b.n2, 6) AS lambda2,
+         |  round(b.n3, 6) AS lambda3,
+         |  round(b.n4, 6) AS lambda4,
+         |  round((b.n1 + b.n2 + b.n3 + b.n4) / tr.tr, 6) AS cum_explained,
+         |  round(od.omax, 6) AS ortho_max
+         |FROM vd CROSS JOIN $last b CROSS JOIN od CROSS JOIN tr
+         |ORDER BY dim""".stripMargin
+    },
     "q245_pca_power" ->
       s"""WITH $baseCtes,
          |${iterChain("", "crows")},

@@ -413,6 +413,68 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("q266 blocked orthogonal iteration reproduced by an independent " +
+      "driver-side recompute; orthonormal block, top component = q245") {
+    val rows = PcaPower.pcaBlock(spark, sfDir).collect().sortBy(_.getInt(0))
+    val d = PcaPower.Dim
+    val r = PcaPower.BlockR
+    assert(rows.length === d)
+    val q = Array.tabulate(r)(c =>
+      rows.map(_.getAs[Double](s"loading${c + 1}")))
+    val lam = Array.tabulate(r)(c =>
+      rows.head.getAs[Double](s"lambda${c + 1}"))
+    val cum = rows.head.getAs[Double]("cum_explained")
+    val omax = rows.head.getAs[Double]("ortho_max")
+    // the block stayed orthonormal: unit columns, tiny pairwise dots
+    q.foreach(col =>
+      assert(math.abs(math.sqrt(col.map(x => x * x).sum) - 1.0) < 1e-4))
+    assert(omax < 1e-3, s"ortho_max $omax")
+    assert(cum > 0.0 && cum <= 1.0)
+    lam.foreach(l => assert(l > 0.0))
+    // the blocked orbit's first column estimates the SAME lambda1 as
+    // q245's power iteration, from a different start vector (the comb
+    // vs all-0.125) — on this fixture's near-flat spectrum (the q248
+    // note) 12 steps land within a few percent; exact values are
+    // pinned by the oracle and the recompute below, this is the tie
+    val p245 = PcaPower.pcaPower(spark, sfDir).collect().sortBy(_.getInt(0))
+    val l245 = p245.head.getAs[Double]("lambda1")
+    assert(math.abs(l245 - lam(0)) < 0.05 * lam(0),
+      s"lambda1 $l245 (q245) vs ${lam(0)} (q266)")
+    // independent plain-double recompute of the full blocked orbit
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = e.length
+    val mu = Array.tabulate(d)(j => e.map(_(j)).sum / n)
+    val c = Array.tabulate(d, d) { (j, k) =>
+      e.map(row => (row(j) - mu(j)) * (row(k) - mu(k))).sum / (n - 1)
+    }
+    var qq = Array.tabulate(d, r)((i, j) => if (i % r == j) 0.25 else 0.0)
+    val nn = Array.fill(r)(0.0)
+    for (_ <- 1 to PcaPower.Iters) {
+      val w = Array.tabulate(d, r)((i, cx) =>
+        (0 until d).map(k => c(i)(k) * qq(k)(cx)).sum)
+      val nq = Array.ofDim[Double](d, r)
+      for (cx <- 0 until r) {
+        val u = Array.tabulate(d)(i => w(i)(cx))
+        for (p <- 0 until cx) {
+          val dd = (0 until d).map(i => nq(i)(p) * w(i)(cx)).sum
+          for (i <- 0 until d) u(i) -= dd * nq(i)(p)
+        }
+        nn(cx) = math.sqrt(u.map(x => x * x).sum)
+        for (i <- 0 until d) nq(i)(cx) = u(i) / nn(cx)
+      }
+      qq = nq
+    }
+    for (cx <- 0 until r) {
+      assert(math.abs(nn(cx) - lam(cx)) < 1e-5,
+        s"lambda${cx + 1} ${lam(cx)} vs ${nn(cx)}")
+      q(cx).zipWithIndex.foreach { case (a, j) =>
+        assert(math.abs(a - qq(j)(cx)) < 1e-5, s"q${cx + 1}[$j]")
+      }
+    }
+  }
+
   test("q258 projection: label moments recomputed by projecting on the " +
       "driver with the q245/q248 loadings") {
     val rows = PcaPower.pcaProjection(spark, sfDir).collect()
