@@ -60,6 +60,26 @@ object Bench {
     if (doWarmup)
       Seq("q01_scan_project_filter", "q05_group_count", "q31_cosine_topk")
         .filter(SparkEntry.queries.contains).foreach(runOne)
+    // CALIBRATION PROBE: a fixed synthetic query — corpus-independent,
+    // CPU+shuffle bound, zero I/O — timed min-of-5 right after warmup.
+    // Its quiet-window floor is checked in under the reserved name
+    // "q000_calib_probe" in PERF_FLOORS.json, so every artifact carries
+    // calib_ratio = measured/floor: ~1.0 certifies a quiet window;
+    // >>1 says the HOST was degraded and totals should be read
+    // normalized — round-over-round comparison no longer needs a human
+    // to pick the quiet number (round-10 verdict watch item 2).
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 32L * 1000 * 1000, 1L, 32)
+        .selectExpr("id % 9973 AS k", "id")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("id"),
+          org.apache.spark.sql.functions.avg("id"),
+          org.apache.spark.sql.functions.count("*"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSec = (1 to 5).map(_ => calibOnce()).min
     // Host pegged-thread variance makes single-shot timings swing 6-140×
     // run-to-run, uncorrelated with the query; N full passes with per-query
     // MINIMA in the total line make the artifact self-certifying (min over
@@ -127,7 +147,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"reps":$reps,"sf":"$sfDir"}"""
+    val calibFloor = floors.getOrElse("q000_calib_probe", -1.0)
+    val calibRatio = if (calibFloor > 0) calibSec / calibFloor else -1.0
+    val totalLine = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"reps":$reps,"calib_sec":$calibSec%.3f,"calib_ratio":$calibRatio%.2f,"sf":"$sfDir"}"""
     println(totalLine)
     // standalone artifact: the stdout capture that becomes BENCH_r{N}.json
     // truncates to a tail window, losing most per-query timings — writing
