@@ -65,9 +65,20 @@ object ScaleRamp {
     "dup_triangles"    -> "q254_dup_graph_triangles",
     "tws_stream"       -> "q253_tws_parity")
 
+  /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
+    * second-decade (×100) runs, where only the document/embedding
+    * families are ramped and staging events/lineitem 100× would be
+    * wasted I/O. */
+  val AllTables: Seq[String] =
+    Seq("documents", "embeddings", "events", "lineitem")
+
   def stage(s: SparkSession, baseDir: String, outDir: String,
-            factor: Int): Unit = {
-    require(factor >= 2 && factor <= 16, s"factor out of range: $factor")
+            factor: Int,
+            tables: Seq[String] = AllTables): Unit = {
+    // 128 admits the ×100 second-decade ramp; the id planes are
+    // collision-free far beyond it (99·CopyOffsetDoc ≈ 1.1e17 ≪ 2^63)
+    require(factor >= 2 && factor <= 128, s"factor out of range: $factor")
+    if (tables.contains("documents")) {
     val docs = graft.sources.Tables.load(s, baseDir, "documents")
     val docAug = (1 until factor).map { i =>
       // "$1zcN": append the copy tag to every \S+ token run
@@ -78,7 +89,9 @@ object ScaleRamp {
     }.foldLeft(docs.select(col("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars")))(_ unionByName _)
     docAug.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
+    if (tables.contains("embeddings")) {
     val emb = s.read.parquet(s"$baseDir/embeddings.parquet")
     val embAug = (1 until factor).map { i =>
       val vid = col("vec_id") + i * CopyOffsetVec
@@ -90,7 +103,9 @@ object ScaleRamp {
     }.foldLeft(emb.select(col("vec_id"), col("embedding"), col("label")))(
       _ unionByName _)
     embAug.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
 
+    if (tables.contains("events")) {
     val ev = graft.sources.Tables.load(s, baseDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val evAug = (1 until factor).map { i =>
@@ -99,10 +114,13 @@ object ScaleRamp {
         col("event_type"), col("value"), col("props"))
     }.foldLeft(ev)(_ unionByName _)
     evAug.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
 
+    if (tables.contains("lineitem")) {
     val li = s.read.parquet(s"$baseDir/lineitem.parquet")
     (1 until factor).map(_ => li).foldLeft(li)(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -120,11 +138,45 @@ object ScaleRamp {
       builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$outDir/lineitem.parquet").isDirectory ||
+    // SPARK_GRAFT_SCALE_FAMILIES / _TABLES subset the run — the ×100
+    // second-decade probe ramps only the worst-×10 document/embedding
+    // families, so staging events/lineitem 100× would be pure waste
+    val famFilter = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val fams = Families.filter { case (f, _) => famFilter.forall(_(f)) }
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(AllTables)
+    if (!new java.io.File(s"$outDir/${tables.last}.parquet").isDirectory ||
         sys.env.get("SPARK_GRAFT_SCALE_RESTAGE").contains("1")) {
       val t0 = System.nanoTime()
-      stage(spark, baseDir, outDir, factor)
+      stage(spark, baseDir, outDir, factor, tables)
       println(f"""{"metric":"stage","factor":$factor,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+    }
+    // DRIVER-MEMORY HIGH-WATER, two measures per ramped family:
+    //  - peak_heap_mb: sum of JVM heap-pool peaks (reset before the run).
+    //    In local mode this conflates driver structures with EXECUTOR
+    //    execution memory (shuffle/agg buffers legitimately fill the
+    //    heap before spilling), so it is a loose upper bound — reported
+    //    as a diagnostic, not asserted.
+    //  - retained_mb: used heap AFTER unpersisting every cached block
+    //    and forcing GC. Execution memory is gone by then, so this is
+    //    the driver-side residue — what an O(corpus) collect() or an
+    //    unbounded accumulator would show. This one is ASSERTED.
+    import scala.jdk.CollectionConverters._
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakMb(): Long =
+      heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+    def retainedMb(): Long = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(
+        _.unpersist(blocking = true))
+      System.gc(); Thread.sleep(200); System.gc()
+      java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / (1024 * 1024)
     }
     def runOne(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -133,18 +185,28 @@ object ScaleRamp {
     }
     // warmup: absorb session/codegen one-time costs (Bench convention)
     runOne("q05_group_count", baseDir)
-    val rows = Families.map { case (fam, q) =>
+    val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val rows = fams.map { case (fam, q) =>
       val base = (1 to reps).map(_ => runOne(q, baseDir)).min
+      resetPeaks()
       val ramp = (1 to reps).map(_ => runOne(q, outDir)).min
+      val peak = peakMb()
+      val retained = retainedMb()
+      // the high-water ASSERTION: after dropping caches and GC, the
+      // driver residue must stay a small fixed share of the heap — an
+      // O(corpus) driver materialization fails the run loudly
+      require(retained < maxHeapMb / 4,
+        s"$fam retained heap ${retained}MB >= quarter of ${maxHeapMb}MB " +
+          s"at x$factor — driver-side O(data) residue")
       val ratio = ramp / base
-      println(f"""{"metric":"family","name":"$fam","query":"$q","x1_sec":$base%.3f,"x${factor}_sec":$ramp%.3f,"ratio":$ratio%.2f}""")
+      println(f"""{"metric":"family","name":"$fam","query":"$q","x1_sec":$base%.3f,"x${factor}_sec":$ramp%.3f,"ratio":$ratio%.2f,"peak_heap_mb":$peak,"retained_mb":$retained}""")
       Console.out.flush()
-      (fam, base, ramp, ratio)
+      (fam, base, ramp, ratio, peak, retained)
     }
-    val qs = rows.map { case (f, b, r, ra) =>
-      f""""$f":{"x1":$b%.3f,"x$factor":$r%.3f,"ratio":$ra%.2f}"""
+    val qs = rows.map { case (f, b, r, ra, pk, rt) =>
+      f""""$f":{"x1":$b%.3f,"x$factor":$r%.3f,"ratio":$ra%.2f,"peak_heap_mb":$pk,"retained_mb":$rt}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_ramp","factor":$factor,"families":$qs,"base":"$baseDir","ramp":"$outDir"}""")
+    println(s"""{"metric":"scale_ramp","factor":$factor,"families":$qs,"max_heap_mb":$maxHeapMb,"base":"$baseDir","ramp":"$outDir"}""")
     spark.stop()
   }
 }

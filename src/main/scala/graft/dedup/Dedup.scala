@@ -1308,16 +1308,20 @@ object Dedup extends org.apache.spark.internal.Logging {
     val wIsl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("dg"))
       .orderBy("pos_a")
-    val wTop = org.apache.spark.sql.expressions.Window.orderBy(col("span_tokens").desc,
-      col("doc_a"), col("doc_b"))
+    // top-k over the pair-level frame via sort+limit, NOT a global
+    // row_number window: the tie-break order is total, so the rows are
+    // identical, but Spark plans TakeOrderedAndProject (per-partition
+    // heap + driver merge of k) instead of a single-partition window —
+    // the ×100 ramp surfaced the all-pairs frame collapsing onto one
+    // task through WindowExec
     m.withColumn("dg", col("pos_a") - col("pos_b"))
       .withColumn("isl", col("pos_a") - row_number().over(wIsl))
       .groupBy("doc_a", "src_a", "doc_b", "src_b", "dg", "isl")
       .agg(count(lit(1)).as("len"))
       .groupBy("doc_a", "src_a", "doc_b", "src_b")
       .agg((max(col("len")) + (n - 1)).cast(IntegerType).as("span_tokens"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= k)
+      .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
       .select("doc_a", "doc_b", "src_a", "src_b", "span_tokens")
       .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"))
   }
