@@ -655,6 +655,18 @@ object SparkEntry {
     // top-r PCA in ONE blocked orthogonal-iteration chain (r=4)
     "q266_pca_block"          -> ((s, d) =>
       graft.ml.PcaPower.pcaBlock(s, d)),
+    // learned quality/language filter: full-batch GD logistic regression
+    "q267_logit_gd"           -> ((s, d) =>
+      graft.ml.LogitGd.logitGd(s, d)),
+    // alpha-tempered source sampling weights (p_i ~ tokens^0.3)
+    "q268_alpha_mix"          -> ((s, d) =>
+      graft.text.TextOps.alphaMix(s, d)),
+    // hash-batched epoch shuffle manifest: no global sort anywhere
+    "q269_epoch_batches"      -> ((s, d) =>
+      graft.text.TextOps.epochBatches(s, d)),
+    // 20th streaming surface: additive count-min registers in MapState
+    "q270_cm_stream"          -> ((s, d) =>
+      graft.streaming.EventStream.cmStreamParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -840,6 +852,7 @@ object SparkEntry {
     graft.ml.Knn.oracleSql ++
     graft.ml.PqCodebook.oracleSql ++
     graft.ml.PcaPower.oracleSql ++
+    graft.ml.LogitGd.oracleSql ++
     graft.text.BpeTrain.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
       "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText,

@@ -1,0 +1,176 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextPrims._
+import graft.functions.VectorExprs.dotp
+import graft.sources.Tables
+
+/** q267: LOGISTIC-REGRESSION QUALITY CLASSIFIER by fixed-iteration
+  * full-batch gradient descent — the trainable half of the curation
+  * stack: where q23's quality score is a hand-tuned rule, this LEARNS a
+  * linear model (is this document English?) from the same cheap text
+  * features, the shape of every fastText-style quality/language filter
+  * a training-data pipeline runs before expensive model scoring.
+  *
+  * Algorithm (everything fixed, no RNG): w₀ = 0; for t = 1..`Steps`:
+  * zᵢ = round(w·xᵢ, 6), pᵢ = round(σ(zᵢ), 6), gⱼ = Σᵢ (pᵢ−yᵢ)·xᵢⱼ / n,
+  * w ← w − η·g with η = 0.125 (exact dyadic). Reports the weights, the
+  * training accuracy at threshold 0.5, and the mean clamped log-loss.
+  *
+  * Bit-exact determinism across engines (the PcaPower rulebook):
+  *  - features are 6-dp-rounded ratios of integer counts (identical
+  *    divisions) — the one transcendental feature rounds ln at 6 dp;
+  *  - z is the codegen'd fixed-fold [[dotp]] ≡ the oracle's
+  *    `list_reduce` — identical w ⇒ identical z bit-for-bit;
+  *  - σ uses exp() on IDENTICAL inputs: a 1-ulp libm divergence
+  *    survives the 6-dp round with probability ~1e-11 per row;
+  *  - (p−y) is IEEE-exact (Sterbenz for y=1), so (p−y)·xⱼ lies on the
+  *    12-dp grid with ~1e-16 error ≪ the 5e-13 half-spacing — the
+  *    DECIMAL(38,12) cast recovers the exact grid value on BOTH
+  *    engines (the covariance-quantization argument);
+  *  - gradient sums are exact decimals; the weight update is the same
+  *    single IEEE multiply+subtract on the driver as in the oracle's
+  *    CTE, so w stays bit-identical down the whole chain with NO
+  *    per-step weight rounding needed.
+  *
+  * Shape at 100 TB: each step is ONE corpus scan ending in a D-column
+  * map-side partial aggregate (the classic distributed full-batch GD);
+  * the driver holds only w (D doubles, R7-bounded). The feature frame
+  * is computed once and localCheckpoint'd — `Steps` scans of a narrow
+  * (y, x) projection, never re-tokenizing. */
+object LogitGd {
+  val Steps = 8
+  val NumFeatures = 5
+  val Eta = 0.125
+
+  /** (y, x) feature frame — 6-dp-rounded, zero-guard coalesced. */
+  private def feats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.load(s, dir, "documents"), "doc_id")
+    val t = tokensC(col("text"))
+    val words = size(t).cast(DoubleType)
+    val chars = length(col("text")).cast(DoubleType)
+    val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"),
+      lit(0))).cast(DoubleType)
+    val stops = countInSetC(t, Stopwords).cast(DoubleType)
+    val wordsNz = when(words > 0, words)
+    val charsNz = when(chars > 0, chars)
+    d.select(
+      when(col("lang") === "en", 1).otherwise(0).as("y"),
+      array(
+        lit(1.0),
+        round(log(words + lit(1.0)) / lit(10.0), 6),
+        coalesce(round(stops / wordsNz, 6), lit(0.0)),
+        coalesce(round(punct / charsNz, 6), lit(0.0)),
+        coalesce(round(chars / wordsNz / lit(10.0), 6), lit(0.0))
+      ).as("x"))
+      .localCheckpoint() // scanned Steps + 2 times
+  }
+
+  private def wCol(w: Array[Double]): Column =
+    array(w.map(lit(_)): _*)
+
+  /** p = round(σ(round(w·x, 6)), 6) for a given weight vector. */
+  private def pCol(w: Array[Double]): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-round(dotp(wCol(w), col("x")), 6))),
+      6)
+
+  def logitGd(s: SparkSession, dir: String): DataFrame = {
+    val f = feats(s, dir)
+    val n = f.count()
+    val w = Array.fill(NumFeatures)(0.0)
+    for (_ <- 1 to Steps) {
+      val p = pCol(w)
+      val gradAggs = (0 until NumFeatures).map { j =>
+        (sum(((p - col("y")) * element_at(col("x"), j + 1))
+          .cast(DecimalType(38, 12))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as(s"g$j")
+      }
+      // R7: the collect is ONE row of D gradient doubles per step
+      val g = f.agg(gradAggs.head, gradAggs.tail: _*).collect()(0)
+      for (j <- 0 until NumFeatures)
+        w(j) = w(j) - Eta * g.getDouble(j) // same IEEE ops as the oracle
+    }
+    // final pass: accuracy at 0.5 (p is on the 6-dp grid — the compare
+    // is exact) and mean log-loss with p clamped to [1e-6, 1 - 1e-6]
+    // (grid points, so the clamp is exact on both engines)
+    val p = pCol(w)
+    val pc = least(greatest(p, lit(0.000001)), lit(0.999999))
+    val hit = when((p >= 0.5) === (col("y") === 1), 1).otherwise(0)
+    val ll = round(-(col("y") * log(pc) +
+      (lit(1) - col("y")) * log(lit(1.0) - pc)), 6)
+    val m = f.agg(
+      (sum(hit).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+        .as("acc"),
+      (sum(ll.cast(DecimalType(28, 6))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("llm"),
+      count(lit(1)).cast(IntegerType).as("n"))
+    m.select(
+      (0 until NumFeatures).map(j =>
+        round(lit(w(j)), 9).as(s"w$j")) ++ Seq(
+        round(col("acc"), 6).as("accuracy"),
+        round(col("llm"), 6).as("log_loss"),
+        col("n")): _*)
+  }
+
+  // ---------------------------------------------------------------- oracle
+  import LloydExact.dotS
+
+  def oracleSql: Map[String, String] = Map(
+    "q267_logit_gd" -> {
+      val t = tokensS("text")
+      val gradList = (1 to NumFeatures).map { j =>
+        s"""CAST(SUM(CAST((p - y) * x[$j] AS DECIMAL(38,12)))
+           |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)""".stripMargin
+      }.mkString(",\n    ")
+      val steps = (1 to Steps).map { tt =>
+        val prev = s"lw${tt - 1}"
+        s"""lp$tt AS MATERIALIZED (SELECT y, x,
+           |    round(1.0 / (1.0 + exp(-round(${dotS("w", "x")}, 6))), 6)
+           |      AS p
+           |  FROM lf, $prev),
+           |lg$tt AS MATERIALIZED (SELECT [
+           |    $gradList] AS g
+           |  FROM lp$tt),
+           |lw$tt AS MATERIALIZED (SELECT
+           |    list_transform(generate_series(1, $NumFeatures),
+           |      i -> w[i] - $Eta * g[i]) AS w
+           |  FROM $prev, lg$tt)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lf AS MATERIALIZED (SELECT
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    [CAST(1.0 AS DOUBLE),
+         |     round(ln(CAST(len(t0) AS DOUBLE) + 1.0) / 10.0, 6),
+         |     COALESCE(round(CAST(${countInSetS("t0", Stopwords)}
+         |       AS DOUBLE) / NULLIF(CAST(len(t0) AS DOUBLE), 0), 6), 0.0),
+         |     COALESCE(round(CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+         |       AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0), 6),
+         |       0.0),
+         |     COALESCE(round(CAST(length(text) AS DOUBLE) /
+         |       NULLIF(CAST(len(t0) AS DOUBLE), 0) / 10.0, 6), 0.0)] AS x
+         |  FROM (SELECT lang, text, $t AS t0 FROM documents)),
+         |lw0 AS (SELECT list_transform(generate_series(1, $NumFeatures),
+         |    i -> CAST(0.0 AS DOUBLE)) AS w),
+         |$steps,
+         |fin AS (SELECT y,
+         |    round(1.0 / (1.0 + exp(-round(${dotS("w", "x")}, 6))), 6)
+         |      AS p
+         |  FROM lf, lw$Steps),
+         |met AS (SELECT
+         |    CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc,
+         |    CAST(SUM(CAST(round(-(y * ln(least(greatest(p, 0.000001),
+         |        0.999999)) + (1 - y) * ln(1.0 - least(greatest(p,
+         |        0.000001), 0.999999))), 6) AS DECIMAL(28,6)))
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS llm,
+         |    CAST(COUNT(*) AS INTEGER) AS n
+         |  FROM fin)
+         |SELECT ${(1 to NumFeatures).map(j =>
+            s"round(w[$j], 9) AS w${j - 1}").mkString(",\n  ")},
+         |  round(acc, 6) AS accuracy,
+         |  round(llm, 6) AS log_loss,
+         |  n
+         |FROM lw$Steps, met""".stripMargin
+    })
+}

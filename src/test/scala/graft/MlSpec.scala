@@ -475,6 +475,55 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("q267 logistic GD reproduced by an independent plain-double " +
+      "driver recompute; loss below the w=0 baseline") {
+    val row = graft.ml.LogitGd.logitGd(spark, sfDir).collect()(0)
+    val wEngine = (0 until graft.ml.LogitGd.NumFeatures)
+      .map(j => row.getAs[Double](s"w$j"))
+    val acc = row.getAs[Double]("accuracy")
+    val ll = row.getAs[Double]("log_loss")
+    assert(acc > 0.0 && acc <= 1.0)
+    // 8 steps from w=0 must reduce the mean log-loss below ln 2
+    assert(ll < 0.6932, s"log_loss $ll did not improve on the baseline")
+    // independent recompute: same features and GD schedule in plain
+    // Scala with an UNROUNDED sigmoid — agreement at 1e-3 says the
+    // operator is the declared optimizer, not its own plumbing
+    val sw = graft.functions.TextPrims.Stopwords.toSet
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val data = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("lang", "text").collect().map { r =>
+      val text = r.getString(1)
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val words = toks.length.toDouble
+      val chars = text.length.toDouble
+      val punct = "[.,;:!?]".r.findAllIn(text).length.toDouble
+      val stops = toks.count(sw.contains).toDouble
+      val x = Array(1.0,
+        r6(math.log(words + 1.0) / 10.0),
+        if (words > 0) r6(stops / words) else 0.0,
+        if (chars > 0) r6(punct / chars) else 0.0,
+        if (words > 0) r6(chars / words / 10.0) else 0.0)
+      val y = if (r.getString(0) == "en") 1.0 else 0.0
+      (y, x)
+    }
+    val d = graft.ml.LogitGd.NumFeatures
+    val w = Array.fill(d)(0.0)
+    for (_ <- 1 to graft.ml.LogitGd.Steps) {
+      val g = Array.fill(d)(0.0)
+      data.foreach { case (y, x) =>
+        val z = (0 until d).map(j => w(j) * x(j)).sum
+        val p = 1.0 / (1.0 + math.exp(-z))
+        for (j <- 0 until d) g(j) += (p - y) * x(j)
+      }
+      for (j <- 0 until d)
+        w(j) = w(j) - graft.ml.LogitGd.Eta * g(j) / data.length
+    }
+    wEngine.zip(w).zipWithIndex.foreach { case ((a, b), j) =>
+      assert(math.abs(a - b) < 1e-3, s"w$j engine $a vs recompute $b")
+    }
+  }
+
   test("q258 projection: label moments recomputed by projecting on the " +
       "driver with the q245/q248 loadings") {
     val rows = PcaPower.pcaProjection(spark, sfDir).collect()
