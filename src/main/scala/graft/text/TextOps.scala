@@ -2311,6 +2311,88 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q268: TEMPERATURE-SCALED SAMPLING WEIGHTS — the multilingual/
+    * multi-source "alpha-sampling" rule (p_i ∝ tokens_i^α, α = 0.3):
+    * raw token share under-samples small sources, so training mixes are
+    * drawn from the tempered distribution; this reports, per source,
+    * the raw share, the α-tempered share, and the boost factor the
+    * temperature applies — the table a mixture designer reads before
+    * fixing epoch weights. tokens^α is exp(α·ln tokens) with ln rounded
+    * at 6 dp per SOURCE (one transcendental per source, not per row —
+    * straddle-immune at any corpus size); the tempered mass normalizes
+    * through an exact DECIMAL sum.
+    *
+    * Shape at 100 TB: one corpus scan into a per-source partial agg
+    * (|sources| keys), then arithmetic on the tiny grouped frame with a
+    * broadcast 1-row total. */
+  def alphaMix(s: SparkSession, dir: String,
+               alpha: Double = 0.3): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("source"), bpeTokensC(col("text")).as("bt"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum(col("bt")).cast(LongType).as("n_tokens"))
+      .withColumn("u",
+        when(col("n_tokens") > 0,
+          round(exp(lit(alpha) *
+            round(log(col("n_tokens").cast(DoubleType)), 6)), 6))
+          .otherwise(lit(0.0)))
+    val tot = g.agg(
+      sum(col("n_tokens")).cast(DoubleType).as("tot_t"),
+      sum(col("u").cast(DecimalType(18, 6))).cast(DoubleType).as("tot_u"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("tot_t"), 9)
+          .as("p_raw"),
+        round(col("u") / col("tot_u"), 9).as("p_alpha"),
+        // a token-free source has p_raw 0 — boost is NULL, not NaN/inf
+        round(when(col("n_tokens") > 0,
+          (col("u") / col("tot_u")) /
+            (col("n_tokens").cast(DoubleType) / col("tot_t"))), 6)
+          .as("boost"))
+      .orderBy("source")
+  }
+
+  /** q269: EPOCH SHUFFLE MANIFEST — deterministic training order
+    * without a global sort: batch(doc, epoch) = seeded-md5(doc_id) mod
+    * `batches`, a fresh independent permutation per epoch seed. Reports
+    * per (epoch, batch): docs, tokens, distinct sources, and the batch's
+    * token load relative to a perfectly balanced split — the audit that
+    * says whether hash-batching gives flat device utilization and
+    * source diversity inside every batch.
+    *
+    * Shape at 100 TB: NO global ordering anywhere — batch assignment is
+    * a stateless hash per row (the manifest a distributed loader can
+    * recompute shard-locally), and the report is one hash-agg per epoch
+    * over (epoch, batch) keys. Contrast with row_number shuffling, which
+    * would serialize the corpus through one sort. */
+  def epochBatches(s: SparkSession, dir: String, epochs: Int = 2,
+                   batches: Int = 64): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        bpeTokensC(col("text")).as("bt"))
+      .localCheckpoint() // scanned once per epoch plane
+    val planes = (1 to epochs).map { e =>
+      base.select(lit(e).as("epoch"),
+        pmod(hex60C(seededMd5C(1000 + e,
+          col("doc_id").cast(StringType))), lit(batches.toLong))
+          .cast(IntegerType).as("batch"),
+        col("source"), col("bt"))
+    }.reduce(_ unionByName _)
+    val g = planes.groupBy("epoch", "batch")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum(col("bt")).cast(LongType).as("n_tokens"),
+        countDistinct(col("source")).cast(IntegerType).as("n_sources"))
+    val tot = g.groupBy("epoch")
+      .agg(sum(col("n_tokens")).cast(DoubleType).as("tt"))
+    g.join(broadcast(tot), Seq("epoch"))
+      .select(col("epoch"), col("batch"), col("n_docs"), col("n_tokens"),
+        col("n_sources"),
+        round(col("n_tokens").cast(DoubleType) * lit(batches) /
+          col("tt"), 6).as("load_ratio"))
+      .orderBy("epoch", "batch")
+  }
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -3592,5 +3674,45 @@ object TextOps {
          |  round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf,
          |  CAST(rk AS INTEGER) AS rk
          |FROM r, n WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin,
+    "q268_alpha_mix" ->
+      s"""WITH g AS (SELECT source,
+         |    CAST(count(*) AS INTEGER) AS n_docs,
+         |    CAST(SUM(${bpeTokensS("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |u AS (SELECT *, CASE WHEN n_tokens > 0
+         |    THEN round(exp(0.3 * round(ln(CAST(n_tokens AS DOUBLE)), 6)),
+         |      6) ELSE 0.0 END AS u
+         |  FROM g),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_t,
+         |    CAST(SUM(CAST(u AS DECIMAL(18,6))) AS DOUBLE) AS tot_u
+         |  FROM u)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / tot_t, 9) AS p_raw,
+         |  round(u / tot_u, 9) AS p_alpha,
+         |  round(CASE WHEN n_tokens > 0 THEN (u / tot_u) /
+         |    (CAST(n_tokens AS DOUBLE) / tot_t) END, 6) AS boost
+         |FROM u, tot ORDER BY source""".stripMargin,
+    "q269_epoch_batches" -> {
+      val planes = (1 to 2).map { e =>
+        s"""SELECT $e AS epoch,
+           |    CAST(${hex60S(seededMd5S(1000 + e,
+                  "CAST(doc_id AS VARCHAR)"))} % 64 AS INTEGER) AS batch,
+           |    source, ${bpeTokensS("text")} AS bt
+           |  FROM documents""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (
+         |  $planes),
+         |g AS (SELECT epoch, batch,
+         |    CAST(count(*) AS INTEGER) AS n_docs,
+         |    CAST(SUM(bt) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT source) AS INTEGER) AS n_sources
+         |  FROM e GROUP BY epoch, batch),
+         |t AS (SELECT epoch, CAST(SUM(n_tokens) AS DOUBLE) AS tt
+         |  FROM g GROUP BY epoch)
+         |SELECT g.epoch, g.batch, n_docs, n_tokens, n_sources,
+         |  round(CAST(n_tokens AS DOUBLE) * 64 / tt, 6) AS load_ratio
+         |FROM g JOIN t ON g.epoch = t.epoch
+         |ORDER BY g.epoch, g.batch""".stripMargin
+    },
   )
 }

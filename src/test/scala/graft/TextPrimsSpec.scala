@@ -950,6 +950,41 @@ class TextPrimsSpec extends SparkSpec {
     assert(rows.head.getAs[Int]("total_tokens") === toks.map(_.toLong).sum)
   }
 
+  test("q268 alpha-mix: shares normalize, temperature boosts small " +
+      "sources and shrinks large ones") {
+    val rows = graft.text.TextOps.alphaMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val praw = rows.map(_.getAs[Double]("p_raw"))
+    val palpha = rows.map(_.getAs[Double]("p_alpha"))
+    assert(math.abs(praw.sum - 1.0) < 1e-6)
+    assert(math.abs(palpha.sum - 1.0) < 1e-6)
+    // alpha < 1 flattens: the token-richest source loses mass, the
+    // token-poorest gains (strictly, when the corpus is not uniform)
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    if (byTok.last.getAs[Long]("n_tokens") >
+        byTok.head.getAs[Long]("n_tokens")) {
+      assert(byTok.last.getAs[Double]("boost") < 1.0)
+      assert(byTok.head.getAs[Double]("boost") > 1.0)
+    }
+  }
+
+  test("q269 epoch batches: each epoch partitions the corpus; the two " +
+      "epoch permutations differ") {
+    val rows = graft.text.TextOps.epochBatches(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet === Set(1, 2))
+    byEpoch.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("n_docs").toLong).sum === nDocs)
+      assert(rs.forall(r => r.getAs[Int]("batch") >= 0 &&
+        r.getAs[Int]("batch") < 64))
+    }
+    // independent seeds ⇒ different batch composition vectors
+    def vec(e: Int) = byEpoch(e).map(r =>
+      r.getAs[Int]("batch") -> r.getAs[Int]("n_docs")).toMap
+    assert(vec(1) !== vec(2))
+  }
+
   test("q240 redaction: planted hits rewrite to tags, clean text is " +
       "byte-identical") {
     import spark.implicits._
