@@ -1027,6 +1027,156 @@ object EventStream {
     }
   }
 
+  final case class CmRow(event_type: String, n_seen: Long, user_id: Long,
+                         n_exact: Long, n_est: Long)
+
+  /** Streaming COUNT-MIN heavy-hitter monitor — the ADDITIVE-merge
+    * sketch (q260's HLL is max-merge; count-min registers simply ADD,
+    * so cross-batch folding is slicing-independent by linearity). Per
+    * event-type key: a d×w counter matrix in MapState (flat key
+    * j·w + bucket), incremented per arriving user id; a probe-user set
+    * (the deterministic user_id % 97 == 0 plane) with exact per-probe
+    * counts in a second MapState. Each batch emits, per probe user seen
+    * so far, the exact count and the sketch estimate min_j counter —
+    * the live calibration row q257 computes in batch. */
+  class CmProcessor(d: Int, w: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, Event, CmRow] {
+    @transient private var cm:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var pcnt:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit = {
+      cm = getHandle.getMapState[Long, Long]("cm",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      pcnt = getHandle.getMapState[Long, Long]("pcnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    private def bucketOf(j: Int, uid: Long): Long =
+      j.toLong * w +
+        graft.functions.TextPrims.javaMd5Hex60(s"$j#$uid") % w
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CmRow] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        val uid = e.user_id
+        var j = 0
+        while (j < d) {
+          val k = bucketOf(j, uid)
+          val cur = if (cm.containsKey(k)) cm.getValue(k) else 0L
+          cm.updateValue(k, cur + 1L)
+          j += 1
+        }
+        if (uid % 97 == 0) {
+          val cur = if (pcnt.containsKey(uid)) pcnt.getValue(uid) else 0L
+          pcnt.updateValue(uid, cur + 1L)
+        }
+      }
+      seen.update(n)
+      pcnt.iterator().map { case (uid, exact) =>
+        var est = Long.MaxValue
+        var j = 0
+        while (j < d) {
+          val c = cm.getValue(bucketOf(j, uid))
+          if (c < est) est = c
+          j += 1
+        }
+        CmRow(key, n, uid, exact, est)
+      }
+    }
+  }
+
+  val CmD = 4
+  val CmW = 256
+
+  def cmStream(events: Dataset[Event]): Dataset[CmRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new CmProcessor(CmD, CmW),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[CmRow])
+  }
+
+  /** q270 — STREAMING COUNT-MIN parity, the twentieth streaming
+    * surface: the additive-merge counterpart of q260 (HLL max-merge).
+    * Two mtime-ordered slices split every heavy user's events across a
+    * batch boundary, so a correct result REQUIRES the counter adds to
+    * fold across batches; the batch side keeps each (type, probe-user)
+    * row's latest emission, and the oracle rebuilds the identical d×w
+    * sketch relationally over the full events table (q257's spelling
+    * on the user-id universe) — hash-equality proves linear mergeability
+    * end to end. */
+  def cmStreamParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q270")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provPrev = s.conf.getOption(provKey)
+    s.conf.set(partsKey, "8")
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      Seq(0, 1).foreach { slice =>
+        val stage = tmp.resolve(s"stage$slice")
+        events.filter(col("event_id") % 2 === slice)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        moveOnlyParquet(stage, in.resolve(s"slice$slice.parquet"),
+          1000000000000L + slice * 60000L)
+      }
+      val ds = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val out = tmp.resolve("out").toString
+      q = cmStream(ds).toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q270 count-min stream did not terminate within 300 s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "user_id").orderBy(col("n_seen").desc)
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "user_id", "n_exact", "n_est")
+        .orderBy("event_type", "user_id")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      provPrev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** Session accumulator for the timer-closed sessionizer: the
     * [[SessionState]] conventions (µs event times, fixed-point 1e-4
     * sum) plus the ms timestamp of the currently registered event-time
@@ -1963,6 +2113,29 @@ object EventStream {
         |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS last5
         |FROM r WHERE rn <= 5
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q270_cm_stream" -> {
+      val planes = (0 until CmD).map { j =>
+        val b = graft.functions.TextPrims.hex60S(s"md5('$j#' || uid)")
+        s"""SELECT event_type, user_id, c, $j AS j, $b % $CmW AS bucket
+           |  FROM cnt""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH cnt AS (SELECT event_type, user_id,
+         |    CAST(user_id AS VARCHAR) AS uid, COUNT(*) AS c
+         |  FROM events GROUP BY event_type, user_id),
+         |pl AS MATERIALIZED (
+         |  $planes),
+         |sk AS (SELECT event_type, j, bucket,
+         |    CAST(SUM(c) AS BIGINT) AS counter
+         |  FROM pl GROUP BY event_type, j, bucket)
+         |SELECT p.event_type, p.user_id,
+         |  CAST(MAX(p.c) AS BIGINT) AS n_exact,
+         |  CAST(MIN(s.counter) AS BIGINT) AS n_est
+         |FROM pl p JOIN sk s ON p.event_type = s.event_type
+         |  AND p.j = s.j AND p.bucket = s.bucket
+         |WHERE p.user_id % 97 = 0
+         |GROUP BY p.event_type, p.user_id
+         |ORDER BY p.event_type, p.user_id""".stripMargin
+    },
     "q260_hll_stream" -> {
       val h = graft.functions.TextPrims.hex60S("md5('0#' || uid)")
       s"""WITH u AS (SELECT DISTINCT event_type,
@@ -1971,7 +2144,7 @@ object EventStream {
          |rr AS (SELECT event_type, h % 1024 AS idx, h // 1024 AS z
          |  FROM hh),
          |rk AS (SELECT event_type, idx,
-         |    CASE WHEN z = 0 THEN 51 ELSE 51 - length(bin(z)) END AS rank
+         |    CASE WHEN z = 0 THEN 50 ELSE 51 - length(bin(z)) END AS rank
          |  FROM rr),
          |regs AS (SELECT event_type, idx, MAX(rank) AS mx
          |  FROM rk GROUP BY event_type, idx),

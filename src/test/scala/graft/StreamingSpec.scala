@@ -702,4 +702,21 @@ class StreamingSpec extends SparkSpec {
         r.getInt(2)) -> r.getLong(3)).toMap
     assert(streamed === batch)
   }
+
+  test("q270 count-min stream: estimates never undercount and match " +
+      "exact counts when collision-free") {
+    val rows = graft.streaming.EventStream.cmStreamParity(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ex = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("n_est")
+      assert(est >= ex, s"CM undercounted: $r")
+    }
+    // the sketch is 4x256 over a small key universe here, so at least
+    // one probe row should be collision-free (est == exact) — a sketch
+    // that overcounts EVERY row is summing something wrong
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_est") === r.getAs[Long]("n_exact")))
+  }
 }
