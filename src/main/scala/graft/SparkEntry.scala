@@ -667,6 +667,9 @@ object SparkEntry {
     // 20th streaming surface: additive count-min registers in MapState
     "q270_cm_stream"          -> ((s, d) =>
       graft.streaming.EventStream.cmStreamParity(s, d)),
+    // diversity-aware retrieval: greedy MMR over the relevance pool
+    "q271_mmr_rerank"         -> ((s, d) =>
+      graft.similarity.Similarity.mmrRerank(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1210,7 +1210,116 @@ object Similarity {
 
   private lazy val q61OracleS: String = ivfOracleS("TRUE")
 
+  val MmrK = 10
+  val MmrPool = 256
+
+  /** q271: MAXIMAL MARGINAL RELEVANCE re-rank — the diversity-aware
+    * second stage of retrieval (RAG context assembly, dedup-aware
+    * nearest-neighbor review): greedily pick k items maximizing
+    * 0.5·relevance − 0.5·max-similarity-to-already-picked, so the
+    * result covers the query's neighborhood instead of returning ten
+    * near-copies of the best hit. Query = vec 0; candidates = the
+    * relevance top-[[MmrPool]] (the standard retrieve-then-rerank
+    * funnel). Reports rank, relevance, the redundancy penalty
+    * (max_sim) and the MMR score of each pick.
+    *
+    * Determinism: all vectors unit-normalized once (same elementwise
+    * division both engines); relevance and pairwise sims are the
+    * fixed-fold [[dotp]] ≡ `list_reduce`; λ = 0.5 is exact dyadic;
+    * argmax ties break on vec_id over bit-identical doubles. The
+    * oracle replays the greedy chain as generated CTEs (3 per step).
+    *
+    * Shape at 100 TB: stage 1 is a distributed top-[[MmrPool]]
+    * (TakeOrderedAndProject); the greedy loop runs k scans of the
+    * POOL (256 rows, broadcast-scale), never the corpus — the driver
+    * holds only the picked vectors (k·D doubles, R7-bounded). */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+      .withColumn("u", transform(col("e"), x => x / col("nrm")))
+    val qu = all.filter(col("vec_id") === 0)
+      .select(col("u")).collect()(0).getSeq[Double](0)
+    val quLit = array(qu.map(lit(_)): _*)
+    val cand = all.filter(col("vec_id") > 0)
+      .select(col("vec_id"), col("u"), dotp(quLit, col("u")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
+      .localCheckpoint() // scanned once per greedy step
+    // picked: (vec_id, u, rel, max_sim, score), in pick order
+    var sel = Vector.empty[(Long, Seq[Double], Double, Double, Double)]
+    for (_ <- 1 to MmrK) {
+      val msCol =
+        if (sel.isEmpty) lit(0.0)
+        else {
+          val dots = sel.map { case (_, su, _, _, _) =>
+            dotp(array(su.map(lit(_)): _*), col("u")) }
+          if (dots.size == 1) dots.head else greatest(dots: _*)
+        }
+      val base =
+        if (sel.isEmpty) cand
+        else cand.filter(!col("vec_id").isin(sel.map(_._1): _*))
+      val p = base.withColumn("ms", msCol)
+        .withColumn("score",
+          lit(0.5) * col("rel") - lit(0.5) * col("ms"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1).collect()(0) // R7: ONE row per greedy step
+      sel = sel :+ ((p.getLong(p.fieldIndex("vec_id")),
+        p.getSeq[Double](p.fieldIndex("u")),
+        p.getDouble(p.fieldIndex("rel")),
+        p.getDouble(p.fieldIndex("ms")),
+        p.getDouble(p.fieldIndex("score"))))
+    }
+    import s.implicits._
+    sel.zipWithIndex.map { case ((id, _, rel, ms, sc), i) =>
+      (i + 1, id, rel, ms, sc) }
+      .toDF("rk", "vec_id", "rel0", "ms0", "sc0")
+      .select(col("rk").cast(IntegerType).as("rk"), col("vec_id"),
+        round(col("rel0"), 6).as("rel"),
+        round(col("ms0"), 6).as("max_sim"),
+        round(col("sc0"), 6).as("mmr_score"))
+      .orderBy("rk")
+  }
+
+  private def mmrOracleS: String = {
+    import graft.ml.LloydExact.{dotS => dS}
+    val steps = (1 to MmrK).map { t =>
+      val prev = s"msel${t - 1}"
+      s"""mp$t AS MATERIALIZED (SELECT c.vec_id, c.rel,
+         |    COALESCE(mx.ms, 0.0) AS ms,
+         |    0.5 * c.rel - 0.5 * COALESCE(mx.ms, 0.0) AS score
+         |  FROM mcand c LEFT JOIN (
+         |    SELECT c2.vec_id, MAX(${dS("s.u", "c2.u")}) AS ms
+         |    FROM mcand c2, $prev s GROUP BY c2.vec_id) mx
+         |    ON c.vec_id = mx.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)),
+         |mpick$t AS MATERIALIZED (SELECT $t AS rk, vec_id, rel, ms, score
+         |  FROM mp$t ORDER BY score DESC, vec_id LIMIT 1),
+         |msel$t AS MATERIALIZED (SELECT vec_id, u FROM $prev
+         |  UNION ALL
+         |  SELECT c.vec_id, c.u FROM mcand c
+         |  JOIN mpick$t k ON c.vec_id = k.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to MmrK).map(t => s"SELECT * FROM mpick$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH emb0 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |un AS (SELECT vec_id, list_transform(e, x ->
+       |    x / sqrt(${dS("e", "e")})) AS u FROM emb0),
+       |qv AS (SELECT u AS qu FROM un WHERE vec_id = 0),
+       |mcand AS MATERIALIZED (SELECT vec_id, u, rel FROM (
+       |    SELECT n.vec_id, n.u, ${dS("q.qu", "n.u")} AS rel
+       |    FROM un n, qv q WHERE n.vec_id > 0)
+       |  ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+       |msel0 AS (SELECT vec_id, u FROM mcand WHERE FALSE),
+       |$steps
+       |SELECT CAST(rk AS INTEGER) AS rk, vec_id,
+       |  round(rel, 6) AS rel,
+       |  round(ms, 6) AS max_sim,
+       |  round(score, 6) AS mmr_score
+       |FROM ($picks) ORDER BY rk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q271_mmr_rerank" -> mmrOracleS,
     "q231_ndcg_lexical" -> {
       val wl = "[" + ndcgWeights(10).mkString(", ") + "]"
       s"""WITH e AS ($embS),

@@ -396,4 +396,28 @@ class SimilaritySpec extends SparkSpec {
     assert(live.values.exists(_.exists { case (_, n, _, _) =>
       n % 10 == 3 && n >= 10 }))
   }
+
+  test("q271 MMR: picks distinct, first pick is the relevance argmax " +
+      "with zero penalty, greedy scores are non-increasing") {
+    val rows = graft.similarity.Similarity.mmrRerank(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("rk"))
+    assert(rows.length === graft.similarity.Similarity.MmrK)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === ids.length)
+    assert(rows.head.getAs[Double]("max_sim") === 0.0)
+    // pick 1 maximizes raw relevance (score = 0.5*rel, ms = 0)
+    assert(rows.head.getAs[Double]("rel") ===
+      rows.map(_.getAs[Double]("rel")).max)
+    // from rank 2 on, each candidate's penalty max-grows with the
+    // picked set, so the greedy maxima are non-increasing (rank 1 is
+    // excluded: its ms = 0 convention is not the max-over-empty limit,
+    // and a negative best cosine can push rank 2's score above it)
+    val scores = rows.tail.map(_.getAs[Double]("mmr_score"))
+    scores.zip(scores.tail).foreach { case (a, b) =>
+      assert(b <= a + 1e-9, s"scores not monotone: $a then $b")
+    }
+    // later picks carry a real redundancy penalty measurement
+    assert(rows.tail.forall(r => r.getAs[Double]("max_sim") >= -1.0 &&
+      r.getAs[Double]("max_sim") <= 1.0))
+  }
 }
