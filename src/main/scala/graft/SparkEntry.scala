@@ -670,6 +670,9 @@ object SparkEntry {
     // diversity-aware retrieval: greedy MMR over the relevance pool
     "q271_mmr_rerank"         -> ((s, d) =>
       graft.similarity.Similarity.mmrRerank(s, d)),
+    // LSH (bands, rows) sweep: observed recall vs the analytic S-curve
+    "q272_lsh_tuning"         -> ((s, d) =>
+      graft.dedup.Dedup.lshTuning(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1393,6 +1393,80 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("source")
   }
 
+  /** The (b, r) sweep grid for q272: band sizes over the 8-permutation
+    * signature; bands = 8 / rows. */
+  val TuneRows: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** s^n / (1−s)^n as an explicit LEFT-ASSOCIATED multiply chain —
+    * no libm pow(), so the value is the identical IEEE product tree on
+    * both engines. */
+  private def powChainC(c: Column, n: Int): Column =
+    (2 to n).foldLeft(c)((acc, _) => acc * c)
+
+  /** q272: LSH PARAMETER TUNING CURVE — the (bands, rows) sweep every
+    * MinHash deployment runs before fixing its config: for each band
+    * shape over the SAME 8-permutation signatures, the empirical
+    * candidate count and truth recall, next to the analytic capture
+    * probability E[1 − (1 − j^r)^b] evaluated on the truth pairs' exact
+    * Jaccards — observed vs S-curve on one table. Truth = the r=1
+    * candidate superset (any shared permutation; banding at r>1 can
+    * only subset it) verified to exact Jaccard ≥ [[JaccardThreshold]].
+    *
+    * Determinism: Jaccard is a ratio of integer counts; the S-curve
+    * uses explicit multiply chains (no pow()); per-pair capture rounds
+    * at 9 dp and sums as exact DECIMAL. Shape at 100 TB: signatures are
+    * computed ONCE (the expensive stage); each config re-bands the tiny
+    * per-doc signature table and pays only its own bucket-join — the
+    * sweep costs one corpus scan plus |configs| band shuffles. */
+  def lshTuning(s: SparkSession, dir: String): DataFrame = {
+    val shs = shingleRows(nearDupCorpus(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shs.count() // eager fill: signatures + both jaccard sides
+    try {
+      val sigs = signaturesFrom(shs).localCheckpoint()
+      val cand1 = bandPairsFrom(sigs, DedupConfig(bandSize = 1))
+        .localCheckpoint()
+      val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val truth = cand1
+        .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(shs.as("sb"), col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+        .join(sizes.withColumnsRenamed(
+          Map("doc_id" -> "doc_a", "sz" -> "sza")), Seq("doc_a"))
+        .join(sizes.withColumnsRenamed(
+          Map("doc_id" -> "doc_b", "sz" -> "szb")), Seq("doc_b"))
+        .withColumn("jac", col("ni").cast(DoubleType) /
+          (col("sza") + col("szb") - col("ni")).cast(DoubleType))
+        .filter(col("jac") >= JaccardThreshold)
+        .select("doc_a", "doc_b", "jac")
+        .localCheckpoint()
+      val rows = TuneRows.map { r =>
+        val b = NumHashes / r
+        val candR =
+          if (r == 1) cand1
+          else bandPairsFrom(sigs, DedupConfig(bandSize = r))
+        val capture = lit(1.0) -
+          powChainC(lit(1.0) - powChainC(col("jac"), r), b)
+        val nc = candR.agg(count(lit(1)).as("n_cand"))
+        val ca = truth.join(candR, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_caught"))
+        val tm = truth.agg(count(lit(1)).as("n_truth"),
+          sum(round(capture, 9).cast(DecimalType(28, 9)))
+            .cast(DoubleType).as("cap_sum"))
+        tm.crossJoin(nc).crossJoin(ca)
+          .select(lit(r).as("band_rows"), lit(b).as("n_bands"),
+            col("n_cand"), col("n_truth"), col("n_caught"),
+            round(when(col("n_truth") > 0,
+              col("n_caught").cast(DoubleType) / col("n_truth")), 6)
+              .as("recall"),
+            round(when(col("n_truth") > 0,
+              col("cap_sum") / col("n_truth")), 6).as("mean_capture"))
+      }
+      rows.reduce(_ unionByName _).orderBy("band_rows").localCheckpoint()
+    } finally { shs.unpersist(); () }
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -1434,7 +1508,70 @@ object Dedup extends org.apache.spark.internal.Logging {
     s"SELECT doc_id, unnest([${bands.mkString(", ")}]) AS bk FROM sig"
   }
 
+  /** [[bandUnnestS]] parametrized by band size (q272's sweep). */
+  private def bandUnnestFor(rows: Int): String = {
+    val bands = (0 until NumHashes / rows).map { b =>
+      val parts = (0 until rows)
+        .map(i => s"CAST(sig${b * rows + i} AS VARCHAR)")
+      s"md5('$b' || '|' || ${parts.mkString(" || '|' || ")})"
+    }
+    s"SELECT doc_id, unnest([${bands.mkString(", ")}]) AS bk FROM sig"
+  }
+
+  private def q272OracleS: String = {
+    def powChainS(e: String, n: Int): String =
+      Seq.fill(n)(e).mkString(" * ")
+    val configs = TuneRows.map { r =>
+      val b = NumHashes / r
+      val cand = if (r == 1) "cand1" else s"cand$r"
+      val extra = if (r == 1) "" else
+        s"""tbk$r AS (${bandUnnestFor(r)}),
+           |cand$r AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a,
+           |    b.doc_id AS doc_b
+           |  FROM tbk$r a JOIN tbk$r b ON a.bk = b.bk
+           |    AND a.doc_id < b.doc_id),
+           |""".stripMargin
+      val f = s"(1.0 - (${powChainS("jac", r)}))"
+      val cap = s"1.0 - (${powChainS(f, b)})"
+      (extra, s"""SELECT $r AS band_rows, $b AS n_bands,
+         |  nc.n AS n_cand, nt.n AS n_truth, ca.n AS n_caught,
+         |  round(CASE WHEN nt.n > 0
+         |    THEN CAST(ca.n AS DOUBLE) / nt.n END, 6) AS recall,
+         |  round(CASE WHEN nt.n > 0 THEN cp.s / nt.n END, 6)
+         |    AS mean_capture
+         |FROM (SELECT COUNT(*) AS n FROM $cand) nc,
+         |  (SELECT COUNT(*) AS n FROM truth) nt,
+         |  (SELECT COUNT(*) AS n FROM truth t JOIN $cand c
+         |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) ca,
+         |  (SELECT CAST(SUM(CAST(round($cap, 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE) AS s FROM truth) cp""".stripMargin)
+    }
+    s"""${sigSelectS(nearDupCorpusS)},
+       |shr AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle
+       |  FROM shs),
+       |sz AS (SELECT doc_id, len(sh) AS sz FROM shs),
+       |tbk1 AS (${bandUnnestFor(1)}),
+       |cand1 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a,
+       |    b.doc_id AS doc_b
+       |  FROM tbk1 a JOIN tbk1 b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |truth AS MATERIALIZED (SELECT doc_a, doc_b, jac FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(COUNT(*) AS DOUBLE) /
+       |      CAST(za.sz + zb.sz - COUNT(*) AS DOUBLE) AS jac
+       |  FROM cand1 c JOIN shr sa ON sa.doc_id = c.doc_a
+       |    JOIN shr sb ON sb.doc_id = c.doc_b
+       |      AND sa.shingle = sb.shingle
+       |    JOIN sz za ON za.doc_id = c.doc_a
+       |    JOIN sz zb ON zb.doc_id = c.doc_b
+       |  GROUP BY c.doc_a, c.doc_b, za.sz, zb.sz)
+       | WHERE jac >= $JaccardThreshold),
+       |${configs.map(_._1).mkString("")}dummy AS (SELECT 1)
+       |${configs.map(_._2).mkString("\nUNION ALL\n")}
+       |ORDER BY band_rows""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q272_lsh_tuning" -> q272OracleS,
     "q232_lsh_planted_pr" ->
       s"""${sigSelectS(nearDupCorpusS)},
          |bk AS ($bandUnnestS),

@@ -438,4 +438,25 @@ class DedupSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_wedges") === 0L)
     assert(r2.isNullAt(r2.fieldIndex("transitivity")))
   }
+
+  test("q272 LSH tuning: configs nest (coarser rows => fewer candidates), " +
+      "r=1 recall is exactly 1, analytic curve decays with r") {
+    val rows = graft.dedup.Dedup.lshTuning(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("band_rows"))
+    assert(rows.map(_.getAs[Int]("band_rows")).toSeq === Seq(1, 2, 4, 8))
+    // truth is defined on the r=1 candidate superset, so r=1 catches all
+    assert(rows.head.getAs[Double]("recall") === 1.0)
+    // a pair banded at r shares every permutation of some band, hence
+    // at least one permutation alone: candidate sets nest downward
+    val cands = rows.map(_.getAs[Long]("n_cand"))
+    cands.zip(cands.tail).foreach { case (a, b) =>
+      assert(b <= a, s"candidates not nested: $a then $b") }
+    val rec = rows.map(_.getAs[Double]("recall"))
+    rec.zip(rec.tail).foreach { case (a, b) => assert(b <= a) }
+    // 1-(1-j^r)^(8/r) is non-increasing in r for j in [0,1], so the
+    // mean over a fixed truth set is too
+    val cap = rows.map(_.getAs[Double]("mean_capture"))
+    cap.zip(cap.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
+    assert(rows.forall(r => r.getAs[Long]("n_truth") > 0))
+  }
 }
