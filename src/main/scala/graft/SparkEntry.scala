@@ -673,6 +673,15 @@ object SparkEntry {
     // LSH (bands, rows) sweep: observed recall vs the analytic S-curve
     "q272_lsh_tuning"         -> ((s, d) =>
       graft.dedup.Dedup.lshTuning(s, d)),
+    // Zipf made operational: corpus coverage per vocab budget
+    "q273_vocab_coverage"     -> ((s, d) =>
+      graft.text.TextOps.vocabBudgetCoverage(s, d)),
+    // pairwise 13-gram source overlap: the decontamination triage matrix
+    "q274_source_overlap"     -> ((s, d) =>
+      graft.dedup.Dedup.sourceOverlap(s, d)),
+    // contrastive-pair export: hardest negative/positive per query
+    "q275_hard_negatives"     -> ((s, d) =>
+      graft.similarity.Similarity.hardNegatives(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1467,6 +1467,52 @@ object Dedup extends org.apache.spark.internal.Logging {
     } finally { shs.unpersist(); () }
   }
 
+  /** q274: CROSS-SOURCE CONTAMINATION MATRIX — pairwise 13-gram overlap
+    * between sources: the triage table a decontamination pass reads
+    * BEFORE q237's per-pair span work ("which source pairs share
+    * material at all, and how much of the smaller one is implicated").
+    * Per source pair: hub-excluded shared distinct grams and the
+    * overlap coefficient shared / min(|A|, |B|). Grams present in more
+    * than `maxHub` sources are boilerplate (the q227 hub rule) — they
+    * say nothing about PAIRWISE contamination and would blow the
+    * gram-join quadratically, so they are excluded from the numerator
+    * (denominators stay full distinct-gram counts).
+    *
+    * Shape at 100 TB: (source, gram-hash) distinct is one hash agg;
+    * the hub gate bounds the self-join to ≤ maxHub² rows per gram; the
+    * matrix is |sources|² max. */
+  def sourceOverlap(s: SparkSession, dir: String, n: Int = 13,
+                    maxHub: Int = 8): DataFrame = {
+    val sg = Tables.fanOut(
+        docs(s, dir).select("doc_id", "source", "text"), "doc_id")
+      .select(col("source"),
+        explode(array_distinct(shinglesC(tokensC(col("text")), n)))
+          .as("sh"))
+      .select(col("source"), md5(col("sh")).as("h"))
+      .distinct()
+      .localCheckpoint() // sizes + hub census + pair join
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
+    val nonHub = sg.join(
+      sg.groupBy("h").agg(count(lit(1)).as("ns"))
+        .filter(col("ns") <= maxHub && col("ns") > 1)
+        .select("h"),
+      Seq("h"))
+    val shared = nonHub.as("a").join(nonHub.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnsRenamed(
+        Map("source" -> "src_a", "sz" -> "sza")), Seq("src_a"))
+      .join(sizes.withColumnsRenamed(
+        Map("source" -> "src_b", "sz" -> "szb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) /
+          least(col("sza"), col("szb")).cast(DoubleType), 6)
+          .as("overlap"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -1572,6 +1618,28 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   def oracleSql: Map[String, String] = Map(
     "q272_lsh_tuning" -> q272OracleS,
+    "q274_source_overlap" -> {
+      val t = tokensS("text")
+      s"""WITH d AS (SELECT source,
+         |    list_distinct(${shinglesS("t", 13)}) AS sh
+         |  FROM (SELECT source, $t AS t FROM documents)),
+         |sg AS MATERIALIZED (SELECT DISTINCT source, md5(s) AS h
+         |  FROM (SELECT source, unnest(sh) AS s FROM d)),
+         |sizes AS (SELECT source, COUNT(*) AS sz FROM sg GROUP BY source),
+         |nh AS MATERIALIZED (SELECT sg.source, sg.h FROM sg JOIN (
+         |    SELECT h, COUNT(*) AS ns FROM sg GROUP BY h) hh
+         |  ON sg.h = hh.h WHERE hh.ns <= 8 AND hh.ns > 1),
+         |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    COUNT(*) AS n_shared
+         |  FROM nh a JOIN nh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT src_a, src_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) /
+         |    CAST(least(za.sz, zb.sz) AS DOUBLE), 6) AS overlap
+         |FROM sh JOIN sizes za ON za.source = sh.src_a
+         |  JOIN sizes zb ON zb.source = sh.src_b
+         |ORDER BY src_a, src_b""".stripMargin
+    },
     "q232_lsh_planted_pr" ->
       s"""${sigSelectS(nearDupCorpusS)},
          |bk AS ($bandUnnestS),

@@ -1278,6 +1278,78 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** q275: HARD-NEGATIVE / HARD-POSITIVE MINING — the contrastive-pair
+    * table an embedding-finetuning pipeline exports: per query vector,
+    * the most similar OTHER-label candidate (the hardest negative — the
+    * confusable the loss must push away) and the least similar
+    * SAME-label candidate (the hardest positive — the straggler it must
+    * pull in), plus the margin between them (negative margin = the
+    * classes interleave at this query). Cosines are the fixed-fold dot
+    * over broadcast queries; per-query argmin/argmax are window top-1
+    * with vec_id tie-breaks.
+    *
+    * Shape at 100 TB: identical to the exact-ANN baseline (q31) — ONE
+    * corpus scan against a broadcast query set, two per-query window
+    * top-1s on the query-keyed frame; no candidate materialization
+    * beyond the scan. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlab"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val sims = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlab"), col("vec_id").as("cid"),
+        col("label").as("clab"),
+        (dotp(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("sim"))
+    val wNeg = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cid"))
+    val wPos = Window.partitionBy("query_id")
+      .orderBy(col("sim").asc, col("cid"))
+    val neg = sims.filter(col("clab") =!= col("qlab"))
+      .withColumn("rk", row_number().over(wNeg)).filter(col("rk") === 1)
+      .select(col("query_id"), col("qlab").as("query_label"),
+        col("cid").as("hard_neg_id"), round(col("sim"), 6)
+          .as("hard_neg_sim"))
+    val pos = sims.filter(col("clab") === col("qlab"))
+      .withColumn("rk", row_number().over(wPos)).filter(col("rk") === 1)
+      .select(col("query_id"), col("cid").as("hard_pos_id"),
+        round(col("sim"), 6).as("hard_pos_sim"))
+    neg.join(pos, Seq("query_id"))
+      .withColumn("margin",
+        round(col("hard_pos_sim") - col("hard_neg_sim"), 6))
+      .orderBy("query_id")
+  }
+
+  private def hardNegOracleS: String = {
+    import graft.ml.LloydExact.{dotS => dS}
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, label, e, sqrt(${dS("e", "e")}) AS nrm
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS qlab, e AS qe,
+       |    nrm AS qn FROM en WHERE vec_id < 10),
+       |sims AS MATERIALIZED (SELECT q.query_id, q.qlab,
+       |    c.vec_id AS cid, c.label AS clab,
+       |    ${dS("q.qe", "c.e")} / (q.qn * c.nrm) AS sim
+       |  FROM en c, q WHERE c.vec_id <> q.query_id),
+       |neg AS (SELECT query_id, qlab, cid, sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, cid) AS rk
+       |  FROM sims WHERE clab <> qlab) WHERE rk = 1),
+       |pos AS (SELECT query_id, cid, sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim ASC, cid) AS rk
+       |  FROM sims WHERE clab = qlab) WHERE rk = 1)
+       |SELECT n.query_id, n.qlab AS query_label,
+       |  n.cid AS hard_neg_id, round(n.sim, 6) AS hard_neg_sim,
+       |  p.cid AS hard_pos_id, round(p.sim, 6) AS hard_pos_sim,
+       |  round(round(p.sim, 6) - round(n.sim, 6), 6) AS margin
+       |FROM neg n JOIN pos p ON n.query_id = p.query_id
+       |ORDER BY n.query_id""".stripMargin
+  }
+
   private def mmrOracleS: String = {
     import graft.ml.LloydExact.{dotS => dS}
     val steps = (1 to MmrK).map { t =>
@@ -1320,6 +1392,7 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "q271_mmr_rerank" -> mmrOracleS,
+    "q275_hard_negatives" -> hardNegOracleS,
     "q231_ndcg_lexical" -> {
       val wl = "[" + ndcgWeights(10).mkString(", ") + "]"
       s"""WITH e AS ($embS),

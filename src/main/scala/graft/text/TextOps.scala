@@ -2393,6 +2393,40 @@ object TextOps {
       .orderBy("epoch", "batch")
   }
 
+  /** The q273 vocabulary-budget grid. */
+  val CoverageKs: Seq[Int] = Seq(10, 100, 1000, 10000)
+
+  /** q273: VOCABULARY COVERAGE CURVE — what fraction of the corpus's
+    * token OCCURRENCES a top-K frequency vocabulary covers, for each
+    * budget K: the sizing table read before fixing a tokenizer's vocab
+    * or an OOV policy — the INVERSE of q165 (which asks how many types
+    * reach a coverage target; this asks what coverage a budget buys).
+    *
+    * Shape at 100 TB: one scan into (token → count); each budget is a
+    * distributed top-K (TakeOrderedAndProject: per-partition heaps,
+    * driver merges K rows) + a sum — NO global rank window over the
+    * vocabulary. Ties at the budget boundary break on the token string,
+    * so the covered set is a pure function of the corpus. */
+  def vocabBudgetCoverage(s: SparkSession, dir: String): DataFrame = {
+    val vc = docs(s, dir)
+      .select(explode(tokensC(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // totals + one top-K per budget
+    val tot = vc.agg(sum(col("cnt")).as("n_tokens_total"),
+      count(lit(1)).as("n_types"))
+    val rows = CoverageKs.map { k =>
+      val cov = vc.orderBy(col("cnt").desc, col("tok")).limit(k)
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered"))
+      cov.crossJoin(broadcast(tot))
+        .select(lit(k).as("vocab_k"), col("n_types"),
+          col("n_tokens_total"), col("covered"),
+          round(col("covered").cast(DoubleType) /
+            col("n_tokens_total").cast(DoubleType), 6).as("coverage"))
+    }
+    rows.reduce(_ unionByName _).orderBy("vocab_k")
+  }
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -3692,6 +3726,26 @@ object TextOps {
          |  round(CASE WHEN n_tokens > 0 THEN (u / tot_u) /
          |    (CAST(n_tokens AS DOUBLE) / tot_t) END, 6) AS boost
          |FROM u, tot ORDER BY source""".stripMargin,
+    "q273_vocab_coverage" -> {
+      val rows = CoverageKs.map { k =>
+        s"""SELECT $k AS vocab_k, t.n_types, t.n_tokens_total,
+           |  CAST((SELECT COALESCE(SUM(cnt), 0) FROM (
+           |     SELECT cnt FROM vc ORDER BY cnt DESC, tok LIMIT $k))
+           |    AS BIGINT) AS covered,
+           |  round(CAST((SELECT COALESCE(SUM(cnt), 0) FROM (
+           |     SELECT cnt FROM vc ORDER BY cnt DESC, tok LIMIT $k))
+           |    AS DOUBLE) / CAST(t.n_tokens_total AS DOUBLE), 6)
+           |    AS coverage
+           |FROM t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH vc AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($T) AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY tok),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens_total,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types FROM vc)
+         |$rows
+         |ORDER BY vocab_k""".stripMargin
+    },
     "q269_epoch_batches" -> {
       val planes = (1 to 2).map { e =>
         s"""SELECT $e AS epoch,

@@ -459,4 +459,14 @@ class DedupSpec extends SparkSpec {
     cap.zip(cap.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
     assert(rows.forall(r => r.getAs[Long]("n_truth") > 0))
   }
+
+  test("q274 source overlap: ordered pairs, coefficients in (0, 1]") {
+    val rows = graft.dedup.Dedup.sourceOverlap(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val ov = r.getAs[Double]("overlap")
+      assert(ov > 0.0 && ov <= 1.0, s"overlap out of range: $r")
+      assert(r.getAs[Long]("n_shared") > 0)
+    }
+  }
 }

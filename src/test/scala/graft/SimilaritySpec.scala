@@ -420,4 +420,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.tail.forall(r => r.getAs[Double]("max_sim") >= -1.0 &&
       r.getAs[Double]("max_sim") <= 1.0))
   }
+
+  test("q275 hard negatives: one row per query, cosines bounded, margin " +
+      "is the pos-neg difference") {
+    val rows = graft.similarity.Similarity.hardNegatives(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSet.size === rows.length)
+    rows.foreach { r =>
+      val hn = r.getAs[Double]("hard_neg_sim")
+      val hp = r.getAs[Double]("hard_pos_sim")
+      assert(hn >= -1.0 - 1e-9 && hn <= 1.0 + 1e-9)
+      assert(hp >= -1.0 - 1e-9 && hp <= 1.0 + 1e-9)
+      assert(math.abs(r.getAs[Double]("margin") - (hp - hn)) < 2e-6)
+      assert(r.getAs[Long]("hard_neg_id") !== r.getAs[Long]("query_id"))
+      assert(r.getAs[Long]("hard_pos_id") !== r.getAs[Long]("query_id"))
+    }
+  }
 }

@@ -999,4 +999,19 @@ class TextPrimsSpec extends SparkSpec {
       "mail <EMAIL> from <IPV4> then dial <PHONE> ssn <SSN_LIKE>")
     assert(red(1) === "clean text stays clean, even with 2026 and 1.2.3")
   }
+
+  test("q273 vocab coverage: monotone in budget, bounded by 1, full " +
+      "vocab covers everything") {
+    val rows = graft.text.TextOps.vocabBudgetCoverage(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("vocab_k"))
+    assert(rows.length === graft.text.TextOps.CoverageKs.length)
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    cov.zip(cov.tail).foreach { case (a, b) => assert(b >= a) }
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered") <= r.getAs[Long]("n_tokens_total"))
+      if (r.getAs[Int]("vocab_k") >= r.getAs[Long]("n_types"))
+        assert(r.getAs[Double]("coverage") === 1.0)
+    }
+  }
 }
