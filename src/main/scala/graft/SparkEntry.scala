@@ -682,6 +682,9 @@ object SparkEntry {
     // contrastive-pair export: hardest negative/positive per query
     "q275_hard_negatives"     -> ((s, d) =>
       graft.similarity.Similarity.hardNegatives(s, d)),
+    // degenerate-text gate: period-1..3 token loop census per source
+    "q276_repetition_loops"   -> ((s, d) =>
+      graft.text.TextOps.repetitionLoops(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -2427,6 +2427,62 @@ object TextOps {
     rows.reduce(_ unionByName _).orderBy("vocab_k")
   }
 
+  /** q276: REPETITION-LOOP DETECTOR — the degenerate-text census a
+    * synthetic-data gate runs: a model stuck in a period-p loop emits
+    * `… a b c a b c a b c …`, which surfaces as a run of positions i
+    * with t[i] = t[i+p]. Per doc, the longest such run over periods
+    * 1–3 (the loop covers run + p tokens); per source, how many docs
+    * loop ≥ `minLoop` tokens and the worst loop seen. Quality scores
+    * (q23) cannot see this — a loop has normal length, punctuation and
+    * stopword ratios.
+    *
+    * Shape at 100 TB: the match planes are per-row ARRAY expressions
+    * (no self-join — the positional compare stays inside the scan);
+    * islands use doc-partitioned windows only; the census is one
+    * source-key agg. */
+  def repetitionLoops(s: SparkSession, dir: String,
+                      minLoop: Int = 4): DataFrame =
+    repetitionLoopsOf(
+      Tables.fanOut(docs(s, dir), "doc_id")
+        .select(col("doc_id"), col("source"), tokensC(col("text")).as("t")),
+      minLoop)
+
+  /** The loop census over an arbitrary (doc_id, source, t) frame —
+    * exposed so the spec can plant a known period-p loop. */
+  private[graft] def repetitionLoopsOf(baseIn: DataFrame,
+                                       minLoop: Int): DataFrame = {
+    val base = baseIn
+      .localCheckpoint() // three period planes + the census read it
+    val planes = (1 to 3).map { p =>
+      base.select(col("doc_id"), lit(p).as("p"),
+        explode(when(size(col("t")) > p,
+          filter(sequence(lit(1), size(col("t")) - lit(p)),
+            i => element_at(col("t"), i) ===
+              element_at(col("t"), i + lit(p))))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "p").orderBy("i")
+    val best = planes
+      .withColumn("isl", col("i") - row_number().over(w))
+      .groupBy("doc_id", "p", "isl").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id", "p").agg(max("len").as("mx"))
+      .select(col("doc_id"), col("p"), (col("mx") + col("p")).as("rep"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("rep").desc, col("p"))
+    val perDoc = best.withColumn("rk", row_number().over(wd))
+      .filter(col("rk") === 1).select("doc_id", "rep")
+    base.select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rep") >= minLoop, 1).otherwise(0)).as("n_loopy"),
+        coalesce(max(col("rep")), lit(0L)).as("max_rep"))
+      .withColumn("loopy_frac", round(col("n_loopy").cast(DoubleType) /
+        col("n_docs").cast(DoubleType), 6))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -3745,6 +3801,38 @@ object TextOps {
          |    CAST(COUNT(*) AS BIGINT) AS n_types FROM vc)
          |$rows
          |ORDER BY vocab_k""".stripMargin
+    },
+    "q276_repetition_loops" -> {
+      val planes = (1 to 3).map { p =>
+        s"""SELECT doc_id, $p AS p, unnest(CASE WHEN len(t) > $p
+           |    THEN list_filter(generate_series(1, len(t) - $p),
+           |      i -> t[i] = t[i + $p])
+           |    ELSE CAST([] AS BIGINT[]) END) AS i
+           |  FROM b""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH b AS MATERIALIZED (SELECT doc_id, source, $T AS t
+         |  FROM documents),
+         |pl AS MATERIALIZED (
+         |  $planes),
+         |runs AS (SELECT doc_id, p,
+         |    i - ROW_NUMBER() OVER (PARTITION BY doc_id, p ORDER BY i)
+         |      AS isl
+         |  FROM pl),
+         |rl AS (SELECT doc_id, p, isl, COUNT(*) AS len
+         |  FROM runs GROUP BY doc_id, p, isl),
+         |mx AS (SELECT doc_id, p, MAX(len) + p AS rep
+         |  FROM rl GROUP BY doc_id, p),
+         |best AS (SELECT doc_id, rep FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY rep DESC, p) AS rk FROM mx) WHERE rk = 1)
+         |SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN best.rep >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_loopy,
+         |  CAST(COALESCE(MAX(best.rep), 0) AS BIGINT) AS max_rep,
+         |  round(CAST(SUM(CASE WHEN best.rep >= 4 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS loopy_frac
+         |FROM b LEFT JOIN best ON b.doc_id = best.doc_id
+         |GROUP BY b.source ORDER BY b.source""".stripMargin
     },
     "q269_epoch_batches" -> {
       val planes = (1 to 2).map { e =>

@@ -1014,4 +1014,27 @@ class TextPrimsSpec extends SparkSpec {
         assert(r.getAs[Double]("coverage") === 1.0)
     }
   }
+
+  test("q276 loops: planted period-2 loop measured exactly, clean doc " +
+      "stays clean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 1: "x y x y x y x y" — period 2, t(i)=t(i+2) for i=1..6,
+    // loop covers 6+2=8 tokens; period 1 never matches
+    // doc 2: all-distinct tokens — no loop at any period
+    // doc 3: "z z z" — period 1, run 2, loop covers 3 tokens (< minLoop)
+    val base = Seq(
+      (1L, "sA", Seq("x", "y", "x", "y", "x", "y", "x", "y")),
+      (2L, "sA", Seq("a", "b", "c", "d", "e")),
+      (3L, "sB", Seq("z", "z", "z"))
+    ).toDF("doc_id", "source", "t")
+    val rows = graft.text.TextOps.repetitionLoopsOf(base, minLoop = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("sA").getAs[Long]("n_docs") === 2)
+    assert(rows("sA").getAs[Long]("n_loopy") === 1)
+    assert(rows("sA").getAs[Long]("max_rep") === 8)
+    assert(rows("sA").getAs[Double]("loopy_frac") === 0.5)
+    assert(rows("sB").getAs[Long]("n_loopy") === 0)
+    assert(rows("sB").getAs[Long]("max_rep") === 3)
+  }
 }
