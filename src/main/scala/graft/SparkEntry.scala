@@ -685,6 +685,9 @@ object SparkEntry {
     // degenerate-text gate: period-1..3 token loop census per source
     "q276_repetition_loops"   -> ((s, d) =>
       graft.text.TextOps.repetitionLoops(s, d)),
+    // index INSERT path: cell-append under fixed centroids, no retrain
+    "q277_ivf_upsert"         -> ((s, d) =>
+      graft.similarity.Similarity.annIvfUpsert(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -101,7 +101,7 @@ object LloydExact {
        |  list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
        |  (x, y) -> x + y)""".stripMargin.replace("\n", " ")
 
-  private def assignS(pts: String, centers: String): String =
+  private[graft] def assignS(pts: String, centers: String): String =
     s"""SELECT vec_id, e, cluster FROM (
        |  SELECT v.vec_id, v.e, c.cluster,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY

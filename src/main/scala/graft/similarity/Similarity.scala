@@ -1210,6 +1210,71 @@ object Similarity {
 
   private lazy val q61OracleS: String = ivfOracleS("TRUE")
 
+  /** Inserted vectors' id plane: far above corpus ids, distinct from
+    * every fixture variant plane. */
+  val UpsertOffset: Long = 1L << 41
+
+  /** q277: IVF UPSERT — the INSERT path of the index lifecycle (build
+    * q61 → persist q170 → insert THIS → delete q262 → compact q265):
+    * new vectors (here exact copies of the %15==4 plane under fresh
+    * ids — guaranteed to surface in top-k next to their sources, so a
+    * probe that ignored the insert would hash-differently) are
+    * assigned to the nearest EXISTING centroid — the quantizer is NOT
+    * retrained — and appended as new files under their cell
+    * directories; no existing file is rewritten. The probe answers
+    * from the reloaded index alone. Oracle: an IVF probe over
+    * corpus ∪ additions with centers from the ORIGINAL corpus — which
+    * is exactly the no-retrain contract.
+    *
+    * Shape at 100 TB: insert cost is O(|batch|) assignment against K
+    * broadcast centroids + an append write into the touched cell
+    * partitions; the quantizer, the untouched cells, and all previous
+    * generations are never read. */
+  def annIvfUpsert(s: SparkSession, dir: String): DataFrame = {
+    val L = graft.ml.LloydExact
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q277")
+    try {
+      val path = tmp.resolve("ivf").toString
+      val pts = L.points(s, dir)
+      val centers = L.centersFor(pts)
+      L.assign(pts, centers)
+        .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+        .write.partitionBy("cluster").parquet(path)
+      val adds = pts.filter(col("vec_id") % 15 === 4 && col("vec_id") >= 10)
+        .select((col("vec_id") + UpsertOffset).as("vec_id"), col("e"))
+      L.assign(adds, centers)
+        .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+        .write.mode("append").partitionBy("cluster").parquet(path)
+      probeIvf(s.read.parquet(path)).localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
+  private def q277OracleS: String = {
+    val L = graft.ml.LloydExact
+    import graft.ml.LloydExact.Iters
+    s"""WITH ${L.lloydCtesS},
+       |adds AS (SELECT vec_id + $UpsertOffset AS vec_id, e
+       |  FROM e WHERE vec_id % 15 = 4 AND vec_id >= 10),
+       |aadd AS (${L.assignS("adds", s"c$Iters")}),
+       |cells AS (SELECT vec_id, e, cluster,
+       |    sqrt(${L.dotS("e", "e")}) AS nrm FROM afinal
+       |  UNION ALL
+       |  SELECT vec_id, e, cluster, sqrt(${L.dotS("e", "e")}) AS nrm
+       |  FROM aadd),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster
+       |  FROM cells WHERE vec_id < 10),
+       |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${simS(s"${L.dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
+       |  FROM q JOIN cells n USING (cluster)
+       |  WHERE n.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
+       |  FROM c)
+       |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
+       |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
+
   val MmrK = 10
   val MmrPool = 256
 
@@ -1393,6 +1458,7 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "q271_mmr_rerank" -> mmrOracleS,
     "q275_hard_negatives" -> hardNegOracleS,
+    "q277_ivf_upsert" -> q277OracleS,
     "q231_ndcg_lexical" -> {
       val wl = "[" + ndcgWeights(10).mkString(", ") + "]"
       s"""WITH e AS ($embS),

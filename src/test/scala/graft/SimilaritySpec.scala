@@ -436,4 +436,30 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("hard_pos_id") !== r.getAs[Long]("query_id"))
     }
   }
+
+  test("q277 IVF upsert: inserted copies surface in the probe; every " +
+      "visible insert carries its source's cosine") {
+    // sf0.01: the smallest fixture where an inserted copy actually
+    // ranks into a top-k (at sf0.001 no source is close enough to any
+    // query for its copy to surface — the visibility assertion would
+    // be vacuous there)
+    val rows = graft.similarity.Similarity
+      .annIvfUpsert(spark, "/root/testdata/sf0.01").collect()
+    val off = graft.similarity.Similarity.UpsertOffset
+    val inserted = rows.filter(_.getAs[Long]("neighbor_id") >= off)
+    // exact copies of in-corpus vectors MUST reach some top-k — a probe
+    // that ignored the appended generation would have none
+    assert(inserted.nonEmpty, "no inserted vector surfaced in any top-k")
+    // an inserted copy is bit-identical to its source, so whenever BOTH
+    // are in one query's list their cosines agree exactly
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    inserted.foreach { r =>
+      val src = r.getAs[Long]("neighbor_id") - off
+      byQuery(r.getAs[Long]("query_id"))
+        .find(_.getAs[Long]("neighbor_id") == src)
+        .foreach { s0 =>
+          assert(s0.getAs[Double]("cosine") === r.getAs[Double]("cosine"))
+        }
+    }
+  }
 }
