@@ -688,6 +688,15 @@ object SparkEntry {
     // index INSERT path: cell-append under fixed centroids, no retrain
     "q277_ivf_upsert"         -> ((s, d) =>
       graft.similarity.Similarity.annIvfUpsert(s, d)),
+    // q145 at the three real context budgets + overall fill pct
+    "q279_packing_sweep"      -> ((s, d) =>
+      graft.text.TextOps.packingSweep(s, d)),
+    // hash-routed train/val/test with per-label share audit
+    "q280_stratified_split"   -> ((s, d) =>
+      graft.similarity.Similarity.stratifiedSplit(s, d)),
+    // decontamination certificate: strip q238's plan, re-detect, report
+    "q281_strip_verify"       -> ((s, d) =>
+      graft.dedup.Dedup.stripVerify(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

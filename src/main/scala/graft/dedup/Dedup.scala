@@ -1513,6 +1513,85 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("src_a", "src_b")
   }
 
+  /** q281: DECONTAMINATION STRIP-AND-REVERIFY — the certificate q238
+    * only plans: APPLY the strip (every flagged token position removed
+    * from the later source of each contaminated pair), re-run the
+    * q237 span detector on the stripped corpus, and report
+    * before/after counts of pairs still sharing a ≥ `minSpan` span.
+    * The residual is reported honestly rather than asserted zero:
+    * removing tokens joins previously-separate segments, so NEW
+    * n-grams can form across strip boundaries — exactly the edge a
+    * release gate needs to see measured (rerun-until-fixpoint is the
+    * production loop; this is one iteration with its evidence).
+    *
+    * Shape at 100 TB: two passes of the q237 chain (hash-equi gram
+    * join, diagonal islands on doc-partitioned windows) plus one
+    * rebuild (positional anti-join + per-doc ordered re-concat) —
+    * everything keyed, nothing quadratic beyond shared-gram
+    * occurrence lists. */
+  def stripVerify(s: SparkSession, dir: String, n: Int = 13,
+                  minSpan: Int = 30): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    def gramRowsOf(c: DataFrame): DataFrame =
+      c.select(col("doc_id"), col("source"),
+        posexplode(shinglesC(tokensC(col("text")), n)).as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("source"), col("pos"),
+          md5(col("sh")).as("h"))
+    def pairsWithSpan(c: DataFrame): DataFrame = {
+      val grams = gramRowsOf(c).localCheckpoint()
+      val m = grams.as("a").join(grams.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pos_a"),
+          (col("a.pos") - col("b.pos")).as("dg"))
+        .distinct()
+      val w = W.partitionBy("doc_a", "doc_b", "dg").orderBy("pos_a")
+      m.withColumn("isl", col("pos_a") - row_number().over(w))
+        .groupBy("doc_a", "doc_b", "dg", "isl")
+        .agg(count(lit(1)).as("len"))
+        .filter(col("len") + (n - 1) >= minSpan)
+        .select("doc_a", "doc_b").distinct()
+    }
+    val orig = Tables.fanOut(
+      docs(s, dir).select("doc_id", "source", "text"), "doc_id")
+      .localCheckpoint() // gram pass, flag pass, rebuild all read it
+    val grams = gramRowsOf(orig).localCheckpoint()
+    val m = grams.as("a").join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("doc_o"),
+        col("b.pos").as("pos_b"), (col("a.pos") - col("b.pos")).as("dg"))
+      .distinct()
+    val wb = W.partitionBy("doc_id", "doc_o", "dg").orderBy("pos_b")
+    val fl = m.withColumn("isl", col("pos_b") - row_number().over(wb))
+      .groupBy("doc_id", "doc_o", "dg", "isl")
+      .agg(min("pos_b").as("p0"), count(lit(1)).as("len"))
+      .filter(col("len") + (n - 1) >= minSpan)
+      .select(col("doc_id"),
+        explode(sequence(col("p0"), col("p0") + col("len") + (n - 2)))
+          .as("pos"))
+      .distinct()
+      .localCheckpoint() // strip + the stripped-token census read it
+    val toks = orig.select(col("doc_id"), col("source"),
+      posexplode(tokensC(col("text"))).as(Seq("pos", "tk")))
+    val rebuilt = toks.join(fl, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id", "source")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
+          x => x.getField("tk"))).as("text"))
+    val before = pairsWithSpan(orig).agg(count(lit(1)).as("n_pairs_before"))
+    val after = pairsWithSpan(rebuilt).agg(count(lit(1)).as("n_pairs_after"))
+    val stripped = fl.agg(
+      countDistinct(col("doc_id")).as("n_docs_stripped"),
+      count(lit(1)).as("n_tokens_stripped"))
+    before.crossJoin(after).crossJoin(stripped)
+      .select(col("n_pairs_before"), col("n_pairs_after"),
+        col("n_docs_stripped"), col("n_tokens_stripped"),
+        round(when(col("n_pairs_before") > 0,
+          col("n_pairs_after").cast(DoubleType) /
+            col("n_pairs_before").cast(DoubleType)), 6)
+          .as("residual_frac"))
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -1616,7 +1695,74 @@ object Dedup extends org.apache.spark.internal.Logging {
        |ORDER BY band_rows""".stripMargin
   }
 
+  /** The q281 oracle: the q238 flag chain + rebuild + a second span
+    * pass, all from the shared shingle/token spellings. */
+  private def q281OracleS: String = {
+    val t = tokensS("text")
+    def gramsOf(rel: String, gname: String): String =
+      s"""${gname}0 AS (SELECT doc_id, source,
+         |    ${shinglesS(t, 13)} AS sh
+         |  FROM $rel),
+         |$gname AS (SELECT doc_id, source,
+         |    CAST(u['pos'] AS INTEGER) AS pos, u['h'] AS h
+         |  FROM (SELECT doc_id, source,
+         |      unnest(list_transform(generate_series(1, len(sh)),
+         |        i -> {'pos': i - 1, 'h': md5(sh[i])})) AS u
+         |    FROM ${gname}0))""".stripMargin
+    def pairsOf(g: String, out: String): String =
+      s"""${out}m AS (SELECT DISTINCT a.doc_id AS doc_a,
+         |    b.doc_id AS doc_b, a.pos AS pos_a, a.pos - b.pos AS dg
+         |  FROM $g a JOIN $g b ON a.h = b.h AND a.source < b.source),
+         |${out}r AS (SELECT doc_a, doc_b, dg,
+         |    pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, dg
+         |      ORDER BY pos_a) AS isl
+         |  FROM ${out}m),
+         |$out AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b FROM ${out}r
+         |  GROUP BY doc_a, doc_b, dg, isl HAVING COUNT(*) + 12 >= 30))"""
+        .stripMargin
+    s"""WITH ${gramsOf("documents", "g")},
+       |${pairsOf("g", "pb")},
+       |mB AS (SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS doc_o,
+       |    b.pos AS pos_b, a.pos - b.pos AS dg
+       |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source),
+       |rB AS (SELECT doc_id, doc_o, dg, pos_b,
+       |    pos_b - ROW_NUMBER() OVER (PARTITION BY doc_id, doc_o, dg
+       |      ORDER BY pos_b) AS isl
+       |  FROM mB),
+       |isles AS (SELECT doc_id, MIN(pos_b) AS p0, COUNT(*) AS len
+       |  FROM rB GROUP BY doc_id, doc_o, dg, isl
+       |  HAVING COUNT(*) + 12 >= 30),
+       |fl AS MATERIALIZED (SELECT DISTINCT doc_id, tp FROM (
+       |  SELECT doc_id, unnest(generate_series(p0, p0 + len + 11)) AS tp
+       |  FROM isles)),
+       |tk AS (SELECT doc_id, source, CAST(u['pos'] AS INTEGER) AS pos,
+       |    u['tk'] AS tk
+       |  FROM (SELECT doc_id, source,
+       |      unnest(list_transform(generate_series(1, len(t)),
+       |        i -> {'pos': i - 1, 'tk': t[i]})) AS u
+       |    FROM (SELECT doc_id, source, $t AS t FROM documents))),
+       |kept AS (SELECT k.doc_id, k.source, k.pos, k.tk
+       |  FROM tk k LEFT JOIN fl ON fl.doc_id = k.doc_id AND fl.tp = k.pos
+       |  WHERE fl.doc_id IS NULL),
+       |reb AS MATERIALIZED (SELECT doc_id, source,
+       |    array_to_string(list(tk ORDER BY pos), ' ') AS text
+       |  FROM kept GROUP BY doc_id, source),
+       |${gramsOf("reb", "h2")},
+       |${pairsOf("h2", "pa")}
+       |SELECT
+       |  (SELECT COUNT(*) FROM pb) AS n_pairs_before,
+       |  (SELECT COUNT(*) FROM pa) AS n_pairs_after,
+       |  (SELECT COUNT(DISTINCT doc_id) FROM fl) AS n_docs_stripped,
+       |  (SELECT COUNT(*) FROM fl) AS n_tokens_stripped,
+       |  round(CASE WHEN (SELECT COUNT(*) FROM pb) > 0
+       |    THEN CAST((SELECT COUNT(*) FROM pa) AS DOUBLE) /
+       |      CAST((SELECT COUNT(*) FROM pb) AS DOUBLE) END, 6)
+       |    AS residual_frac""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q281_strip_verify" -> q281OracleS,
     "q272_lsh_tuning" -> q272OracleS,
     "q274_source_overlap" -> {
       val t = tokensS("text")

@@ -1275,6 +1275,47 @@ object Similarity {
        |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
 
+  /** q280: LABEL-STRATIFIED SPLIT MANIFEST — the eval-split audit for
+    * labeled embedding data: every vector hash-routes to
+    * train/val/test (8/1/1 buckets of a seeded md5 — reproducible from
+    * the id alone, no RNG, no global sort), and the manifest reports
+    * per (label, split) counts and the within-label share, the table
+    * that certifies no class is starved in an eval fold. Stratification
+    * here is DIAGNOSED, not forced: hash-routing is label-blind, and
+    * the share column is exactly the evidence a curator checks. */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id")
+      .select(col("vec_id"), col("label"))
+    val b = pmod(TextPrims.hex60C(TextPrims.seededMd5C(777,
+      col("vec_id").cast(StringType))), lit(10L))
+    val g = e.withColumn("split",
+        when(b < 8, "train").when(b === 8, "val").otherwise("test"))
+      .groupBy("label", "split").agg(count(lit(1)).as("n"))
+    val tot = g.groupBy("label").agg(sum("n").as("nt"))
+    g.join(broadcast(tot), Seq("label"))
+      .select(col("label").cast(IntegerType).as("label"), col("split"),
+        col("n"),
+        round(col("n").cast(DoubleType) / col("nt").cast(DoubleType), 6)
+          .as("share"))
+      .orderBy("label", "split")
+  }
+
+  private def q280OracleS: String = {
+    val h = TextPrims.hex60S(
+      TextPrims.seededMd5S(777, "CAST(vec_id AS VARCHAR)"))
+    s"""WITH e AS (SELECT vec_id, label,
+       |    CASE WHEN $h % 10 < 8 THEN 'train'
+       |      WHEN $h % 10 = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM embeddings),
+       |g AS (SELECT label, split, COUNT(*) AS n
+       |  FROM e GROUP BY label, split),
+       |t AS (SELECT label, SUM(n) AS nt FROM g GROUP BY label)
+       |SELECT CAST(g.label AS INTEGER) AS label, g.split, g.n,
+       |  round(CAST(g.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS share
+       |FROM g JOIN t ON g.label = t.label
+       |ORDER BY label, split""".stripMargin
+  }
+
   val MmrK = 10
   val MmrPool = 256
 
@@ -1459,6 +1500,7 @@ object Similarity {
     "q271_mmr_rerank" -> mmrOracleS,
     "q275_hard_negatives" -> hardNegOracleS,
     "q277_ivf_upsert" -> q277OracleS,
+    "q280_stratified_split" -> q280OracleS,
     "q231_ndcg_lexical" -> {
       val wl = "[" + ndcgWeights(10).mkString(", ") + "]"
       s"""WITH e AS ($embS),

@@ -2483,6 +2483,23 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q279's context-budget grid. */
+  val PackingBudgets: Seq[Int] = Seq(512, 2048, 8192)
+
+  /** q279: PACKING BUDGET SWEEP — q145's concat-and-chunk accounting
+    * evaluated at the three context lengths a training stack actually
+    * chooses between; adds the overall fill percentage (token mass over
+    * allocated bin capacity), the utilization number that decides the
+    * budget. Integer arithmetic end to end. */
+  def packingSweep(s: SparkSession, dir: String): DataFrame =
+    PackingBudgets.map { c =>
+      sequencePacking(s, dir, c)
+        .select(lit(c).as("budget"), col("source"), col("n_docs"),
+          col("total_toks"), col("n_bins"), col("n_boundary_docs"),
+          expr(s"CAST(total_toks * 100 DIV (n_bins * $c) AS INTEGER)")
+            .as("fill_pct"))
+    }.reduce(_ unionByName _).orderBy("budget", "source")
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -3801,6 +3818,31 @@ object TextOps {
          |    CAST(COUNT(*) AS BIGINT) AS n_types FROM vc)
          |$rows
          |ORDER BY vocab_k""".stripMargin
+    },
+    "q279_packing_sweep" -> {
+      val bodies = PackingBudgets.map { c =>
+        s"""SELECT $c AS budget, source,
+           |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+           |  CAST(SUM(toks) AS BIGINT) AS total_toks,
+           |  CAST((SUM(toks) + ${c - 1}) // $c AS BIGINT) AS n_bins,
+           |  CAST(SUM(CASE WHEN (cum - toks) // $c <> (cum - 1) // $c
+           |    THEN 1 ELSE 0 END) AS INTEGER) AS n_boundary_docs,
+           |  CAST(SUM(toks) * 100 //
+           |    (((SUM(toks) + ${c - 1}) // $c) * $c) AS INTEGER)
+           |    AS fill_pct
+           |FROM c GROUP BY source""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '$BpeTokenRe'))
+         |      AS BIGINT) AS toks
+         |  FROM documents),
+         |f AS (SELECT * FROM m WHERE toks > 0),
+         |c AS MATERIALIZED (SELECT doc_id, source, toks,
+         |    SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f)
+         |$bodies
+         |ORDER BY budget, source""".stripMargin
     },
     "q276_repetition_loops" -> {
       val planes = (1 to 3).map { p =>

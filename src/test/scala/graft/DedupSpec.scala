@@ -469,4 +469,21 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_shared") > 0)
     }
   }
+
+  test("q281 strip-verify: stripping reduces contaminated pairs; the " +
+      "census is self-consistent") {
+    val r = graft.dedup.Dedup.stripVerify(spark, sfDir).collect()(0)
+    val before = r.getAs[Long]("n_pairs_before")
+    val after = r.getAs[Long]("n_pairs_after")
+    // one strip iteration must remove most detected pairs (new grams
+    // can form across cut points, so zero is not guaranteed)
+    assert(after <= before, s"strip increased pairs: $before -> $after")
+    if (before > 0) {
+      assert(r.getAs[Double]("residual_frac") ===
+        BigDecimal(after.toDouble / before)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Long]("n_tokens_stripped") > 0)
+      assert(r.getAs[Long]("n_docs_stripped") > 0)
+    }
+  }
 }

@@ -462,4 +462,24 @@ class SimilaritySpec extends SparkSpec {
         }
     }
   }
+
+  test("q280 stratified split: per-label shares sum to 1, every vector " +
+      "routed exactly once") {
+    val rows = graft.similarity.Similarity.stratifiedSplit(spark, sfDir)
+      .collect()
+    val total = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    rows.groupBy(_.getAs[Int]("label")).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+      assert(rs.map(_.getAs[String]("split")).toSet
+        .subsetOf(Set("train", "val", "test")))
+      // the 8/1/1 routing puts the bulk in train for any non-tiny label
+      val m = rs.map(r => r.getAs[String]("split") ->
+        r.getAs[Long]("n")).toMap
+      if (m.values.sum >= 30)
+        assert(m.getOrElse("train", 0L) > m.getOrElse("val", 0L) &&
+          m.getOrElse("train", 0L) > m.getOrElse("test", 0L))
+    }
+  }
 }

@@ -1037,4 +1037,25 @@ class TextPrimsSpec extends SparkSpec {
     assert(rows("sB").getAs[Long]("n_loopy") === 0)
     assert(rows("sB").getAs[Long]("max_rep") === 3)
   }
+
+  test("q279 packing sweep: larger budgets need no more bins, fill " +
+      "bounded by 100, boundary docs shrink") {
+    val rows = graft.text.TextOps.packingSweep(spark, sfDir).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.nonEmpty)
+    bySrc.values.foreach { rs =>
+      val byBudget = rs.sortBy(_.getAs[Int]("budget"))
+      assert(byBudget.map(_.getAs[Int]("budget")).toSeq ===
+        graft.text.TextOps.PackingBudgets)
+      val bins = byBudget.map(_.getAs[Long]("n_bins"))
+      bins.zip(bins.tail).foreach { case (a, b) => assert(b <= a) }
+      byBudget.foreach { r =>
+        val f = r.getAs[Int]("fill_pct")
+        assert(f >= 0 && f <= 100, s"fill $f")
+        // bins * budget must cover the token mass
+        assert(r.getAs[Long]("n_bins") * r.getAs[Int]("budget") >=
+          r.getAs[Long]("total_toks"))
+      }
+    }
+  }
 }
