@@ -612,4 +612,49 @@ class PlanSpec extends SparkSpec {
     // the closing edge check is a semi join
     assert(plan.contains("LeftSemi"), plan)
   }
+
+  test("q237 top-k is TakeOrderedAndProject — the x100 ramp fix stays " +
+      "pinned (no single-partition window)") {
+    val plan = planOf(graft.dedup.Dedup.sharedSpans(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q273 coverage budgets: each top-K is TakeOrderedAndProject, " +
+      "no global rank window over the vocabulary") {
+    val plan = planOf(graft.text.TextOps.vocabBudgetCoverage(spark, sfDir))
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >=
+      graft.text.TextOps.CoverageKs.length, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q269 epoch batches: stateless hash routing — no global sort, " +
+      "no window, totals broadcast back") {
+    val plan = planOf(graft.text.TextOps.epochBatches(spark, sfDir))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q274 source overlap: hub-gated gram join is hash, never " +
+      "cartesian") {
+    val plan = planOf(graft.dedup.Dedup.sourceOverlap(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+      plan)
+  }
+
+  test("q275 hard negatives: queries broadcast; the corpus side never " +
+      "shuffles for the join") {
+    val plan = planOf(
+      graft.similarity.Similarity.hardNegatives(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q267 logistic GD gradient pass: one scan into a map-side " +
+      "partial aggregate, means broadcast — no cartesian of big sides") {
+    // the per-step gradient aggregate is the hot shape: partial + final
+    val plan = planOf(graft.ml.LogitGd.logitGd(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
