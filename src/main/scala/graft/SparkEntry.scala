@@ -697,6 +697,12 @@ object SparkEntry {
     // decontamination certificate: strip q238's plan, re-detect, report
     "q281_strip_verify"       -> ((s, d) =>
       graft.dedup.Dedup.stripVerify(s, d)),
+    // word2vec-style unigram^0.75 negative-sampling alias table
+    "q282_noise_table"        -> ((s, d) =>
+      graft.text.TextOps.noiseTable(s, d)),
+    // C4 duplicate-sentence rule as a per-source census
+    "q283_sentence_dedup"     -> ((s, d) =>
+      graft.text.TextOps.sentenceDedup(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

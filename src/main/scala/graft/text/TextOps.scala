@@ -2500,6 +2500,78 @@ object TextOps {
             .as("fill_pct"))
     }.reduce(_ unionByName _).orderBy("budget", "source")
 
+  val NoiseTopN = 50
+  val NoiseTableBits = 20
+
+  /** q282: NEGATIVE-SAMPLING NOISE TABLE — the unigram^0.75 sampling
+    * distribution word2vec-family objectives draw negatives from,
+    * materialized as slot counts in a 2^[[NoiseTableBits]] alias table:
+    * per token (top-[[NoiseTopN]] by count), the raw count, the
+    * tempered probability count^0.75 / Σ count^0.75, and the integer
+    * number of table slots the token owns. The ^0.75 is
+    * exp(0.75·ln count) with ln rounded at 6 dp per TYPE (vocab-sized,
+    * not corpus-sized); the tempered mass normalizes through an exact
+    * DECIMAL sum — the q268 recipe on the token axis.
+    *
+    * Shape at 100 TB: one scan into (token → count); everything after
+    * runs on the vocabulary table. */
+  def noiseTable(s: SparkSession, dir: String): DataFrame = {
+    val vc = docs(s, dir)
+      .select(explode(tokensC(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("u",
+        round(exp(lit(0.75) *
+          round(log(col("cnt").cast(DoubleType)), 6)), 6))
+      .localCheckpoint() // total + top-N both read it
+    val tot = vc.agg(
+      sum(col("u").cast(DecimalType(18, 6))).cast(DoubleType).as("tu"))
+    vc.orderBy(col("cnt").desc, col("tok")).limit(NoiseTopN)
+      .crossJoin(broadcast(tot))
+      .select(col("tok").as("token"), col("cnt").as("n_count"),
+        round(col("u") / col("tu"), 9).as("noise_prob"),
+        // floor on BOTH engines: Spark's double->long cast truncates,
+        // DuckDB's rounds — an explicit floor removes the divergence
+        floor(round(col("u") / col("tu"), 9) *
+          lit((1L << NoiseTableBits).toDouble)).cast(LongType)
+          .as("table_slots"))
+      .orderBy(col("n_count").desc, col("token"))
+  }
+
+  /** q283: DUPLICATE-SENTENCE CENSUS — the C4 rule ("discard duplicate
+    * spans at the sentence level") as a measurement: sentences split on
+    * terminal punctuation, whitespace-normalized and lower-cased; per
+    * source, total vs distinct sentence occurrences, the duplicated
+    * fraction, and the worst offender (most-repeated sentence hash,
+    * tie-broken on the hash). Hash-aggs only. */
+  def sentenceDedup(s: SparkSession, dir: String): DataFrame = {
+    val sent = Tables.fanOut(docs(s, dir), "doc_id")
+      .select(col("source"),
+        explode(split(lower(col("text")), "[.!?]+")).as("raw"))
+      .select(col("source"),
+        regexp_replace(trim(col("raw")), "\\s+", " ").as("sn"))
+      .filter(length(col("sn")) > 0)
+      .select(col("source"), md5(col("sn")).as("h"))
+    val perSent = sent.groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // census + worst-offender both read it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("h"))
+    val worst = perSent.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("h").as("top_hash"),
+        col("c").as("top_repeats"))
+    perSent.groupBy("source")
+      .agg(sum(col("c")).as("n_sentences"),
+        count(lit(1)).as("n_distinct"))
+      .join(worst, Seq("source"))
+      .select(col("source"), col("n_sentences"), col("n_distinct"),
+        round((col("n_sentences") - col("n_distinct"))
+          .cast(DoubleType) / col("n_sentences").cast(DoubleType), 6)
+          .as("dup_frac"),
+        col("top_hash"), col("top_repeats"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -3819,6 +3891,43 @@ object TextOps {
          |$rows
          |ORDER BY vocab_k""".stripMargin
     },
+    "q282_noise_table" ->
+      s"""WITH vc AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt,
+         |    round(exp(0.75 * round(ln(CAST(COUNT(*) AS DOUBLE)), 6)),
+         |      6) AS u
+         |  FROM (SELECT unnest($T) AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY tok),
+         |t AS (SELECT CAST(SUM(CAST(u AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS tu FROM vc),
+         |top AS (SELECT tok, cnt, u FROM vc
+         |  ORDER BY cnt DESC, tok LIMIT $NoiseTopN)
+         |SELECT tok AS token, cnt AS n_count,
+         |  round(u / tu, 9) AS noise_prob,
+         |  CAST(floor(round(u / tu, 9) *
+         |    ${(1L << NoiseTableBits).toDouble}) AS BIGINT)
+         |    AS table_slots
+         |FROM top, t ORDER BY n_count DESC, token""".stripMargin,
+    "q283_sentence_dedup" ->
+      s"""WITH sent AS (SELECT source, md5(sn) AS h FROM (
+         |  SELECT source, regexp_replace(trim(r), '\\s+', ' ', 'g') AS sn
+         |  FROM (SELECT source,
+         |      unnest(regexp_split_to_array(lower(text), '[.!?]+')) AS r
+         |    FROM documents))
+         |  WHERE length(sn) > 0),
+         |ps AS MATERIALIZED (SELECT source, h, COUNT(*) AS c
+         |  FROM sent GROUP BY source, h),
+         |worst AS (SELECT source, h AS top_hash, c AS top_repeats FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY c DESC, h) AS rk FROM ps) WHERE rk = 1)
+         |SELECT g.source, g.n_sentences, g.n_distinct,
+         |  round(CAST(g.n_sentences - g.n_distinct AS DOUBLE) /
+         |    CAST(g.n_sentences AS DOUBLE), 6) AS dup_frac,
+         |  worst.top_hash, worst.top_repeats
+         |FROM (SELECT source, CAST(SUM(c) AS BIGINT) AS n_sentences,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+         |  FROM ps GROUP BY source) g
+         |JOIN worst ON g.source = worst.source
+         |ORDER BY g.source""".stripMargin,
     "q279_packing_sweep" -> {
       val bodies = PackingBudgets.map { c =>
         s"""SELECT $c AS budget, source,

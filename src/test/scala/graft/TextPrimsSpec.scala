@@ -1058,4 +1058,41 @@ class TextPrimsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q282 noise table: tempering flattens the unigram distribution, " +
+      "slots fit the table") {
+    val rows = graft.text.TextOps.noiseTable(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySlots = rows.map(_.getAs[Long]("table_slots"))
+    assert(bySlots.forall(sl => sl >= 0 &&
+      sl <= (1L << graft.text.TextOps.NoiseTableBits)))
+    // ^0.75 compresses ratios: prob ratio between the most and least
+    // frequent listed tokens must sit between 1 and the raw count ratio
+    val hi = rows.maxBy(_.getAs[Long]("n_count"))
+    val lo = rows.minBy(_.getAs[Long]("n_count"))
+    if (hi.getAs[Long]("n_count") > lo.getAs[Long]("n_count")) {
+      val rawRatio = hi.getAs[Long]("n_count").toDouble /
+        lo.getAs[Long]("n_count")
+      val pRatio = hi.getAs[Double]("noise_prob") /
+        lo.getAs[Double]("noise_prob")
+      assert(pRatio >= 1.0 - 1e-6 && pRatio <= rawRatio + 1e-6,
+        s"p ratio $pRatio vs raw $rawRatio")
+    }
+  }
+
+  test("q283 sentence dedup: distinct bounded by total, fraction " +
+      "consistent, worst offender really repeats") {
+    val rows = graft.text.TextOps.sentenceDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tot = r.getAs[Long]("n_sentences")
+      val dis = r.getAs[Long]("n_distinct")
+      assert(dis >= 1 && dis <= tot)
+      assert(math.abs(r.getAs[Double]("dup_frac") -
+        BigDecimal((tot - dis).toDouble / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getAs[Long]("top_repeats") >= 1)
+      if (dis < tot) assert(r.getAs[Long]("top_repeats") >= 2)
+    }
+  }
 }
