@@ -703,6 +703,9 @@ object SparkEntry {
     // C4 duplicate-sentence rule as a per-source census
     "q283_sentence_dedup"     -> ((s, d) =>
       graft.text.TextOps.sentenceDedup(s, d)),
+    // 21st streaming surface: token-bucket quota state, integer-exact
+    "q284_rate_limiter"       -> ((s, d) =>
+      graft.streaming.EventStream.rateLimiterParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1177,6 +1177,123 @@ object EventStream {
     }
   }
 
+  final case class RateState(tok: Long, lastMs: Long, seen: Long,
+                             adm: Long, rej: Long)
+  final case class RateRow(user_id: Long, n_seen: Long, n_admitted: Long,
+                           n_rejected: Long, tokens_left: Long)
+
+  val RateCap = 5L
+  val RefillMs = 10000L
+
+  /** Per-user TOKEN-BUCKET RATE LIMITER — the quota-enforcement state
+    * shape (API limits, abuse gates, crawler politeness) that no
+    * window or aggregate expresses: admission depends on the FULL
+    * prior admission history. Bucket of [[RateCap]] tokens, one token
+    * refilled per [[RefillMs]] (quantized: the clock only advances in
+    * whole refill epochs, so state is three integers and every step is
+    * exact integer arithmetic — no float drift possible). Events fold
+    * in (event-time, event_id) order within each batch; the harness
+    * feeds time-ordered slices, so the fold carries across batch
+    * boundaries exactly (a replayed log's arrival contract). Emits one
+    * cumulative (seen, admitted, rejected, tokens-left) row per user
+    * per batch. */
+  def rateLimiter(events: Dataset[Event]): Dataset[RateRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[RateState]) =>
+          val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val ms = tsMicros(e.ts) / 1000L
+            st =
+              if (st == null) RateState(RateCap - 1, ms, 1L, 1L, 0L)
+              else {
+                val refill = (ms - st.lastMs) / RefillMs
+                require(refill >= 0,
+                  s"out-of-order arrival for user $userId — the " +
+                    "time-sliced harness contract was violated")
+                val tok2 = math.min(RateCap, st.tok + refill)
+                val last2 = st.lastMs + refill * RefillMs
+                if (tok2 >= 1)
+                  RateState(tok2 - 1, last2, st.seen + 1, st.adm + 1,
+                    st.rej)
+                else
+                  RateState(tok2, last2, st.seen + 1, st.adm,
+                    st.rej + 1)
+              }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(
+              RateRow(userId, st.seen, st.adm, st.rej, st.tok))
+          }
+      }
+  }
+
+  /** q284 — RATE-LIMITER parity, the twenty-first streaming surface:
+    * two time-ordered slices (day ≤ 15, then the rest — the events
+    * fixture spans one month) split every user's admission history
+    * across a batch boundary, so a correct result REQUIRES the
+    * (tokens, clock) state to carry the fold. Batch side keeps each
+    * user's latest cumulative row; the oracle evaluates the identical
+    * integer recursion as a DuckDB RECURSIVE CTE (the q194 pattern
+    * with three state integers instead of one double). */
+  def rateLimiterParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q284")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      Seq(0, 1).foreach { slice =>
+        val stage = tmp.resolve(s"stage$slice")
+        val pred =
+          if (slice == 0) dayofmonth(col("ts")) <= 15
+          else dayofmonth(col("ts")) > 15
+        events.filter(pred)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        moveOnlyParquet(stage, in.resolve(s"slice$slice.parquet"),
+          1000000000000L + slice * 60000L)
+      }
+      val ds = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val out = tmp.resolve("out").toString
+      q = rateLimiter(ds).toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q284 rate-limiter stream did not terminate within 300 s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_seen").desc)
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "n_seen", "n_admitted", "n_rejected",
+          "tokens_left")
+        .orderBy("user_id")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** Session accumulator for the timer-closed sessionizer: the
     * [[SessionState]] conventions (µs event times, fixed-point 1e-4
     * sum) plus the ms timestamp of the currently registered event-time
@@ -2113,6 +2230,38 @@ object EventStream {
         |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS last5
         |FROM r WHERE rn <= 5
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q284_rate_limiter" ->
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT user_id, event_id,
+         |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rk
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, rk, CAST(${RateCap - 1} AS BIGINT) AS tok,
+         |    ms AS last_ms, CAST(1 AS BIGINT) AS adm,
+         |    CAST(0 AS BIGINT) AS rej
+         |  FROM seq WHERE rk = 1
+         |  UNION ALL
+         |  SELECT user_id, rk,
+         |    CASE WHEN t2 >= 1 THEN t2 - 1 ELSE t2 END,
+         |    lm2,
+         |    adm + CASE WHEN t2 >= 1 THEN 1 ELSE 0 END,
+         |    rej + CASE WHEN t2 >= 1 THEN 0 ELSE 1 END
+         |  FROM (
+         |    SELECT s.user_id, s.rk,
+         |      least($RateCap, r.tok + (s.ms - r.last_ms) // $RefillMs)
+         |        AS t2,
+         |      r.last_ms + ((s.ms - r.last_ms) // $RefillMs) * $RefillMs
+         |        AS lm2,
+         |      r.adm, r.rej
+         |    FROM r JOIN seq s
+         |      ON s.user_id = r.user_id AND s.rk = r.rk + 1)),
+         |fin AS (SELECT user_id, MAX(rk) AS mx FROM r GROUP BY user_id)
+         |SELECT r.user_id, r.rk AS n_seen, r.adm AS n_admitted,
+         |  r.rej AS n_rejected, r.tok AS tokens_left
+         |FROM r JOIN fin ON r.user_id = fin.user_id AND r.rk = fin.mx
+         |ORDER BY r.user_id""".stripMargin,
     "q270_cm_stream" -> {
       val planes = (0 until CmD).map { j =>
         val b = graft.functions.TextPrims.hex60S(s"md5('$j#' || uid)")

@@ -719,4 +719,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r =>
       r.getAs[Long]("n_est") === r.getAs[Long]("n_exact")))
   }
+
+  test("q284 rate limiter: admissions conserve, bucket stays in " +
+      "[0, cap], every user accounted") {
+    val rows = graft.streaming.EventStream.rateLimiterParity(spark, sfDir)
+      .collect()
+    val users = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong === users)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_admitted") + r.getAs[Long]("n_rejected")
+        === r.getAs[Long]("n_seen"), r.toString)
+      val tok = r.getAs[Long]("tokens_left")
+      assert(tok >= 0 && tok <= graft.streaming.EventStream.RateCap)
+      // the first event always admits
+      assert(r.getAs[Long]("n_admitted") >= 1)
+    }
+  }
 }
