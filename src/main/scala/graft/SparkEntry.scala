@@ -706,6 +706,12 @@ object SparkEntry {
     // 21st streaming surface: token-bucket quota state, integer-exact
     "q284_rate_limiter"       -> ((s, d) =>
       graft.streaming.EventStream.rateLimiterParity(s, d)),
+    // MRL deployment eval: recall at each stored-prefix width
+    "q285_matryoshka_recall"  -> ((s, d) =>
+      graft.similarity.Similarity.matryoshkaRecall(s, d)),
+    // 64x compression eval: sign-bit vectors, Hamming top-k vs float
+    "q286_sign_hamming"       -> ((s, d) =>
+      graft.similarity.Similarity.signHammingSearch(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

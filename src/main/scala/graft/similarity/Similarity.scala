@@ -1316,6 +1316,205 @@ object Similarity {
        |ORDER BY label, split""".stripMargin
   }
 
+  /** q285's truncation grid (matryoshka-style prefix dimensions). */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** q285: MATRYOSHKA TRUNCATION SWEEP — retrieval quality when only
+    * the first d′ embedding dimensions are used (the MRL deployment
+    * question: how short can stored vectors get before recall
+    * collapses). For each prefix width: cosine top-10 on the truncated
+    * vectors, recall against the full-width top-10 (the d′ = 64 row is
+    * the 1.0 sanity anchor). Slices are `slice()` prefixes; every
+    * cosine is the fixed-fold dot over the slice — bit-identical to the
+    * oracle's `list_slice` spelling.
+    *
+    * Shape at 100 TB: one scan per width against broadcast queries
+    * (the q31 exact-baseline shape); the sweep is |widths| scans, and a
+    * deployment stores ONE prefix — this is the eval that picks it. */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).localCheckpoint() // one slice pass per width
+    def topOf(d: Int): DataFrame = {
+      val sl = all.select(col("vec_id"),
+        slice(col("e"), 1, d).as("se"))
+        .withColumn("sn", sqrt(dotp(col("se"), col("se"))))
+      val q = sl.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("se").as("qe"),
+          col("sn").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      sl.select(col("vec_id").as("neighbor_id"), col("se").as("ne"),
+          col("sn").as("nn"))
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim",
+          cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"),
+            col("nn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select("query_id", "neighbor_id")
+    }
+    val full = topOf(Dim).localCheckpoint() // every width grades vs it
+    val nq = full.select("query_id").distinct().count()
+    MatryoshkaDims.map { d =>
+      val t = topOf(d)
+      val common = t.join(full, Seq("query_id", "neighbor_id"),
+        "left_semi").agg(count(lit(1)).as("n_common"))
+      common.select(lit(d).as("dims"),
+        lit(nq).cast(IntegerType).as("n_queries"),
+        col("n_common"),
+        round(col("n_common").cast(DoubleType) /
+          lit((nq * K).toDouble), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("dims")
+  }
+
+  private def q285OracleS: String = {
+    import graft.ml.LloydExact.{dotS => dS}
+    def topCte(d: Int, name: String): String =
+      s"""${name}s AS (SELECT vec_id, list_slice(e, 1, $d) AS se
+         |  FROM emb0),
+         |${name}n AS (SELECT vec_id, se,
+         |    sqrt(${dS("se", "se")}) AS sn FROM ${name}s),
+         |$name AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${simS(s"${dS("q.se", "n.se")}", "q.sn", "n.sn")} DESC,
+         |      n.vec_id) AS rk
+         |  FROM ${name}n q JOIN ${name}n n ON n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10) WHERE rk <= $K)""".stripMargin
+    val widths = MatryoshkaDims.map(d => topCte(d, s"m$d")).mkString(",\n")
+    val rows = MatryoshkaDims.map { d =>
+      s"""SELECT $d AS dims,
+         |  (SELECT CAST(COUNT(DISTINCT query_id) AS INTEGER)
+         |    FROM m$Dim) AS n_queries,
+         |  (SELECT COUNT(*) FROM m$d t JOIN m$Dim f
+         |    ON t.query_id = f.query_id
+         |    AND t.neighbor_id = f.neighbor_id) AS n_common,
+         |  round(CAST((SELECT COUNT(*) FROM m$d t JOIN m$Dim f
+         |    ON t.query_id = f.query_id
+         |    AND t.neighbor_id = f.neighbor_id) AS DOUBLE) /
+         |    ((SELECT COUNT(DISTINCT query_id) FROM m$Dim) * $K), 6)
+         |    AS recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH emb0 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |$widths
+       |$rows
+       |ORDER BY dims""".stripMargin
+  }
+
+  /** q286: ONE-BIT (SIGN) QUANTIZED SEARCH — embeddings binarized to
+    * their coordinate signs, packed into two 32-bit halves (BIGINT-safe
+    * on both engines: no 2^63 term, no overflow-semantics divergence),
+    * ranked by Hamming distance. Per query: the overlap of the binary
+    * top-k with the float top-k, and the Hamming band the binary
+    * list spans — the 64×-compression eval next to SQ8 (q171) and PQ
+    * (q201/q211). Integer end to end: bit packing is a sum of distinct
+    * powers of two, distance is bit_count(xor) on each half. */
+  def signHammingSearch(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).localCheckpoint() // float top-k + both bit sides
+    val pows = array((0 until 32).map(b => lit(1L << b)): _*)
+    def bitsOf(half: Int): Column =
+      aggregate(
+        transform(slice(col("e"), half * 32 + 1, 32), (x, i) =>
+          when(x >= 0, element_at(pows, i + 1)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b)
+    val packed = all.select(col("vec_id"),
+      bitsOf(0).as("lo"), bitsOf(1).as("hi"))
+    val q = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hd"), col("neighbor_id"))
+    val binTop = packed
+      .select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hd",
+        expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .localCheckpoint()
+    val fq = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val floatTop = all
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn"))
+      .crossJoin(broadcast(fq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= K)
+      .select("query_id", "neighbor_id")
+    val common = binTop.join(floatTop, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    binTop.groupBy("query_id")
+      .agg(min("hd").cast(LongType).as("best_hamming"),
+        max("hd").cast(LongType).as("worst_hamming"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
+          lit(K.toDouble), 6).as("recall"),
+        col("best_hamming"), col("worst_hamming"))
+      .orderBy("query_id")
+  }
+
+  private def q286OracleS: String = {
+    import graft.ml.LloydExact.{dotS => dS}
+    def bitsS(half: Int): String = {
+      val lo = half * 32
+      s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |  list_transform(generate_series(${lo + 1}, ${lo + 32}),
+         |    i -> CASE WHEN e[i] >= 0
+         |      THEN CAST(1 AS BIGINT) << (i - ${lo + 1})
+         |      ELSE CAST(0 AS BIGINT) END)),
+         |  (a, b) -> a + b)""".stripMargin.replace("\n", " ")
+    }
+    s"""WITH emb0 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, e, sqrt(${dS("e", "e")}) AS nrm FROM emb0),
+       |pk AS MATERIALIZED (SELECT vec_id, ${bitsS(0)} AS lo,
+       |    ${bitsS(1)} AS hi FROM emb0),
+       |q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+       |  FROM pk WHERE vec_id < 10),
+       |bt AS MATERIALIZED (SELECT query_id, neighbor_id, hd FROM (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    bit_count(xor(q.qlo, n.lo)) + bit_count(xor(q.qhi, n.hi))
+       |      AS hd,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |      bit_count(xor(q.qlo, n.lo)) + bit_count(xor(q.qhi, n.hi)),
+       |      n.vec_id) AS rk
+       |  FROM q, pk n WHERE n.vec_id <> q.query_id) WHERE rk <= $K),
+       |fq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+       |  FROM en WHERE vec_id < 10),
+       |ft AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT fq.query_id, n.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY fq.query_id ORDER BY
+       |      ${simS(s"${dS("fq.qe", "n.e")}", "fq.qn", "n.nrm")} DESC,
+       |      n.vec_id) AS rk
+       |  FROM fq, en n WHERE n.vec_id <> fq.query_id) WHERE rk <= $K),
+       |cm AS (SELECT b.query_id, COUNT(*) AS n_common
+       |  FROM bt b JOIN ft f ON b.query_id = f.query_id
+       |    AND b.neighbor_id = f.neighbor_id
+       |  GROUP BY b.query_id)
+       |SELECT g.query_id, COALESCE(cm.n_common, 0) AS n_common,
+       |  round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) / $K, 6)
+       |    AS recall,
+       |  g.best_hamming, g.worst_hamming
+       |FROM (SELECT query_id, CAST(MIN(hd) AS BIGINT) AS best_hamming,
+       |    CAST(MAX(hd) AS BIGINT) AS worst_hamming
+       |  FROM bt GROUP BY query_id) g
+       |LEFT JOIN cm ON g.query_id = cm.query_id
+       |ORDER BY g.query_id""".stripMargin
+  }
+
   val MmrK = 10
   val MmrPool = 256
 
@@ -1501,6 +1700,8 @@ object Similarity {
     "q275_hard_negatives" -> hardNegOracleS,
     "q277_ivf_upsert" -> q277OracleS,
     "q280_stratified_split" -> q280OracleS,
+    "q285_matryoshka_recall" -> q285OracleS,
+    "q286_sign_hamming" -> q286OracleS,
     "q231_ndcg_lexical" -> {
       val wl = "[" + ndcgWeights(10).mkString(", ") + "]"
       s"""WITH e AS ($embS),

@@ -482,4 +482,38 @@ class SimilaritySpec extends SparkSpec {
           m.getOrElse("train", 0L) > m.getOrElse("test", 0L))
     }
   }
+
+  test("q285 matryoshka: full width recalls 1.0, recall non-decreasing " +
+      "in the prefix width") {
+    val rows = graft.similarity.Similarity.matryoshkaRecall(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("dims"))
+    assert(rows.map(_.getAs[Int]("dims")).toSeq ===
+      graft.similarity.Similarity.MatryoshkaDims)
+    assert(rows.last.getAs[Double]("recall") === 1.0)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // monotonicity is EXPECTED for nested prefixes but not a theorem;
+    // assert the weak version that catches sign/slice bugs: the widest
+    // truncation is at least as good as the narrowest
+    assert(rows.last.getAs[Double]("recall") >=
+      rows.head.getAs[Double]("recall"))
+  }
+
+  test("q286 sign hamming: distances within [0, 64], band ordered, " +
+      "overlap bounded by k") {
+    val rows = graft.similarity.Similarity.signHammingSearch(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("best_hamming")
+      val w = r.getAs[Long]("worst_hamming")
+      assert(b >= 0 && w <= 64 && b <= w, r.toString)
+      val k = graft.similarity.Similarity.K
+      val c = r.getAs[Long]("n_common")
+      assert(c >= 0 && c <= k)
+      assert(math.abs(r.getAs[Double]("recall") - c.toDouble / k) < 1e-9)
+    }
+  }
 }
