@@ -712,6 +712,9 @@ object SparkEntry {
     // 64x compression eval: sign-bit vectors, Hamming top-k vs float
     "q286_sign_hamming"       -> ((s, d) =>
       graft.similarity.Similarity.signHammingSearch(s, d)),
+    // active learning: the docs nearest the 0.5 decision boundary
+    "q287_uncertainty_sample" -> ((s, d) =>
+      graft.ml.LogitGd.uncertaintySample(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -57,6 +57,7 @@ object LogitGd {
     val wordsNz = when(words > 0, words)
     val charsNz = when(chars > 0, chars)
     d.select(
+      col("doc_id"),
       when(col("lang") === "en", 1).otherwise(0).as("y"),
       array(
         lit(1.0),
@@ -76,9 +77,11 @@ object LogitGd {
     round(lit(1.0) / (lit(1.0) + exp(-round(dotp(wCol(w), col("x")), 6))),
       6)
 
-  def logitGd(s: SparkSession, dir: String): DataFrame = {
+  /** The trained weight vector + the checkpointed feature frame —
+    * shared by q267 (metrics) and q287 (uncertainty sampling). */
+  private def train(s: SparkSession, dir: String)
+      : (DataFrame, Array[Double]) = {
     val f = feats(s, dir)
-    val n = f.count()
     val w = Array.fill(NumFeatures)(0.0)
     for (_ <- 1 to Steps) {
       val p = pCol(w)
@@ -92,6 +95,11 @@ object LogitGd {
       for (j <- 0 until NumFeatures)
         w(j) = w(j) - Eta * g.getDouble(j) // same IEEE ops as the oracle
     }
+    (f, w)
+  }
+
+  def logitGd(s: SparkSession, dir: String): DataFrame = {
+    val (f, w) = train(s, dir)
     // final pass: accuracy at 0.5 (p is on the 6-dp grid — the compare
     // is exact) and mean log-loss with p clamped to [1e-6, 1 - 1e-6]
     // (grid points, so the clamp is exact on both engines)
@@ -114,13 +122,33 @@ object LogitGd {
         col("n")): _*)
   }
 
+  val UncK = 20
+
+  /** q287: UNCERTAINTY SAMPLING — the active-learning export on top of
+    * q267's classifier: the [[UncK]] documents whose predicted
+    * probability sits closest to the 0.5 decision boundary are the
+    * ones a human labeler (or a stronger model) should look at next.
+    * Ranking key |p − 0.5| over the 6-dp probability grid with doc_id
+    * tie-breaks; the top-k is orderBy + limit
+    * (TakeOrderedAndProject), never a global rank window. */
+  def uncertaintySample(s: SparkSession, dir: String): DataFrame = {
+    val (f, w) = train(s, dir)
+    val p = pCol(w)
+    f.select(col("doc_id"), col("y"), p.as("p"))
+      .withColumn("unc", abs(col("p") - lit(0.5)))
+      .orderBy(col("unc"), col("doc_id")).limit(UncK)
+      .select(col("doc_id"), col("y"), round(col("p"), 6).as("p_en"),
+        round(col("unc"), 6).as("uncertainty"))
+      .orderBy(col("uncertainty"), col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
   import LloydExact.dotS
 
-  def oracleSql: Map[String, String] = Map(
-    "q267_logit_gd" -> {
-      val t = tokensS("text")
-      val gradList = (1 to NumFeatures).map { j =>
+  /** Shared GD CTE chain: lf (features, WITH doc_id) + lw0..lwSteps. */
+  private def gdCtes: String = {
+    val t = tokensS("text")
+    val gradList = (1 to NumFeatures).map { j =>
         s"""CAST(SUM(CAST((p - y) * x[$j] AS DECIMAL(38,12)))
            |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)""".stripMargin
       }.mkString(",\n    ")
@@ -138,21 +166,26 @@ object LogitGd {
            |      i -> w[i] - $Eta * g[i]) AS w
            |  FROM $prev, lg$tt)""".stripMargin
       }.mkString(",\n")
-      s"""WITH lf AS MATERIALIZED (SELECT
-         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         |    [CAST(1.0 AS DOUBLE),
-         |     round(ln(CAST(len(t0) AS DOUBLE) + 1.0) / 10.0, 6),
-         |     COALESCE(round(CAST(${countInSetS("t0", Stopwords)}
-         |       AS DOUBLE) / NULLIF(CAST(len(t0) AS DOUBLE), 0), 6), 0.0),
-         |     COALESCE(round(CAST(len(regexp_extract_all(text, '[.,;:!?]'))
-         |       AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0), 6),
-         |       0.0),
-         |     COALESCE(round(CAST(length(text) AS DOUBLE) /
-         |       NULLIF(CAST(len(t0) AS DOUBLE), 0) / 10.0, 6), 0.0)] AS x
-         |  FROM (SELECT lang, text, $t AS t0 FROM documents)),
-         |lw0 AS (SELECT list_transform(generate_series(1, $NumFeatures),
-         |    i -> CAST(0.0 AS DOUBLE)) AS w),
-         |$steps,
+    s"""lf AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    [CAST(1.0 AS DOUBLE),
+       |     round(ln(CAST(len(t0) AS DOUBLE) + 1.0) / 10.0, 6),
+       |     COALESCE(round(CAST(${countInSetS("t0", Stopwords)}
+       |       AS DOUBLE) / NULLIF(CAST(len(t0) AS DOUBLE), 0), 6), 0.0),
+       |     COALESCE(round(CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+       |       AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0), 6),
+       |       0.0),
+       |     COALESCE(round(CAST(length(text) AS DOUBLE) /
+       |       NULLIF(CAST(len(t0) AS DOUBLE), 0) / 10.0, 6), 0.0)] AS x
+       |  FROM (SELECT doc_id, lang, text, $t AS t0 FROM documents)),
+       |lw0 AS (SELECT list_transform(generate_series(1, $NumFeatures),
+       |    i -> CAST(0.0 AS DOUBLE)) AS w),
+       |$steps""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q267_logit_gd" ->
+      s"""WITH $gdCtes,
          |fin AS (SELECT y,
          |    round(1.0 / (1.0 + exp(-round(${dotS("w", "x")}, 6))), 6)
          |      AS p
@@ -171,6 +204,15 @@ object LogitGd {
          |  round(acc, 6) AS accuracy,
          |  round(llm, 6) AS log_loss,
          |  n
-         |FROM lw$Steps, met""".stripMargin
-    })
+         |FROM lw$Steps, met""".stripMargin,
+    "q287_uncertainty_sample" ->
+      s"""WITH $gdCtes,
+         |fin AS (SELECT doc_id, y,
+         |    round(1.0 / (1.0 + exp(-round(${dotS("w", "x")}, 6))), 6)
+         |      AS p
+         |  FROM lf, lw$Steps)
+         |SELECT doc_id, y, round(p, 6) AS p_en,
+         |  round(abs(p - 0.5), 6) AS uncertainty
+         |FROM fin
+         |ORDER BY abs(p - 0.5), doc_id LIMIT $UncK""".stripMargin)
 }

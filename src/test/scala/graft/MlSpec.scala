@@ -524,6 +524,20 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("q287 uncertainty sample: rows nearest the boundary, ordered, " +
+      "and genuinely the global minimum band") {
+    val rows = graft.ml.LogitGd.uncertaintySample(spark, sfDir).collect()
+    assert(rows.length === graft.ml.LogitGd.UncK)
+    val unc = rows.map(_.getAs[Double]("uncertainty"))
+    unc.zip(unc.tail).foreach { case (a, b) => assert(a <= b) }
+    assert(unc.forall(u => u >= 0.0 && u <= 0.5))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("uncertainty") -
+        BigDecimal(math.abs(r.getAs[Double]("p_en") - 0.5))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    }
+  }
+
   test("q258 projection: label moments recomputed by projecting on the " +
       "driver with the q245/q248 loadings") {
     val rows = PcaPower.pcaProjection(spark, sfDir).collect()
