@@ -715,6 +715,9 @@ object SparkEntry {
     // active learning: the docs nearest the 0.5 decision boundary
     "q287_uncertainty_sample" -> ((s, d) =>
       graft.ml.LogitGd.uncertaintySample(s, d)),
+    // consistent placement: rendezvous shards + the N->N+1 move census
+    "q288_rendezvous_shards"  -> ((s, d) =>
+      graft.text.TextOps.rendezvousShards(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

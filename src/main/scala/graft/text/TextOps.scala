@@ -2572,6 +2572,60 @@ object TextOps {
       .orderBy("source")
   }
 
+  val ShardsBefore = 8
+  val ShardsAfter = 9
+
+  /** q288: RENDEZVOUS (highest-random-weight) SHARD MAP — the
+    * consistent-placement scheme a 100 TB layout uses so that GROWING
+    * the shard count moves only ~1/(N+1) of the data (hash-mod would
+    * reshuffle almost everything). Every doc's shard is the argmax of
+    * a seeded per-(doc, shard) hash; the report shows each shard's doc
+    * and token load under N = [[ShardsBefore]], and the census row of
+    * the N → N+1 expansion: how many docs moved, with the ~1/(N+1)
+    * theory fraction alongside. All integer hashing; argmax ties break
+    * on shard id (md5 collisions make ties ~impossible, but the order
+    * is still total).
+    *
+    * Shape at 100 TB: stateless per-row hashing (N hashes per doc,
+    * no shuffle until the per-shard census) — the property that lets
+    * every worker compute placement locally. */
+  def rendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    // pure-integer argmax: weight dropped to 56 bits, the shard id
+    // packed into the low nibble as (15 − shard), so greatest() picks
+    // the highest weight with a LOWEST-shard tie-break and everything
+    // stays positive signed-64 on both engines (no struct-comparison
+    // semantics to trust cross-engine)
+    def combined(shard: Int): Column =
+      shiftright(hex60C(seededMd5C(3000 + shard,
+        col("doc_id").cast(StringType))), 4) * 16 + (15 - shard)
+    def argmaxShard(n: Int): Column =
+      lit(15) - pmod(greatest((0 until n).map(combined): _*), lit(16L))
+        .cast(IntegerType)
+    val base = Tables.fanOut(docs(s, dir), "doc_id")
+      .select(col("doc_id"), bpeTokensC(col("text")).as("bt"),
+        argmaxShard(ShardsBefore).as("shard_before"),
+        argmaxShard(ShardsAfter).as("shard_after"))
+      .localCheckpoint() // shard census + move census read it
+    val census = base.groupBy("shard_before")
+      .agg(count(lit(1)).as("n_docs"), sum("bt").cast(LongType)
+        .as("n_tokens"))
+      .select(lit("shard").as("row_kind"),
+        col("shard_before").cast(IntegerType).as("shard"),
+        col("n_docs"), col("n_tokens"),
+        lit(null).cast(DoubleType).as("moved_frac"),
+        lit(null).cast(DoubleType).as("theory_frac"))
+    val moved = base.agg(count(lit(1)).as("n"),
+        sum(when(col("shard_before") =!= col("shard_after"), 1)
+          .otherwise(0)).as("n_moved"))
+      .select(lit("expansion").as("row_kind"),
+        lit(-1).as("shard"), col("n_moved").as("n_docs"),
+        lit(null).cast(LongType).as("n_tokens"),
+        round(col("n_moved").cast(DoubleType) /
+          col("n").cast(DoubleType), 6).as("moved_frac"),
+        round(lit(1.0) / ShardsAfter, 6).as("theory_frac"))
+    census.unionByName(moved).orderBy("row_kind", "shard")
+  }
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -3890,6 +3944,36 @@ object TextOps {
          |    CAST(COUNT(*) AS BIGINT) AS n_types FROM vc)
          |$rows
          |ORDER BY vocab_k""".stripMargin
+    },
+    "q288_rendezvous_shards" -> {
+      def comb(s0: Int): String =
+        s"((${hex60S(seededMd5S(3000 + s0, "CAST(doc_id AS VARCHAR)"))}" +
+          s" >> 4) * 16 + ${15 - s0})"
+      def amax(n: Int): String =
+        s"15 - (greatest(${(0 until n).map(comb).mkString(", ")}) % 16)"
+      s"""WITH b AS MATERIALIZED (SELECT doc_id,
+         |    ${bpeTokensS("text")} AS bt,
+         |    ${amax(ShardsBefore)} AS shard_before,
+         |    ${amax(ShardsAfter)} AS shard_after
+         |  FROM documents)
+         |SELECT 'shard' AS row_kind,
+         |  CAST(shard_before AS INTEGER) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(bt) AS BIGINT) AS n_tokens,
+         |  CAST(NULL AS DOUBLE) AS moved_frac,
+         |  CAST(NULL AS DOUBLE) AS theory_frac
+         |FROM b GROUP BY shard_before
+         |UNION ALL
+         |SELECT 'expansion', -1,
+         |  CAST(SUM(CASE WHEN shard_before <> shard_after
+         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(NULL AS BIGINT),
+         |  round(CAST(SUM(CASE WHEN shard_before <> shard_after
+         |    THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6),
+         |  round(1.0 / $ShardsAfter, 6)
+         |FROM b
+         |ORDER BY row_kind, shard""".stripMargin
     },
     "q282_noise_table" ->
       s"""WITH vc AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt,

@@ -1095,4 +1095,21 @@ class TextPrimsSpec extends SparkSpec {
       if (dis < tot) assert(r.getAs[Long]("top_repeats") >= 2)
     }
   }
+
+  test("q288 rendezvous: every doc placed once, expansion moves roughly " +
+      "1/(N+1), never more than a third") {
+    val rows = graft.text.TextOps.rendezvousShards(spark, sfDir).collect()
+    val (shards, exp) = rows.partition(_.getAs[String]("row_kind") == "shard")
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    assert(shards.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(shards.map(_.getAs[Int]("shard")).toSet
+      .subsetOf((0 until graft.text.TextOps.ShardsBefore).toSet))
+    assert(exp.length === 1)
+    val moved = exp.head.getAs[Double]("moved_frac")
+    val theory = exp.head.getAs[Double]("theory_frac")
+    // rendezvous moves ~1/(N+1); hash-mod would move ~8/9. The band is
+    // generous (small corpus, binomial noise) but rules out mod-style
+    // placement by an order of magnitude
+    assert(moved > 0.0 && moved < 0.33, s"moved $moved vs theory $theory")
+  }
 }
