@@ -718,6 +718,9 @@ object SparkEntry {
     // consistent placement: rendezvous shards + the N->N+1 move census
     "q288_rendezvous_shards"  -> ((s, d) =>
       graft.text.TextOps.rendezvousShards(s, d)),
+    // tokenizer robustness: q246 merges retrained on each corpus half
+    "q289_bpe_stability"      -> ((s, d) =>
+      graft.text.BpeTrain.bpeStability(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

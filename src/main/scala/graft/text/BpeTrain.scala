@@ -112,6 +112,32 @@ object BpeTrain {
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     mergeLoop(Tables.fanOut(symbols0(s, dir), "word"))
 
+  /** q289: TOKENIZER STABILITY — q246's merge training run on the two
+    * doc_id halves of the corpus, merge-by-merge: if the learned table
+    * depends on which half of the crawl it saw, the tokenizer is
+    * fit to noise, not to the language. Per step: both halves' chosen
+    * pairs and an agreement flag — the bootstrap-style robustness
+    * check a tokenizer team runs before freezing a vocab. Cost is two
+    * word-TYPE-table merge loops (the q246 shape — corpus-size
+    * independent state). */
+  def bpeStability(s: SparkSession, dir: String): DataFrame = {
+    def half(rem: Int): DataFrame =
+      mergeLoop(Tables.fanOut(symbolsOf(
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 2 === rem)
+          .select(explode(tokensC(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))), "word"))
+    val a = half(0).select(col("step"), col("lsym").as("lsym_a"),
+      col("rsym").as("rsym_a"), col("pair_count").as("count_a"))
+    val b = half(1).select(col("step"), col("lsym").as("lsym_b"),
+      col("rsym").as("rsym_b"), col("pair_count").as("count_b"))
+    a.join(b, Seq("step"))
+      .withColumn("agree",
+        (col("lsym_a") === col("lsym_b") &&
+          col("rsym_a") === col("rsym_b")).cast(IntegerType))
+      .orderBy("step")
+  }
+
   /** q249: BPE COMPRESSION — the evaluation that justifies a merge
     * table: apply q246's learned merges back to the corpus and report,
     * per source, the words / post-merge symbols / characters totals and
@@ -155,56 +181,80 @@ object BpeTrain {
   /** The per-step CTE block — the same algorithm as [[step]], spelled
     * once and instantiated per iteration so Spark and oracle cannot
     * drift. */
-  private def stepCtes(i: Int): String = {
-    val prev = s"t${i - 1}"
-    s"""p$i AS (SELECT word, freq, pos, sym,
+  private def stepCtes(i: Int, pre: String = ""): String = {
+    val prev = s"${pre}t${i - 1}"
+    s"""${pre}p$i AS (SELECT word, freq, pos, sym,
        |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
        |  FROM $prev),
-       |b$i AS (SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS cnt
-       |  FROM p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |${pre}b$i AS (SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM ${pre}p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt
        |  ORDER BY cnt DESC, l, r LIMIT 1),
-       |m$i AS (SELECT p.word, p.freq, p.pos, p.sym, b.l, b.r, b.cnt,
+       |${pre}m$i AS (SELECT p.word, p.freq, p.pos, p.sym, b.l, b.r, b.cnt,
        |    COALESCE(p.sym = b.l AND p.nxt = b.r, FALSE) AS marked,
        |    SUM(CASE WHEN COALESCE(p.sym = b.l AND p.nxt = b.r, FALSE)
        |      THEN 1 ELSE 0 END) OVER (PARTITION BY p.word ORDER BY p.pos
        |      ROWS UNBOUNDED PRECEDING) AS idx
-       |  FROM p$i p CROSS JOIN b$i b),
-       |k$i AS (SELECT *, CASE WHEN marked THEN pos - idx END AS runkey
-       |  FROM m$i),
-       |x$i AS (SELECT *, marked AND ((idx - MIN(CASE WHEN marked THEN idx
+       |  FROM ${pre}p$i p CROSS JOIN ${pre}b$i b),
+       |${pre}k$i AS (SELECT *, CASE WHEN marked THEN pos - idx END AS runkey
+       |  FROM ${pre}m$i),
+       |${pre}x$i AS (SELECT *, marked AND ((idx - MIN(CASE WHEN marked THEN idx
        |      END) OVER (PARTITION BY word, runkey)) % 2 = 0) AS keep
-       |  FROM k$i),
-       |y$i AS (SELECT *, COALESCE(lag(keep) OVER (PARTITION BY word
+       |  FROM ${pre}k$i),
+       |${pre}y$i AS (SELECT *, COALESCE(lag(keep) OVER (PARTITION BY word
        |      ORDER BY pos), FALSE) AS consumed
-       |  FROM x$i),
-       |t$i AS (SELECT word, freq,
+       |  FROM ${pre}x$i),
+       |${pre}t$i AS (SELECT word, freq,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
        |      AS INTEGER) AS pos,
        |    CASE WHEN keep THEN l || r ELSE sym END AS sym
-       |  FROM y$i WHERE NOT consumed),
-       |s$i AS (SELECT CAST($i AS INTEGER) AS step, b.l AS lsym,
+       |  FROM ${pre}y$i WHERE NOT consumed),
+       |${pre}s$i AS (SELECT CAST($i AS INTEGER) AS step, b.l AS lsym,
        |    b.r AS rsym, b.cnt AS pair_count, st.corpus_syms, st.sym_types
-       |  FROM b$i b CROSS JOIN (SELECT CAST(SUM(freq) AS BIGINT)
+       |  FROM ${pre}b$i b CROSS JOIN (SELECT CAST(SUM(freq) AS BIGINT)
        |      AS corpus_syms,
-       |    CAST(COUNT(DISTINCT sym) AS INTEGER) AS sym_types FROM t$i) st)"""
+       |    CAST(COUNT(DISTINCT sym) AS INTEGER) AS sym_types FROM ${pre}t$i) st)"""
       .stripMargin
   }
 
-  /** The shared corpus + merge-chain CTE prefix (w, t0, step CTEs). */
-  private def chainCtes: String = {
-    val steps = (1 to Merges).map(stepCtes).mkString(",\n")
-    s"""w AS (SELECT word, COUNT(*) AS freq FROM (
-       |    SELECT unnest($T) AS word FROM documents)
+  /** The corpus + merge-chain CTE prefix, parametrized by CTE-name
+    * prefix and a corpus predicate (q289 trains two prefixed chains on
+    * the doc_id halves in one query). */
+  private def chainCtesFor(pre: String, pred: String): String = {
+    val steps = (1 to Merges).map(i => stepCtes(i, pre)).mkString(",\n")
+    s"""${pre}w AS (SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest($T) AS word FROM documents WHERE $pred)
        |  WHERE length(word) > 0 GROUP BY word),
-       |t0 AS (SELECT word, freq, CAST(u['pos'] AS INTEGER) AS pos,
+       |${pre}t0 AS (SELECT word, freq, CAST(u['pos'] AS INTEGER) AS pos,
        |    u['sym'] AS sym
        |  FROM (SELECT word, freq, unnest(list_transform(
        |    generate_series(1, length(word)),
-       |    i -> {'pos': i, 'sym': substr(word, i, 1)})) AS u FROM w)),
+       |    i -> {'pos': i, 'sym': substr(word, i, 1)})) AS u
+       |    FROM ${pre}w)),
        |$steps""".stripMargin
   }
 
+  /** The shared corpus + merge-chain CTE prefix (w, t0, step CTEs). */
+  private def chainCtes: String = chainCtesFor("", "TRUE")
+
   def oracleSql: Map[String, String] = Map(
+    "q289_bpe_stability" -> {
+      def arms(pre: String) =
+        (1 to Merges).map(i => s"SELECT * FROM $pre" + s"s$i")
+          .mkString("\nUNION ALL\n")
+      s"""WITH ${chainCtesFor("ea", "doc_id % 2 = 0")},
+         |${chainCtesFor("eb", "doc_id % 2 = 1")},
+         |aa AS (${arms("ea")}),
+         |bb AS (${arms("eb")})
+         |SELECT aa.step,
+         |  aa.lsym AS lsym_a, aa.rsym AS rsym_a,
+         |  aa.pair_count AS count_a,
+         |  bb.lsym AS lsym_b, bb.rsym AS rsym_b,
+         |  bb.pair_count AS count_b,
+         |  CAST(CASE WHEN aa.lsym = bb.lsym AND aa.rsym = bb.rsym
+         |    THEN 1 ELSE 0 END AS INTEGER) AS agree
+         |FROM aa JOIN bb ON aa.step = bb.step
+         |ORDER BY aa.step""".stripMargin
+    },
     "q246_bpe_merges" -> {
       val arms = (1 to Merges).map(i => s"SELECT * FROM s$i")
         .mkString("\nUNION ALL\n")

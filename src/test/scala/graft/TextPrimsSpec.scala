@@ -1112,4 +1112,19 @@ class TextPrimsSpec extends SparkSpec {
     // placement by an order of magnitude
     assert(moved > 0.0 && moved < 0.33, s"moved $moved vs theory $theory")
   }
+
+  test("q289 BPE stability: one row per merge step, agreement flag " +
+      "consistent with the pairs") {
+    val rows = graft.text.BpeTrain.bpeStability(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(rows.map(_.getAs[Int]("step")).toSeq ===
+      (1 to graft.text.BpeTrain.Merges))
+    rows.foreach { r =>
+      val same = r.getAs[String]("lsym_a") == r.getAs[String]("lsym_b") &&
+        r.getAs[String]("rsym_a") == r.getAs[String]("rsym_b")
+      assert(r.getAs[Int]("agree") === (if (same) 1 else 0))
+      assert(r.getAs[Long]("count_a") >= 1 &&
+        r.getAs[Long]("count_b") >= 1)
+    }
+  }
 }
