@@ -721,6 +721,9 @@ object SparkEntry {
     // tokenizer robustness: q246 merges retrained on each corpus half
     "q289_bpe_stability"      -> ((s, d) =>
       graft.text.BpeTrain.bpeStability(s, d)),
+    // pre-shuffle skew audit: top-key shares + normalized key entropy
+    "q290_key_skew_audit"     -> ((s, d) =>
+      graft.analytics.Advanced.keySkewAudit(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

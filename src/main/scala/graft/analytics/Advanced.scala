@@ -2497,7 +2497,92 @@ object Advanced {
        |FROM adj ORDER BY type_a, type_b""".stripMargin
   }
 
+  /** q290: KEY-SKEW AUDIT — the pre-shuffle diagnosis that decides
+    * whether a join/agg key needs salting (the q87 lever) or AQE skew
+    * handling: for each key axis the suite actually shuffles on, the
+    * key count, the share of the hottest key and hottest five, and the
+    * normalized key entropy (1 = perfectly flat, → 0 = one key owns
+    * the shuffle). Entropy terms round ln at 6 dp per KEY and sum as
+    * exact DECIMAL; shares are ratios of exact counts. One hash-agg
+    * per axis — the audit costs what a count(*) by key costs. */
+  def keySkewAudit(s: SparkSession, dir: String): DataFrame = {
+    def axis(name: String, keyed: DataFrame): DataFrame = {
+      val counts = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // totals + entropy + two top-k read it
+      val nr = counts.agg(sum("c").cast(DoubleType).as("nr"))
+      val p = col("c").cast(DoubleType) / col("nr")
+      val tot = counts.crossJoin(broadcast(nr))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          sum(round(p * round(log(p), 6), 9)
+            .cast(DecimalType(28, 9))).cast(DoubleType).as("hsum"))
+      val top1 = counts.orderBy(col("c").desc, col("k")).limit(1)
+        .agg(sum("c").as("top1"))
+      val top5 = counts.orderBy(col("c").desc, col("k")).limit(5)
+        .agg(sum("c").as("top5"))
+      tot.crossJoin(top1).crossJoin(top5)
+        .select(lit(name).as("axis"), col("n_keys"), col("n_rows"),
+          round(col("top1").cast(DoubleType) /
+            col("n_rows").cast(DoubleType), 6).as("top1_share"),
+          round(col("top5").cast(DoubleType) /
+            col("n_rows").cast(DoubleType), 6).as("top5_share"),
+          round(when(col("n_keys") > 1,
+            -col("hsum") / round(log(col("n_keys").cast(DoubleType)), 6)),
+            6).as("norm_entropy"))
+    }
+    val ev = t(s, dir, "events")
+    val axes = Seq(
+      axis("events.event_type",
+        ev.select(col("event_type").as("k"))),
+      axis("events.user_bucket",
+        ev.select(pmod(col("user_id"), lit(100L)).cast(StringType)
+          .as("k"))),
+      axis("documents.source",
+        t(s, dir, "documents").select(col("source").as("k"))),
+      axis("lineitem.l_returnflag",
+        t(s, dir, "lineitem").select(col("l_returnflag").as("k"))))
+    axes.reduce(_ unionByName _).orderBy("axis")
+  }
+
+  private def q290OracleS: String = {
+    val axes = Seq(
+      ("a1", "documents.source", "SELECT source AS k FROM documents"),
+      ("a2", "events.event_type", "SELECT event_type AS k FROM events"),
+      ("a3", "events.user_bucket",
+        "SELECT CAST(user_id % 100 AS VARCHAR) AS k FROM events"),
+      ("a4", "lineitem.l_returnflag",
+        "SELECT l_returnflag AS k FROM lineitem"))
+    val ctes = axes.map { case (p, _, sel) =>
+      s"""${p}cnt AS MATERIALIZED (SELECT k, COUNT(*) AS c
+         |  FROM ($sel) GROUP BY k)""".stripMargin
+    }.mkString(",\n")
+    val arms = axes.map { case (p, name, _) =>
+      s"""SELECT '$name' AS axis,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${p}cnt) AS n_keys,
+         |  (SELECT CAST(SUM(c) AS BIGINT) FROM ${p}cnt) AS n_rows,
+         |  round(CAST((SELECT SUM(c) FROM (SELECT c, k FROM ${p}cnt
+         |      ORDER BY c DESC, k LIMIT 1)) AS DOUBLE) /
+         |    CAST((SELECT SUM(c) FROM ${p}cnt) AS DOUBLE), 6)
+         |    AS top1_share,
+         |  round(CAST((SELECT SUM(c) FROM (SELECT c, k FROM ${p}cnt
+         |      ORDER BY c DESC, k LIMIT 5)) AS DOUBLE) /
+         |    CAST((SELECT SUM(c) FROM ${p}cnt) AS DOUBLE), 6)
+         |    AS top5_share,
+         |  round(CASE WHEN (SELECT COUNT(*) FROM ${p}cnt) > 1 THEN
+         |    -(SELECT CAST(SUM(CAST(round((CAST(c AS DOUBLE) / t.nr) *
+         |        round(ln(CAST(c AS DOUBLE) / t.nr), 6), 9)
+         |      AS DECIMAL(28,9))) AS DOUBLE)
+         |      FROM ${p}cnt, (SELECT CAST(SUM(c) AS DOUBLE) AS nr
+         |        FROM ${p}cnt) t)
+         |    / round(ln(CAST((SELECT COUNT(*) FROM ${p}cnt) AS DOUBLE)),
+         |      6) END, 6) AS norm_entropy""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes
+       |$arms
+       |ORDER BY axis""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q290_key_skew_audit" -> q290OracleS,
     "q179_markov_eval" -> {
       val bkt = graft.functions.TextPrims
         .hex60S("md5(CAST(user_id AS VARCHAR))") + " % 100"

@@ -886,4 +886,24 @@ class AdvancedSpec extends SparkSpec {
     assert(binned(("A", "B")).getAs[Double]("d_stat") === 0.0)
     assert(binned(("A", "B")).getAs[Double]("p_value") === 1.0)
   }
+
+  test("q290 skew audit: shares bounded and nested, entropy in [0, 1]") {
+    val rows = graft.analytics.Advanced.keySkewAudit(spark, sfDir)
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val t1 = r.getAs[Double]("top1_share")
+      val t5 = r.getAs[Double]("top5_share")
+      assert(t1 > 0.0 && t1 <= 1.0)
+      assert(t5 >= t1 && t5 <= 1.0)
+      val h = r.getAs[Double]("norm_entropy")
+      if (!r.isNullAt(r.fieldIndex("norm_entropy")))
+        assert(h >= 0.0 && h <= 1.0 + 1e-6, s"entropy $h: $r")
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_rows"))
+    }
+    // user buckets are near-uniform: entropy close to 1; a 5-type axis
+    // is flatter than the hottest-key share suggests on its own
+    val ub = rows.find(_.getAs[String]("axis") == "events.user_bucket").get
+    assert(ub.getAs[Double]("norm_entropy") > 0.9)
+  }
 }
