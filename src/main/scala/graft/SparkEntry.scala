@@ -724,6 +724,9 @@ object SparkEntry {
     // pre-shuffle skew audit: top-key shares + normalized key entropy
     "q290_key_skew_audit"     -> ((s, d) =>
       graft.analytics.Advanced.keySkewAudit(s, d)),
+    // does duplication track quality? point-biserial per source
+    "q291_dup_quality_corr"   -> ((s, d) =>
+      graft.dedup.Dedup.dupQualityCorr(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1592,6 +1592,82 @@ object Dedup extends org.apache.spark.internal.Logging {
           .as("residual_frac"))
   }
 
+  /** q291: DUP-QUALITY CORRELATION — does duplication track quality?
+    * Every doc flagged as exact-dup (shares a q26 norm-hash with
+    * another doc) or unique, its q23 quality score quantized to
+    * micro-units, and per source: group means and the point-biserial
+    * correlation between the dup flag and quality — the evidence
+    * behind "dedup first, then filter" (if dups skew low-quality, the
+    * two passes overlap; if not, both are load-bearing). Moments are
+    * exact DECIMAL(38,0) integer sums (the q258 overflow lesson);
+    * degenerate groups (no dups / all dups / zero variance) yield
+    * NULL, not NaN, on both engines. */
+  def dupQualityCorr(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(docs(s, dir), "doc_id")
+      .select(col("doc_id"), col("source"), normHash(col("text")).as("h"),
+        (graft.text.TextOps.qualityScoreC.cast(DecimalType(18, 6)) *
+          1000000).cast(LongType).as("qm"))
+    val dupc = d.groupBy("h").agg(count(lit(1)).as("nh"))
+    val base = d.join(dupc, Seq("h"))
+      .select(col("source"), col("qm"),
+        when(col("nh") > 1, 1L).otherwise(0L).as("dd"))
+    def exact(c: Column) = sum(c.cast(DecimalType(38, 0)))
+    val g = base.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("dd").as("n_dup"),
+      exact(col("qm")).cast(DoubleType).as("sq"),
+      exact(col("qm") * col("qm")).cast(DoubleType).as("sqq"),
+      exact(col("qm") * col("dd")).cast(DoubleType).as("sdq"))
+    val nD = col("n").cast(DoubleType)
+    val ndD = col("n_dup").cast(DoubleType)
+    val varQ = nD * col("sqq") - col("sq") * col("sq")
+    val num = nD * col("sdq") - ndD * col("sq")
+    val den = sqrt((nD * ndD - ndD * ndD) * varQ)
+    g.select(col("source"), col("n"), col("n_dup"),
+      round(when(col("n_dup") > 0,
+        col("sdq") / ndD / 1000000.0), 6).as("mean_q_dup"),
+      round(when(col("n_dup") < col("n"),
+        (col("sq") - col("sdq")) / (nD - ndD) / 1000000.0), 6)
+        .as("mean_q_uniq"),
+      round(when(col("n_dup") > 0 && col("n_dup") < col("n") &&
+        varQ > 0, num / den), 6).as("pb_corr"))
+      .orderBy("source")
+  }
+
+  private def q291OracleS: String = {
+    val qs = graft.text.TextOps.qualityScoreExprS
+    val mcols = graft.text.TextOps.qualityMeasureColsS
+    s"""WITH m AS (SELECT doc_id, source, ${normHashS("text")} AS h,
+       |    CAST(CAST($qs AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qm
+       |  FROM (SELECT doc_id, source, text,
+       |    $mcols
+       |  FROM (SELECT doc_id, source, text, ${tokensS("text")} AS t
+       |    FROM documents))),
+       |dupc AS (SELECT h, COUNT(*) AS nh FROM m GROUP BY h),
+       |b AS MATERIALIZED (SELECT m.source, m.qm,
+       |    CASE WHEN d.nh > 1 THEN 1 ELSE 0 END AS dd
+       |  FROM m JOIN dupc d ON m.h = d.h),
+       |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dd) AS BIGINT) AS n_dup,
+       |    CAST(SUM(CAST(qm AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+       |    CAST(SUM(CAST(qm * qm AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+       |    CAST(SUM(CAST(qm * dd AS DECIMAL(38,0))) AS DOUBLE) AS sdq
+       |  FROM b GROUP BY source)
+       |SELECT source, n, n_dup,
+       |  round(CASE WHEN n_dup > 0
+       |    THEN sdq / CAST(n_dup AS DOUBLE) / 1000000.0 END, 6)
+       |    AS mean_q_dup,
+       |  round(CASE WHEN n_dup < n
+       |    THEN (sq - sdq) / (CAST(n AS DOUBLE) - CAST(n_dup AS DOUBLE))
+       |      / 1000000.0 END, 6) AS mean_q_uniq,
+       |  round(CASE WHEN n_dup > 0 AND n_dup < n
+       |      AND CAST(n AS DOUBLE) * sqq - sq * sq > 0
+       |    THEN (CAST(n AS DOUBLE) * sdq - CAST(n_dup AS DOUBLE) * sq) /
+       |      sqrt((CAST(n AS DOUBLE) * CAST(n_dup AS DOUBLE) -
+       |        CAST(n_dup AS DOUBLE) * CAST(n_dup AS DOUBLE)) *
+       |        (CAST(n AS DOUBLE) * sqq - sq * sq)) END, 6) AS pb_corr
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -1762,6 +1838,7 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q291_dup_quality_corr" -> q291OracleS,
     "q281_strip_verify" -> q281OracleS,
     "q272_lsh_tuning" -> q272OracleS,
     "q274_source_overlap" -> {

