@@ -727,6 +727,9 @@ object SparkEntry {
     // does duplication track quality? point-biserial per source
     "q291_dup_quality_corr"   -> ((s, d) =>
       graft.dedup.Dedup.dupQualityCorr(s, d)),
+    // eval integrity: near-dup train/eval leakage census
+    "q292_split_leakage"      -> ((s, d) =>
+      graft.dedup.Dedup.splitLeakage(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
