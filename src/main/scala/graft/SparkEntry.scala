@@ -730,6 +730,9 @@ object SparkEntry {
     // eval integrity: near-dup train/eval leakage census
     "q292_split_leakage"      -> ((s, d) =>
       graft.dedup.Dedup.splitLeakage(s, d)),
+    // embedding geometry QA: pair cosine, norm CV, center-norm ratio
+    "q293_anisotropy"         -> ((s, d) =>
+      graft.similarity.Similarity.anisotropyReport(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1515,6 +1515,94 @@ object Similarity {
        |ORDER BY g.query_id""".stripMargin
   }
 
+  /** q293: EMBEDDING ANISOTROPY REPORT — the geometry QA an embedding
+    * corpus gets before anyone trusts cosine on it: (a) the mean
+    * cosine between offset-paired vectors (healthy isotropic spaces
+    * sit near 0; a collapsed/anisotropic space sits high — "all
+    * vectors point the same way"), (b) norm concentration (mean norm
+    * and its coefficient of variation), (c) the center-norm ratio
+    * ‖mean vector‖ / mean ‖vector‖ (≈0 isotropic, →1 collapsed).
+    * Deterministic pair sample = (vec_id, vec_id+7) equi-join; per-dim
+    * means use the exact-decimal q245 spelling; every moment is an
+    * integer/decimal sum.
+    *
+    * Shape at 100 TB: two scans (pair join is a self equi-join on a
+    * shifted key, the mean vector is one D-key partial agg) and
+    * driver-constant arithmetic. */
+  def anisotropyReport(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .localCheckpoint() // pair join sides + norms + mean vector
+    val b = all.select(col("vec_id").as("vb"), col("e").as("eb"),
+      col("nrm").as("nb"))
+    val pa = all.join(b, col("vec_id") + 7 === col("vb"))
+      .select(round(dotp(col("e"), col("eb")) /
+        (col("nrm") * col("nb")), 9).as("pc"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("pc").cast(DecimalType(28, 9))).cast(DoubleType)
+          .as("sp"))
+    val nm = all.select((col("nrm").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType).as("m"))
+    def exact(c: Column) = sum(c.cast(DecimalType(38, 0)))
+    val na = nm.agg(count(lit(1)).as("n"),
+      exact(col("m")).cast(DoubleType).as("s1"),
+      exact(col("m") * col("m")).cast(DoubleType).as("s2"))
+    val mu = all.select(posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg((sum(col("v").cast(DecimalType(28, 9))).cast(DoubleType) /
+        count(lit(1))).as("mu"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("mu")))), x => x.getField("mu")).as("v"))
+      .select(sqrt(dotp(col("v"), col("v"))).as("cn"))
+    val meanN = col("s1") / col("n") // micro-units
+    pa.crossJoin(na).crossJoin(mu)
+      .select(col("n"), col("n_pairs"),
+        round(col("sp") / col("n_pairs"), 6).as("mean_pair_cos"),
+        round(meanN / 1000000.0, 6).as("mean_norm"),
+        round(sqrt(col("s2") / col("n") - meanN * meanN) / meanN, 6)
+          .as("norm_cv"),
+        round(col("cn") / (meanN / 1000000.0), 6)
+          .as("center_norm_ratio"))
+  }
+
+  private def q293OracleS: String = {
+    import graft.ml.LloydExact.{dotS => dS}
+    s"""WITH e0 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |en AS MATERIALIZED (SELECT vec_id, e, sqrt(${dS("e", "e")})
+       |    AS nrm FROM e0),
+       |pa AS (SELECT COUNT(*) AS n_pairs,
+       |    CAST(SUM(CAST(pc AS DECIMAL(28,9))) AS DOUBLE) AS sp
+       |  FROM (SELECT round(${dS("a.e", "b.e")} / (a.nrm * b.nrm), 9)
+       |      AS pc
+       |    FROM en a JOIN en b ON a.vec_id + 7 = b.vec_id)),
+       |nm AS (SELECT CAST(CAST(nrm AS DECIMAL(18,6)) * 1000000
+       |    AS BIGINT) AS m FROM en),
+       |na AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(m * m AS DECIMAL(38,0))) AS DOUBLE) AS s2
+       |  FROM nm),
+       |mu AS (SELECT pos,
+       |    CAST(SUM(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+       |      AS mu
+       |  FROM (SELECT u['pos'] AS pos, u['v'] AS v FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(e)),
+       |      i -> {'pos': i - 1, 'v': e[i]})) AS u FROM e0))
+       |  GROUP BY pos),
+       |mv AS (SELECT list(mu ORDER BY pos) AS v FROM mu),
+       |mn AS (SELECT sqrt(${dS("v", "v")}) AS cn FROM mv)
+       |SELECT na.n, pa.n_pairs,
+       |  round(pa.sp / pa.n_pairs, 6) AS mean_pair_cos,
+       |  round(na.s1 / na.n / 1000000.0, 6) AS mean_norm,
+       |  round(sqrt(na.s2 / na.n - (na.s1 / na.n) * (na.s1 / na.n)) /
+       |    (na.s1 / na.n), 6) AS norm_cv,
+       |  round(mn.cn / (na.s1 / na.n / 1000000.0), 6)
+       |    AS center_norm_ratio
+       |FROM pa, na, mn""".stripMargin
+  }
+
   val MmrK = 10
   val MmrPool = 256
 
@@ -1701,6 +1789,7 @@ object Similarity {
     "q277_ivf_upsert" -> q277OracleS,
     "q280_stratified_split" -> q280OracleS,
     "q285_matryoshka_recall" -> q285OracleS,
+    "q293_anisotropy" -> q293OracleS,
     "q286_sign_hamming" -> q286OracleS,
     "q231_ndcg_lexical" -> {
       val wl = "[" + ndcgWeights(10).mkString(", ") + "]"

@@ -516,4 +516,21 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("recall") - c.toDouble / k) < 1e-9)
     }
   }
+
+  test("q293 anisotropy: uniform-ish fixture reads isotropic — low pair " +
+      "cosine, low center-norm ratio, sane norm stats") {
+    val r = graft.similarity.Similarity.anisotropyReport(spark, sfDir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") === r.getAs[Long]("n") - 7)
+    val pc = r.getAs[Double]("mean_pair_cos")
+    assert(pc >= -1.0 && pc <= 1.0)
+    // hash-uniform vectors in [-0.5, 0.5)^64: mean pair cosine and the
+    // center-norm ratio both sit near zero — a collapsed space would
+    // push both toward 1 (the failure this report exists to catch)
+    assert(math.abs(pc) < 0.2, s"pair cosine $pc")
+    assert(r.getAs[Double]("center_norm_ratio") < 0.3)
+    assert(r.getAs[Double]("mean_norm") > 0.0)
+    assert(r.getAs[Double]("norm_cv") >= 0.0 &&
+      r.getAs[Double]("norm_cv") < 1.0)
+  }
 }
