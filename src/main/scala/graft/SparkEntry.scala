@@ -733,6 +733,9 @@ object SparkEntry {
     // embedding geometry QA: pair cosine, norm CV, center-norm ratio
     "q293_anisotropy"         -> ((s, d) =>
       graft.similarity.Similarity.anisotropyReport(s, d)),
+    // RAG ingestion plan: sliding-window chunk census in closed form
+    "q294_rag_chunking"       -> ((s, d) =>
+      graft.text.TextOps.ragChunking(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -2626,6 +2626,57 @@ object TextOps {
     census.unionByName(moved).orderBy("row_kind", "shard")
   }
 
+  val ChunkSize = 128
+  val ChunkStride = 96
+
+  /** q294: RAG CHUNKING PLAN — per-document sliding-window chunking
+    * (window [[ChunkSize]] tokens, stride [[ChunkStride]] — the
+    * 32-token overlap retrieval ingestion actually uses, distinct from
+    * q145's concat-and-chunk TRAINING packing): per source, the chunk
+    * count, the mean chunk fill (the final chunk of each doc is
+    * usually short), the share of token positions duplicated by the
+    * overlap, and the single-chunk-doc share. Chunk starts are
+    * 1, 1+stride, … while start ≤ len (a doc shorter than one window
+    * is its own single chunk) — pure integer arithmetic from per-doc
+    * token counts; NO per-chunk row explosion (the counts are closed
+    * forms over n_tokens, so the plan is one corpus scan + one
+    * source-key agg). */
+  def ragChunking(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(docs(s, dir), "doc_id")
+      .select(col("source"), bpeTokensC(col("text")).cast(LongType)
+        .as("nt"))
+      .filter(col("nt") > 0)
+    // chunks = 1 + ceil(max(0, nt - size) / stride); tokens emitted =
+    // size per full window + the remainder tail, i.e. min(nt, size) +
+    // (chunks - 1) * size capped by the doc end per window start
+    val chunks = lit(1) +
+      ceil(greatest(col("nt") - ChunkSize, lit(0L)).cast(DoubleType) /
+        ChunkStride).cast(LongType)
+    val base = d.withColumn("chunks", chunks)
+      // emitted = Σ over starts of min(size, nt - start + 1): closed
+      // form = chunks*size - overhang, where overhang is how far the
+      // LAST window would run past the doc: (1 + (chunks-1)*stride +
+      // size - 1) - nt, never negative by construction
+      .withColumn("emitted",
+        col("chunks") * ChunkSize -
+          ((col("chunks") - 1) * ChunkStride + ChunkSize - col("nt")))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        sum("chunks").as("n_chunks"),
+        sum("emitted").as("n_emitted"),
+        sum(when(col("chunks") === 1, 1).otherwise(0))
+          .as("n_single_chunk"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chunks"), col("n_single_chunk"),
+        round(col("n_emitted").cast(DoubleType) /
+          (col("n_chunks") * ChunkSize).cast(DoubleType), 6)
+          .as("mean_fill"),
+        round((col("n_emitted") - col("n_tokens")).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("overlap_share"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- oracles
   private val T = tokensS("text")
 
@@ -3945,6 +3996,30 @@ object TextOps {
          |$rows
          |ORDER BY vocab_k""".stripMargin
     },
+    "q294_rag_chunking" ->
+      s"""WITH d AS (SELECT source,
+         |    CAST(${bpeTokensS("text")} AS BIGINT) AS nt
+         |  FROM documents),
+         |f AS (SELECT * FROM d WHERE nt > 0),
+         |c AS (SELECT source, nt,
+         |    1 + CAST(ceil(CAST(greatest(nt - $ChunkSize, 0) AS DOUBLE)
+         |      / $ChunkStride) AS BIGINT) AS chunks
+         |  FROM f),
+         |e AS (SELECT source, nt, chunks,
+         |    chunks * $ChunkSize -
+         |      ((chunks - 1) * $ChunkStride + $ChunkSize - nt)
+         |      AS emitted
+         |  FROM c)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(chunks) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN chunks = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_single_chunk,
+         |  round(CAST(SUM(emitted) AS DOUBLE) /
+         |    CAST(SUM(chunks) * $ChunkSize AS DOUBLE), 6) AS mean_fill,
+         |  round(CAST(SUM(emitted) - SUM(nt) AS DOUBLE) /
+         |    CAST(SUM(nt) AS DOUBLE), 6) AS overlap_share
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
     "q288_rendezvous_shards" -> {
       def comb(s0: Int): String =
         s"((${hex60S(seededMd5S(3000 + s0, "CAST(doc_id AS VARCHAR)"))}" +

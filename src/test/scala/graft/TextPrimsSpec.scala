@@ -1127,4 +1127,47 @@ class TextPrimsSpec extends SparkSpec {
         r.getAs[Long]("count_b") >= 1)
     }
   }
+
+  test("q294 chunking: closed forms equal a brute-force window walk, " +
+      "ratios sane") {
+    val rows = graft.text.TextOps.ragChunking(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fill = r.getAs[Double]("mean_fill")
+      assert(fill > 0.0 && fill <= 1.0)
+      assert(r.getAs[Double]("overlap_share") >= 0.0)
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs"))
+    }
+    // brute force: per doc, walk starts 1, 1+stride, ... while <= nt
+    import org.apache.spark.sql.functions.{col, length => _}
+    val size = graft.text.TextOps.ChunkSize
+    val stride = graft.text.TextOps.ChunkStride
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        graft.functions.TextPrims.bpeTokensC(col("text")).as("nt"))
+      .collect().map(r => r.getString(0) -> r.getInt(1).toLong)
+      .filter(_._2 > 0)
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      var ch = 0L; var em = 0L
+      ds.foreach { case (_, nt) =>
+        var start = 1L
+        var cont = true
+        while (cont) {
+          ch += 1
+          em += math.min(size.toLong, nt - start + 1)
+          // continue while the window just counted did not reach the
+          // doc end (stride < size keeps every start <= nt)
+          if (start + size - 1 < nt) start += stride else cont = false
+        }
+      }
+      src -> (ch, em)
+    }
+    rows.foreach { r =>
+      val (ch, em) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_chunks") === ch,
+        s"${r.getString(0)} chunks")
+      val fill = em.toDouble / (ch * size)
+      assert(math.abs(r.getAs[Double]("mean_fill") - fill) < 2e-6)
+    }
+  }
 }
