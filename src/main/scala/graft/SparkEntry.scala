@@ -736,6 +736,10 @@ object SparkEntry {
     // RAG ingestion plan: sliding-window chunk census in closed form
     "q294_rag_chunking"       -> ((s, d) =>
       graft.text.TextOps.ragChunking(s, d)),
+    // 22nd streaming surface: LEFT ANTI interval join — absence is
+    // watermark-certified eviction (completes the join family)
+    "q295_anti_join_parity"   -> ((s, d) =>
+      graft.streaming.EventStream.antiJoinParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

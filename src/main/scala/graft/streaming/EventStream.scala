@@ -390,6 +390,81 @@ object EventStream {
     clickSide(clicks, watermark)
       .join(errorSide(errors, watermark), intervalCond(rangeSec), "left_semi")
 
+  /** Stream-stream ANTI interval join: each click emitted ONCE iff
+    * NO error from the same user lands within `rangeSec` after it — the
+    * abandonment/absence detector ("X happened and Y never followed"),
+    * the semi join's complement. Spark does not support a streaming
+    * right side under LeftAnti, so this is spelled the canonical way
+    * production streams do it: LEFT OUTER + `error_id IS NULL` — the
+    * outer join's null row only materializes once the watermark has
+    * passed the point where a match is no longer possible, so the
+    * filtered output IS the watermark-certified-absent set, with the
+    * identical state/eviction machinery as q135. */
+  def correlateAnti(clicks: DataFrame, errors: DataFrame,
+                    watermark: String = "2 hours",
+                    rangeSec: Long = 30 * 60): DataFrame =
+    clickSide(clicks, watermark)
+      .join(errorSide(errors, watermark), intervalCond(rangeSec),
+        "left_outer")
+      .filter(col("error_id").isNull)
+      .select(col("click_id"), col("user_id"), col("click_ts"))
+
+  /** q295 — ANTI interval-join parity, the twenty-second streaming
+    * surface, completing the stream-stream join family (q109 inner,
+    * q135 left outer, q247 left semi, this = anti via outer + IS NULL):
+    * hash-equality against the batch NOT EXISTS proves no absent click
+    * is reported early (a match still possible) or lost (evicted
+    * unreported).
+    * Staging uses q135's per-side far-future sentinels so BOTH inputs'
+    * watermarks advance past the trailing clicks. */
+  def antiJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = s.conf.getOption(noDataKey)
+    s.conf.set(noDataKey, "true")
+    try antiJoinParityStaged(s, dir)
+    finally noDataPrev match {
+      case Some(v) => s.conf.set(noDataKey, v)
+      case None    => s.conf.unset(noDataKey)
+    }
+  }
+
+  private def antiJoinParityStaged(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q295")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      events.coalesce(1).write.mode("overwrite").parquet(in.toString)
+      val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 7L * 86400000L)
+      Seq((-1L, far, -1L, "click", 0.0, "{}"),
+          (-2L, far, -2L, "error", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val absent = correlateAnti(
+        fileSource(s, in.toString), fileSource(s, in.toString))
+      q = toParquet(absent, tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q295 anti-join stream did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .filter(col("click_id") >= 0)
+        .orderBy("click_id")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q85 — oracle-checked streaming parity: the SAME hourly aggregation as
     * q21 (`Relational.tumblingWindowAgg`), executed INCREMENTALLY by
     * Structured Streaming over a file source into a checkpointed parquet
@@ -2321,6 +2396,15 @@ object EventStream {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q295_anti_join_parity" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM events c
+        |WHERE c.event_type = 'click' AND NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.event_type = 'error' AND e.user_id = c.user_id
+        |    AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE)
+        |ORDER BY click_id""".stripMargin,
     "q247_semi_join_parity" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |  CAST(c.ts AS TIMESTAMP) AS click_ts

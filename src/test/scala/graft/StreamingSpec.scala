@@ -736,4 +736,18 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Long]("n_admitted") >= 1)
     }
   }
+
+  test("q295 anti join: absent set is disjoint from q247's matched set " +
+      "and together they cover all clicks") {
+    import org.apache.spark.sql.functions.col
+    val absent = graft.streaming.EventStream.antiJoinParity(spark, sfDir)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    val matched = graft.streaming.EventStream.semiJoinParity(spark, sfDir)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    assert((absent intersect matched).isEmpty)
+    val clicks = graft.sources.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "click")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert((absent union matched) === clicks)
+  }
 }
