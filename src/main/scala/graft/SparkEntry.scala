@@ -740,6 +740,9 @@ object SparkEntry {
     // watermark-certified eviction (completes the join family)
     "q295_anti_join_parity"   -> ((s, d) =>
       graft.streaming.EventStream.antiJoinParity(s, d)),
+    // label-noise census: cell-local leave-one-out 1-NN agreement
+    "q296_label_noise"        -> ((s, d) =>
+      graft.similarity.Similarity.labelNoiseCensus(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

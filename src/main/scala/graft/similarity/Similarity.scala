@@ -1603,6 +1603,82 @@ object Similarity {
        |FROM pa, na, mn""".stripMargin
   }
 
+  /** q296: LABEL-NOISE CENSUS — leave-one-out 1-NN agreement, the
+    * confident-learning-style check a labeled embedding set gets
+    * before training on it: every vector's label is compared with its
+    * nearest neighbor's, per label: coverage (vectors with an in-cell
+    * neighbor), agreement count and rate — a label whose neighbors
+    * systematically disagree is noisy or the class is entangled.
+    * Neighbors are CELL-LOCAL (the q61 IVF coarse quantizer), which is
+    * the production shape: all-pairs LOO is quadratic, in-cell LOO is
+    * the index probe every vector already pays. Singleton-cell vectors
+    * are counted as uncovered, not silently dropped. */
+  def labelNoiseCensus(s: SparkSession, dir: String): DataFrame = {
+    val L = graft.ml.LloydExact
+    val pts = L.points(s, dir)
+    val cells = L.assign(pts, L.centersFor(pts))
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+      .join(Tables.load(s, dir, "embeddings").select("vec_id", "label"),
+        Seq("vec_id"))
+      .localCheckpoint() // both sides of the in-cell self-join
+    val b = cells.select(col("vec_id").as("nb"), col("e").as("eb"),
+      col("nrm").as("nbn"), col("label").as("nb_label"), col("cluster"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nb"))
+    val nn = cells.join(b, Seq("cluster"))
+      .filter(col("vec_id") =!= col("nb"))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("e"), col("eb")), col("nrm"),
+          col("nbn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("nb_label"))
+    cells.select(col("vec_id"), col("label"))
+      .join(nn.select(col("vec_id"), col("nb_label")), Seq("vec_id"),
+        "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("nb_label").isNotNull, 1).otherwise(0))
+          .as("n_covered"),
+        sum(when(col("nb_label") === col("label"), 1).otherwise(0))
+          .as("n_agree"))
+      .select(col("label").cast(IntegerType).as("label"), col("n_total"),
+        col("n_covered"), col("n_agree"),
+        round(when(col("n_covered") > 0,
+          col("n_agree").cast(DoubleType) /
+            col("n_covered").cast(DoubleType)), 6).as("agree_rate"))
+      .orderBy("label")
+  }
+
+  private def q296OracleS: String = {
+    val L = graft.ml.LloydExact
+    s"""WITH ${L.lloydCtesS},
+       |cells AS MATERIALIZED (SELECT a.vec_id, a.e, a.cluster,
+       |    sqrt(${L.dotS("a.e", "a.e")}) AS nrm, emb.label
+       |  FROM afinal a JOIN embeddings emb ON a.vec_id = emb.vec_id),
+       |nn AS (SELECT vec_id, label, nb_label FROM (
+       |  SELECT x.vec_id, x.label, y.label AS nb_label,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+       |      ${simS(s"${L.dotS("x.e", "y.e")}", "x.nrm", "y.nrm")} DESC,
+       |      y.vec_id) AS rk
+       |  FROM cells x JOIN cells y ON x.cluster = y.cluster
+       |    AND x.vec_id <> y.vec_id) WHERE rk = 1)
+       |SELECT CAST(c.label AS INTEGER) AS label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN nn.nb_label IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_covered,
+       |  CAST(SUM(CASE WHEN nn.nb_label = c.label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  round(CASE WHEN SUM(CASE WHEN nn.nb_label IS NOT NULL
+       |      THEN 1 ELSE 0 END) > 0
+       |    THEN CAST(SUM(CASE WHEN nn.nb_label = c.label
+       |      THEN 1 ELSE 0 END) AS DOUBLE) /
+       |      CAST(SUM(CASE WHEN nn.nb_label IS NOT NULL THEN 1 ELSE 0
+       |        END) AS DOUBLE) END, 6) AS agree_rate
+       |FROM cells c LEFT JOIN nn ON c.vec_id = nn.vec_id
+       |GROUP BY c.label ORDER BY label""".stripMargin
+  }
+
   val MmrK = 10
   val MmrPool = 256
 
@@ -1790,6 +1866,7 @@ object Similarity {
     "q280_stratified_split" -> q280OracleS,
     "q285_matryoshka_recall" -> q285OracleS,
     "q293_anisotropy" -> q293OracleS,
+    "q296_label_noise" -> q296OracleS,
     "q286_sign_hamming" -> q286OracleS,
     "q231_ndcg_lexical" -> {
       val wl = "[" + ndcgWeights(10).mkString(", ") + "]"

@@ -533,4 +533,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("norm_cv") >= 0.0 &&
       r.getAs[Double]("norm_cv") < 1.0)
   }
+
+  test("q296 label noise: counts nest, totals cover the corpus, rates " +
+      "bounded") {
+    val rows = graft.similarity.Similarity.labelNoiseCensus(spark, sfDir)
+      .collect()
+    val total = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum === total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_agree") <= r.getAs[Long]("n_covered"))
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_total"))
+      if (!r.isNullAt(r.fieldIndex("agree_rate"))) {
+        val a = r.getAs[Double]("agree_rate")
+        assert(a >= 0.0 && a <= 1.0)
+      }
+    }
+  }
 }
