@@ -727,9 +727,6 @@ object SparkEntry {
     // does duplication track quality? point-biserial per source
     "q291_dup_quality_corr"   -> ((s, d) =>
       graft.dedup.Dedup.dupQualityCorr(s, d)),
-    // eval integrity: near-dup train/eval leakage census
-    "q292_split_leakage"      -> ((s, d) =>
-      graft.dedup.Dedup.splitLeakage(s, d)),
     // embedding geometry QA: pair cosine, norm CV, center-norm ratio
     "q293_anisotropy"         -> ((s, d) =>
       graft.similarity.Similarity.anisotropyReport(s, d)),

@@ -1668,112 +1668,6 @@ object Dedup extends org.apache.spark.internal.Logging {
        |FROM g ORDER BY source""".stripMargin
   }
 
-  /** q292: SPLIT-LEAKAGE CENSUS — train/test contamination, the eval
-    * integrity check every benchmark pipeline runs: docs hash-route
-    * 8/2 into train/eval (the q280 split family), and an eval doc
-    * LEAKS if it near-duplicates (banded LSH candidates verified to
-    * exact Jaccard ≥ [[JaccardThreshold]]) any train doc — its score
-    * measures memorization, not generalization. One census row:
-    * split sizes, cross-split candidate pairs, leaky eval docs, and
-    * the leak fraction.
-    *
-    * Shape at 100 TB: the q28 banded pipeline with a split filter on
-    * the pair side — candidates stay band-bucketed, verification pays
-    * only cross-split candidates. */
-  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val shs = shingleRows(docs(s, dir).select("doc_id", "text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shs.count() // signatures + both verify sides read it
-    try {
-      val splitC = when(pmod(hex60C(seededMd5C(777,
-        col("doc_id").cast(StringType))), lit(10L)) < 8, "train")
-        .otherwise("eval")
-      val splits = docs(s, dir)
-        .select(col("doc_id"), splitC.as("split")).localCheckpoint()
-      val cross = bandPairsFrom(signaturesFrom(shs))
-        .join(splits.withColumnsRenamed(
-          Map("doc_id" -> "doc_a", "split" -> "sa")), Seq("doc_a"))
-        .join(splits.withColumnsRenamed(
-          Map("doc_id" -> "doc_b", "split" -> "sb")), Seq("doc_b"))
-        .filter(col("sa") =!= col("sb"))
-        .localCheckpoint() // counted + verified
-      val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val leaky = cross
-        .join(shs.as("xa"), col("doc_a") === col("xa.doc_id"))
-        .join(shs.as("xb"), col("doc_b") === col("xb.doc_id") &&
-          col("xa.shingle") === col("xb.shingle"))
-        .groupBy("doc_a", "doc_b", "sa", "sb")
-        .agg(count(lit(1)).as("ni"))
-        .join(sizes.withColumnsRenamed(
-          Map("doc_id" -> "doc_a", "sz" -> "sza")), Seq("doc_a"))
-        .join(sizes.withColumnsRenamed(
-          Map("doc_id" -> "doc_b", "sz" -> "szb")), Seq("doc_b"))
-        .filter(col("ni").cast(DoubleType) /
-          (col("sza") + col("szb") - col("ni")).cast(DoubleType) >=
-          JaccardThreshold)
-        .select(when(col("sa") === "eval", col("doc_a"))
-          .otherwise(col("doc_b")).as("eval_doc"))
-        .distinct()
-      val sp = splits.groupBy().agg(
-        sum(when(col("split") === "train", 1).otherwise(0)).as("n_train"),
-        sum(when(col("split") === "eval", 1).otherwise(0)).as("n_eval"))
-      val nc = cross.agg(count(lit(1)).as("n_cross_candidates"))
-      val nl = leaky.agg(count(lit(1)).as("n_leaky_eval"))
-      sp.crossJoin(nc).crossJoin(nl)
-        .select(col("n_train"), col("n_eval"), col("n_cross_candidates"),
-          col("n_leaky_eval"),
-          round(when(col("n_eval") > 0,
-            col("n_leaky_eval").cast(DoubleType) /
-              col("n_eval").cast(DoubleType)), 6).as("leak_frac"))
-        .localCheckpoint()
-    } finally { shs.unpersist(); () }
-  }
-
-  private def q292OracleS: String = {
-    val splitExpr = s"CASE WHEN ${hex60S(seededMd5S(
-      777, "CAST(doc_id AS VARCHAR)"))} % 10 < 8 THEN 'train' " +
-      "ELSE 'eval' END"
-    s"""${sigSelectS("SELECT doc_id, text FROM documents")},
-       |shr AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle
-       |  FROM shs),
-       |sz AS (SELECT doc_id, len(sh) AS sz FROM shs),
-       |bk AS ($bandUnnestS),
-       |sp AS MATERIALIZED (SELECT doc_id, $splitExpr AS split
-       |  FROM documents),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-       |cross0 AS MATERIALIZED (SELECT p.doc_a, p.doc_b,
-       |    pa.split AS sa, pb.split AS sb
-       |  FROM pairs p JOIN sp pa ON p.doc_a = pa.doc_id
-       |  JOIN sp pb ON p.doc_b = pb.doc_id
-       |  WHERE pa.split <> pb.split),
-       |leaky AS (SELECT DISTINCT CASE WHEN sa = 'eval' THEN doc_a
-       |    ELSE doc_b END AS eval_doc
-       |  FROM (SELECT c.doc_a, c.doc_b, c.sa, c.sb, COUNT(*) AS ni,
-       |      za.sz AS sza, zb.sz AS szb
-       |    FROM cross0 c JOIN shr xa ON c.doc_a = xa.doc_id
-       |    JOIN shr xb ON c.doc_b = xb.doc_id
-       |      AND xa.shingle = xb.shingle
-       |    JOIN sz za ON za.doc_id = c.doc_a
-       |    JOIN sz zb ON zb.doc_id = c.doc_b
-       |    GROUP BY c.doc_a, c.doc_b, c.sa, c.sb, za.sz, zb.sz)
-       |  WHERE CAST(ni AS DOUBLE) /
-       |    CAST(sza + szb - ni AS DOUBLE) >= $JaccardThreshold)
-       |SELECT
-       |  (SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
-       |    AS BIGINT) FROM sp) AS n_train,
-       |  (SELECT CAST(SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END)
-       |    AS BIGINT) FROM sp) AS n_eval,
-       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cross0)
-       |    AS n_cross_candidates,
-       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM leaky) AS n_leaky_eval,
-       |  round(CASE WHEN (SELECT COUNT(*) FROM sp WHERE split = 'eval')
-       |      > 0
-       |    THEN CAST((SELECT COUNT(*) FROM leaky) AS DOUBLE) /
-       |      CAST((SELECT COUNT(*) FROM sp WHERE split = 'eval')
-       |        AS DOUBLE) END, 6) AS leak_frac""".stripMargin
-  }
-
   // ------------------------------------------------------------- oracles
   private def sigSelectS(corpus: String): String = {
     val t = tokensS("text")
@@ -1944,7 +1838,6 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
-    "q292_split_leakage" -> q292OracleS,
     "q291_dup_quality_corr" -> q291OracleS,
     "q281_strip_verify" -> q281OracleS,
     "q272_lsh_tuning" -> q272OracleS,

@@ -510,21 +510,4 @@ class DedupSpec extends SparkSpec {
     val expected = if (census.isNullAt(0)) 0L else census.getLong(0)
     assert(rows.map(_.getAs[Long]("n_dup")).sum === expected)
   }
-
-  test("q292 split leakage: census self-consistent, every planted " +
-      "exact-dup pair that crosses splits is caught") {
-    val r = graft.dedup.Dedup.splitLeakage(spark, sfDir).collect()(0)
-    val total = graft.sources.Tables.load(spark, sfDir, "documents")
-      .count()
-    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_eval") === total)
-    assert(r.getAs[Long]("n_leaky_eval") <= r.getAs[Long]("n_eval"))
-    if (r.getAs[Long]("n_eval") > 0 && !r.isNullAt(
-        r.fieldIndex("leak_frac"))) {
-      val lf = r.getAs[Double]("leak_frac")
-      assert(lf >= 0.0 && lf <= 1.0)
-    }
-    // leaky docs can only come from cross-split candidates
-    assert(r.getAs[Long]("n_leaky_eval") <=
-      r.getAs[Long]("n_cross_candidates"))
-  }
 }
