@@ -194,10 +194,15 @@ object ScaleRamp {
       val retained = retainedMb()
       // the high-water ASSERTION: after dropping caches and GC, the
       // driver residue must stay a small fixed share of the heap — an
-      // O(corpus) driver materialization fails the run loudly
-      require(retained < maxHeapMb / 4,
-        s"$fam retained heap ${retained}MB >= quarter of ${maxHeapMb}MB " +
-          s"at x$factor — driver-side O(data) residue")
+      // O(corpus) driver materialization fails the run loudly. The
+      // 256 MB floor keeps fixed JVM+session overhead from tripping
+      // the check on small heaps (e.g. -Xmx1g), where a quarter-heap
+      // bound is below the baseline footprint of an idle SparkSession.
+      val retainedCap = math.max(maxHeapMb / 4, 256L)
+      require(retained < retainedCap,
+        s"$fam retained heap ${retained}MB >= cap ${retainedCap}MB " +
+          s"(max(${maxHeapMb}/4, 256)) at x$factor — driver-side " +
+          s"O(data) residue")
       val ratio = ramp / base
       println(f"""{"metric":"family","name":"$fam","query":"$q","x1_sec":$base%.3f,"x${factor}_sec":$ramp%.3f,"ratio":$ratio%.2f,"peak_heap_mb":$peak,"retained_mb":$retained}""")
       Console.out.flush()

@@ -2548,7 +2548,10 @@ object Advanced {
       ("a1", "documents.source", "SELECT source AS k FROM documents"),
       ("a2", "events.event_type", "SELECT event_type AS k FROM events"),
       ("a3", "events.user_bucket",
-        "SELECT CAST(user_id % 100 AS VARCHAR) AS k FROM events"),
+        // ((x % m) + m) % m: DuckDB % keeps the dividend's sign, Spark
+        // pmod is always nonnegative — normalize so negative ids agree
+        "SELECT CAST((user_id % 100 + 100) % 100 AS VARCHAR) AS k " +
+          "FROM events"),
       ("a4", "lineitem.l_returnflag",
         "SELECT l_returnflag AS k FROM lineitem"))
     val ctes = axes.map { case (p, _, sel) =>

@@ -313,14 +313,19 @@ object Similarity {
       val affected = idx.filter(tombPred)
         .select("cluster").distinct().collect()
         .map(_.get(0).toString.toInt)
-      val gen1 = tmp.resolve("gen1").toString
-      idx.filter(col("cluster").isin(affected.map(Integer.valueOf): _*))
-        .join(broadcast(tomb),
-          col("vec_id") === col("neighbor_id"), "left_anti")
-        .write.partitionBy("cluster").parquet(gen1)
-      val compacted = s.read.parquet(gen1).unionByName(
-        idx.filter(!col("cluster")
-          .isin(affected.map(Integer.valueOf): _*)))
+      // nothing tombstoned → gen0 IS gen1; writing an empty parquet
+      // dir would fail schema inference on read, and isin() with zero
+      // args is degenerate, so skip the rewrite entirely
+      val compacted = if (affected.isEmpty) idx else {
+        val gen1 = tmp.resolve("gen1").toString
+        idx.filter(col("cluster").isin(affected.map(Integer.valueOf): _*))
+          .join(broadcast(tomb),
+            col("vec_id") === col("neighbor_id"), "left_anti")
+          .write.partitionBy("cluster").parquet(gen1)
+        s.read.parquet(gen1).unionByName(
+          idx.filter(!col("cluster")
+            .isin(affected.map(Integer.valueOf): _*)))
+      }
       probeIvf(compacted).localCheckpoint()
     } finally Tables.rmTree(tmp)
   }

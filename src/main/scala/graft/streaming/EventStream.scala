@@ -1161,7 +1161,10 @@ object EventStream {
         }
       }
       seen.update(n)
-      pcnt.iterator().map { case (uid, exact) =>
+      // materialize eagerly: state handles (cm/pcnt) must only be
+      // touched inside handleInputRows, not at iterator-consume time
+      val out = scala.collection.mutable.ArrayBuffer.empty[CmRow]
+      pcnt.iterator().foreach { case (uid, exact) =>
         var est = Long.MaxValue
         var j = 0
         while (j < d) {
@@ -1169,8 +1172,9 @@ object EventStream {
           if (c < est) est = c
           j += 1
         }
-        CmRow(key, n, uid, exact, est)
+        out += CmRow(key, n, uid, exact, est)
       }
+      out.iterator
     }
   }
 

@@ -2635,9 +2635,10 @@ object TextOps {
     * q145's concat-and-chunk TRAINING packing): per source, the chunk
     * count, the mean chunk fill (the final chunk of each doc is
     * usually short), the share of token positions duplicated by the
-    * overlap, and the single-chunk-doc share. Chunk starts are
-    * 1, 1+stride, … while start ≤ len (a doc shorter than one window
-    * is its own single chunk) — pure integer arithmetic from per-doc
+    * overlap, and the single-chunk-doc share. Chunk starts advance by
+    * stride until a window covers the doc end (last start ≥
+    * nt − size + 1; a doc shorter than one window is its own single
+    * chunk) — pure integer arithmetic from per-doc
     * token counts; NO per-chunk row explosion (the counts are closed
     * forms over n_tokens, so the plan is one corpus scan + one
     * source-key agg). */
