@@ -1237,7 +1237,9 @@ object Dedup extends org.apache.spark.internal.Logging {
         docs(s, dir).select("doc_id", "source", "text"), "doc_id")
       .select(col("doc_id"), col("source"),
         explode(array_distinct(shinglesC(tokensC(col("text")), n))).as("sh"))
-      .select(col("doc_id"), col("source"), md5(col("sh")).as("h"))
+      // 16-byte binary key, not 32-char hex: same 128 bits, half the
+      // join-shuffle key bytes (and the cached frame shrinks with it)
+      .select(col("doc_id"), col("source"), unhex(md5(col("sh"))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       grams.count() // materialize once: inventory + incidence both read this
@@ -1269,6 +1271,53 @@ object Dedup extends org.apache.spark.internal.Logging {
     } finally { grams.unpersist(); () }
   }
 
+  /** Longest run of consecutive integers in a collection of DISTINCT
+    * ints — a higher-order fold over the sorted array. Replaces the
+    * row_number-window gaps-and-islands idiom: the run assembly happens
+    * inside the aggregation's group instead of a separate
+    * partition+sort window stage, so the match frame crosses the wire
+    * ONCE (the ×100 ramp's shared_spans lesson — the window's
+    * sort-shuffle was half the family's cost). */
+  private def maxConsecRun(positions: Column): Column = {
+    val xs = sort_array(positions)
+    aggregate(
+      slice(xs, lit(2), size(xs) - 1),
+      struct(lit(1).as("run"), lit(1).as("best"),
+        element_at(xs, 1).as("prev")),
+      (acc, x) => {
+        val r = when(x === acc("prev") + 1, acc("run") + 1).otherwise(lit(1))
+        struct(r.as("run"), greatest(acc("best"), r).as("best"),
+          x.as("prev"))
+      },
+      acc => acc("best"))
+  }
+
+  /** Gaps-and-islands over a collection of DISTINCT ints, as data:
+    * the sorted array folds to `array<struct<p0,len>>` — one struct
+    * per maximal run of consecutive values. Same shuffle-once
+    * rationale as [[maxConsecRun]], for the consumers that need each
+    * island's start and length (span stripping), not just the max. */
+  private def islandsOf(positions: Column): Column = {
+    val xs = sort_array(positions)
+    // empty array<struct<p0,len>> via slice: array().cast(...) can't
+    // name struct fields, and sequence(1,0) is DESCENDING, not empty
+    val noneYet = slice(
+      array(struct(lit(0).as("p0"), lit(0).as("len"))), 1, 0)
+    def closed(acc: Column) =
+      array(struct(acc("p0").as("p0"),
+        (acc("prev") - acc("p0") + 1).as("len")))
+    aggregate(
+      slice(xs, lit(2), size(xs) - 1),
+      struct(noneYet.as("done"), element_at(xs, 1).as("p0"),
+        element_at(xs, 1).as("prev")),
+      (acc, x) => when(x === acc("prev") + 1,
+          struct(acc("done").as("done"), acc("p0").as("p0"),
+            x.as("prev")))
+        .otherwise(struct(concat(acc("done"), closed(acc)).as("done"),
+          x.as("p0"), x.as("prev"))),
+      acc => concat(acc("done"), closed(acc)))
+  }
+
   /** q237: LONGEST SHARED TOKEN SPAN — exact-substring decontamination
     * at span granularity (Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better", public): q131 says WHICH source
@@ -1287,41 +1336,53 @@ object Dedup extends org.apache.spark.internal.Logging {
     * positional variant of q131's incidence join, bounded by shared-gram
     * occurrences (not corpus²); in production it runs on the doc pairs
     * q131's source gate already flagged, with q227's hub exclusion
-    * keeping boilerplate grams out of the key. The diagonal trick makes
-    * span assembly two window functions — no per-pair alignment loop. */
+    * keeping boilerplate grams out of the key. The match frame crosses
+    * the wire exactly ONCE, as narrow as it gets: 16-byte binary gram
+    * keys in the join (not 32-char hex), sources and pos_b dropped
+    * before the shuffle (sources re-attach to the k survivors; pos_b
+    * folds into the diagonal), and span assembly is a sorted-array
+    * fold INSIDE the one aggregation ([[maxConsecRun]]) — no distinct
+    * pass (joined tuples are unique by construction: (doc,pos)
+    * identifies a gram row and dg fixes pos_b) and no
+    * row_number-window sort-shuffle. The ×100 ramp measured the old
+    * 3-shuffle chain at 28.5×; this is the fix. */
   def sharedSpans(s: SparkSession, dir: String, n: Int = 13,
                   k: Int = 20): DataFrame = {
+    // deliberately NOT checkpointed: the pos-exploded gram frame is the
+    // suite's largest intermediate, and the ×100 ramp measured storing
+    // it (MEMORY_AND_DISK blocks) at 38 s / 22 GB peak vs recomputing
+    // the narrow scan+shingle per join side at 23 s / 11 GB peak
     val grams = Tables.fanOut(
         docs(s, dir).select("doc_id", "source", "text"), "doc_id")
       .select(col("doc_id"), col("source"),
         posexplode(shinglesC(tokensC(col("text")), n)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("source"), col("pos"),
-        md5(col("sh")).as("h"))
-      .localCheckpoint()
+        unhex(md5(col("sh"))).as("h"))
     val m = grams.as("a")
       .join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .select(col("a.doc_id").as("doc_a"), col("a.source").as("src_a"),
-        col("b.doc_id").as("doc_b"), col("b.source").as("src_b"),
-        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
-      .distinct()
-    val wIsl = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_a"), col("doc_b"), col("dg"))
-      .orderBy("pos_a")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.pos") - col("b.pos")).as("dg"), col("a.pos").as("pos_a"))
     // top-k over the pair-level frame via sort+limit, NOT a global
     // row_number window: the tie-break order is total, so the rows are
     // identical, but Spark plans TakeOrderedAndProject (per-partition
     // heap + driver merge of k) instead of a single-partition window —
     // the ×100 ramp surfaced the all-pairs frame collapsing onto one
     // task through WindowExec
-    m.withColumn("dg", col("pos_a") - col("pos_b"))
-      .withColumn("isl", col("pos_a") - row_number().over(wIsl))
-      .groupBy("doc_a", "src_a", "doc_b", "src_b", "dg", "isl")
-      .agg(count(lit(1)).as("len"))
-      .groupBy("doc_a", "src_a", "doc_b", "src_b")
-      .agg((max(col("len")) + (n - 1)).cast(IntegerType).as("span_tokens"))
+    val topk = m.groupBy("doc_a", "doc_b", "dg")
+      .agg(maxConsecRun(collect_list(col("pos_a"))).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max(col("run")) + (n - 1)).cast(IntegerType).as("span_tokens"))
       .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"))
       .limit(k)
+    // sources re-attach to the ≤k survivors (broadcast side), not to
+    // the match frame — they'd otherwise ride every shuffled row
+    val srcOf = docs(s, dir).select(col("doc_id"), col("source"))
+    val withA = srcOf.join(broadcast(topk), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("source").as("src_a"),
+        col("span_tokens"))
+    srcOf.withColumnRenamed("source", "src_b")
+      .join(broadcast(withA), col("doc_id") === col("doc_b"))
       .select("doc_a", "doc_b", "src_a", "src_b", "span_tokens")
       .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"))
   }
@@ -1337,10 +1398,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     * source's total tokens, and the flagged fraction — the number that
     * says whether decontamination is a trim or an amputation.
     *
-    * Shape at 100 TB: q237's diagonal-island chain plus one
-    * sequence-explode of qualifying spans (bounded by flagged-span
-    * volume, not corpus size) and two hash-aggs; the source token
-    * totals ride the existing corpus scan. */
+    * Shape at 100 TB: q237's one-shuffle diagonal chain (narrow match
+    * frame, [[islandsOf]] fold instead of a window — no no-op distinct,
+    * no sort-shuffle) plus one sequence-explode of qualifying spans
+    * (bounded by flagged-span volume, not corpus size) and two
+    * hash-aggs; sources re-attach at doc granularity AFTER the
+    * position-level dedup, so the strings never ride the wide
+    * shuffles; the source token totals ride the existing corpus
+    * scan. */
   def spanStripPlan(s: SparkSession, dir: String, n: Int = 13,
                     minSpan: Int = 30): DataFrame = {
     val grams = Tables.fanOut(
@@ -1348,34 +1413,29 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), col("source"),
         posexplode(shinglesC(tokensC(col("text")), n)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("source"), col("pos"),
-        md5(col("sh")).as("h"))
-      .localCheckpoint()
+        unhex(md5(col("sh"))).as("h"))
     val m = grams.as("a")
       .join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       // strip side = the LATER source (b): accounting runs in b's
       // position coordinates
-      .select(col("b.doc_id").as("doc_id"), col("b.source").as("source"),
-        col("a.doc_id").as("doc_o"), col("b.pos").as("pos_b"),
-        (col("a.pos") - col("b.pos")).as("dg"))
-      .distinct()
-    val wIsl = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"), col("doc_o"), col("dg"))
-      .orderBy("pos_b")
-    val flagged = m
-      .withColumn("isl", col("pos_b") - row_number().over(wIsl))
-      .groupBy("doc_id", "source", "doc_o", "dg", "isl")
-      .agg(min(col("pos_b")).as("p0"), count(lit(1)).as("len"))
-      .filter(col("len") + (n - 1) >= minSpan)
+      .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("doc_o"),
+        (col("a.pos") - col("b.pos")).as("dg"), col("b.pos").as("pos_b"))
+    val perDoc = m.groupBy("doc_id", "doc_o", "dg")
+      .agg(islandsOf(collect_list(col("pos_b"))).as("isls"))
+      .select(col("doc_id"), explode(filter(col("isls"),
+        i => i("len") + (n - 1) >= minSpan)).as("isl"))
       // covered token positions of the island: p0 .. p0 + len - 1 + n - 1
-      .select(col("doc_id"), col("source"),
-        explode(sequence(col("p0"), col("p0") + col("len") + (n - 2)))
-          .as("tp"))
-      .distinct()
+      .select(col("doc_id"), explode(sequence(col("isl")("p0"),
+        col("isl")("p0") + col("isl")("len") + (n - 2))).as("tp"))
+      .distinct() // REAL: overlapping spans must not double-count
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ntok"))
+    val flagged = docs(s, dir).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"))
       .groupBy("source")
-      .agg(countDistinct(col("doc_id")).cast(IntegerType)
-          .as("n_docs_flagged"),
-        count(lit(1)).cast(IntegerType).as("n_tokens_flagged"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs_flagged"),
+        sum(col("ntok")).cast(IntegerType).as("n_tokens_flagged"))
     val totals = docs(s, dir)
       .select(col("source"), size(tokensC(col("text"))).as("nt"))
       .groupBy("source")
@@ -1531,45 +1591,39 @@ object Dedup extends org.apache.spark.internal.Logging {
     * occurrence lists. */
   def stripVerify(s: SparkSession, dir: String, n: Int = 13,
                   minSpan: Int = 30): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     def gramRowsOf(c: DataFrame): DataFrame =
       c.select(col("doc_id"), col("source"),
         posexplode(shinglesC(tokensC(col("text")), n)).as(Seq("pos", "sh")))
         .select(col("doc_id"), col("source"), col("pos"),
-          md5(col("sh")).as("h"))
+          unhex(md5(col("sh"))).as("h"))
     def pairsWithSpan(c: DataFrame): DataFrame = {
-      val grams = gramRowsOf(c).localCheckpoint()
-      val m = grams.as("a").join(grams.as("b"),
+      val grams = gramRowsOf(c)
+      grams.as("a").join(grams.as("b"),
           col("a.h") === col("b.h") && col("a.source") < col("b.source"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.pos").as("pos_a"),
-          (col("a.pos") - col("b.pos")).as("dg"))
-        .distinct()
-      val w = W.partitionBy("doc_a", "doc_b", "dg").orderBy("pos_a")
-      m.withColumn("isl", col("pos_a") - row_number().over(w))
-        .groupBy("doc_a", "doc_b", "dg", "isl")
-        .agg(count(lit(1)).as("len"))
-        .filter(col("len") + (n - 1) >= minSpan)
-        .select("doc_a", "doc_b").distinct()
+          (col("a.pos") - col("b.pos")).as("dg"), col("a.pos").as("pos_a"))
+        .groupBy("doc_a", "doc_b", "dg")
+        .agg(maxConsecRun(collect_list(col("pos_a"))).as("run"))
+        .groupBy("doc_a", "doc_b")
+        .agg(max(col("run")).as("run"))
+        .filter(col("run") + (n - 1) >= minSpan)
+        .select("doc_a", "doc_b")
     }
     val orig = Tables.fanOut(
       docs(s, dir).select("doc_id", "source", "text"), "doc_id")
       .localCheckpoint() // gram pass, flag pass, rebuild all read it
-    val grams = gramRowsOf(orig).localCheckpoint()
+    val grams = gramRowsOf(orig)
     val m = grams.as("a").join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("doc_o"),
-        col("b.pos").as("pos_b"), (col("a.pos") - col("b.pos")).as("dg"))
-      .distinct()
-    val wb = W.partitionBy("doc_id", "doc_o", "dg").orderBy("pos_b")
-    val fl = m.withColumn("isl", col("pos_b") - row_number().over(wb))
-      .groupBy("doc_id", "doc_o", "dg", "isl")
-      .agg(min("pos_b").as("p0"), count(lit(1)).as("len"))
-      .filter(col("len") + (n - 1) >= minSpan)
-      .select(col("doc_id"),
-        explode(sequence(col("p0"), col("p0") + col("len") + (n - 2)))
-          .as("pos"))
-      .distinct()
+        (col("a.pos") - col("b.pos")).as("dg"), col("b.pos").as("pos_b"))
+    val fl = m.groupBy("doc_id", "doc_o", "dg")
+      .agg(islandsOf(collect_list(col("pos_b"))).as("isls"))
+      .select(col("doc_id"), explode(filter(col("isls"),
+        i => i("len") + (n - 1) >= minSpan)).as("isl"))
+      .select(col("doc_id"), explode(sequence(col("isl")("p0"),
+        col("isl")("p0") + col("isl")("len") + (n - 2))).as("pos"))
+      .distinct() // REAL: overlapping spans share covered positions
       .localCheckpoint() // strip + the stripped-token census read it
     val toks = orig.select(col("doc_id"), col("source"),
       posexplode(tokensC(col("text"))).as(Seq("pos", "tk")))

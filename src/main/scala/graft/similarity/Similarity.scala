@@ -1618,19 +1618,35 @@ object Similarity {
     * the production shape: all-pairs LOO is quadratic, in-cell LOO is
     * the index probe every vector already pays. Singleton-cell vectors
     * are counted as uncovered, not silently dropped. */
-  def labelNoiseCensus(s: SparkSession, dir: String): DataFrame = {
+  def labelNoiseCensus(s: SparkSession, dir: String): DataFrame =
+    labelNoiseCensusBounded(s, dir, maxCell = 100000)
+
+  /** q296 body with the hot-cell bound explicit: the in-cell LOO
+    * self-join inherits Lloyd cell skew — a dominant cell (one class,
+    * one template family) makes its pair count quadratic in the cell.
+    * The guard is [[subQuantize]]'s seeded sign-hyperplane split (the
+    * q181 lesson): cells above `maxCell` re-key on (cluster, sub-code)
+    * so no compare group stays quadratic, at the cost of slightly
+    * narrower neighbor pools (coverage can only DROP — a split never
+    * invents a neighbor). The default bound is far above every fixture
+    * cell, so the oracle path's keys equal the clusters bit-for-bit;
+    * the spec drives an adversarial bound. */
+  def labelNoiseCensusBounded(s: SparkSession, dir: String,
+                              maxCell: Int): DataFrame = {
     val L = graft.ml.LloydExact
     val pts = L.points(s, dir)
-    val cells = L.assign(pts, L.centersFor(pts))
-      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
-      .join(Tables.load(s, dir, "embeddings").select("vec_id", "label"),
-        Seq("vec_id"))
-      .localCheckpoint() // both sides of the in-cell self-join
+    val cells = subQuantize(
+      L.assign(pts, L.centersFor(pts))
+        .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+        .join(Tables.load(s, dir, "embeddings").select("vec_id", "label"),
+          Seq("vec_id"))
+        .localCheckpoint(), // both sides of the in-cell self-join
+      maxCell)
     val b = cells.select(col("vec_id").as("nb"), col("e").as("eb"),
-      col("nrm").as("nbn"), col("label").as("nb_label"), col("cluster"))
+      col("nrm").as("nbn"), col("label").as("nb_label"), col("cell"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("nb"))
-    val nn = cells.join(b, Seq("cluster"))
+    val nn = cells.join(b, Seq("cell"))
       .filter(col("vec_id") =!= col("nb"))
       .withColumn("sim",
         cosineFromNorms(dotp(col("e"), col("eb")), col("nrm"),

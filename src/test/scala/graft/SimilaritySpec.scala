@@ -175,6 +175,28 @@ class SimilaritySpec extends SparkSpec {
     assert(guarded.forall(r => r._3 === r._1 % off))
   }
 
+  test("q296 hot-cell guard: census invariants under an adversarial " +
+      "bound; default bound is the unguarded census") {
+    val std = Similarity.labelNoiseCensus(spark, sfDir).collect()
+    val bounded = Similarity
+      .labelNoiseCensusBounded(spark, sfDir, maxCell = 8).collect()
+    // same label axis and totals: the guard re-keys compare groups,
+    // never adds or drops vectors
+    assert(bounded.map(_.getInt(0)).toSeq === std.map(_.getInt(0)).toSeq)
+    assert(bounded.map(_.getLong(1)).toSeq === std.map(_.getLong(1)).toSeq)
+    val stdCov = std.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    bounded.foreach { r =>
+      val (lbl, total, cov, agree) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // splitting a cell can only REMOVE neighbor candidates
+      assert(cov <= stdCov(lbl), s"label $lbl coverage grew: $r")
+      assert(agree <= cov && cov <= total, s"census invariant broke: $r")
+    }
+    // the guard actually engaged: with maxCell=8 on fixture-scale
+    // cells, at least one vector lost its in-cell neighbor pool
+    assert(bounded.map(_.getLong(2)).sum < std.map(_.getLong(2)).sum)
+  }
+
   test("q236 nprobe sweep: recall monotone, exact at full probe width") {
     val rows = Similarity.ivfNprobeSweep(spark, sfDir).collect()
     val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
