@@ -23,7 +23,14 @@ import org.apache.spark.sql.SparkSession
   * band under "suspect" — an official artifact taken in a degraded window
   * now says so itself instead of misreporting the engine by 5-10×.
   * Override the floors path with SPARK_GRAFT_FLOORS; a missing file
-  * disables the guard (new queries simply have no floor yet). */
+  * disables the guard (new queries simply have no floor yet).
+  *
+  * RETRY-UNTIL-QUIET: a calibration probe runs before EVERY pass, not
+  * once; if no standard pass certifies quiet (ratio ≤ 1.15), up to
+  * SPARK_GRAFT_QUIET_EXTRA (default 1) additional full passes run after
+  * a settle pause, stopping at the first quiet one. The total line
+  * carries calib_ratios (every attempt) and quiet_certified, so a
+  * best-of-N artifact taken on a loud host says so itself. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +86,8 @@ object Bench {
         .count()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibSec = (1 to 5).map(_ => calibOnce()).min
+    def calibMin(n: Int): Double = (1 to n).map(_ => calibOnce()).min
+    val calibSec = calibMin(5)
     // Host pegged-thread variance makes single-shot timings swing 6-140×
     // run-to-run, uncorrelated with the query; N full passes with per-query
     // MINIMA in the total line make the artifact self-certifying (min over
@@ -90,16 +98,6 @@ object Bench {
     // without env cooperation — a single degraded-window pass misrepresents
     // the engine by 5-10× on heavy queries
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (rep <- 1 to reps; n <- names) {
-      val sec = runOne(n)
-      times(n) = sec :: times.getOrElse(n, Nil)
-      // stream each result immediately: a killed run keeps everything done;
-      // mark failures explicitly so replay consumers never sum the sentinel
-      val failedAttr = if (sec < 0) ""","failed":true""" else ""
-      println(s"""{"metric":"query","name":"$n","value":$sec,"unit":"sec","rep":$rep$failedAttr}""")
-      Console.out.flush()
-    }
     // degraded-window guard: quiet-window floors from the checked-in JSON
     // (flat {"name": seconds} — parsed without a JSON library on purpose:
     // zero-dependency contract, and the file is machine-generated)
@@ -118,6 +116,49 @@ object Bench {
       System.err.println(
         s"[bench] WARNING: no floors loaded from $floorsPath — " +
           "degraded-window guard inactive; suspect:[] does not certify")
+    val calibFloor = floors.getOrElse("q000_calib_probe", -1.0)
+    def ratioOf(sec: Double): Double =
+      if (calibFloor > 0) sec / calibFloor else -1.0
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    // per-pass calibration: a probe runs BEFORE each full pass, so the
+    // artifact records which passes executed in a quiet window instead
+    // of one probe speaking for the whole run
+    val passCalib = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runPass(rep: Int, probeSec: Double): Unit = {
+      passCalib += probeSec
+      println(f"""{"metric":"pass_calib","rep":$rep,"calib_sec":$probeSec%.3f,"calib_ratio":${ratioOf(probeSec)}%.2f}""")
+      Console.out.flush()
+      for (n <- names) {
+        val sec = runOne(n)
+        times(n) = sec :: times.getOrElse(n, Nil)
+        // stream each result immediately: a killed run keeps everything
+        // done; mark failures explicitly so replay consumers never sum
+        // the sentinel
+        val failedAttr = if (sec < 0) ""","failed":true""" else ""
+        println(s"""{"metric":"query","name":"$n","value":$sec,"unit":"sec","rep":$rep$failedAttr}""")
+        Console.out.flush()
+      }
+    }
+    runPass(1, calibSec)
+    for (rep <- 2 to reps) runPass(rep, calibMin(3))
+    // RETRY-UNTIL-QUIET (round-11 verdict watch item 3): if NO standard
+    // pass ran in a quiet window (all calib ratios above QuietRatio),
+    // per-query minima still carry the host degradation — settle, then
+    // run up to SPARK_GRAFT_QUIET_EXTRA (default 1) additional FULL
+    // passes, stopping at the first whose probe certifies quiet. Bounded
+    // so a persistently-loud host costs at most one extra pass by
+    // default; the artifact annotates every attempt's ratio either way.
+    val QuietRatio = 1.15
+    def anyQuiet: Boolean =
+      passCalib.exists(s => { val r = ratioOf(s); r > 0 && r <= QuietRatio })
+    val quietExtra =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_EXTRA", "1").toInt.max(0)
+    var quietTries = 0
+    while (calibFloor > 0 && !anyQuiet && quietTries < quietExtra) {
+      Thread.sleep(15000) // let a transient co-tenant stall pass
+      quietTries += 1
+      runPass(reps + quietTries, calibMin(3))
+    }
     def minOf(n: String): Double = {
       val ok = times(n).filter(_ >= 0)
       if (ok.nonEmpty) ok.min else -1.0
@@ -130,7 +171,7 @@ object Bench {
         times(n) = sec :: times(n)
         extra += 1
         val failedAttr = if (sec < 0) ""","failed":true""" else ""
-        println(s"""{"metric":"query","name":"$n","value":$sec,"unit":"sec","rep":${reps + extra},"extra":true$failedAttr}""")
+        println(s"""{"metric":"query","name":"$n","value":$sec,"unit":"sec","rep":${reps + quietTries + extra},"extra":true$failedAttr}""")
         Console.out.flush()
       }
     }
@@ -147,9 +188,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calibFloor = floors.getOrElse("q000_calib_probe", -1.0)
-    val calibRatio = if (calibFloor > 0) calibSec / calibFloor else -1.0
-    val totalLine = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"reps":$reps,"calib_sec":$calibSec%.3f,"calib_ratio":$calibRatio%.2f,"sf":"$sfDir"}"""
+    // headline calib = the BEST window any pass ran in (per-query minima
+    // aggregate across passes, so the quietest pass is the one the
+    // reported numbers effectively came from); calib_ratios keeps every
+    // attempt so a best-of-N artifact is explicit about its history
+    val calibBest = passCalib.min
+    val calibRatio = ratioOf(calibBest)
+    val ratiosJson = passCalib
+      .map(s => f"${ratioOf(s)}%.2f").mkString("[", ",", "]")
+    val quietCertified = calibRatio > 0 && calibRatio <= QuietRatio
+    val totalLine = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"reps":$reps,"calib_sec":$calibBest%.3f,"calib_ratio":$calibRatio%.2f,"calib_ratios":$ratiosJson,"quiet_certified":$quietCertified,"sf":"$sfDir"}"""
     println(totalLine)
     // standalone artifact: the stdout capture that becomes BENCH_r{N}.json
     // truncates to a tail window, losing most per-query timings — writing
