@@ -740,6 +740,11 @@ object SparkEntry {
     // label-noise census: cell-local leave-one-out 1-NN agreement
     "q296_label_noise"        -> ((s, d) =>
       graft.similarity.Similarity.labelNoiseCensus(s, d)),
+    // 23rd streaming surface: per-key state under TTL — a 5 s register
+    // deterministically evicts across the two-run gap, a 60 min one
+    // survives; the oracle encodes the same horizon
+    "q297_ttl_state"          -> ((s, d) =>
+      graft.streaming.EventStream.ttlStateParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1577,6 +1577,185 @@ object EventStream {
     }
   }
 
+  final case class TtlDurable(appear: Long, n: Long, sumScaled: Long)
+  final case class TtlEphemeral(n: Long, sumScaled: Long)
+  final case class TtlCacheRow(user_id: Long, appear_idx: Int,
+      warm_durable: Int, n_total: Long, sum_total: Double,
+      n_since_evict: Long, sum_since_evict: Double)
+
+  /** Two per-key registers under DIFFERENT TTLs — the state-lifecycle
+    * primitive the TWS triad + timers left uncovered (every prior
+    * surface runs TTLConfig.NONE): a 60-minute "profile" register that
+    * survives the harness's inter-run gap, and a 5-second "session
+    * cache" register the same gap deterministically evicts. Both fold
+    * the identical counts/sums, so the divergence between n_total and
+    * n_since_evict in a warm batch is PURELY the TTL's doing. TTL is
+    * processing-time by definition (Spark validates it against
+    * TimeMode.ProcessingTime), so determinism comes from the harness
+    * margins, not the data — see [[ttlStateParity]]. */
+  class TtlCacheProcessor(durableTtl: java.time.Duration,
+                          ephemeralTtl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, TtlCacheRow] {
+    @transient private var durable:
+      org.apache.spark.sql.streaming.ValueState[TtlDurable] = _
+    @transient private var ephem:
+      org.apache.spark.sql.streaming.ValueState[TtlEphemeral] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit = {
+      durable = getHandle.getValueState[TtlDurable]("durable",
+        org.apache.spark.sql.Encoders.product[TtlDurable],
+        org.apache.spark.sql.streaming.TTLConfig(durableTtl))
+      ephem = getHandle.getValueState[TtlEphemeral]("ephem",
+        org.apache.spark.sql.Encoders.product[TtlEphemeral],
+        org.apache.spark.sql.streaming.TTLConfig(ephemeralTtl))
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TtlCacheRow] = {
+      var nb = 0L; var sb = 0L
+      rows.foreach { e =>
+        nb += 1; sb += math.rint(e.value * 1e4).toLong }
+      val d0 = if (durable.exists()) durable.get() else TtlDurable(0, 0, 0)
+      val e0 = if (ephem.exists()) ephem.get() else TtlEphemeral(0, 0)
+      val d1 = TtlDurable(d0.appear + 1, d0.n + nb, d0.sumScaled + sb)
+      val e1 = TtlEphemeral(e0.n + nb, e0.sumScaled + sb)
+      durable.update(d1)
+      ephem.update(e1)
+      Iterator.single(TtlCacheRow(key, d1.appear.toInt,
+        if (d0.appear > 0) 1 else 0, d1.n, d1.sumScaled / 1e4,
+        e1.n, e1.sumScaled / 1e4))
+    }
+  }
+
+  /** How long the harness waits between the two runs; must exceed
+    * [[TtlEphemeralSec]] with margin. */
+  val TtlGapMs = 12000L
+  val TtlEphemeralSec = 5L
+
+  /** q297 — STATE-TTL parity, the twenty-third streaming surface and
+    * the last Spark-4 stateful primitive (after the q253/q260/q261
+    * state-type triad and q264's timers): per-key state under TTL
+    * eviction, proven against a batch oracle that encodes the same
+    * eviction horizon.
+    *
+    * Harness: the day≤15 / day>15 event halves land as two runs of the
+    * SAME checkpointed AvailableNow query (the q143 restart pattern),
+    * with a [[TtlGapMs]] pause between them. Run 2's batch therefore
+    * executes > [[TtlEphemeralSec]] after run 1 wrote its state: the
+    * ephemeral register is evicted for EVERY key (its TTL clock starts
+    * at run 1's update and nothing refreshes it during the pause),
+    * while the 60-minute durable register survives. Determinism is
+    * one-sided margins, not luck: eviction needs gap > ttl (12 s vs
+    * 5 s — and the gap only grows if the host stalls), survival needs
+    * total wall clock < 60 min; neither bound depends on micro-batch
+    * scheduling inside a run, because each run stages exactly ONE file
+    * (one batch — no intra-run TTL exposure). Output: one row per
+    * (user, appearance) with the durable cumulative fold next to the
+    * post-eviction fold; for every day≤15 user re-appearing after the
+    * gap, n_total ≠ n_since_evict is the VISIBLE TTL effect, and
+    * warm_durable = 1 proves the other register did not evict.
+    *
+    * Shape at 100 TB: TTL is the mechanism that keeps a production
+    * TWS job's RocksDB bounded when the key space churns (inactive
+    * keys age out instead of accumulating forever); per-key state here
+    * is O(1), eviction is the store's range-scan on expiry timestamps,
+    * and the surface swaps to [[kafkaSource]] by dropping the
+    * staging. */
+  def ttlStateParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q297")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provPrev = s.conf.getOption(provKey)
+    // no-data micro-batches must be OFF here: with TTL state in
+    // ProcessingTime mode the operator always reports "might have work
+    // as time advances", so AvailableNow would loop empty batches
+    // forever instead of terminating (observed: 600+ empty jobs until
+    // the await timeout). TTL doesn't need them — expiry is evaluated
+    // on READ, so run 2's real batch sees the eviction regardless.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = s.conf.getOption(noDataKey)
+    s.conf.set(partsKey, "8")
+    s.conf.set(noDataKey, "false")
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+      val out = tmp.resolve("out").toString
+      // both runs must build the IDENTICAL plan for checkpoint
+      // compatibility — one definition, invoked twice
+      def run(): StreamingQuery = {
+        val ds = s.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        ds.groupByKey(_.user_id)
+          .transformWithState(
+            new TtlCacheProcessor(
+              java.time.Duration.ofMinutes(60),
+              java.time.Duration.ofSeconds(TtlEphemeralSec)),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            OutputMode.Append(),
+            org.apache.spark.sql.Encoders.product[TtlCacheRow])
+          .toDF().writeStream
+          .outputMode(OutputMode.Append())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); () }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      // ---- run 1: the first half-month, one file = one batch
+      val stage1 = tmp.resolve("stage1")
+      events.filter(dayofmonth(col("ts")) <= 15)
+        .coalesce(1).write.mode("overwrite").parquet(stage1.toString)
+      moveOnlyParquet(stage1, in.resolve("aa-half1.parquet"),
+        mtimeMs = 1000000L)
+      q = run()
+      require(q.awaitTermination(300000),
+        "q297 TTL run 1 did not terminate within 300 s")
+      q = null
+      // ---- the eviction gap: > ephemeral TTL, ≪ durable TTL
+      Thread.sleep(TtlGapMs)
+      // ---- run 2: the rest, resumed from the same checkpoint
+      val stage2 = tmp.resolve("stage2")
+      events.filter(dayofmonth(col("ts")) > 15)
+        .coalesce(1).write.mode("overwrite").parquet(stage2.toString)
+      moveOnlyParquet(stage2, in.resolve("mm-half2.parquet"),
+        mtimeMs = 1060000L)
+      q = run()
+      require(q.awaitTermination(300000),
+        "q297 TTL run 2 did not terminate within 300 s")
+      s.read.parquet(out)
+        .select(col("user_id"), col("appear_idx"), col("warm_durable"),
+          col("n_total"), col("sum_total"), col("n_since_evict"),
+          col("sum_since_evict"))
+        .orderBy("user_id", "appear_idx")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None    => s.conf.unset(noDataKey)
+      }
+      provPrev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   /** q111 — oracle-checked streaming-DEDUP parity, closing the fourth
     * stateful streaming surface (q85 = aggregation, q107 = merge, q109 =
     * join, this = keyed dedup): the staged events copy is polluted with a
@@ -2400,6 +2579,30 @@ object EventStream {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q297's oracle encodes the TTL horizon: the day≤15 / day>15 halves
+    // are the two batches, the durable register is the cumulative fold
+    // (windowed DECIMAL sums, exact), the ephemeral register restarts
+    // per half because the harness gap exceeds its TTL
+    "q297_ttl_state" ->
+      """WITH e AS (SELECT user_id,
+        |    CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 2 END
+        |      AS slice,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |g AS (SELECT user_id, slice, COUNT(*) AS nb, SUM(v) AS sb
+        |  FROM e GROUP BY user_id, slice)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS appear_idx,
+        |  CAST(CASE WHEN ROW_NUMBER() OVER w > 1 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS warm_durable,
+        |  CAST(SUM(nb) OVER w AS BIGINT) AS n_total,
+        |  CAST(SUM(sb) OVER w AS DOUBLE) AS sum_total,
+        |  CAST(nb AS BIGINT) AS n_since_evict,
+        |  CAST(sb AS DOUBLE) AS sum_since_evict
+        |FROM g
+        |WINDOW w AS (PARTITION BY user_id ORDER BY slice
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, appear_idx""".stripMargin,
     "q295_anti_join_parity" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |  CAST(c.ts AS TIMESTAMP) AS click_ts

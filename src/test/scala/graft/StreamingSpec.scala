@@ -737,6 +737,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q297 TTL state: ephemeral register evicts across the gap, " +
+      "durable register survives it") {
+    val rows = graft.streaming.EventStream.ttlStateParity(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    // at least one user spans both halves, or the surface proves nothing
+    assert(byUser.values.exists(_.length === 2))
+    byUser.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("appear_idx"))
+      // first appearance: cold on both registers, folds agree
+      val first = sorted.head
+      assert(first.getAs[Int]("warm_durable") === 0)
+      assert(first.getAs[Long]("n_total")
+        === first.getAs[Long]("n_since_evict"))
+      sorted.drop(1).foreach { r =>
+        // re-appearance after the gap: the durable register carried
+        // history (warm, cumulative strictly above the batch count)
+        // while the ephemeral one restarted — the VISIBLE TTL eviction
+        assert(r.getAs[Int]("warm_durable") === 1)
+        assert(r.getAs[Long]("n_total") >
+          r.getAs[Long]("n_since_evict"), r.toString)
+        assert(r.getAs[Long]("n_total") === sorted.head.getAs[Long](
+          "n_total") + r.getAs[Long]("n_since_evict"))
+      }
+    }
+  }
+
   test("q295 anti join: absent set is disjoint from q247's matched set " +
       "and together they cover all clicks") {
     import org.apache.spark.sql.functions.col
