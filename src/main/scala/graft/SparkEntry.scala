@@ -745,6 +745,11 @@ object SparkEntry {
     // survives; the oracle encodes the same horizon
     "q297_ttl_state"          -> ((s, d) =>
       graft.streaming.EventStream.ttlStateParity(s, d)),
+    // 24th streaming surface: q277's IVF insert as the ingest loop —
+    // micro-batch appends into the persisted cell layout across a
+    // checkpointed restart, probe hash-equal to the batch oracle
+    "q298_ivf_upsert_stream"  -> ((s, d) =>
+      graft.similarity.Similarity.annIvfUpsertStream(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

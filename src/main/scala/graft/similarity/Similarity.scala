@@ -1254,6 +1254,94 @@ object Similarity {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q298: STREAMING IVF UPSERT — the index-lifecycle capstone: q277's
+    * INSERT path executed as the INGEST LOOP a production vector store
+    * actually runs. The additions arrive as three mtime-ordered files
+    * (maxFilesPerTrigger=1 ⇒ three micro-batches) across TWO
+    * checkpointed AvailableNow runs (the q143 restart pattern — the
+    * third increment lands while no job is running); each micro-batch
+    * is assigned to the nearest EXISTING centroid (no retrain) and
+    * APPENDED into the persisted cell layout — new files under the
+    * touched cluster directories, no rewrite, no index reload between
+    * batches. The post-stream probe answers from the final layout and
+    * must hash-equal q277's batch oracle VERBATIM: per-row centroid
+    * assignment is batch-split-invariant by construction, so any
+    * double-applied file across the restart (a duplicate vec_id would
+    * occupy two top-k ranks), lost increment, or stale-generation read
+    * breaks the hash.
+    *
+    * Shape at 100 TB: per micro-batch cost is O(|batch|) assignment
+    * against K broadcast centroids + an append into the touched cell
+    * partitions; the checkpoint makes increments exactly-once across
+    * job restarts — this is how an embedding index stays fresh under
+    * continuous ingest without rebuild downtime. */
+  def annIvfUpsertStream(s: SparkSession, dir: String): DataFrame = {
+    val L = graft.ml.LloydExact
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q298")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val path = tmp.resolve("ivf").toString
+      val pts = L.points(s, dir)
+      // the frozen quantizer: every micro-batch assigns against it
+      val centers = L.centersFor(pts).localCheckpoint()
+      L.assign(pts, centers)
+        .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+        .write.partitionBy("cluster").parquet(path)
+      val adds = pts
+        .filter(col("vec_id") % 15 === 4 && col("vec_id") >= 10)
+        .select((col("vec_id") + UpsertOffset).as("vec_id"), col("e"))
+        .localCheckpoint() // three slice writes read it
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      def stageSlice(slice: Int, name: String, mtimeMs: Long): Unit = {
+        val stage = tmp.resolve(s"stage$slice")
+        adds.filter(pmod(col("vec_id"), lit(3L)) === slice)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        graft.streaming.EventStream.moveOnlyParquet(
+          stage, in.resolve(name), mtimeMs)
+      }
+      val addSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", LongType),
+        org.apache.spark.sql.types.StructField("e",
+          ArrayType(DoubleType))))
+      // both runs build the IDENTICAL plan for checkpoint compatibility
+      def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        s.readStream.schema(addSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            L.assign(b, centers)
+              .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+              .write.mode("append").partitionBy("cluster").parquet(path)
+            () }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      // ---- run 1: two increments
+      stageSlice(0, "aa-add0.parquet", 1000000L)
+      stageSlice(1, "bb-add1.parquet", 1060000L)
+      q = run()
+      require(q.awaitTermination(300000),
+        "q298 upsert-stream run 1 did not terminate within 300 s")
+      q = null
+      // ---- the third increment lands while no job is running
+      stageSlice(2, "cc-add2.parquet", 1120000L)
+      // ---- run 2: resumed from the same checkpoint
+      q = run()
+      require(q.awaitTermination(300000),
+        "q298 upsert-stream run 2 did not terminate within 300 s")
+      probeIvf(s.read.parquet(path)).localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      if (q != null && q.isActive) q.stop()
+      Tables.rmTree(tmp)
+    }
+  }
+
   private def q277OracleS: String = {
     val L = graft.ml.LloydExact
     import graft.ml.LloydExact.Iters
@@ -1884,6 +1972,10 @@ object Similarity {
     "q271_mmr_rerank" -> mmrOracleS,
     "q275_hard_negatives" -> hardNegOracleS,
     "q277_ivf_upsert" -> q277OracleS,
+    // q298's oracle IS q277's, verbatim: the streamed increments must
+    // land on the batch upsert's answer regardless of micro-batch
+    // splits or the job restart between them
+    "q298_ivf_upsert_stream" -> q277OracleS,
     "q280_stratified_split" -> q280OracleS,
     "q285_matryoshka_recall" -> q285OracleS,
     "q293_anisotropy" -> q293OracleS,

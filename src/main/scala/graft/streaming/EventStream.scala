@@ -576,7 +576,7 @@ object EventStream {
 
   /** Move the single parquet part out of a one-file staged write, stamping
     * a deterministic mtime (FileStreamSource batches oldest-mtime-first). */
-  private def moveOnlyParquet(stageDir: java.nio.file.Path,
+  private[graft] def moveOnlyParquet(stageDir: java.nio.file.Path,
                               dest: java.nio.file.Path, mtimeMs: Long): Unit = {
     val part = Option(stageDir.toFile.listFiles).getOrElse(Array.empty)
       .find(_.getName.endsWith(".parquet"))

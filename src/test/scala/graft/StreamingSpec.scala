@@ -765,6 +765,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q298 streaming IVF upsert lands on the batch q277 answer " +
+      "across the micro-batch splits and the restart") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val streamed = graft.similarity.Similarity
+      .annIvfUpsertStream(spark, sfDir).collect().map(key).toSeq
+    val batch = graft.similarity.Similarity
+      .annIvfUpsert(spark, sfDir).collect().map(key).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // insert VISIBILITY (a neighbor on the upsert id plane) holds at
+    // the oracle scales (sf0.01+), where q277/q298 hash-check against
+    // the corpus∪additions oracle; at this spec's fixture scale the
+    // copies' sources sit outside the tiny query cells' top-k, so the
+    // spec asserts the transfer property instead: streamed ≡ batch.
+  }
+
   test("q295 anti join: absent set is disjoint from q247's matched set " +
       "and together they cover all clicks") {
     import org.apache.spark.sql.functions.col
