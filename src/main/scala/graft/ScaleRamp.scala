@@ -72,54 +72,67 @@ object ScaleRamp {
   val AllTables: Seq[String] =
     Seq("documents", "embeddings", "events", "lineitem")
 
+  /** Base overwrite + copies appended in ≤64-way unions: a single
+    * 1000-way unionByName plan stalls analysis/codegen, while chunked
+    * appends keep plan size flat at any factor. */
+  private def writeChunked(base: DataFrame, copies: Seq[DataFrame],
+                           out: String): Unit = {
+    base.write.mode("overwrite").parquet(out)
+    copies.grouped(64).foreach(ch =>
+      ch.reduce(_ unionByName _).write.mode("append").parquet(out))
+  }
+
   def stage(s: SparkSession, baseDir: String, outDir: String,
             factor: Int,
             tables: Seq[String] = AllTables): Unit = {
-    // 128 admits the ×100 second-decade ramp; the id planes are
-    // collision-free far beyond it (99·CopyOffsetDoc ≈ 1.1e17 ≪ 2^63)
-    require(factor >= 2 && factor <= 128, s"factor out of range: $factor")
+    // 1024 admits the ×1000 third-decade probe; the id planes stay
+    // collision-free (1023·CopyOffsetDoc ≈ 1.08e18, 1023·CopyOffsetVec
+    // ≈ 2.4e17, 1023·CopyOffsetEvt ≈ 1.8e16 — all ≪ 2^63, and each
+    // copy's variant sub-planes stay inside its own offset slot)
+    require(factor >= 2 && factor <= 1024, s"factor out of range: $factor")
     if (tables.contains("documents")) {
     val docs = graft.sources.Tables.load(s, baseDir, "documents")
-    val docAug = (1 until factor).map { i =>
+    val docCopies = (1 until factor).map { i =>
       // "$1zcN": append the copy tag to every \S+ token run
       val tagged = regexp_replace(col("text"), "(\\S+)", s"$$1zc$i")
       docs.select((col("doc_id") + i * CopyOffsetDoc).as("doc_id"),
         tagged.as("text"), col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")))
-    }.foldLeft(docs.select(col("doc_id"), col("text"), col("lang"),
-      col("source"), col("n_chars")))(_ unionByName _)
-    docAug.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    writeChunked(docs.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")), docCopies,
+      s"$outDir/documents.parquet")
     }
 
     if (tables.contains("embeddings")) {
     val emb = s.read.parquet(s"$baseDir/embeddings.parquet")
-    val embAug = (1 until factor).map { i =>
+    val embCopies = (1 until factor).map { i =>
       val vid = col("vec_id") + i * CopyOffsetVec
       emb.select(vid.as("vec_id"),
         transform(col("embedding"), (_, ix) =>
           ((pmod(hash(vid, lit(i), ix), lit(1000000)).cast(DoubleType)
             / 1000000.0) - 0.5).cast(FloatType)).as("embedding"),
         col("label"))
-    }.foldLeft(emb.select(col("vec_id"), col("embedding"), col("label")))(
-      _ unionByName _)
-    embAug.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    writeChunked(emb.select(col("vec_id"), col("embedding"), col("label")),
+      embCopies, s"$outDir/embeddings.parquet")
     }
 
     if (tables.contains("events")) {
     val ev = graft.sources.Tables.load(s, baseDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val evAug = (1 until factor).map { i =>
+    val evCopies = (1 until factor).map { i =>
       ev.select((col("event_id") + i * CopyOffsetEvt).as("event_id"),
         col("ts"), (col("user_id") + i * CopyOffsetEvt).as("user_id"),
         col("event_type"), col("value"), col("props"))
-    }.foldLeft(ev)(_ unionByName _)
-    evAug.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+    writeChunked(ev, evCopies, s"$outDir/events.parquet")
     }
 
     if (tables.contains("lineitem")) {
     val li = s.read.parquet(s"$baseDir/lineitem.parquet")
-    (1 until factor).map(_ => li).foldLeft(li)(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    writeChunked(li, (1 until factor).map(_ => li),
+      s"$outDir/lineitem.parquet")
     }
   }
 

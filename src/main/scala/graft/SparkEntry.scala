@@ -750,6 +750,10 @@ object SparkEntry {
     // checkpointed restart, probe hash-equal to the batch oracle
     "q298_ivf_upsert_stream"  -> ((s, d) =>
       graft.similarity.Similarity.annIvfUpsertStream(s, d)),
+    // source-pair MinHash Jaccard (shard-merged signatures) vs exact,
+    // with absolute error — q274's sketch twin
+    "q299_source_minhash"     -> ((s, d) =>
+      graft.dedup.Dedup.sourceMinhashJaccard(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1573,6 +1573,84 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("src_a", "src_b")
   }
 
+  /** q299's estimator width and merge fan-in. */
+  val SrcMinhashK = 32
+  val SrcMinhashShards = 16
+
+  /** q299: SOURCE-LEVEL MINHASH JACCARD — the sketch twin of q274's
+    * exact overlap matrix (the q257/q259 estimate-vs-exact pattern, at
+    * corpus-mix granularity): each source's 3-gram shingle SET gets a
+    * [[SrcMinhashK]]-permutation MinHash signature, pairwise Jaccard is
+    * estimated as the matched-component fraction, and the exact
+    * |A∩B|/|A∪B| rides along with the absolute error — the table that
+    * says how far the cheap signature would have misjudged the mix.
+    *
+    * The signatures are computed the way a 100 TB run MUST: per-shard
+    * partial minima (here [[SrcMinhashShards]] hash shards standing in
+    * for per-partition combiners across machines) min-merged into the
+    * source signature. The DuckDB oracle computes the single-level
+    * min directly, so hash-equality IS the merge certificate —
+    * min-lattice associativity executed, not assumed (the q262
+    * compact≡probe move, applied to sketches).
+    *
+    * Shape at 100 TB: the k permutations are map-side integer
+    * arithmetic on each distinct (source, gram) row; both aggregation
+    * levels are partial-agg-friendly mins; the exact-intersection join
+    * fans out ≤ |sources|² per gram (a constant), and the pair matrix
+    * is |sources|² rows. Nothing is quadratic in the corpus. */
+  def sourceMinhashJaccard(s: SparkSession, dir: String, n: Int = 3,
+                           k: Int = SrcMinhashK,
+                           shards: Int = SrcMinhashShards): DataFrame = {
+    val sg = Tables.fanOut(
+        docs(s, dir).select("doc_id", "source", "text"), "doc_id")
+      .select(col("source"),
+        explode(array_distinct(shinglesC(tokensC(col("text")), n)))
+          .as("sh"))
+      .select(col("source"), hex60C(md5(col("sh"))).as("h"))
+      .distinct()
+      .localCheckpoint() // sizes + intersection + signature chain
+    val pSigs = (0 until k).map(i => min(permC(col("h"), i)).as(s"sig$i"))
+    val mSigs = (0 until k).map(i => min(col(s"sig$i")).as(s"sig$i"))
+    val partial = sg.withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .groupBy("source", "shard")
+      .agg(pSigs.head, pSigs.tail: _*)
+    val merged = partial.groupBy("source")
+      .agg(mSigs.head, mSigs.tail: _*)
+      .localCheckpoint() // both sides of the tiny pair matrix
+    val nMatch = (0 until k)
+      .map(i => when(col(s"a.sig$i") === col(s"b.sig$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pairs = merged.as("a")
+      .join(broadcast(merged.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        nMatch.cast(LongType).as("n_match"))
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = sg.as("x").join(sg.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("ni"))
+    val exactJ = col("n_inter").cast(DoubleType) /
+      col("n_union").cast(DoubleType)
+    val estJ = col("n_match").cast(DoubleType) / lit(k.toDouble)
+    pairs
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(sizes.withColumnsRenamed(
+        Map("source" -> "src_a", "sz" -> "sza")), Seq("src_a"))
+      .join(sizes.withColumnsRenamed(
+        Map("source" -> "src_b", "sz" -> "szb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("ni"), lit(0L)).as("n_inter"),
+        (col("sza") + col("szb") - coalesce(col("ni"), lit(0L)))
+          .as("n_union"),
+        col("n_match"))
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("n_union"),
+        col("n_match"),
+        round(exactJ, 6).as("jaccard_exact"),
+        estJ.as("jaccard_est"),
+        round(abs(estJ - exactJ), 6).as("abs_err"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q281: DECONTAMINATION STRIP-AND-REVERIFY — the certificate q238
     * only plans: APPLY the strip (every flagged token position removed
     * from the later source of each contaminated pair), re-run the
@@ -1916,6 +1994,51 @@ object Dedup extends org.apache.spark.internal.Logging {
          |FROM sh JOIN sizes za ON za.source = sh.src_a
          |  JOIN sizes zb ON zb.source = sh.src_b
          |ORDER BY src_a, src_b""".stripMargin
+    },
+    // q299: single-level mins here vs the Spark side's shard-merged
+    // mins — hash-equality is the merge certificate
+    "q299_source_minhash" -> {
+      val t = tokensS("text")
+      val k = SrcMinhashK
+      val sigCols = (0 until k)
+        .map(i => s"min(${permS("h", i)}) AS sig$i").mkString(",\n    ")
+      val matchSum = (0 until k)
+        .map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT source,
+         |    list_distinct(${shinglesS("t", 3)}) AS sh
+         |  FROM (SELECT source, $t AS t FROM documents)),
+         |sg AS MATERIALIZED (SELECT DISTINCT source,
+         |    ${hex60S("md5(s)")} AS h
+         |  FROM (SELECT source, unnest(sh) AS s FROM d)),
+         |sig AS (SELECT source,
+         |    $sigCols
+         |  FROM sg GROUP BY source),
+         |sizes AS (SELECT source, COUNT(*) AS sz FROM sg GROUP BY source),
+         |iv AS (SELECT x.source AS src_a, y.source AS src_b,
+         |    COUNT(*) AS ni
+         |  FROM sg x JOIN sg y ON x.h = y.h AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST($matchSum AS BIGINT) AS n_match
+         |  FROM sig a JOIN sig b ON a.source < b.source),
+         |m AS (SELECT p.src_a, p.src_b,
+         |    CAST(COALESCE(iv.ni, 0) AS BIGINT) AS n_inter,
+         |    CAST(za.sz + zb.sz - COALESCE(iv.ni, 0) AS BIGINT)
+         |      AS n_union,
+         |    p.n_match
+         |  FROM p LEFT JOIN iv
+         |    ON iv.src_a = p.src_a AND iv.src_b = p.src_b
+         |  JOIN sizes za ON za.source = p.src_a
+         |  JOIN sizes zb ON zb.source = p.src_b)
+         |SELECT src_a, src_b, n_inter, n_union, n_match,
+         |  round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+         |    AS jaccard_exact,
+         |  CAST(n_match AS DOUBLE) / $k.0 AS jaccard_est,
+         |  round(abs(CAST(n_match AS DOUBLE) / $k.0 -
+         |    CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)), 6)
+         |    AS abs_err
+         |FROM m ORDER BY src_a, src_b""".stripMargin
     },
     "q232_lsh_planted_pr" ->
       s"""${sigSelectS(nearDupCorpusS)},
