@@ -754,6 +754,10 @@ object SparkEntry {
     // with absolute error — q274's sketch twin
     "q299_source_minhash"     -> ((s, d) =>
       graft.dedup.Dedup.sourceMinhashJaccard(s, d)),
+    // scatter-gather exact top-k: per-shard top-k merged into the
+    // global answer, hash-equal to q31's single-scan oracle
+    "q300_scatter_topk"       -> ((s, d) =>
+      graft.similarity.Similarity.scatterGatherTopK(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

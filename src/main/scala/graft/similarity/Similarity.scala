@@ -100,6 +100,55 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** q300's shard fan-out. */
+  val ScatterShards = 8
+
+  /** q300: SCATTER-GATHER TOP-K — the distributed-SERVING algebra of
+    * exact search, executed: the corpus hash-shards into
+    * [[ScatterShards]] partitions, every shard answers the query set
+    * with its LOCAL top-k, and the gather stage re-ranks the ≤
+    * shards·k survivors into the global answer. Correctness is the
+    * scatter-gather lemma (any global top-k member is a fortiori in
+    * its own shard's top-k, so the local cut never loses a winner) —
+    * and the oracle is q31's single-scan top-k VERBATIM, so the green
+    * hash executes the lemma rather than assuming it (the q262/q299
+    * certificate move).
+    *
+    * Shape at 100 TB: this IS how a sharded vector service answers —
+    * each shard scans only its slice (per-shard heap of k), the
+    * coordinator merges shards·k candidate rows per query. The gather
+    * input is k·S rows per query regardless of corpus size; nothing
+    * global ever materializes. */
+  def scatterGatherTopK(s: SparkSession, dir: String,
+                        cfg: SimConfig = SimConfig.Default,
+                        shards: Int = ScatterShards): DataFrame = {
+    require(shards >= 2, s"shards out of range: $shards")
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val cand = all.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ne"), col("nrm").as("nn"),
+      pmod(col("vec_id"), lit(shards.toLong)).as("shard"))
+    val wLocal = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val local = cand.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= cfg.k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val wG = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    local.withColumn("rk", row_number().over(wG))
+      .filter(col("rk") <= cfg.k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast(IntegerType).as("rk"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
   /** LSH-bucketed ANN: same queries, but candidates restricted to the
     * query's sign-random-projection bucket — the cross product becomes an
     * equi-join on the bucket key (the 100 TB shape; recall < 1 by design). */
@@ -1968,6 +2017,19 @@ object Similarity {
        |FROM ($picks) ORDER BY rk""".stripMargin
   }
 
+  private lazy val q31TopkOracleS: String =
+    s"""WITH e AS ($embS),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+       |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${simS(s"${dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
+       |  FROM q CROSS JOIN e n WHERE n.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
+       |  FROM c)
+       |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
+       |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q271_mmr_rerank" -> mmrOracleS,
     "q275_hard_negatives" -> hardNegOracleS,
@@ -2129,18 +2191,11 @@ object Similarity {
          |FROM (SELECT DISTINCT query_id FROM dense) q
          |LEFT JOIN common ON q.query_id = common.query_id
          |ORDER BY q.query_id""".stripMargin,
-    "q31_cosine_topk" ->
-      s"""WITH e AS ($embS),
-         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM e WHERE vec_id < 10),
-         |c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-         |    ${simS(s"${dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
-         |  FROM q CROSS JOIN e n WHERE n.vec_id <> q.query_id),
-         |r AS (SELECT query_id, neighbor_id, sim,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
-         |  FROM c)
-         |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
-         |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q31_cosine_topk" -> q31TopkOracleS,
+    // q300's oracle IS q31's verbatim: the scatter-gather lemma says
+    // the shard-local cut never loses a global winner — hash-equality
+    // executes that proof
+    "q300_scatter_topk" -> q31TopkOracleS,
     "q32_ann_lsh" ->
       s"""WITH e0 AS ($embS), $planesCte,
          |e AS (SELECT vec_id, e, nrm, ${bucketS("e")} AS bkt FROM e0, pl),

@@ -197,6 +197,20 @@ class SimilaritySpec extends SparkSpec {
     assert(bounded.map(_.getLong(2)).sum < std.map(_.getLong(2)).sum)
   }
 
+  test("q300 scatter-gather top-k equals the single-scan answer at " +
+      "every shard fan-in") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val global = Similarity.cosineTopK(spark, sfDir).collect().map(key)
+    // the lemma holds for ANY fan-in; 3 and 8 exercise non-divisor
+    // and divisor shard counts
+    Seq(3, 8).foreach { s =>
+      val sg = Similarity.scatterGatherTopK(spark, sfDir, shards = s)
+        .collect().map(key)
+      assert(sg.toSeq === global.toSeq, s"fan-in $s diverged")
+    }
+  }
+
   test("q236 nprobe sweep: recall monotone, exact at full probe width") {
     val rows = Similarity.ivfNprobeSweep(spark, sfDir).collect()
     val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
