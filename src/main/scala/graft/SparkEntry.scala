@@ -758,6 +758,10 @@ object SparkEntry {
     // global answer, hash-equal to q31's single-scan oracle
     "q300_scatter_topk"       -> ((s, d) =>
       graft.similarity.Similarity.scatterGatherTopK(s, d)),
+    // deterministic Poisson-bootstrap CI on per-source mean quality:
+    // one scan, B hash-weighted replicates, order-statistic interval
+    "q301_bootstrap_ci"       -> ((s, d) =>
+      graft.text.TextOps.bootstrapCi(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -272,6 +272,82 @@ object TextOps {
     * so sums are exact BIGINTs; the derived means stay UNROUNDED (the
     * q55 precedent — identical input doubles need no rounding to
     * hash-match, and re-rounding a mean splits at .5 boundaries). */
+  /** q301's replicate count and the order-statistic ranks reported as
+    * the interval (ranks 4 and 61 of 64 ≈ the 5th/95th percentile). */
+  val BootReps = 64
+  val BootLoRank = 4
+  val BootHiRank = 61
+
+  /** Poisson(1) CDF thresholds on the 60-bit hash plane: weight k iff
+    * h ∈ [T(k-1), T(k)), capped at 5. Computed ONCE in the JVM and
+    * interpolated as integer literals into both engines' plans, so no
+    * cross-engine exp()/floating-CDF agreement is ever needed. */
+  private lazy val BootThresholds: Array[Long] = {
+    val e1 = math.exp(-1.0)
+    val pmf = Array(e1, e1, e1 / 2, e1 / 6, e1 / 24)
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => (c * math.pow(2.0, 60)).toLong)
+  }
+
+  /** q301: POISSON-BOOTSTRAP CONFIDENCE INTERVALS — the eval-reporting
+    * primitive: a per-source mean quality is worthless without an
+    * uncertainty band, and the bootstrap is how pipelines attach one
+    * without distributional assumptions. Each of [[BootReps]]
+    * replicates reweights every doc by a DETERMINISTIC Poisson(1)
+    * count (inverse-CDF over the seeded 60-bit hash of (replicate,
+    * doc_id) — the standard streaming/distributed bootstrap, which
+    * never materializes a resample); the interval is the
+    * [[BootLoRank]]/[[BootHiRank]] order statistics of the replicate
+    * means, ties broken by replicate index so the selection is total.
+    *
+    * Shape at 100 TB: ONE corpus scan exploded ×B map-side into a
+    * (source, replicate) partial agg — no resampled copy of the data
+    * ever exists, state is |sources|·B aggregation cells; the rank
+    * selection runs on |sources|·B rows. Exactly how you bootstrap a
+    * corpus you cannot copy. */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val B = BootReps
+    val per = docs(s, dir).select(col("source"), col("doc_id"),
+      (qualityScoreC.cast(DecimalType(18, 6)) * 1000000)
+        .cast(LongType).as("qmu"))
+    val full = per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("qmu").as("sq"))
+    val h = hex60C(md5(concat(lit("bs"), col("b").cast(StringType),
+      lit("#"), col("doc_id").cast(StringType))))
+    val w = BootThresholds.zipWithIndex
+      .foldRight(lit(5L)) { case ((t, k), els) =>
+        when(h < t, k.toLong).otherwise(els) }
+    val means = per
+      .select(col("source"), col("doc_id"), col("qmu"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("w", w)
+      .groupBy("source", "b")
+      .agg(sum(col("w") * col("qmu")).as("swq"), sum("w").as("sw"))
+      // a zero-weight replicate has no mean; dropped identically on
+      // both engines (P ≈ e^-n per source, fixture-impossible)
+      .filter(col("sw") > 0)
+      .select(col("source"), col("b"),
+        (col("swq").cast(DoubleType) / col("sw").cast(DoubleType))
+          .as("m"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("m"), col("b"))
+    val ci = means.withColumn("rk", row_number().over(wr))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_reps"),
+        max(when(col("rk") === BootLoRank, col("m"))).as("lo"),
+        max(when(col("rk") === BootHiRank, col("m"))).as("hi"))
+    // means stay unrounded (the q55 precedent): every double below is
+    // the same IEEE expression over the same exact integer sums
+    full.join(ci, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_reps"),
+        (col("sq").cast(DoubleType) / col("n_docs").cast(DoubleType) /
+          lit(1000000.0)).as("mean_q"),
+        (col("lo") / lit(1000000.0)).as("boot_lo"),
+        (col("hi") / lit(1000000.0)).as("boot_hi"),
+        ((col("hi") - col("lo")) / lit(1000000.0)).as("boot_spread"))
+      .orderBy("source")
+  }
+
   def looSourceImpact(s: SparkSession, dir: String): DataFrame = {
     val per = docs(s, dir).select(col("source"),
       (qualityScoreC.cast(DecimalType(18, 6)) * 1000000)
@@ -2755,6 +2831,46 @@ object TextOps {
       |ORDER BY bin""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q301: identical Poisson thresholds (JVM-computed longs inlined
+    // on both engines), same hash plane, same order-statistic ranks
+    "q301_bootstrap_ci" -> {
+      val h = hex60S(
+        "md5('bs' || CAST(b AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR))")
+      val wCase = BootThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN $h < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 5 END")
+      s"""WITH per AS MATERIALIZED (SELECT source, doc_id,
+         |    CAST(CAST($qualityScoreExprS AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS qmu
+         |  FROM (SELECT source, doc_id, text,
+         |      $qualityMeasureColsS
+         |    FROM (SELECT source, doc_id, text, ${tokensS("text")} AS t
+         |      FROM documents))),
+         |fl AS (SELECT source, COUNT(*) AS n_docs, SUM(qmu) AS sq
+         |  FROM per GROUP BY source),
+         |rep AS (SELECT source, doc_id, qmu, b
+         |  FROM per, (SELECT unnest(generate_series(0, ${BootReps - 1}))
+         |    AS b)),
+         |ms AS (SELECT source, b,
+         |    CAST(SUM(($wCase) * qmu) AS DOUBLE) /
+         |      CAST(SUM($wCase) AS DOUBLE) AS m
+         |  FROM rep GROUP BY source, b HAVING SUM($wCase) > 0),
+         |rk AS (SELECT source, b, m, ROW_NUMBER() OVER
+         |    (PARTITION BY source ORDER BY m, b) AS rk FROM ms),
+         |ci AS (SELECT source, COUNT(*) AS n_reps,
+         |    MAX(CASE WHEN rk = $BootLoRank THEN m END) AS lo,
+         |    MAX(CASE WHEN rk = $BootHiRank THEN m END) AS hi
+         |  FROM rk GROUP BY source)
+         |SELECT fl.source, CAST(fl.n_docs AS BIGINT) AS n_docs,
+         |  CAST(ci.n_reps AS BIGINT) AS n_reps,
+         |  CAST(fl.sq AS DOUBLE) / CAST(fl.n_docs AS DOUBLE) / 1000000.0
+         |    AS mean_q,
+         |  ci.lo / 1000000.0 AS boot_lo,
+         |  ci.hi / 1000000.0 AS boot_hi,
+         |  (ci.hi - ci.lo) / 1000000.0 AS boot_spread
+         |FROM fl JOIN ci ON fl.source = ci.source
+         |ORDER BY fl.source""".stripMargin
+    },
     "q259_hll_distinct" -> {
       val h = graft.functions.TextPrims.hex60S(
         graft.functions.TextPrims.seededMd5S(0, "tok"))

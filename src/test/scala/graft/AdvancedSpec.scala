@@ -887,6 +887,25 @@ class AdvancedSpec extends SparkSpec {
     assert(binned(("A", "B")).getAs[Double]("p_value") === 1.0)
   }
 
+  test("q301 bootstrap CI: interval ordered, brackets the mean, and " +
+      "every replicate survived") {
+    val rows = graft.text.TextOps.bootstrapCi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, lo, hi) = (r.getAs[Double]("mean_q"),
+        r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_hi"))
+      assert(lo <= hi, r.toString)
+      // with dozens of docs per source, the 5-95 interval of replicate
+      // means brackets the full-sample mean
+      assert(lo <= m && m <= hi, r.toString)
+      // spread is computed pre-division in the query ((hi-lo)/1e6), so
+      // comparing against post-division hi-lo allows one ulp-ish slack
+      assert(math.abs(r.getAs[Double]("boot_spread") - (hi - lo)) < 1e-12)
+      // no replicate drew all-zero weights at fixture scale
+      assert(r.getAs[Long]("n_reps") === graft.text.TextOps.BootReps.toLong)
+    }
+  }
+
   test("q290 skew audit: shares bounded and nested, entropy in [0, 1]") {
     val rows = graft.analytics.Advanced.keySkewAudit(spark, sfDir)
       .collect()
