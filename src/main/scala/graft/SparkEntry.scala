@@ -762,6 +762,10 @@ object SparkEntry {
     // one scan, B hash-weighted replicates, order-statistic interval
     "q301_bootstrap_ci"       -> ((s, d) =>
       graft.text.TextOps.bootstrapCi(s, d)),
+    // HLL set algebra: pairwise register max-merge union + inclusion-
+    // exclusion intersection estimate vs exact, with relative error
+    "q302_hll_intersect"      -> ((s, d) =>
+      graft.text.TextOps.hllIntersect(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

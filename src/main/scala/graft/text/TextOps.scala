@@ -675,6 +675,98 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q302: HLL SET ALGEBRA — the join-size/overlap estimator: per-source
+    * HLL registers over the 3-gram shingle space, pairwise UNION by
+    * register max-merge (the lattice operation executed relationally),
+    * and the intersection estimated by inclusion–exclusion
+    * est(A) + est(B) − est(A∪B), reported against the exact
+    * intersection with its relative error. q259 proved the register
+    * estimator per source; q260 proved max-merge across TIME; this
+    * proves the SET algebra across sources — what a planner consults
+    * before paying for a 100 TB join, and the reason HLLs (not exact
+    * counts) are what metadata catalogs store per partition.
+    *
+    * Estimator caveat, measured not hidden: inclusion–exclusion
+    * differences inherit both operands' error, so small intersections
+    * can even go negative — inter_est is reported RAW (clamping would
+    * hide exactly the regime a consumer must know about) next to the
+    * exact answer.
+    *
+    * Shape at 100 TB: registers partial-aggregate map-side onto
+    * (source × m) cells; pair merges touch only the ≤ |sources|·m
+    * register rows, never the corpus; the exact-intersection join fans
+    * out ≤ |sources|² per gram. */
+  def hllIntersect(s: SparkSession, dir: String, n: Int = 3,
+                   p: Int = 10): DataFrame = {
+    val m = 1 << p
+    val sg = docs(s, dir)
+      .select(col("source"),
+        explode(array_distinct(shinglesC(tokensC(col("text")), n)))
+          .as("sh"))
+      .select(col("source"), hex60C(seededMd5C(0, col("sh"))).as("h"))
+      .distinct()
+      .localCheckpoint() // registers + exact intersection read it
+    val rank = when(col("z") === 0, lit(50))
+      .otherwise(lit(51) - length(bin(col("z"))))
+    val regs = sg
+      .select(col("source"), pmod(col("h"), lit(m.toLong)).as("idx"),
+        shiftright(col("h"), p).as("z"))
+      .withColumn("rank", rank)
+      .groupBy("source", "idx").agg(max("rank").as("mx"))
+      .localCheckpoint() // singles + every pair merge read it
+    // the q259 estimator over any register grouping (same spelling)
+    def estOf(grouped: DataFrame): DataFrame = {
+      val withSums = grouped
+        .withColumn("v0", lit(m.toLong) - col("n_filled"))
+        .withColumn("isum",
+          col("isum_filled") + col("v0") * lit(1L << 50))
+      val raw = lit(HllAlphaM2) * lit((1L << 50).toDouble) /
+        col("isum").cast(DoubleType)
+      val est = when(raw <= lit(2.5 * m) && col("v0") > 0,
+        lit(m.toDouble) *
+          round(log(lit(m.toDouble) / col("v0").cast(DoubleType)), 6))
+        .otherwise(raw)
+      withSums.withColumn("e", est)
+    }
+    def sums(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+      g.agg(count(lit(1)).as("n_filled"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - mx)"))
+          .cast(LongType).as("isum_filled"))
+    val single = estOf(sums(regs.groupBy("source")))
+      .select(col("source"), col("e"))
+    val srcs = regs.select("source").distinct()
+    val pairFrame = srcs.as("x")
+      .join(broadcast(srcs.as("y")), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+    val merged = regs.join(broadcast(pairFrame),
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy("src_a", "src_b", "idx").agg(max("mx").as("mx"))
+    val union = estOf(sums(merged.groupBy("src_a", "src_b")))
+      .select(col("src_a"), col("src_b"), col("e").as("eu"))
+    val exactI = sg.as("x").join(sg.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("ni"))
+    val interEst = col("ea") + col("eb") - col("eu")
+    val exactD = col("n_exact_inter").cast(DoubleType)
+    pairFrame
+      .join(single.withColumnsRenamed(
+        Map("source" -> "src_a", "e" -> "ea")), Seq("src_a"))
+      .join(single.withColumnsRenamed(
+        Map("source" -> "src_b", "e" -> "eb")), Seq("src_b"))
+      .join(union, Seq("src_a", "src_b"))
+      .join(exactI, Seq("src_a", "src_b"), "left")
+      .withColumn("n_exact_inter", coalesce(col("ni"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_exact_inter"),
+        round(col("ea"), 6).as("hll_a"),
+        round(col("eb"), 6).as("hll_b"),
+        round(col("eu"), 6).as("hll_union"),
+        round(interEst, 6).as("inter_est"),
+        round(when(col("n_exact_inter") > 0,
+          (interEst - exactD) / exactD), 6).as("rel_err"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** The q240 redaction transform over a text Column: each pattern
     * family's hits are replaced by its `<TYPE>` tag, families applied
     * in [[PiiPatterns]] order (fixed, so overlapping matches resolve
@@ -2870,6 +2962,77 @@ object TextOps {
          |  (ci.hi - ci.lo) / 1000000.0 AS boot_spread
          |FROM fl JOIN ci ON fl.source = ci.source
          |ORDER BY fl.source""".stripMargin
+    },
+    // q302: q259's register/estimator spelling over the shingle space,
+    // plus pair max-merge + inclusion-exclusion
+    "q302_hll_intersect" -> {
+      val h = graft.functions.TextPrims.hex60S(
+        graft.functions.TextPrims.seededMd5S(0, "s"))
+      val t = tokensS("text")
+      // the q259 estimator as a CTE tail over (keys, n_filled,
+      // isum_filled); keys distinguish the single and merged chains
+      def estStages(pre: String, src: String, keys: String): String =
+        s"""${pre}fl AS (SELECT $keys, n_filled,
+           |    1024 - n_filled AS v0,
+           |    isum_filled + (1024 - n_filled) *
+           |      (CAST(1 AS BIGINT) << 50) AS isum
+           |  FROM $src),
+           |${pre}es AS (SELECT $keys, n_filled, v0,
+           |    $HllAlphaM2 * CAST(CAST(1 AS BIGINT) << 50 AS DOUBLE)
+           |      / CAST(isum AS DOUBLE) AS raw
+           |  FROM ${pre}fl),
+           |${pre}fin AS (SELECT $keys,
+           |    CASE WHEN raw <= ${2.5 * 1024} AND v0 > 0
+           |      THEN 1024.0 * round(ln(1024.0 / CAST(v0 AS DOUBLE)), 6)
+           |      ELSE raw END AS e
+           |  FROM ${pre}es)""".stripMargin
+      s"""WITH d AS (SELECT source, list_distinct(${shinglesS("t", 3)})
+         |    AS sh
+         |  FROM (SELECT source, $t AS t FROM documents)),
+         |sg AS MATERIALIZED (SELECT DISTINCT source, $h AS h
+         |  FROM (SELECT source, unnest(sh) AS s FROM d)),
+         |rr AS (SELECT source, h % 1024 AS idx, h // 1024 AS z FROM sg),
+         |rk AS (SELECT source, idx,
+         |    CASE WHEN z = 0 THEN 50 ELSE 51 - length(bin(z)) END AS rank
+         |  FROM rr),
+         |regs AS MATERIALIZED (SELECT source, idx, MAX(rank) AS mx
+         |  FROM rk GROUP BY source, idx),
+         |pr AS (SELECT x.source AS src_a, y.source AS src_b
+         |  FROM (SELECT DISTINCT source FROM regs) x
+         |  JOIN (SELECT DISTINCT source FROM regs) y
+         |    ON x.source < y.source),
+         |ss AS (SELECT source, COUNT(*) AS n_filled,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (50 - mx)) AS BIGINT)
+         |      AS isum_filled
+         |  FROM regs GROUP BY source),
+         |${estStages("s", "ss", "source")},
+         |mg AS (SELECT pr.src_a, pr.src_b, r.idx, MAX(r.mx) AS mx
+         |  FROM regs r JOIN pr
+         |    ON r.source = pr.src_a OR r.source = pr.src_b
+         |  GROUP BY 1, 2, 3),
+         |us AS (SELECT src_a, src_b, COUNT(*) AS n_filled,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (50 - mx)) AS BIGINT)
+         |      AS isum_filled
+         |  FROM mg GROUP BY src_a, src_b),
+         |${estStages("u", "us", "src_a, src_b")},
+         |iv AS (SELECT x.source AS src_a, y.source AS src_b,
+         |    COUNT(*) AS ni
+         |  FROM sg x JOIN sg y ON x.h = y.h AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT pr.src_a, pr.src_b,
+         |  CAST(COALESCE(iv.ni, 0) AS BIGINT) AS n_exact_inter,
+         |  round(a.e, 6) AS hll_a,
+         |  round(b.e, 6) AS hll_b,
+         |  round(u.e, 6) AS hll_union,
+         |  round(a.e + b.e - u.e, 6) AS inter_est,
+         |  round(CASE WHEN COALESCE(iv.ni, 0) > 0 THEN
+         |    (a.e + b.e - u.e - CAST(COALESCE(iv.ni, 0) AS DOUBLE)) /
+         |      CAST(COALESCE(iv.ni, 0) AS DOUBLE) END, 6) AS rel_err
+         |FROM pr JOIN sfin a ON a.source = pr.src_a
+         |JOIN sfin b ON b.source = pr.src_b
+         |JOIN ufin u ON u.src_a = pr.src_a AND u.src_b = pr.src_b
+         |LEFT JOIN iv ON iv.src_a = pr.src_a AND iv.src_b = pr.src_b
+         |ORDER BY pr.src_a, pr.src_b""".stripMargin
     },
     "q259_hll_distinct" -> {
       val h = graft.functions.TextPrims.hex60S(

@@ -906,6 +906,27 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q302 HLL algebra: union estimate dominates both singles, " +
+      "inclusion-exclusion lands near exact") {
+    val rows = graft.text.TextOps.hllIntersect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, u) = (r.getAs[Double]("hll_a"), r.getAs[Double]("hll_b"),
+        r.getAs[Double]("hll_union"))
+      // max-merge monotonicity: merged registers dominate elementwise,
+      // and the estimator is monotone in the register vector
+      assert(u >= math.max(a, b) - 1e-6, r.toString)
+      // NOTE: u <= a + b holds for SETS, not estimates — estimator
+      // noise can push the union estimate past the sum, which is
+      // precisely the documented negative-inter_est regime
+      val exact = r.getAs[Long]("n_exact_inter")
+      if (exact > 1000)
+        // p=10 registers: each term ~3% stderr; the difference inherits
+        // all three, so a generous band still catches a broken merge
+        assert(math.abs(r.getAs[Double]("rel_err")) < 0.5, r.toString)
+    }
+  }
+
   test("q290 skew audit: shares bounded and nested, entropy in [0, 1]") {
     val rows = graft.analytics.Advanced.keySkewAudit(spark, sfDir)
       .collect()
