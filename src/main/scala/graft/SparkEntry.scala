@@ -766,6 +766,10 @@ object SparkEntry {
     // exclusion intersection estimate vs exact, with relative error
     "q302_hll_intersect"      -> ((s, d) =>
       graft.text.TextOps.hllIntersect(s, d)),
+    // pairwise binned 1-Wasserstein on per-source quality: q263's
+    // integral twin — total transport, not just the worst ECDF gap
+    "q303_w1_binned"          -> ((s, d) =>
+      graft.analytics.Advanced.w1Binned(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1169,6 +1169,60 @@ object Advanced {
   def ksFdrBinned(s: SparkSession, dir: String, bins: Int = 16): DataFrame =
     ksFdrBinnedOf(t(s, dir, "events"), bins)
 
+  /** q303: BINNED 1-WASSERSTEIN MATRIX — q263's INTEGRAL twin, on the
+    * corpus-mix axis: the KS statistic says the WORST ECDF gap between
+    * two sources' quality distributions; W1 (earth-mover on the
+    * ordinal bin grid, unit ground distance) says the TOTAL transport
+    * — the number a data-mixing decision actually trades on (a tight
+    * spike and a broad tilt can share a KS yet need very different
+    * reweighting). Support is the q263 pooled-percentile grid, so the
+    * whole matrix costs one corpus scan + a bins×|sources| cumsum +
+    * a |sources|²·bins pair join.
+    *
+    * Determinism: per-boundary gaps round to 9 dp at the row and sum
+    * as DECIMAL(18,9) — exact regardless of accumulation order (the
+    * rulebook's round-then-decimal-sum move); the max rides the same
+    * rounded gaps. */
+  def w1Binned(s: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val qmu = (graft.text.TextOps.qualityScoreC
+      .cast(DecimalType(18, 6)) * 1000000).cast(LongType)
+    val pv = t(s, dir, "documents")
+      .select(col("source"), qmu.as("vq"))
+      .groupBy("source", "vq").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // boundaries + bin counts + totals all read it
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val bnd = pv.agg(
+      expr(s"percentile(vq, array(${qs.mkString(", ")}), n)").as("bnd"))
+    val binned = pv.crossJoin(broadcast(bnd))
+      .withColumn("bin",
+        size(filter(col("bnd"), b => col("vq").cast(DoubleType) > b))
+          .cast(IntegerType))
+      .groupBy("source", "bin").agg(sum("n").as("n"))
+    val srcs = pv.groupBy("source").agg(sum("n").as("ntot"))
+    val ids = s.range(0, bins.toLong)
+      .select(col("id").cast(IntegerType).as("bin"))
+    val grid = srcs.crossJoin(ids)
+      .join(binned, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("n"))
+    val cum = grid.withColumn("c",
+      sum("n").over(Window.partitionBy("source").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val f = cum.filter(col("bin") <= bins - 2)
+      .select(col("source"), col("ntot"), (col("bin") + 1).as("bix"),
+        (col("c").cast(DoubleType) / col("ntot").cast(DoubleType))
+          .as("fv"))
+    val gap = round(abs(col("a.fv") - col("b.fv")), 9)
+    f.as("a").join(f.as("b"),
+        col("a.bix") === col("b.bix") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.ntot").as("n_a"), col("b.ntot").as("n_b"))
+      .agg(sum(gap.cast(DecimalType(18, 9))).cast(DoubleType)
+          .as("w1_bins"),
+        max(gap).as("max_gap"))
+      .orderBy("src_a", "src_b")
+  }
+
   private[graft] def ksFdrBinnedOf(events: DataFrame,
                                    bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
@@ -3314,6 +3368,53 @@ object Advanced {
          |  FROM f a JOIN f b ON a.vq = b.vq AND a.event_type < b.event_type
          |  GROUP BY 1, 2, 3, 4),
          |$ksTailSql""".stripMargin,
+    // q303: q263's grid machinery on (source, quality); gaps round to
+    // 9 dp at the row and sum as DECIMAL(18,9) — order-independent
+    "q303_w1_binned" -> {
+      val bins = 16
+      val qs = (1 until bins).map(i => i.toDouble / bins)
+      val qexpr = graft.text.TextOps.qualityScoreExprS
+      val mcols = graft.text.TextOps.qualityMeasureColsS
+      s"""WITH e AS (SELECT source,
+         |    CAST(CAST($qexpr AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      AS vq
+         |  FROM (SELECT source, text,
+         |      $mcols
+         |    FROM (SELECT source, text,
+         |        ${graft.functions.TextPrims.tokensS("text")} AS t
+         |      FROM documents))),
+         |pv AS (SELECT source, vq, COUNT(*) AS n
+         |  FROM e GROUP BY source, vq),
+         |bnd AS (SELECT quantile_cont(vq, [${qs.mkString(", ")}]) AS bnd
+         |  FROM e),
+         |binned AS (SELECT source,
+         |    CAST(len(list_filter(bnd.bnd,
+         |      b -> CAST(vq AS DOUBLE) > b)) AS INTEGER) AS bin,
+         |    CAST(SUM(n) AS BIGINT) AS n
+         |  FROM pv CROSS JOIN bnd GROUP BY 1, 2),
+         |srcs AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ntot
+         |  FROM pv GROUP BY source),
+         |ids AS (SELECT unnest(generate_series(0, ${bins - 1})) AS bin),
+         |grid AS (SELECT t.source, t.ntot, i.bin, COALESCE(b.n, 0) AS n
+         |  FROM srcs t CROSS JOIN ids i
+         |  LEFT JOIN binned b ON b.source = t.source AND b.bin = i.bin),
+         |cum AS (SELECT source, ntot, bin,
+         |    SUM(n) OVER (PARTITION BY source ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM grid),
+         |f AS (SELECT source, ntot, bin + 1 AS bix,
+         |    CAST(c AS DOUBLE) / ntot AS fv
+         |  FROM cum WHERE bin <= ${bins - 2})
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  a.ntot AS n_a, b.ntot AS n_b,
+         |  CAST(SUM(CAST(round(ABS(a.fv - b.fv), 9) AS DECIMAL(18,9)))
+         |    AS DOUBLE) AS w1_bins,
+         |  MAX(round(ABS(a.fv - b.fv), 9)) AS max_gap
+         |FROM f a JOIN f b
+         |  ON a.bix = b.bix AND a.source < b.source
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY src_a, src_b""".stripMargin
+    },
     "q263_ks_fdr_binned" -> {
       val bins = 16
       val qs = (1 until bins).map(i => i.toDouble / bins)

@@ -906,6 +906,24 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q303 W1 matrix: integral dominates the max gap, both bounded " +
+      "by the grid") {
+    val rows = graft.analytics.Advanced.w1Binned(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w1 = r.getAs[Double]("w1_bins")
+      val mg = r.getAs[Double]("max_gap")
+      // the sum of 15 nonneg gaps dominates any single gap, and each
+      // gap is an ECDF difference in [0, 1]
+      assert(w1 >= mg - 1e-9, r.toString)
+      assert(mg >= 0.0 && mg <= 1.0, r.toString)
+      assert(w1 <= 15.0 + 1e-9, r.toString)
+    }
+    // the fixture's sources are not identically distributed: at least
+    // one pair transports real mass
+    assert(rows.exists(_.getAs[Double]("w1_bins") > 0.0))
+  }
+
   test("q302 HLL algebra: union estimate dominates both singles, " +
       "inclusion-exclusion lands near exact") {
     val rows = graft.text.TextOps.hllIntersect(spark, sfDir).collect()
