@@ -770,6 +770,10 @@ object SparkEntry {
     // integral twin — total transport, not just the worst ECDF gap
     "q303_w1_binned"          -> ((s, d) =>
       graft.analytics.Advanced.w1Binned(s, d)),
+    // split-conformal coverage certificate on q267's classifier:
+    // distribution-free >=90% coverage, executed and measured
+    "q304_conformal"          -> ((s, d) =>
+      graft.ml.LogitGd.conformalCoverage(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

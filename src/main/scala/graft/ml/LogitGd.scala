@@ -82,6 +82,12 @@ object LogitGd {
   private def train(s: SparkSession, dir: String)
       : (DataFrame, Array[Double]) = {
     val f = feats(s, dir)
+    (f, trainOn(f))
+  }
+
+  /** The GD loop over an arbitrary (y, x) frame — q304 trains on a
+    * hash-split subset; q267/q287 train on the full corpus. */
+  private def trainOn(f: DataFrame): Array[Double] = {
     val w = Array.fill(NumFeatures)(0.0)
     for (_ <- 1 to Steps) {
       val p = pCol(w)
@@ -95,7 +101,7 @@ object LogitGd {
       for (j <- 0 until NumFeatures)
         w(j) = w(j) - Eta * g.getDouble(j) // same IEEE ops as the oracle
     }
-    (f, w)
+    w
   }
 
   def logitGd(s: SparkSession, dir: String): DataFrame = {
@@ -142,12 +148,96 @@ object LogitGd {
       .orderBy(col("uncertainty"), col("doc_id"))
   }
 
+  val ConformalAlpha = 0.1
+
+  /** The q304 hash split: doc_id → {0,1}=train, 2=calibration, 3=test. */
+  private def partCol: Column =
+    pmod(hex60C(md5(concat(lit("cf#"), col("doc_id").cast(StringType)))),
+      lit(4L))
+
+  /** q304: SPLIT-CONFORMAL COVERAGE CERTIFICATE — the distribution-free
+    * guarantee on top of q267's learned filter: train the GD classifier
+    * on the hash-split training half, take the ⌈(n+1)(1−α)⌉-th
+    * smallest nonconformity score (1 − p̂ of the true label) on the
+    * DISJOINT calibration quarter, and measure on the test quarter the
+    * coverage of the induced prediction sets {c : 1 − p̂_c ≤ q̂} plus
+    * their average size. Split conformal promises coverage ≥ 1 − α
+    * marginally whatever the model — this query EXECUTES that promise
+    * and reports the number, which is how a production filter earns a
+    * "keeps ≥90% of what it claims" SLA without distributional
+    * assumptions.
+    *
+    * Determinism: the split is a seeded hash; scores live on the 6-dp
+    * probability grid; q̂ is an exact order statistic computed as the
+    * smallest grid value whose cumulative calibration count reaches
+    * ⌈(n+1)(1−α)⌉ — a cumsum over ≤ |grid| distinct values (NOT a
+    * global sort of scores), so the selection scales. */
+  def conformalCoverage(s: SparkSession, dir: String,
+                        alpha: Double = ConformalAlpha): DataFrame = {
+    val f = feats(s, dir).withColumn("part", partCol)
+      .localCheckpoint() // train scans + calib + test read it
+    val w = trainOn(f.filter(col("part") <= 1))
+    val p = pCol(w)
+    val sc = when(col("y") === 1, lit(1.0) - p).otherwise(p)
+    val scored = f.select(col("part"), sc.as("sc"), p.as("p"))
+      .localCheckpoint() // calib distribution + test coverage read it
+    val nCal = scored.filter(col("part") === 2)
+      .agg(count(lit(1)).as("ncal"))
+    val dist = scored.filter(col("part") === 2)
+      .groupBy("sc").agg(count(lit(1)).as("n"))
+    val cum = dist.withColumn("c", sum("n").over(
+      org.apache.spark.sql.expressions.Window.orderBy("sc")
+        .rowsBetween(Long.MinValue, 0)))
+    val qhat = cum.crossJoin(broadcast(nCal))
+      .filter(col("c").cast(DoubleType) >=
+        ceil((col("ncal") + 1).cast(DoubleType) * lit(1.0 - alpha)))
+      .agg(min("sc").as("qh"))
+    val counts = f.agg(
+      sum(when(col("part") <= 1, 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("part") === 2, 1L).otherwise(0L)).as("n_cal"),
+      sum(when(col("part") === 3, 1L).otherwise(0L)).as("n_test"))
+    val setSize = when(lit(1.0) - col("p") <= col("qh"), 1)
+      .otherwise(0) + when(col("p") <= col("qh"), 1).otherwise(0)
+    scored.filter(col("part") === 3)
+      .crossJoin(broadcast(qhat))
+      .agg(
+        (sum(when(col("sc") <= col("qh"), 1).otherwise(0))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("coverage"),
+        (sum(setSize).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("setsz"),
+        max(col("qh")).as("q_hat"))
+      .crossJoin(broadcast(counts))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        col("q_hat"), round(col("coverage"), 6).as("coverage"),
+        round(col("setsz"), 6).as("avg_set_size"))
+  }
+
   // ---------------------------------------------------------------- oracle
   import LloydExact.dotS
 
-  /** Shared GD CTE chain: lf (features, WITH doc_id) + lw0..lwSteps. */
-  private def gdCtes: String = {
+  /** The lf feature-CTE body (everything after "lf AS MATERIALIZED"),
+    * parameterized by the document predicate — "TRUE" for the full
+    * corpus, q304's hash-split for conformal training. */
+  private def lfBodyS(pred: String): String = {
     val t = tokensS("text")
+    s"""(SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    [CAST(1.0 AS DOUBLE),
+       |     round(ln(CAST(len(t0) AS DOUBLE) + 1.0) / 10.0, 6),
+       |     COALESCE(round(CAST(${countInSetS("t0", Stopwords)}
+       |       AS DOUBLE) / NULLIF(CAST(len(t0) AS DOUBLE), 0), 6), 0.0),
+       |     COALESCE(round(CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+       |       AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0), 6),
+       |       0.0),
+       |     COALESCE(round(CAST(length(text) AS DOUBLE) /
+       |       NULLIF(CAST(len(t0) AS DOUBLE), 0) / 10.0, 6), 0.0)] AS x
+       |  FROM (SELECT doc_id, lang, text, $t AS t0 FROM documents
+       |    WHERE $pred))""".stripMargin
+  }
+
+  /** The lw0..lwSteps weight chain over an existing `lf` CTE. */
+  private def chainCtesS: String = {
     val gradList = (1 to NumFeatures).map { j =>
         s"""CAST(SUM(CAST((p - y) * x[$j] AS DECIMAL(38,12)))
            |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)""".stripMargin
@@ -166,24 +256,65 @@ object LogitGd {
            |      i -> w[i] - $Eta * g[i]) AS w
            |  FROM $prev, lg$tt)""".stripMargin
       }.mkString(",\n")
-    s"""lf AS MATERIALIZED (SELECT doc_id,
-       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-       |    [CAST(1.0 AS DOUBLE),
-       |     round(ln(CAST(len(t0) AS DOUBLE) + 1.0) / 10.0, 6),
-       |     COALESCE(round(CAST(${countInSetS("t0", Stopwords)}
-       |       AS DOUBLE) / NULLIF(CAST(len(t0) AS DOUBLE), 0), 6), 0.0),
-       |     COALESCE(round(CAST(len(regexp_extract_all(text, '[.,;:!?]'))
-       |       AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0), 6),
-       |       0.0),
-       |     COALESCE(round(CAST(length(text) AS DOUBLE) /
-       |       NULLIF(CAST(len(t0) AS DOUBLE), 0) / 10.0, 6), 0.0)] AS x
-       |  FROM (SELECT doc_id, lang, text, $t AS t0 FROM documents)),
-       |lw0 AS (SELECT list_transform(generate_series(1, $NumFeatures),
+    s"""lw0 AS (SELECT list_transform(generate_series(1, $NumFeatures),
        |    i -> CAST(0.0 AS DOUBLE)) AS w),
        |$steps""".stripMargin
   }
 
+  /** Shared GD CTE chain: lf (features, WITH doc_id) + lw0..lwSteps. */
+  private def gdCtes: String =
+    s"""lf AS MATERIALIZED ${lfBodyS("TRUE")},
+       |$chainCtesS""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // q304: the same GD chain trained on the hash-split train half,
+    // exact order-statistic q-hat on the calibration quarter, coverage
+    // and set size measured on the test quarter
+    "q304_conformal" -> {
+      val part = graft.functions.TextPrims.hex60S(
+        "md5('cf#' || CAST(doc_id AS VARCHAR))") + " % 4"
+      val oneMinusAlpha = 1.0 - ConformalAlpha
+      s"""WITH lfa AS MATERIALIZED (SELECT f.*, $part AS part
+         |  FROM ${lfBodyS("TRUE")} f),
+         |lf AS MATERIALIZED (SELECT doc_id, y, x FROM lfa
+         |  WHERE part <= 1),
+         |$chainCtesS,
+         |sc AS MATERIALIZED (SELECT part, y,
+         |    round(1.0 / (1.0 + exp(-round(${dotS("w", "x")}, 6))), 6)
+         |      AS p
+         |  FROM lfa, lw$Steps),
+         |s2 AS (SELECT part, p,
+         |    CASE WHEN y = 1 THEN 1.0 - p ELSE p END AS sc
+         |  FROM sc),
+         |nc AS (SELECT COUNT(*) AS ncal FROM s2 WHERE part = 2),
+         |dist AS (SELECT sc AS v, COUNT(*) AS n FROM s2
+         |  WHERE part = 2 GROUP BY sc),
+         |cum AS (SELECT v, SUM(n) OVER (ORDER BY v ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM dist),
+         |qh AS (SELECT MIN(v) AS qh FROM cum, nc
+         |  WHERE CAST(c AS DOUBLE) >=
+         |    ceil((ncal + 1) * $oneMinusAlpha)),
+         |cts AS (SELECT
+         |    CAST(SUM(CASE WHEN part <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_train,
+         |    CAST(SUM(CASE WHEN part = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cal,
+         |    CAST(SUM(CASE WHEN part = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_test
+         |  FROM lfa),
+         |tst AS (SELECT
+         |    CAST(SUM(CASE WHEN sc <= qh THEN 1 ELSE 0 END) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE) AS coverage,
+         |    CAST(SUM((CASE WHEN 1.0 - p <= qh THEN 1 ELSE 0 END) +
+         |      (CASE WHEN p <= qh THEN 1 ELSE 0 END)) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE) AS setsz,
+         |    MAX(qh) AS q_hat
+         |  FROM s2, qh WHERE part = 3)
+         |SELECT cts.n_train, cts.n_cal, cts.n_test, tst.q_hat,
+         |  round(tst.coverage, 6) AS coverage,
+         |  round(tst.setsz, 6) AS avg_set_size
+         |FROM cts, tst""".stripMargin
+    },
     "q267_logit_gd" ->
       s"""WITH $gdCtes,
          |fin AS (SELECT y,

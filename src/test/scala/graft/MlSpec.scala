@@ -574,4 +574,24 @@ class MlSpec extends SparkSpec {
         pc2s.sum / vs.length) < 1e-3, s"label $lbl pc2")
     }
   }
+  test("q304 conformal: partition accounted, q-hat on the score grid, " +
+      "coverage near the 1 - alpha promise") {
+    val r = graft.ml.LogitGd.conformalCoverage(spark, sfDir)
+      .collect()(0)
+    val (nTr, nCa, nTe) = (r.getAs[Long]("n_train"),
+      r.getAs[Long]("n_cal"), r.getAs[Long]("n_test"))
+    assert(nTr > 0 && nCa > 0 && nTe > 0)
+    val qh = r.getAs[Double]("q_hat")
+    assert(qh >= 0.0 && qh <= 1.0)
+    val cov = r.getAs[Double]("coverage")
+    // split conformal promises >= 0.9 marginally; a fixed split can
+    // fluctuate below by a few binomial standard errors, no more
+    val slack = 3.0 * math.sqrt(0.09 / nTe.toDouble)
+    assert(cov >= 0.9 - slack, s"coverage $cov with n_test $nTe")
+    val sz = r.getAs[Double]("avg_set_size")
+    assert(sz >= 0.0 && sz <= 2.0)
+    // a certificate that admits everything proves nothing
+    assert(sz < 2.0, "prediction sets are vacuous")
+  }
 }
+
