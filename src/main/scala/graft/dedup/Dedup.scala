@@ -1675,7 +1675,11 @@ object Dedup extends org.apache.spark.internal.Logging {
         .select(col("doc_id"), col("source"), col("pos"),
           unhex(md5(col("sh"))).as("h"))
     def pairsWithSpan(c: DataFrame): DataFrame = {
-      val grams = gramRowsOf(c)
+      // q281 keeps the gram checkpoints q237 dropped: each frame feeds
+      // a SELF-join (2 reads) and the function runs three gram builds
+      // per call — at bench scale the store beats 6 recomputes, and
+      // q281 is not a ramp family, so the ×100 heap argument is q237's
+      val grams = gramRowsOf(c).localCheckpoint()
       grams.as("a").join(grams.as("b"),
           col("a.h") === col("b.h") && col("a.source") < col("b.source"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -1690,7 +1694,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     val orig = Tables.fanOut(
       docs(s, dir).select("doc_id", "source", "text"), "doc_id")
       .localCheckpoint() // gram pass, flag pass, rebuild all read it
-    val grams = gramRowsOf(orig)
+    val grams = gramRowsOf(orig).localCheckpoint()
     val m = grams.as("a").join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("doc_o"),
