@@ -657,4 +657,54 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(graft.ml.LogitGd.logitGd(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q237 span chain: the match frame shuffles without a window — " +
+      "islands fold inside the aggregation, no sort-shuffle stage") {
+    val plan = planOf(graft.dedup.Dedup.sharedSpans(spark, sfDir))
+    // the round-12 rewrite: no WindowExec anywhere in the span chain
+    // (the gaps-and-islands fold runs inside ObjectHashAggregate), and
+    // no distinct pass re-shuffling the match frame
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan)
+  }
+
+  test("q299 source minhash: both aggregation levels are partial-agg " +
+      "hash aggregates; the pair matrix is broadcast, never shuffled") {
+    val plan = planOf(graft.dedup.Dedup.sourceMinhashJaccard(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // shard-level partial minima then source-level merge: >= 2 agg ops
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
+  test("q300 scatter-gather: shard-local and global top-k are both " +
+      "PARTITIONED windows — the gather never collapses to one task") {
+    val plan = planOf(graft.similarity.Similarity
+      .scatterGatherTopK(spark, sfDir))
+    // every Window operator carries a partition spec (no global window)
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, plan)
+    winLines.foreach { l =>
+      assert(l.contains("query_id"), s"window not query-partitioned: $l")
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q301 bootstrap: the x64 replicate explode feeds a map-side " +
+      "partial aggregate — no resampled copy is ever shuffled raw") {
+    val plan = planOf(graft.text.TextOps.bootstrapCi(spark, sfDir))
+    assert(plan.contains("Generate explode"), plan)
+    // partial + final aggregation around the (source, b) exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q303 W1 matrix: boundaries broadcast to the one corpus scan; " +
+      "the pair join runs on the bins-grid frame, never the corpus") {
+    val plan = planOf(graft.analytics.Advanced.w1Binned(spark, sfDir))
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
