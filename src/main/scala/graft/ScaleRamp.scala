@@ -63,7 +63,9 @@ object ScaleRamp {
     "pca_power"        -> "q245_pca_power",
     "bpe_merges"       -> "q246_bpe_merges",
     "dup_triangles"    -> "q254_dup_graph_triangles",
-    "tws_stream"       -> "q253_tws_parity")
+    "tws_stream"       -> "q253_tws_parity",
+    "source_minhash"   -> "q299_source_minhash",
+    "hll_algebra"      -> "q302_hll_intersect")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding

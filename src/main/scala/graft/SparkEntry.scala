@@ -774,6 +774,10 @@ object SparkEntry {
     // distribution-free >=90% coverage, executed and measured
     "q304_conformal"          -> ((s, d) =>
       graft.ml.LogitGd.conformalCoverage(s, d)),
+    // filtered vector search: filter-then-rank vs rank-then-filter,
+    // with the post-filter recall loss measured per query
+    "q305_filtered_ann"       -> ((s, d) =>
+      graft.similarity.Similarity.annFiltered(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1348,10 +1348,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     * 3-shuffle chain at 28.5×; this is the fix. */
   def sharedSpans(s: SparkSession, dir: String, n: Int = 13,
                   k: Int = 20): DataFrame = {
-    // deliberately NOT checkpointed: the pos-exploded gram frame is the
-    // suite's largest intermediate, and the ×100 ramp measured storing
-    // it (MEMORY_AND_DISK blocks) at 38 s / 22 GB peak vs recomputing
-    // the narrow scan+shingle per join side at 23 s / 11 GB peak
+    // deliberately NOT cached: the pos-exploded gram frame is the
+    // suite's largest intermediate, and the ×100 ramp measured every
+    // storage choice — MEMORY_AND_DISK 38 s / 22 GB peak, DISK_ONLY
+    // 33 s / 14 GB (the serialized round-trip costs more than the
+    // scan), recompute-per-join-side 23 s / 11 GB. The narrow
+    // scan+shingle is cheaper to redo than to move.
     val grams = Tables.fanOut(
         docs(s, dir).select("doc_id", "source", "text"), "doc_id")
       .select(col("doc_id"), col("source"),

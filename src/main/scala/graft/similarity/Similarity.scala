@@ -1391,6 +1391,74 @@ object Similarity {
     }
   }
 
+  /** q305: FILTERED VECTOR SEARCH — predicate-constrained retrieval,
+    * the production ANN feature tombstones (q262) only approximate:
+    * each query retrieves among IN-CELL candidates sharing its label
+    * (the metadata filter), and the query MEASURES the pre-filter vs
+    * post-filter tradeoff every vector store documents — filter-then-
+    * rank (correct: rank only matching candidates) against
+    * rank-then-filter (naive: take the unfiltered top-k, then drop
+    * non-matching), reporting how many of the naive path's survivors
+    * remain and the recall it loses. Post-filtering under-fills
+    * whenever the unfiltered top-k is dominated by other labels —
+    * which is exactly why engines push predicates INTO the probe.
+    *
+    * Shape at 100 TB: identical to q61's probe (cell-local candidates,
+    * broadcast queries) with one extra codegen'd predicate and a
+    * second window over the SAME shuffled frame — the filter costs a
+    * comparison, not a pass. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val L = graft.ml.LloydExact
+    val pts = L.points(s, dir)
+    val cells = L.assign(pts, L.centersFor(pts))
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+      .join(Tables.load(s, dir, "embeddings").select("vec_id", "label"),
+        Seq("vec_id"))
+      .localCheckpoint() // queries + candidates read it
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cluster"), col("label").as("qlabel"))
+    val joined = cells
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn"), col("cluster"), col("label").as("nlabel"))
+      .join(broadcast(q), "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        cosineFromNorms(dotp(col("qe"), col("ne")), col("qn"), col("nn")))
+      .localCheckpoint() // both rank chains read it
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val pre = joined.filter(col("nlabel") === col("qlabel"))
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"))
+    val post = joined
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= K)
+      .filter(col("nlabel") === col("qlabel"))
+      .select(col("query_id"), col("neighbor_id"))
+    val nMatch = joined.filter(col("nlabel") === col("qlabel"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_matching"))
+    val nPre = pre.groupBy("query_id").agg(count(lit(1)).as("n_pre"))
+    val nPost = post.groupBy("query_id").agg(count(lit(1)).as("n_post"))
+    val nCommon = pre.join(post, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    q.select(col("query_id"), col("qlabel").cast(IntegerType).as("label"))
+      .join(nMatch, Seq("query_id"), "left")
+      .join(nPre, Seq("query_id"), "left")
+      .join(nPost, Seq("query_id"), "left")
+      .join(nCommon, Seq("query_id"), "left")
+      .select(col("query_id"), col("label"),
+        coalesce(col("n_matching"), lit(0L)).as("n_matching"),
+        coalesce(col("n_pre"), lit(0L)).as("n_pre"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(when(coalesce(col("n_pre"), lit(0L)) > 0,
+          coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
+            col("n_pre").cast(DoubleType)), 6).as("recall_post"))
+      .orderBy("query_id")
+  }
+
   private def q277OracleS: String = {
     val L = graft.ml.LloydExact
     import graft.ml.LloydExact.Iters
@@ -2034,6 +2102,54 @@ object Similarity {
     "q271_mmr_rerank" -> mmrOracleS,
     "q275_hard_negatives" -> hardNegOracleS,
     "q277_ivf_upsert" -> q277OracleS,
+    "q305_filtered_ann" -> {
+      val L = graft.ml.LloydExact
+      s"""WITH ${L.lloydCtesS},
+         |cells AS MATERIALIZED (SELECT a.vec_id, a.e, a.cluster,
+         |    sqrt(${L.dotS("a.e", "a.e")}) AS nrm, emb.label
+         |  FROM afinal a JOIN embeddings emb ON a.vec_id = emb.vec_id),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster,
+         |    label AS qlabel
+         |  FROM cells WHERE vec_id < 10),
+         |j AS MATERIALIZED (SELECT q.query_id, q.qlabel,
+         |    n.vec_id AS neighbor_id, n.label AS nlabel,
+         |    ${simS(s"${L.dotS("q.qe", "n.e")}", "q.qn", "n.nrm")} AS sim
+         |  FROM q JOIN cells n USING (cluster)
+         |  WHERE n.vec_id <> q.query_id),
+         |pre AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |      AS rk
+         |  FROM j WHERE nlabel = qlabel) WHERE rk <= $K),
+         |post AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, nlabel, qlabel, ROW_NUMBER()
+         |      OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rk
+         |  FROM j) WHERE rk <= $K AND nlabel = qlabel),
+         |nm AS (SELECT query_id, COUNT(*) AS n_matching FROM j
+         |  WHERE nlabel = qlabel GROUP BY query_id),
+         |np AS (SELECT query_id, COUNT(*) AS n_pre FROM pre
+         |  GROUP BY query_id),
+         |ns AS (SELECT query_id, COUNT(*) AS n_post FROM post
+         |  GROUP BY query_id),
+         |nc AS (SELECT pre.query_id, COUNT(*) AS n_common
+         |  FROM pre JOIN post ON pre.query_id = post.query_id
+         |    AND pre.neighbor_id = post.neighbor_id
+         |  GROUP BY pre.query_id)
+         |SELECT q.query_id, CAST(q.qlabel AS INTEGER) AS label,
+         |  CAST(COALESCE(nm.n_matching, 0) AS BIGINT) AS n_matching,
+         |  CAST(COALESCE(np.n_pre, 0) AS BIGINT) AS n_pre,
+         |  CAST(COALESCE(ns.n_post, 0) AS BIGINT) AS n_post,
+         |  CAST(COALESCE(nc.n_common, 0) AS BIGINT) AS n_common,
+         |  round(CASE WHEN COALESCE(np.n_pre, 0) > 0 THEN
+         |    CAST(COALESCE(nc.n_common, 0) AS DOUBLE) / np.n_pre END, 6)
+         |    AS recall_post
+         |FROM q LEFT JOIN nm ON nm.query_id = q.query_id
+         |LEFT JOIN np ON np.query_id = q.query_id
+         |LEFT JOIN ns ON ns.query_id = q.query_id
+         |LEFT JOIN nc ON nc.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin
+    },
     // q298's oracle IS q277's, verbatim: the streamed increments must
     // land on the batch upsert's answer regardless of micro-batch
     // splits or the job restart between them

@@ -211,6 +211,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q305 filtered ANN: post-filter survivors are a subset of the " +
+      "filtered top-k, and the filtered path always fills first") {
+    val rows = Similarity.annFiltered(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (nm, np, ns, nc) = (r.getAs[Long]("n_matching"),
+        r.getAs[Long]("n_pre"), r.getAs[Long]("n_post"),
+        r.getAs[Long]("n_common"))
+      // filter-then-rank fills to min(K, matching candidates)
+      assert(np === math.min(Similarity.K.toLong, nm), r.toString)
+      // a matching candidate in the global top-k is a fortiori among
+      // the k best matching candidates: post ⊆ pre, so common == post
+      assert(nc === ns, r.toString)
+      assert(ns <= np, r.toString)
+      if (np > 0) // recall is 6-dp rounded in the output
+        assert(math.abs(r.getAs[Double]("recall_post") -
+          nc.toDouble / np.toDouble) < 5e-7, r.toString)
+    }
+  }
+
   test("q236 nprobe sweep: recall monotone, exact at full probe width") {
     val rows = Similarity.ivfNprobeSweep(spark, sfDir).collect()
     val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
