@@ -778,6 +778,10 @@ object SparkEntry {
     // with the post-filter recall loss measured per query
     "q305_filtered_ann"       -> ((s, d) =>
       graft.similarity.Similarity.annFiltered(s, d)),
+    // reliability table + ECE of the GD classifier's confidence —
+    // the calibration eval q267's accuracy/log-loss leave open
+    "q306_reliability_ece"    -> ((s, d) =>
+      graft.ml.LogitGd.reliabilityEce(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

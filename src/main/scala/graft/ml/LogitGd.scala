@@ -213,6 +213,66 @@ object LogitGd {
         round(col("setsz"), 6).as("avg_set_size"))
   }
 
+  val EceBins = 10
+
+  /** q306: RELIABILITY TABLE + EXPECTED CALIBRATION ERROR — the eval
+    * q267's accuracy/log-loss pair leaves open: a filter's score is
+    * used as a CONFIDENCE (thresholds, routing, sample weighting), so
+    * it must be calibrated, not just accurate. Binning is EQUAL-MASS
+    * (adaptive ECE, Nixon et al. 2019): cell boundaries are the
+    * [[EceBins]]-quantiles of the confidence distribution itself — the
+    * published fix for exactly what the fixture exhibits, a weak
+    * model whose confidences concentrate so fixed-width cells collapse
+    * to one populated row. Each row reports the cell's count, mean
+    * confidence and empirical accuracy (of the argmax class), and
+    * ECE = Σ (n_b/n)·|acc_b − conf_b| rides every row. q252's isotonic
+    * pair calibrates a FEATURE against an outcome; this calibrates the
+    * MODEL's own confidence.
+    *
+    * Determinism: p̂ sits on the 6-dp grid, so confidence micro-units
+    * are exact integers; boundaries are weighted percentiles over
+    * those integers (the q263 pooled-grid machinery) and the bin
+    * compare is integer-vs-double, identical both engines; sums are
+    * exact integer/DECIMAL; the per-row divisions are the same IEEE
+    * ops. One corpus scan after training. */
+  def reliabilityEce(s: SparkSession, dir: String): DataFrame = {
+    val f = feats(s, dir)
+    val w = trainOn(f)
+    val p = pCol(w)
+    val conf = greatest(p, lit(1.0) - p)
+    val hit = when((p >= 0.5) === (col("y") === 1), 1L).otherwise(0L)
+    val confMu = (conf.cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val scored = f.select(hit.as("hit"), confMu.as("cmu"))
+      .localCheckpoint() // boundary percentiles + binned agg read it
+    val qs = (1 until EceBins).map(i => i.toDouble / EceBins)
+    val bnd = scored.groupBy("cmu").agg(count(lit(1)).as("cnt"))
+      .agg(expr(s"percentile(cmu, array(${qs.mkString(", ")}), cnt)")
+        .as("bnd"))
+    val bin = size(filter(col("bnd"),
+      b => col("cmu").cast(DoubleType) > b)).cast(IntegerType)
+    val g = scored.crossJoin(broadcast(bnd))
+      .select(bin.as("bin"), col("hit"), col("cmu"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("hit").as("nh"), sum("cmu").as("sc"))
+    val acc = col("nh").cast(DoubleType) / col("n").cast(DoubleType)
+    val mconf = col("sc").cast(DoubleType) / col("n").cast(DoubleType) /
+      lit(1000000.0)
+    val rows = g.select(col("bin"), col("n"), col("nh").as("n_correct"),
+        round(mconf, 6).as("mean_conf"), round(acc, 6).as("acc"),
+        // per-bin |gap| in 9-dp units so the ECE sum is order-free
+        round(abs(acc - mconf), 9).as("gap"))
+      .localCheckpoint() // the ECE agg and the output both read it
+    val ece = rows.agg((sum((col("gap") * col("n").cast(DoubleType))
+        .cast(DecimalType(28, 9))).cast(DoubleType) /
+      sum(col("n")).cast(DoubleType)).as("ece"))
+    rows.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_correct"), col("mean_conf"),
+        col("acc"), round(col("gap"), 6).as("gap"),
+        round(col("ece"), 6).as("ece"))
+      .orderBy("bin")
+  }
+
   // ---------------------------------------------------------------- oracle
   import LloydExact.dotS
 
@@ -267,6 +327,48 @@ object LogitGd {
        |$chainCtesS""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q306: same GD chain, then the adaptive (equal-mass) reliability
+    // binning — boundaries are quantiles of the confidence micro-units
+    "q306_reliability_ece" -> {
+      val qs = (1 until EceBins).map(i => i.toDouble / EceBins)
+      s"""WITH $gdCtes,
+         |fin AS (SELECT y,
+         |    round(1.0 / (1.0 + exp(-round(${dotS("w", "x")}, 6))), 6)
+         |      AS p
+         |  FROM lf, lw$Steps),
+         |m AS (SELECT
+         |    CASE WHEN (p >= 0.5) = (y = 1) THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS hit,
+         |    CAST(CAST(GREATEST(p, 1.0 - p) AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS cmu
+         |  FROM fin),
+         |bnd AS (SELECT quantile_cont(cmu, [${qs.mkString(", ")}])
+         |    AS bnd
+         |  FROM m),
+         |b AS (SELECT CAST(len(list_filter(bnd.bnd,
+         |      bb -> CAST(cmu AS DOUBLE) > bb)) AS INTEGER) AS bin,
+         |    hit, cmu
+         |  FROM m CROSS JOIN bnd),
+         |g AS (SELECT bin, COUNT(*) AS n, SUM(hit) AS nh, SUM(cmu) AS sc
+         |  FROM b GROUP BY bin),
+         |r AS (SELECT bin, CAST(n AS BIGINT) AS n,
+         |    CAST(nh AS BIGINT) AS n_correct,
+         |    CAST(nh AS DOUBLE) / CAST(n AS DOUBLE) AS acc0,
+         |    CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+         |      AS mconf0
+         |  FROM g),
+         |r2 AS (SELECT bin, n, n_correct,
+         |    round(mconf0, 6) AS mean_conf, round(acc0, 6) AS acc,
+         |    round(abs(acc0 - mconf0), 9) AS gap0
+         |  FROM r),
+         |e AS (SELECT CAST(SUM(CAST(gap0 * CAST(n AS DOUBLE)
+         |      AS DECIMAL(28,9))) AS DOUBLE) /
+         |    CAST(SUM(n) AS DOUBLE) AS ece
+         |  FROM r2)
+         |SELECT r2.bin, r2.n, r2.n_correct, r2.mean_conf, r2.acc,
+         |  round(r2.gap0, 6) AS gap, round(e.ece, 6) AS ece
+         |FROM r2, e ORDER BY r2.bin""".stripMargin
+    },
     // q304: the same GD chain trained on the hash-split train half,
     // exact order-statistic q-hat on the calibration quarter, coverage
     // and set size measured on the test quarter

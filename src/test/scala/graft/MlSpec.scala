@@ -593,5 +593,24 @@ class MlSpec extends SparkSpec {
     // a certificate that admits everything proves nothing
     assert(sz < 2.0, "prediction sets are vacuous")
   }
+  test("q306 adaptive ECE: equal-mass bins, ece is the n-weighted gap " +
+      "mean, one value everywhere") {
+    val rows = graft.ml.LogitGd.reliabilityEce(spark, sfDir).collect()
+    assert(rows.length === graft.ml.LogitGd.EceBins)
+    val ns = rows.map(_.getAs[Long]("n"))
+    // equal-mass binning: no cell more than ~2x the smallest
+    assert(ns.max <= 2 * ns.min, ns.toSeq.toString)
+    val eces = rows.map(_.getAs[Double]("ece")).distinct
+    assert(eces.length === 1)
+    val wmean = rows.map(r =>
+      r.getAs[Double]("gap") * r.getAs[Long]("n")).sum / ns.sum
+    assert(math.abs(eces.head - wmean) < 1e-5, s"${eces.head} vs $wmean")
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("acc")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Double]("mean_conf") >= 0.5 - 1e-9)
+    }
+  }
 }
+
 
