@@ -782,6 +782,10 @@ object SparkEntry {
     // the calibration eval q267's accuracy/log-loss leave open
     "q306_reliability_ece"    -> ((s, d) =>
       graft.ml.LogitGd.reliabilityEce(s, d)),
+    // PCA whitening via the q266 block: anisotropy before vs after,
+    // plus explained ratio and the dominant-direction share
+    "q307_whitening"          -> ((s, d) =>
+      graft.ml.PcaPower.whitenReport(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -255,6 +255,87 @@ object PcaPower {
       .orderBy("dim")
   }
 
+  /** q307: PCA WHITENING — the transform q266's block exists FOR:
+    * project every embedding onto the top-[[BlockR]] eigenbasis and
+    * rescale each axis by 1/√λ, then MEASURE what whitening is bought
+    * for — the anisotropy drop. Anisotropic embedding spaces (one
+    * dominant direction, q293's finding) inflate every cosine; the
+    * post-processing literature's fix (Su et al. 2021 "whitening
+    * sentence representations", public) is exactly this transform.
+    * Reports, over the q293 offset-pair set, the mean pair cosine in
+    * RAW space vs WHITENED space, plus the top-4 explained ratio and
+    * the λ₁ share — the evidence that the dominant direction was both
+    * present and removed.
+    *
+    * Determinism: the eigenbasis and λs come from the q266 orbit
+    * (bit-exact vs the oracle's CTE chain); whitened coordinates round
+    * at 6 dp at the row ((x·qⱼ − μ·qⱼ)/√λⱼ — driver-fold μ·qⱼ ≡ the
+    * oracle's `list_reduce` over its mu CTE); pair cosines round at
+    * 9 dp and sum as DECIMAL(28,9). Zero-norm whitened vectors (a
+    * point at the projected mean) drop from the whitened mean on both
+    * engines.
+    *
+    * Shape at 100 TB: one covariance pass (q245's), a driver orbit on
+    * the 64×64 matrix, then ONE narrow map over the corpus — 4 dot
+    * products per row against broadcast literals; the pair sample is
+    * an equi-join on vec_id+7. */
+  def whitenReport(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir).localCheckpoint() // covariance + whitening scans
+    val n = p.count()
+    val mu = meansOf(p)
+    val cov = covOf(p, mu, n)
+    val trace = traceOf(cov)
+    val blk = blockIterate(s, rowsOf(cov)).collect()(0)
+    val qv: Array[Array[Double]] = (1 to BlockR).map(i =>
+      blk.getSeq[Double](blk.fieldIndex(s"q$i")).toArray).toArray
+    val lam: Array[Double] = (1 to BlockR).map(i =>
+      blk.getDouble(blk.fieldIndex(s"n$i"))).toArray
+    val muArr: Array[Double] = mu.collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    def drvDot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val muDotQ = qv.map(q => drvDot(muArr, q))
+    val lamSum = ((lam(0) + lam(1)) + lam(2)) + lam(3)
+    def qLit(j: Int) = array(qv(j).toIndexedSeq.map(lit(_)): _*)
+    def coord(j: Int): Column =
+      round((dotp(col("e"), qLit(j)) - lit(muDotQ(j))) /
+        lit(math.sqrt(lam(j))), 6)
+    val wn = sqrt(col("c1") * col("c1") + col("c2") * col("c2") +
+      col("c3") * col("c3") + col("c4") * col("c4"))
+    val wh = p.select(col("vec_id"), col("e"),
+        coord(0).as("c1"), coord(1).as("c2"),
+        coord(2).as("c3"), coord(3).as("c4"))
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+      .withColumn("wn", wn)
+      .localCheckpoint() // both pair-join sides
+    val b = wh.select(col("vec_id").as("vb"), col("e").as("eb"),
+      col("nrm").as("nb"), col("c1").as("b1"), col("c2").as("b2"),
+      col("c3").as("b3"), col("c4").as("b4"), col("wn").as("wnb"))
+    val rawCos = round(dotp(col("e"), col("eb")) /
+      (col("nrm") * col("nb")), 9)
+    val dotW = col("c1") * col("b1") + col("c2") * col("b2") +
+      col("c3") * col("b3") + col("c4") * col("b4")
+    val whiteCos = round(dotW / (col("wn") * col("wnb")), 9)
+    val okW = col("wn") > 0 && col("wnb") > 0
+    val agg = wh.join(b, col("vec_id") + 7 === col("vb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(rawCos.cast(DecimalType(28, 9))).cast(DoubleType).as("sr"),
+        sum(when(okW, whiteCos).cast(DecimalType(28, 9)))
+          .cast(DoubleType).as("sw"),
+        sum(when(okW, 1L).otherwise(0L)).as("n_pairs_white"))
+    agg.crossJoin(broadcast(trace))
+      .select(col("n_pairs"),
+        round(col("sr") / col("n_pairs"), 6).as("mean_raw_cos"),
+        col("n_pairs_white"),
+        round(when(col("n_pairs_white") > 0,
+          col("sw") / col("n_pairs_white")), 6).as("mean_white_cos"),
+        round(lit(lamSum) / col("tr"), 6).as("explained_r4"),
+        round(lit(lam(0) / lamSum), 6).as("lam1_share"))
+  }
+
   private def traceOf(cov: DataFrame): DataFrame =
     cov.filter(col("j") === col("k"))
       .agg(sum(col("cov").cast(DecimalType(28, 12))).cast(DoubleType)
@@ -491,6 +572,48 @@ object PcaPower {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q307: the q266 chain + the whitening transform + the q293-style
+    // offset-pair cosine means in both geometries
+    "q307_whitening" -> {
+      val last = s"mq$Iters"
+      val mqs = (1 to BlockR).map(j =>
+        s"${dotS("mua", s"q$j")} AS mq$j").mkString(",\n    ")
+      val coords = (1 to BlockR).map(j =>
+        s"round((${dotS("e.e", s"q$j")} - mq$j) / sqrt(n$j), 6) AS c$j")
+        .mkString(",\n    ")
+      s"""WITH $baseCtes,
+         |$blockChain,
+         |mua AS (SELECT list(mu ORDER BY pos) AS mua FROM mu),
+         |mud AS (SELECT
+         |    $mqs
+         |  FROM mua, $last),
+         |wh AS MATERIALIZED (SELECT e.vec_id, e.e,
+         |    sqrt(${dotS("e.e", "e.e")}) AS nrm,
+         |    $coords
+         |  FROM e, $last, mud),
+         |wh2 AS MATERIALIZED (SELECT vec_id, e, nrm, c1, c2, c3, c4,
+         |    sqrt(c1 * c1 + c2 * c2 + c3 * c3 + c4 * c4) AS wn
+         |  FROM wh),
+         |pa AS (SELECT COUNT(*) AS n_pairs,
+         |    CAST(SUM(CAST(rc AS DECIMAL(28,9))) AS DOUBLE) AS sr,
+         |    CAST(SUM(CASE WHEN okw THEN CAST(wc AS DECIMAL(28,9)) END)
+         |      AS DOUBLE) AS sw,
+         |    CAST(SUM(CASE WHEN okw THEN 1 ELSE 0 END) AS BIGINT) AS nw
+         |  FROM (SELECT
+         |      round(${dotS("a.e", "b.e")} / (a.nrm * b.nrm), 9) AS rc,
+         |      round((a.c1 * b.c1 + a.c2 * b.c2 + a.c3 * b.c3 +
+         |        a.c4 * b.c4) / (a.wn * b.wn), 9) AS wc,
+         |      (a.wn > 0 AND b.wn > 0) AS okw
+         |    FROM wh2 a JOIN wh2 b ON a.vec_id + 7 = b.vec_id))
+         |SELECT CAST(pa.n_pairs AS BIGINT) AS n_pairs,
+         |  round(pa.sr / pa.n_pairs, 6) AS mean_raw_cos,
+         |  pa.nw AS n_pairs_white,
+         |  round(CASE WHEN pa.nw > 0 THEN pa.sw / pa.nw END, 6)
+         |    AS mean_white_cos,
+         |  round((n1 + n2 + n3 + n4) / tr.tr, 6) AS explained_r4,
+         |  round(n1 / (n1 + n2 + n3 + n4), 6) AS lam1_share
+         |FROM pa, $last, tr""".stripMargin
+    },
     "q266_pca_block" -> {
       val last = s"mq$Iters"
       val pairs = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))

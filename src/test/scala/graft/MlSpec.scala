@@ -611,6 +611,24 @@ class MlSpec extends SparkSpec {
       assert(r.getAs[Double]("mean_conf") >= 0.5 - 1e-9)
     }
   }
+  test("q307 whitening: report invariants — lambda1 dominates its " +
+      "block, cosines bounded, whitened mean-cos stays near zero") {
+    val r = graft.ml.PcaPower.whitenReport(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_pairs") > 0)
+    assert(r.getAs[Long]("n_pairs_white") <= r.getAs[Long]("n_pairs"))
+    val ex = r.getAs[Double]("explained_r4")
+    assert(ex > 0.0 && ex <= 1.0, r.toString)
+    // lambda1 is the largest of the four by construction
+    assert(r.getAs[Double]("lam1_share") >= 0.25 - 1e-9, r.toString)
+    val raw = r.getAs[Double]("mean_raw_cos")
+    val wht = r.getAs[Double]("mean_white_cos")
+    assert(math.abs(raw) <= 1.0 && math.abs(wht) <= 1.0)
+    // whitening equalizes the retained axes: the whitened mean pair
+    // cosine must sit near zero (the fixture is near-isotropic, so
+    // this is a sanity band, not a dramatic drop)
+    assert(math.abs(wht) < 0.05, r.toString)
+  }
 }
+
 
 
