@@ -786,6 +786,12 @@ object SparkEntry {
     // plus explained ratio and the dominant-direction share
     "q307_whitening"          -> ((s, d) =>
       graft.ml.PcaPower.whitenReport(s, d)),
+    // 25th streaming surface: state SCHEMA EVOLUTION — run 2 resumes
+    // the checkpoint with a state schema that adds a nullable field
+    // (Avro encoding); no key loses history, the new metric starts at
+    // the upgrade
+    "q308_state_evolution"    -> ((s, d) =>
+      graft.streaming.EventStream.stateEvolutionParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

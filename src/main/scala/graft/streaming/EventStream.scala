@@ -1577,6 +1577,173 @@ object EventStream {
     }
   }
 
+  final case class EvoAggV1(n: Long, sumScaled: Long)
+  final case class EvoAggV2(n: Long, sumScaled: Long,
+                            maxV: Option[Double])
+  final case class EvoTotals(user_id: Long, n: Long, sum_value: Double,
+                             max_v_since_upgrade: Option[Double])
+
+  /** The V1 job: per-user running (count, exact-scaled sum) — the
+    * schema a stateful service shipped FIRST. Emits max_v as absent. */
+  class EvoV1Processor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, EvoTotals] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[EvoAggV1] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit =
+      st = getHandle.getValueState[EvoAggV1]("agg",
+        org.apache.spark.sql.Encoders.product[EvoAggV1],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EvoTotals] = {
+      var a = if (st.exists()) st.get() else EvoAggV1(0L, 0L)
+      rows.foreach { e =>
+        a = EvoAggV1(a.n + 1,
+          a.sumScaled + math.rint(e.value * 10000.0).toLong) }
+      st.update(a)
+      Iterator.single(EvoTotals(key, a.n, a.sumScaled / 10000.0, None))
+    }
+  }
+
+  /** The V2 job: SAME state variable name, EVOLVED schema — a nullable
+    * max field added (Avro evolution fills it with null when reading
+    * V1 bytes). The upgraded metric starts counting at the upgrade,
+    * which is exactly what adding a field to live state means. */
+  class EvoV2Processor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, EvoTotals] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[EvoAggV2] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit =
+      st = getHandle.getValueState[EvoAggV2]("agg",
+        org.apache.spark.sql.Encoders.product[EvoAggV2],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EvoTotals] = {
+      var a = if (st.exists()) st.get() else EvoAggV2(0L, 0L, None)
+      rows.foreach { e =>
+        val mx = a.maxV match {
+          case Some(m) => Some(math.max(m, e.value))
+          case None    => Some(e.value)
+        }
+        a = EvoAggV2(a.n + 1,
+          a.sumScaled + math.rint(e.value * 10000.0).toLong, mx) }
+      st.update(a)
+      Iterator.single(
+        EvoTotals(key, a.n, a.sumScaled / 10000.0, a.maxV))
+    }
+  }
+
+  /** q308 — STATE SCHEMA EVOLUTION parity, the twenty-fifth streaming
+    * surface and the operational capstone: a stateful job UPGRADED in
+    * place. Run 1 processes the day≤15 half with [[EvoV1Processor]]
+    * (state = count + exact-scaled sum); the job stops; run 2 resumes
+    * the SAME checkpoint over the day>15 half with [[EvoV2Processor]],
+    * whose state schema ADDS a nullable max field — the Avro state
+    * encoding (`spark.sql.streaming.stateStore.encodingFormat=avro`)
+    * reads every V1 record with the added field null, so no key loses
+    * its count/sum history and the new metric begins at the upgrade.
+    * The oracle encodes that exact semantics: totals over the whole
+    * table, max over day>15 only, NULL for users the upgrade never
+    * saw. A dropped key, a zeroed counter, or a max computed over
+    * pre-upgrade events would each break the hash.
+    *
+    * Shape at 100 TB: this is how a production TWS job evolves without
+    * a state rebuild — per-key state stays O(1), the schema check is
+    * per-variable metadata, and old records upgrade lazily on read. */
+  def stateEvolutionParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q308")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provPrev = s.conf.getOption(provKey)
+    val encKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val encPrev = s.conf.getOption(encKey)
+    s.conf.set(partsKey, "8")
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    // UnsafeRow state encoding forbids ANY schema change; Avro is the
+    // evolution-capable format (must be set from the FIRST run — the
+    // checkpoint records it)
+    s.conf.set(encKey, "avro")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+      val out = tmp.resolve("out").toString
+      def run(proc: org.apache.spark.sql.streaming.StatefulProcessor[
+          Long, Event, EvoTotals]): StreamingQuery = {
+        val ds = s.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        ds.groupByKey(_.user_id)
+          .transformWithState(proc,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update(),
+            org.apache.spark.sql.Encoders.product[EvoTotals])
+          .toDF().writeStream
+          .outputMode(OutputMode.Update())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); () }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      // ---- run 1: the V1 job over the first half-month
+      val stage1 = tmp.resolve("stage1")
+      events.filter(dayofmonth(col("ts")) <= 15)
+        .coalesce(1).write.mode("overwrite").parquet(stage1.toString)
+      moveOnlyParquet(stage1, in.resolve("aa-half1.parquet"),
+        mtimeMs = 1000000L)
+      q = run(new EvoV1Processor)
+      require(q.awaitTermination(300000),
+        "q308 V1 run did not terminate within 300 s")
+      q = null
+      // ---- the upgrade deploys; the rest of the month lands
+      val stage2 = tmp.resolve("stage2")
+      events.filter(dayofmonth(col("ts")) > 15)
+        .coalesce(1).write.mode("overwrite").parquet(stage2.toString)
+      moveOnlyParquet(stage2, in.resolve("mm-half2.parquet"),
+        mtimeMs = 1060000L)
+      // ---- run 2: the V2 job resumes the same checkpoint
+      q = run(new EvoV2Processor)
+      require(q.awaitTermination(300000),
+        "q308 V2 run did not terminate within 300 s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc)
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // the latest (highest-n) emission
+        .select("user_id", "n", "sum_value", "max_v_since_upgrade")
+        .orderBy("user_id")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
+      encPrev match {
+        case Some(v) => s.conf.set(encKey, v)
+        case None    => s.conf.unset(encKey)
+      }
+      provPrev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   final case class TtlDurable(appear: Long, n: Long, sumScaled: Long)
   final case class TtlEphemeral(n: Long, sumScaled: Long)
   final case class TtlCacheRow(user_id: Long, appear_idx: Int,
@@ -2578,6 +2745,16 @@ object EventStream {
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q308's oracle encodes the upgrade semantics: totals over the
+    // whole table, the added metric over the post-upgrade half only,
+    // NULL for keys the upgraded job never saw
+    "q308_state_evolution" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_value,
+        |  MAX(CASE WHEN EXTRACT(day FROM ts) > 15 THEN value END)
+        |    AS max_v_since_upgrade
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q297's oracle encodes the TTL horizon: the day≤15 / day>15 halves
     // are the two batches, the durable register is the cumulative fold

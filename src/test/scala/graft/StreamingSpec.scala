@@ -781,6 +781,33 @@ class StreamingSpec extends SparkSpec {
     // spec asserts the transfer property instead: streamed ≡ batch.
   }
 
+  test("q308 state evolution: V1 history survives the upgrade, the " +
+      "added metric starts at it") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.streaming.EventStream
+      .stateEvolutionParity(spark, sfDir).collect()
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val users = ev.select("user_id").distinct().count()
+    assert(rows.length.toLong === users)
+    // counts cover BOTH halves — a key dropped by the schema check
+    // would restart at its post-upgrade count
+    val nTotal = ev.count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nTotal)
+    // the added metric: null exactly for users with no post-upgrade
+    // events, and bounded by the user's true max where present
+    val post = ev.filter(dayofmonth(col("ts")) > 15)
+      .groupBy("user_id").agg(max("value").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val idx = r.fieldIndex("max_v_since_upgrade")
+      if (post.contains(uid)) {
+        assert(!r.isNullAt(idx), s"user $uid lost its upgrade metric")
+        assert(r.getDouble(idx) === post(uid), r.toString)
+      } else assert(r.isNullAt(idx), s"user $uid has a phantom max")
+    }
+  }
+
   test("q295 anti join: absent set is disjoint from q247's matched set " +
       "and together they cover all clicks") {
     import org.apache.spark.sql.functions.col
