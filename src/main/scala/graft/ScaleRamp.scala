@@ -76,12 +76,25 @@ object ScaleRamp {
 
   /** Base overwrite + copies appended in ≤64-way unions: a single
     * 1000-way unionByName plan stalls analysis/codegen, while chunked
-    * appends keep plan size flat at any factor. */
+    * appends keep plan size flat at any factor.
+    *
+    * Staged into a sibling `.staging` dir and renamed on completion: a
+    * crash between chunk appends must not leave a partial dataset that
+    * looks valid (right schema, _SUCCESS from the last completed job)
+    * and silently yields a wrong-factor ramp measurement on reuse. */
   private def writeChunked(base: DataFrame, copies: Seq[DataFrame],
                            out: String): Unit = {
-    base.write.mode("overwrite").parquet(out)
+    val stagingP = java.nio.file.Paths.get(out + ".staging")
+    if (java.nio.file.Files.exists(stagingP))
+      graft.sources.Tables.rmTree(stagingP)
+    base.write.mode("overwrite").parquet(stagingP.toString)
     copies.grouped(64).foreach(ch =>
-      ch.reduce(_ unionByName _).write.mode("append").parquet(out))
+      ch.reduce(_ unionByName _).write.mode("append")
+        .parquet(stagingP.toString))
+    val outP = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(outP))
+      graft.sources.Tables.rmTree(outP)
+    java.nio.file.Files.move(stagingP, outP)
   }
 
   def stage(s: SparkSession, baseDir: String, outDir: String,

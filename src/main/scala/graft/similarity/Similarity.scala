@@ -1347,8 +1347,19 @@ object Similarity {
       java.nio.file.Files.createDirectories(in)
       def stageSlice(slice: Int, name: String, mtimeMs: Long): Unit = {
         val stage = tmp.resolve(s"stage$slice")
-        adds.filter(pmod(col("vec_id"), lit(3L)) === slice)
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        // shard on the add's ORDINAL within the id plane, not vec_id
+        // mod 3: every add satisfies (vec_id − UpsertOffset) ≡ 4
+        // (mod 15) and UpsertOffset ≡ 2 (mod 3), so vec_id is CONSTANT
+        // mod 3 — a collinear shard key would put every row in slice 0
+        // and hollow out the later micro-batches, making the restart
+        // proof vacuous (a run-2 lost increment would go undetected)
+        val sliced = adds.filter(
+          pmod(expr(s"(vec_id - ${UpsertOffset}L) div 15"),
+            lit(3L)) === slice)
+        require(sliced.limit(1).count() == 1L,
+          s"q298 staged slice $slice is empty — its micro-batch would " +
+            "carry zero rows and the increment it proves is vacuous")
+        sliced.coalesce(1).write.mode("overwrite").parquet(stage.toString)
         graft.streaming.EventStream.moveOnlyParquet(
           stage, in.resolve(name), mtimeMs)
       }
