@@ -792,6 +792,12 @@ object SparkEntry {
     // the upgrade
     "q308_state_evolution"    -> ((s, d) =>
       graft.streaming.EventStream.stateEvolutionParity(s, d)),
+    // 26th streaming surface: STATE-STORE READER — the q308 harness's
+    // RocksDB checkpoint read back as a batch DataFrame (statestore +
+    // state-metadata sources); the oracle recomputes the expected
+    // post-upgrade per-key state from raw events
+    "q309_state_reader"       -> ((s, d) =>
+      graft.streaming.EventStream.stateStoreRead(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1657,10 +1657,28 @@ object EventStream {
     * Shape at 100 TB: this is how a production TWS job evolves without
     * a state rebuild — per-key state stays O(1), the schema check is
     * per-variable metadata, and old records upgrade lazily on read. */
-  def stateEvolutionParity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q308")
-    var q: StreamingQuery = null
+  def stateEvolutionParity(s: SparkSession, dir: String): DataFrame =
+    withEvoConfs(s, "graft-q308") { tmp =>
+      runEvoHarness(s, dir, tmp)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc)
+      s.read.parquet(tmp.resolve("out").toString)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // the latest (highest-n) emission
+        .select("user_id", "n", "sum_value", "max_v_since_upgrade")
+        .orderBy("user_id")
+        .localCheckpoint()
+    }
+
+  /** Conf bracket shared by q308/q309: 8 shuffle partitions (= state
+    * shards), RocksDB provider, and the Avro state encoding (UnsafeRow
+    * forbids ANY schema change; Avro is the evolution-capable format
+    * and must be set from the FIRST run — the checkpoint records it).
+    * Restores every conf and deletes `tmp` after `body`, whose result
+    * must therefore be materialized (localCheckpoint) before return. */
+  private def withEvoConfs(s: SparkSession, tmpPrefix: String)(
+      body: java.nio.file.Path => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix)
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -1670,37 +1688,60 @@ object EventStream {
     s.conf.set(partsKey, "8")
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
-    // UnsafeRow state encoding forbids ANY schema change; Avro is the
-    // evolution-capable format (must be set from the FIRST run — the
-    // checkpoint records it)
     s.conf.set(encKey, "avro")
-    try {
-      val in = tmp.resolve("in")
-      java.nio.file.Files.createDirectories(in)
-      val events = graft.sources.Tables.load(s, dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value",
-          "props")
-      val out = tmp.resolve("out").toString
-      def run(proc: org.apache.spark.sql.streaming.StatefulProcessor[
-          Long, Event, EvoTotals]): StreamingQuery = {
-        val ds = s.readStream.schema(eventSchema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(in.toString)
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          .as[Event]
-        ds.groupByKey(_.user_id)
-          .transformWithState(proc,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            OutputMode.Update(),
-            org.apache.spark.sql.Encoders.product[EvoTotals])
-          .toDF().writeStream
-          .outputMode(OutputMode.Update())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(out); () }
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
+    try body(tmp)
+    finally {
+      s.conf.set(partsKey, partsPrev)
+      encPrev match {
+        case Some(v) => s.conf.set(encKey, v)
+        case None    => s.conf.unset(encKey)
       }
+      provPrev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+      rmTree(tmp)
+    }
+  }
+
+  /** The q308/q309 two-run harness body: stage the day≤15 half, run
+    * [[EvoV1Processor]] to completion on a fresh checkpoint at
+    * `tmp/ckpt`, stage the day>15 half, resume the SAME checkpoint
+    * with [[EvoV2Processor]]. Emissions append under `tmp/out`. Both
+    * queries have terminated when this returns; an active query is
+    * stopped on the exception path. Caller sets confs via
+    * [[withEvoConfs]] and owns teardown. */
+  private def runEvoHarness(s: SparkSession, dir: String,
+                            tmp: java.nio.file.Path): Unit = {
+    import s.implicits._
+    var q: StreamingQuery = null
+    val in = tmp.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val events = graft.sources.Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+    val out = tmp.resolve("out").toString
+    def run(proc: org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, EvoTotals]): StreamingQuery = {
+      val ds = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      ds.groupByKey(_.user_id)
+        .transformWithState(proc,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[EvoTotals])
+        .toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    try {
       // ---- run 1: the V1 job over the first half-month
       val stage1 = tmp.resolve("stage1")
       events.filter(dayofmonth(col("ts")) <= 15)
@@ -1709,7 +1750,7 @@ object EventStream {
         mtimeMs = 1000000L)
       q = run(new EvoV1Processor)
       require(q.awaitTermination(300000),
-        "q308 V1 run did not terminate within 300 s")
+        "evolution harness V1 run did not terminate within 300 s")
       q = null
       // ---- the upgrade deploys; the rest of the month lands
       val stage2 = tmp.resolve("stage2")
@@ -1720,29 +1761,58 @@ object EventStream {
       // ---- run 2: the V2 job resumes the same checkpoint
       q = run(new EvoV2Processor)
       require(q.awaitTermination(300000),
-        "q308 V2 run did not terminate within 300 s")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("n").desc)
-      s.read.parquet(out)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1) // the latest (highest-n) emission
-        .select("user_id", "n", "sum_value", "max_v_since_upgrade")
-        .orderBy("user_id")
-        .localCheckpoint()
-    } finally {
-      s.conf.set(partsKey, partsPrev)
-      encPrev match {
-        case Some(v) => s.conf.set(encKey, v)
-        case None    => s.conf.unset(encKey)
-      }
-      provPrev match {
-        case Some(p) => s.conf.set(provKey, p)
-        case None => s.conf.unset(provKey)
-      }
-      if (q != null && q.isActive) q.stop()
-      rmTree(tmp)
+        "evolution harness V2 run did not terminate within 300 s")
+    } catch {
+      case t: Throwable =>
+        if (q != null && q.isActive) q.stop()
+        throw t
     }
   }
+
+  /** q309 — STATE-STORE READER, the twenty-sixth streaming surface and
+    * the operational audit primitive the 25 write-side surfaces leave
+    * uncovered: after the q308 evolution harness (V1 run, upgrade, V2
+    * resume on one checkpoint), the RocksDB checkpoint itself is read
+    * BACK as a batch DataFrame through Spark 4's state data source —
+    * `state-metadata` for the operator topology (how many state
+    * shards, which batch committed last) and `statestore` with
+    * `stateVarName=agg` for every key's live state — answering "what
+    * is in state right now?" with zero job-code changes and zero
+    * replay of the input. The oracle recomputes the expected
+    * post-upgrade state from the raw events table: per-key totals over
+    * the whole month, the added max metric over the post-upgrade half
+    * only, NULL for keys the V2 job never re-touched (their V1 Avro
+    * bytes read under the evolved schema), and the harness topology
+    * pinned as literals (8 state shards, final batch id 1). A dropped
+    * key, a stale pre-upgrade snapshot, a wrong shard count, or a
+    * phantom extra batch each break the hash.
+    *
+    * Shape at 100 TB: the state source reads each shard's RocksDB
+    * snapshot in parallel — one task per state partition, no stream
+    * replay — which is the production path for state audits, offline
+    * backfills, and migrations of live streaming state. */
+  def stateStoreRead(s: SparkSession, dir: String): DataFrame =
+    withEvoConfs(s, "graft-q309") { tmp =>
+      runEvoHarness(s, dir, tmp)
+      val ckpt = tmp.resolve("ckpt").toString
+      // 1-row topology frame: shard count + last committed batch id
+      val meta = s.read.format("state-metadata").load(ckpt)
+        .filter(col("operatorName") === "transformWithStateExec")
+        .select(col("numPartitions").cast(IntegerType)
+            .as("n_state_shards"),
+          col("maxBatchId").cast(LongType).as("last_batch"))
+      val st = s.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "agg")
+        .load()
+      st.select(col("key.value").as("user_id"),
+          col("value.n").as("n"),
+          (col("value.sumScaled") / 10000.0).as("sum_value"),
+          col("value.maxV").as("max_v_since_upgrade"))
+        .crossJoin(broadcast(meta))
+        .orderBy("user_id")
+        .localCheckpoint()
+    }
 
   final case class TtlDurable(appear: Long, n: Long, sumScaled: Long)
   final case class TtlEphemeral(n: Long, sumScaled: Long)
@@ -2755,6 +2825,21 @@ object EventStream {
         |    AS sum_value,
         |  MAX(CASE WHEN EXTRACT(day FROM ts) > 15 THEN value END)
         |    AS max_v_since_upgrade
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q309's oracle is q308's post-upgrade state recomputed from raw
+    // events PLUS the harness topology pinned as literals: 8 state
+    // shards (the conf the checkpoint recorded) and final batch id 1
+    // (run 1 commits batch 0, run 2 batch 1) — read back through the
+    // state-metadata source, so a phantom batch or a repartitioned
+    // store breaks the hash
+    "q309_state_reader" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_value,
+        |  MAX(CASE WHEN EXTRACT(day FROM ts) > 15 THEN value END)
+        |    AS max_v_since_upgrade,
+        |  CAST(8 AS INTEGER) AS n_state_shards,
+        |  CAST(1 AS BIGINT) AS last_batch
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q297's oracle encodes the TTL horizon: the day≤15 / day>15 halves
     // are the two batches, the durable register is the cumulative fold

@@ -808,6 +808,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q309 state reader: the checkpoint read back as a DataFrame " +
+      "equals the final emissions, with the pinned topology") {
+    val rows = graft.streaming.EventStream
+      .stateStoreRead(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // topology from the state-metadata source: 8 state shards (the
+    // conf the checkpoint recorded), last committed batch id 1 (run 1
+    // commits batch 0, run 2 batch 1)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_state_shards") === 8)
+      assert(r.getAs[Long]("last_batch") === 1L)
+    }
+    // the state store IS the source of truth the emissions reflect:
+    // per-key live state must equal the latest emission per key
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+      r.getAs[Double]("sum_value"),
+      Option(r.getAs[java.lang.Double]("max_v_since_upgrade")))
+    val viaEmissions = graft.streaming.EventStream
+      .stateEvolutionParity(spark, sfDir).collect().map(key).toSeq
+    assert(rows.map(key).toSeq === viaEmissions)
+  }
+
   test("q295 anti join: absent set is disjoint from q247's matched set " +
       "and together they cover all clicks") {
     import org.apache.spark.sql.functions.col
