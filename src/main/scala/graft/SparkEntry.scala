@@ -798,6 +798,11 @@ object SparkEntry {
     // post-upgrade per-key state from raw events
     "q309_state_reader"       -> ((s, d) =>
       graft.streaming.EventStream.stateStoreRead(s, d)),
+    // hierarchical HLL rollup — q302's thousands-of-sources regime:
+    // source->group->global register max-merge, O(S·m) shuffle rows;
+    // the flat-computed oracle certifies merge associativity
+    "q310_hll_hierarchy"      -> ((s, d) =>
+      graft.text.TextOps.hllHierarchy(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -714,34 +714,24 @@ object TextOps {
       .withColumn("rank", rank)
       .groupBy("source", "idx").agg(max("rank").as("mx"))
       .localCheckpoint() // singles + every pair merge read it
-    // the q259 estimator over any register grouping (same spelling)
-    def estOf(grouped: DataFrame): DataFrame = {
-      val withSums = grouped
-        .withColumn("v0", lit(m.toLong) - col("n_filled"))
-        .withColumn("isum",
-          col("isum_filled") + col("v0") * lit(1L << 50))
-      val raw = lit(HllAlphaM2) * lit((1L << 50).toDouble) /
-        col("isum").cast(DoubleType)
-      val est = when(raw <= lit(2.5 * m) && col("v0") > 0,
-        lit(m.toDouble) *
-          round(log(lit(m.toDouble) / col("v0").cast(DoubleType)), 6))
-        .otherwise(raw)
-      withSums.withColumn("e", est)
-    }
-    def sums(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
-      g.agg(count(lit(1)).as("n_filled"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - mx)"))
-          .cast(LongType).as("isum_filled"))
-    val single = estOf(sums(regs.groupBy("source")))
+    val single = hllEstOf(m, hllRegSums(regs.groupBy("source")))
       .select(col("source"), col("e"))
-    val srcs = regs.select("source").distinct()
+    val srcs = regs.select("source").distinct().localCheckpoint()
+    // BOUNDED-S CONTRACT: the pair merge below shuffles O(S²·m)
+    // register rows — inherent to pairwise set algebra and fine at
+    // catalog-partition source counts, but at thousands of sources the
+    // merge frame outgrows the corpus scan. Guarded here; the rollup
+    // regime is [[hllHierarchy]] (q310 — O(S·m) hierarchical merge).
+    val nSrcs = srcs.count()
+    require(nSrcs <= 64, s"hllIntersect is the bounded-S pairwise " +
+      s"regime (S <= 64, got $nSrcs) — use hllHierarchy for rollups")
     val pairFrame = srcs.as("x")
       .join(broadcast(srcs.as("y")), col("x.source") < col("y.source"))
       .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
     val merged = regs.join(broadcast(pairFrame),
         col("source") === col("src_a") || col("source") === col("src_b"))
       .groupBy("src_a", "src_b", "idx").agg(max("mx").as("mx"))
-    val union = estOf(sums(merged.groupBy("src_a", "src_b")))
+    val union = hllEstOf(m, hllRegSums(merged.groupBy("src_a", "src_b")))
       .select(col("src_a"), col("src_b"), col("e").as("eu"))
     val exactI = sg.as("x").join(sg.as("y"),
         col("x.h") === col("y.h") && col("x.source") < col("y.source"))
@@ -765,6 +755,122 @@ object TextOps {
         round(when(col("n_exact_inter") > 0,
           (interEst - exactD) / exactD), 6).as("rel_err"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** Register-sum stage of the q259 estimator over any grouping of
+    * (…, mx) register rows — the shared spelling q302 (pairwise) and
+    * q310 (hierarchical) both execute. */
+  private def hllRegSums(
+      g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    g.agg(count(lit(1)).as("n_filled"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - mx)"))
+        .cast(LongType).as("isum_filled"))
+
+  /** The q259 estimator tail over (keys…, n_filled, isum_filled) rows;
+    * mirrored by [[hllEstStagesS]] on the oracle side. */
+  private def hllEstOf(m: Int, withSums0: DataFrame): DataFrame = {
+    val withSums = withSums0
+      .withColumn("v0", lit(m.toLong) - col("n_filled"))
+      .withColumn("isum",
+        col("isum_filled") + col("v0") * lit(1L << 50))
+    val raw = lit(HllAlphaM2) * lit((1L << 50).toDouble) /
+      col("isum").cast(DoubleType)
+    val est = when(raw <= lit(2.5 * m) && col("v0") > 0,
+      lit(m.toDouble) *
+        round(log(lit(m.toDouble) / col("v0").cast(DoubleType)), 6))
+      .otherwise(raw)
+    withSums.withColumn("e", est)
+  }
+
+  /** The q259 estimator tail as DuckDB CTE stages over a relation
+    * `src` of (keys…, n_filled, isum_filled) — the SQL twin of
+    * [[hllEstOf]], shared by the q302 and q310 oracles. */
+  private def hllEstStagesS(m: Int, pre: String, src: String,
+                            keys: String): String =
+    s"""${pre}fl AS (SELECT $keys, n_filled,
+       |    $m - n_filled AS v0,
+       |    isum_filled + ($m - n_filled) *
+       |      (CAST(1 AS BIGINT) << 50) AS isum
+       |  FROM $src),
+       |${pre}es AS (SELECT $keys, n_filled, v0,
+       |    $HllAlphaM2 * CAST(CAST(1 AS BIGINT) << 50 AS DOUBLE)
+       |      / CAST(isum AS DOUBLE) AS raw
+       |  FROM ${pre}fl),
+       |${pre}fin AS (SELECT $keys, n_filled,
+       |    CASE WHEN raw <= ${2.5 * m} AND v0 > 0
+       |      THEN $m.0 * round(ln($m.0 / CAST(v0 AS DOUBLE)), 6)
+       |      ELSE raw END AS e
+       |  FROM ${pre}es)""".stripMargin
+
+  /** q310: HIERARCHICAL HLL ROLLUP — q302's thousands-of-sources
+    * escape hatch. Pairwise set algebra shuffles O(S²·m) register
+    * rows, so at catalog scale the merge frame outgrows the corpus
+    * scan; the hierarchical path merges the S per-source register sets
+    * into G group sketches (O(S·m) shuffle rows, register max-merge)
+    * and the G group sketches into ONE global register set (O(G·m)) —
+    * three lattice levels, corpus touched once. The oracle computes
+    * every level's registers FLAT from the gram frame (group max over
+    * raw grams, global max over all grams), so the green hash IS the
+    * associativity certificate: a register lost or left stale anywhere
+    * in the source→group→global rollup breaks it. Rows: one per group
+    * plus a gid = −1 global row, each carrying the estimate next to
+    * the exact distinct-gram count and its relative error.
+    *
+    * Shape at 100 TB: this is how a metadata catalog keeps
+    * per-partition HLLs consultable at any rollup level — merges are
+    * register-max partial aggregations that never revisit the corpus;
+    * the pairwise regime (q302) stays reserved for bounded source
+    * counts where per-pair overlap is the question. */
+  def hllHierarchy(s: SparkSession, dir: String, n: Int = 3,
+                   p: Int = 10, g: Int = 4): DataFrame = {
+    val m = 1 << p
+    val sg = docs(s, dir)
+      .select(col("source"),
+        explode(array_distinct(shinglesC(tokensC(col("text")), n)))
+          .as("sh"))
+      .select(col("source"), hex60C(seededMd5C(0, col("sh"))).as("h"))
+      .distinct()
+      .localCheckpoint() // level-1 registers + both exact counts read it
+    val rank = when(col("z") === 0, lit(50))
+      .otherwise(lit(51) - length(bin(col("z"))))
+    val gidOf = pmod(hex60C(seededMd5C(1, col("source"))), lit(g.toLong))
+      .cast(IntegerType)
+    // level 1: per-source registers — O(S·m) rows, map-side partials
+    val srcRegs = sg
+      .select(col("source"), pmod(col("h"), lit(m.toLong)).as("idx"),
+        shiftright(col("h"), p).as("z"))
+      .withColumn("rank", rank)
+      .groupBy("source", "idx").agg(max("rank").as("mx"))
+    // level 2: G group sketches by register max-merge
+    val groupRegs = srcRegs.withColumn("gid", gidOf)
+      .groupBy("gid", "idx").agg(max("mx").as("mx"))
+      .localCheckpoint() // group estimates + the global merge read it
+    // level 3: ONE global register set from the G group sketches
+    val globalRegs = groupRegs.groupBy("idx").agg(max("mx").as("mx"))
+      .withColumn("gid", lit(-1))
+    val srcList = sg.select("source").distinct()
+    val nSrc = srcList.withColumn("gid", gidOf).groupBy("gid")
+      .agg(count(lit(1)).cast(IntegerType).as("n_sources"))
+      .unionByName(srcList
+        .agg(count(lit(1)).cast(IntegerType).as("n_sources"))
+        .withColumn("gid", lit(-1)))
+    val exact = sg.withColumn("gid", gidOf).select("gid", "h").distinct()
+      .groupBy("gid").agg(count(lit(1)).as("n_exact"))
+      .unionByName(sg.select("h").distinct()
+        .agg(count(lit(1)).as("n_exact")).withColumn("gid", lit(-1)))
+    val est = hllEstOf(m, hllRegSums(groupRegs.groupBy("gid")))
+      .select(col("gid"), col("n_filled"), col("e"))
+      .unionByName(hllEstOf(m, hllRegSums(globalRegs.groupBy("gid")))
+        .select(col("gid"), col("n_filled"), col("e")))
+    est.join(broadcast(nSrc), Seq("gid"))
+      .join(broadcast(exact), Seq("gid"))
+      .select(col("gid"), col("n_sources"),
+        col("n_filled").cast(IntegerType).as("n_filled"),
+        round(col("e"), 6).as("hll_est"),
+        col("n_exact"),
+        round((col("e") - col("n_exact").cast(DoubleType)) /
+          col("n_exact").cast(DoubleType), 6).as("rel_err"))
+      .orderBy("gid")
   }
 
   /** The q240 redaction transform over a text Column: each pattern
@@ -2972,20 +3078,7 @@ object TextOps {
       // the q259 estimator as a CTE tail over (keys, n_filled,
       // isum_filled); keys distinguish the single and merged chains
       def estStages(pre: String, src: String, keys: String): String =
-        s"""${pre}fl AS (SELECT $keys, n_filled,
-           |    1024 - n_filled AS v0,
-           |    isum_filled + (1024 - n_filled) *
-           |      (CAST(1 AS BIGINT) << 50) AS isum
-           |  FROM $src),
-           |${pre}es AS (SELECT $keys, n_filled, v0,
-           |    $HllAlphaM2 * CAST(CAST(1 AS BIGINT) << 50 AS DOUBLE)
-           |      / CAST(isum AS DOUBLE) AS raw
-           |  FROM ${pre}fl),
-           |${pre}fin AS (SELECT $keys,
-           |    CASE WHEN raw <= ${2.5 * 1024} AND v0 > 0
-           |      THEN 1024.0 * round(ln(1024.0 / CAST(v0 AS DOUBLE)), 6)
-           |      ELSE raw END AS e
-           |  FROM ${pre}es)""".stripMargin
+        hllEstStagesS(1024, pre, src, keys)
       s"""WITH d AS (SELECT source, list_distinct(${shinglesS("t", 3)})
          |    AS sh
          |  FROM (SELECT source, $t AS t FROM documents)),
@@ -3033,6 +3126,54 @@ object TextOps {
          |JOIN ufin u ON u.src_a = pr.src_a AND u.src_b = pr.src_b
          |LEFT JOIN iv ON iv.src_a = pr.src_a AND iv.src_b = pr.src_b
          |ORDER BY pr.src_a, pr.src_b""".stripMargin
+    },
+    // q310: the rollup's oracle computes every level's registers FLAT
+    // from the gram frame (group/global max over raw grams), so the
+    // hash certifies the source->group->global merge lost nothing
+    "q310_hll_hierarchy" -> {
+      val h = graft.functions.TextPrims.hex60S(
+        graft.functions.TextPrims.seededMd5S(0, "s"))
+      val gh = graft.functions.TextPrims.hex60S(
+        graft.functions.TextPrims.seededMd5S(1, "source"))
+      val t = tokensS("text")
+      s"""WITH d AS (SELECT source, list_distinct(${shinglesS("t", 3)})
+         |    AS sh
+         |  FROM (SELECT source, $t AS t FROM documents)),
+         |sg AS MATERIALIZED (SELECT DISTINCT source, $h AS h
+         |  FROM (SELECT source, unnest(sh) AS s FROM d)),
+         |gsrc AS (SELECT source, CAST($gh % 4 AS INTEGER) AS gid
+         |  FROM (SELECT DISTINCT source FROM sg)),
+         |rk AS (SELECT g.gid, s.h % 1024 AS idx,
+         |    CASE WHEN s.h // 1024 = 0 THEN 50
+         |      ELSE 51 - length(bin(s.h // 1024)) END AS rank
+         |  FROM sg s JOIN gsrc g ON s.source = g.source),
+         |regs AS (SELECT gid, idx, MAX(rank) AS mx
+         |    FROM rk GROUP BY gid, idx
+         |  UNION ALL
+         |  SELECT -1 AS gid, idx, MAX(rank) AS mx
+         |    FROM rk GROUP BY idx),
+         |ss AS (SELECT gid, COUNT(*) AS n_filled,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (50 - mx)) AS BIGINT)
+         |      AS isum_filled
+         |  FROM regs GROUP BY gid),
+         |${hllEstStagesS(1024, "h", "ss", "gid")},
+         |ns AS (SELECT gid, CAST(COUNT(*) AS INTEGER) AS n_sources
+         |    FROM gsrc GROUP BY gid
+         |  UNION ALL
+         |  SELECT -1, CAST(COUNT(*) AS INTEGER) FROM gsrc),
+         |ex AS (SELECT g.gid, COUNT(DISTINCT s.h) AS n_exact
+         |    FROM sg s JOIN gsrc g ON s.source = g.source GROUP BY g.gid
+         |  UNION ALL
+         |  SELECT -1, COUNT(DISTINCT h) FROM sg)
+         |SELECT e.gid, ns.n_sources,
+         |  CAST(e.n_filled AS INTEGER) AS n_filled,
+         |  round(e.e, 6) AS hll_est,
+         |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |  round((e.e - CAST(ex.n_exact AS DOUBLE)) /
+         |    CAST(ex.n_exact AS DOUBLE), 6) AS rel_err
+         |FROM hfin e JOIN ns ON ns.gid = e.gid
+         |JOIN ex ON ex.gid = e.gid
+         |ORDER BY e.gid""".stripMargin
     },
     "q259_hll_distinct" -> {
       val h = graft.functions.TextPrims.hex60S(

@@ -945,6 +945,31 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q310 HLL hierarchy: rollup partitions sources and grams, the " +
+      "global estimate tracks the global exact count") {
+    val rows = graft.text.TextOps.hllHierarchy(spark, sfDir).collect()
+    val (global, groups) = rows.partition(_.getAs[Int]("gid") == -1)
+    assert(global.length === 1 && groups.nonEmpty)
+    val g = global.head
+    // the groups partition the source set exactly
+    assert(groups.map(_.getAs[Int]("n_sources")).sum ===
+      g.getAs[Int]("n_sources"))
+    // distinct grams: group counts can only over-cover the global
+    // (shared grams count once per group), never under-cover
+    assert(groups.map(_.getAs[Long]("n_exact")).sum >=
+      g.getAs[Long]("n_exact"))
+    // max-merge monotonicity at the top level: the global register set
+    // dominates every group's, so its estimate does too
+    groups.foreach { r =>
+      assert(g.getAs[Double]("hll_est") >=
+        r.getAs[Double]("hll_est") - 1e-6, r.toString)
+    }
+    // p=10 registers: ~3% stderr — a lost register would blow this band
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.25, r.toString)
+    }
+  }
+
   test("q290 skew audit: shares bounded and nested, entropy in [0, 1]") {
     val rows = graft.analytics.Advanced.keySkewAudit(spark, sfDir)
       .collect()
