@@ -803,6 +803,12 @@ object SparkEntry {
     // the flat-computed oracle certifies merge associativity
     "q310_hll_hierarchy"      -> ((s, d) =>
       graft.text.TextOps.hllHierarchy(s, d)),
+    // filter-aware probe expansion — the third filtered-ANN strategy:
+    // widen nprobe until >= k matching candidates are covered (one
+    // cumulative window, no iteration); reports recall vs exact for
+    // home-cell-only and expanded side by side
+    "q311_filter_expand"      -> ((s, d) =>
+      graft.similarity.Similarity.annFilterExpand(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1470,6 +1470,136 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** The tenant axis for q311's filtered search: a seeded-hash shard of
+    * the id space (64 tenants ⇒ ~1.6 % selectivity), the multi-tenant
+    * predicate production vector stores actually push into the probe. */
+  private val TenantCount = 64L
+  private def tenantC: Column =
+    pmod(TextPrims.hex60C(TextPrims.seededMd5C(9,
+      col("vec_id").cast(StringType))), lit(TenantCount))
+      .cast(IntegerType)
+
+  /** q311: FILTER-AWARE PROBE EXPANSION — the third filtered-search
+    * strategy, the ACORN-style middle ground q305's pair leaves open.
+    * Filter-then-rank in the home cell under-fills when the predicate
+    * is selective (the matching candidates live elsewhere);
+    * post-filtering the global top-k drops matches; the production
+    * answer WIDENS the probe until the filter's candidate budget is
+    * met: cells rank by coarse distance ‖q − c_j‖² (q236's spelling),
+    * and each query probes the SHORTEST prefix of that order whose
+    * cells cover ≥ k matching candidates — computed declaratively with
+    * one cumulative window over the per-(query, cell) match counts, no
+    * iteration, cap = the cell count. The report puts the three
+    * strategies side by side per query: n_probe (cells the expansion
+    * actually needed), the candidate budget it covered, and recall vs
+    * the exact filtered top-k for BOTH the home-cell strategy and the
+    * expanded one. Expansion dominates by construction (the probed set
+    * contains the home cell — the spec asserts the domination), but
+    * coverage counts candidates, not the right ones, so expanded
+    * recall < 1 remains possible and is reported, not hidden.
+    *
+    * Shape at 100 TB: the cardinality map is one narrow aggregation of
+    * the assignment (the per-cell metadata an IVF index keeps anyway),
+    * the expansion is a K-row-per-query window — no corpus pass — and
+    * the widened probe still touches only cell_rank ≤ n_probe
+    * partitions: with the q170/q233 cell-partitioned layout the prefix
+    * filter IS partition pruning. */
+  def annFilterExpand(s: SparkSession, dir: String): DataFrame = {
+    val L = graft.ml.LloydExact
+    val k = K // top-k = 5
+    val pts = L.points(s, dir)
+    val centers = L.centersFor(pts).localCheckpoint()
+    val cells = L.assign(pts, centers)
+      .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+      .withColumn("tenant", tenantC)
+      .localCheckpoint() // queries, counts, candidates, exact read it
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("tenant").as("qtenant"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cd"), col("cluster"))
+    val qcell = q.crossJoin(broadcast(centers))
+      .withColumn("cd", dotp(col("c"), col("c")) -
+        lit(2.0) * dotp(col("qe"), col("c")))
+      .withColumn("cell_rank",
+        row_number().over(wCell).cast(IntegerType))
+      .select("query_id", "cluster", "cell_rank")
+    // the filter's cardinality map: matching candidates per (query,
+    // cell) — one narrow agg over the assignment
+    val perCell = cells
+      .join(broadcast(q.select("query_id", "qtenant")),
+        col("tenant") === col("qtenant") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "cluster").agg(count(lit(1)).as("nm"))
+    // expansion rule: keep every cell the budget still needs — the
+    // cells whose PRECEDING prefix covered < k matching candidates
+    val wOrd = Window.partitionBy("query_id").orderBy("cell_rank")
+    val probed = qcell.join(perCell, Seq("query_id", "cluster"), "left")
+      .withColumn("nm", coalesce(col("nm"), lit(0L)))
+      .withColumn("cum_prev", coalesce(sum("nm").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_prev") < k)
+      .select(col("query_id"), col("cluster"), col("cell_rank"),
+        col("nm"))
+      .localCheckpoint() // candidate join + the report read it
+    val cand = cells
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn"), col("cluster"),
+        col("tenant").as("ntenant"))
+      .join(broadcast(probed.join(q, Seq("query_id"))), Seq("cluster"))
+      .filter(col("ntenant") === col("qtenant") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineFromNorms(dotp(col("qe"), col("ne")),
+        col("qn"), col("nn")))
+      .localCheckpoint() // both rank chains read it
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val expTop = cand.withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= k).select("query_id", "neighbor_id")
+    val homeTop = cand.filter(col("cell_rank") === 1)
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= k).select("query_id", "neighbor_id")
+    // the exact filtered top-k: brute force over every matching vector
+    val exact = cells
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn"), col("tenant").as("ntenant"))
+      .join(broadcast(q), col("ntenant") === col("qtenant") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineFromNorms(dotp(col("qe"), col("ne")),
+        col("qn"), col("nn")))
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint() // two recall semi-joins + the count read it
+    val nExact = exact.groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"))
+    val nProbe = probed.groupBy("query_id").agg(
+      max("cell_rank").as("n_probe"), sum("nm").as("n_match_probed"))
+    val nTotal = perCell.groupBy("query_id")
+      .agg(sum("nm").as("n_match_total"))
+    def hitsOf(t: DataFrame, nm: String): DataFrame =
+      t.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(nm))
+    def recallOf(nh: String): Column =
+      round(when(col("n_exact") > 0,
+        coalesce(col(nh), lit(0L)).cast(DoubleType) /
+          col("n_exact").cast(DoubleType)), 6)
+    q.select(col("query_id"), col("qtenant").as("tenant"))
+      .join(nTotal, Seq("query_id"), "left")
+      .join(nProbe, Seq("query_id"), "left")
+      .join(nExact, Seq("query_id"), "left")
+      .join(hitsOf(expTop, "nh_exp"), Seq("query_id"), "left")
+      .join(hitsOf(homeTop, "nh_home"), Seq("query_id"), "left")
+      .select(col("query_id"), col("tenant"),
+        coalesce(col("n_match_total"), lit(0L)).as("n_match_total"),
+        col("n_probe"),
+        coalesce(col("n_match_probed"), lit(0L)).as("n_match_probed"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        recallOf("nh_home").as("recall_home"),
+        recallOf("nh_exp").as("recall_expand"))
+      .orderBy("query_id")
+  }
+
   private def q277OracleS: String = {
     val L = graft.ml.LloydExact
     import graft.ml.LloydExact.Iters
@@ -2159,6 +2289,92 @@ object Similarity {
          |LEFT JOIN np ON np.query_id = q.query_id
          |LEFT JOIN ns ON ns.query_id = q.query_id
          |LEFT JOIN nc ON nc.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin
+    },
+    // q311: the expansion rule (shortest cell_rank prefix covering
+    // >= k matching candidates) recomputed flat — per-cell match
+    // counts, one cumulative window, then the three strategies' top-k
+    "q311_filter_expand" -> {
+      val L = graft.ml.LloydExact
+      val h9 = TextPrims.hex60S(
+        TextPrims.seededMd5S(9, "CAST(vec_id AS VARCHAR)"))
+      val sim = simS(s"${L.dotS("q.qe", "n.e")}", "q.qn", "n.nrm")
+      s"""WITH ${L.lloydCtesS},
+         |cells AS MATERIALIZED (SELECT a.vec_id, a.e, a.cluster,
+         |    sqrt(${L.dotS("a.e", "a.e")}) AS nrm,
+         |    CAST($h9 % $TenantCount AS INTEGER) AS tenant
+         |  FROM afinal a),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+         |    tenant AS qtenant FROM cells WHERE vec_id < 10),
+         |qc AS (SELECT q.query_id, c.cluster,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |      ${L.dotS("c.c", "c.c")} - 2 * ${L.dotS("q.qe", "c.c")},
+         |      c.cluster) AS INTEGER) AS cell_rank
+         |  FROM q CROSS JOIN c${graft.ml.LloydExact.Iters} c),
+         |pc AS (SELECT q.query_id, n.cluster, COUNT(*) AS nm
+         |  FROM cells n JOIN q ON n.tenant = q.qtenant
+         |    AND n.vec_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |cum AS (SELECT qc.query_id, qc.cluster, qc.cell_rank,
+         |    COALESCE(pc.nm, 0) AS nm,
+         |    COALESCE(SUM(COALESCE(pc.nm, 0)) OVER (
+         |      PARTITION BY qc.query_id ORDER BY qc.cell_rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_prev
+         |  FROM qc LEFT JOIN pc ON pc.query_id = qc.query_id
+         |    AND pc.cluster = qc.cluster),
+         |probed AS (SELECT * FROM cum WHERE cum_prev < $K),
+         |cand AS MATERIALIZED (SELECT p.query_id, p.cell_rank,
+         |    n.vec_id AS neighbor_id, $sim AS sim
+         |  FROM probed p JOIN q ON q.query_id = p.query_id
+         |  JOIN cells n ON n.cluster = p.cluster
+         |  WHERE n.tenant = q.qtenant AND n.vec_id <> q.query_id),
+         |et AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |      AS rk
+         |  FROM cand) WHERE rk <= $K),
+         |ht AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER
+         |      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |      AS rk
+         |  FROM cand WHERE cell_rank = 1) WHERE rk <= $K),
+         |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id, ROW_NUMBER()
+         |      OVER (PARTITION BY q.query_id
+         |        ORDER BY $sim DESC, n.vec_id) AS rk
+         |  FROM q JOIN cells n ON n.tenant = q.qtenant
+         |    AND n.vec_id <> q.query_id) WHERE rk <= $K),
+         |nx AS (SELECT query_id, COUNT(*) AS n_exact FROM ex
+         |  GROUP BY query_id),
+         |npb AS (SELECT query_id, MAX(cell_rank) AS n_probe,
+         |    SUM(nm) AS n_match_probed FROM probed GROUP BY query_id),
+         |nt AS (SELECT query_id, SUM(nm) AS n_match_total FROM pc
+         |  GROUP BY query_id),
+         |he AS (SELECT et.query_id, COUNT(*) AS nh FROM et
+         |  JOIN ex ON ex.query_id = et.query_id
+         |    AND ex.neighbor_id = et.neighbor_id GROUP BY et.query_id),
+         |hh AS (SELECT ht.query_id, COUNT(*) AS nh FROM ht
+         |  JOIN ex ON ex.query_id = ht.query_id
+         |    AND ex.neighbor_id = ht.neighbor_id GROUP BY ht.query_id)
+         |SELECT q.query_id, q.qtenant AS tenant,
+         |  CAST(COALESCE(nt.n_match_total, 0) AS BIGINT)
+         |    AS n_match_total,
+         |  CAST(npb.n_probe AS INTEGER) AS n_probe,
+         |  CAST(COALESCE(npb.n_match_probed, 0) AS BIGINT)
+         |    AS n_match_probed,
+         |  CAST(COALESCE(nx.n_exact, 0) AS BIGINT) AS n_exact,
+         |  round(CASE WHEN COALESCE(nx.n_exact, 0) > 0 THEN
+         |    CAST(COALESCE(hh.nh, 0) AS DOUBLE) / nx.n_exact END, 6)
+         |    AS recall_home,
+         |  round(CASE WHEN COALESCE(nx.n_exact, 0) > 0 THEN
+         |    CAST(COALESCE(he.nh, 0) AS DOUBLE) / nx.n_exact END, 6)
+         |    AS recall_expand
+         |FROM q LEFT JOIN nt ON nt.query_id = q.query_id
+         |LEFT JOIN npb ON npb.query_id = q.query_id
+         |LEFT JOIN nx ON nx.query_id = q.query_id
+         |LEFT JOIN he ON he.query_id = q.query_id
+         |LEFT JOIN hh ON hh.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin
     },
     // q298's oracle IS q277's, verbatim: the streamed increments must

@@ -707,4 +707,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q311 filter expansion: rank windows rewrite to query-keyed " +
+      "TopKPerKey; the probed prefix broadcasts to the candidate scan") {
+    val plan = planOf(graft.similarity.Similarity
+      .annFilterExpand(spark, sfDir))
+    // the row_number + rk <= k chains plan as the custom partial+final
+    // top-k physical operator, keyed per query — never a global window
+    val topkLines = plan.linesIterator
+      .filter(_.contains("TopKPerKey")).toSeq
+    assert(topkLines.nonEmpty, plan)
+    topkLines.foreach { l =>
+      assert(l.contains("query_id"), s"top-k not query-keyed: $l")
+    }
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

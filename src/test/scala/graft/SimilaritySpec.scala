@@ -231,6 +231,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q311 filter-aware expansion: budget met or cells exhausted, " +
+      "expansion dominates the home cell") {
+    val rows = Similarity.annFilterExpand(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val k = Similarity.K.toLong
+    val nCells = graft.ml.LloydExact.K
+    rows.foreach { r =>
+      val np = r.getAs[Int]("n_probe")
+      val covered = r.getAs[Long]("n_match_probed")
+      val total = r.getAs[Long]("n_match_total")
+      assert(np >= 1 && np <= nCells, r.toString)
+      // the expansion rule: either the probed prefix covers the k
+      // candidate budget, or it ran out of cells (probed everything)
+      assert(covered >= math.min(k, total) || np === nCells, r.toString)
+      assert(covered <= total, r.toString)
+      // exact filtered top-k fills to min(k, matching candidates)
+      assert(r.getAs[Long]("n_exact") === math.min(k, total), r.toString)
+      // domination: probed ⊇ home cell, and an exact member surviving
+      // the home top-k a fortiori survives the expanded top-k
+      if (total > 0)
+        assert(r.getAs[Double]("recall_expand") >=
+          r.getAs[Double]("recall_home"), r.toString)
+    }
+    // at 64 tenants over this fixture the predicate is selective
+    // enough that the dynamics are real: some query must expand past
+    // its home cell, and expansion must actually buy recall somewhere
+    assert(rows.exists(_.getAs[Int]("n_probe") > 1))
+    assert(rows.exists(r => r.getAs[Double]("recall_expand") >
+      r.getAs[Double]("recall_home")))
+  }
+
   test("q236 nprobe sweep: recall monotone, exact at full probe width") {
     val rows = Similarity.ivfNprobeSweep(spark, sfDir).collect()
     val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
