@@ -809,6 +809,21 @@ object SparkEntry {
     // home-cell-only and expanded side by side
     "q311_filter_expand"      -> ((s, d) =>
       graft.similarity.Similarity.annFilterExpand(s, d)),
+    // 27th streaming surface: STATE CHANGE FEED — the checkpoint's
+    // per-batch changelog read back as CDC rows (readChangeFeed over
+    // both eras of the q308 evolution harness)
+    "q312_state_change_feed"  -> ((s, d) =>
+      graft.streaming.EventStream.stateChangeFeed(s, d)),
+    // 28th streaming surface: DEDUP-STATE EVICTION visibility — a key
+    // whose within-watermark dedup state expired is admitted again
+    // (q111's bounded-state complement)
+    "q313_dedup_eviction"     -> ((s, d) =>
+      graft.streaming.EventStream.dedupEvictionParity(s, d)),
+    // multi-probe sign-LSH — the LSH family's nprobe analogue: home
+    // bucket vs home + 8 flip-1 buckets, exact-cosine re-rank, recall
+    // vs the float top-k for both strategies
+    "q314_multiprobe_lsh"     -> ((s, d) =>
+      graft.similarity.Similarity.multiProbeLsh(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

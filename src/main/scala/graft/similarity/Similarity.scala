@@ -1816,6 +1816,96 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q314: MULTI-PROBE sign-LSH search — the LSH family's production
+    * recall knob, the analogue of IVF's nprobe (q236) for hash-bucketed
+    * indexes: vectors bucket by their first 8 coordinate-sign bits
+    * (256 cells), and a query probes either its HOME bucket alone or
+    * home + the 8 buckets at Hamming distance 1 (one bit flipped —
+    * the buckets a near-neighbor most likely fell into when one
+    * coordinate straddled zero). Candidates re-rank by exact cosine
+    * (the standard LSH re-rank), and the report gives both strategies'
+    * candidate counts and recall against the exact float top-k, per
+    * query. Multi-probe dominates by construction (its candidate set
+    * contains the home bucket's; the spec asserts it) — the measured
+    * question is how MUCH recall 9× the probes buy at 9×-bounded
+    * candidate cost, without touching the other 247 buckets.
+    *
+    * Shape at 100 TB: the probe set is (queries × 9) rows broadcast to
+    * a bucket-equi-join — with codes stored partitioned by bucket the
+    * probe list IS partition pruning; no brute-force pass, no
+    * cross join. Flip-1 multi-probe is how production LSH serves high
+    * recall without doubling hash tables. */
+  def multiProbeLsh(s: SparkSession, dir: String): DataFrame = {
+    val B = 8 // bucket bits; 2^8 = 256 cells
+    val all = emb(s, dir).localCheckpoint() // codes + float top-k read it
+    val pows = array((0 until B).map(b => lit(1L << b)): _*)
+    val bucket = aggregate(
+      transform(slice(col("e"), 1, B), (x, i) =>
+        when(x >= 0, element_at(pows, i + 1)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+    val cells = all.select(col("vec_id"), col("e"), col("nrm"),
+      bucket.as("bkt")).localCheckpoint() // queries + candidates read it
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bkt").as("qbkt"))
+    // probe list: home bucket + the 8 flip-1 buckets, tagged
+    val probes = q.select(col("query_id"),
+        explode(array((0 to B).map { i =>
+          val b = if (i == 0) col("qbkt")
+            else col("qbkt").bitwiseXOR(lit(1L << (i - 1)))
+          struct(b.as("bkt"), lit(i == 0).as("is_home"))
+        }: _*)).as("p"))
+      .select(col("query_id"), col("p.bkt").as("bkt"),
+        col("p.is_home").as("is_home"))
+    val cand = cells
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn"), col("bkt"))
+      .join(broadcast(probes.join(q, Seq("query_id"))), Seq("bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineFromNorms(dotp(col("qe"), col("ne")),
+        col("qn"), col("nn")))
+      .localCheckpoint() // both strategies' rank chains read it
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    def topOf(c: DataFrame): DataFrame =
+      c.withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= K).select("query_id", "neighbor_id")
+    val homeTop = topOf(cand.filter(col("is_home")))
+    val multiTop = topOf(cand)
+    // the exact float top-k (q286's reference)
+    val exact = all
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn"))
+      .crossJoin(broadcast(q.select("query_id", "qe", "qn")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineFromNorms(dotp(col("qe"), col("ne")),
+        col("qn"), col("nn")))
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= K)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint() // both recall semi-joins read it
+    def hitsOf(t: DataFrame, nm: String): DataFrame =
+      t.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(nm))
+    val nHome = cand.filter(col("is_home")).groupBy("query_id")
+      .agg(count(lit(1)).as("n_cand_home"))
+    val nMulti = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_cand_multi"))
+    q.select("query_id")
+      .join(nHome, Seq("query_id"), "left")
+      .join(nMulti, Seq("query_id"), "left")
+      .join(hitsOf(homeTop, "nh_home"), Seq("query_id"), "left")
+      .join(hitsOf(multiTop, "nh_multi"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_cand_home"), lit(0L)).as("n_cand_home"),
+        coalesce(col("n_cand_multi"), lit(0L)).as("n_cand_multi"),
+        round(coalesce(col("nh_home"), lit(0L)).cast(DoubleType) /
+          lit(K.toDouble), 6).as("recall_home"),
+        round(coalesce(col("nh_multi"), lit(0L)).cast(DoubleType) /
+          lit(K.toDouble), 6).as("recall_multi"))
+      .orderBy("query_id")
+  }
+
   private def q286OracleS: String = {
     import graft.ml.LloydExact.{dotS => dS}
     def bitsS(half: Int): String = {
@@ -1864,6 +1954,70 @@ object Similarity {
        |  FROM bt GROUP BY query_id) g
        |LEFT JOIN cm ON g.query_id = cm.query_id
        |ORDER BY g.query_id""".stripMargin
+  }
+
+  /** q314's oracle: buckets, the 9-probe list, both strategies' top-k
+    * and the exact reference recomputed flat with the shared spellings. */
+  private def q314OracleS: String = {
+    import graft.ml.LloydExact.{dotS => dS}
+    val bktS =
+      s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |  list_transform(generate_series(1, 8),
+         |    i -> CASE WHEN e[i] >= 0
+         |      THEN CAST(1 AS BIGINT) << (i - 1)
+         |      ELSE CAST(0 AS BIGINT) END)),
+         |  (a, b) -> a + b)""".stripMargin.replace("\n", " ")
+    val sim = simS(s"${dS("q.qe", "n.e")}", "q.qn", "n.nrm")
+    s"""WITH en AS MATERIALIZED (SELECT vec_id, e, nrm, $bktS AS bkt
+       |  FROM ($embS)),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+       |    bkt AS qbkt
+       |  FROM en WHERE vec_id < 10),
+       |probes AS (SELECT q.query_id,
+       |    CASE WHEN i = 0 THEN q.qbkt
+       |      ELSE xor(q.qbkt, CAST(1 AS BIGINT) << (i - 1)) END AS bkt,
+       |    i = 0 AS is_home
+       |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS i)),
+       |cand AS MATERIALIZED (SELECT p.query_id, p.is_home,
+       |    n.vec_id AS neighbor_id, $sim AS sim
+       |  FROM probes p JOIN q ON q.query_id = p.query_id
+       |  JOIN en n ON n.bkt = p.bkt
+       |  WHERE n.vec_id <> q.query_id),
+       |ht AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
+       |      query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM cand WHERE is_home) WHERE rk <= $K),
+       |mt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
+       |      query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM cand) WHERE rk <= $K),
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id, ROW_NUMBER() OVER
+       |      (PARTITION BY q.query_id ORDER BY $sim DESC, n.vec_id)
+       |      AS rk
+       |  FROM q, en n WHERE n.vec_id <> q.query_id) WHERE rk <= $K),
+       |nh AS (SELECT query_id, COUNT(*) AS n FROM cand WHERE is_home
+       |  GROUP BY query_id),
+       |nm AS (SELECT query_id, COUNT(*) AS n FROM cand
+       |  GROUP BY query_id),
+       |hh AS (SELECT h.query_id, COUNT(*) AS nhit FROM ht h JOIN ex
+       |  ON ex.query_id = h.query_id AND ex.neighbor_id = h.neighbor_id
+       |  GROUP BY h.query_id),
+       |hm AS (SELECT m.query_id, COUNT(*) AS nhit FROM mt m JOIN ex
+       |  ON ex.query_id = m.query_id AND ex.neighbor_id = m.neighbor_id
+       |  GROUP BY m.query_id)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(nh.n, 0) AS BIGINT) AS n_cand_home,
+       |  CAST(COALESCE(nm.n, 0) AS BIGINT) AS n_cand_multi,
+       |  round(CAST(COALESCE(hh.nhit, 0) AS DOUBLE) / $K, 6)
+       |    AS recall_home,
+       |  round(CAST(COALESCE(hm.nhit, 0) AS DOUBLE) / $K, 6)
+       |    AS recall_multi
+       |FROM q LEFT JOIN nh ON nh.query_id = q.query_id
+       |LEFT JOIN nm ON nm.query_id = q.query_id
+       |LEFT JOIN hh ON hh.query_id = q.query_id
+       |LEFT JOIN hm ON hm.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
   }
 
   /** q293: EMBEDDING ANISOTROPY REPORT — the geometry QA an embedding
@@ -2386,6 +2540,7 @@ object Similarity {
     "q293_anisotropy" -> q293OracleS,
     "q296_label_noise" -> q296OracleS,
     "q286_sign_hamming" -> q286OracleS,
+    "q314_multiprobe_lsh" -> q314OracleS,
     "q231_ndcg_lexical" -> {
       val wl = "[" + ndcgWeights(10).mkString(", ") + "]"
       s"""WITH e AS ($embS),

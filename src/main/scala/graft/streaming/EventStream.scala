@@ -1685,13 +1685,24 @@ object EventStream {
     val provPrev = s.conf.getOption(provKey)
     val encKey = "spark.sql.streaming.stateStore.encodingFormat"
     val encPrev = s.conf.getOption(encKey)
+    // changelog checkpointing: per-batch RocksDB changelogs instead of
+    // full snapshot uploads — the production default for large state,
+    // and the prerequisite for q312's change-feed read-back
+    val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val clPrev = s.conf.getOption(clKey)
     s.conf.set(partsKey, "8")
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
     s.conf.set(encKey, "avro")
+    s.conf.set(clKey, "true")
     try body(tmp)
     finally {
       s.conf.set(partsKey, partsPrev)
+      clPrev match {
+        case Some(v) => s.conf.set(clKey, v)
+        case None    => s.conf.unset(clKey)
+      }
       encPrev match {
         case Some(v) => s.conf.set(encKey, v)
         case None    => s.conf.unset(encKey)
@@ -1791,6 +1802,47 @@ object EventStream {
     * snapshot in parallel — one task per state partition, no stream
     * replay — which is the production path for state audits, offline
     * backfills, and migrations of live streaming state. */
+  /** q312 — STATE CHANGE FEED, the twenty-seventh streaming surface
+    * and q309's CDC complement: where q309 reads the snapshot ("what
+    * is in state NOW"), this reads the checkpoint's per-batch
+    * changelog ("what did each batch DO to state") — Spark 4's state
+    * source with `readChangeFeed` over batch ids 0..1 of the q308
+    * evolution harness, decoding both eras of the changelog in one
+    * frame. Expected rows, all encoded by the oracle from raw events:
+    * batch 0 emits one `update` per day≤15 user carrying its V1 state
+    * (first-half totals, the evolved max field null — V1 changelog
+    * bytes read under the V2 Avro schema); batch 1 emits one `update`
+    * per day>15 user carrying the post-upgrade state (whole-month
+    * cumulative totals + the max since the upgrade). A phantom delete,
+    * a re-emitted unchanged key, or a batch-0 record that leaked
+    * post-upgrade data each break the hash. Changelog checkpointing is
+    * enabled on the harness (the production default for large state:
+    * per-batch deltas upload instead of full RocksDB snapshots) — it
+    * is what makes the feed readable at all.
+    *
+    * Shape at 100 TB: the change feed reads only the per-batch deltas
+    * (O(changed keys), not O(state)) — the primitive for downstream
+    * CDC, incremental materialization off a streaming job's state, and
+    * state-regression forensics between two batches. */
+  def stateChangeFeed(s: SparkSession, dir: String): DataFrame =
+    withEvoConfs(s, "graft-q312") { tmp =>
+      runEvoHarness(s, dir, tmp)
+      val cf = s.read.format("statestore")
+        .option("path", tmp.resolve("ckpt").toString)
+        .option("stateVarName", "agg")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .option("changeEndBatchId", "1")
+        .load()
+      cf.select(col("batch_id"), col("change_type"),
+          col("key.value").as("user_id"),
+          col("value.n").as("n"),
+          (col("value.sumScaled") / 10000.0).as("sum_value"),
+          col("value.maxV").as("max_v_since_upgrade"))
+        .orderBy("user_id", "batch_id")
+        .localCheckpoint()
+    }
+
   def stateStoreRead(s: SparkSession, dir: String): DataFrame =
     withEvoConfs(s, "graft-q309") { tmp =>
       runEvoHarness(s, dir, tmp)
@@ -2094,6 +2146,88 @@ object EventStream {
         .orderBy("nation")
         .localCheckpoint()
     } finally {
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
+  /** q313 — DEDUP-STATE EVICTION made visible, q111's bounded-state
+    * complement and the twenty-eighth streaming surface. q111 proves
+    * `dropDuplicatesWithinWatermark` removes re-deliveries inside the
+    * horizon; this proves the OTHER half of the bounded-state
+    * contract — a key whose dedup state the watermark already evicted
+    * is admitted AGAIN, which is exactly the trade that keeps state
+    * O(rate × horizon) instead of O(all keys ever seen) on an
+    * unbounded firehose. Harness: batch 1 is the day≤15 half; batch 2
+    * the day>15 half (it advances the watermark AND hosts the cleanup
+    * pass — state eviction runs a batch behind the watermark); batch 3
+    * is the eviction probe — every `event_id % 10 == 0` key first seen
+    * on day≤10, re-delivered TWICE with its event time shifted +30
+    * days (fresh, never late). The probe keys' expiry passed days
+    * before the cleanup watermark (one-sided margin: the horizon is
+    * hours, the gap is days — and only grows), so the first copy is
+    * re-admitted on a RE-CREATED state entry and the second copy
+    * dedups against it within the batch. The oracle counts
+    * every probe key exactly ONCE at its shifted hour: stale state
+    * surviving the horizon makes the probe vanish, a broken re-created
+    * entry double-counts it — either breaks the hash.
+    *
+    * Shape at 100 TB: identical state machinery as q111 — one keyed
+    * store per shuffle partition, bounded by the watermark horizon;
+    * this surface is the measured proof of WHY that bound is safe to
+    * rely on (expired keys really do come back as new). */
+  def dedupEvictionParity(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q313")
+    var q: StreamingQuery = null
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val events = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+      val stage1 = tmp.resolve("stage1")
+      events.filter(dayofmonth(col("ts")) <= 15)
+        .coalesce(1).write.mode("overwrite").parquet(stage1.toString)
+      moveOnlyParquet(stage1, in.resolve("aa-half1.parquet"),
+        mtimeMs = 1000000L)
+      val stage2 = tmp.resolve("stage2")
+      events.filter(dayofmonth(col("ts")) > 15)
+        .coalesce(1).write.mode("overwrite").parquet(stage2.toString)
+      moveOnlyParquet(stage2, in.resolve("mm-half2.parquet"),
+        mtimeMs = 1060000L)
+      // the probe lands one batch AFTER the day>15 half: state cleanup
+      // runs a batch BEHIND the watermark (batch N evicts with the
+      // watermark batch N−1's data advanced), so the day≤10 entries
+      // are only physically gone once batch 2 has committed — a probe
+      // sharing batch 2 would still hit its own stale entry
+      val replay = events
+        .filter(col("event_id") % 10 === 0 &&
+          dayofmonth(col("ts")) <= 10)
+        .withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS"))
+      val stage3 = tmp.resolve("stage3")
+      replay.unionByName(replay)
+        .coalesce(1).write.mode("overwrite").parquet(stage3.toString)
+      moveOnlyParquet(stage3, in.resolve("zz-replay.parquet"),
+        mtimeMs = 1120000L)
+      val src = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      q = toParquet(dedupStream(src), tmp.resolve("out").toString,
+        tmp.resolve("ckpt").toString)
+      require(q.awaitTermination(300000),
+        "q313 dedup-eviction stream did not terminate within 300 s")
+      s.read.parquet(tmp.resolve("out").toString)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("sum_value"))
+        .orderBy("hour_start", "event_type")
+        .localCheckpoint()
+    } finally {
+      s.conf.set(partsKey, partsPrev)
       if (q != null && q.isActive) q.stop()
       rmTree(tmp)
     }
@@ -2844,6 +2978,36 @@ object EventStream {
         |  CAST(8 AS INTEGER) AS n_state_shards,
         |  CAST(1 AS BIGINT) AS last_batch
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q312's oracle is the changelog recomputed from raw events: batch
+    // 0 = V1 state per first-half user (evolved max field null), batch
+    // 1 = post-upgrade state per second-half user (cumulative totals,
+    // max since upgrade); every change is an update, keys the batch
+    // never touched emit nothing
+    "q312_state_change_feed" ->
+      """WITH h1 AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS sum_value
+        |  FROM events WHERE EXTRACT(day FROM ts) <= 15
+        |  GROUP BY user_id),
+        |h2 AS (SELECT user_id, MAX(value) AS mx
+        |  FROM events WHERE EXTRACT(day FROM ts) > 15
+        |  GROUP BY user_id),
+        |tot AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS sum_value
+        |  FROM events GROUP BY user_id)
+        |SELECT batch_id, change_type, user_id, n, sum_value,
+        |  max_v_since_upgrade
+        |FROM (
+        |  SELECT CAST(0 AS BIGINT) AS batch_id, 'update' AS change_type,
+        |    user_id, n, sum_value,
+        |    CAST(NULL AS DOUBLE) AS max_v_since_upgrade
+        |  FROM h1
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'update', t.user_id, t.n,
+        |    t.sum_value, h2.mx
+        |  FROM tot t JOIN h2 ON h2.user_id = t.user_id)
+        |ORDER BY user_id, batch_id""".stripMargin,
     // q297's oracle encodes the TTL horizon: the day≤15 / day>15 halves
     // are the two batches, the durable register is the cumulative fold
     // (windowed DECIMAL sums, exact), the ephemeral register restarts
@@ -2868,6 +3032,23 @@ object EventStream {
         |WINDOW w AS (PARTITION BY user_id ORDER BY slice
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, appear_idx""".stripMargin,
+    // q313's oracle: every probe key (day<=10, id % 10 == 0,
+    // re-delivered twice at +30 days) counts exactly ONCE at its
+    // shifted hour — stale dedup state makes it vanish, a broken
+    // re-created entry double-counts it
+    "q313_dedup_eviction" ->
+      """WITH replay AS (SELECT ts + INTERVAL 30 DAY AS ts, event_type,
+        |    value
+        |  FROM events
+        |  WHERE event_id % 10 = 0 AND EXTRACT(day FROM ts) <= 10),
+        |allr AS (SELECT ts, event_type, value FROM events
+        |  UNION ALL SELECT ts, event_type, value FROM replay)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_value
+        |FROM allr GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
     "q295_anti_join_parity" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |  CAST(c.ts AS TIMESTAMP) AS click_ts

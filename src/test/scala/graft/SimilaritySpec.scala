@@ -262,6 +262,25 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Double]("recall_home")))
   }
 
+  test("q314 multi-probe LSH: flip-1 probes dominate the home bucket " +
+      "in candidates and recall") {
+    val rows = Similarity.multiProbeLsh(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (ch, cm) = (r.getAs[Long]("n_cand_home"),
+        r.getAs[Long]("n_cand_multi"))
+      // the multi-probe candidate set contains the home bucket's
+      assert(cm >= ch, r.toString)
+      val (rh, rm) = (r.getAs[Double]("recall_home"),
+        r.getAs[Double]("recall_multi"))
+      assert(rm >= rh, r.toString)
+      assert(rh >= 0.0 && rm <= 1.0, r.toString)
+    }
+    // the knob is real on this fixture: flips add candidates somewhere
+    assert(rows.exists(r => r.getAs[Long]("n_cand_multi") >
+      r.getAs[Long]("n_cand_home")))
+  }
+
   test("q236 nprobe sweep: recall monotone, exact at full probe width") {
     val rows = Similarity.ivfNprobeSweep(spark, sfDir).collect()
     val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()

@@ -831,6 +831,65 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(key).toSeq === viaEmissions)
   }
 
+  test("q312 state change feed: batch 0 carries V1-era state, batch 1 " +
+      "carries the post-upgrade cumulative state") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.streaming.EventStream
+      .stateChangeFeed(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("change_type") === "update", r.toString)
+      assert(Set(0L, 1L)(r.getAs[Long]("batch_id")), r.toString)
+    }
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val b0 = rows.filter(_.getAs[Long]("batch_id") == 0L)
+    val b1 = rows.filter(_.getAs[Long]("batch_id") == 1L)
+    // batch 0: one update per first-half user, V1 schema era — the
+    // evolved max field must read back null
+    assert(b0.length.toLong === ev.filter(dayofmonth(col("ts")) <= 15)
+      .select("user_id").distinct().count())
+    b0.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("max_v_since_upgrade")), r.toString)
+    }
+    // batch 1: one update per second-half user, cumulative count
+    assert(b1.length.toLong === ev.filter(dayofmonth(col("ts")) > 15)
+      .select("user_id").distinct().count())
+    assert(b1.map(_.getAs[Long]("n")).sum ===
+      ev.filter(col("user_id").isin(
+        b1.map(_.getAs[Long]("user_id")).toSeq: _*)).count())
+    b1.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("max_v_since_upgrade")), r.toString)
+    }
+  }
+
+  test("q313 dedup eviction: every probe key is re-admitted once after " +
+      "its state expired, and dedups within its arrival batch") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.EventStream
+      .dedupEvictionParity(spark, sfDir).collect()
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val replay = ev
+      .filter(col("event_id") % 10 === 0 && dayofmonth(col("ts")) <= 10)
+      .withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS"))
+    assert(replay.limit(1).count() === 1L, "fixture has no probe keys")
+    // expected: base events + each probe key exactly ONCE at its
+    // shifted hour (survived eviction, deduped within the batch)
+    val expected = ev.select("ts", "event_type", "value")
+      .unionByName(replay.select("ts", "event_type", "value"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types
+          .DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("hour_start", "event_type")
+      .collect()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[java.sql.Timestamp]("hour_start"),
+      r.getAs[String]("event_type"), r.getAs[Long]("n"),
+      r.getAs[Double]("sum_value"))
+    assert(got.map(key).toSeq === expected.map(key).toSeq)
+  }
+
   test("q295 anti join: absent set is disjoint from q247's matched set " +
       "and together they cover all clicks") {
     import org.apache.spark.sql.functions.col
