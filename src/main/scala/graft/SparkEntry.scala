@@ -824,12 +824,42 @@ object SparkEntry {
     // vs the float top-k for both strategies
     "q314_multiprobe_lsh"     -> ((s, d) =>
       graft.similarity.Similarity.multiProbeLsh(s, d)),
+    // CUBE + grouping_id — all margins and the grand total in one
+    // Expand+aggregate pass (the multi-level OLAP aggregate)
+    "q315_cube_agg"           -> ((s, d) =>
+      graft.analytics.Relational.cubeAgg(s, d)),
+    // Spark 4 VARIANT: parse_json once into the binary type, typed
+    // path extraction via variant_get, aggregate over the typed value
+    "q316_variant_extract"    -> ((s, d) =>
+      graft.analytics.Relational.variantExtract(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
     * through DECIMAL(18,4) sums on BOTH sides so results are bit-identical
     * regardless of accumulation order (see Relational.dsum). */
   def oracleSql: Map[String, String] = Map(
+    // q315: Spark's grouping_id bit order is first-listed = most
+    // significant; NULLS FIRST pinned (Spark ASC default vs DuckDB's
+    // nulls-last). SUM(INTEGER) is HUGEINT in DuckDB — cast at output.
+    "q315_cube_agg" ->
+      """SELECT CAST(2 * GROUPING(source) + GROUPING(lang) AS INTEGER)
+        |    AS gmask,
+        |  source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY gmask, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+    // q316: the oracle extracts the same typed path with DuckDB's JSON
+    // functions — values must agree, the engine-side encoding (VARIANT
+    // vs string re-parse) is the thing under test
+    "q316_variant_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS k_min,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS k_max,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_scan_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  l_shipdate,

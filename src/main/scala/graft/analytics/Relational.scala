@@ -343,4 +343,49 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("hour_start", "event_type")
+
+  /** q316: the Spark 4 VARIANT path — semi-structured ingest done the
+    * new-engine way: `parse_json` turns the JSON string column into the
+    * binary VARIANT type once, `variant_get` extracts a typed path from
+    * it, and the aggregate runs over the typed value. Distinct from
+    * q69's `get_json_object` (string re-parse per access): VARIANT
+    * parses once into a shreddable binary encoding — the Spark-4
+    * answer to "props columns" at warehouse scale, where a string
+    * re-parse per predicate is the scan bottleneck. Oracle: DuckDB's
+    * JSON extraction over the same column — the values, not the
+    * encoding, must agree. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("k").as("k_min"), max("k").as("k_max"),
+        sum(col("k").cast(LongType)).as("k_sum"))
+      .orderBy("event_type")
+
+  /** q315: CUBE + grouping_id — the multi-level aggregate surface
+    * (GROUP BY CUBE(source, lang)): every (source, lang) cell, both
+    * one-dimension margins, and the grand total in ONE pass, each row
+    * tagged with the grouping mask that says which dimensions are
+    * rolled up. This is the OLAP operator dashboards sit on, and the
+    * one aggregation shape `groupBy` can't express without 4 unioned
+    * scans.
+    *
+    * Shape at 100 TB: Spark plans CUBE as a single Expand (4 grouping
+    * sets ⇒ 4× intermediate rows) into one hash aggregate with
+    * map-side partials — one corpus scan regardless of how many
+    * margins are asked for; the alternative (a union of 4 groupBys) is
+    * 4 scans. NULL here means "rolled up", which is why the mask
+    * column — not the nulls — is the level key. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("source"), col("lang"))
+      .agg(grouping_id().cast(IntegerType).as("gmask"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("gmask"), col("source"), col("lang"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("gmask", "source", "lang")
 }

@@ -708,6 +708,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q315 cube: one Expand into one aggregate — a single corpus " +
+      "scan serves all four grouping sets") {
+    val plan = planOf(Relational.cubeAgg(spark, sfDir))
+    assert(plan.contains("Expand"), plan)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      plan)
+  }
+
   test("q311 filter expansion: rank windows rewrite to query-keyed " +
       "TopKPerKey; the probed prefix broadcasts to the candidate scan") {
     val plan = planOf(graft.similarity.Similarity

@@ -46,6 +46,51 @@ class RelationalSpec extends SparkSpec {
     assert(df.select("c_custkey").distinct().count() === customers)
   }
 
+  test("q315 cube: margins sum to their cells and the grand total " +
+      "counts every document") {
+    val rows = Relational.cubeAgg(spark, sfDir).collect()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val byMask = rows.groupBy(_.getAs[Int]("gmask"))
+    // grand total (both dims rolled up): exactly one row, every doc
+    val grand = byMask(3)
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_docs") === docs.count())
+    // each per-source margin (lang rolled up) sums its gmask-0 cells
+    val cells = byMask(0)
+    byMask(1).foreach { m =>
+      val src = m.getAs[String]("source")
+      assert(m.isNullAt(m.fieldIndex("lang")), m.toString)
+      assert(m.getAs[Long]("n_docs") ===
+        cells.filter(_.getAs[String]("source") == src)
+          .map(_.getAs[Long]("n_docs")).sum, m.toString)
+    }
+    // each per-lang margin (source rolled up) likewise
+    byMask(2).foreach { m =>
+      val lang = m.getAs[String]("lang")
+      assert(m.isNullAt(m.fieldIndex("source")), m.toString)
+      assert(m.getAs[Long]("n_docs") ===
+        cells.filter(_.getAs[String]("lang") == lang)
+          .map(_.getAs[Long]("n_docs")).sum, m.toString)
+    }
+  }
+
+  test("q316 variant extraction agrees with the string-reparse path") {
+    val rows = Relational.variantExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val direct = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("k_min"),
+        max("k").as("k_max"), sum(col("k").cast("long")).as("k_sum"))
+      .orderBy("event_type").collect()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("event_type"), r.getAs[Long]("n"),
+      r.getAs[Int]("k_min"), r.getAs[Int]("k_max"),
+      r.getAs[Long]("k_sum"))
+    assert(rows.map(key).toSeq === direct.map(key).toSeq)
+  }
+
   test("approx sketches land within their error bounds of the exact values") {
     val o = graft.sources.Tables.load(spark, sfDir, "orders")
     val exactDistinct = o.select("o_custkey").distinct().count().toDouble
