@@ -65,7 +65,8 @@ object ScaleRamp {
     "dup_triangles"    -> "q254_dup_graph_triangles",
     "tws_stream"       -> "q253_tws_parity",
     "source_minhash"   -> "q299_source_minhash",
-    "hll_algebra"      -> "q302_hll_intersect")
+    "hll_algebra"      -> "q302_hll_intersect",
+    "hll_hierarchy"    -> "q310_hll_hierarchy")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding

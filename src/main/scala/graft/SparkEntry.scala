@@ -832,6 +832,10 @@ object SparkEntry {
     // path extraction via variant_get, aggregate over the typed value
     "q316_variant_extract"    -> ((s, d) =>
       graft.analytics.Relational.variantExtract(s, d)),
+    // 29th streaming surface: STATE TIME TRAVEL — the checkpoint as of
+    // batch 0 (pre-upgrade V1 state), completing the reader triad
+    "q317_state_time_travel"  -> ((s, d) =>
+      graft.streaming.EventStream.stateTimeTravel(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1843,6 +1843,45 @@ object EventStream {
         .localCheckpoint()
     }
 
+  /** q317 — STATE TIME TRAVEL, completing the reader triad (q309 =
+    * state NOW, q312 = what each batch DID, this = state AS OF a past
+    * batch): the q308 checkpoint read with `batchId = 0`, i.e. the
+    * store as the V1 job left it BEFORE the upgrade — per-key
+    * first-half totals only. Time travel is SCHEMA time travel too:
+    * the reader resolves the state schema in effect AT that batch
+    * from the checkpoint's schema history, so the returned value
+    * struct is the V1 shape `(n, sumScaled)` with NO evolved max
+    * field at all (asserted by the spec). The oracle recomputes
+    * exactly the day≤15 state from raw events; a key leaked from
+    * batch 1, a post-upgrade value bleeding backwards, or a
+    * second-half count each break the hash. Changelog checkpointing
+    * makes the reconstruction cheap: version 1 = base snapshot + one
+    * changelog replay, no stream re-run.
+    *
+    * Shape at 100 TB: as-of reads are the state-regression forensics
+    * primitive ("what did user X's register hold before the deploy?")
+    * and the input to offline state diffing — O(state at that version)
+    * with one task per shard, no replay of the input stream. */
+  def stateTimeTravel(s: SparkSession, dir: String): DataFrame =
+    withEvoConfs(s, "graft-q317") { tmp =>
+      runEvoHarness(s, dir, tmp)
+      val st = s.read.format("statestore")
+        .option("path", tmp.resolve("ckpt").toString)
+        .option("stateVarName", "agg")
+        .option("batchId", "0")
+        .load()
+      // schema time travel, asserted: the value struct at batch 0 is
+      // the V1 shape — the evolved field must not exist yet
+      val fields = st.select(col("value.*")).schema.fieldNames.toSeq
+      require(fields == Seq("n", "sumScaled"),
+        s"batch-0 state must carry the V1 schema, got $fields")
+      st.select(col("key.value").as("user_id"),
+          col("value.n").as("n"),
+          (col("value.sumScaled") / 10000.0).as("sum_value"))
+        .orderBy("user_id")
+        .localCheckpoint()
+    }
+
   def stateStoreRead(s: SparkSession, dir: String): DataFrame =
     withEvoConfs(s, "graft-q309") { tmp =>
       runEvoHarness(s, dir, tmp)
@@ -2978,6 +3017,15 @@ object EventStream {
         |  CAST(8 AS INTEGER) AS n_state_shards,
         |  CAST(1 AS BIGINT) AS last_batch
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q317's oracle is the V1-era state recomputed from raw events:
+    // day<=15 totals only (the value struct is the V1 shape — the
+    // evolved field doesn't exist at batch 0; the spec asserts that)
+    "q317_state_time_travel" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events WHERE EXTRACT(day FROM ts) <= 15
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q312's oracle is the changelog recomputed from raw events: batch
     // 0 = V1 state per first-half user (evolved max field null), batch
     // 1 = post-upgrade state per second-half user (cumulative totals,

@@ -890,6 +890,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(key).toSeq === expected.map(key).toSeq)
   }
 
+  test("q317 state time travel: batch-0 state is the pre-upgrade V1 " +
+      "store — first-half totals, no evolved field") {
+    import org.apache.spark.sql.functions._
+    // the operator itself asserts schema time travel (the batch-0
+    // value struct is the V1 shape, no evolved field); this spec
+    // checks the VALUES are exactly the pre-upgrade totals
+    val rows = graft.streaming.EventStream
+      .stateTimeTravel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val expected = graft.sources.Tables.load(spark, sfDir, "events")
+      .filter(dayofmonth(col("ts")) <= 15)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types
+          .DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("user_id").collect()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+      r.getAs[Double]("sum_value"))
+    assert(rows.map(key).toSeq === expected.map(key).toSeq)
+  }
+
   test("q295 anti join: absent set is disjoint from q247's matched set " +
       "and together they cover all clicks") {
     import org.apache.spark.sql.functions.col
