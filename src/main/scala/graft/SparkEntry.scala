@@ -836,6 +836,11 @@ object SparkEntry {
     // batch 0 (pre-upgrade V1 state), completing the reader triad
     "q317_state_time_travel"  -> ((s, d) =>
       graft.streaming.EventStream.stateTimeTravel(s, d)),
+    // exact set-similarity join by prefix filtering (AllPairs/PPJoin):
+    // every Jaccard >= t pair with zero misses, candidates from one
+    // rarest-token-prefix equi-join — the exact complement to q28 LSH
+    "q318_prefix_sim_join"    -> ((s, d) =>
+      graft.dedup.Dedup.prefixSimJoin(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

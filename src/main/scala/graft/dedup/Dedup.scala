@@ -104,6 +104,102 @@ object Dedup extends org.apache.spark.internal.Logging {
        | FROM (SELECT doc_id, text, ${tokensS("text")} AS t FROM documents)
        | WHERE doc_id % 20 = 0""".stripMargin.replace("\n", " ")
 
+  /** q318: EXACT SET-SIMILARITY JOIN by PREFIX FILTERING (the
+    * AllPairs/PPJoin family) — the dedup family's exact-threshold
+    * complement to LSH banding: EVERY pair with token-set Jaccard ≥ t,
+    * no probabilistic misses, without the all-pairs product. The
+    * classic completeness argument: order each document's distinct
+    * tokens canonically by ascending global document frequency (rarest
+    * first, ties by token) and index only the first
+    * |x| − ⌈t·|x|⌉ + 1 tokens; two sets with Jaccard ≥ t must share a
+    * token within those prefixes (if the prefixes were disjoint, too
+    * many of each side's tokens would be unmatched to reach t), so the
+    * prefix equi-join yields a candidate SUPERSET and the exact
+    * Jaccard verify keeps the true pairs. The oracle executes the
+    * identical algorithm in DuckDB; completeness vs brute force is a
+    * theorem, asserted against an actual all-pairs scan by the spec at
+    * fixture scale.
+    *
+    * BLOCKED, stated contract: the join runs WITHIN source blocks
+    * (`a.source = b.source`), the standard production scoping for
+    * exact similarity joins. The reason is not the algorithm but
+    * arithmetic: this corpus is ~10 % near-duplicate pairs GLOBALLY,
+    * and any exact method must verify every true pair — quadratic in
+    * duplicate-cluster size no matter how good the filter. Blocking
+    * bounds the pair space to the unit a curator actually holds exact
+    * guarantees over (a source/domain/snapshot); the GLOBAL regime
+    * stays LSH's (q28 — sublinear, probabilistic), and the pairing of
+    * the two is exactly how fleet-scale dedup is run.
+    *
+    * Shape at 100 TB: candidates come from ONE equi-join keyed by
+    * (source, prefix token) — rarest-first prefixes keep posting lists
+    * short — never a cross join; the verify is an array intersection
+    * over two bounded token arrays. This is the exact regime LSH
+    * trades away: the operator to reach for when a missed duplicate is
+    * unacceptable (legal holds, eval-set isolation). */
+  /** The q27 near-dup corpus with each variant inheriting its base
+    * document's source (q318's block key); the spec brute-forces over
+    * this same frame. */
+  private[graft] def nearDupSourceCorpus(s: SparkSession,
+                                         dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val tC = tokensC(col("text"))
+    val variant = when(size(tC) > 1,
+      concat_ws(" ", slice(tC, lit(1), size(tC) - 1)))
+      .otherwise(col("text"))
+    d.unionByName(d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + VariantIdOffset).as("doc_id"),
+        variant.as("text"), col("source")))
+  }
+
+  def prefixSimJoin(s: SparkSession, dir: String,
+                    t: Double = 0.9): DataFrame = {
+    val corpus = nearDupSourceCorpus(s, dir)
+    val toks = corpus
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(tokensC(col("text")))).as("tok"))
+      .localCheckpoint() // df counts + the per-doc arrays read it
+    val dfc = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // canonical per-doc token array: ascending (global df, tok) — any
+    // total order shared by both sides preserves the prefix theorem
+    val arrs = toks.join(dfc, Seq("tok"))
+      .groupBy("doc_id", "source")
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("tok")))),
+        x => x.getField("tok")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("p",
+        col("n") - ceil(lit(t) * col("n")).cast(IntegerType) + 1)
+      .localCheckpoint() // both prefix sides + the verify read it
+    val pre = arrs.select(col("doc_id"), col("source"), col("n"),
+      explode(slice(col("ts"), lit(1), col("p"))).as("tok"))
+    // size filter (the AllPairs length bound): Jaccard ≥ t forces
+    // t·max(|a|,|b|) ≤ min(|a|,|b|) — prunes candidates before the
+    // distinct + verify without losing a single true pair
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * lit(t) <=
+            least(col("a.n"), col("b.n")))
+      .select(col("a.source").as("source"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val va = arrs.select(col("doc_id").as("doc_a"), col("ts").as("ta"),
+      col("n").as("na"))
+    val vb = arrs.select(col("doc_id").as("doc_b"), col("ts").as("tb"),
+      col("n").as("nb"))
+    val jac = col("inter").cast(DoubleType) /
+      (col("na") + col("nb") - col("inter")).cast(DoubleType)
+    cand.join(va, Seq("doc_a")).join(vb, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .filter(jac >= t)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        col("inter").cast(LongType).as("n_common"),
+        round(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** THE exact-dedup content hash: md5 of whitespace-normalized text.
     * Shared by q26 and q100 (and their oracles via [[normHashS]]) so the
     * normalization can never silently diverge between the dedup operator
@@ -1976,6 +2072,51 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q318: the identical blocked prefix-filter algorithm in DuckDB —
+    // the canonical (global df, tok) ordering via list(... ORDER BY),
+    // the prefix slice, the (source, token) candidate equi-join, and
+    // the exact Jaccard verify
+    "q318_prefix_sim_join" -> {
+      s"""WITH c AS (SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $VariantIdOffset,
+         |    CASE WHEN len(t) > 1
+         |      THEN array_to_string(list_slice(t, 1, len(t) - 1), ' ')
+         |      ELSE text END,
+         |    source
+         |  FROM (SELECT doc_id, text, source, ${tokensS("text")} AS t
+         |    FROM documents)
+         |  WHERE doc_id % 20 = 0),
+         |tk AS MATERIALIZED (SELECT doc_id, source, unnest(
+         |    list_distinct(${tokensS("text")})) AS tok FROM c),
+         |dfc AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+         |arrs AS MATERIALIZED (SELECT t.doc_id, t.source,
+         |    list(t.tok ORDER BY d.df, t.tok) AS ts
+         |  FROM tk t JOIN dfc d ON t.tok = d.tok
+         |  GROUP BY t.doc_id, t.source),
+         |sz AS MATERIALIZED (SELECT doc_id, source, ts, len(ts) AS n,
+         |    len(ts) - CAST(ceil(0.9 * len(ts)) AS INTEGER) + 1 AS p
+         |  FROM arrs),
+         |pre AS (SELECT doc_id, source, n,
+         |    unnest(list_slice(ts, 1, p)) AS tok
+         |  FROM sz),
+         |cand AS (SELECT DISTINCT a.source, a.doc_id AS doc_a,
+         |    b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b ON a.source = b.source
+         |    AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |    AND greatest(a.n, b.n) * 0.9 <= least(a.n, b.n)),
+         |v AS (SELECT c.source, c.doc_a, c.doc_b,
+         |    len(list_intersect(x.ts, y.ts)) AS inter,
+         |    x.n AS na, y.n AS nb
+         |  FROM cand c JOIN sz x ON x.doc_id = c.doc_a
+         |  JOIN sz y ON y.doc_id = c.doc_b)
+         |SELECT source, doc_a, doc_b, CAST(inter AS BIGINT) AS n_common,
+         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+         |    AS jaccard
+         |FROM v
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q291_dup_quality_corr" -> q291OracleS,
     "q281_strip_verify" -> q281OracleS,
     "q272_lsh_tuning" -> q272OracleS,

@@ -510,4 +510,29 @@ class DedupSpec extends SparkSpec {
     val expected = if (census.isNullAt(0)) 0L else census.getLong(0)
     assert(rows.map(_.getAs[Long]("n_dup")).sum === expected)
   }
+
+  test("q318 prefix sim join: exactly the brute-force within-block " +
+      "pair set — the completeness theorem checked against all pairs") {
+    import org.apache.spark.sql.functions._
+    val D = graft.dedup.Dedup
+    val got = D.prefixSimJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // brute force over the SAME corpus: every within-source pair,
+    // exact token-set Jaccard, threshold 0.9 — no filter, no prefix
+    val sets = D.nearDupSourceCorpus(spark, sfDir)
+      .select(col("doc_id"), col("source"), array_distinct(
+        graft.functions.TextPrims.tokensC(col("text"))).as("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).toSet))
+    val brute = (for {
+      (ia, sa, ta) <- sets
+      (ib, sb, tb) <- sets
+      if ia < ib && sa == sb
+      inter = (ta & tb).size
+      if inter.toDouble / (ta.size + tb.size - inter) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture produced no pairs — vacuous check")
+  }
 }
