@@ -841,6 +841,11 @@ object SparkEntry {
     // rarest-token-prefix equi-join — the exact complement to q28 LSH
     "q318_prefix_sim_join"    -> ((s, d) =>
       graft.dedup.Dedup.prefixSimJoin(s, d)),
+    // 30th streaming surface: MapState READ-BACK — the q270 count-min
+    // matrix read from the checkpoint, every populated cell vs the
+    // relational rebuild (the reader extended to collection state)
+    "q319_cm_state_read"      -> ((s, d) =>
+      graft.streaming.EventStream.cmStateRead(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -1199,10 +1199,25 @@ object EventStream {
     * sketch relationally over the full events table (q257's spelling
     * on the user-id universe) — hash-equality proves linear mergeability
     * end to end. */
-  def cmStreamParity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q270")
-    var q: StreamingQuery = null
+  def cmStreamParity(s: SparkSession, dir: String): DataFrame =
+    withRocksConfs(s, "graft-q270") { tmp =>
+      runCmHarness(s, dir, tmp)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "user_id").orderBy(col("n_seen").desc)
+      s.read.parquet(tmp.resolve("out").toString)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "user_id", "n_exact", "n_est")
+        .orderBy("event_type", "user_id")
+        .localCheckpoint()
+    }
+
+  /** Conf bracket shared by q270/q319: 8 shuffle partitions + RocksDB
+    * provider; restores every conf and deletes `tmp` after `body`,
+    * whose result must be materialized before return. */
+  private def withRocksConfs(s: SparkSession, tmpPrefix: String)(
+      body: java.nio.file.Path => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix)
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -1210,11 +1225,30 @@ object EventStream {
     s.conf.set(partsKey, "8")
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
+    try body(tmp)
+    finally {
+      s.conf.set(partsKey, partsPrev)
+      provPrev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+      rmTree(tmp)
+    }
+  }
+
+  /** The q270/q319 harness body: the two event-id-parity slices staged
+    * mtime-ordered, the CM stream run to completion on a fresh
+    * checkpoint at `tmp/ckpt`, emissions appended under `tmp/out`. An
+    * active query is stopped on the exception path. */
+  private def runCmHarness(s: SparkSession, dir: String,
+                           tmp: java.nio.file.Path): Unit = {
+    import s.implicits._
+    var q: StreamingQuery = null
+    val in = tmp.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val events = graft.sources.Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
     try {
-      val in = tmp.resolve("in")
-      java.nio.file.Files.createDirectories(in)
-      val events = graft.sources.Tables.load(s, dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
       Seq(0, 1).foreach { slice =>
         val stage = tmp.resolve(s"stage$slice")
         events.filter(col("event_id") % 2 === slice)
@@ -1227,34 +1261,54 @@ object EventStream {
         .parquet(in.toString)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[Event]
-      val out = tmp.resolve("out").toString
       q = cmStream(ds).toDF().writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(out); () }
+          b.write.mode("append").parquet(tmp.resolve("out").toString)
+          () }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       require(q.awaitTermination(300000),
-        "q270 count-min stream did not terminate within 300 s")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type", "user_id").orderBy(col("n_seen").desc)
-      s.read.parquet(out)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("event_type", "user_id", "n_exact", "n_est")
-        .orderBy("event_type", "user_id")
-        .localCheckpoint()
-    } finally {
-      s.conf.set(partsKey, partsPrev)
-      provPrev match {
-        case Some(p) => s.conf.set(provKey, p)
-        case None => s.conf.unset(provKey)
-      }
-      if (q != null && q.isActive) q.stop()
-      rmTree(tmp)
+        "count-min stream did not terminate within 300 s")
+    } catch {
+      case t: Throwable =>
+        if (q != null && q.isActive) q.stop()
+        throw t
     }
   }
+
+  /** q319 — COMPOSITE-STATE (MapState) READ-BACK, the thirtieth
+    * streaming surface: q309/q312/q317 read a ValueState checkpoint;
+    * this reads a MAP state variable — the q270 Count-Min sketch's
+    * full d×w counter matrix per event-type key — back as one row per
+    * populated cell (`flattenCollectionTypes`), and hash-matches the
+    * oracle that rebuilds the identical counters relationally from raw
+    * events (q257's plane spelling). The additive-merge property makes
+    * this deterministic: whatever the micro-batch slicing, the final
+    * matrix is the column-sum of the whole stream. One lost increment,
+    * one counter attributed to the wrong (j, bucket) cell, or a stale
+    * snapshot breaks the hash — and unlike q270's probe-row emissions
+    * (which sample the sketch at |probe| points), this check covers
+    * EVERY populated cell of the live state.
+    *
+    * Shape at 100 TB: the audit reads O(populated cells) per key from
+    * the latest snapshot — no stream replay — the same forensics
+    * primitive as q309 extended to Spark 4's collection state types. */
+  def cmStateRead(s: SparkSession, dir: String): DataFrame =
+    withRocksConfs(s, "graft-q319") { tmp =>
+      runCmHarness(s, dir, tmp)
+      val st = s.read.format("statestore")
+        .option("path", tmp.resolve("ckpt").toString)
+        .option("stateVarName", "cm")
+        .option("flattenCollectionTypes", "true")
+        .load()
+      st.select(col("key.value").as("event_type"),
+          col("user_map_key.value").as("cell"),
+          col("user_map_value.value").as("counter"))
+        .orderBy("event_type", "cell")
+        .localCheckpoint()
+    }
 
   final case class RateState(tok: Long, lastMs: Long, seen: Long,
                              adm: Long, rej: Long)
@@ -2955,6 +3009,27 @@ object EventStream {
          |WHERE p.user_id % 97 = 0
          |GROUP BY p.event_type, p.user_id
          |ORDER BY p.event_type, p.user_id""".stripMargin
+    },
+    // q319: the q270 sketch matrix rebuilt relationally, one row per
+    // populated (j, bucket) cell — cell = j*w + bucket, q270's flat
+    // MapState key spelling
+    "q319_cm_state_read" -> {
+      val planes = (0 until CmD).map { j =>
+        val b = graft.functions.TextPrims.hex60S(s"md5('$j#' || uid)")
+        s"""SELECT event_type, c, $j AS j, $b % $CmW AS bucket
+           |  FROM cnt""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH cnt AS (SELECT event_type, user_id,
+         |    CAST(user_id AS VARCHAR) AS uid, COUNT(*) AS c
+         |  FROM events GROUP BY event_type, user_id),
+         |pl AS (
+         |  $planes),
+         |sk AS (SELECT event_type, j, bucket,
+         |    CAST(SUM(c) AS BIGINT) AS counter
+         |  FROM pl GROUP BY event_type, j, bucket)
+         |SELECT event_type,
+         |  CAST(j * $CmW + bucket AS BIGINT) AS cell, counter
+         |FROM sk ORDER BY event_type, cell""".stripMargin
     },
     "q260_hll_stream" -> {
       val h = graft.functions.TextPrims.hex60S("md5('0#' || uid)")

@@ -912,6 +912,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(key).toSeq === expected.map(key).toSeq)
   }
 
+  test("q319 MapState read-back: every populated count-min cell equals " +
+      "the relational rebuild; column sums count every event") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.streaming.EventStream
+      .cmStateRead(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val byType = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = graft.streaming.EventStream.CmD
+    val w = graft.streaming.EventStream.CmW
+    // count-min column invariant: every row j of the matrix counts
+    // every event exactly once, so per (event_type, j) the cells sum
+    // to the type's event count — a lost increment breaks one row sum
+    rows.groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("cell") / w)).foreach { case ((et, j), cells) =>
+      assert(j >= 0 && j < d, s"cell outside the $d-plane matrix: $j")
+      assert(cells.map(_.getAs[Long]("counter")).sum === byType(et),
+        s"($et, plane $j)")
+    }
+  }
+
   test("q295 anti join: absent set is disjoint from q247's matched set " +
       "and together they cover all clicks") {
     import org.apache.spark.sql.functions.col
