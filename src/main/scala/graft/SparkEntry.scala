@@ -846,6 +846,10 @@ object SparkEntry {
     // relational rebuild (the reader extended to collection state)
     "q319_cm_state_read"      -> ((s, d) =>
       graft.streaming.EventStream.cmStateRead(s, d)),
+    // winnowing (MOSS): guaranteed-detection fingerprint selection —
+    // window-min of packed (hash,pos) keys, postings-capped match join
+    "q320_winnow_fingerprints" -> ((s, d) =>
+      graft.dedup.Dedup.winnowMatches(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

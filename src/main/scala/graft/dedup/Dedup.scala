@@ -200,6 +200,86 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q320: WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm) — the fingerprinting scheme with a
+    * GUARANTEE the q25/q30 rolling-hash samplers lack: from each window
+    * of `w` consecutive shingle hashes keep the minimum (rightmost on
+    * ties), and any substring match of at least w + n − 1 tokens is
+    * certain to share a selected fingerprint — detection is a theorem,
+    * not a probability, while storing only ~2/(w+1) of all hashes.
+    *
+    * The rightmost-min selection is ONE window pass, no per-window
+    * explode: each (hash, pos) is packed into a single BIGINT key
+    * `h32·2²⁴ + (2²⁴−1−pos)` whose min over the w-frame IS the
+    * rightmost minimal hash (smaller hash ⇒ smaller key; equal hashes ⇒
+    * later pos ⇒ smaller key), so `min(key) OVER (ROWS CURRENT..w−1
+    * FOLLOWING)` at each valid window start selects exactly the paper's
+    * fingerprint, identically in both engines (positions may be 0- vs
+    * 1-based — the packing is shift-invariant, the selected hash is
+    * not). Contract: documents under 2²⁴ shingles (16M tokens/doc).
+    *
+    * Matching is the standard inverted-index shape: distinct
+    * (doc, fingerprint) postings, fingerprints seen in more than
+    * `maxPostings` docs dropped (boilerplate-shingle suppression — the
+    * hot-key guard every production index applies), pairs from the
+    * postings self-join, kept at `minShared`+ shared fingerprints.
+    *
+    * Shape at 100 TB: one corpus scan → per-doc sort (doc-sized window
+    * partitions, no global sort) → distinct → the postings equi-join
+    * whose fanout the cap bounds; never all-pairs. The guarantee is
+    * asserted by the spec: every injected near-dup variant pair must
+    * surface (its shared prefix vastly exceeds w + n − 1). */
+  /** The winnowed (doc_id, fph) fingerprint postings of a corpus — the
+    * selection half of [[winnowMatches]], exposed so the spec can check
+    * it against a per-window brute force of the paper's rule. */
+  private[graft] def winnowFingerprints(corpus: DataFrame, n: Int,
+                                        w: Int): DataFrame = {
+    val posM = 1L << 24
+    val keyed = Tables.fanOut(corpus, "doc_id")
+      .select(col("doc_id"),
+        posexplode(shinglesC(tokensC(col("text")), n)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        (hex32C(seededMd5C(320, col("sh"))) * lit(posM) +
+          (lit(posM - 1) - col("pos"))).as("key"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    keyed
+      .withColumn("m", count(lit(1)).over(byDoc))
+      .withColumn("wkey", min(col("key")).over(byDoc.orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          w - 1)))
+      // valid window STARTS only (0-based): i ≤ m − w, or the single
+      // whole-doc window when the doc is shorter than w
+      .filter(col("pos") <= greatest(col("m") - w, lit(0)))
+      .select(col("doc_id"), shiftright(col("wkey"), 24).as("fph"))
+      .distinct()
+  }
+
+  def winnowMatches(s: SparkSession, dir: String, n: Int = 4, w: Int = 4,
+                    maxPostings: Int = 8, minShared: Int = 3): DataFrame = {
+    val fp = winnowFingerprints(nearDupCorpus(s, dir), n, w)
+      .localCheckpoint() // four consumers: docn, the cap, both join sides
+    val docn = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val rare = fp.groupBy("fph").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") <= maxPostings).select("fph")
+    val fpF = fp.join(rare, Seq("fph"))
+    val pairs = fpF.as("a").join(fpF.as("b"),
+        col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(docn.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")),
+        Seq("doc_a"))
+      .join(docn.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        round(col("n_shared").cast(DoubleType) /
+          least(col("n_fp_a"), col("n_fp_b")).cast(DoubleType), 6)
+          .as("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** THE exact-dedup content hash: md5 of whitespace-normalized text.
     * Shared by q26 and q100 (and their oracles via [[normHashS]]) so the
     * normalization can never silently diverge between the dedup operator
@@ -2072,6 +2152,46 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q320: the identical winnowing selection in DuckDB — 1-based list
+    // positions (vs Spark's 0-based posexplode) shift every packed key by
+    // one, which changes no window minimum; valid starts are i ≤ m−w+1
+    "q320_winnow_fingerprints" -> {
+      val (n, w, maxPostings, minShared) = (4, 4, 8, 3)
+      s"""WITH c AS ($nearDupCorpusS),
+         |g AS (SELECT doc_id, ${shinglesS(tokensS("text"), n)} AS gs FROM c),
+         |sh AS (SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos,
+         |    CAST(u['sh'] AS VARCHAR) AS sh
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(gs)), i -> {'pos': i, 'sh': gs[i]})) AS u
+         |    FROM g)),
+         |keyed AS (SELECT doc_id, pos,
+         |    ${hex32S(seededMd5S(320, "sh"))} * 16777216
+         |      + (16777215 - pos) AS key,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+         |  FROM sh),
+         |wk AS (SELECT doc_id, pos, m,
+         |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wkey
+         |  FROM keyed),
+         |fp AS (SELECT DISTINCT doc_id, wkey // 16777216 AS fph
+         |  FROM wk WHERE pos <= greatest(m - $w + 1, 1)),
+         |docn AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+         |rare AS (SELECT fph FROM fp GROUP BY fph
+         |  HAVING COUNT(*) <= $maxPostings),
+         |ff AS (SELECT f.doc_id, f.fph FROM fp f JOIN rare r
+         |  ON f.fph = r.fph),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS n_shared
+         |  FROM ff a JOIN ff b ON a.fph = b.fph AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $minShared)
+         |SELECT p.doc_a, p.doc_b, p.n_shared, x.n_fp AS n_fp_a,
+         |  y.n_fp AS n_fp_b,
+         |  round(CAST(p.n_shared AS DOUBLE) / least(x.n_fp, y.n_fp), 6)
+         |    AS overlap
+         |FROM pairs p JOIN docn x ON x.doc_id = p.doc_a
+         |JOIN docn y ON y.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // q318: the identical blocked prefix-filter algorithm in DuckDB —
     // the canonical (global df, tok) ordering via list(... ORDER BY),
     // the prefix slice, the (source, token) candidate equi-join, and

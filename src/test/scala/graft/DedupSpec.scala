@@ -535,4 +535,49 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
     assert(got.nonEmpty, "fixture produced no pairs — vacuous check")
   }
+
+  test("q320 winnowing: the packed-key window min selects exactly the " +
+      "paper's rightmost-min fingerprint per window (brute-forced), and " +
+      "every injected near-dup variant pair surfaces — the w+n-1 guarantee") {
+    import org.apache.spark.sql.functions._
+    val D = graft.dedup.Dedup
+    val (n, w) = (4, 4)
+    val corpus = D.nearDupCorpus(spark, sfDir)
+    // (a) selection rule: per-doc fingerprint sets vs a literal
+    // per-window brute force of Schleimer et al.'s rightmost-min rule
+    val got = D.winnowFingerprints(corpus, n, w).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("fph")).toSet }
+    val texts = corpus.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    def shingles(text: String): Seq[String] = {
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      if (t.length >= n) t.sliding(n).map(_.mkString(" ")).toSeq
+      else Seq(t.mkString(" "))
+    }
+    val brute = texts.map { case (d, text) =>
+      val hs = shingles(text)
+        .map(sh => graft.functions.TextPrims.javaMd5Hex32(s"320#$sh"))
+      val m = hs.length
+      d -> (0 to math.max(m - w, 0)).map { i =>
+        val win = hs.slice(i, math.min(i + w, m)).zipWithIndex
+        val mn = win.map(_._1).min
+        win.filter(_._1 == mn).maxBy(_._2)._1 // rightmost tie-break
+      }.toSet
+    }.toMap
+    assert(got === brute)
+    // (b) the detection guarantee: a variant shares its base's full
+    // prefix (all but the last token) — far beyond w + n - 1 tokens for
+    // any doc of >= 40 tokens — so the pair MUST surface
+    val pairs = D.winnowMatches(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val longBases = texts.collect { case (d, text)
+      if d % 20 == 0 && d < D.VariantIdOffset &&
+        text.trim.split("\\s+").length >= 40 => d }
+    assert(longBases.nonEmpty, "fixture has no long variant bases")
+    longBases.foreach { d =>
+      assert(pairs.contains((d, d + D.VariantIdOffset)),
+        s"variant pair of base $d missed — guarantee violated")
+    }
+  }
 }
