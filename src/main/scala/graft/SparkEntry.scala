@@ -850,6 +850,11 @@ object SparkEntry {
     // window-min of packed (hash,pos) keys, postings-capped match join
     "q320_winnow_fingerprints" -> ((s, d) =>
       graft.dedup.Dedup.winnowMatches(s, d)),
+    // the vocab ARTIFACT of q246's training: token inventory with corpus
+    // share + cumulative coverage + single-char residue, from the
+    // word-type state (no second corpus scan)
+    "q321_bpe_vocab"          -> ((s, d) =>
+      graft.text.BpeTrain.bpeVocab(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

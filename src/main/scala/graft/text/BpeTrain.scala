@@ -175,6 +175,43 @@ object BpeTrain {
       .orderBy("source")
   }
 
+  /** q321: THE VOCAB ARTIFACT — the learned token inventory tokenizer
+    * training actually ships, which q246 (the merge curve) and q249
+    * (compression ratios) never emit: per final symbol, its corpus
+    * occurrence count, corpus share, cumulative coverage down the
+    * frequency ranking, and whether it is still a single character
+    * (unmerged residue — the byte-fallback tail of a real vocab file).
+    * The coverage curve is the number a tokenizer team reads to decide
+    * whether `Merges` was enough: how much of the corpus the top-k
+    * vocabulary entries explain.
+    *
+    * Corpus counts come FREE from the merge state: the word-TYPE table
+    * carries each type's corpus frequency, so occurrences(sym) =
+    * Σ_types freq·(slots of sym in the type) = one hash-agg over the
+    * final symbol table — no second corpus scan. Cumulative coverage is
+    * an integer running sum over the (cnt desc, sym) total order,
+    * divided once at the end — exact in both engines. The ranking
+    * window is VOCABULARY-sized (sym_types rows, bounded by the merge
+    * count + alphabet), not corpus-sized — single-partition is correct
+    * here, same as q246's 1-row-per-step reports. */
+  def bpeVocab(s: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    var tbl = Tables.fanOut(symbols0(s, dir), "word").localCheckpoint()
+    for (i <- 1 to Merges) tbl = step(tbl, i)._1
+    val v = tbl.groupBy("sym").agg(sum("freq").as("cnt"))
+    val tot = tbl.agg(sum("freq").as("tot"))
+    val byCnt = Window.orderBy(col("cnt").desc, col("sym"))
+    v.withColumn("rnk", row_number().over(byCnt).cast(IntegerType))
+      .withColumn("cum", sum("cnt").over(byCnt.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rnk") <= topK)
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("sym"), col("cnt"),
+        round(col("cnt").cast(DoubleType) / col("tot"), 6).as("share"),
+        round(col("cum").cast(DoubleType) / col("tot"), 6).as("cum_share"),
+        (length(col("sym")) === 1).cast(IntegerType).as("single_char"))
+      .orderBy("rnk")
+  }
+
   // ---------------------------------------------------------------- oracle
   private val T = tokensS("text")
 
@@ -262,6 +299,23 @@ object BpeTrain {
          |$arms
          |ORDER BY step""".stripMargin
     },
+    "q321_bpe_vocab" ->
+      s"""WITH $chainCtes,
+         |v AS (SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM t$Merges GROUP BY sym),
+         |tt AS (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM t$Merges),
+         |r AS (SELECT sym, cnt,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, sym) AS INTEGER)
+         |      AS rnk,
+         |    SUM(cnt) OVER (ORDER BY cnt DESC, sym
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM v)
+         |SELECT r.rnk, r.sym, r.cnt,
+         |  round(CAST(r.cnt AS DOUBLE) / tt.tot, 6) AS share,
+         |  round(CAST(r.cum AS DOUBLE) / tt.tot, 6) AS cum_share,
+         |  CAST(length(r.sym) = 1 AS INTEGER) AS single_char
+         |FROM r CROSS JOIN tt WHERE r.rnk <= 50
+         |ORDER BY r.rnk""".stripMargin,
     "q249_bpe_compression" ->
       s"""WITH $chainCtes,
          |sl AS (SELECT word, CAST(COUNT(*) AS INTEGER) AS sym_len

@@ -736,6 +736,32 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q321 vocab: totals reconcile with q246's final-step stats, " +
+      "coverage monotone, merged symbols rank above their residue") {
+    import spark.implicits._
+    // full inventory (topK beyond the vocab size): Σcnt and the row
+    // count must equal the merge curve's final corpus_syms / sym_types
+    val full = graft.text.BpeTrain.bpeVocab(spark, sfDir, topK = 1 << 20)
+      .collect()
+    val last = graft.text.BpeTrain.bpeMerges(spark, sfDir).collect()
+      .maxBy(_.getAs[Int]("step"))
+    assert(full.map(_.getAs[Long]("cnt")).sum ===
+      last.getAs[Long]("corpus_syms"))
+    assert(full.length === last.getAs[Int]("sym_types"))
+    // ranking + coverage invariants on the shipped top-50 frame
+    val top = graft.text.BpeTrain.bpeVocab(spark, sfDir).collect()
+    assert(top.length <= 50 && top.nonEmpty)
+    top.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cnt") >= b.getAs[Long]("cnt"))
+      assert(a.getAs[Double]("cum_share") <= b.getAs[Double]("cum_share"))
+      case _ => ()
+    }
+    assert(top.last.getAs[Double]("cum_share") <= 1.0)
+    // at least one multi-char (merged) symbol made the top ranks — the
+    // vocab is not vacuously the alphabet
+    assert(top.exists(_.getAs[Int]("single_char") == 0))
+  }
+
   test("q250 LOO impact: deltas consistent, one source recounted by an " +
       "actual leave-out pass") {
     import spark.implicits._
