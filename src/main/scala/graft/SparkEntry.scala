@@ -855,6 +855,10 @@ object SparkEntry {
     // word-type state (no second corpus scan)
     "q321_bpe_vocab"          -> ((s, d) =>
       graft.text.BpeTrain.bpeVocab(s, d)),
+    // Dataset.observe: data-quality counters riding the production
+    // action's scan via CollectMetrics — zero extra jobs at 100 TB
+    "q322_observe_metrics"    -> ((s, d) =>
+      graft.analytics.Relational.observeMetrics(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -874,6 +878,18 @@ object SparkEntry {
     // q316: the oracle extracts the same typed path with DuckDB's JSON
     // functions — values must agree, the engine-side encoding (VARIANT
     // vs string re-parse) is the thing under test
+    // q322: the oracle recomputes the observed counters directly; the
+    // engine side must deliver the identical values out of the
+    // CollectMetrics accumulator (DECIMAL-routed sum, exact count/range)
+    "q322_observe_metrics" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flag_r,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups
+        |FROM lineitem WHERE l_quantity > 10""".stripMargin,
     "q316_variant_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))

@@ -388,4 +388,46 @@ object Relational {
       .select(col("gmask"), col("source"), col("lang"),
         col("n_docs"), col("sum_chars"))
       .orderBy("gmask", "source", "lang")
+
+  /** q322: OBSERVED METRICS — `Dataset.observe` + `Observation`, the
+    * data-quality-counter surface every production job wants and naive
+    * pipelines pay a second scan for: `observe` plants a
+    * CollectMetrics node mid-plan whose aggregates (count / sum / min /
+    * max — accumulator-mergeable, no shuffle) are computed AS A SIDE
+    * EFFECT of whatever action drives the plan. Here the driven action
+    * is the real downstream aggregate (per-flag counts); the quality
+    * counters — row count past the filter, flagged-row count, exact
+    * DECIMAL measure total, key range — ride that same scan for free.
+    *
+    * Shape at 100 TB: the alternative is a second full aggregation
+    * query — a second 100 TB scan per quality dashboard refresh.
+    * CollectMetrics is an AggregatingAccumulator merged per task:
+    * zero extra jobs, zero shuffle, and the counters observe exactly
+    * the rows the production job consumed (same filter, same moment) —
+    * not a racy re-read. The DECIMAL(18,4) sum keeps the merge
+    * order-independent (dsum's discipline), so the observed total is
+    * bit-equal to the oracle's. */
+  def observeMetrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation("q322_dq")
+    val filtered = t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .observe(obs,
+        count(lit(1)).as("n"),
+        sum((col("l_returnflag") === "R").cast(LongType)).as("n_flag_r"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+    // the PRODUCTION action the counters ride (bounded: one row per
+    // return flag) — no separate job runs for the observation
+    val groups = filtered.groupBy("l_returnflag").count().collect()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n").asInstanceOf[Long],
+      m("n_flag_r").asInstanceOf[Long],
+      m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue,
+      m("min_key").asInstanceOf[Long],
+      m("max_key").asInstanceOf[Long],
+      groups.length.toLong))
+      .toDF("n", "n_flag_r", "sum_qty", "min_key", "max_key", "n_groups")
+  }
 }

@@ -106,4 +106,34 @@ class RelationalSpec extends SparkSpec {
     val hi = o.selectExpr("percentile(o_totalprice, 0.55)").head.getDouble(0)
     assert(approxP50 >= lo && approxP50 <= hi, s"p50: $approxP50 ∉ [$lo,$hi] (exact $exactP50)")
   }
+
+  test("q322 observe: accumulator-collected counters equal a direct " +
+      "aggregate recompute, and the observation rides a CollectMetrics " +
+      "node (no second scan)") {
+    import org.apache.spark.sql.functions._
+    val row = graft.analytics.Relational.observeMetrics(spark, sfDir).head()
+    val direct = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .agg(count(lit(1)), sum((col("l_returnflag") === "R").cast("long")),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double"),
+        min("l_orderkey"), max("l_orderkey"),
+        countDistinct("l_returnflag"))
+      .head()
+    assert(row.getAs[Long]("n") === direct.getLong(0))
+    assert(row.getAs[Long]("n_flag_r") === direct.getLong(1))
+    assert(row.getAs[Double]("sum_qty") === direct.getDouble(2))
+    assert(row.getAs[Long]("min_key") === direct.getLong(3))
+    assert(row.getAs[Long]("max_key") === direct.getLong(4))
+    assert(row.getAs[Long]("n_groups") === direct.getLong(5))
+    // the observed plan shape: an Observation plants CollectMetrics in
+    // the SAME plan the action drives — the zero-extra-scan property
+    val obs = new org.apache.spark.sql.Observation("q322_spec")
+    val observed = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .observe(obs, count(lit(1)).as("n"))
+    assert(observed.queryExecution.optimizedPlan.toString
+      .contains("CollectMetrics"))
+    observed.groupBy("l_returnflag").count().collect()
+    assert(obs.get("n") === direct.getLong(0))
+  }
 }
