@@ -859,6 +859,9 @@ object SparkEntry {
     // action's scan via CollectMetrics — zero extra jobs at 100 TB
     "q322_observe_metrics"    -> ((s, d) =>
       graft.analytics.Relational.observeMetrics(s, d)),
+    // Hilbert-clustered layout: q137's Z-order lever with the unit-step
+    // curve — tighter per-row-group boxes, same lossless round-trip
+    "q323_hilbert_skip"       -> (graft.sources.Sinks.hilbertRoundTrip _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1124,6 +1127,17 @@ object SparkEntry {
             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
             |FROM lineitem
             |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+            |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+        // q323 oracle = the same 2-D box aggregate over the ORIGINAL
+        // parquet — hash-equality proves the Hilbert rewrite lossless
+        "q323_hilbert_skip" ->
+          """SELECT l_suppkey, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+            |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pkey,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+            |FROM lineitem
+            |WHERE l_partkey BETWEEN 500 AND 900 AND l_suppkey BETWEEN 20 AND 60
             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
         // q139 oracle = the same per-shard rollup computed from the shard
         // FUNCTION (not the written layout): hash-equality proves the

@@ -360,6 +360,100 @@ object Sinks {
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
   }
 
+  /** HILBERT curve index of a 2-D point — the locality upgrade over
+    * [[mortonC]]: a Hilbert walk takes only unit steps (consecutive
+    * indexes are always grid NEIGHBORS, which Morton's diagonal jumps
+    * are not), so equal-size index ranges cover tighter boxes — fewer
+    * row groups touched per 2-D box predicate, the reason modern
+    * clustering layouts (e.g. liquid clustering) moved from Z-order to
+    * Hilbert. The classic per-level fold (compare bit, accumulate
+    * quadrant, reflect+transpose the frame) runs as ONE `aggregate`
+    * higher-order function over the level sequence — a constant-size
+    * codegen'd expression evaluated as a runtime loop, NOT 16 unrolled
+    * levels whose branch tree would explode exponentially.
+    *
+    * Inputs must be in [0, 2^order) — larger keys should be rank- or
+    * hash-compressed first (locality, not exactness, is what the
+    * layout needs; same contract as [[mortonC]]). */
+  private[graft] def hilbertC(x0: org.apache.spark.sql.Column,
+                              y0: org.apache.spark.sql.Column,
+                              order: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val n = 1L << order
+    val levels = array((order - 1 to 0 by -1)
+      .map(i => lit(1L << i)): _*)
+    aggregate(
+      levels,
+      struct(x0.cast(LongType).bitwiseAND(lit(n - 1)).as("x"),
+        y0.cast(LongType).bitwiseAND(lit(n - 1)).as("y"),
+        lit(0L).as("d")),
+      (acc, s) => {
+        val (x, y, d) = (acc("x"), acc("y"), acc("d"))
+        val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+        val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+        // reflect (rx==1) then transpose (ry==0) — the frame rotation
+        // that makes the four quadrant walks join end to end
+        val nx = when(ry === 0,
+          when(rx === 1, lit(n - 1) - y).otherwise(y)).otherwise(x)
+        val ny = when(ry === 0,
+          when(rx === 1, lit(n - 1) - x).otherwise(x)).otherwise(y)
+        struct(nx.as("x"), ny.as("y"),
+          (d + s * s * (lit(3L) * rx).bitwiseXOR(ry)).as("d"))
+      },
+      acc => acc("d"))
+  }
+
+  /** HILBERT-ordered parquet layout: [[parquetZOrdered]] with the
+    * Hilbert key — same one-time range shuffle, tighter per-row-group
+    * boxes. */
+  def parquetHilbert(df: DataFrame, path: String, xCol: String, yCol: String,
+                     numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__h", hilbertC(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** q323: HILBERT-CLUSTERED round-trip — the sixth-and-a-half storage
+    * lever: q137's experiment re-run with the Hilbert key. Write
+    * lineitem Hilbert-ordered on (l_partkey, l_suppkey), read back
+    * with a 2-D box predicate, aggregate per suppkey; the oracle is
+    * the same aggregate over the ORIGINAL parquet, so hash-equality
+    * proves the curve rewrite lossless. The reason to own BOTH curves:
+    * Morton spreads a box over diagonal jumps (up to ~n distinct index
+    * ranges per box), Hilbert's unit-step walk keeps every range
+    * contiguous-ish — SinksCatalogSpec measures the per-file box
+    * tightness of the two layouts head-to-head on this same write and
+    * asserts the Hilbert files carry the smaller average 2-D extent,
+    * plus the defining unit-step property cell by cell. */
+  def hilbertRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q323")
+    try {
+      val src = Tables.load(s, dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val path = tmp.resolve("data").toString
+      parquetHilbert(src, path, "l_partkey", "l_suppkey", numFiles = 16)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(500L, 900L) &&
+          col("l_suppkey").between(20L, 60L))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("l_partkey")).as("sum_pkey"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy("l_suppkey")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** Z-ORDERED parquet layout: range-partition + sort on the Morton key
     * of (`xCol`, `yCol`), then drop the key — the written files carry only
     * the original columns, with 2-D locality baked into the row-group

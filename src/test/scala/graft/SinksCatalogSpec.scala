@@ -170,6 +170,68 @@ class SinksCatalogSpec extends SparkSpec {
     assert(matched < total, s"box rows spread over all $total files")
   }
 
+  test("q323 hilbert index: bijective onto the grid and UNIT-STEP — " +
+      "consecutive indexes are always grid neighbors (Morton is not)") {
+    val order = 5
+    val n = 1 << order // 32×32 grid
+    val cells = spark.range(n.toLong * n)
+      .select((col("id") / n).cast("long").as("x"),
+        (col("id") % n).cast("long").as("y"))
+      .select(col("x"), col("y"),
+        Sinks.hilbertC(col("x"), col("y"), order).as("d"))
+      .collect()
+      .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    // bijection: every index in [0, n²) hit exactly once; (0,0) → 0
+    assert(cells.map(_._1).sorted.toSeq === (0L until n.toLong * n))
+    assert(cells.find(_._2 == ((0L, 0L))).get._1 === 0L)
+    // the defining property: the walk takes only unit steps
+    cells.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Array((xa, ya), (xb, yb)) =>
+        assert(math.abs(xa - xb) + math.abs(ya - yb) === 1,
+          s"jump between d-consecutive cells ($xa,$ya)→($xb,$yb)")
+      case _ => ()
+    }
+    // ... which Morton provably lacks on the same grid (sanity that the
+    // comparison below contrasts genuinely different curves)
+    val mortonJumps = spark.range(n.toLong * n)
+      .select((col("id") / n).cast("long").as("x"),
+        (col("id") % n).cast("long").as("y"))
+      .select(Sinks.mortonC(col("x"), col("y")).as("d"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .sortBy(_._1).map(_._2).sliding(2).count {
+        case Array((xa, ya), (xb, yb)) =>
+          math.abs(xa - xb) + math.abs(ya - yb) > 1
+        case _ => false
+      }
+    assert(mortonJumps > 0)
+  }
+
+  test("q323 locality head-to-head: Hilbert files carry a tighter mean " +
+      "2-D extent than Z-order files on the same write") {
+    val dir = tmp()
+    val src = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice")
+    Sinks.parquetZOrdered(src, s"$dir/z", "l_partkey", "l_suppkey", 16)
+    Sinks.parquetHilbert(src, s"$dir/h", "l_partkey", "l_suppkey", 16)
+    def meanBoxArea(path: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max("l_partkey") - min("l_partkey") + 1) *
+          (max("l_suppkey") - min("l_suppkey") + 1)).as("area"))
+        .agg(avg("area")).head().getDouble(0)
+    val (zArea, hArea) = (meanBoxArea(s"$dir/z"), meanBoxArea(s"$dir/h"))
+    assert(hArea <= zArea,
+      s"hilbert mean file box $hArea > morton $zArea")
+    // and the box predicate still prunes: matched files ⊂ all files
+    val back = spark.read.parquet(s"$dir/h")
+    val boxed = back.filter(col("l_partkey").between(500L, 900L) &&
+      col("l_suppkey").between(20L, 60L))
+    val matched = boxed.select(input_file_name()).distinct().count()
+    val total = back.select(input_file_name()).distinct().count()
+    assert(matched < total, s"box rows spread over all $total files")
+  }
+
   test("morton interleave: bit-exact spread and 2-D locality ordering") {
     // golden values: interleave(x,y) places x bits at even positions
     val rows = spark.range(1).select(
