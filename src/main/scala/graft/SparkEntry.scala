@@ -862,6 +862,9 @@ object SparkEntry {
     // Hilbert-clustered layout: q137's Z-order lever with the unit-step
     // curve — tighter per-row-group boxes, same lossless round-trip
     "q323_hilbert_skip"       -> (graft.sources.Sinks.hilbertRoundTrip _),
+    // parquet schema evolution on read: two vintages, one mergeSchema
+    // scan — old files surface the added column as NULL, no rewrite
+    "q324_merge_schema"       -> (graft.sources.Sinks.mergeSchemaRead _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1139,6 +1142,15 @@ object SparkEntry {
             |FROM lineitem
             |WHERE l_partkey BETWEEN 500 AND 900 AND l_suppkey BETWEEN 20 AND 60
             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+        // q324 oracle = the vintage-split aggregate from the ORIGINAL
+        // table (generation membership is a pure function of doc_id)
+        "q324_merge_schema" ->
+          """SELECT source, COUNT(*) AS n,
+            |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_v2,
+            |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars // 5 END)
+            |    AS BIGINT) AS sum_tok_est
+            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
         // q139 oracle = the same per-shard rollup computed from the shard
         // FUNCTION (not the written layout): hash-equality proves the
         // partitioned export lossless shard by shard, checksums included

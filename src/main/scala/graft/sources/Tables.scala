@@ -454,6 +454,51 @@ object Sinks {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q324: PARQUET SCHEMA EVOLUTION on read (`mergeSchema`) — the
+    * batch-storage twin of q308's state-schema upgrade, and the lake
+    * reality every long-lived pipeline hits: generation 1 of a dataset
+    * was written without a column that generation 2 added, and the
+    * reader must reconcile both vintages in ONE scan — old files
+    * surface the new column as NULL, no rewrite of petabytes of
+    * history. Staged here as two writes into one directory (gen 1:
+    * even doc_ids, 3 columns; gen 2: odd doc_ids, + a derived
+    * `tok_est` column), read back with `mergeSchema=true`, and
+    * aggregated per source with the vintage split made visible
+    * (non-null count + sum of the added column). The oracle recomputes
+    * the same frame from the ORIGINAL table — generation membership is
+    * a pure function of doc_id — so hash-equality proves the merged
+    * read exact: no row lost, no NULL where a value belongs, no value
+    * where gen-1 NULL belongs.
+    *
+    * Shape at 100 TB: schema merge is FOOTER work (the reader unions
+    * file schemas at planning; `mergeSchema` reads every footer, which
+    * is why production tables pin the merged schema in a catalog
+    * instead — the semantics proven here are identical); the scan
+    * itself stays columnar with the absent column materialized as
+    * NULL vectors, and the aggregate is one ordinary hash-agg. */
+  def mergeSchemaRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q324")
+    try {
+      val path = tmp.resolve("docs").toString
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      base.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(path)
+      base.filter(col("doc_id") % 2 === 1)
+        .withColumn("tok_est", expr("n_chars div 5"))
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("tok_est").isNotNull.cast(LongType)).as("n_v2"),
+          sum(col("tok_est")).as("sum_tok_est"))
+        .orderBy("source")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** Z-ORDERED parquet layout: range-partition + sort on the Morton key
     * of (`xCol`, `yCol`), then drop the key — the written files carry only
     * the original columns, with 2-D locality baked into the row-group

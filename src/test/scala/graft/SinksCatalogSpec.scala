@@ -232,6 +232,30 @@ class SinksCatalogSpec extends SparkSpec {
     assert(matched < total, s"box rows spread over all $total files")
   }
 
+  test("q324 mergeSchema: both vintages in one scan — the added column " +
+      "is NULL exactly on gen-1 rows, values exact on gen-2, no row lost") {
+    val dir = tmp()
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    base.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    base.filter(col("doc_id") % 2 === 1)
+      .withColumn("tok_est", expr("n_chars div 5"))
+      .write.mode("append").parquet(s"$dir/docs")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/docs")
+    assert(merged.columns.toSet ===
+      Set("doc_id", "source", "n_chars", "tok_est"))
+    assert(merged.count() === base.count())
+    // NULL ⟺ gen 1 (even doc_id); gen-2 values exact
+    assert(merged.filter(col("tok_est").isNull &&
+      col("doc_id") % 2 === 1).count() === 0)
+    assert(merged.filter(col("tok_est").isNotNull &&
+      col("doc_id") % 2 === 0).count() === 0)
+    assert(merged.filter(col("tok_est").isNotNull &&
+      col("tok_est") =!= expr("n_chars div 5")).count() === 0)
+  }
+
   test("morton interleave: bit-exact spread and 2-D locality ordering") {
     // golden values: interleave(x,y) places x bits at even positions
     val rows = spark.range(1).select(
