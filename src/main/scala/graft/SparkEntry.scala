@@ -865,6 +865,10 @@ object SparkEntry {
     // parquet schema evolution on read: two vintages, one mergeSchema
     // scan — old files surface the added column as NULL, no rewrite
     "q324_merge_schema"       -> (graft.sources.Sinks.mergeSchemaRead _),
+    // 2-core of the dup candidate graph: peel pendant evidence, keep
+    // cycle-corroborated clusters — the auto-dedup safety cut
+    "q325_kcore"              -> ((s, d) =>
+      graft.dedup.Dedup.kcore(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -807,6 +807,64 @@ object Dedup extends org.apache.spark.internal.Logging {
     bandPairsFrom(withSignature(nearDupCorpus(s, dir), cfg), cfg)
       .orderBy("doc_a", "doc_b")
 
+  /** q325: K-CORE of the dup candidate graph — the evidence-corroboration
+    * cut the component/triangle views (q63/q254) don't give: iteratively
+    * peel every node of degree < k until the fixpoint; what survives the
+    * 2-core is exactly the subgraph where every dup edge is corroborated
+    * by a CYCLE of further evidence, while pendant edges — a single band
+    * collision linking a doc to a cluster — are stripped. The curation
+    * read: 2-core members are "multiply witnessed" duplicates safe for
+    * aggressive auto-dedup; peeled nodes keep their q29-style pairwise
+    * verify before any deletion.
+    *
+    * Peeling is the standard BSP shape: per round one degree hash-agg +
+    * two semi-joins against the survivors, on an edge frame that only
+    * SHRINKS (so `count` equality is an exact set-fixpoint test), each
+    * round localCheckpoint'ed (q63's lineage discipline). Dup graphs
+    * are near-clique clusters — the peel converges in 2-3 rounds; the
+    * `maxRounds` bound exists because the ORACLE unrolls exactly that
+    * many rounds (idempotent after the fixpoint), and the operator
+    * fails loudly rather than drift if an adversarial path graph needs
+    * more. Reports each core member with its within-core degree. */
+  def kcore(s: SparkSession, dir: String, k: Int = 2,
+            cfg: DedupConfig = DedupConfig.Default,
+            maxRounds: Int = KcoreRounds): DataFrame =
+    kcoreOf(bandPairsFrom(withSignature(nearDupCorpus(s, dir), cfg), cfg)
+      .select("doc_a", "doc_b"), k, maxRounds)
+
+  /** The peel over an arbitrary a<b edge frame — exposed so the spec can
+    * hand-check known graphs (triangle + pendant chain) through the
+    * production loop. */
+  private[graft] def kcoreOf(edges0: DataFrame, k: Int,
+                             maxRounds: Int): DataFrame = {
+    var edges = edges0.localCheckpoint()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val deg = edges.select(col("doc_a").as("id"))
+        .unionAll(edges.select(col("doc_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val alive = deg.filter(col("d") >= k).select("id")
+        .localCheckpoint() // both semi-join sides read it
+      val kept = edges
+        .join(alive.select(col("id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(alive.select(col("id").as("doc_b")), Seq("doc_b"), "left_semi")
+        .localCheckpoint()
+      converged = kept.count() == edges.count()
+      edges = kept
+      r += 1
+    }
+    require(converged,
+      s"k-core peel did not reach a fixpoint in $maxRounds rounds")
+    edges.select(col("doc_a").as("id"))
+      .unionAll(edges.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).cast(IntegerType).as("core_deg"))
+      .select(col("id").as("doc_id"), col("core_deg"))
+      .orderBy("doc_id")
+  }
+  /** Oracle-pinned peel-round bound shared by [[kcore]] and its SQL twin. */
+  val KcoreRounds: Int = 8
+
   /** q154: INCREMENTAL near-dup — q153's exact-index probe generalized to
     * the fuzzy case: the existing corpus's banded MinHash signatures are
     * the persisted LSH INDEX, an incoming batch (here the fixture's
@@ -2341,6 +2399,32 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  CAST(COUNT(*) AS INTEGER) AS n_clusters
          |FROM (SELECT comp.comp, COUNT(*) AS sz FROM comp GROUP BY comp.comp)
          |GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    // q325: the identical peel unrolled KcoreRounds times (idempotent
+    // once the fixpoint is reached — the Spark side proves convergence
+    // within the bound or fails loudly)
+    "q325_kcore" -> {
+      // MATERIALIZED per round: each e_i is read three times by round
+      // i+1 — inlining would re-expand the corpus scan 3^rounds times
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""d$i AS (SELECT id, COUNT(*) AS d FROM (
+           |    SELECT doc_a AS id FROM e${i - 1}
+           |    UNION ALL SELECT doc_b FROM e${i - 1}) GROUP BY id),
+           |a$i AS (SELECT id FROM d$i WHERE d >= 2),
+           |e$i AS MATERIALIZED (SELECT e.doc_a, e.doc_b FROM e${i - 1} e
+           |  JOIN a$i x ON e.doc_a = x.id
+           |  JOIN a$i y ON e.doc_b = y.id)""".stripMargin
+      }.mkString(",\n")
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |$rounds
+         |SELECT id AS doc_id, CAST(COUNT(*) AS INTEGER) AS core_deg
+         |FROM (SELECT doc_a AS id FROM e$KcoreRounds
+         |  UNION ALL SELECT doc_b FROM e$KcoreRounds)
+         |GROUP BY id ORDER BY doc_id""".stripMargin
+    },
     "q254_dup_graph_triangles" ->
       s"""${sigSelectS(nearDupCorpusS)},
          |bk AS ($bandUnnestS),

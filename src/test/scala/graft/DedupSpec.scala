@@ -580,4 +580,34 @@ class DedupSpec extends SparkSpec {
         s"variant pair of base $d missed — guarantee violated")
     }
   }
+
+  test("q325 k-core: hand-checked peel — pendant chain stripped, cycle " +
+      "kept; deep path needs its rounds; fixture core ⊆ component nodes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val D = graft.dedup.Dedup
+    def core(es: Seq[(Long, Long)], k: Int = 2, rounds: Int = 8) =
+      D.kcoreOf(es.toDF("doc_a", "doc_b"), k, rounds).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+    // triangle {1,2,3} with a pendant chain 3-4-5: chain peels in two
+    // rounds, the triangle survives with within-core degree 2
+    assert(core(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))) ===
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
+    // a pure path has NO 2-core — full peel to empty
+    assert(core(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) === Map.empty)
+    // 3-core: K4 survives, a triangle hanging off it does not
+    assert(core(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)), k = 3) ===
+      Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    // the loud-failure contract: a path of depth > maxRounds*2 throws
+    // instead of returning a non-fixpoint
+    val deep = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq
+    intercept[IllegalArgumentException](core(deep, rounds = 2))
+    // fixture: every 2-core member is a node of some LSH pair (subset
+    // sanity against the component machinery's input)
+    val coreIds = D.kcore(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val pairNodes = D.lshCandidatePairs(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(coreIds.subsetOf(pairNodes))
+  }
 }
