@@ -869,6 +869,10 @@ object SparkEntry {
     // cycle-corroborated clusters — the auto-dedup safety cut
     "q325_kcore"              -> ((s, d) =>
       graft.dedup.Dedup.kcore(s, d)),
+    // CUPED: pre-period covariate adjustment — the experimentation
+    // platform's variance-reduction primitive, one event scan
+    "q326_cuped"              -> ((s, d) =>
+      graft.analytics.Advanced.cupedAdjust(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

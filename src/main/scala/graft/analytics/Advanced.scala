@@ -2638,7 +2638,117 @@ object Advanced {
        |ORDER BY axis""".stripMargin
   }
 
+  /** q326: CUPED variance reduction (Deng et al., WSDM'13) — THE
+    * experimentation-platform adjustment: an A/B metric's variance
+    * shrinks by ρ² when each user's post-period metric Y is replaced by
+    * Y − θ·(X − E[X]) with X a PRE-period covariate (pre behavior can't
+    * be affected by treatment, so the adjustment is unbiased), θ =
+    * cov(X,Y)/var(X). Reports, per deterministic hash-assigned variant:
+    * users, raw mean, CUPED mean — plus the pooled θ and the ρ²
+    * variance-reduction factor the platform quotes when it says "this
+    * experiment needed 40 % less traffic".
+    *
+    * Determinism: per-user X/Y period sums are exact DECIMAL(18,4)
+    * routes; the pooled moment sums follow q183's discipline (9-dp
+    * row rounding into DECIMAL(28,9)); θ/ρ²/means are fixed-order
+    * double closing algebra — identical expressions both engines.
+    * Variant = md5-fold of user_id mod 2 (q139's bucketing), so the
+    * assignment is reproducible across engines and runs.
+    *
+    * Shape at 100 TB: ONE event scan → per-user hash-agg (the natural
+    * pre-aggregation an experimentation pipeline owns anyway), a 1-row
+    * pooled-moment frame broadcast onto the 2-row per-variant frame.
+    * No shuffle beyond the user agg; adding covariates = adding moment
+    * columns, not scans. */
+  def cupedAdjust(s: SparkSession, dir: String): DataFrame = {
+    val boundary = lit("2024-01-16 00:00:00").cast(TimestampType)
+    val d9 = (c: org.apache.spark.sql.Column) =>
+      sum(round(c, 9).cast(DecimalType(28, 9)))
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < boundary, col("value")).otherwise(lit(0.0))
+          .cast(DecimalType(18, 4))).as("xd"),
+        sum(when(col("ts") >= boundary, col("value")).otherwise(lit(0.0))
+          .cast(DecimalType(18, 4))).as("yd"))
+      .select(col("user_id"),
+        pmod(graft.functions.TextPrims.hex60C(
+          md5(col("user_id").cast(StringType))), lit(2L)).as("variant"),
+        col("xd").cast(DoubleType).as("x"),
+        col("yd").cast(DoubleType).as("y"))
+      .localCheckpoint() // pooled moments + per-variant stats read it
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"),
+      d9(col("x")).cast(DoubleType).as("sx"),
+      d9(col("y")).cast(DoubleType).as("sy"),
+      d9(col("x") * col("y")).cast(DoubleType).as("sxy"),
+      d9(col("x") * col("x")).cast(DoubleType).as("sxx"),
+      d9(col("y") * col("y")).cast(DoubleType).as("syy"))
+    val perVar = perUser.groupBy("variant").agg(
+      count(lit(1)).as("n_users"),
+      d9(col("x")).cast(DoubleType).as("sxv"),
+      d9(col("y")).cast(DoubleType).as("syv"))
+    val nD = col("n").cast(DoubleType)
+    val covN = nD * col("sxy") - col("sx") * col("sy")
+    val varXN = nD * col("sxx") - col("sx") * col("sx")
+    val varYN = nD * col("syy") - col("sy") * col("sy")
+    val theta = covN / varXN
+    val rho2 = covN * covN / (varXN * varYN)
+    val nvD = col("n_users").cast(DoubleType)
+    val meanY = col("syv") / nvD
+    val meanXv = col("sxv") / nvD
+    val meanX = col("sx") / nD
+    perVar.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"),
+        round(meanY, 6).as("mean_y_raw"),
+        round(meanY - theta * (meanXv - meanX), 6).as("mean_y_cuped"),
+        round(theta, 6).as("theta"),
+        round(rho2, 6).as("var_reduction"))
+      .orderBy("variant")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q326: identical moment routes + closing algebra in DuckDB
+    "q326_cuped" -> {
+      import graft.functions.TextPrims.hex60S
+      s"""WITH pu AS (SELECT user_id,
+         |    ${hex60S("md5(CAST(user_id AS VARCHAR))")} % 2 AS variant,
+         |    CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN value ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS x,
+         |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN value ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS y
+         |  FROM events GROUP BY user_id),
+         |pooled AS (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS sxy,
+         |    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS sxx,
+         |    CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS syy
+         |  FROM pu),
+         |pv AS (SELECT variant, COUNT(*) AS n_users,
+         |    CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxv,
+         |    CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syv
+         |  FROM pu GROUP BY variant)
+         |SELECT pv.variant, pv.n_users,
+         |  round(pv.syv / pv.n_users, 6) AS mean_y_raw,
+         |  round(pv.syv / pv.n_users -
+         |    ((CAST(p.n AS DOUBLE) * p.sxy - p.sx * p.sy) /
+         |     (CAST(p.n AS DOUBLE) * p.sxx - p.sx * p.sx)) *
+         |    (pv.sxv / pv.n_users - p.sx / CAST(p.n AS DOUBLE)), 6)
+         |    AS mean_y_cuped,
+         |  round((CAST(p.n AS DOUBLE) * p.sxy - p.sx * p.sy) /
+         |    (CAST(p.n AS DOUBLE) * p.sxx - p.sx * p.sx), 6) AS theta,
+         |  round((CAST(p.n AS DOUBLE) * p.sxy - p.sx * p.sy) *
+         |    (CAST(p.n AS DOUBLE) * p.sxy - p.sx * p.sy) /
+         |    ((CAST(p.n AS DOUBLE) * p.sxx - p.sx * p.sx) *
+         |     (CAST(p.n AS DOUBLE) * p.syy - p.sy * p.sy)), 6)
+         |    AS var_reduction
+         |FROM pv CROSS JOIN pooled p
+         |ORDER BY pv.variant""".stripMargin
+    },
     "q290_key_skew_audit" -> q290OracleS,
     "q179_markov_eval" -> {
       val bkt = graft.functions.TextPrims

@@ -989,4 +989,37 @@ class AdvancedSpec extends SparkSpec {
     val ub = rows.find(_.getAs[String]("axis") == "events.user_bucket").get
     assert(ub.getAs[Double]("norm_entropy") > 0.9)
   }
+
+  test("q326 CUPED: θ recomputed from raw per-user sums, adjustment " +
+      "unbiased (weighted means equal), ρ² in (0,1]") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Advanced.cupedAdjust(spark, sfDir).collect()
+    assert(rows.length === 2)
+    // θ and the variance-reduction factor against a plain-Scala recompute
+    val b = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val pu = graft.sources.Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("ts") < lit(b), col("value")).otherwise(0.0)
+          .cast("decimal(18,4)")).cast("double").as("x"),
+        sum(when(col("ts") >= lit(b), col("value")).otherwise(0.0)
+          .cast("decimal(18,4)")).cast("double").as("y"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = pu.length.toDouble
+    val (sx, sy) = (pu.map(_._1).sum, pu.map(_._2).sum)
+    val sxy = pu.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pu.map(p => p._1 * p._1).sum, pu.map(p => p._2 * p._2).sum)
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val rho2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-4)
+      assert(math.abs(r.getAs[Double]("var_reduction") - rho2) < 1e-4)
+      assert(r.getAs[Double]("var_reduction") > 0 &&
+        r.getAs[Double]("var_reduction") <= 1)
+    }
+    // unbiasedness identity: Σ n_v·(cuped − raw) = −θ·Σ n_v·(x̄_v − x̄) = 0
+    val drift = rows.map(r => r.getAs[Long]("n_users") *
+      (r.getAs[Double]("mean_y_cuped") - r.getAs[Double]("mean_y_raw"))).sum
+    assert(math.abs(drift) < 1e-2, s"CUPED shifted the pooled mean: $drift")
+  }
 }
