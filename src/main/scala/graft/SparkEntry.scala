@@ -873,6 +873,10 @@ object SparkEntry {
     // platform's variance-reduction primitive, one event scan
     "q326_cuped"              -> ((s, d) =>
       graft.analytics.Advanced.cupedAdjust(s, d)),
+    // record linkage: LSH candidates scored by a native Jaro-Winkler
+    // Catalyst expression vs DuckDB's independent built-in
+    "q327_jw_linkage"         -> ((s, d) =>
+      graft.dedup.Dedup.jwLinkage(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

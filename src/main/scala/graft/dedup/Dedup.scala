@@ -865,6 +865,46 @@ object Dedup extends org.apache.spark.internal.Logging {
   /** Oracle-pinned peel-round bound shared by [[kcore]] and its SQL twin. */
   val KcoreRounds: Int = 8
 
+  /** q327: JARO-WINKLER VERIFIED LINKAGE — record-linkage scoring of the
+    * LSH candidate pairs with the census-bureau string comparator
+    * ([[graft.functions.JaroWinklerSim]], a native codegen'd Catalyst
+    * expression — Spark ships levenshtein but no Jaro-Winkler, and a
+    * UDF would box every candidate row). Each banded candidate pair is
+    * scored on the first `prefixLen` chars of its normalized text; the
+    * `link` flag applies the classic 0.9 linkage threshold to the
+    * ROUNDED score (both engines flag the same value they report). The
+    * entity-resolution read: LSH proposes, an edit-family similarity
+    * disposes — JW weights agreement at the string HEAD, which is where
+    * titles/names/boilerplate keys disagree last, making it the
+    * complement to q29's order-blind token-set Jaccard.
+    *
+    * Shape at 100 TB: scoring rides the candidate frame (bounded by
+    * banding, never all-pairs); the normalized keys join in at doc
+    * granularity; the kernel call stays inside WholeStageCodegen (a
+    * static-call BinaryExpression, same shape as Spark's levenshtein).
+    * Oracle: DuckDB's native jaro_winkler_similarity over the same
+    * pairs — two independent implementations of the published
+    * definition agreeing to 6 dp on every candidate. */
+  def jwLinkage(s: SparkSession, dir: String, prefixLen: Int = 80,
+                threshold: Double = 0.9,
+                cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val keys = corpus.select(col("doc_id"),
+      substring(lower(trim(col("text"))), 1, prefixLen).as("k"))
+      .localCheckpoint() // both pair sides read it
+    val pairs = bandPairsFrom(withSignature(corpus, cfg), cfg)
+    pairs
+      .join(keys.select(col("doc_id").as("doc_a"), col("k").as("ka")),
+        Seq("doc_a"))
+      .join(keys.select(col("doc_id").as("doc_b"), col("k").as("kb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.StringExprs.jaroWinkler(
+          col("ka"), col("kb")), 6).as("jw"))
+      .withColumn("link", (col("jw") >= threshold).cast(IntegerType))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q154: INCREMENTAL near-dup — q153's exact-index probe generalized to
     * the fuzzy case: the existing corpus's banded MinHash signatures are
     * the persisted LSH INDEX, an incoming batch (here the fixture's
@@ -2399,6 +2439,24 @@ object Dedup extends org.apache.spark.internal.Logging {
          |  CAST(COUNT(*) AS INTEGER) AS n_clusters
          |FROM (SELECT comp.comp, COUNT(*) AS sz FROM comp GROUP BY comp.comp)
          |GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    // q327: DuckDB's NATIVE jaro_winkler_similarity over the same
+    // candidate pairs — an independent implementation of the published
+    // definition, agreeing to 6 dp (flag applied to the rounded score
+    // on both sides)
+    "q327_jw_linkage" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |c AS (SELECT doc_id, substr(lower(trim(text)), 1, 80) AS k
+         |  FROM corpus),
+         |j AS (SELECT p.doc_a, p.doc_b,
+         |    round(jaro_winkler_similarity(ca.k, cb.k), 6) AS jw
+         |  FROM pairs p JOIN c ca ON ca.doc_id = p.doc_a
+         |  JOIN c cb ON cb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, jw,
+         |  CAST(jw >= 0.9 AS INTEGER) AS link
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
     // q325: the identical peel unrolled KcoreRounds times (idempotent
     // once the fixpoint is reached — the Spark side proves convergence
     // within the bound or fails loudly)

@@ -84,4 +84,51 @@ class VectorExprsSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("lower_bound") && l.trim.startsWith("*(")), plan.take(500))
   }
+
+  test("JaroWinklerSim: published golden values, edge cases, and " +
+      "symmetry over fixture text") {
+    import spark.implicits._
+    import graft.functions.StringExprs.jaroWinkler
+    // Winkler's published comparator values + probes pinned against
+    // DuckDB's independent built-in (see StringSim scaladoc)
+    val golden = Seq(
+      ("MARTHA", "MARHTA", 0.961111), ("DWAYNE", "DUANE", 0.84),
+      ("DIXON", "DICKSONX", 0.813333), ("AB", "BA", 0.0),
+      ("A", "A", 1.0), ("", "ABC", 0.0),
+      ("ABCDEF", "ABZZZZZZZZ", 0.511111), // jaro < 0.7 ⇒ no boost
+      ("prefixaa", "prefixbb", 0.9),      // prefix capped at 4
+      ("CRATE", "TRACE", 0.733333))
+    val got = golden.toDF("a", "b", "want")
+      .select(round(jaroWinkler(col("a"), col("b")), 6).as("jw"),
+        col("want")).collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1), r))
+    // nulls propagate
+    val nr = Seq((Some("x"), None: Option[String]))
+      .toDF("a", "b").select(jaroWinkler(col("a"), col("b"))).head()
+    assert(nr.isNullAt(0))
+    // symmetry + range on real fixture candidate keys
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(substring(lower(trim(col("text"))), 1, 40).as("k"))
+      .limit(50).localCheckpoint()
+    val pairs = docs.select(col("k").as("ka"))
+      .crossJoin(docs.select(col("k").as("kb")))
+      .select(jaroWinkler(col("ka"), col("kb")).as("ab"),
+        jaroWinkler(col("kb"), col("ka")).as("ba"),
+        (col("ka") === col("kb")).as("eq"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // symmetric
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      if (r.getBoolean(2)) assert(r.getDouble(0) === 1.0)
+    }
+  }
+
+  test("JaroWinklerSim participates in whole-stage codegen") {
+    import graft.functions.StringExprs.jaroWinkler
+    val plan = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(jaroWinkler(col("text"), reverse(col("text"))).as("jw"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("jaro_winkler") && l.trim.startsWith("*(")), plan.take(500))
+  }
 }
