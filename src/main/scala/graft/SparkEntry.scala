@@ -877,6 +877,10 @@ object SparkEntry {
     // Catalyst expression vs DuckDB's independent built-in
     "q327_jw_linkage"         -> ((s, d) =>
       graft.dedup.Dedup.jwLinkage(s, d)),
+    // rank-biased overlap: top-weighted similarity of two rankings —
+    // the chars-vs-tokens budget-proxy stability number
+    "q328_rbo_rankings"       -> ((s, d) =>
+      graft.similarity.Similarity.rboRankings(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -879,6 +879,74 @@ object Similarity {
   /** Discount weights 1/log₂(i+1) for ranks 1..k as 12-dp literals —
     * shared verbatim by the Spark side and the oracle (no runtime log,
     * the q204 Benford pattern). */
+  /** Shared 12-dp p^(e-1) literals for [[rboRankings]] and its oracle —
+    * libm `pow` is NOT bit-portable across engines, so the geometric
+    * weights are JVM-computed once and inlined on both sides (the q231
+    * discount-literal discipline). */
+  private[graft] def rboWeights(p: Double, depth: Int): Seq[Double] =
+    (1 to depth).map(e => BigDecimal(math.pow(p, e - 1))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** q328: RANK-BIASED OVERLAP (Webber, Moffat & Zobel, TOIS'10) — the
+    * top-weighted similarity of two RANKINGS, the metric to quote when
+    * comparing retrieval/curation orderings where the head matters
+    * more than the tail (nDCG q231 judges one ranking against graded
+    * relevance; RBO compares two rankings against each other):
+    * RBO@D = (1−p)·Σ_{e=1..D} (X_e/e)·p^{e−1}, with X_e the overlap of
+    * the two depth-e prefixes and p the persistence (0.9 ⇒ the top ~10
+    * ranks carry most weight). Truncated sum, no extrapolation — an
+    * exactly-defined quantity. Here the two rankings order documents
+    * by the two LENGTH proxies every budget pipeline conflates —
+    * characters vs BPE tokens — so the number answers "if the token
+    * budget were cut by a char budget, would the same heads survive?";
+    * reported at depths 1/5/10/25/50 with the raw prefix overlaps.
+    *
+    * The prefix-overlap trick: a doc ranked ra and rb in the two lists
+    * is inside both depth-e prefixes iff max(ra, rb) ≤ e, so X_e is
+    * ONE cumulative count over the joined rank pairs — no per-depth
+    * set intersection. Ranks come from sort+limit (TakeOrderedAndProject
+    * — per-partition heaps, no global row_number window over the
+    * corpus); the bounded D-row frames then rank/join/cum-sum driver-
+    * cheaply. Weights are shared 12-dp literals; terms round 9 dp into
+    * DECIMAL(28,9). */
+  def rboRankings(s: SparkSession, dir: String, p: Double = 0.9,
+                  depth: Int = 50): DataFrame = {
+    val w = rboWeights(p, depth)
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        TextPrims.bpeTokensC(col("text")).cast(LongType).as("toks"))
+      .localCheckpoint() // both ranking sorts read it
+    def ranked(key: Column, name: String) = {
+      val top = docs.orderBy(key.desc, col("doc_id")).limit(depth)
+      // bounded D-row frame: the single-partition window is over ≤50 rows
+      top.withColumn(name, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(key.desc, col("doc_id"))))
+        .select(col("doc_id"), col(name))
+    }
+    val joined = ranked(col("n_chars"), "ra")
+      .join(ranked(col("toks"), "rb"), Seq("doc_id"))
+      .select(greatest(col("ra"), col("rb")).as("md"))
+    val depths = s.range(1, depth + 1).toDF("d")
+      .select(col("d").cast(IntegerType).as("d"))
+    val xd = depths.join(joined, col("md") <= col("d"), "left")
+      .groupBy("d").agg(count(col("md")).as("x"))
+    val wLit = array(w.map(lit): _*)
+    val terms = xd.select(col("d"), col("x"),
+      round(col("x").cast(DoubleType) / col("d") *
+        element_at(wLit, col("d")), 9).as("term"))
+    val byD = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    terms
+      .withColumn("rbo", round(lit(1.0 - p) *
+        sum(col("term").cast(DecimalType(28, 9))).over(byD)
+          .cast(DoubleType), 6))
+      .filter(col("d").isin(1, 5, 10, 25, 50))
+      .select(col("d"), col("x").as("overlap"), col("rbo"))
+      .orderBy("d")
+  }
+
   private[graft] def ndcgWeights(k: Int): Seq[Double] =
     (1 to k).map(i => BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
       .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -2394,6 +2462,36 @@ object Similarity {
        |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q328: identical prefix-overlap cumulative + shared 12-dp weight
+    // literals; (1−p) is inlined as the JVM's computed double so both
+    // engines scale by the exact same value
+    "q328_rbo_rankings" -> {
+      val (p, depth) = (0.9, 50)
+      val wl = "[" + rboWeights(p, depth).mkString(", ") + "]"
+      val oneMinusP = (1.0 - p).toString
+      s"""WITH docs AS (SELECT doc_id, n_chars,
+         |    ${TextPrims.bpeTokensS("text")} AS toks FROM documents),
+         |ra AS (SELECT doc_id, ra FROM (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+         |  FROM docs) WHERE ra <= $depth),
+         |rb AS (SELECT doc_id, rb FROM (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) AS rb
+         |  FROM docs) WHERE rb <= $depth),
+         |j AS (SELECT greatest(ra.ra, rb.rb) AS md
+         |  FROM ra JOIN rb USING (doc_id)),
+         |dd AS (SELECT unnest(generate_series(1, $depth)) AS d),
+         |xd AS (SELECT dd.d, COUNT(j.md) AS x
+         |  FROM dd LEFT JOIN j ON j.md <= dd.d GROUP BY dd.d),
+         |terms AS (SELECT d, x,
+         |    round(CAST(x AS DOUBLE) / d * ($wl)[d], 9) AS term FROM xd),
+         |r AS (SELECT d, x,
+         |    round($oneMinusP * CAST(SUM(CAST(term AS DECIMAL(28,9)))
+         |      OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+         |      AS rbo
+         |  FROM terms)
+         |SELECT CAST(d AS INTEGER) AS d, x AS overlap, rbo FROM r
+         |WHERE d IN (1, 5, 10, 25, 50) ORDER BY d""".stripMargin
+    },
     "q271_mmr_rerank" -> mmrOracleS,
     "q275_hard_negatives" -> hardNegOracleS,
     "q277_ivf_upsert" -> q277OracleS,

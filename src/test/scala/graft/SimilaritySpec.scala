@@ -656,4 +656,39 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q328 RBO: brute-forced prefix overlaps and truncated sum agree; " +
+      "monotone in depth and bounded by the identical-ranking ceiling") {
+    import org.apache.spark.sql.functions._
+    val S = graft.similarity.Similarity
+    val (p, depth) = (0.9, 50)
+    val rows = S.rboRankings(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Long]("overlap"),
+        r.getAs[Double]("rbo")))
+    // brute force: collect the two orderings, overlap per depth, sum
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.TextPrims.bpeTokensC(col("text")).cast("long")
+          .as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byChars = docs.sortBy(d => (-d._2, d._1)).map(_._1).take(depth)
+    val byToks = docs.sortBy(d => (-d._3, d._1)).map(_._1).take(depth)
+    val w = S.rboWeights(p, depth)
+    def xAt(e: Int): Int = (byChars.take(e).toSet &
+      byToks.take(e).toSet).size
+    val rboAt = (1 to depth).scanLeft(0.0) { (acc, e) =>
+      acc + BigDecimal(xAt(e).toDouble / e * w(e - 1))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.tail.map(s => (1.0 - p) * s)
+    rows.foreach { case (d, x, rbo) =>
+      assert(x === xAt(d).toLong, s"overlap@$d")
+      assert(math.abs(rbo - rboAt(d - 1)) < 1e-5, s"rbo@$d")
+      // identical rankings would give exactly 1 − p^d — the ceiling
+      assert(rbo <= 1.0 - math.pow(p, d) + 1e-9)
+    }
+    // monotone in depth
+    rows.map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(b >= a); case _ => ()
+    }
+  }
 }
