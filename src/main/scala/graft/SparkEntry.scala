@@ -881,6 +881,10 @@ object SparkEntry {
     // the chars-vs-tokens budget-proxy stability number
     "q328_rbo_rankings"       -> ((s, d) =>
       graft.similarity.Similarity.rboRankings(s, d)),
+    // sweep-line peak concurrency per day: netted deltas, day-clipped
+    // segments so every window stays partitioned
+    "q329_peak_concurrency"   -> ((s, d) =>
+      graft.analytics.Advanced.peakConcurrency(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

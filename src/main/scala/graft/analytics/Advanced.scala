@@ -2638,6 +2638,65 @@ object Advanced {
        |ORDER BY axis""".stripMargin
   }
 
+  /** q329: PEAK CONCURRENCY — the sweep-line interval operator capacity
+    * planning runs on q50's sessions: per day, the maximum number of
+    * sessions open at one instant, and the first microsecond that
+    * reached it. Each session becomes (+1 at start, −1 at end+1µs)
+    * deltas; equal-instant deltas NET inside one hash-agg (so the
+    * running sum is tie-order-free by construction — no engine-specific
+    * tie sequencing can change any prefix value), and the running sum's
+    * per-day max is the peak. Sessions crossing midnight are clipped
+    * into per-day segments (a session open at the boundary counts in
+    * both days — the capacity question is per-instant, not
+    * per-attribution).
+    *
+    * Shape at 100 TB: the sweep is NOT one global ordered pass (the
+    * classic single-sort formulation dies on one partition) — day
+    * clipping makes every window PARTITIONED by day, so the sort is
+    * per-day-sized and parallel; the delta frame is 2 rows per
+    * session-day, integer microseconds end to end. Fully incremental
+    * by day for a daily pipeline. */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val gapS = 7200L // q50's session gap
+    val dayUs = 86400000000L
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapS * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("brk")).over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+    val segs = sessions
+      .select(explode(sequence(expr(s"s_us div $dayUs"),
+        expr(s"e_us div $dayUs"))).as("day"), col("s_us"), col("e_us"))
+      .select(col("day"),
+        greatest(col("s_us"), col("day") * dayUs).as("a"),
+        least(col("e_us"), (col("day") + 1) * dayUs - 1).as("b"))
+      .localCheckpoint() // both delta arms read it
+    val deltas = segs.select(col("day"), col("a").as("us"), lit(1L).as("d"))
+      .unionByName(segs.select(col("day"), (col("b") + 1).as("us"),
+        lit(-1L).as("d")))
+      .groupBy("day", "us").agg(sum("d").as("net"))
+    val byDay = Window.partitionBy("day").orderBy("us")
+    deltas
+      .withColumn("conc", sum("net").over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("mx", max(col("conc")).over(Window.partitionBy("day")))
+      .groupBy("day")
+      .agg(max(col("conc")).cast(IntegerType).as("peak"),
+        min(when(col("conc") === col("mx"), col("us"))).as("peak_at_us"))
+      .select(date_add(lit("1970-01-01").cast(DateType),
+        col("day").cast(IntegerType)).as("day_date"),
+        col("peak"), col("peak_at_us"))
+      .orderBy("day_date")
+  }
+
   /** q326: CUPED variance reduction (Deng et al., WSDM'13) — THE
     * experimentation-platform adjustment: an A/B metric's variance
     * shrinks by ρ² when each user's post-period metric Y is replaced by
@@ -2708,6 +2767,44 @@ object Advanced {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q329: identical clip + netted-delta sweep in DuckDB (q50's session
+    // CTE prefix verbatim)
+    "q329_peak_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 7200000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM g),
+        |sess AS (SELECT user_id, session_idx,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS e_us
+        |  FROM s GROUP BY user_id, session_idx),
+        |segs AS (SELECT u AS day,
+        |    greatest(s_us, u * 86400000000) AS a,
+        |    least(e_us, (u + 1) * 86400000000 - 1) AS b
+        |  FROM sess, unnest(generate_series(s_us // 86400000000,
+        |    e_us // 86400000000)) AS t(u)),
+        |del AS (SELECT day, us, SUM(d) AS net FROM (
+        |    SELECT day, a AS us, 1 AS d FROM segs
+        |    UNION ALL SELECT day, b + 1, -1 FROM segs)
+        |  GROUP BY day, us),
+        |run AS (SELECT day, us, SUM(net) OVER (PARTITION BY day ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS conc FROM del),
+        |mx AS (SELECT day, us, conc,
+        |    MAX(conc) OVER (PARTITION BY day) AS m FROM run)
+        |SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS day_date,
+        |  CAST(MAX(conc) AS INTEGER) AS peak,
+        |  CAST(MIN(CASE WHEN conc = m THEN us END) AS BIGINT) AS peak_at_us
+        |FROM mx GROUP BY day ORDER BY day_date""".stripMargin,
     // q326: identical moment routes + closing algebra in DuckDB
     "q326_cuped" -> {
       import graft.functions.TextPrims.hex60S

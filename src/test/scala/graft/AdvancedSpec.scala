@@ -1022,4 +1022,30 @@ class AdvancedSpec extends SparkSpec {
       (r.getAs[Double]("mean_y_cuped") - r.getAs[Double]("mean_y_raw"))).sum
     assert(math.abs(drift) < 1e-2, s"CUPED shifted the pooled mean: $drift")
   }
+
+  test("q329 peak concurrency: brute-forced per-day maxima over the q50 " +
+      "sessions, and the reported instant actually carries the peak") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Advanced.peakConcurrency(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day_date").toLocalDate.toEpochDay,
+        r.getAs[Int]("peak"), r.getAs[Long]("peak_at_us")))
+    // sessions recomputed through the oracle-green q50 surface
+    val sess = graft.analytics.Advanced.sessionizeBatch(spark, sfDir)
+      .select(unix_micros(col("session_start")).as("a"),
+        unix_micros(col("session_end")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def concAt(us: Long): Int = sess.count { case (a, b) => a <= us && us <= b }
+    val dayUs = 86400000000L
+    rows.foreach { case (day, peak, at) =>
+      assert(at / dayUs === day, s"peak instant outside its day row")
+      assert(concAt(at) === peak, s"day $day: instant $at carries " +
+        s"${concAt(at)}, reported peak $peak")
+      // brute force the day's true max over all candidate instants
+      // (concurrency only changes at session starts)
+      val cand = sess.map(_._1).filter(u => u / dayUs == day) :+ (day * dayUs)
+      assert(cand.map(concAt).max === peak, s"day $day brute max mismatch")
+    }
+    assert(rows.nonEmpty)
+  }
 }
