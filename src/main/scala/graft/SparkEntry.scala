@@ -885,6 +885,10 @@ object SparkEntry {
     // segments so every window stays partitioned
     "q329_peak_concurrency"   -> ((s, d) =>
       graft.analytics.Advanced.peakConcurrency(s, d)),
+    // token-weighted quality quantiles: the median TOKEN's quality vs
+    // the median DOC's — integer-threshold exact selection
+    "q330_weighted_quantiles" -> ((s, d) =>
+      graft.text.TextOps.weightedQuantiles(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

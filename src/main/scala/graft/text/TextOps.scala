@@ -305,6 +305,56 @@ object TextOps {
     * ever exists, state is |sources|·B aggregation cells; the rank
     * selection runs on |sources|·B rows. Exactly how you bootstrap a
     * corpus you cannot copy. */
+  /** q330: TOKEN-WEIGHTED QUALITY QUANTILES — the curation statistic the
+    * per-DOC median (q73's filter pivot) silently misstates: training
+    * consumes TOKENS, not documents, so the quality of the median token
+    * (each doc weighted by its BPE token count) is the number that says
+    * what the model will actually see; a long low-quality tail of big
+    * docs drags the token-median far below the doc-median. Reports, per
+    * source, doc count / token total, the doc-median quality, and the
+    * token-weighted p25/p50/p75.
+    *
+    * Exactness: quality rides the fixed-point 6-dp integer route (q291's
+    * qmu), weights are integer token counts, and each quantile is the
+    * FIRST row whose cumulative weight clears the threshold — tested as
+    * `4·cw ≥ W` / `2·cw ≥ W` / `4·cw ≥ 3·W` in pure integer arithmetic
+    * (no float thresholds to disagree on), tie-broken by the (qmu,
+    * doc_id) total order both engines share. `min(when(...))` picks the
+    * threshold row without a second pass: past it every row qualifies
+    * with a ≥ qmu.
+    *
+    * Shape at 100 TB: one corpus scan, one window shuffle on `source`
+    * (cumulative + totals share the partition), one hash-agg. The same
+    * plan as q73's per-source ranking — weighting is free. */
+  def weightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("qmu"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val mu6 = (c: org.apache.spark.sql.Column) =>
+      round(c / 1000000.0, 6)
+    docs(s, dir).select(col("source"), col("doc_id"),
+        (qualityScoreC.cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType).as("qmu"),
+        bpeTokensC(col("text")).cast(LongType).as("w"))
+      .withColumn("cw", sum("w").over(bySrc))
+      .withColumn("cn", count(lit(1)).over(bySrc))
+      .withColumn("tw", sum("w").over(tot))
+      .withColumn("tn", count(lit(1)).over(tot))
+      .groupBy("source")
+      .agg(max("tn").as("n_docs"), max("tw").as("n_tokens"),
+        mu6(min(when(col("cn") * 2 >= col("tn"), col("qmu"))))
+          .as("q50_doc"),
+        mu6(min(when(col("cw") * 4 >= col("tw"), col("qmu"))))
+          .as("q25_tok"),
+        mu6(min(when(col("cw") * 2 >= col("tw"), col("qmu"))))
+          .as("q50_tok"),
+        mu6(min(when(col("cw") * 4 >= col("tw") * 3, col("qmu"))))
+          .as("q75_tok"))
+      .orderBy("source")
+  }
+
   def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
     val B = BootReps
     val per = docs(s, dir).select(col("source"), col("doc_id"),
@@ -3029,6 +3079,37 @@ object TextOps {
       |ORDER BY bin""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q330: identical integer-threshold weighted quantiles in DuckDB
+    "q330_weighted_quantiles" ->
+      s"""WITH m0 AS (SELECT doc_id, source, text, ${tokensS("text")} AS t
+         |  FROM documents),
+         |m AS (SELECT doc_id, source, text,
+         |    $qualityMeasureColsS
+         |  FROM m0),
+         |p AS (SELECT doc_id, source,
+         |    CAST(CAST($qualityScoreExprS AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS qmu,
+         |    CAST(${bpeTokensS("text")} AS BIGINT) AS w
+         |  FROM m),
+         |c AS (SELECT source, doc_id, qmu, w,
+         |    SUM(w) OVER (PARTITION BY source ORDER BY qmu, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cw,
+         |    COUNT(*) OVER (PARTITION BY source ORDER BY qmu, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cn,
+         |    SUM(w) OVER (PARTITION BY source) AS tw,
+         |    COUNT(*) OVER (PARTITION BY source) AS tn
+         |  FROM p)
+         |SELECT source, CAST(MAX(tn) AS BIGINT) AS n_docs,
+         |  CAST(MAX(tw) AS BIGINT) AS n_tokens,
+         |  round(MIN(CASE WHEN cn * 2 >= tn THEN qmu END) / 1000000.0, 6)
+         |    AS q50_doc,
+         |  round(MIN(CASE WHEN cw * 4 >= tw THEN qmu END) / 1000000.0, 6)
+         |    AS q25_tok,
+         |  round(MIN(CASE WHEN cw * 2 >= tw THEN qmu END) / 1000000.0, 6)
+         |    AS q50_tok,
+         |  round(MIN(CASE WHEN cw * 4 >= tw * 3 THEN qmu END) / 1000000.0, 6)
+         |    AS q75_tok
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // q301: identical Poisson thresholds (JVM-computed longs inlined
     // on both engines), same hash plane, same order-statistic ranks
     "q301_bootstrap_ci" -> {

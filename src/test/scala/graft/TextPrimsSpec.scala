@@ -1196,4 +1196,36 @@ class TextPrimsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("mean_fill") - fill) < 2e-6)
     }
   }
+
+  test("q330 weighted quantiles: brute-forced per source, ordered, and " +
+      "the doc median is the w=1 special case of the same rule") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextOps.weightedQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute force from the same integer routes
+    val raw = graft.text.TextOps.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextPrims.bpeTokensC(col("text")).cast("long")
+            .as("w")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        math.round(r.getAs[Double]("quality_score") * 1e6), r.getAs[Long]("w")))
+    def wq(src: String, num: Long, den: Long): Double = {
+      val xs = raw.filter(_._1 == src).sortBy(t => (t._3, t._2))
+      val total = xs.map(_._4).sum
+      var cw = 0L
+      val hit = xs.find { t => cw += t._4; cw * den >= total * num }.get
+      hit._3 / 1e6
+    }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(math.abs(r.getAs[Double]("q25_tok") - wq(src, 1, 4)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("q50_tok") - wq(src, 1, 2)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("q75_tok") - wq(src, 3, 4)) < 1e-5)
+      assert(r.getAs[Double]("q25_tok") <= r.getAs[Double]("q50_tok"))
+      assert(r.getAs[Double]("q50_tok") <= r.getAs[Double]("q75_tok"))
+    }
+  }
 }
