@@ -889,6 +889,10 @@ object SparkEntry {
     // the median DOC's — integer-threshold exact selection
     "q330_weighted_quantiles" -> ((s, d) =>
       graft.text.TextOps.weightedQuantiles(s, d)),
+    // energy distance between label clusters: the multivariate
+    // two-sample drift test for embedding space, sampled per group
+    "q331_energy_distance"    -> ((s, d) =>
+      graft.similarity.Similarity.energyDistance(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

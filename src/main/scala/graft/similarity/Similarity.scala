@@ -879,6 +879,68 @@ object Similarity {
   /** Discount weights 1/log₂(i+1) for ranks 1..k as 12-dp literals —
     * shared verbatim by the Spark side and the oracle (no runtime log,
     * the q204 Benford pattern). */
+  /** q331: ENERGY DISTANCE between label clusters (Székely & Rizzo) —
+    * the MULTIVARIATE two-sample test the scalar battery (KS q263, W1
+    * q303, PSI) cannot run: for embedding samples X, Y the statistic
+    * E = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖ is ≥ 0 with equality iff the
+    * DISTRIBUTIONS agree — the drift test to run on embedding space
+    * itself (did this month's encoder output move?), reported here for
+    * every label pair as the separation matrix a clustering owner
+    * reads. V-statistic convention: means over all n² ordered pairs,
+    * diagonal included.
+    *
+    * BOUNDED BY DESIGN: each label contributes its first `perLabel`
+    * vectors (vec_id order) — the energy test is a statistic of a
+    * SAMPLE, and the production contract is "test on k per group",
+    * never all-pairs over the corpus (the L-pair × k² distance frame
+    * is constant-sized however big the table gets; the only full-scan
+    * work is the sample selection's per-label top-k).
+    *
+    * Determinism: distances ride the ‖x‖²−2xy+‖y‖² fixed-fold route
+    * (q211's), clamped at 0, sqrt (IEEE correctly-rounded, bit-portable),
+    * rounded 9 dp into DECIMAL(28,9) sums; closing algebra is fixed
+    * double expressions rounded 6 dp. */
+  def energyDistance(s: SparkSession, dir: String,
+                     perLabel: Int = 64): DataFrame = {
+    val byLabel = Window.partitionBy("label").orderBy("vec_id")
+    val sample = emb(s, dir)
+      .withColumn("rk", row_number().over(byLabel))
+      .filter(col("rk") <= perLabel)
+      .select(col("label"), col("vec_id"), col("e"))
+      .localCheckpoint() // read by the within and cross joins
+    def distCol(a: Column, b: Column): Column =
+      round(sqrt(greatest(
+        dotp(a, a) - lit(2.0) * dotp(a, b) + dotp(b, b), lit(0.0))), 9)
+    val within = sample.as("a")
+      .join(sample.as("b"), col("a.label") === col("b.label"))
+      .groupBy(col("a.label").as("label"))
+      .agg(count(lit(1)).as("nn"),
+        sum(distCol(col("a.e"), col("b.e")).cast(DecimalType(28, 9)))
+          .as("sd"))
+      .select(col("label"),
+        sqrt(col("nn").cast(DoubleType)).cast(LongType).as("n"),
+        (col("sd").cast(DoubleType) / col("nn")).as("wmean"))
+      .localCheckpoint() // joined twice below
+    val cross = sample.as("a")
+      .join(sample.as("b"), col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(count(lit(1)).as("nm"),
+        sum(distCol(col("a.e"), col("b.e")).cast(DecimalType(28, 9)))
+          .as("sd"))
+      .select(col("label_a"), col("label_b"),
+        (col("sd").cast(DoubleType) / col("nm")).as("cmean"))
+    cross
+      .join(within.select(col("label").as("label_a"), col("n").as("n_a"),
+        col("wmean").as("wa")), Seq("label_a"))
+      .join(within.select(col("label").as("label_b"), col("n").as("n_b"),
+        col("wmean").as("wb")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("cmean"), 6).as("cross_mean"),
+        round(lit(2.0) * col("cmean") - col("wa") - col("wb"), 6)
+          .as("energy"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Shared 12-dp p^(e-1) literals for [[rboRankings]] and its oracle —
     * libm `pow` is NOT bit-portable across engines, so the geometric
     * weights are JVM-computed once and inlined on both sides (the q231
@@ -2462,6 +2524,36 @@ object Similarity {
        |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q331: identical sampled V-statistic in DuckDB (same distance
+    // route, same 9-dp row rounding, same closing algebra)
+    "q331_energy_distance" -> {
+      val perLabel = 64
+      val dAB = s"round(sqrt(greatest(${dotS("a.e", "a.e")} - " +
+        s"2.0 * ${dotS("a.e", "b.e")} + ${dotS("b.e", "b.e")}, 0.0)), 9)"
+      s"""WITH e0 AS ($embS),
+         |sm AS MATERIALIZED (SELECT label, vec_id, e FROM (
+         |    SELECT label, vec_id, e,
+         |      ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id)
+         |        AS rk
+         |    FROM e0) WHERE rk <= $perLabel),
+         |w AS MATERIALIZED (SELECT a.label, COUNT(*) AS nn,
+         |    SUM(CAST($dAB AS DECIMAL(28,9))) AS sd
+         |  FROM sm a JOIN sm b ON a.label = b.label GROUP BY a.label),
+         |wm AS (SELECT label, CAST(sqrt(CAST(nn AS DOUBLE)) AS BIGINT)
+         |      AS n,
+         |    CAST(sd AS DOUBLE) / nn AS wmean FROM w),
+         |c AS (SELECT a.label AS label_a, b.label AS label_b,
+         |    COUNT(*) AS nm, SUM(CAST($dAB AS DECIMAL(28,9))) AS sd
+         |  FROM sm a JOIN sm b ON a.label < b.label
+         |  GROUP BY a.label, b.label)
+         |SELECT c.label_a, c.label_b, x.n AS n_a, y.n AS n_b,
+         |  round(CAST(c.sd AS DOUBLE) / c.nm, 6) AS cross_mean,
+         |  round(2.0 * (CAST(c.sd AS DOUBLE) / c.nm) - x.wmean - y.wmean,
+         |    6) AS energy
+         |FROM c JOIN wm x ON x.label = c.label_a
+         |JOIN wm y ON y.label = c.label_b
+         |ORDER BY c.label_a, c.label_b""".stripMargin
+    },
     // q328: identical prefix-overlap cumulative + shared 12-dp weight
     // literals; (1−p) is inlined as the JVM's computed double so both
     // engines scale by the exact same value

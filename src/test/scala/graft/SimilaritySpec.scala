@@ -657,6 +657,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q331 energy distance: non-negative everywhere, and one pair " +
+      "brute-forced from raw embeddings") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.similarity.Similarity.energyDistance(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("energy") >= -1e-9,
+        s"negative energy at (${r.get(0)},${r.get(1)})")
+      assert(r.getAs[Double]("cross_mean") > 0)
+    }
+    // brute-force the (0,1) pair: same sample rule, plain Scala math
+    val per = 64
+    val sm = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).map { case (l, vs) =>
+        l -> vs.sortBy(_._2).take(per).map(_._3) }
+    def d(x: Array[Double], y: Array[Double]): Double = {
+      def dot(a: Array[Double], b: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      BigDecimal(math.sqrt(math.max(dot(x, x) - 2.0 * dot(x, y) +
+        dot(y, y), 0.0))).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    def meanAll(xs: Array[Array[Double]], ys: Array[Array[Double]]) =
+      (for (x <- xs; y <- ys) yield d(x, y)).sum / (xs.length * ys.length)
+    val (x0, x1) = (sm(0), sm(1))
+    val want = 2.0 * meanAll(x0, x1) - meanAll(x0, x0) - meanAll(x1, x1)
+    val got = rows.find(r => r.getAs[Int]("label_a") == 0 &&
+      r.getAs[Int]("label_b") == 1).get.getAs[Double]("energy")
+    assert(math.abs(got - want) < 1e-5, s"got $got want $want")
+  }
+
   test("q328 RBO: brute-forced prefix overlaps and truncated sum agree; " +
       "monotone in depth and bounded by the identical-ranking ceiling") {
     import org.apache.spark.sql.functions._
