@@ -893,6 +893,11 @@ object SparkEntry {
     // two-sample drift test for embedding space, sampled per group
     "q331_energy_distance"    -> ((s, d) =>
       graft.similarity.Similarity.energyDistance(s, d)),
+    // ALS matrix factorization, relationally: closed-form 2x2 ridge
+    // solves as groupBy aggregates, md5-seeded init — bit-exact twin
+    // of the MLlib flagship workload
+    "q332_als_factorize"      -> ((s, d) =>
+      graft.ml.AlsFactor.alsFactorize(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1114,6 +1119,7 @@ object SparkEntry {
     graft.ml.PcaPower.oracleSql ++
     graft.ml.LogitGd.oracleSql ++
     graft.text.BpeTrain.oracleSql ++
+    graft.ml.AlsFactor.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
       "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText,
       "q122_exists_churn" -> graft.sql.Catalog.ExistsChurnSqlText) ++ {

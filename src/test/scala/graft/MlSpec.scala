@@ -628,6 +628,65 @@ class MlSpec extends SparkSpec {
     // this is a sanity band, not a dramatic drop)
     assert(math.abs(wht) < 0.05, r.toString)
   }
+
+  test("q332 ALS: driver-math brute force of the full alternating chain " +
+      "reproduces every half-step RMSE; the curve descends") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ml.AlsFactor.alsFactorize(spark, sfDir).collect()
+      .map(r => ((r.getAs[Int]("step"), r.getAs[String]("side")),
+        r.getAs[Double]("rmse"))).toMap
+    // ratings through the same decimal mean route
+    val ratings = graft.sources.Tables.load(spark, sfDir, "events")
+      .groupBy("user_id", "event_type")
+      .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("r"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val lam = graft.ml.AlsFactor.Lambda
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def initOf(et: String, c: String): Double =
+      graft.functions.TextPrims.javaMd5Hex32(s"alsV#$et#$c") /
+        2147483648.0 - 1.0
+    var v = ratings.map(_._2).distinct.sorted
+      .map(et => et -> (initOf(et, "a"), initOf(et, "b"))).toMap
+    var u = Map.empty[Long, (Double, Double)]
+    def solve(rows: Seq[(Double, (Double, Double))]): (Double, Double) = {
+      val saa = rows.map(t => r9(t._2._1 * t._2._1)).sum
+      val sab = rows.map(t => r9(t._2._1 * t._2._2)).sum
+      val sbb = rows.map(t => r9(t._2._2 * t._2._2)).sum
+      val sra = rows.map(t => r9(t._1 * t._2._1)).sum
+      val srb = rows.map(t => r9(t._1 * t._2._2)).sum
+      val det = (saa + lam) * (sbb + lam) - sab * sab
+      (((sbb + lam) * sra - sab * srb) / det,
+        ((saa + lam) * srb - sab * sra) / det)
+    }
+    def rmse(): Double = {
+      val sse = ratings.map { case (ui, et, r) =>
+        val (ua, ub) = u(ui); val (fa, fb) = v(et)
+        val e = r - (ua * fa + ub * fb)
+        r9(e * e)
+      }.sum
+      math.sqrt(sse / ratings.length)
+    }
+    val want = scala.collection.mutable.Map.empty[(Int, String), Double]
+    for (it <- 1 to graft.ml.AlsFactor.Iters) {
+      u = ratings.groupBy(_._1).map { case (ui, rs) =>
+        ui -> solve(rs.toSeq.map(t => (t._3, v(t._2)))) }
+      want((it, "U")) = rmse()
+      v = ratings.groupBy(_._2).map { case (et, rs) =>
+        et -> solve(rs.toSeq.map(t => (t._3, u(t._1)))) }
+      want((it, "V")) = rmse()
+    }
+    want.foreach { case (k, w) =>
+      assert(math.abs(got(k) - w) < 1e-4, s"$k: got ${got(k)} want $w") }
+    // the alternating curve descends half-step over half-step
+    val curve = Seq((1, "U"), (1, "V"), (2, "U"), (2, "V")).map(got)
+    curve.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"curve rose: $curve")
+      case _ => ()
+    }
+  }
 }
 
 
