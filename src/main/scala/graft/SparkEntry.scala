@@ -898,6 +898,9 @@ object SparkEntry {
     // of the MLlib flagship workload
     "q332_als_factorize"      -> ((s, d) =>
       graft.ml.AlsFactor.alsFactorize(s, d)),
+    // manifest-pruned scan: per-file stats table consulted at plan
+    // time — the Iceberg/Delta pruning mechanism from parts
+    "q333_manifest_prune"     -> (graft.sources.Sinks.manifestPrunedScan _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1185,6 +1188,14 @@ object SparkEntry {
             |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars // 5 END)
             |    AS BIGINT) AS sum_tok_est
             |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+        // q333 oracle = the same range aggregate over the ORIGINAL table:
+        // hash-equality proves the manifest prune lost no row
+        "q333_manifest_prune" ->
+          """SELECT l_suppkey, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            |FROM lineitem WHERE l_partkey BETWEEN 300 AND 700
+            |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
         // q139 oracle = the same per-shard rollup computed from the shard
         // FUNCTION (not the written layout): hash-equality proves the
         // partitioned export lossless shard by shard, checksums included

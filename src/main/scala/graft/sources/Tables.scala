@@ -499,6 +499,59 @@ object Sinks {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q333: MANIFEST-PRUNED SCAN — the Iceberg/Delta table-format
+    * mechanism, built from parts: a layout write (range-clustered
+    * files), a MANIFEST of per-file column stats (min/max/rows) built
+    * once as a DataFrame, and a two-phase read that consults the
+    * manifest FIRST and hands the planner only the files whose
+    * [lo, hi] intersects the predicate. Differs from q106 (row-group
+    * skipping) in WHERE the pruning decision is made: q106 trusts the
+    * scan operator to read every footer and skip inside files; the
+    * manifest prunes at PLAN time from a stats table — at 100 TB /
+    * millions of files, footer reads alone are a listing storm, which
+    * is exactly why the table formats exist. The oracle recomputes the
+    * aggregate over the original table, so hash-equality proves the
+    * prune lost no row; the spec asserts the file list actually
+    * shrank and the manifest accounts for every row.
+    *
+    * The driver-side file list is bounded by numFiles (the manifest is
+    * metadata, ≤ one row per file — the same cardinality contract a
+    * real manifest file has). */
+  def manifestPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q333")
+    try {
+      val path = tmp.resolve("data").toString
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(path)
+      val manifest = s.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("l_partkey").as("lo"), max("l_partkey").as("hi"))
+      val (p1, p2) = (300L, 700L)
+      val keep = manifest
+        .filter(col("hi") >= p1 && col("lo") <= p2)
+        .select("file").collect().map(_.getString(0)) // ≤ numFiles rows
+      // a fully-pruned predicate (possible at tiny SF) is an EMPTY scan,
+      // not an error — same contract as a table format's empty manifest hit
+      val pruned =
+        if (keep.isEmpty) s.read.parquet(path).filter(lit(false))
+        else s.read.parquet(keep.toIndexedSeq: _*)
+      pruned
+        .filter(col("l_partkey").between(p1, p2))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy("l_suppkey")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** Z-ORDERED parquet layout: range-partition + sort on the Morton key
     * of (`xCol`, `yCol`), then drop the key — the written files carry only
     * the original columns, with 2-D locality baked into the row-group

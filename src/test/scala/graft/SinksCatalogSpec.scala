@@ -256,6 +256,36 @@ class SinksCatalogSpec extends SparkSpec {
       col("tok_est") =!= expr("n_chars div 5")).count() === 0)
   }
 
+  test("q333 manifest prune: the file list shrinks, the manifest " +
+      "accounts for every row, and the pruned read loses nothing") {
+    val dir = tmp()
+    val src = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    src.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val back = spark.read.parquet(s"$dir/data")
+    val manifest = back.groupBy(input_file_name().as("file"))
+      .agg(min("l_partkey").as("lo"), max("l_partkey").as("hi"),
+        count(lit(1)).as("rows")).collect()
+    assert(manifest.map(_.getAs[Long]("rows")).sum === src.count())
+    // box from data quantiles so the test is scale-independent (the
+    // fixture's key range grows with SF; a fixed box can go empty)
+    val qs = src.stat.approxQuantile("l_partkey", Array(0.3, 0.6), 0.0)
+    val (p1, p2) = (qs(0).toLong, qs(1).toLong)
+    val keep = manifest.filter(r =>
+      r.getAs[Long]("hi") >= p1 && r.getAs[Long]("lo") <= p2)
+    assert(keep.length < manifest.length,
+      s"prune kept all ${manifest.length} files")
+    assert(keep.nonEmpty)
+    // nothing lost: rows in range within pruned files == full-scan count
+    val prunedCnt = spark.read
+      .parquet(keep.map(_.getAs[String]("file")).toIndexedSeq: _*)
+      .filter(col("l_partkey").between(p1, p2)).count()
+    assert(prunedCnt ===
+      back.filter(col("l_partkey").between(p1, p2)).count())
+  }
+
   test("morton interleave: bit-exact spread and 2-D locality ordering") {
     // golden values: interleave(x,y) places x bits at even positions
     val rows = spark.range(1).select(
