@@ -66,7 +66,11 @@ object ScaleRamp {
     "tws_stream"       -> "q253_tws_parity",
     "source_minhash"   -> "q299_source_minhash",
     "hll_algebra"      -> "q302_hll_intersect",
-    "hll_hierarchy"    -> "q310_hll_hierarchy")
+    "hll_hierarchy"    -> "q310_hll_hierarchy",
+    "winnow"           -> "q320_winnow_fingerprints",
+    "kcore"            -> "q325_kcore",
+    "jw_linkage"       -> "q327_jw_linkage",
+    "energy_distance"  -> "q331_energy_distance")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding

@@ -901,6 +901,9 @@ object SparkEntry {
     // manifest-pruned scan: per-file stats table consulted at plan
     // time — the Iceberg/Delta pruning mechanism from parts
     "q333_manifest_prune"     -> (graft.sources.Sinks.manifestPrunedScan _),
+    // custom DataSource V2 connector: fixed-width reader with column
+    // pruning + filter pushdown, certified by round-trip hash
+    "q334_fixedwidth_dsv2"    -> (graft.sources.Sinks.fixedWidthRoundTrip _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1196,6 +1199,15 @@ object SparkEntry {
             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
             |FROM lineitem WHERE l_partkey BETWEEN 300 AND 700
             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+        // q334 oracle = the same filtered aggregate over the ORIGINAL
+        // table (quantity via the same x10^4 scaled-integer route)
+        "q334_fixedwidth_dsv2" ->
+          """SELECT l_returnflag, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+            |  CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+            |    AS BIGINT) AS sum_q4
+            |FROM lineitem WHERE l_suppkey <= 50
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
         // q139 oracle = the same per-shard rollup computed from the shard
         // FUNCTION (not the written layout): hash-equality proves the
         // partitioned export lossless shard by shard, checksums included

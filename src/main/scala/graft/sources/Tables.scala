@@ -552,6 +552,46 @@ object Sinks {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q334: FIXED-WIDTH DSv2 ROUND-TRIP — lineitem rendered as the
+    * mainframe-style fixed-width export (lpad'd slices, one text file
+    * per shard), read back through the CUSTOM DataSource V2 connector
+    * ([[graft.sources.fixedwidth.FixedWidthSource]]) with a column
+    * projection and a pushed `<=` range filter, and aggregated. The
+    * oracle recomputes the aggregate over the ORIGINAL table, so
+    * hash-equality certifies the whole connector stack — slicing,
+    * type parsing, column pruning, filter pushdown, per-file
+    * partition planning — lossless. The quantity column rides a
+    * ×10⁴ scaled-integer slice (fixed-width exports carry implied
+    * decimals; the integer sum is exact on both engines). */
+  def fixedWidthRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q334")
+    try {
+      val path = tmp.resolve("fw").toString
+      Tables.load(s, dir, "lineitem")
+        .select(concat(
+          lpad(col("l_orderkey").cast(StringType), 12, " "),
+          lpad(col("l_suppkey").cast(StringType), 8, " "),
+          lpad(round(col("l_quantity") * 10000).cast(LongType)
+            .cast(StringType), 12, " "),
+          col("l_returnflag")).as("value"))
+        .repartition(8)
+        .write.mode("overwrite").text(path)
+      s.read.format("graft.sources.fixedwidth.FixedWidthSource")
+        .option("spec", "l_orderkey:0:12:long,l_suppkey:12:8:long," +
+          "l_q4:20:12:long,l_returnflag:32:1:string")
+        .load(path)
+        .filter(col("l_suppkey") <= 50L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("l_q4")).as("sum_q4"))
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** Z-ORDERED parquet layout: range-partition + sort on the Morton key
     * of (`xCol`, `yCol`), then drop the key — the written files carry only
     * the original columns, with 2-D locality baked into the row-group

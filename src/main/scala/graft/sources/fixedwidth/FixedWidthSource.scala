@@ -1,0 +1,209 @@
+package graft.sources.fixedwidth
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** q334: CUSTOM DataSource V2 CONNECTOR — a FIXED-WIDTH text source,
+  * the mainframe/ERP export format Spark has no native reader for, and
+  * the proof that this engine's source surface (SURVEY §2.1) is
+  * EXTENSIBLE the way the reference's is not: `spark.read.format(...)`
+  * onto any bytes for which a column-slice spec exists.
+  *
+  * Spec option: `spec=name:start:len:type,...` (0-based byte offsets;
+  * types long | double | string). The connector implements the full
+  * DSv2 read contract:
+  *
+  *  - `SupportsPushDownRequiredColumns` — the reader SLICES ONLY THE
+  *    REQUESTED columns out of each line: for a 2-column projection of
+  *    a 40-column export, per-row work drops 20×. This is the scan-side
+  *    pruning parquet gets from column chunks, recovered for a
+  *    row-oriented format at parse time.
+  *  - `SupportsPushDownFilters` — =, <, <=, >, >= on long columns
+  *    evaluate DURING the parse, before row materialization; pushed
+  *    filters are reported back to the plan (visible in explain), and
+  *    Spark drops its redundant post-filter for what the source accepts.
+  *  - One `InputPartition` per file via the Hadoop FileSystem API (so
+  *    the same connector reads HDFS/S3 paths on a real cluster) — the
+  *    natural parallelism of fixed-width exports, which arrive as many
+  *    medium files.
+  *
+  * The q334 query stages lineitem as fixed-width files, reads them back
+  * through this connector with a projection + pushed range filter, and
+  * hash-matches the DuckDB aggregate over the ORIGINAL table — the
+  * round-trip certificate that parsing, pruning, and pushdown lose
+  * nothing. */
+class FixedWidthSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FixedWidthSource.schemaOf(FixedWidthSource.parseSpec(
+      options.get("spec")))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FwTable(FixedWidthSource.parseSpec(properties.get("spec")),
+      properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object FixedWidthSource {
+  /** one column slice of the fixed-width layout. */
+  final case class FwField(name: String, start: Int, len: Int,
+                           dataType: DataType) extends Serializable
+
+  def parseSpec(spec: String): Seq[FwField] = {
+    require(spec != null && spec.nonEmpty, "fixedwidth requires a 'spec'")
+    spec.split(",").toSeq.map { part =>
+      val Array(n, st, ln, ty) = part.trim.split(":")
+      val dt = ty match {
+        case "long" => LongType
+        case "double" => DoubleType
+        case "string" => StringType
+        case other => throw new IllegalArgumentException(
+          s"unsupported fixedwidth type: $other")
+      }
+      FwField(n, st.toInt, ln.toInt, dt)
+    }
+  }
+  def schemaOf(fields: Seq[FwField]): StructType =
+    StructType(fields.map(f => StructField(f.name, f.dataType)))
+}
+
+class FwTable(spec: Seq[FixedWidthSource.FwField], path: String)
+  extends Table with SupportsRead {
+  require(path != null && path.nonEmpty, "fixedwidth requires a 'path'")
+  override def name(): String = s"fixedwidth($path)"
+  override def schema(): StructType = FixedWidthSource.schemaOf(spec)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FwScanBuilder(spec, path)
+}
+
+class FwScanBuilder(spec: Seq[FixedWidthSource.FwField], path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: Seq[FixedWidthSource.FwField] = spec
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val want = requiredSchema.fieldNames.toSet
+    // preserve the REQUESTED order: Spark expects rows in requiredSchema
+    // field order, not layout order
+    required = requiredSchema.fieldNames.toSeq
+      .flatMap(n => spec.find(_.name == n))
+  }
+
+  /** accept comparison filters on long columns; everything else stays
+    * with Spark (returned as post-scan residual). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def longCol(n: String): Boolean =
+      spec.exists(f => f.name == n && f.dataType == LongType)
+    def ok(f: Filter): Boolean = f match {
+      case EqualTo(a, _: java.lang.Long) => longCol(a)
+      case GreaterThan(a, _: java.lang.Long) => longCol(a)
+      case GreaterThanOrEqual(a, _: java.lang.Long) => longCol(a)
+      case LessThan(a, _: java.lang.Long) => longCol(a)
+      case LessThanOrEqual(a, _: java.lang.Long) => longCol(a)
+      case _ => false
+    }
+    pushed = filters.filter(ok)
+    filters.filterNot(ok) // residual for Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new FwScan(spec, required, pushed, path)
+}
+
+class FwScan(spec: Seq[FixedWidthSource.FwField],
+             required: Seq[FixedWidthSource.FwField],
+             pushed: Array[Filter], path: String) extends Scan with Batch {
+  override def readSchema(): StructType = FixedWidthSource.schemaOf(required)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"fixedwidth path=$path pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .map(st => FwPartition(st.getPath.toString): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FwReaderFactory(spec, required, pushed)
+}
+
+final case class FwPartition(file: String) extends InputPartition
+
+class FwReaderFactory(spec: Seq[FixedWidthSource.FwField],
+                      required: Seq[FixedWidthSource.FwField],
+                      pushed: Array[Filter])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FwReader(partition.asInstanceOf[FwPartition].file, spec, required,
+      pushed)
+}
+
+class FwReader(file: String, spec: Seq[FixedWidthSource.FwField],
+               required: Seq[FixedWidthSource.FwField], pushed: Array[Filter])
+  extends PartitionReader[InternalRow] {
+  private val fsPath = new org.apache.hadoop.fs.Path(file)
+  private val in = fsPath
+    .getFileSystem(new org.apache.hadoop.conf.Configuration()).open(fsPath)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(in, "UTF-8"))
+  private var row: InternalRow = _
+
+  // pushed filters compile ONCE to (slice offsets, predicate) pairs —
+  // evaluated on the raw line before any row materialization
+  private val preds: Array[String => Boolean] = pushed.map { f =>
+    def sliceOf(n: String) = spec.find(_.name == n).get
+    def longAt(fld: FixedWidthSource.FwField)(line: String): Long =
+      line.substring(fld.start, fld.start + fld.len).trim.toLong
+    f match {
+      case EqualTo(a, v: java.lang.Long) =>
+        val g = longAt(sliceOf(a)) _; l => g(l) == v.longValue()
+      case GreaterThan(a, v: java.lang.Long) =>
+        val g = longAt(sliceOf(a)) _; l => g(l) > v.longValue()
+      case GreaterThanOrEqual(a, v: java.lang.Long) =>
+        val g = longAt(sliceOf(a)) _; l => g(l) >= v.longValue()
+      case LessThan(a, v: java.lang.Long) =>
+        val g = longAt(sliceOf(a)) _; l => g(l) < v.longValue()
+      case LessThanOrEqual(a, v: java.lang.Long) =>
+        val g = longAt(sliceOf(a)) _; l => g(l) <= v.longValue()
+      case other => throw new IllegalStateException(s"unpushable: $other")
+    }
+  }
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null && !preds.forall(_(line))) line = reader.readLine()
+    if (line == null) { row = null; false }
+    else {
+      // parse ONLY the required slices — the column-pruning payoff
+      val vals: Array[Any] = required.map { f =>
+        val s = line.substring(f.start, f.start + f.len).trim
+        f.dataType match {
+          case LongType => s.toLong
+          case DoubleType => s.toDouble
+          case StringType => UTF8String.fromString(s)
+        }
+      }.toArray
+      row = InternalRow.fromSeq(vals.toIndexedSeq)
+      true
+    }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

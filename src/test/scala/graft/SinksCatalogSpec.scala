@@ -286,6 +286,45 @@ class SinksCatalogSpec extends SparkSpec {
       back.filter(col("l_partkey").between(p1, p2)).count())
   }
 
+  test("q334 fixed-width DSv2: filter pushed into the scan, columns " +
+      "pruned, one partition per file, values equal a substring reparse") {
+    val dir = tmp()
+    val src = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    src.select(concat(
+        lpad(col("l_orderkey").cast("string"), 12, " "),
+        lpad(col("l_suppkey").cast("string"), 8, " "),
+        lpad(round(col("l_quantity") * 10000).cast("long").cast("string"),
+          12, " "),
+        col("l_returnflag")).as("value"))
+      .repartition(4)
+      .write.mode("overwrite").text(s"$dir/fw")
+    val spec = "l_orderkey:0:12:long,l_suppkey:12:8:long," +
+      "l_q4:20:12:long,l_returnflag:32:1:string"
+    val fw = spark.read
+      .format("graft.sources.fixedwidth.FixedWidthSource")
+      .option("spec", spec).load(s"$dir/fw")
+    // column pruning + filter pushdown are visible in the executed plan
+    val q = fw.filter(col("l_suppkey") <= 5L)
+      .select("l_returnflag", "l_suppkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(l_suppkey,5)"), plan.take(800))
+    assert(!plan.contains("l_orderkey"), "pruned column leaked into scan")
+    // partition-per-file parallelism
+    assert(q.rdd.getNumPartitions === 4)
+    // value parity against an independent substring reparse of the files
+    val reparse = spark.read.text(s"$dir/fw")
+      .select(trim(substring(col("value"), 13, 8)).cast("long")
+        .as("l_suppkey"),
+        substring(col("value"), 33, 1).as("l_returnflag"))
+      .filter(col("l_suppkey") <= 5L)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === reparse)
+    assert(got.values.sum > 0, "pushed filter selected nothing — vacuous")
+  }
+
   test("morton interleave: bit-exact spread and 2-D locality ordering") {
     // golden values: interleave(x,y) places x bits at even positions
     val rows = spark.range(1).select(
