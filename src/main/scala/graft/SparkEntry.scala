@@ -904,6 +904,10 @@ object SparkEntry {
     // custom DataSource V2 connector: fixed-width reader with column
     // pruning + filter pushdown, certified by round-trip hash
     "q334_fixedwidth_dsv2"    -> (graft.sources.Sinks.fixedWidthRoundTrip _),
+    // 31st streaming surface: the custom connector's MicroBatchStream —
+    // checkpointed restart admits each file exactly once
+    "q335_fixedwidth_stream"  -> ((s, d) =>
+      graft.streaming.EventStream.fixedWidthStreamParity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1199,6 +1203,15 @@ object SparkEntry {
             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
             |FROM lineitem WHERE l_partkey BETWEEN 300 AND 700
             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+        // q335 oracle = the whole-table aggregate: all three slices,
+        // each exactly once across the checkpointed restart
+        "q335_fixedwidth_stream" ->
+          """SELECT l_returnflag, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+            |  CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+            |    AS BIGINT) AS sum_q4
+            |FROM lineitem
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
         // q334 oracle = the same filtered aggregate over the ORIGINAL
         // table (quantity via the same x10^4 scaled-integer route)
         "q334_fixedwidth_dsv2" ->

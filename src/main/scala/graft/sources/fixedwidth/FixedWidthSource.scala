@@ -81,7 +81,8 @@ class FwTable(spec: Seq[FixedWidthSource.FwField], path: String)
   override def name(): String = s"fixedwidth($path)"
   override def schema(): StructType = FixedWidthSource.schemaOf(spec)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwScanBuilder(spec, path)
 }
@@ -139,6 +140,63 @@ class FwScan(spec: Seq[FixedWidthSource.FwField],
       .sortBy(_.getPath.getName)
       .map(st => FwPartition(st.getPath.toString): InputPartition)
       .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FwReaderFactory(spec, required, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FwMicroBatchStream(spec, required, pushed, path)
+}
+
+/** STREAMING offsets for the fixed-width source: the sorted file list
+  * is the log, the offset is how many of it has been admitted. The
+  * append-only contract (new files sort after admitted ones, files are
+  * immutable once visible) is the same one every file-drop ingestion
+  * holds; under it, a checkpointed restart resumes EXACTLY after the
+  * last committed file — proven by q335's two-run parity harness. */
+final case class FwOffset(n: Int)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"files":$n}"""
+}
+
+class FwMicroBatchStream(spec: Seq[FixedWidthSource.FwField],
+                         required: Seq[FixedWidthSource.FwField],
+                         pushed: Array[Filter], path: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  private def listFiles(): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+  }
+
+  // AvailableNow: pin the target at prepare time so the run drains to a
+  // FIXED horizon and terminates even if files keep landing
+  private var availableTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(listFiles().length)
+
+  override def initialOffset(): SOffset = FwOffset(0)
+  override def deserializeOffset(json: String): SOffset =
+    FwOffset("""\d+""".r.findFirstIn(json).get.toInt)
+  override def latestOffset(): SOffset =
+    FwOffset(availableTarget.getOrElse(listFiles().length))
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset =
+    latestOffset()
+  override def reportLatestOffset(): SOffset = FwOffset(listFiles().length)
+  override def commit(end: SOffset): Unit = () // files are immutable
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[FwOffset].n, end.asInstanceOf[FwOffset].n)
+    listFiles().slice(a, b).map(f => FwPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new FwReaderFactory(spec, required, pushed)

@@ -3322,6 +3322,75 @@ object EventStream {
   }
 
   /** Parquet sink with checkpointing (S3's streaming twin). */
+  /** q335 — CUSTOM-CONNECTOR STREAMING PARITY (31st surface): the
+    * fixed-width DSv2 source ([[graft.sources.fixedwidth]]) read as a
+    * STREAM through its own MicroBatchStream — offsets are positions in
+    * the sorted file log, AvailableNow drains to a horizon pinned at
+    * prepare time. The harness is the suite's restart shape: run 1
+    * ingests slice A and checkpoints; slices B and C land; run 2
+    * RESUMES FROM THE CHECKPOINT and must ingest exactly B+C — a
+    * re-delivered A doubles the counts, a missed slice shorts them,
+    * and either breaks the hash against the whole-table oracle. This
+    * is the S10 Kafka-shaped contract (resumable offset log, exactly-
+    * once file admission) demonstrated on a connector THIS engine
+    * owns end to end, not a built-in.
+    *
+    * Every staged slice is REQUIRED non-empty before the runs (the
+    * q298 lesson: an empty increment makes the restart proof vacuous). */
+  def fixedWidthStreamParity(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q335")
+    var q: StreamingQuery = null
+    try {
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val li = graft.sources.Tables.load(s, dir, "lineitem")
+      def stageSlice(rem: Int, name: String): Unit = {
+        val st = tmp.resolve(s"st$rem")
+        val slice = li.filter(col("l_orderkey") % 3 === rem)
+        require(slice.limit(1).count() == 1,
+          s"q335 slice $rem is empty — restart proof would be vacuous")
+        slice.select(concat(
+            lpad(col("l_orderkey").cast(StringType), 12, " "),
+            lpad(col("l_suppkey").cast(StringType), 8, " "),
+            lpad(round(col("l_quantity") * 10000).cast(LongType)
+              .cast(StringType), 12, " "),
+            col("l_returnflag")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(st.toString)
+        val part = Option(st.toFile.listFiles).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".txt"))
+          .getOrElse(sys.error(s"no text part under $st"))
+        java.nio.file.Files.move(part.toPath, in.resolve(name))
+      }
+      val spec = "l_orderkey:0:12:long,l_suppkey:12:8:long," +
+        "l_q4:20:12:long,l_returnflag:32:1:string"
+      val (out, ckpt) =
+        (tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
+      def runOnce(): Unit = {
+        val src = s.readStream
+          .format("graft.sources.fixedwidth.FixedWidthSource")
+          .option("spec", spec).load(in.toString)
+        q = toParquet(src, out, ckpt)
+        require(q.awaitTermination(300000),
+          "q335 streaming run did not terminate within 300 s")
+      }
+      stageSlice(0, "aa-slice0.txt")
+      runOnce() // run 1: checkpoint ends after slice A
+      stageSlice(1, "bb-slice1.txt")
+      stageSlice(2, "cc-slice2.txt")
+      runOnce() // run 2: resumes — must admit exactly B+C
+      s.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("l_q4")).as("sum_q4"))
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      rmTree(tmp)
+    }
+  }
+
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String,
                 trigger: org.apache.spark.sql.streaming.Trigger =
                   org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery =

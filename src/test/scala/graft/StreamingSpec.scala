@@ -947,4 +947,21 @@ class StreamingSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert((absent union matched) === clicks)
   }
+
+  test("q335 connector stream: offset json round-trips, and the two-run " +
+      "harness admits every slice exactly once (count = full table)") {
+    import graft.sources.fixedwidth.FwOffset
+    val o = FwOffset(7)
+    assert(o.json === """{"files":7}""")
+    val back = new graft.sources.fixedwidth.FwMicroBatchStream(
+      Seq.empty, Seq.empty, Array.empty, "/nonexistent")
+      .deserializeOffset(o.json)
+    assert(back === FwOffset(7))
+    val got = graft.streaming.EventStream
+      .fixedWidthStreamParity(spark, sfDir).collect()
+    val want = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map(r => r.getString(0) -> r.getAs[Long]("n")).toMap === want)
+  }
 }
