@@ -732,4 +732,48 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q320 winnowing: the selection window is doc-partitioned and the " +
+      "match join is an equi-join — never a cross product") {
+    val plan = planOf(graft.dedup.Dedup.winnowMatches(spark, sfDir))
+    plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach {
+      l => assert(l.contains("doc_id"), s"window not doc-partitioned: $l")
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q329 peak concurrency: every sweep window is DAY-partitioned — " +
+      "the classic single-sort formulation never appears") {
+    val plan = planOf(graft.analytics.Advanced.peakConcurrency(spark, sfDir))
+    val sweepWins = plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filterNot(_.contains("user_id")) // the q50 session windows
+      .toSeq
+    assert(sweepWins.nonEmpty, plan)
+    sweepWins.foreach { l =>
+      assert(l.contains("day"), s"sweep window not day-partitioned: $l")
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q330 weighted quantiles: one source-partitioned window pass, " +
+      "map-side partial aggregation after it") {
+    val plan = planOf(graft.text.TextOps.weightedQuantiles(spark, sfDir))
+    plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach {
+      l => assert(l.contains("source"), s"window not source-partitioned: $l")
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q327 JW linkage: the kernel expression stays inside whole-stage " +
+      "codegen over the candidate join — no fallback projection") {
+    val df = graft.dedup.Dedup.jwLinkage(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen stages render
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("jaro_winkler") && l.trim.stripPrefix("+- ")
+        .stripPrefix(":- ").startsWith("*(")),
+      plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
