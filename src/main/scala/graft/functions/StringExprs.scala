@@ -114,4 +114,77 @@ object StringExprs {
   /** Column wrapper for [[JaroWinklerSim]]. */
   def jaroWinkler(a: Column, b: Column): Column =
     bridge.column(JaroWinklerSim(bridge.expression(a), bridge.expression(b)))
+
+  /** Column wrapper for [[HilbertIndex]]. */
+  def hilbertIndex(x: Column, y: Column, order: Int): Column =
+    bridge.column(HilbertIndex(bridge.expression(x), bridge.expression(y),
+      order))
+}
+
+/** Static Hilbert xy→d kernel — the per-level compare/accumulate/
+  * reflect+transpose loop as tight JVM integer code, shared by the
+  * interpreted and generated paths of [[HilbertIndex]]. Semantics are
+  * the classic formulation (reflection about n−1); the spec asserts
+  * bijectivity and the unit-step walk on a full grid. */
+object HilbertKernel {
+  def index(x0: Long, y0: Long, order: Int): Long = {
+    val n = 1L << order
+    var x = x0 & (n - 1)
+    var y = y0 & (n - 1)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** Native Catalyst expression for the Hilbert curve index.
+  *
+  * Why a custom Expression: the `aggregate` HOF fold of the same loop
+  * is CodegenFallback — interpreted per row, it made the q323 layout
+  * write ~10× the q137 Morton write (13.3 s vs 1.4 s measured). As a
+  * static-call BinaryExpression the 16-level loop runs as compiled
+  * JVM code inside WholeStageCodegen — the layout key costs what the
+  * Morton key costs. */
+case class HilbertIndex(left: Expression, right: Expression, order: Int)
+  extends BinaryExpression {
+  require(order > 0 && order <= 31, s"order out of range: $order")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t == org.apache.spark.sql.types.LongType ||
+      t == org.apache.spark.sql.types.IntegerType
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hilbert_index requires integral inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hilbert_index"
+
+  private def asLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case other => other.asInstanceOf[Long]
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertKernel.index(asLong(a), asLong(b), order)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HilbertKernel.index((long)$a, (long)$b, $order)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
 }

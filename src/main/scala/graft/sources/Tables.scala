@@ -366,43 +366,23 @@ object Sinks {
     * are not), so equal-size index ranges cover tighter boxes — fewer
     * row groups touched per 2-D box predicate, the reason modern
     * clustering layouts (e.g. liquid clustering) moved from Z-order to
-    * Hilbert. The classic per-level fold (compare bit, accumulate
-    * quadrant, reflect+transpose the frame) runs as ONE `aggregate`
-    * higher-order function over the level sequence — a constant-size
-    * codegen'd expression evaluated as a runtime loop, NOT 16 unrolled
-    * levels whose branch tree would explode exponentially.
+    * Hilbert. The per-level loop (compare bit, accumulate quadrant,
+    * reflect+transpose the frame) runs as a NATIVE codegen'd Catalyst
+    * expression ([[graft.functions.HilbertIndex]] — a static-call
+    * BinaryExpression, the levenshtein shape): the first cut used an
+    * `aggregate` HOF fold, which is CodegenFallback and made the q323
+    * layout write ~10× q137's Morton write (13.3 s vs 1.4 s, round-13
+    * bench); the native expression keys cost Morton-key cost.
     *
     * Inputs must be in [0, 2^order) — larger keys should be rank- or
     * hash-compressed first (locality, not exactness, is what the
     * layout needs; same contract as [[mortonC]]). */
   private[graft] def hilbertC(x0: org.apache.spark.sql.Column,
                               y0: org.apache.spark.sql.Column,
-                              order: Int = 16): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val n = 1L << order
-    val levels = array((order - 1 to 0 by -1)
-      .map(i => lit(1L << i)): _*)
-    aggregate(
-      levels,
-      struct(x0.cast(LongType).bitwiseAND(lit(n - 1)).as("x"),
-        y0.cast(LongType).bitwiseAND(lit(n - 1)).as("y"),
-        lit(0L).as("d")),
-      (acc, s) => {
-        val (x, y, d) = (acc("x"), acc("y"), acc("d"))
-        val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        // reflect (rx==1) then transpose (ry==0) — the frame rotation
-        // that makes the four quadrant walks join end to end
-        val nx = when(ry === 0,
-          when(rx === 1, lit(n - 1) - y).otherwise(y)).otherwise(x)
-        val ny = when(ry === 0,
-          when(rx === 1, lit(n - 1) - x).otherwise(x)).otherwise(y)
-        struct(nx.as("x"), ny.as("y"),
-          (d + s * s * (lit(3L) * rx).bitwiseXOR(ry)).as("d"))
-      },
-      acc => acc("d"))
-  }
+                              order: Int = 16): org.apache.spark.sql.Column =
+    graft.functions.StringExprs.hilbertIndex(
+      x0.cast(org.apache.spark.sql.types.LongType),
+      y0.cast(org.apache.spark.sql.types.LongType), order)
 
   /** HILBERT-ordered parquet layout: [[parquetZOrdered]] with the
     * Hilbert key — same one-time range shuffle, tighter per-row-group
