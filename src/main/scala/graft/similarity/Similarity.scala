@@ -912,7 +912,7 @@ object Similarity {
       round(sqrt(greatest(
         dotp(a, a) - lit(2.0) * dotp(a, b) + dotp(b, b), lit(0.0))), 9)
     val within = sample.as("a")
-      .join(sample.as("b"), col("a.label") === col("b.label"))
+      .join(broadcast(sample.as("b")), col("a.label") === col("b.label"))
       .groupBy(col("a.label").as("label"))
       .agg(count(lit(1)).as("nn"),
         sum(distCol(col("a.e"), col("b.e")).cast(DecimalType(28, 9)))
@@ -922,7 +922,7 @@ object Similarity {
         (col("sd").cast(DoubleType) / col("nn")).as("wmean"))
       .localCheckpoint() // joined twice below
     val cross = sample.as("a")
-      .join(sample.as("b"), col("a.label") < col("b.label"))
+      .join(broadcast(sample.as("b")), col("a.label") < col("b.label"))
       .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
       .agg(count(lit(1)).as("nm"),
         sum(distCol(col("a.e"), col("b.e")).cast(DecimalType(28, 9)))
@@ -930,10 +930,10 @@ object Similarity {
       .select(col("label_a"), col("label_b"),
         (col("sd").cast(DoubleType) / col("nm")).as("cmean"))
     cross
-      .join(within.select(col("label").as("label_a"), col("n").as("n_a"),
-        col("wmean").as("wa")), Seq("label_a"))
-      .join(within.select(col("label").as("label_b"), col("n").as("n_b"),
-        col("wmean").as("wb")), Seq("label_b"))
+      .join(broadcast(within.select(col("label").as("label_a"),
+        col("n").as("n_a"), col("wmean").as("wa"))), Seq("label_a"))
+      .join(broadcast(within.select(col("label").as("label_b"),
+        col("n").as("n_b"), col("wmean").as("wb"))), Seq("label_b"))
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
         round(col("cmean"), 6).as("cross_mean"),
         round(lit(2.0) * col("cmean") - col("wa") - col("wb"), 6)
