@@ -908,6 +908,10 @@ object SparkEntry {
     // checkpointed restart admits each file exactly once
     "q335_fixedwidth_stream"  -> ((s, d) =>
       graft.streaming.EventStream.fixedWidthStreamParity(s, d)),
+    // Spark 4 WITH RECURSIVE: the q63 oracle's transitive closure run
+    // natively — declarative recursion certified against the BSP loop
+    "q336_recursive_cte"      -> ((s, d) =>
+      graft.dedup.Dedup.recursiveComponents(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -864,6 +864,12 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
   /** Oracle-pinned peel-round bound shared by [[kcore]] and its SQL twin. */
   val KcoreRounds: Int = 8
+  /** Oracle-pinned walk bound shared by [[recursiveComponents]] and its
+    * SQL twin — ≥ any dedup-cluster diameter (near-clique clusters;
+    * measured ≤ 3 at sf0.1) while keeping the UNION ALL walk count
+    * inside Spark's recursion row limit. Spec-checked vs BSP, and the
+    * dual-scale sweep cross-checks the q63 frame directly. */
+  val RecursionDepth: Int = 4
 
   /** q327: JARO-WINKLER VERIFIED LINKAGE — record-linkage scoring of the
     * LSH candidate pairs with the census-bureau string comparator
@@ -1182,6 +1188,51 @@ object Dedup extends org.apache.spark.internal.Logging {
     * one equi-join + one hash agg — the standard BSP connected-components
     * shape (large-star/small-star is the same loop with edge rewriting,
     * worth switching to only for adversarially deep graphs). */
+  /** q336: NATIVE RECURSIVE CTE components — Spark 4's `WITH RECURSIVE`
+    * (new in 4.0) running the EXACT transitive-closure query q63's
+    * DuckDB oracle has always used, now on the Spark side too: the two
+    * engines execute the same recursive SQL text shape, and the spec
+    * additionally asserts the result is row-identical to q63's BSP
+    * min-label loop — the declarative recursion and the hand-built
+    * iteration certifying each other.
+    *
+    * Scale contract, stated: closure-with-labels materializes
+    * O(Σ component²) reach rows — fine on dedup graphs (near-clique
+    * clusters of bounded size; singletons contribute 1 row each), and
+    * the right EXPRESSIVENESS surface for ad-hoc graph questions. The
+    * at-scale workhorse remains q63's BSP loop (O(V·hops) with 4 hops
+    * fused per action); this query exists because a user of a Spark-4
+    * engine will reach for WITH RECURSIVE and the engine must run it
+    * with oracle-verified semantics.
+    *
+    * Spark 4.1 recursion is UNION ALL-only, so the closure is made
+    * terminating two ways, identically on both engines: labels only
+    * flow to strictly LARGER node ids (a label ≥ dst can never be
+    * dst's component min — dst seeds itself), and walks are bounded at
+    * [[RecursionDepth]] hops — ≥ the diameter of any dedup cluster
+    * (near-cliques of bounded size; the spec proves exact equality
+    * with the BSP result at fixture scale, which would catch an
+    * insufficient bound loudly). */
+  def recursiveComponents(s: SparkSession, dir: String,
+                          cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    corpus.select("doc_id").createOrReplaceTempView("q336_corpus")
+    val pairs = bandPairsFrom(withSignature(corpus, cfg), cfg)
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .createOrReplaceTempView("q336_edges")
+    s.sql(
+      s"""WITH RECURSIVE reach(id, r, lvl) AS (
+        |  SELECT doc_id, doc_id, 0 FROM q336_corpus
+        |  UNION ALL
+        |  SELECT e.dst, reach.r, reach.lvl + 1 FROM reach
+        |  JOIN q336_edges e ON e.src = reach.id
+        |  WHERE reach.lvl < $RecursionDepth AND reach.r < e.dst)
+        |SELECT id AS doc_id, min(r) AS comp FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin)
+  }
+
   def dedupComponents(s: SparkSession, dir: String,
                       cfg: DedupConfig = DedupConfig.Default): DataFrame = {
     val corpus = nearDupCorpus(s, dir)
@@ -2457,6 +2508,22 @@ object Dedup extends org.apache.spark.internal.Logging {
          |SELECT doc_a, doc_b, jw,
          |  CAST(jw >= 0.9 AS INTEGER) AS link
          |FROM j ORDER BY doc_a, doc_b""".stripMargin,
+    // q336: THE SAME recursive SQL as the Spark side (q63's oracle text)
+    "q336_recursive_cte" ->
+      s"""${sigSelectS(nearDupCorpusS).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r, lvl) AS (
+         |  SELECT doc_id, doc_id, 0 FROM corpus
+         |  UNION ALL
+         |  SELECT e.dst, reach.r, reach.lvl + 1
+         |  FROM reach JOIN edges e ON e.src = reach.id
+         |  WHERE reach.lvl < $RecursionDepth AND reach.r < e.dst)
+         |SELECT id AS doc_id, min(r) AS comp FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     // q325: the identical peel unrolled KcoreRounds times (idempotent
     // once the fixpoint is reached — the Spark side proves convergence
     // within the bound or fails loudly)

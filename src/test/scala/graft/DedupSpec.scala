@@ -610,4 +610,18 @@ class DedupSpec extends SparkSpec {
       .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(coreIds.subsetOf(pairNodes))
   }
+
+  test("q336 WITH RECURSIVE: Spark 4's native recursion is row-identical " +
+      "to the BSP min-label loop — declarative and iterative certify " +
+      "each other") {
+    val D = graft.dedup.Dedup
+    val rec = D.recursiveComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bsp = D.dedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rec.toSeq === bsp.toSeq)
+    assert(rec.nonEmpty)
+    // the recursion found real multi-node components, not just self-labels
+    assert(rec.exists { case (id, comp) => comp != id })
+  }
 }
