@@ -912,6 +912,9 @@ object SparkEntry {
     // natively — declarative recursion certified against the BSP loop
     "q336_recursive_cte"      -> ((s, d) =>
       graft.dedup.Dedup.recursiveComponents(s, d)),
+    // Spark 4 SQL UDFs, scalar + table function, both Catalyst-inlined:
+    // gap-filled histogram over a TVF spine with a declared token fn
+    "q337_sql_udf"            -> (graft.sql.Catalog.sqlUdfHistogram _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1135,6 +1138,20 @@ object SparkEntry {
     graft.text.BpeTrain.oracleSql ++
     graft.ml.AlsFactor.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
+      // q337: the UDFs inline to exactly this (DuckDB spells the token
+      // regex via the shared TextPrims constant)
+      "q337_sql_udf" -> {
+        import graft.functions.TextPrims.bpeTokensS
+        s"""SELECT CAST(s.b AS INTEGER) AS bucket,
+           |  CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
+           |  CAST(COALESCE(SUM(${bpeTokensS("d.text")}), 0) AS BIGINT)
+           |    AS n_toks
+           |FROM (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER)
+           |    AS b) s
+           |LEFT JOIN documents d
+           |  ON least(CAST(d.n_chars // 256 AS INT), 7) = s.b
+           |GROUP BY s.b ORDER BY s.b""".stripMargin
+      },
       "q101_lateral_top" -> graft.sql.Catalog.LateralTopSqlText,
       "q122_exists_churn" -> graft.sql.Catalog.ExistsChurnSqlText) ++ {
       // q102–q104 oracle = the direct aggregate over the ORIGINAL parquet:

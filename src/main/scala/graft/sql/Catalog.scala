@@ -103,4 +103,43 @@ object Catalog {
     registerTestdata(spark, sfDir)
     spark.sql(ExistsChurnSqlText)
   }
+
+  /** q337: SQL UDFs (Spark 4) — both kinds, in one oracle-able query,
+    * and the reason they DON'T violate this engine's zero-UDF rule
+    * (SURVEY §2.11): a `CREATE FUNCTION ... RETURN <expr>` scalar and a
+    * `RETURNS TABLE` function are INLINED by Catalyst at resolution —
+    * the plan contains the expanded expression / subquery, not a
+    * black-box JVM call, so pushdown, pruning and whole-stage codegen
+    * all still apply (PlanSpec asserts no ScalaUDF node survives). The
+    * query: a dense 8-bucket length histogram whose bucket SPINE comes
+    * from the TABLE function (empty buckets stay present — the
+    * gap-filled-histogram pattern) and whose token estimate is the
+    * scalar function (the shared [[graft.functions.TextPrims]] BPE
+    * count, declared once in SQL).
+    *
+    * Shape at 100 TB: after inlining this is a scan + LEFT JOIN onto
+    * an 8-row broadcast spine + hash-agg — the UDF surface costs
+    * nothing because it compiles away. */
+  def sqlUdfHistogram(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    registerTestdata(spark, sfDir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_tok_est(t STRING)
+        |RETURNS INT
+        |RETURN CAST(size(regexp_extract_all(lower(t),
+        |  '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INT)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_buckets(n INT)
+        |RETURNS TABLE(b INT)
+        |RETURN SELECT explode(sequence(0, n - 1))""".stripMargin)
+    spark.sql(
+      """SELECT s.b AS bucket,
+        |  CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(graft_tok_est(d.text)), 0) AS BIGINT)
+        |    AS n_toks
+        |FROM graft_buckets(8) s
+        |LEFT JOIN documents d
+        |  ON least(CAST(d.n_chars div 256 AS INT), 7) = s.b
+        |GROUP BY s.b ORDER BY bucket""".stripMargin)
+  }
 }

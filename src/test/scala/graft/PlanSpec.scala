@@ -765,6 +765,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q337 SQL UDFs inline: no black-box UDF node survives resolution, " +
+      "and the declared token fn equals the shared TextPrims expression") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sql.Catalog.sqlUdfHistogram(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      plan.take(800))
+    // the inlined expression is the regex itself
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("regexp_extract_all"), "scalar SQL UDF did not inline")
+    // value parity with the Column-side primitive on every doc
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tok_est2(
+        |t STRING) RETURNS INT
+        |RETURN CAST(size(regexp_extract_all(lower(t),
+        |  '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INT)""".stripMargin)
+    val mismatch = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(expr("graft_tok_est2(text)").as("u"),
+        graft.functions.TextPrims.bpeTokensC(col("text")).as("c"))
+      .filter(col("u") =!= col("c")).count()
+    assert(mismatch === 0L)
+  }
+
   test("q327 JW linkage: the kernel expression stays inside whole-stage " +
       "codegen over the candidate join — no fallback projection") {
     val df = graft.dedup.Dedup.jwLinkage(spark, sfDir)
