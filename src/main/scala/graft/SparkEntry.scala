@@ -915,6 +915,10 @@ object SparkEntry {
     // Spark 4 SQL UDFs, scalar + table function, both Catalyst-inlined:
     // gap-filled histogram over a TVF spine with a declared token fn
     "q337_sql_udf"            -> (graft.sql.Catalog.sqlUdfHistogram _),
+    // Spark 4 collations: case-insensitive grouping via UTF8_LCASE —
+    // the type carries the semantics, no lower() rewrite tax
+    "q338_collated_group"     -> ((s, d) =>
+      graft.analytics.Relational.collatedGroup(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -934,6 +938,17 @@ object SparkEntry {
     // q316: the oracle extracts the same typed path with DuckDB's JSON
     // functions — values must agree, the engine-side encoding (VARIANT
     // vs string re-parse) is the thing under test
+    // q338: DuckDB groups by lower() — identical values iff the
+    // collation is exactly case-insensitive equality
+    "q338_collated_group" ->
+      """SELECT lower(src2) AS source_ci, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT src2) AS INTEGER) AS n_case_variants
+        |FROM (SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+        |      AS src2
+        |  FROM documents)
+        |GROUP BY lower(src2) ORDER BY source_ci""".stripMargin,
     // q322: the oracle recomputes the observed counters directly; the
     // engine side must deliver the identical values out of the
     // CollectMetrics accumulator (DECIMAL-routed sum, exact count/range)

@@ -389,6 +389,39 @@ object Relational {
         col("n_docs"), col("sum_chars"))
       .orderBy("gmask", "source", "lang")
 
+  /** q338: STRING COLLATIONS (Spark 4) — case-insensitive GROUPING via
+    * the `UTF8_LCASE` collation instead of a `lower()` rewrite: the
+    * collation travels WITH THE TYPE, so every comparison, join and
+    * aggregate downstream is case-blind without per-call normalization
+    * — the warehouse answer to "customer ids arrive in mixed case from
+    * three systems". The fixture's sources are single-case, so case
+    * variance is injected deterministically (every 3rd doc's source
+    * upper-cased); the collated groupBy must merge the variants back.
+    * Output keys are `lower()`-normalized (a collated group's
+    * REPRESENTATIVE case is engine-internal — the only deterministic
+    * spelling of a case-insensitive key is a normalized one), and
+    * `n_case_variants` proves each group genuinely held mixed case.
+    * Oracle: DuckDB groups by `lower()` — value-identical iff the
+    * collation semantics are exactly case-insensitive equality.
+    *
+    * Shape at 100 TB: collated grouping hashes the collation key —
+    * same one-shuffle hash-agg as any groupBy; no expression rewrite
+    * tax on every downstream predicate. */
+  def collatedGroup(s: SparkSession, dir: String): DataFrame = {
+    val src2 = when(col("doc_id") % 3 === 0, upper(col("source")))
+      .otherwise(col("source"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), src2.as("src2"))
+      .groupBy(collate(col("src2"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(collate(col("src2"), "UTF8_BINARY"))
+          .cast(IntegerType).as("n_case_variants"))
+      .select(lower(col("k")).as("source_ci"), col("n_docs"),
+        col("sum_chars"), col("n_case_variants"))
+      .orderBy("source_ci")
+  }
+
   /** q322: OBSERVED METRICS — `Dataset.observe` + `Observation`, the
     * data-quality-counter surface every production job wants and naive
     * pipelines pay a second scan for: `observe` plants a

@@ -136,4 +136,24 @@ class RelationalSpec extends SparkSpec {
     observed.groupBy("l_returnflag").count().collect()
     assert(obs.get("n") === direct.getLong(0))
   }
+
+  test("q338 collation: UTF8_LCASE grouping merges injected case " +
+      "variants and every merged group proves it held mixed case") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Relational.collatedGroup(spark, sfDir)
+      .collect()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val wantGroups = docs.select(lower(col("source"))).distinct().count()
+    assert(rows.length.toLong === wantGroups,
+      "collated grouping did not merge to the case-insensitive key space")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // every source with a doc_id % 3 == 0 member must show 2 variants
+    val mixed = docs.filter(col("doc_id") % 3 === 0)
+      .select(lower(col("source"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val want = if (mixed(r.getAs[String]("source_ci"))) 2 else 1
+      assert(r.getAs[Int]("n_case_variants") === want, r.toString)
+    }
+  }
 }
