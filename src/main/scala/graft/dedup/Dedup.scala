@@ -504,10 +504,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
       .select(lit("hist").as("kind"), col("degree").cast(LongType).as("k"),
         col("n_nodes").as("v"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("degree").desc, col("id"))
-    val hubs = deg.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    // top-5 hubs via orderBy+limit → TakeOrderedAndProject: per-partition
+    // top-5 then a 5-row merge. The previous row_number() over a global
+    // (unpartitioned) window funneled the whole O(nodes) degree frame
+    // through ONE task before the filter — same rows, none of the
+    // parallelism. Tie-break on id keeps the selection total-ordered.
+    val hubs = deg.orderBy(col("degree").desc, col("id")).limit(5)
       .select(lit("hub").as("kind"), col("id").as("k"),
         col("degree").as("v"))
     hist.unionByName(hubs).orderBy("kind", "k")
@@ -522,18 +524,22 @@ object Dedup extends org.apache.spark.internal.Logging {
     * floor as a source exhausts its novelty). q188 gives the per-doc
     * view; this is the per-snapshot rollup operations actually plot.
     *
-    * Shape at 100 TB: one shingle explode; first-occurrence slice =
-    * one hash-agg min over the gram key; the slice report is a second
-    * tiny agg. Nothing re-shingles. */
+    * Shape at 100 TB: slice labels come from [[ntileByKey]] — the
+    * two-pass range-partition + offset ranking over the NARROW doc_id
+    * projection (never a global window, never the text payload; the
+    * previous `ntile().over(Window.orderBy)` compiled to a
+    * SinglePartition WindowExec that pushed the whole corpus, text
+    * included, through one task). Then one shingle explode;
+    * first-occurrence slice = one hash-agg min over the gram key; the
+    * slice report is a second tiny agg. Nothing re-shingles. */
   def crawlSliceNovelty(s: SparkSession, dir: String,
                         slices: Int = 4): DataFrame = {
     val d = docs(s, dir)
-    // slice by doc_id rank via ntile — identical split semantics in
-    // DuckDB's NTILE, correct under arbitrary id gaps
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-    val sliced = d.withColumn("slice", ntile(slices).over(w))
-    val grams = shingleRows(sliced.select("doc_id", "text"))
-      .join(sliced.select("doc_id", "slice"), Seq("doc_id"))
+    // slice by doc_id rank — identical split semantics to DuckDB's
+    // NTILE over a unique key, correct under arbitrary id gaps
+    val sliceOf = ntileByKey(s, d.select("doc_id"), "doc_id", slices)
+    val grams = shingleRows(d.select("doc_id", "text"))
+      .join(sliceOf, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grams.count() // eager fill: first-slice agg + occurrence rollup
     try {
@@ -553,6 +559,60 @@ object Dedup extends org.apache.spark.internal.Logging {
         .localCheckpoint()
       out
     } finally { grams.unpersist(); () }
+  }
+
+  /** Distributed NTILE over a UNIQUE key — (key, slice) labels with
+    * Spark/DuckDB ntile semantics (first n%k tiles get n/k+1 rows), at
+    * full parallelism. `ntile(k).over(Window.orderBy(key))` with no
+    * partitionBy compiles to a SinglePartition WindowExec — every row
+    * through ONE task. This is the same two-pass ranking the repo built
+    * for q66 ([[graft.analytics.Advanced]] ntileRanksOf): range-partition
+    * on the key, one O(#partitions) count collect → broadcast cumulative
+    * offsets, then a local sort (no exchange) + running-index stamp.
+    * With a unique key, rank == row_number, so the tile is pure
+    * arithmetic on (rank, n). Callers join the narrow label frame back
+    * by key — payload columns never cross the ranking path. */
+  private[graft] def ntileByKey(s: SparkSession, ids: DataFrame,
+                                key: String, k: Int): DataFrame = {
+    require(k > 0, s"ntileByKey needs k > 0, got $k")
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = ids.select(key).repartitionByRange(parts, col(key))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: per-partition counts → exclusive cumulative offsets
+    // (O(#partitions) rows on the driver, never O(rows))
+    val counts = ranged.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+        .init.zip(counts).map { case ((_, off), (pid, _)) => pid -> off }
+        .toMap
+    // ntile(k): first n%k tiles get n/k+1 rows, the rest n/k
+    val q = n / k; val r = n % k
+    val qq = math.max(q, 1L) // else-branch divisor; unreachable when q == 0
+    // pass 2: local sort (no exchange) + running-index stamp + offsets
+    val sorted = ranged.sortWithinPartitions(col(key))
+    val stamped = sorted.mapPartitions { it =>
+      var i = 0L
+      it.map { row =>
+        i += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      }
+    }(org.apache.spark.sql.Encoders.row(sorted.schema.add("lrn", LongType)))
+    stamped
+      .withColumn("rn", col("lrn") +
+        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
+      .withColumn("slice",
+        when(lit(n) <= k, col("rn").cast(IntegerType)) // degenerate n<=k
+          .when(col("rn") <= lit(r * (q + 1)),
+            (((col("rn") - 1) - pmod(col("rn") - 1, lit(q + 1))) / (q + 1)
+              + 1).cast(IntegerType))
+          .otherwise({
+            val past = col("rn") - lit(r * (q + 1)) - 1
+            (lit(r) + (past - pmod(past, lit(qq))) / qq + 1)
+              .cast(IntegerType)
+          }))
+      .select(col(key), col("slice"))
   }
 
   /** q188: N-GRAM NOVELTY PROFILE — per-document fraction of its distinct

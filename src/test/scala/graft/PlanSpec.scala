@@ -798,4 +798,38 @@ class PlanSpec extends SparkSpec {
       plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q222 slice labels: the two-pass ntile plan has NO window operator " +
+      "— the old global ntile() was a SinglePartition WindowExec over " +
+      "the full docs frame") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val labels = graft.dedup.Dedup.ntileByKey(
+      spark, docs.select("doc_id"), "doc_id", 4)
+    val plan = planOf(labels)
+    assert(!plan.contains("Window"), plan)
+    // ranks come from the local-sort + index stamp, never an exchange
+    // back to one task
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q222 ntileByKey matches Spark's own ntile() on unique keys " +
+      "(semantic oracle, incl. n%k!=0)") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id")
+    for (k <- Seq(3, 4, 7)) {
+      val got = graft.dedup.Dedup.ntileByKey(spark, docs, "doc_id", k)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val want = docs.withColumn("slice",
+        org.apache.spark.sql.functions.ntile(k).over(w))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"ntileByKey k=$k diverged from window ntile")
+    }
+  }
+
+  test("q227 hub top-5 plans as TakeOrderedAndProject, not a global " +
+      "window over the degree frame") {
+    val plan = planOf(graft.dedup.Dedup.dupGraphDegrees(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
