@@ -238,6 +238,16 @@ object Dedup extends org.apache.spark.internal.Logging {
     val keyed = Tables.fanOut(corpus, "doc_id")
       .select(col("doc_id"),
         posexplode(shinglesC(tokensC(col("text")), n)).as(Seq("pos", "sh")))
+      // fail-loud packing contract: a doc with ≥2²⁴ shingles would make
+      // the position field wrap and silently corrupt fingerprint
+      // selection — raise instead (same style as kcore/q335 guards)
+      .select(col("doc_id"),
+        when(col("pos") < lit(posM), col("pos"))
+          .otherwise(raise_error(concat(
+            lit("winnowFingerprints: doc "), col("doc_id").cast(StringType),
+            lit(s" has >= 2^24 shingles — (hash,pos) packing would " +
+              "corrupt; split the document or widen the position field")))
+            .cast(IntegerType)).as("pos"), col("sh"))
       .select(col("doc_id"), col("pos"),
         (hex32C(seededMd5C(320, col("sh"))) * lit(posM) +
           (lit(posM - 1) - col("pos"))).as("key"))
@@ -886,7 +896,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     * many rounds (idempotent after the fixpoint), and the operator
     * fails loudly rather than drift if an adversarial path graph needs
     * more. Reports each core member with its within-core degree. */
-  def kcore(s: SparkSession, dir: String, k: Int = 2,
+  def kcore(s: SparkSession, dir: String, k: Int = KcoreK,
             cfg: DedupConfig = DedupConfig.Default,
             maxRounds: Int = KcoreRounds): DataFrame =
     kcoreOf(bandPairsFrom(withSignature(nearDupCorpus(s, dir), cfg), cfg)
@@ -924,6 +934,10 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
   /** Oracle-pinned peel-round bound shared by [[kcore]] and its SQL twin. */
   val KcoreRounds: Int = 8
+  /** Oracle-pinned peel threshold shared by [[kcore]]'s default and the
+    * q325 SQL twin — interpolated into the unrolled oracle rounds so the
+    * two sides cannot silently drift if the default ever changes. */
+  val KcoreK: Int = 2
   /** Oracle-pinned walk bound shared by [[recursiveComponents]] and its
     * SQL twin — ≥ any dedup-cluster diameter (near-clique clusters;
     * measured ≤ 3 at sf0.1) while keeping the UNION ALL walk count
@@ -2594,7 +2608,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         s"""d$i AS (SELECT id, COUNT(*) AS d FROM (
            |    SELECT doc_a AS id FROM e${i - 1}
            |    UNION ALL SELECT doc_b FROM e${i - 1}) GROUP BY id),
-           |a$i AS (SELECT id FROM d$i WHERE d >= 2),
+           |a$i AS (SELECT id FROM d$i WHERE d >= $KcoreK),
            |e$i AS MATERIALIZED (SELECT e.doc_a, e.doc_b FROM e${i - 1} e
            |  JOIN a$i x ON e.doc_a = x.id
            |  JOIN a$i y ON e.doc_b = y.id)""".stripMargin

@@ -46,9 +46,21 @@ class FixedWidthSource extends TableProvider {
     FixedWidthSource.schemaOf(FixedWidthSource.parseSpec(
       options.get("spec")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new FwTable(FixedWidthSource.parseSpec(properties.get("spec")),
-      properties.get("path"))
+                        properties: util.Map[String, String]): Table = {
+    val spec = FixedWidthSource.parseSpec(properties.get("spec"))
+    // the layout is authoritative: a caller-supplied schema
+    // (read/readStream .schema(...)) that disagrees with the spec would
+    // previously be SILENTLY discarded — reject it loudly instead
+    val expect = FixedWidthSource.schemaOf(spec)
+    if (schema != null && schema != expect) {
+      throw new IllegalArgumentException(
+        s"fixedwidth: user-supplied schema ${schema.simpleString} does not " +
+          s"match the spec-derived schema ${expect.simpleString} — the " +
+          "column layout comes from the 'spec' option; drop .schema(...) " +
+          "or make them equal (project after the scan instead)")
+    }
+    new FwTable(spec, properties.get("path"))
+  }
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -120,12 +132,16 @@ class FwScanBuilder(spec: Seq[FixedWidthSource.FwField], path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new FwScan(spec, required, pushed, path)
+    new FwScan(spec, required, pushed, path,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 class FwScan(spec: Seq[FixedWidthSource.FwField],
              required: Seq[FixedWidthSource.FwField],
-             pushed: Array[Filter], path: String) extends Scan with Batch {
+             pushed: Array[Filter], path: String,
+             hconf: org.apache.spark.util.SerializableConfiguration)
+  extends Scan with Batch {
   override def readSchema(): StructType = FixedWidthSource.schemaOf(required)
   override def toBatch: Batch = this
   override def description(): String =
@@ -133,7 +149,9 @@ class FwScan(spec: Seq[FixedWidthSource.FwField],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the SESSION Hadoop conf (spark.hadoop.* — S3 credentials,
+    // endpoints), not a default Configuration that would ignore them
+    val fs = p.getFileSystem(hconf.value)
     fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
@@ -142,34 +160,69 @@ class FwScan(spec: Seq[FixedWidthSource.FwField],
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new FwReaderFactory(spec, required, pushed)
+    new FwReaderFactory(spec, required, pushed, hconf)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FwMicroBatchStream(spec, required, pushed, path)
+    new FwMicroBatchStream(spec, required, pushed, path, hconf)
 }
 
 /** STREAMING offsets for the fixed-width source: the sorted file list
-  * is the log, the offset is how many of it has been admitted. The
-  * append-only contract (new files sort after admitted ones, files are
-  * immutable once visible) is the same one every file-drop ingestion
-  * holds; under it, a checkpointed restart resumes EXACTLY after the
-  * last committed file — proven by q335's two-run parity harness. */
-final case class FwOffset(n: Int)
+  * is the log, the offset is how many of it has been admitted PLUS the
+  * name of the last admitted file. The append-only contract (new files
+  * sort after admitted ones, files are immutable once visible) is the
+  * same one every file-drop ingestion holds; under it, a checkpointed
+  * restart resumes EXACTLY after the last committed file — proven by
+  * q335's two-run parity harness. The `last` field makes a contract
+  * VIOLATION loud instead of silent: if a file ever lands sorting
+  * before already-committed ones (or a committed file is deleted), a
+  * bare count would shift and re-read or skip files; replay now
+  * verifies the sorted prefix still ends at `last` and fails the batch
+  * otherwise. */
+final case class FwOffset(n: Int, last: Option[String])
   extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"files":$n}"""
+  override def json(): String = {
+    val l = last.map(s =>
+      s""","last":"${FwOffset.esc(s)}"""").getOrElse("")
+    s"""{"files":$n$l}"""
+  }
+}
+
+object FwOffset {
+  private[fixedwidth] def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** offset at position n of the CURRENT sorted listing. */
+  def of(files: Seq[String], n: Int): FwOffset =
+    FwOffset(n, if (n > 0) Some(files(n - 1)) else None)
+  private val FilesRe = """"files"\s*:\s*(\d+)""".r.unanchored
+  private val LastRe = """"last"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.unanchored
+  def parse(json: String): FwOffset = {
+    val n = json match {
+      case FilesRe(d) => d.toInt
+      case _ => throw new IllegalArgumentException(
+        s"fixedwidth: unreadable offset json: $json")
+    }
+    val last = json match {
+      case LastRe(s) => Some(unesc(s))
+      case _ => None // pre-`last` checkpoint — count-only (weaker) check
+    }
+    FwOffset(n, last)
+  }
 }
 
 class FwMicroBatchStream(spec: Seq[FixedWidthSource.FwField],
                          required: Seq[FixedWidthSource.FwField],
-                         pushed: Array[Filter], path: String)
+                         pushed: Array[Filter], path: String,
+                         hconf: org.apache.spark.util.SerializableConfiguration)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
 
   private def listFiles(): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hconf.value)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -183,42 +236,67 @@ class FwMicroBatchStream(spec: Seq[FixedWidthSource.FwField],
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Some(listFiles().length)
 
-  override def initialOffset(): SOffset = FwOffset(0)
+  override def initialOffset(): SOffset = FwOffset(0, None)
   override def deserializeOffset(json: String): SOffset =
-    FwOffset("""\d+""".r.findFirstIn(json).get.toInt)
-  override def latestOffset(): SOffset =
-    FwOffset(availableTarget.getOrElse(listFiles().length))
+    FwOffset.parse(json)
+  override def latestOffset(): SOffset = {
+    val files = listFiles()
+    FwOffset.of(files, availableTarget.fold(files.length)(
+      math.min(_, files.length)))
+  }
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset =
     latestOffset()
-  override def reportLatestOffset(): SOffset = FwOffset(listFiles().length)
+  override def reportLatestOffset(): SOffset = {
+    val files = listFiles(); FwOffset.of(files, files.length)
+  }
   override def commit(end: SOffset): Unit = () // files are immutable
   override def stop(): Unit = ()
 
+  /** fail-loud append-only enforcement: the sorted prefix up to an
+    * offset's count must still END at the filename the offset recorded
+    * when it was admitted. */
+  private def checkAnchor(files: Seq[String], o: FwOffset): Unit =
+    o.last.foreach { name =>
+      if (o.n > files.length || files(o.n - 1) != name) {
+        val got = if (o.n <= files.length) files(o.n - 1) else "<missing>"
+        throw new IllegalStateException(
+          s"fixedwidth: append-only contract violated at $path — offset " +
+            s"${o.json()} expects sorted file #${o.n} to be '$name' but " +
+            s"the listing now has '$got'. A file was deleted or landed " +
+            "sorting before committed ones; refusing to replay (rows " +
+            "would silently duplicate or vanish).")
+      }
+    }
+
   override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
-    val (a, b) = (start.asInstanceOf[FwOffset].n, end.asInstanceOf[FwOffset].n)
-    listFiles().slice(a, b).map(f => FwPartition(f): InputPartition).toArray
+    val (a, b) = (start.asInstanceOf[FwOffset], end.asInstanceOf[FwOffset])
+    val files = listFiles()
+    checkAnchor(files, a)
+    checkAnchor(files, b)
+    files.slice(a.n, b.n).map(f => FwPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new FwReaderFactory(spec, required, pushed)
+    new FwReaderFactory(spec, required, pushed, hconf)
 }
 
 final case class FwPartition(file: String) extends InputPartition
 
 class FwReaderFactory(spec: Seq[FixedWidthSource.FwField],
                       required: Seq[FixedWidthSource.FwField],
-                      pushed: Array[Filter])
+                      pushed: Array[Filter],
+                      hconf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FwReader(partition.asInstanceOf[FwPartition].file, spec, required,
-      pushed)
+      pushed, hconf)
 }
 
 class FwReader(file: String, spec: Seq[FixedWidthSource.FwField],
-               required: Seq[FixedWidthSource.FwField], pushed: Array[Filter])
+               required: Seq[FixedWidthSource.FwField], pushed: Array[Filter],
+               hconf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReader[InternalRow] {
   private val fsPath = new org.apache.hadoop.fs.Path(file)
-  private val in = fsPath
-    .getFileSystem(new org.apache.hadoop.conf.Configuration()).open(fsPath)
+  private val in = fsPath.getFileSystem(hconf.value).open(fsPath)
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, "UTF-8"))
   private var row: InternalRow = _

@@ -951,17 +951,89 @@ class StreamingSpec extends SparkSpec {
   test("q335 connector stream: offset json round-trips, and the two-run " +
       "harness admits every slice exactly once (count = full table)") {
     import graft.sources.fixedwidth.FwOffset
-    val o = FwOffset(7)
-    assert(o.json === """{"files":7}""")
-    val back = new graft.sources.fixedwidth.FwMicroBatchStream(
-      Seq.empty, Seq.empty, Array.empty, "/nonexistent")
-      .deserializeOffset(o.json)
-    assert(back === FwOffset(7))
+    val hc = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val stream = new graft.sources.fixedwidth.FwMicroBatchStream(
+      Seq.empty, Seq.empty, Array.empty, "/nonexistent", hc)
+    // filename-anchored offset round-trips (incl. json escaping)
+    val o = FwOffset(7, Some("""/tmp/a "b"\c.fw"""))
+    assert(stream.deserializeOffset(o.json) === o)
+    // a pre-`last` checkpoint (count-only json) still deserializes —
+    // back-compat with offsets written before the anchor existed
+    assert(stream.deserializeOffset("""{"files":7}""") ===
+      FwOffset(7, None))
     val got = graft.streaming.EventStream
       .fixedWidthStreamParity(spark, sfDir).collect()
     val want = graft.sources.Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.map(r => r.getString(0) -> r.getAs[Long]("n")).toMap === want)
+  }
+
+  test("q335 append-only enforcement: a committed file that vanishes or " +
+      "shifts in the sorted listing fails replay LOUDLY, not silently") {
+    import graft.sources.fixedwidth.FwOffset
+    val dir = java.nio.file.Files.createTempDirectory("fw_anchor").toFile
+    try {
+      def put(name: String): Unit =
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, name).toPath, "0000000001\n")
+      put("part-0001.fw"); put("part-0002.fw")
+      val hc = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val spec = graft.sources.fixedwidth.FixedWidthSource
+        .parseSpec("v:0:10:long")
+      val stream = new graft.sources.fixedwidth.FwMicroBatchStream(
+        spec, spec, Array.empty, dir.getAbsolutePath, hc)
+      val end0 = stream.latestOffset().asInstanceOf[FwOffset]
+      assert(end0.n === 2 && end0.last.exists(_.endsWith("part-0002.fw")))
+      // happy path: replay of (0, end0) plans both files
+      assert(stream.planInputPartitions(FwOffset(0, None), end0).length === 2)
+      // violation 1: a file lands sorting BEFORE the committed prefix
+      put("part-0000.fw")
+      val e1 = intercept[IllegalStateException] {
+        stream.planInputPartitions(end0, stream.latestOffset())
+      }
+      assert(e1.getMessage.contains("append-only"))
+      // violation 2: a committed file is deleted
+      assert(new java.io.File(dir, "part-0000.fw").delete())
+      assert(new java.io.File(dir, "part-0002.fw").delete())
+      val e2 = intercept[IllegalStateException] {
+        stream.planInputPartitions(FwOffset(0, None), end0)
+      }
+      assert(e2.getMessage.contains("append-only"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
+  test("q334 connector rejects a user-supplied schema that contradicts " +
+      "the spec instead of silently discarding it") {
+    val dir = java.nio.file.Files.createTempDirectory("fw_schema").toFile
+    try {
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "a.fw").toPath, "0000000001\n")
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft.sources.fixedwidth.FixedWidthSource")
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("wrong",
+              org.apache.spark.sql.types.StringType))))
+          .option("spec", "v:0:10:long")
+          .option("path", dir.getAbsolutePath)
+          .load().collect()
+      }
+      assert(e.getMessage.contains("spec-derived schema"))
+      // and the matching schema is accepted
+      val ok = spark.read.format("graft.sources.fixedwidth.FixedWidthSource")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+        .option("spec", "v:0:10:long")
+        .option("path", dir.getAbsolutePath)
+        .load().collect()
+      assert(ok.map(_.getLong(0)).toSeq === Seq(1L))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
   }
 }
