@@ -919,6 +919,9 @@ object SparkEntry {
     // the type carries the semantics, no lower() rewrite tax
     "q338_collated_group"     -> ((s, d) =>
       graft.analytics.Relational.collatedGroup(s, d)),
+    // DSv2 WRITE path: lineitem through the connector's SupportsWrite
+    // (temp files + rename-on-commit, truncate), read back + aggregated
+    "q339_fixedwidth_write"   -> (graft.sources.Sinks.fixedWidthWriteRoundTrip _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -949,6 +952,16 @@ object SparkEntry {
         |      AS src2
         |  FROM documents)
         |GROUP BY lower(src2) ORDER BY source_ci""".stripMargin,
+    // q339 oracle = the same filtered aggregate over the ORIGINAL
+    // table: hash-equality certifies the connector's write path
+    // (formatting, staged temps, commit renames) + read path lossless
+    "q339_fixedwidth_write" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem WHERE l_suppkey <= 60
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q322: the oracle recomputes the observed counters directly; the
     // engine side must deliver the identical values out of the
     // CollectMetrics accumulator (DECIMAL-routed sum, exact count/range)

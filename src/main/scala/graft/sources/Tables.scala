@@ -572,6 +572,51 @@ object Sinks {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q339: FIXED-WIDTH DSv2 **WRITE** ROUND-TRIP — lineitem written
+    * through the connector's OWN `SupportsWrite` path (per-task
+    * dot-prefixed temp files, rename-on-job-commit, truncate mode —
+    * [[graft.sources.fixedwidth.FwBatchWrite]]), read back through the
+    * connector's read path with a pushed filter, and aggregated. The
+    * oracle recomputes the aggregate over the ORIGINAL table, so
+    * hash-equality certifies the full sink lifecycle lossless: value
+    * formatting (right-justified numbers via `Double.toString`'s exact
+    * shortest round-trip representation), staged visibility, commit
+    * renames, and the read stack on top. q334 proved the engine's
+    * extensibility for custom *sources*; this closes the loop for
+    * custom *sinks* — the real user shape is exporting back to the
+    * mainframe format they ingested from. Exactly-once under aborted
+    * task attempts is asserted separately by SinksCatalogSpec driving
+    * the DataWriter contract directly. */
+  def fixedWidthWriteRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q339")
+    try {
+      val path = tmp.resolve("fw").toString
+      val spec = "l_orderkey:0:12:long,l_suppkey:12:8:long," +
+        "l_quantity:20:24:double,l_returnflag:44:1:string"
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_returnflag"))
+        .repartition(8)
+        .write.format("graft.sources.fixedwidth.FixedWidthSource")
+        .option("spec", spec)
+        .mode("overwrite")
+        .save(path)
+      s.read.format("graft.sources.fixedwidth.FixedWidthSource")
+        .option("spec", spec)
+        .load(path)
+        .filter(col("l_suppkey") <= 60L) // pushed into the parse
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** Z-ORDERED parquet layout: range-partition + sort on the Morton key
     * of (`xCol`, `yCol`), then drop the key — the written files carry only
     * the original columns, with 2-D locality baked into the row-group

@@ -49,10 +49,13 @@ class FixedWidthSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val spec = FixedWidthSource.parseSpec(properties.get("spec"))
     // the layout is authoritative: a caller-supplied schema
-    // (read/readStream .schema(...)) that disagrees with the spec would
-    // previously be SILENTLY discarded — reject it loudly instead
+    // (read/readStream .schema(...), or the frame being written) that
+    // disagrees with the spec would previously be SILENTLY discarded —
+    // reject it loudly instead. Nullability is ignored: a writer's
+    // frame legitimately carries tighter nullable flags.
     val expect = FixedWidthSource.schemaOf(spec)
-    if (schema != null && schema != expect) {
+    def shape(st: StructType) = st.fields.map(f => (f.name, f.dataType)).toSeq
+    if (schema != null && shape(schema) != shape(expect)) {
       throw new IllegalArgumentException(
         s"fixedwidth: user-supplied schema ${schema.simpleString} does not " +
           s"match the spec-derived schema ${expect.simpleString} — the " +
@@ -88,15 +91,21 @@ object FixedWidthSource {
 }
 
 class FwTable(spec: Seq[FixedWidthSource.FwField], path: String)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null && path.nonEmpty, "fixedwidth requires a 'path'")
   override def name(): String = s"fixedwidth($path)"
   override def schema(): StructType = FixedWidthSource.schemaOf(spec)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwScanBuilder(spec, path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FwWriteBuilder(spec, path, info.schema())
 }
 
 class FwScanBuilder(spec: Seq[FixedWidthSource.FwField], path: String)
@@ -342,4 +351,172 @@ class FwReader(file: String, spec: Seq[FixedWidthSource.FwField],
   }
   override def get(): InternalRow = row
   override def close(): Unit = reader.close()
+}
+
+// ───────────────────────────── WRITE PATH ─────────────────────────────
+
+/** q339: the WRITE half of the connector — `SupportsWrite` with
+  * truncate + append, per-task temp files, and rename-on-job-commit,
+  * closing the DSv2 lifecycle the read half opened (q334/q335 proved
+  * custom *sources*; this proves custom *sinks* — the real user shape
+  * is exporting back to the mainframe format they ingested from).
+  *
+  * Exactly-once protocol (the same staged-visibility discipline as
+  * `Tables.parquetCompacted`'s manifest and ScaleRamp's staging dir):
+  *
+  *  - each task attempt writes to a DOT-PREFIXED temp file (readers
+  *    skip `.`/`_` names by contract), so uncommitted or speculative
+  *    output is never visible;
+  *  - task commit returns the (temp, final) pair as its
+  *    `WriterCommitMessage`; task abort deletes its temp;
+  *  - job commit renames exactly the committed messages' temps to
+  *    visible `part-*.fw` names (UUID-suffixed — retried jobs cannot
+  *    collide), deleting previous visible files first under truncate;
+  *  - job abort deletes every staged temp.
+  *
+  * Spark's commit coordinator (on by default for DSv2) guarantees one
+  * committed attempt per task, so the rename set IS the exact output.
+  *
+  * Value formatting fails LOUDLY on anything the format cannot
+  * represent — nulls, values wider than their slice, strings with
+  * leading/trailing whitespace or line breaks — rather than writing
+  * bytes that would silently parse back different. */
+class FwWriteBuilder(spec: Seq[FixedWidthSource.FwField], path: String,
+                     schema: StructType)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val expect = FixedWidthSource.schemaOf(spec)
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      expect.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"fixedwidth write: frame schema ${schema.simpleString} must match " +
+        s"the spec layout ${expect.simpleString} exactly (same columns, " +
+        "same order) — reorder the projection to the spec order")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val trunc = doTruncate
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new FwBatchWrite(spec, path, trunc, hconf)
+      override def description(): String =
+        s"fixedwidth path=$path truncate=$trunc"
+    }
+  }
+}
+
+final case class FwCommitMessage(tmp: String, finalName: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class FwBatchWrite(spec: Seq[FixedWidthSource.FwField], path: String,
+                   truncate: Boolean,
+                   hconf: org.apache.spark.util.SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FwWriterFactory(spec, path, hconf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(hconf.value)
+    if (truncate && fs.exists(dir)) {
+      // previous data stays readable until THIS job commits
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+          fs.delete(st.getPath, false)
+      }
+    }
+    messages.foreach { case FwCommitMessage(tmp, finalName) =>
+      val src = new org.apache.hadoop.fs.Path(tmp)
+      val dst = new org.apache.hadoop.fs.Path(dir, finalName)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"fixedwidth write: commit rename failed: $src -> $dst")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf.value)
+    messages.foreach {
+      case FwCommitMessage(tmp, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), false); ()
+      case _ => ()
+    }
+  }
+}
+
+class FwWriterFactory(spec: Seq[FixedWidthSource.FwField], path: String,
+                      hconf: org.apache.spark.util.SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new FwWriter(spec, path, partitionId, taskId, hconf)
+}
+
+class FwWriter(spec: Seq[FixedWidthSource.FwField], path: String,
+               partitionId: Int, taskId: Long,
+               hconf: org.apache.spark.util.SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val uuid = java.util.UUID.randomUUID().toString
+  private val finalName = f"part-$partitionId%05d-$uuid.fw"
+  // dot prefix = invisible to the read path until job commit renames it
+  private val tmpPath = new org.apache.hadoop.fs.Path(
+    path, s".tmp-$partitionId-$taskId-$uuid")
+  private val fs = tmpPath.getFileSystem(hconf.value)
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tmpPath, true), "UTF-8"))
+  private val lineWidth = spec.map(f => f.start + f.len).max
+  private val fields = spec.toArray
+
+  override def write(row: InternalRow): Unit = {
+    val line = new Array[Char](lineWidth)
+    java.util.Arrays.fill(line, ' ')
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (row.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"fixedwidth write: NULL in column '${f.name}' — fixed-width " +
+            "has no null representation; filter or impute before writing")
+      val s = f.dataType match {
+        case LongType => row.getLong(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      if (s.length > f.len)
+        throw new IllegalArgumentException(
+          s"fixedwidth write: value '$s' (${s.length} chars) exceeds " +
+            s"column '${f.name}' width ${f.len} — widen the slice")
+      if (s != s.trim || s.exists(c => c == '\n' || c == '\r'))
+        throw new IllegalArgumentException(
+          s"fixedwidth write: value '$s' in column '${f.name}' has " +
+            "leading/trailing whitespace or line breaks — the format " +
+            "cannot round-trip it (readers trim slices)")
+      // numbers right-justified, strings left-justified (readers trim)
+      val off = f.dataType match {
+        case StringType => f.start
+        case _ => f.start + f.len - s.length
+      }
+      var j = 0
+      while (j < s.length) { line(off + j) = s.charAt(j); j += 1 }
+      i += 1
+    }
+    out.write(line); out.write('\n')
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    FwCommitMessage(tmpPath.toString, finalName)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    fs.delete(tmpPath, false); ()
+  }
+  override def close(): Unit = ()
 }

@@ -538,4 +538,90 @@ class SinksCatalogSpec extends SparkSpec {
       .selectExpr("unix_micros(ts) AS us").filter("us IS NOT NULL")
       .count() > 0)
   }
+
+  test("q339 write path is exactly-once under an aborted-then-retried " +
+      "task attempt: abort leaves NOTHING visible, retry commits ONE file") {
+    import graft.sources.fixedwidth._
+    import org.apache.spark.sql.catalyst.InternalRow
+    val dir = tmp() + "/fwsink"
+    new java.io.File(dir).mkdirs()
+    val spec = FixedWidthSource.parseSpec("k:0:8:long,v:8:12:string")
+    val hc = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    def visible(): Seq[String] = new java.io.File(dir).listFiles().toSeq
+      .map(_.getName).filter(n => !n.startsWith(".") && !n.startsWith("_"))
+      .sorted
+    def allFiles(): Seq[String] =
+      new java.io.File(dir).listFiles().toSeq.map(_.getName)
+    val bw = new FwBatchWrite(spec, dir, truncate = false, hc)
+    val factory = new FwWriterFactory(spec, dir, hc)
+    def row(k: Long, v: String) = InternalRow(k,
+      org.apache.spark.unsafe.types.UTF8String.fromString(v))
+    // attempt 0 writes rows then ABORTS (simulated task failure)
+    val w0 = factory.createWriter(0, 0L)
+    w0.write(row(1L, "a")); w0.write(row(2L, "b"))
+    w0.abort()
+    assert(visible().isEmpty, "aborted attempt left visible output")
+    assert(allFiles().isEmpty, "aborted attempt left its temp file behind")
+    // attempt 1 (the retry) writes the same rows and commits
+    val w1 = factory.createWriter(0, 1L)
+    w1.write(row(1L, "a")); w1.write(row(2L, "b"))
+    val msg = w1.commit()
+    // task commit alone is NOT visibility — only job commit renames
+    assert(visible().isEmpty, "task-committed temp already visible")
+    bw.commit(Array(msg))
+    assert(visible().size === 1, s"expected exactly one part file: ${visible()}")
+    val got = spark.read
+      .format("graft.sources.fixedwidth.FixedWidthSource")
+      .option("spec", "k:0:8:long,v:8:12:string").load(dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b")))
+    // truncate mode replaces, append mode adds
+    val bwT = new FwBatchWrite(spec, dir, truncate = true, hc)
+    val w2 = factory.createWriter(0, 2L)
+    w2.write(row(9L, "z"))
+    bwT.commit(Array(w2.commit()))
+    assert(visible().size === 1)
+    val got2 = spark.read
+      .format("graft.sources.fixedwidth.FixedWidthSource")
+      .option("spec", "k:0:8:long,v:8:12:string").load(dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 === Seq(9L))
+    // job-level abort cleans the staged temp of a committed TASK
+    val w3 = factory.createWriter(0, 3L)
+    w3.write(row(7L, "y"))
+    val m3 = w3.commit()
+    bw.abort(Array(m3))
+    assert(allFiles().count(_.startsWith(".tmp")) === 0,
+      "job abort left staged temps")
+    assert(got2 === Seq(9L), "job abort changed visible data")
+  }
+
+  test("q339 writer fails LOUDLY on unrepresentable values: null, " +
+      "over-wide, and untrimmable strings") {
+    import graft.sources.fixedwidth._
+    import org.apache.spark.sql.catalyst.InternalRow
+    val dir = tmp() + "/fwbad"
+    new java.io.File(dir).mkdirs()
+    val spec = FixedWidthSource.parseSpec("k:0:4:long,v:4:4:string")
+    val hc = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val factory = new FwWriterFactory(spec, dir, hc)
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val w = factory.createWriter(0, 0L)
+    val eNull = intercept[IllegalArgumentException] {
+      w.write(InternalRow(null, u("x")))
+    }
+    assert(eNull.getMessage.contains("NULL"))
+    val eWide = intercept[IllegalArgumentException] {
+      w.write(InternalRow(123456L, u("x")))
+    }
+    assert(eWide.getMessage.contains("exceeds"))
+    val eTrim = intercept[IllegalArgumentException] {
+      w.write(InternalRow(1L, u(" x ")))
+    }
+    assert(eTrim.getMessage.contains("whitespace"))
+    w.abort()
+    assert(new java.io.File(dir).listFiles().isEmpty)
+  }
 }
