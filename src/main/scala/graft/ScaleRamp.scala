@@ -70,7 +70,9 @@ object ScaleRamp {
     "winnow"           -> "q320_winnow_fingerprints",
     "kcore"            -> "q325_kcore",
     "jw_linkage"       -> "q327_jw_linkage",
-    "energy_distance"  -> "q331_energy_distance")
+    "energy_distance"  -> "q331_energy_distance",
+    "als"              -> "q332_als_factorize",
+    "recursive_components" -> "q336_recursive_cte")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding

@@ -922,6 +922,21 @@ object SparkEntry {
     // DSv2 WRITE path: lineitem through the connector's SupportsWrite
     // (temp files + rename-on-commit, truncate), read back + aggregated
     "q339_fixedwidth_write"   -> (graft.sources.Sinks.fixedWidthWriteRoundTrip _),
+    // PageRank over the dup graph: relational iteration, exact-decimal
+    // per-step sums, oracle = the same walk unrolled in SQL
+    "q341_pagerank"           -> ((s, d) => graft.dedup.Dedup.pagerank(s, d)),
+    // exact distinct via Spark's bitmap aggregate family — mergeable
+    // partial state, oracle = COUNT(DISTINCT)
+    "q340_bitmap_distinct"    -> (graft.analytics.Advanced.bitmapDistinct _),
+    // autocorrelation of the hourly volume series, lags 1..3
+    "q342_acf_hourly"         -> ((s, d) =>
+      graft.analytics.Advanced.acfHourly(s, d)),
+    // Spearman rank correlation with textbook tie handling
+    "q344_spearman"           -> (graft.analytics.Advanced.spearmanCorr _),
+    // try_cast safe-parse ingestion audit over deterministic mess
+    "q345_try_cast"           -> (graft.analytics.Advanced.tryCastAudit _),
+    // ISO-SQL listagg WITHIN GROUP (Spark 4) vs DuckDB string_agg
+    "q346_listagg"            -> (graft.analytics.Advanced.listaggSuppliers _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

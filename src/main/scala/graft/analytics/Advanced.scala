@@ -2766,7 +2766,279 @@ object Advanced {
       .orderBy("variant")
   }
 
+  /** q340: ROARING-STYLE BITMAP EXACT DISTINCT — per event type, the
+    * exact distinct-user count computed through Spark's bitmap
+    * aggregate family (`bitmap_bucket_number` / `bitmap_bit_position`
+    * / `bitmap_construct_agg` / `bitmap_count`): ids are bucketed into
+    * fixed 32768-bit planes, each (type, bucket) group ORs its
+    * positions into one binary bitmap, and the distinct count is the
+    * sum of per-bucket popcounts. This is the warehouse pattern for
+    * REUSABLE exact distincts — unlike COUNT(DISTINCT …), the per-bucket
+    * bitmaps are mergeable partial state (union across days = OR), the
+    * same reason count-distinct materialized views store bitmaps. The
+    * oracle is plain COUNT(DISTINCT) — hash-equality certifies the
+    * whole bitmap route exact, not approximate.
+    *
+    * Shape at 100 TB: one scan → hash-agg on (type, bucket) with
+    * map-side partial ORs (each partial is ≤4 KB regardless of rows),
+    * then a tiny popcount rollup per type. The shuffle carries one
+    * bitmap per (type, bucket), never one row per distinct id — the
+    * exact-distinct shuffle collapses by the id-density factor. */
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    // the bitmap plane needs ids ≥ 1; the fixture's user_id starts at 0
+    val uid = col("user_id") + lit(1L)
+    t(s, dir, "events")
+      .select(col("event_type"), uid.as("uid"))
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(uid)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(uid))").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).cast(LongType).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** q342: AUTOCORRELATION FUNCTION — per event type, the lag-1..3
+    * autocorrelation of the hourly event-count series: the seasonality
+    * detector every ingestion-volume monitor runs (hourly traffic with
+    * a daily cycle shows the comb at lag 24; a near-1 lag-1 ACF says
+    * the series is trend-dominated and rate alerts need differencing).
+    *
+    * Determinism: the series values are integer COUNTS, so all five
+    * moment sums (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT aggregates —
+    * no float accumulation anywhere; the closing Pearson algebra is a
+    * fixed-order double expression, identical in both engines. Lags
+    * pair observed hours k STEPS apart (lead over the ordered series,
+    * same on both sides).
+    *
+    * Shape at 100 TB: the raw scan collapses to O(types × hours) rows
+    * in one hash-agg; the window and moment aggs run on the collapsed
+    * series — partitioned by type, never a global window. */
+  def acfHourly(s: SparkSession, dir: String, maxLag: Int = 3): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    val lagged = (1 to maxLag).map { k =>
+      hourly.select(col("event_type"), lit(k).as("lag"),
+        col("x"), lead(col("x"), k).over(w).as("y"))
+        .filter(col("y").isNotNull)
+    }.reduce(_ unionAll _)
+    val nD = col("n").cast(DoubleType)
+    val num = nD * col("sxy").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sy").cast(DoubleType)
+    val denx = nD * col("sxx").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+    val deny = nD * col("syy").cast(DoubleType) -
+      col("sy").cast(DoubleType) * col("sy").cast(DoubleType)
+    lagged.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"),
+        col("n").cast(IntegerType).as("n_pairs"),
+        round(num / sqrt(denx * deny), 9).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** q344: SPEARMAN RANK CORRELATION — per return flag, the rank
+    * correlation between quantity and extended price: the outlier-robust
+    * monotone-association check (Pearson on q156 sees linearity; Spearman
+    * sees any monotone link and shrugs at heavy tails — the pair is the
+    * standard drift-diagnosis duo).
+    *
+    * Exactness under ties: fractional (average) ranks — the textbook
+    * treatment — via min-rank + tie-group size: avg rank = rank() +
+    * (ties−1)/2. Both engines compute DOUBLED ranks (2·rank + ties − 1),
+    * which are INTEGERS, so every moment sum is an exact DECIMAL(38,0)
+    * aggregate (products reach ~(2n)²·n, past BIGINT at 100 TB scale);
+    * Pearson on doubled ranks equals Pearson on ranks (scale/shift
+    * invariance). Closing algebra in fixed-order doubles.
+    *
+    * Shape at 100 TB: two partitioned rank windows (by flag — the same
+    * sort-exchange shape as any per-key window) + one hash-agg. */
+  def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
+    def dranks(v: String, out: String) = {
+      // doubled fractional rank: 2*min_rank + ties - 1 (integer-exact)
+      val wR = Window.partitionBy("l_returnflag").orderBy(col(v))
+      val wT = Window.partitionBy("l_returnflag", v)
+      (df: DataFrame) => df
+        .withColumn(out, lit(2) * rank().over(wR) +
+          count(lit(1)).over(wT) - lit(1))
+    }
+    val ranked = t(s, dir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .transform(dranks("l_quantity", "rx"))
+      .transform(dranks("l_extendedprice", "ry"))
+    val d38 = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    val nD = col("n").cast(DoubleType)
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+      sqrt(nD * col("syy") - col("sy") * col("sy"))
+    ranked.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        d38(col("rx")).as("sx"), d38(col("ry")).as("sy"),
+        d38(col("rx") * col("ry")).as("sxy"),
+        d38(col("rx") * col("rx")).as("sxx"),
+        d38(col("ry") * col("ry")).as("syy"))
+      .select(col("l_returnflag"), col("n").cast(IntegerType).as("n_rows"),
+        round(num / den, 9).as("spearman_rho"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q345: TRY_* SAFE-CAST INGESTION AUDIT — the error-tolerant parse
+    * pass every raw-feed ingestion runs: a deterministically messy
+    * string rendition of order totals (clean, padded, empty, sentinel,
+    * scientific notation) goes through `try_cast`, and the audit
+    * reports per-class parse yield plus the recovered sum — nulls
+    * counted, never thrown. ANSI mode makes plain CAST throw on the
+    * same input; try_cast is the SQL-standard-shaped escape hatch that
+    * keeps the 100 TB batch alive while quarantining the bad 0.1 %.
+    * The oracle mirrors with DuckDB's TRY_CAST — agreement certifies
+    * the whole per-class semantics (trim-then-parse, empty → NULL,
+    * exponent handling), not just the happy path.
+    *
+    * Both engines parse each other-agnostic strings back to doubles;
+    * the recovered sum routes through DECIMAL(18,4) (dsum). One scan,
+    * one hash-agg. */
+  def tryCastAudit(s: SparkSession, dir: String): DataFrame = {
+    val cls = pmod(col("o_orderkey"), lit(5L))
+    val messy = when(cls === 0, col("o_totalprice").cast(StringType))
+      .when(cls === 1, concat(lit("  "),
+        col("o_totalprice").cast(StringType), lit("  ")))
+      .when(cls === 2, lit("N/A"))
+      .when(cls === 3, lit(""))
+      .otherwise(concat(pmod(col("o_orderkey"), lit(97L)).cast(StringType),
+        lit("e2")))
+    t(s, dir, "orders")
+      .select(cls.as("cls"), messy.as("raw"))
+      .withColumn("v", expr("try_cast(raw as double)"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_parsed"),
+        dsum(coalesce(col("v"), lit(0.0))).as("sum_parsed"))
+      .select(col("cls").cast(IntegerType).as("cls"),
+        col("n").cast(IntegerType).as("n"),
+        col("n_parsed").cast(IntegerType).as("n_parsed"),
+        col("sum_parsed"))
+      .orderBy("cls")
+  }
+
+  /** q346: ORDERED LISTAGG — per nation, the alphabetical roster of its
+    * suppliers as one delimited string (Spark 4's `listagg … WITHIN
+    * GROUP (ORDER BY …)`, the ISO-SQL:2016 spelling): the
+    * report-formatting aggregate that turns a detail table into a
+    * one-row-per-group digest. Deterministic because the within-group
+    * order is total (names are unique). Group sizes here are bounded
+    * by the dimension's fan-out (suppliers per nation); at 100 TB the
+    * contract is the same one every LISTAGG carries — bound the group
+    * or truncate — and the oracle (DuckDB string_agg ORDER BY) pins
+    * byte-identical output. */
+  def listaggSuppliers(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "supplier")
+      .join(t(s, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_suppliers"),
+        expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)")
+          .as("roster"))
+      .orderBy("n_name")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q340: the oracle is plain COUNT(DISTINCT) — the bitmap route must
+    // be EXACT, bucket plumbing and popcounts included
+    "q340_bitmap_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q342: identical hourly collapse, per-lag lead pairing, and
+    // fixed-order Pearson closing algebra on exact integer sums
+    "q342_acf_hourly" -> {
+      val lagSel = (1 to 3).map { k =>
+        s"""l$k AS (SELECT event_type, $k AS lag, x,
+           |  lead(x, $k) OVER (PARTITION BY event_type ORDER BY hour) AS y
+           |  FROM hourly)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH hourly AS (
+         |  SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |    COUNT(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |$lagSel,
+         |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+         |  UNION ALL SELECT * FROM l3),
+         |m AS (SELECT event_type, lag, COUNT(*) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x*y) AS DOUBLE) AS sxy,
+         |    CAST(SUM(x*x) AS DOUBLE) AS sxx,
+         |    CAST(SUM(y*y) AS DOUBLE) AS syy
+         |  FROM u WHERE y IS NOT NULL GROUP BY event_type, lag)
+         |SELECT event_type, lag, CAST(n AS INTEGER) AS n_pairs,
+         |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+         |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+         |         * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS acf
+         |FROM m ORDER BY event_type, lag""".stripMargin
+    },
+    // q344: identical doubled fractional ranks (2·min-rank + ties − 1,
+    // integer-exact), DECIMAL(38,0) moment sums, fixed-order closing
+    "q344_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |      - 1 AS rx,
+        |    2*rank() OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_extendedprice)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+        |      - 1 AS ry
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(rx*ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(rx*rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ry*ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS INTEGER) AS n_rows,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |     * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 9)
+        |    AS spearman_rho
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    // q345: the same deterministic mess through DuckDB's TRY_CAST —
+    // agreement certifies trim/empty/sentinel/exponent semantics. The
+    // engines' double→string renderings may differ in style, but both
+    // round-trip to the identical double, which is all the sum sees.
+    "q345_try_cast" ->
+      """WITH b AS (
+        |  SELECT o_orderkey % 5 AS cls,
+        |    CASE o_orderkey % 5
+        |      WHEN 0 THEN CAST(o_totalprice AS VARCHAR)
+        |      WHEN 1 THEN '  ' || CAST(o_totalprice AS VARCHAR) || '  '
+        |      WHEN 2 THEN 'N/A'
+        |      WHEN 3 THEN ''
+        |      ELSE CAST(o_orderkey % 97 AS VARCHAR) || 'e2'
+        |    END AS raw
+        |  FROM orders),
+        |p AS (SELECT cls, TRY_CAST(raw AS DOUBLE) AS v FROM b)
+        |SELECT CAST(cls AS INTEGER) AS cls,
+        |  CAST(COUNT(*) AS INTEGER) AS n,
+        |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_parsed,
+        |  CAST(SUM(CAST(COALESCE(v, 0.0) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_parsed
+        |FROM p GROUP BY cls ORDER BY cls""".stripMargin,
+    // q346: DuckDB spells WITHIN GROUP as string_agg(… ORDER BY …);
+    // byte-identical rosters certify the ordered concatenation
+    "q346_listagg" ->
+      """SELECT n_name, CAST(COUNT(*) AS INTEGER) AS n_suppliers,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS roster
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // q329: identical clip + netted-delta sweep in DuckDB (q50's session
     // CTE prefix verbatim)
     "q329_peak_concurrency" ->

@@ -945,6 +945,71 @@ object Dedup extends org.apache.spark.internal.Logging {
     * dual-scale sweep cross-checks the q63 frame directly. */
   val RecursionDepth: Int = 4
 
+  /** Oracle-pinned PageRank constants shared by [[pagerank]] and its
+    * unrolled SQL twin. */
+  val PagerankIters: Int = 8
+  val PagerankDamping: Double = 0.85
+  /** The teleport mass is a NAMED constant, not `1.0 − damping`: Scala's
+    * `1.0 - 0.85` is 0.15000000000000002 while both engines' literal
+    * `0.15` is the (different) nearest double to 0.15 — interpolating
+    * the same decimal string on both sides is what makes the per-step
+    * double arithmetic bit-identical. */
+  val PagerankTeleport: Double = 0.15
+
+  /** q341: PAGERANK ON THE DUP GRAPH — the hub-importance score of the
+    * LSH candidate graph: where q227 flags boilerplate magnets by raw
+    * degree, PageRank weights a node by the importance of its
+    * neighbours, the standard centrality a curation pipeline uses to
+    * pick which member of a duplicate cluster to KEEP (the most-linked
+    * canonical page) and which templates to strip first. Undirected
+    * band-pair edges (every endpoint has degree ≥ 1, so there are no
+    * dangling nodes and the walk is well-defined without a
+    * teleport-remainder term).
+    *
+    * Determinism contract (the energy-distance trick, per step): the
+    * per-edge contribution pr(u)/deg(u) is a double division (IEEE —
+    * identical in both engines), rounded to 12 dp and SUMMED THROUGH
+    * DECIMAL(28,12), so the aggregate is exact and partition-order
+    * independent; the new score (1−d)/N + d·Σ is rounded to 12 dp
+    * again. The oracle unrolls the same [[PagerankIters]] steps with
+    * MATERIALIZED CTEs (q325's pattern). Output rounds to 9 dp.
+    *
+    * Shape at 100 TB: per iteration one hash join of the edge list with
+    * the O(nodes) score frame plus one hash-agg on dst — the classic
+    * relational PageRank; the score frame is localCheckpoint'ed every
+    * step so lineage stays flat across iterations (kcore's discipline).
+    * Never a driver-side graph. */
+  def pagerank(s: SparkSession, dir: String,
+               cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val iters = PagerankIters; val damping = PagerankDamping
+    val pairs = bandPairsFrom(withSignature(nearDupCorpus(s, dir), cfg), cfg)
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint() // read once per iteration + for the degree agg
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    var pr = deg.select(col("src").as("id"), col("deg"),
+      round(lit(1.0) / lit(n.toDouble), 12).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"),
+          round(col("pr") / col("deg").cast(DoubleType), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+      pr = contrib.groupBy("dst").agg(
+        round(lit(PagerankTeleport) / lit(n.toDouble) +
+          lit(damping) * sum(col("c")).cast(DoubleType), 12).as("pr"))
+        .join(deg, col("dst") === col("src"))
+        .select(col("dst").as("id"), col("deg"), col("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id").as("doc_id"), round(col("pr"), 9).as("pr"))
+      .orderBy("doc_id")
+  }
+
   /** q327: JARO-WINKLER VERIFIED LINKAGE — record-linkage scoring of the
     * LSH candidate pairs with the census-bureau string comparator
     * ([[graft.functions.JaroWinklerSim]], a native codegen'd Catalyst
@@ -2623,6 +2688,37 @@ object Dedup extends org.apache.spark.internal.Logging {
          |FROM (SELECT doc_a AS id FROM e$KcoreRounds
          |  UNION ALL SELECT doc_b FROM e$KcoreRounds)
          |GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+    // q341: the identical walk unrolled PagerankIters times; every
+    // double op mirrors the Spark side (literal 0.15/0.85, double
+    // division, round-12, DECIMAL(28,12) sum) — see [[pagerank]]
+    "q341_pagerank" -> {
+      val steps = (1 to PagerankIters).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT d.id, d.deg,
+           |    round(CAST($PagerankTeleport AS DOUBLE) / (SELECT n FROM nn)
+           |      + CAST($PagerankDamping AS DOUBLE) *
+           |        CAST(SUM(CAST(round(p.pr / CAST(p.deg AS DOUBLE), 12)
+           |          AS DECIMAL(28,12))) AS DOUBLE), 12) AS pr
+           |  FROM edges e JOIN p${i - 1} p ON p.id = e.src
+           |    JOIN deg d ON d.id = e.dst
+           |  GROUP BY d.id, d.deg)""".stripMargin
+      }.mkString(",\n")
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg
+         |  FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |p0 AS MATERIALIZED (SELECT id, deg,
+         |  round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 12) AS pr
+         |  FROM deg),
+         |$steps
+         |SELECT id AS doc_id, round(pr, 9) AS pr
+         |FROM p$PagerankIters ORDER BY doc_id""".stripMargin
     },
     "q254_dup_graph_triangles" ->
       s"""${sigSelectS(nearDupCorpusS)},

@@ -185,9 +185,24 @@ object LogitGd {
       .agg(count(lit(1)).as("ncal"))
     val dist = scored.filter(col("part") === 2)
       .groupBy("sc").agg(count(lit(1)).as("n"))
-    val cum = dist.withColumn("c", sum("n").over(
-      org.apache.spark.sql.expressions.Window.orderBy("sc")
-        .rowsBetween(Long.MinValue, 0)))
+    // the global cumsum window below is safe ONLY because scores live on
+    // the 6-dp probability grid (≤ 10^6 + 1 distinct values) — enforce
+    // that contract at runtime so a future score-column change can't
+    // silently turn it into an unbounded single-partition sort. The
+    // row_number rides the same sort; no extra pass.
+    val wSc = org.apache.spark.sql.expressions.Window.orderBy("sc")
+    val gridBound = 1000001L
+    val cum = dist
+      .withColumn("rn", row_number().over(wSc))
+      .withColumn("sc",
+        when(col("rn") <= lit(gridBound), col("sc"))
+          .otherwise(raise_error(lit(
+            "conformalCoverage: distinct nonconformity scores exceed the " +
+              "6-dp grid bound (1e6+1) — the score column lost its " +
+              "rounding contract; the cumsum window would become an " +
+              "unbounded single-partition sort")).cast(DoubleType)))
+      .drop("rn")
+      .withColumn("c", sum("n").over(wSc.rowsBetween(Long.MinValue, 0)))
     val qhat = cum.crossJoin(broadcast(nCal))
       .filter(col("c").cast(DoubleType) >=
         ceil((col("ncal") + 1).cast(DoubleType) * lit(1.0 - alpha)))
