@@ -937,6 +937,16 @@ object SparkEntry {
     "q345_try_cast"           -> (graft.analytics.Advanced.tryCastAudit _),
     // ISO-SQL listagg WITHIN GROUP (Spark 4) vs DuckDB string_agg
     "q346_listagg"            -> (graft.analytics.Advanced.listaggSuppliers _),
+    // deletion-vector merge-on-read: positional deletes applied by
+    // anti-join on (_metadata.file_path, row_index)
+    "q347_deletion_vectors"   -> (graft.sources.Sinks.deletionVectorScan _),
+    // ordered three-step conversion funnel with exact-micros latencies
+    "q348_event_funnel"       -> (graft.analytics.Advanced.eventFunnel _),
+    // per-file Bloom index pruning for point lookups on hash layouts
+    "q349_bloom_prune"        -> (graft.sources.Sinks.bloomPrunedScan _),
+    // Levenshtein-verified linkage on bounded normalized prefixes
+    "q350_edit_linkage"       -> ((s, d) =>
+      graft.dedup.Dedup.editDistanceLinkage(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -967,6 +977,24 @@ object SparkEntry {
         |      AS src2
         |  FROM documents)
         |GROUP BY lower(src2) ORDER BY source_ci""".stripMargin,
+    // q347 oracle = the logical delete as a plain predicate over the
+    // original table: positional plumbing must reproduce it exactly
+    "q347_deletion_vectors" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 13 <> 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q349 oracle = the same point-IN aggregate over the original
+    // table: bloom pruning may cost a read, never a row
+    "q349_bloom_prune" ->
+      """SELECT l_orderkey, COUNT(*) AS n,
+        |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_skey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem WHERE l_orderkey IN (7, 1007, 2207, 4007, 5507)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     // q339 oracle = the same filtered aggregate over the ORIGINAL
     // table: hash-equality certifies the connector's write path
     // (formatting, staged temps, commit renames) + read path lossless

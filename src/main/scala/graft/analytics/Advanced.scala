@@ -2948,7 +2948,79 @@ object Advanced {
       .orderBy("n_name")
   }
 
+  /** q348: ORDERED EVENT FUNNEL — the product-analytics staple: of the
+    * users who VIEWED, how many later CLICKED, and of those how many
+    * later PURCHASED — with the average step-transition latency. Order
+    * matters (a purchase before the first view must not count), which
+    * is exactly what a naive per-type distinct-count gets wrong.
+    *
+    * Relational shape (the 100 TB pattern): one per-user hash-agg per
+    * step, each conditioned on the PREVIOUS step's timestamp via an
+    * equi-join on user_id — never a per-user event-sequence sort, never
+    * a session window over the raw stream. Each step's scan pushes its
+    * event_type filter into parquet. Latencies stay in exact integer
+    * microseconds until one final fixed-order double division. */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+      .localCheckpoint() // step-2 join + its own count read it
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"), max("t1").as("t1"))
+      .localCheckpoint() // step-3 join + gap agg read it
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"), max("t2").as("t2"))
+    def row(step: Int, name: String, df: DataFrame,
+            gapUs: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).cast(IntegerType).as("n_users"),
+        coalesce(sum(gapUs), lit(0L)).as("gap_us"))
+        .select(lit(step).as("step"), lit(name).as("event"),
+          col("n_users"),
+          round(col("gap_us").cast(DoubleType) /
+            greatest(col("n_users"), lit(1)).cast(DoubleType) / 1e6, 6)
+            .as("avg_gap_sec"))
+    row(1, "view", v, lit(0L))
+      .unionByName(row(2, "click_after_view", c, col("t2") - col("t1")))
+      .unionByName(row(3, "purchase_after_click", p, col("t3") - col("t2")))
+      .orderBy("step")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q348: the identical three-step conditional-min chain in DuckDB
+    // (epoch_us route, integer gap sums, fixed-order closing division)
+    "q348_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.us) AS t2, max(v.t1) AS t1
+        |  FROM ev e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.us > v.t1
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.us) AS t3, max(c.t2) AS t2
+        |  FROM ev e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > c.t2
+        |  GROUP BY e.user_id),
+        |s1 AS (SELECT 1 AS step, 'view' AS event,
+        |    CAST(COUNT(*) AS INTEGER) AS n_users, CAST(0 AS BIGINT)
+        |    AS gap_us FROM v),
+        |s2 AS (SELECT 2, 'click_after_view', CAST(COUNT(*) AS INTEGER),
+        |    CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM c),
+        |s3 AS (SELECT 3, 'purchase_after_click',
+        |    CAST(COUNT(*) AS INTEGER),
+        |    CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM p),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3)
+        |SELECT step, event, n_users,
+        |  round(CAST(gap_us AS DOUBLE)
+        |    / CAST(greatest(n_users, 1) AS DOUBLE) / 1e6, 6)
+        |    AS avg_gap_sec
+        |FROM u ORDER BY step""".stripMargin,
     // q340: the oracle is plain COUNT(DISTINCT) — the bitmap route must
     // be EXACT, bucket plumbing and popcounts included
     "q340_bitmap_distinct" ->

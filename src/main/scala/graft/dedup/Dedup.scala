@@ -1050,6 +1050,35 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q350: EDIT-DISTANCE VERIFIED LINKAGE — the third member of the
+    * fuzzy-match family (q28 Jaccard on shingles, q327 Jaro-Winkler on
+    * prefixes): Levenshtein distance on BOUNDED 64-char prefixes of the
+    * LSH candidate pairs, the comparator record-linkage uses when
+    * transpositions and single-char typos are the expected noise. The
+    * prefix bound is the scale contract — edit distance is O(len²) per
+    * pair, so production linkage always compares normalized bounded
+    * keys, never whole documents; candidates come from banding, never
+    * all-pairs. Spark's built-in `levenshtein` (codegen'd) vs DuckDB's
+    * `levenshtein` — integer-exact, no float anywhere. */
+  def editDistanceLinkage(s: SparkSession, dir: String,
+                          prefixLen: Int = 64, maxDist: Int = 24,
+                          cfg: DedupConfig = DedupConfig.Default): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val keys = corpus.select(col("doc_id"),
+      substring(lower(trim(col("text"))), 1, prefixLen).as("k"))
+      .localCheckpoint() // both pair sides read it
+    val pairs = bandPairsFrom(withSignature(corpus, cfg), cfg)
+    pairs
+      .join(keys.select(col("doc_id").as("doc_a"), col("k").as("ka")),
+        Seq("doc_a"))
+      .join(keys.select(col("doc_id").as("doc_b"), col("k").as("kb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ka"), col("kb")).as("dist"))
+      .withColumn("link", (col("dist") <= maxDist).cast(IntegerType))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q154: INCREMENTAL near-dup — q153's exact-index probe generalized to
     * the fuzzy case: the existing corpus's banded MinHash signatures are
     * the persisted LSH INDEX, an incoming batch (here the fixture's
@@ -2647,6 +2676,21 @@ object Dedup extends org.apache.spark.internal.Logging {
          |SELECT doc_a, doc_b, jw,
          |  CAST(jw >= 0.9 AS INTEGER) AS link
          |FROM j ORDER BY doc_a, doc_b""".stripMargin,
+    // q350: same candidate pairs, same 64-char normalized prefixes,
+    // DuckDB's levenshtein — integer-exact comparator parity
+    "q350_edit_linkage" ->
+      s"""${sigSelectS(nearDupCorpusS)},
+         |bk AS ($bandUnnestS),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |c AS (SELECT doc_id, substr(lower(trim(text)), 1, 64) AS k
+         |  FROM corpus)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(ca.k, cb.k) AS INTEGER) AS dist,
+         |  CAST(levenshtein(ca.k, cb.k) <= 24 AS INTEGER) AS link
+         |FROM pairs p JOIN c ca ON ca.doc_id = p.doc_a
+         |JOIN c cb ON cb.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // q336: THE SAME recursive SQL as the Spark side (q63's oracle text)
     "q336_recursive_cte" ->
       s"""${sigSelectS(nearDupCorpusS).replaceFirst("WITH ", "WITH RECURSIVE ")},

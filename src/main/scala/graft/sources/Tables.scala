@@ -532,6 +532,115 @@ object Sinks {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q347: DELETION-VECTOR MERGE-ON-READ — the Iceberg/Delta positional
+    * -delete mechanic, Spark-first: deletes are recorded as (file,
+    * row_index) pairs in a DV TABLE (no data file rewritten — the whole
+    * point at 100 TB, where deleting 0.1 % of rows must not rewrite
+    * 100 TB), and the read applies them by anti-joining the scan's
+    * `_metadata.file_path` / `_metadata.row_index` columns against the
+    * DV. Here the DV marks every row with l_orderkey % 13 == 0; the
+    * oracle recomputes the aggregate over the ORIGINAL table with the
+    * logical predicate, so hash-equality certifies the positional
+    * plumbing (file identity, row indexes, anti-join application)
+    * reproduces the logical delete exactly.
+    *
+    * Shape at 100 TB: the DV is a narrow (file, pos) frame — the
+    * anti-join hashes on (file, pos) against only the deleted rows
+    * (broadcast when the delete fraction is small, as here); real
+    * formats push this to a per-file bitmap filter, which is the same
+    * semantics with the join specialized per split. */
+  def deletionVectorScan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q347")
+    try {
+      val path = tmp.resolve("data").toString
+      val dvPath = tmp.resolve("dv").toString
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity", "l_returnflag")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      val withPos = s.read.parquet(path)
+        .select(col("*"), col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("pos"))
+      // the delete job: writes ONLY the DV table, touches no data file
+      withPos.filter(pmod(col("l_orderkey"), lit(13L)) === 0)
+        .select("fp", "pos")
+        .write.mode("overwrite").parquet(dvPath)
+      val dv = s.read.parquet(dvPath)
+      withPos.join(broadcast(dv), Seq("fp", "pos"), "left_anti")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
+  /** q349: BLOOM-INDEX FILE PRUNING — the file-skipping lever for POINT
+    * lookups on HIGH-CARDINALITY keys, where q333's min/max manifest is
+    * useless (a hash-sharded layout gives every file the full key
+    * range). One distributed pass builds a per-file Bloom filter over
+    * the key (`aggregateByKey` on the file path — sketch-state folding
+    * is the one genuinely imperative per-partition job, the same thing
+    * `DataFrameStatFunctions.bloomFilter` does internally); the
+    * manifest of ≤ numFiles blooms lives with the table metadata, and a
+    * point-IN query consults it at PLAN time, reading only files whose
+    * bloom might contain a probe key. False positives cost a read,
+    * never a wrong row (the predicate is re-applied post-scan); false
+    * negatives cannot happen — which the oracle certifies by
+    * recomputing the same IN-aggregate over the original table. The
+    * spec asserts the file list actually shrank. */
+  def bloomPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q349")
+    try {
+      val path = tmp.resolve("data").toString
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+        .repartition(8, col("l_orderkey")) // hash layout: min/max useless
+        .write.mode("overwrite").parquet(path)
+      val probes = Seq(7L, 1007L, 2207L, 4007L, 5507L)
+      val blooms = bloomIndex(s, path, "l_orderkey")
+      val keep = blooms.collect {
+        case (f, bf) if probes.exists(bf.mightContain) => f
+      }.toSeq.sorted
+      val pruned =
+        if (keep.isEmpty) s.read.parquet(path).filter(lit(false))
+        else s.read.parquet(keep: _*)
+      pruned
+        .filter(col("l_orderkey").isin(probes: _*))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_suppkey")).as("sum_skey"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy("l_orderkey")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
+  /** ONE-scan per-file Bloom build: (file → bloom over `key`). Driver
+    * holds ≤ numFiles sketches (the manifest cardinality contract);
+    * expected-items is sized from the total count. */
+  private[graft] def bloomIndex(s: SparkSession, path: String, key: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    import org.apache.spark.sql.functions._
+    val kv = s.read.parquet(path)
+      .select(col("_metadata.file_path").as("fp"), col(key).as("k"))
+    val perFileExpect = math.max(kv.count() / 4, 64L) // ≥ rows per file
+    kv.select("fp", "k").rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+      .aggregateByKey(
+        org.apache.spark.util.sketch.BloomFilter.create(perFileExpect, 0.01))(
+        (bf, v) => { bf.putLong(v); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+      .collect().toMap // ≤ numFiles entries
+  }
+
   /** q334: FIXED-WIDTH DSv2 ROUND-TRIP — lineitem rendered as the
     * mainframe-style fixed-width export (lpad'd slices, one text file
     * per shard), read back through the CUSTOM DataSource V2 connector

@@ -539,6 +539,54 @@ class SinksCatalogSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("q349 bloom index actually prunes: the probe set selects a " +
+      "strict subset of files, and no file containing a probe is skipped") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp() + "/bloomdata"
+    graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+      .repartition(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    val blooms = graft.sources.Sinks.bloomIndex(spark, dir, "l_orderkey")
+    assert(blooms.size === 8)
+    val probes = Seq(7L, 1007L)
+    val keep = blooms.collect {
+      case (f, bf) if probes.exists(bf.mightContain) => f
+    }.toSet
+    assert(keep.nonEmpty && keep.size < blooms.size,
+      s"bloom index pruned nothing: ${keep.size}/${blooms.size}")
+    // soundness: every file that truly contains a probe key is kept
+    val truth = spark.read.parquet(dir)
+      .filter(col("l_orderkey").isin(probes: _*))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(keep), s"bloom skipped ${truth diff keep}")
+  }
+
+  test("q347 deletion vector removes exactly the marked positions — " +
+      "counts reconcile: alive + |DV| = total") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp() + "/dvdata"
+    graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag")
+      .repartition(4, col("l_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    val withPos = spark.read.parquet(dir)
+      .select(col("*"), col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("pos"))
+    val dv = withPos.filter(pmod(col("l_orderkey"), lit(13L)) === 0)
+      .select("fp", "pos")
+    val total = withPos.count()
+    val deleted = dv.count()
+    assert(deleted > 0, "fixture produced an empty DV — vacuous test")
+    val alive = withPos.join(dv, Seq("fp", "pos"), "left_anti").count()
+    assert(alive + deleted === total)
+    // positional identity: (fp,pos) is unique — a duplicate index would
+    // silently over-delete through the anti join
+    assert(withPos.groupBy("fp", "pos").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("q339 write path is exactly-once under an aborted-then-retried " +
       "task attempt: abort leaves NOTHING visible, retry commits ONE file") {
     import graft.sources.fixedwidth._
