@@ -947,6 +947,18 @@ object SparkEntry {
     // Levenshtein-verified linkage on bounded normalized prefixes
     "q350_edit_linkage"       -> ((s, d) =>
       graft.dedup.Dedup.editDistanceLinkage(s, d)),
+    // runtime bloom-filter join pruning (InjectRuntimeFilter)
+    "q343_runtime_filter"     -> (graft.analytics.Advanced.runtimeFilterJoin _),
+    // LOCF gap fill over a dense calendar spine, per-day census
+    "q351_locf_gapfill"       -> (graft.analytics.Advanced.locfGapFill _),
+    // 25-row dimension as a map literal: no join operator in the plan
+    "q352_map_lookup"         -> (graft.analytics.Advanced.mapLookupDimension _),
+    // correlated scalar subqueries, division-free exact comparison
+    "q353_correlated_subq"    -> (graft.sql.Catalog.correlatedSubquery _),
+    // materialized-view delta merge vs from-scratch recompute
+    "q354_incremental_view"   -> (graft.analytics.Advanced.incrementalViewMaintenance _),
+    // ISO FILTER-clause conditional aggregates, one pass
+    "q355_filter_agg"         -> (graft.sql.Catalog.filterAgg _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1209,6 +1221,10 @@ object SparkEntry {
     graft.text.BpeTrain.oracleSql ++
     graft.ml.AlsFactor.oracleSql ++
     Map("q79_sql_parity" -> graft.sql.Catalog.SqlParityText,
+      // q353/q355: the q79 pattern — ONE dialect-portable string is
+      // both the Spark query and its own oracle
+      "q353_correlated_subq" -> graft.sql.Catalog.CorrelatedSubqueryText,
+      "q355_filter_agg" -> graft.sql.Catalog.FilterAggText,
       // q337: the UDFs inline to exactly this (DuckDB spells the token
       // regex via the shared TextPrims constant)
       "q337_sql_udf" -> {

@@ -2948,6 +2948,139 @@ object Advanced {
       .orderBy("n_name")
   }
 
+  /** q343: RUNTIME BLOOM-FILTER JOIN PRUNING — Spark's
+    * InjectRuntimeFilter: a selective dimension filter (high-value
+    * finished orders) is turned, AT OPTIMIZATION TIME, into a Bloom
+    * filter built on the creation side and pushed into the fact-side
+    * scan as `might_contain`, so lineitem rows that cannot join are
+    * dropped BEFORE the shuffle — at 100 TB this is the difference
+    * between shuffling the full fact table and shuffling the matching
+    * 2 %. The fixture sits under the feature's production thresholds
+    * (application side ≥ 10 GB), so the query pins the knobs for its
+    * own plan and restores them — the 100 TB deployment hits the
+    * defaults naturally. Broadcast is disabled for the join because the
+    * runtime filter targets exactly the regime where the dimension is
+    * too big to broadcast but still selective. Semantics are unchanged
+    * by construction (Bloom FPs only let through rows the join re-
+    * checks); the spec asserts the `might_contain` actually landed in
+    * the plan. */
+  def runtimeFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    val knobs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = knobs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      knobs.foreach { case (k, v) => s.conf.set(k, v) }
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+        .localCheckpoint() // execute under the pinned knobs
+    } finally old.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  /** q351: LOCF GAP FILL — last-observation-carried-forward over a dense
+    * calendar spine: each user's daily metric series is completed so
+    * every (user, day) carries the most recent observed value — the
+    * standard panel-data densification before any day-over-day compare
+    * (a user silent on Tuesday still HAS a balance on Tuesday). Reports
+    * the per-day census: observed vs carried vs still-empty users and
+    * the filled total.
+    *
+    * Shape at 100 TB: the raw scan collapses to (user, day) in one
+    * hash-agg; the spine is users × |days| built by exploding one
+    * broadcast day sequence (never a cross join of two big sides); the
+    * carry is ONE partitioned window (by user — the natural key-series
+    * sort); the census is a second tiny agg. */
+  def locfGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val daily = ev.groupBy(col("user_id"),
+        to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("v"))
+      .localCheckpoint() // spine join + bounds read it
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = daily.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy("day")
+      .agg(
+        sum(when(col("v").isNotNull, 1).otherwise(0))
+          .cast(IntegerType).as("n_observed"),
+        sum(when(col("v").isNull && col("filled").isNotNull, 1)
+          .otherwise(0)).cast(IntegerType).as("n_carried"),
+        sum(when(col("filled").isNull, 1).otherwise(0))
+          .cast(IntegerType).as("n_empty"),
+        dsum(coalesce(col("filled"), lit(0.0))).as("sum_filled"))
+      .orderBy("day")
+  }
+
+  /** q352: DIMENSION-AS-MAP JOIN ELIMINATION — the smallest dimensions
+    * (nation: 25 rows) don't deserve a join OPERATOR at all: collect
+    * once (bounded by the dimension contract), embed as a map literal,
+    * and the lookup becomes a codegen'd `element_at` INSIDE the fact
+    * scan's projection — no exchange, no build side, no join node in
+    * the plan (PlanSpec-asserted). This is the degenerate-dimension
+    * endpoint of the broadcast spectrum, and the pattern behind every
+    * enum/code-table decode at 100 TB. Oracle = the honest join. */
+  def mapLookupDimension(s: SparkSession, dir: String): DataFrame = {
+    val nationMap: Map[Long, String] = t(s, dir, "nation")
+      .select(col("n_nationkey").cast(LongType), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap // 25 rows, bounded
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_acctbal"))
+      .withColumn("n_name",
+        element_at(typedLit(nationMap), col("c_nationkey").cast(LongType)))
+      .groupBy("n_name")
+      .agg(count(lit(1)).cast(IntegerType).as("n_cust"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("n_name")
+  }
+
+  /** q354: INCREMENTAL VIEW MAINTENANCE — the delta-aggregate algebra
+    * behind every materialized view refresh: yesterday's per-status
+    * rollup (9/10ths of orders) is NOT recomputed when today's batch
+    * lands; the delta aggregates alone (1/10th) and merges by key —
+    * counts add, DECIMAL sums add, the full-outer merge admits
+    * brand-new keys from either side. The oracle recomputes the view
+    * from scratch over the union; hash-equality is the IVM correctness
+    * certificate (count/sum are the self-maintainable aggregates — no
+    * base-table re-read). At 100 TB the saving IS the operator: the
+    * refresh cost tracks the delta, not the table. */
+  def incrementalViewMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def viewOf(df: DataFrame) = df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("sum_d"))
+    val snapshot = viewOf(orders.filter(pmod(col("o_orderkey"), lit(10L)) =!= 0))
+      .localCheckpoint() // "yesterday's" materialized state
+    val deltaAgg = viewOf(orders.filter(pmod(col("o_orderkey"), lit(10L)) === 0))
+    snapshot.as("a").join(deltaAgg.as("b"), Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("a.n"), lit(0L)) + coalesce(col("b.n"), lit(0L)))
+          .as("n"),
+        (coalesce(col("a.sum_d"), lit(0).cast(DecimalType(18, 4))) +
+          coalesce(col("b.sum_d"), lit(0).cast(DecimalType(18, 4))))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q348: ORDERED EVENT FUNNEL — the product-analytics staple: of the
     * users who VIEWED, how many later CLICKED, and of those how many
     * later PURCHASED — with the average step-transition latency. Order
@@ -3021,6 +3154,60 @@ object Advanced {
         |    / CAST(greatest(n_users, 1) AS DOUBLE) / 1e6, 6)
         |    AS avg_gap_sec
         |FROM u ORDER BY step""".stripMargin,
+    // q343: the honest join — the runtime bloom filter may only prune
+    // rows the join would drop anyway
+    "q343_runtime_filter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q351: the identical spine + IGNORE-NULLS carry in DuckDB
+    "q351_locf_gapfill" ->
+      """WITH daily AS (SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT u.user_id, d.day
+        |  FROM (SELECT DISTINCT user_id FROM daily) u
+        |  CROSS JOIN (SELECT CAST(unnest(generate_series(CAST(lo AS
+        |      TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+        |      AS day FROM b) d),
+        |f AS (SELECT s.user_id, s.day, daily.v,
+        |    last_value(daily.v IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM spine s LEFT JOIN daily
+        |    ON daily.user_id = s.user_id AND daily.day = s.day)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_observed,
+        |  CAST(SUM(CASE WHEN v IS NULL AND filled IS NOT NULL THEN 1
+        |    ELSE 0 END) AS INTEGER) AS n_carried,
+        |  CAST(SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_empty,
+        |  CAST(SUM(CAST(COALESCE(filled, 0.0) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS sum_filled
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
+    // q352: the honest join the map literal replaces (q79's rollup)
+    "q352_map_lookup" ->
+      """SELECT n_name,
+        |  CAST(count(*) AS INTEGER) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // q354: the from-scratch recompute the incremental merge must equal
+    "q354_incremental_view" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // q340: the oracle is plain COUNT(DISTINCT) — the bitmap route must
     // be EXACT, bucket plumbing and popcounts included
     "q340_bitmap_distinct" ->

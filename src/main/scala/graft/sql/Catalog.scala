@@ -54,6 +54,54 @@ object Catalog {
     spark.sql(SqlParityText)
   }
 
+  /** q353: CORRELATED SCALAR SUBQUERIES — "customers above their own
+    * nation's average balance", the textbook decorrelation case: the
+    * two correlated scalars (per-nation count and sum) reference the
+    * outer row, and Catalyst rewrites them into aggregate joins — the
+    * plan a user would hand-write, obtained from the declarative form.
+    * One dialect-portable string, two engines (the q79 pattern).
+    * Exactness: the avg comparison is cleared of division — balance ×
+    * count > sum in DECIMAL arithmetic, so no engine's double rounding
+    * can flip a borderline row. */
+  val CorrelatedSubqueryText: String =
+    """SELECT c_nationkey, CAST(COUNT(*) AS INTEGER) AS n_above
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+      |    (SELECT COUNT(*) FROM customer c2
+      |     WHERE c2.c_nationkey = c.c_nationkey)
+      |  > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,4)))
+      |     FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  def correlatedSubquery(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    registerTestdata(spark, sfDir)
+    spark.sql(CorrelatedSubqueryText)
+  }
+
+  /** q355: FILTER-CLAUSE AGGREGATES (ISO SQL:2003) — per priority, the
+    * conditional sub-aggregates spelled declaratively instead of the
+    * CASE-WHEN contortion; Catalyst compiles each FILTER into the same
+    * conditional accumulator a hand-written CASE would get, in ONE
+    * pass. One string, two engines. */
+  val FilterAggText: String =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS INTEGER) AS n,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS INTEGER)
+      |    AS n_finished,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open,
+      |  CAST(MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'P')
+      |    AS DOUBLE) AS max_pending
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def filterAgg(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    registerTestdata(spark, sfDir)
+    spark.sql(FilterAggText)
+  }
+
   /** q101: LATERAL correlated join — one dialect-portable string, two
     * engines (the q79 pattern for the lateral surface). Per customer, the
     * top-2 orders by an inner ORDER BY/LIMIT that references the outer

@@ -799,6 +799,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q352 map-literal dimension lookup: NO join operator anywhere in " +
+      "the plan — the decode is a projection expression") {
+    val plan = planOf(graft.analytics.Advanced
+      .mapLookupDimension(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("element_at") || plan.contains("map_keys") ||
+      plan.contains("keys:"), plan.take(1200))
+  }
+
+  test("q343 runtime bloom filter is INJECTED: the fact-side scan gains " +
+      "a might_contain predicate under the pinned thresholds") {
+    val df = graft.analytics.Advanced.runtimeFilterJoin(spark, sfDir)
+    // runtimeFilterJoin localCheckpoints under its knobs, so the
+    // interesting plan is the checkpoint's PARENT — re-derive it here
+    // with the same knobs to inspect the optimized form
+    val knobs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import org.apache.spark.sql.functions._
+      val ord = graft.sources.Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_orderpriority")
+      val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") ||
+        opt.contains("bloom_filter_agg"), opt.take(2000))
+    } finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    assert(df.count() > 0)
+  }
+
   test("q222 slice labels: the two-pass ntile plan has NO window operator " +
       "— the old global ntile() was a SinglePartition WindowExec over " +
       "the full docs frame") {
