@@ -959,6 +959,11 @@ object SparkEntry {
     "q354_incremental_view"   -> (graft.analytics.Advanced.incrementalViewMaintenance _),
     // ISO FILTER-clause conditional aggregates, one pass
     "q355_filter_agg"         -> (graft.sql.Catalog.filterAgg _),
+    // 2-D skyline: collapse + strictly-greater prefix-min window
+    "q356_pareto_frontier"    -> (graft.analytics.Advanced.paretoFrontier _),
+    // exact heavy hitters: per-partition Misra-Gries + exact recount
+    "q357_heavy_hitters"      -> ((s, d) =>
+      graft.text.TextOps.heavyHitters(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -2948,6 +2948,36 @@ object Advanced {
       .orderBy("n_name")
   }
 
+  /** q356: PARETO FRONTIER (2-D skyline) — per return flag, the
+    * non-dominated (quantity, price) points: maximize quantity,
+    * minimize price; a point survives iff no other point has ≥ quantity
+    * AND ≤ price (strictly better in one). The multi-objective "best
+    * offers" query — optimizer literature's SKYLINE operator —
+    * expressed scale-first: NOT the naive O(m²) self-join, but (1) a
+    * hash-agg collapsing to the min price per (flag, quantity) — ties
+    * in the maximize-dimension resolved in the same pass — then (2) one
+    * partitioned window taking the prefix-min price over strictly
+    * greater quantities (rows frame ending 1 PRECEDING; quantities are
+    * distinct after the collapse, so rows = strictly-greater range).
+    * The collapsed series is O(distinct quantities) per flag no matter
+    * how many rows feed it — the 100 TB shape. Doubles compare exactly
+    * (min, never summed). */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val byQty = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(min(col("l_extendedprice")).as("min_price"),
+        count(lit(1)).as("n_at_qty"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byQty.withColumn("best_higher", min(col("min_price")).over(w))
+      .filter(col("best_higher").isNull ||
+        col("min_price") < col("best_higher"))
+      .select(col("l_returnflag"), col("l_quantity"), col("min_price"),
+        col("n_at_qty").cast(IntegerType).as("n_at_qty"))
+      .orderBy(col("l_returnflag"), col("l_quantity").desc)
+  }
+
   /** q343: RUNTIME BLOOM-FILTER JOIN PRUNING — Spark's
     * InjectRuntimeFilter: a selective dimension filter (high-value
     * finished orders) is turned, AT OPTIMIZATION TIME, into a Bloom
@@ -3154,6 +3184,19 @@ object Advanced {
         |    / CAST(greatest(n_users, 1) AS DOUBLE) / 1e6, 6)
         |    AS avg_gap_sec
         |FROM u ORDER BY step""".stripMargin,
+    // q356: identical collapse + strictly-greater prefix-min skyline
+    "q356_pareto_frontier" ->
+      """WITH g AS (SELECT l_returnflag, l_quantity,
+        |    min(l_extendedprice) AS min_price, COUNT(*) AS n_at_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT *, min(min_price) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS best_higher FROM g)
+        |SELECT l_returnflag, l_quantity, min_price,
+        |  CAST(n_at_qty AS INTEGER) AS n_at_qty
+        |FROM w WHERE best_higher IS NULL OR min_price < best_higher
+        |ORDER BY l_returnflag, l_quantity DESC""".stripMargin,
     // q343: the honest join — the runtime bloom filter may only prune
     // rows the join would drop anyway
     "q343_runtime_filter" ->

@@ -3078,7 +3078,69 @@ object TextOps {
       |FROM b0 b JOIN iso ON b.bin = iso.j
       |ORDER BY bin""".stripMargin
 
+  /** Oracle-pinned frequency threshold for [[heavyHitters]]: report
+    * every token with count · HhK > total tokens (i.e. frequency
+    * > 1/HhK of the corpus). */
+  val HhK: Int = 128
+
+  /** q357: EXACT HEAVY HITTERS, TWO-PASS — every token above a 1/[[HhK]]
+    * corpus-frequency threshold with its EXACT count, without ever
+    * shuffling the full token stream into a groupBy: pass 1 runs
+    * MISRA–GRIES summaries (k counters, decrement-all on overflow)
+    * per partition — the one genuinely imperative per-partition job,
+    * exactly what `mapPartitions` is for — and the UNION of partition
+    * summaries is a guaranteed candidate superset (pigeonhole: a
+    * globally-frequent item must be locally frequent somewhere, and MG
+    * with k counters retains everything above n_p/(k+1)); pass 2
+    * recounts ONLY the ≤ partitions·k candidates exactly and applies
+    * the integer threshold cnt·k > n (division-free). The oracle is the
+    * brute-force HAVING over a full groupBy — hash-equality certifies
+    * the sketch pass lost nothing. At 100 TB the shuffle carries
+    * candidate tokens only; the stopword-shaped skew that breaks a
+    * naive token groupBy is absorbed inside each partition's counters. */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = HhK): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(tokensC(col("text"))).as("tok"))
+      .localCheckpoint() // count + MG pass + recount read one copy
+    val n = toks.count()
+    val cands: Array[String] = toks
+      .select("tok").as[String](org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          counters.get(t) match {
+            case Some(c) => counters(t) = c + 1
+            case None if counters.size < k => counters(t) = 1L
+            case None => // decrement-all; evict zeros
+              counters.toList.foreach { case (key, c) =>
+                if (c == 1L) counters.remove(key) else counters(key) = c - 1
+              }
+          }
+        }
+        counters.keysIterator
+      }(org.apache.spark.sql.Encoders.STRING)
+      .distinct().collect() // ≤ numPartitions × k rows on the driver
+    toks.filter(col("tok").isInCollection(cands.toIndexedSeq))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+      .select(col("tok"), col("cnt"),
+        round(col("cnt").cast(DoubleType) / lit(n.toDouble), 9).as("frac"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q357: the brute-force groupBy + HAVING the two-pass sketch route
+    // must reproduce exactly
+    "q357_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(${tokensS("text")}) AS tok
+         |  FROM documents),
+         |nn AS (SELECT COUNT(*) AS n FROM toks)
+         |SELECT tok, COUNT(*) AS cnt,
+         |  round(CAST(COUNT(*) AS DOUBLE)
+         |    / CAST((SELECT n FROM nn) AS DOUBLE), 9) AS frac
+         |FROM toks GROUP BY tok
+         |HAVING COUNT(*) * $HhK > (SELECT n FROM nn)
+         |ORDER BY cnt DESC, tok""".stripMargin,
     // q330: identical integer-threshold weighted quantiles in DuckDB
     "q330_weighted_quantiles" ->
       s"""WITH m0 AS (SELECT doc_id, source, text, ${tokensS("text")} AS t
