@@ -964,6 +964,11 @@ object SparkEntry {
     // exact heavy hitters: per-partition Misra-Gries + exact recount
     "q357_heavy_hitters"      -> ((s, d) =>
       graft.text.TextOps.heavyHitters(s, d)),
+    // GDPR crypto-shredding: per-user keys, erase = drop key row,
+    // audit via try_aes_decrypt; decrypted sums must match the oracle
+    "q358_crypto_shred"       -> (graft.analytics.Advanced.cryptoShred _),
+    // exact rolling 24h distinct users via mergeable hourly bitmaps
+    "q359_sliding_distinct"   -> (graft.analytics.Advanced.slidingDistinct _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

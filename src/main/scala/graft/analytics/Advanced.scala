@@ -2948,6 +2948,83 @@ object Advanced {
       .orderBy("n_name")
   }
 
+  /** q358: CRYPTO-SHREDDING ERASURE AUDIT — the GDPR right-to-be-
+    * forgotten mechanic for immutable 100 TB stores: payloads are
+    * encrypted at rest with a PER-USER key (`aes_encrypt`, key table
+    * separate), so erasing a user = deleting ONE key row — no petabyte
+    * rewrite; the data is cryptographically unreadable in place. This
+    * query runs the full lifecycle: derive keys, encrypt, shred every
+    * 7th user's key, then audit the store through `try_aes_decrypt`
+    * with the surviving key table — per event type, how many rows
+    * remain readable and the recovered value sum. The decrypt-side sum
+    * must equal the oracle's plain-predicate sum over the original
+    * table, certifying both the erasure semantics AND that surviving
+    * rows decrypt to bit-identical values (not just non-null).
+    *
+    * Determinism: ECB mode (no random IV — the fixture needs
+    * reproducible ciphertext; production would use GCM and accept
+    * nondeterministic bytes since only the DECRYPTED value is ever
+    * compared). Keys are md5-derived 16-byte strings. Shape: two hash
+    * joins on user_id (key attach, key re-attach post-shred) and one
+    * agg — encryption is a codegen'd projection expression. */
+  def cryptoShred(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select("user_id", "event_type", "value")
+    val keys = ev.select("user_id").distinct()
+      .withColumn("k",
+        substring(md5(concat(lit("k#"), col("user_id").cast(StringType))),
+          1, 16))
+      .localCheckpoint() // encrypt side + surviving-side read it
+    val store = ev.join(keys, Seq("user_id"))
+      .select(col("user_id"), col("event_type"),
+        expr("aes_encrypt(cast(value as string), k, 'ECB')").as("payload"))
+    // the erasure: drop key rows — the data files are never touched
+    val surviving = keys.filter(pmod(col("user_id"), lit(7L)) =!= 0)
+    store.join(surviving, Seq("user_id"), "left")
+      .withColumn("plain",
+        expr("cast(try_aes_decrypt(payload, k, 'ECB') as string)")
+          .cast(DoubleType))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(IntegerType).as("n"),
+        sum(when(col("plain").isNotNull, 1).otherwise(0))
+          .cast(IntegerType).as("n_readable"),
+        dsum(coalesce(col("plain"), lit(0.0))).as("sum_readable"))
+      .orderBy("event_type")
+  }
+
+  /** q359: EXACT SLIDING-WINDOW DISTINCT — distinct users over the
+    * trailing 24 hours AT EVERY HOUR, the operational "rolling DAU"
+    * series, computed the mergeable way: per (hour, bucket) exact
+    * bitmaps (q340's family) built ONCE from one scan, then each
+    * target hour ORs the ≤24 trailing hourly bitmaps and popcounts —
+    * the raw events are never rescanned per window. COUNT(DISTINCT)
+    * does not slide (distinct state can't subtract), which is exactly
+    * why warehouses store bitmap/HLL partials; bitmaps keep it EXACT,
+    * and the oracle (brute-force re-scan per window) certifies that.
+    *
+    * Shape at 100 TB: one scan → (hours × buckets) bitmap rows; the
+    * window fan-out joins the tiny distinct-hours frame (broadcast)
+    * against bitmap rows with a bounded ≤24× expansion; never
+    * hours × raw-events. */
+  def slidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        (col("user_id") + 1).as("uid"))
+      .groupBy(col("hour"), expr("bitmap_bucket_number(uid)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(uid))").as("bm"))
+      .localCheckpoint() // the hour spine + the fan-out join read it
+    val hours = hourly.select("hour").distinct()
+    hours.as("t")
+      .join(hourly.as("s"),
+        col("s.hour") <= col("t.hour") &&
+          col("s.hour") > col("t.hour") - expr("INTERVAL 24 HOURS"))
+      .groupBy(col("t.hour").as("hour"), col("s.bkt").as("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("wbm"))
+      .groupBy("hour")
+      .agg(sum(expr("bitmap_count(wbm)")).cast(LongType).as("n_users"))
+      .orderBy("hour")
+  }
+
   /** q356: PARETO FRONTIER (2-D skyline) — per return flag, the
     * non-dominated (quantity, price) points: maximize quantity,
     * minimize price; a point survives iff no other point has ≥ quantity
@@ -3184,6 +3261,27 @@ object Advanced {
         |    / CAST(greatest(n_users, 1) AS DOUBLE) / 1e6, 6)
         |    AS avg_gap_sec
         |FROM u ORDER BY step""".stripMargin,
+    // q358: the erasure predicate in the clear — readable rows are
+    // exactly the non-shredded users', and their values sum identically
+    "q358_crypto_shred" ->
+      """SELECT event_type, CAST(COUNT(*) AS INTEGER) AS n,
+        |  CAST(SUM(CASE WHEN user_id % 7 <> 0 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS n_readable,
+        |  CAST(SUM(CAST(CASE WHEN user_id % 7 <> 0 THEN value
+        |    ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS sum_readable
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q359: brute-force per-window re-scan — the mergeable bitmap route
+    // must be EXACTLY this
+    "q359_sliding_distinct" ->
+      """WITH hrs AS (SELECT DISTINCT
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |w AS (SELECT hrs.h, e.user_id FROM hrs JOIN events e
+        |  ON date_trunc('hour', CAST(e.ts AS TIMESTAMP)) <= hrs.h
+        | AND date_trunc('hour', CAST(e.ts AS TIMESTAMP))
+        |     > hrs.h - INTERVAL 24 HOURS)
+        |SELECT h AS hour, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS n_users
+        |FROM w GROUP BY h ORDER BY h""".stripMargin,
     // q356: identical collapse + strictly-greater prefix-min skyline
     "q356_pareto_frontier" ->
       """WITH g AS (SELECT l_returnflag, l_quantity,
