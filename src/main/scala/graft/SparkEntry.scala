@@ -969,6 +969,8 @@ object SparkEntry {
     "q358_crypto_shred"       -> (graft.analytics.Advanced.cryptoShred _),
     // exact rolling 24h distinct users via mergeable hourly bitmaps
     "q359_sliding_distinct"   -> (graft.analytics.Advanced.slidingDistinct _),
+    // TPC-H Q5: the 6-table star join, facts shuffle, dims broadcast
+    "q360_tpch_q5"            -> (graft.analytics.Advanced.tpchQ5 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -2948,6 +2948,37 @@ object Advanced {
       .orderBy("n_name")
   }
 
+  /** q360: TPC-H Q5 (local supplier volume) — the canonical 6-table
+    * star join: revenue per nation for one region and one order-date
+    * year, where customer and supplier must share the nation. The
+    * join-ORDER stress test every optimizer is graded on: the two fact
+    * tables (orders, lineitem) join on their keys while four dimension
+    * tables (customer, supplier, nation, region) broadcast — the plan
+    * must never shuffle a fact table against a dimension. Catalyst gets
+    * this from the declarative form (dims under the broadcast
+    * threshold; at 100 TB they still are — that's what makes them
+    * dims). Revenue is Σ price·(1−discount) with per-row 9-dp rounding
+    * into DECIMAL(28,9) (the q183 discipline), so the sum is exact and
+    * order-independent on both engines. */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val d9sum = sum(round(col("l_extendedprice") *
+      (lit(1.0) - col("l_discount")), 9).cast(DecimalType(28, 9)))
+    t(s, dir, "customer").join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      .groupBy("n_name")
+      .agg(count(lit(1)).cast(IntegerType).as("n_items"),
+        d9sum.cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** q358: CRYPTO-SHREDDING ERASURE AUDIT — the GDPR right-to-be-
     * forgotten mechanic for immutable 100 TB stores: payloads are
     * encrypted at rest with a PER-USER key (`aes_encrypt`, key table
@@ -3261,6 +3292,24 @@ object Advanced {
         |    / CAST(greatest(n_users, 1) AS DOUBLE) / 1e6, 6)
         |    AS avg_gap_sec
         |FROM u ORDER BY step""".stripMargin,
+    // q360: TPC-H Q5 verbatim (date bounds as timestamps, 9-dp row
+    // rounding into DECIMAL(28,9) for the revenue sum)
+    "q360_tpch_q5" ->
+      """SELECT n_name, CAST(COUNT(*) AS INTEGER) AS n_items,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     // q358: the erasure predicate in the clear — readable rows are
     // exactly the non-shredded users', and their values sum identically
     "q358_crypto_shred" ->

@@ -799,6 +799,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q360 TPC-H Q5: every dimension joins by BROADCAST — the fact " +
+      "tables never shuffle against customer/supplier/nation/region") {
+    val plan = planOf(graft.analytics.Advanced.tpchQ5(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q352 map-literal dimension lookup: NO join operator anywhere in " +
       "the plan — the decode is a projection expression") {
     val plan = planOf(graft.analytics.Advanced
