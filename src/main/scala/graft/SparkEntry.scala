@@ -971,6 +971,10 @@ object SparkEntry {
     "q359_sliding_distinct"   -> (graft.analytics.Advanced.slidingDistinct _),
     // TPC-H Q5: the 6-table star join, facts shuffle, dims broadcast
     "q360_tpch_q5"            -> (graft.analytics.Advanced.tpchQ5 _),
+    // word2vec-style negative sampling: capped integer sampling table,
+    // seeded 60-bit draws, broadcast interval probe
+    "q361_negative_sampling"  -> ((s, d) =>
+      graft.text.TextOps.negativeSampling(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

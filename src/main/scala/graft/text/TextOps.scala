@@ -3128,7 +3128,80 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Oracle-pinned constants for [[negativeSampling]]. */
+  val NsVocab: Int = 1024
+  val NsSamples: Int = 4096
+
+  /** q361: DETERMINISTIC NEGATIVE SAMPLING — the word2vec/contrastive-
+    * training draw: N noise tokens sampled ∝ unigram frequency from a
+    * CAPPED sampling table (top-[[NsVocab]] tokens — the cap is the
+    * industry shape AND the scale contract: the cumulative table must
+    * be bounded, or its prefix-sum is a vocab-sized single-partition
+    * window, q222's trap). Entirely integer arithmetic: the table is
+    * [lo, lo+w) count intervals, each draw is a seeded 60-bit md5 fold
+    * mod the total — no float inverse-CDF to diverge by an ulp, and
+    * the same bytes on both engines.
+    *
+    * Shape at 100 TB: one token-count agg → top-K (TakeOrdered) → a
+    * K-row cum table (bounded window) broadcast against the N-row draw
+    * spine — the probe is a broadcast interval lookup, never a shuffle
+    * of draws. Reports per-token draw counts vs the exact expectation. */
+  def negativeSampling(s: SparkSession, dir: String,
+                       vocab: Int = NsVocab,
+                       nSamples: Int = NsSamples): DataFrame = {
+    val top = docs(s, dir)
+      .select(explode(tokensC(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("tok")).limit(vocab) // TakeOrdered
+      .localCheckpoint() // cum window + total read the bounded frame
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("tok")
+      .rowsBetween(Long.MinValue, -1)
+    val cum = top // K-row frame: the single-partition window is BOUNDED
+      .withColumn("lo", coalesce(sum("w").over(wCum), lit(0L)))
+    val tot = top.agg(sum("w").as("t"))
+    val draws = s.range(nSamples.toLong).select(col("id"))
+      .crossJoin(broadcast(tot))
+      .select(pmod(hex60C(md5(concat(lit("ns#"),
+        col("id").cast(StringType)))), col("t")).as("u"))
+    draws.join(broadcast(cum),
+        col("u") >= col("lo") && col("u") < col("lo") + col("w"))
+      .groupBy("tok")
+      .agg(count(lit(1)).cast(IntegerType).as("n_drawn"),
+        max(col("w")).as("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("n_drawn"), col("w"),
+        round(col("w").cast(DoubleType) / col("t").cast(DoubleType)
+          * nSamples, 6).as("expected"))
+      .orderBy(col("n_drawn").desc, col("tok"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q361: identical integer sampling table + 60-bit md5 draws
+    "q361_negative_sampling" ->
+      s"""WITH toks AS (SELECT unnest(${tokensS("text")}) AS tok
+         |  FROM documents),
+         |counts AS (SELECT tok, COUNT(*) AS w FROM toks GROUP BY tok),
+         |top AS (SELECT tok, w FROM counts
+         |  ORDER BY w DESC, tok LIMIT $NsVocab),
+         |cum AS (SELECT tok, w, COALESCE(SUM(w) OVER (ORDER BY tok
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS lo FROM top),
+         |tot AS (SELECT SUM(w) AS t FROM top),
+         |spine AS (SELECT unnest(generate_series(0, ${NsSamples - 1}))
+         |    AS si),
+         |-- the draw column must not be named i: hex60S expands to a
+         |-- list_transform whose lambda variable is i and would shadow it
+         |draws AS (SELECT
+         |    ${hex60S("md5('ns#' || CAST(si AS VARCHAR))")}
+         |      % (SELECT t FROM tot) AS u FROM spine),
+         |hit AS (SELECT c.tok, c.w FROM draws d JOIN cum c
+         |  ON d.u >= c.lo AND d.u < c.lo + c.w)
+         |SELECT tok, CAST(COUNT(*) AS INTEGER) AS n_drawn, MAX(w) AS w,
+         |  round(CAST(MAX(w) AS DOUBLE)
+         |    / CAST((SELECT t FROM tot) AS DOUBLE) * $NsSamples, 6)
+         |    AS expected
+         |FROM hit GROUP BY tok
+         |ORDER BY n_drawn DESC, tok""".stripMargin,
     // q357: the brute-force groupBy + HAVING the two-pass sketch route
     // must reproduce exactly
     "q357_heavy_hitters" ->
