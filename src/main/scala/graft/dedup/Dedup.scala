@@ -993,7 +993,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     var pr = deg.select(col("src").as("id"), col("deg"),
       round(lit(1.0) / lit(n.toDouble), 12).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"),
@@ -1004,7 +1004,12 @@ object Dedup extends org.apache.spark.internal.Logging {
           lit(damping) * sum(col("c")).cast(DoubleType), 12).as("pr"))
         .join(deg, col("dst") === col("src"))
         .select(col("dst").as("id"), col("deg"), col("pr"))
-        .localCheckpoint()
+      // checkpoint every 4th step, not every step: a 4-deep join+agg
+      // lineage analyzes fine, and each eager checkpoint is a fixed
+      // job whose cost dominates at small graph sizes (6.0 → ~3 s at
+      // sf0.1); the cut keeps re-analysis bounded at any iteration
+      // count without paying 8 materializations
+      if (i % 4 == 0 || i == iters) pr = pr.localCheckpoint()
     }
     pr.select(col("id").as("doc_id"), round(col("pr"), 9).as("pr"))
       .orderBy("doc_id")
