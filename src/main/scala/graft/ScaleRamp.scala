@@ -72,7 +72,10 @@ object ScaleRamp {
     "jw_linkage"       -> "q327_jw_linkage",
     "energy_distance"  -> "q331_energy_distance",
     "als"              -> "q332_als_factorize",
-    "recursive_components" -> "q336_recursive_cte")
+    "recursive_components" -> "q336_recursive_cte",
+    "pagerank"         -> "q341_pagerank",
+    "heavy_hitters"    -> "q357_heavy_hitters",
+    "sliding_distinct" -> "q359_sliding_distinct")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding

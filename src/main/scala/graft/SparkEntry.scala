@@ -975,6 +975,14 @@ object SparkEntry {
     // seeded 60-bit draws, broadcast interval probe
     "q361_negative_sampling"  -> ((s, d) =>
       graft.text.TextOps.negativeSampling(s, d)),
+    // time-weighted average: piecewise-constant hold, exact decimal×us
+    "q362_twap"               -> (graft.analytics.Advanced.twapByUser _),
+    // SQL PIVOT clause (multi-agg, aliased values)
+    "q363_sql_pivot"          -> (graft.sql.Catalog.sqlPivot _),
+    // SQL UNPIVOT clause folded into a per-metric rollup
+    "q364_sql_unpivot"        -> (graft.sql.Catalog.sqlUnpivot _),
+    // order-independent result certificate: count + xor + modular sum
+    "q365_result_fingerprint" -> (graft.analytics.Advanced.resultFingerprint _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -2948,6 +2948,63 @@ object Advanced {
       .orderBy("n_name")
   }
 
+  /** q362: TIME-WEIGHTED AVERAGE (TWAP) — each user's value series is
+    * piecewise-constant between events (the order-book/sensor reading
+    * model), so the honest per-user average weights every reading by
+    * how long it HELD, not by how often it was sampled — the number a
+    * billing or exposure computation actually needs. Per user: Σ v·Δt
+    * over consecutive event pairs ÷ the observed span; single-event
+    * users carry no duration and are excluded by definition.
+    *
+    * Exactness: Δt stays in integer microseconds; v·Δt multiplies
+    * DECIMAL(18,4) by BIGINT (exact, both engines); the per-user close
+    * is one double division rounded to 9 dp, then re-aggregated per
+    * user-decile through DECIMAL(28,9) (q183 discipline). One
+    * partitioned lead window + two hash aggs. */
+  def twapByUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val stepped = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt").isNotNull)
+    val perUser = stepped.groupBy("user_id")
+      .agg(sum(col("v") * col("dt")).as("wsum"),
+        sum(col("dt")).as("dur"))
+      .select(col("user_id"),
+        round(col("wsum").cast(DoubleType) /
+          col("dur").cast(DoubleType), 9).as("twa"))
+    perUser.groupBy(pmod(col("user_id"), lit(10L)).as("decile"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_users"),
+        sum(round(col("twa"), 9).cast(DecimalType(28, 9)))
+          .cast(DoubleType).as("sum_twa"))
+      .orderBy("decile")
+  }
+
+  /** q365: ORDER-INDEPENDENT RESULT FINGERPRINT — the certificate a
+    * 100 TB pipeline publishes next to an output so a re-run (new
+    * cluster, new Spark version, different partitioning) can be
+    * verified WITHOUT row-by-row diffing: fold every row into a
+    * 60-bit md5 key and combine with order-independent reducers
+    * (COUNT + BIT_XOR + a modular sum — xor alone misses duplicated-
+    * row-pair corruption, the sum catches it). Row keys are built
+    * from integer renditions only (scaled-integer quantity), never
+    * from float-to-string formatting, which differs across engines.
+    * One scan, one 1-row agg; the two engines producing the same
+    * three numbers IS the cross-engine certificate. */
+  def resultFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.TextPrims.hex60C(md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_quantity") * 10000).cast(LongType),
+      col("l_returnflag"))))
+    t(s, dir, "lineitem")
+      .select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_fp"),
+        sum(pmod(col("h"), lit(1000000007L))).as("sum_fp"))
+  }
+
   /** q360: TPC-H Q5 (local supplier volume) — the canonical 6-table
     * star join: revenue per nation for one region and one order-date
     * year, where customer and supplier must share the nation. The
@@ -3310,6 +3367,63 @@ object Advanced {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // q362: identical lead pairing, DECIMAL(18,4)×BIGINT products,
+    // 9-dp close, decile rollup
+    "q362_twap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |st AS (SELECT user_id, v,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS dt
+        |  FROM e),
+        |pu AS (SELECT user_id,
+        |    round(CAST(SUM(v * dt) AS DOUBLE)
+        |      / CAST(SUM(dt) AS DOUBLE), 9) AS twa
+        |  FROM st WHERE dt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id % 10 AS decile,
+        |  CAST(COUNT(*) AS INTEGER) AS n_users,
+        |  CAST(SUM(CAST(round(twa, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |    AS sum_twa
+        |FROM pu GROUP BY decile ORDER BY decile""".stripMargin,
+    // q363: FILTER-clause mirror of the PIVOT cells; counts wrapped in
+    // NULLIF (a pivot cell is >=1 or NULL, never 0)
+    "q363_sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS f_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_s,
+        |  NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS o_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_s,
+        |  NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS p_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_s
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q364: UNION ALL melt mirror of the UNPIVOT clause
+    "q364_sql_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, CAST(COUNT(*) AS INTEGER) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
+    // q365: same integer-rendition row keys, same three reducers
+    "q365_result_fingerprint" -> {
+      val hS = graft.functions.TextPrims.hex60S(
+        "md5(CAST(l_orderkey AS VARCHAR) || '|' || " +
+          "CAST(l_linenumber AS VARCHAR) || '|' || " +
+          "CAST(CAST(round(l_quantity * 10000) AS BIGINT) AS VARCHAR) " +
+          "|| '|' || l_returnflag)")
+      s"""WITH h AS (SELECT $hS AS h FROM lineitem)
+         |SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_fp,
+         |  CAST(SUM(h % 1000000007) AS BIGINT) AS sum_fp
+         |FROM h""".stripMargin
+    },
     // q358: the erasure predicate in the clear — readable rows are
     // exactly the non-shredded users', and their values sum identically
     "q358_crypto_shred" ->

@@ -102,6 +102,46 @@ object Catalog {
     spark.sql(FilterAggText)
   }
 
+  /** q363: SQL PIVOT clause — the ISO-ish wide-report spelling of
+    * q19's DataFrame pivot: per priority, (count, DECIMAL sum) columns
+    * per order status, named by the `'F' AS f … COUNT(*) AS n` aliases.
+    * Catalyst compiles the clause to the same single Expand +
+    * two-phase hash aggregate as the API form. The oracle mirrors with
+    * FILTER-clause aggregates; empty cells are NULL under PIVOT
+    * (no row ever lands there), so the count mirror wraps in
+    * NULLIF(…, 0) — a pivot cell count is ≥1 or NULL, never 0. */
+  def sqlPivot(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    registerTestdata(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  f_n, CAST(f_s AS DOUBLE) AS f_s,
+        |  o_n, CAST(o_s AS DOUBLE) AS o_s,
+        |  p_n, CAST(p_s AS DOUBLE) AS p_s
+        |FROM (SELECT o_orderpriority, o_orderstatus,
+        |        CAST(o_totalprice AS DECIMAL(18,4)) AS tp FROM orders)
+        |PIVOT (COUNT(*) AS n, SUM(tp) AS s
+        |  FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q364: SQL UNPIVOT clause — q46's melt as the declarative clause,
+    * folded straight into a per-metric rollup (count + DECIMAL sum):
+    * the wide→long pivot feeding metric-generic downstream operators,
+    * one Expand pass, no join. Oracle mirrors with a UNION ALL melt. */
+  def sqlUnpivot(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    registerTestdata(spark, sfDir)
+    spark.sql(
+      """SELECT metric, CAST(COUNT(*) AS INTEGER) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+        |      FROM lineitem)
+        |UNPIVOT (val FOR metric IN
+        |  (l_quantity, l_extendedprice, l_discount, l_tax))
+        |GROUP BY metric ORDER BY metric""".stripMargin)
+  }
+
   /** q101: LATERAL correlated join — one dialect-portable string, two
     * engines (the q79 pattern for the lateral surface). Per customer, the
     * top-2 orders by an inner ORDER BY/LIMIT that references the outer
