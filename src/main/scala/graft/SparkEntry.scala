@@ -983,6 +983,12 @@ object SparkEntry {
     "q364_sql_unpivot"        -> (graft.sql.Catalog.sqlUnpivot _),
     // order-independent result certificate: count + xor + modular sum
     "q365_result_fingerprint" -> (graft.analytics.Advanced.resultFingerprint _),
+    // orphan-FK census across the star schema (null-safe anti joins)
+    "q366_referential_audit"  -> (graft.analytics.Advanced.referentialAudit _),
+    // in-plan calendar spine with integer calendar attributes
+    "q367_calendar_dim"       -> (graft.analytics.Advanced.calendarDim _),
+    // one-pass latest-record-per-key via max_by (vs rank-window oracle)
+    "q368_latest_per_key"     -> (graft.analytics.Advanced.latestPerUser _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -2948,6 +2948,85 @@ object Advanced {
       .orderBy("n_name")
   }
 
+  /** q366: REFERENTIAL-INTEGRITY AUDIT — orphan foreign keys across
+    * the star schema in ONE report: lineitems whose order vanished,
+    * orders whose customer vanished, suppliers/customers pointing at
+    * no nation. The constraint check a lake without enforced FKs runs
+    * nightly; every edge is a LEFT ANTI join (null-safe: rows with a
+    * NULL key are counted separately — an anti join would conflate
+    * "dangling" with "absent"). Anti joins broadcast the key side when
+    * small; each relation is one pass. */
+  def referentialAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String) = {
+      val total = child.count()
+      val nullK = child.filter(col(key).isNull).count()
+      val orphan = child.filter(col(key).isNotNull)
+        .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+        .count()
+      Seq((name, total, nullK, orphan))
+    }
+    val rows =
+      edge("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey") ++
+      edge("orders->customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey") ++
+      edge("customer->nation", t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey") ++
+      edge("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
+        t(s, dir, "nation"), "n_nationkey")
+    import s.implicits._
+    rows.toDF("edge", "n_child", "n_null_key", "n_orphan")
+      .select(col("edge"), col("n_child"),
+        col("n_null_key").cast(IntegerType).as("n_null_key"),
+        col("n_orphan").cast(IntegerType).as("n_orphan"))
+      .orderBy("edge")
+  }
+
+  /** q367: CALENDAR DIMENSION GENERATOR — the date-spine table every
+    * warehouse joins against: one row per day across the orders date
+    * range with the derived calendar attributes (ISO day-of-week,
+    * month, quarter, month-end flag, ISO week). Generated IN-PLAN from
+    * one `sequence` explode off a 1-row bounds aggregate — no driver
+    * loop, no external table; at 100 TB the spine is still only
+    * O(days) rows. Every attribute is integer/boolean (no locale-
+    * dependent names to diverge across engines). */
+  def calendarDim(s: SparkSession, dir: String): DataFrame = {
+    val bounds = t(s, dir, "orders")
+      .agg(to_date(min("o_orderdate")).as("lo"),
+        to_date(max("o_orderdate")).as("hi"))
+    bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .select(col("day"),
+        dayofweek(col("day")).as("dow"),
+        month(col("day")).as("month"),
+        quarter(col("day")).as("quarter"),
+        weekofyear(col("day")).as("iso_week"),
+        (col("day") === last_day(col("day"))).cast(IntegerType)
+          .as("is_month_end"))
+      .orderBy("day")
+  }
+
+  /** q368: LATEST RECORD PER KEY via max_by — each user's most recent
+    * event with its payload, the one-pass argmax aggregate (ISO SQL's
+    * arg_max family): ONE hash aggregate carrying the maximizing
+    * struct, instead of the rank-window + filter detour (which pays a
+    * per-key sort). Ties broken by event_id inside the ordering key so
+    * the argmax is total. The SCD/"current state" read every CDC
+    * consumer runs. */
+  def latestPerUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      col("event_type"), col("value"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_events"),
+        expr("max_by(event_type, struct(us, event_id))")
+          .as("last_type"),
+        expr("max_by(value, struct(us, event_id))").as("last_value"),
+        max(struct(col("us"), col("event_id"))).getField("us")
+          .as("last_us"))
+      .orderBy("user_id")
+  }
+
   /** q362: TIME-WEIGHTED AVERAGE (TWAP) — each user's value series is
     * piecewise-constant between events (the order-book/sensor reading
     * model), so the honest per-user average weights every reading by
@@ -3367,6 +3446,56 @@ object Advanced {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // q366: per-edge left-join census (parent keys unique, so the
+    // join never multiplies); NULL keys counted apart from orphans
+    "q366_referential_audit" -> {
+      def edge(name: String, child: String, key: String,
+               parent: String, pkey: String) =
+        s"""SELECT '$name' AS edge, COUNT(*) AS n_child,
+           |  CAST(SUM(CASE WHEN c.$key IS NULL THEN 1 ELSE 0 END)
+           |    AS INTEGER) AS n_null_key,
+           |  CAST(SUM(CASE WHEN c.$key IS NOT NULL AND p.$pkey IS NULL
+           |    THEN 1 ELSE 0 END) AS INTEGER) AS n_orphan
+           |FROM $child c LEFT JOIN $parent p ON c.$key = p.$pkey""".stripMargin
+      Seq(
+        edge("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("customer->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
+    // q367: generate_series spine + part extracts (DuckDB dow is
+    // 0=Sunday — +1 aligns with Spark's 1=Sunday)
+    "q367_calendar_dim" ->
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |    CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        |d AS (SELECT CAST(unnest(generate_series(
+        |    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+        |SELECT day, CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+        |  CAST(month(day) AS INTEGER) AS month,
+        |  CAST(quarter(day) AS INTEGER) AS quarter,
+        |  CAST(weekofyear(day) AS INTEGER) AS iso_week,
+        |  CAST(day = last_day(day) AS INTEGER) AS is_month_end
+        |FROM d ORDER BY day""".stripMargin,
+    // q368: the rank-window detour as the oracle — the engine's
+    // one-pass max_by must equal it
+    "q368_latest_per_key" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    event_type, value FROM events),
+        |r AS (SELECT user_id, event_type, value, us,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rk
+        |  FROM e)
+        |SELECT user_id, CAST(n_events AS INTEGER) AS n_events,
+        |  event_type AS last_type, value AS last_value, us AS last_us
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
     // q362: identical lead pairing, DECIMAL(18,4)×BIGINT products,
     // 9-dp close, decile rollup
     "q362_twap" ->
