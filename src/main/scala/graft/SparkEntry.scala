@@ -989,6 +989,10 @@ object SparkEntry {
     "q367_calendar_dim"       -> (graft.analytics.Advanced.calendarDim _),
     // one-pass latest-record-per-key via max_by (vs rank-window oracle)
     "q368_latest_per_key"     -> (graft.analytics.Advanced.latestPerUser _),
+    // unionByName allowMissingColumns: by-name alignment + null fill
+    "q369_schema_union"       -> (graft.analytics.Advanced.schemaEvolvingUnion _),
+    // null-safe equality join: NULL keys match, still an equi hash join
+    "q370_nullsafe_join"      -> (graft.analytics.Advanced.nullSafeJoin _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -2948,6 +2948,65 @@ object Advanced {
       .orderBy("n_name")
   }
 
+  /** q369: SCHEMA-EVOLVING UNION — two generations of the same feed
+    * (an old extract missing a column, a new extract carrying an extra
+    * one) unified with `unionByName(allowMissingColumns = true)`:
+    * absent columns null-fill per side, names align by NAME not
+    * position — the silent-corruption trap positional UNION has when a
+    * producer reorders fields. The rollup then audits per generation:
+    * row count, how many rows carry the new column. Oracle = explicit
+    * NULL-padded UNION ALL. One Expand-free union, one agg. */
+  def schemaEvolvingUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // generation split is deterministic: old feed lacks `value`,
+    // new feed adds `score` (derived, non-null)
+    val gen1 = ev.filter(pmod(col("event_id"), lit(2L)) === 0)
+      .select(col("event_id"), col("event_type"))
+    val gen2 = ev.filter(pmod(col("event_id"), lit(2L)) === 1)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 4)).as("value"),
+        pmod(col("event_id"), lit(100L)).as("score"))
+    gen1.withColumn("gen", lit(1))
+      .unionByName(gen2.withColumn("gen", lit(2)),
+        allowMissingColumns = true)
+      .groupBy("gen", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("score").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(coalesce(col("value"), lit(0).cast(DecimalType(18, 4))))
+          .cast(DoubleType).as("sum_value"))
+      .orderBy("gen", "event_type")
+  }
+
+  /** q370: NULL-SAFE EQUALITY JOIN (`<=>` / IS NOT DISTINCT FROM) —
+    * the join semantics data reconciliation actually needs: NULL keys
+    * MATCH each other instead of silently dropping (standard `=`
+    * evaluates NULL = NULL to NULL and the row vanishes — the classic
+    * missing-rows bug when a nullable dimension key joins a nullable
+    * fact key). Keys are made deterministically nullable (every 7th
+    * bucket), joined both ways, and the census counts matches through
+    * the null bucket. Catalyst still plans `<=>` as an equi hash join
+    * (null-safe keys hash like values) — never a nested loop. */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, id: String) = {
+      val k = pmod(col(id), lit(97L))
+      df.select(when(k === 0, lit(null).cast(LongType)).otherwise(k)
+        .as("k"))
+    }
+    val a = keyed(t(s, dir, "orders"), "o_orderkey")
+      .groupBy("k").agg(count(lit(1)).as("na"))
+    val b = keyed(t(s, dir, "lineitem"), "l_orderkey")
+      .groupBy("k").agg(count(lit(1)).as("nb"))
+    a.join(b, a("k") <=> b("k"))
+      .select(
+        when(a("k").isNull, lit("null-bucket")).otherwise(lit("valued"))
+          .as("bucket"),
+        (col("na") * col("nb")).as("pairs"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast(IntegerType).as("n_keys"),
+        sum(col("pairs")).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
   /** q366: REFERENTIAL-INTEGRITY AUDIT — orphan foreign keys across
     * the star schema in ONE report: lineitems whose order vanished,
     * orders whose customer vanished, suppliers/customers pointing at
@@ -3446,6 +3505,35 @@ object Advanced {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // q369: explicit NULL-padded UNION ALL mirror of unionByName
+    "q369_schema_union" ->
+      """WITH g1 AS (SELECT event_id, event_type,
+        |    CAST(NULL AS DECIMAL(18,4)) AS value,
+        |    CAST(NULL AS BIGINT) AS score, 1 AS gen
+        |  FROM events WHERE event_id % 2 = 0),
+        |g2 AS (SELECT event_id, event_type,
+        |    CAST(value AS DECIMAL(18,4)) AS value,
+        |    event_id % 100 AS score, 2 AS gen
+        |  FROM events WHERE event_id % 2 = 1),
+        |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+        |SELECT gen, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_scored,
+        |  CAST(SUM(COALESCE(value, 0)) AS DOUBLE) AS sum_value
+        |FROM u GROUP BY gen, event_type
+        |ORDER BY gen, event_type""".stripMargin,
+    // q370: IS NOT DISTINCT FROM — the null bucket must MATCH
+    "q370_nullsafe_join" ->
+      """WITH a AS (SELECT NULLIF(o_orderkey % 97, 0) AS k, COUNT(*)
+        |    AS na FROM orders GROUP BY 1),
+        |b AS (SELECT NULLIF(l_orderkey % 97, 0) AS k, COUNT(*) AS nb
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CASE WHEN a.k IS NULL THEN 'null-bucket'
+        |    ELSE 'valued' END AS bucket,
+        |  CAST(COUNT(*) AS INTEGER) AS n_keys,
+        |  CAST(SUM(na * nb) AS BIGINT) AS n_pairs
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // q366: per-edge left-join census (parent keys unique, so the
     // join never multiplies); NULL keys counted apart from orphans
     "q366_referential_audit" -> {

@@ -799,6 +799,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q370 null-safe join plans as an equi HASH join — <=> keys hash " +
+      "like values, never a nested loop") {
+    val plan = planOf(graft.analytics.Advanced.nullSafeJoin(spark, sfDir))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q360 TPC-H Q5: every dimension joins by BROADCAST — the fact " +
       "tables never shuffle against customer/supplier/nation/region") {
     val plan = planOf(graft.analytics.Advanced.tpchQ5(spark, sfDir))
