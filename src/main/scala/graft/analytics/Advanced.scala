@@ -2874,6 +2874,12 @@ object Advanced {
       .transform(dranks("l_extendedprice", "ry"))
     val d38 = (c: org.apache.spark.sql.Column) =>
       sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    // overflow protection must precede the multiply: each doubled-rank
+    // factor is cast to DECIMAL(38,0) BEFORE the product, so rx*ry never
+    // forms in LongType (where ~(2n)² wraps past BIGINT at 100 TB scale)
+    val dec = (n: String) => col(n).cast(DecimalType(38, 0))
+    val dprod = (a: String, b: String) => sum(dec(a) * dec(b))
+      .cast(DoubleType)
     val nD = col("n").cast(DoubleType)
     val num = nD * col("sxy") - col("sx") * col("sy")
     val den = sqrt(nD * col("sxx") - col("sx") * col("sx")) *
@@ -2881,9 +2887,9 @@ object Advanced {
     ranked.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         d38(col("rx")).as("sx"), d38(col("ry")).as("sy"),
-        d38(col("rx") * col("ry")).as("sxy"),
-        d38(col("rx") * col("rx")).as("sxx"),
-        d38(col("ry") * col("ry")).as("syy"))
+        dprod("rx", "ry").as("sxy"),
+        dprod("rx", "rx").as("sxx"),
+        dprod("ry", "ry").as("syy"))
       .select(col("l_returnflag"), col("n").cast(IntegerType).as("n_rows"),
         round(num / den, 9).as("spearman_rho"))
       .orderBy("l_returnflag")
@@ -3011,34 +3017,33 @@ object Advanced {
     * the star schema in ONE report: lineitems whose order vanished,
     * orders whose customer vanished, suppliers/customers pointing at
     * no nation. The constraint check a lake without enforced FKs runs
-    * nightly; every edge is a LEFT ANTI join (null-safe: rows with a
-    * NULL key are counted separately — an anti join would conflate
-    * "dangling" with "absent"). Anti joins broadcast the key side when
-    * small; each relation is one pass. */
+    * nightly; every edge is ONE left join + ONE conditional aggregate
+    * (total / NULL-key / dangling counted in the same pass — an anti
+    * join would both conflate "dangling" with "absent" AND force a
+    * second scan for the census). Parent keys are unique, so the left
+    * join never multiplies; the parent side broadcasts when small.
+    * Each child relation is scanned exactly once; the four 1-row
+    * frames union into the report. */
   def referentialAudit(s: SparkSession, dir: String): DataFrame = {
     def edge(name: String, child: DataFrame, key: String,
-             parent: DataFrame, pkey: String) = {
-      val total = child.count()
-      val nullK = child.filter(col(key).isNull).count()
-      val orphan = child.filter(col(key).isNotNull)
-        .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
-        .count()
-      Seq((name, total, nullK, orphan))
-    }
-    val rows =
-      edge("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
-        t(s, dir, "orders"), "o_orderkey") ++
-      edge("orders->customer", t(s, dir, "orders"), "o_custkey",
-        t(s, dir, "customer"), "c_custkey") ++
-      edge("customer->nation", t(s, dir, "customer"), "c_nationkey",
-        t(s, dir, "nation"), "n_nationkey") ++
-      edge("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
-        t(s, dir, "nation"), "n_nationkey")
-    import s.implicits._
-    rows.toDF("edge", "n_child", "n_null_key", "n_orphan")
-      .select(col("edge"), col("n_child"),
-        col("n_null_key").cast(IntegerType).as("n_null_key"),
-        col("n_orphan").cast(IntegerType).as("n_orphan"))
+             parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key))
+        .join(parent.select(col(pkey)), col(key) === col(pkey), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col(key).isNull, 1L).otherwise(0L))
+            .cast(IntegerType).as("n_null_key"),
+          sum(when(col(key).isNotNull && col(pkey).isNull, 1L)
+            .otherwise(0L)).cast(IntegerType).as("n_orphan"))
+        .select(lit(name).as("edge"), col("n_child"),
+          col("n_null_key"), col("n_orphan"))
+    edge("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+      .unionAll(edge("orders->customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .unionAll(edge("customer->nation", t(s, dir, "customer"),
+        "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+      .unionAll(edge("supplier->nation", t(s, dir, "supplier"),
+        "s_nationkey", t(s, dir, "nation"), "n_nationkey"))
       .orderBy("edge")
   }
 
@@ -3140,7 +3145,11 @@ object Advanced {
       .select(h.as("h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("xor_fp"),
-        sum(pmod(col("h"), lit(1000000007L))).as("sum_fp"))
+        // each residue is ~1e9; a BIGINT running sum would wrap past
+        // ~9e9 rows (well inside 100 TB) — accumulate in DECIMAL(38,0)
+        // so the certificate itself cannot overflow on either engine
+        sum(pmod(col("h"), lit(1000000007L)).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("sum_fp"))
   }
 
   /** q360: TPC-H Q5 (local supplier volume) — the canonical 6-table
@@ -3638,7 +3647,8 @@ object Advanced {
           "|| '|' || l_returnflag)")
       s"""WITH h AS (SELECT $hS AS h FROM lineitem)
          |SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_fp,
-         |  CAST(SUM(h % 1000000007) AS BIGINT) AS sum_fp
+         |  CAST(SUM(CAST(h % 1000000007 AS DECIMAL(38,0)))
+         |    AS DECIMAL(38,0)) AS sum_fp
          |FROM h""".stripMargin
     },
     // q358: the erasure predicate in the clear — readable rows are
@@ -3779,9 +3789,12 @@ object Advanced {
         |m AS (SELECT l_returnflag, COUNT(*) AS n,
         |    CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(rx*ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(rx*rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(ry*ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        |    CAST(SUM(CAST(rx AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(rx AS DECIMAL(38,0)) * CAST(rx AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ry AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS syy
         |  FROM r GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(n AS INTEGER) AS n_rows,
         |  round((CAST(n AS DOUBLE) * sxy - sx * sy)

@@ -266,8 +266,12 @@ class FwMicroBatchStream(spec: Seq[FixedWidthSource.FwField],
     * when it was admitted. */
   private def checkAnchor(files: Seq[String], o: FwOffset): Unit =
     o.last.foreach { name =>
-      if (o.n > files.length || files(o.n - 1) != name) {
-        val got = if (o.n <= files.length) files(o.n - 1) else "<missing>"
+      // a count of 0 with a non-empty `last` is internally inconsistent
+      // (FwOffset.of never emits it) — a corrupt/hand-edited checkpoint;
+      // fail with the contract message, not an IndexOutOfBoundsException
+      if (o.n < 1 || o.n > files.length || files(o.n - 1) != name) {
+        val got = if (o.n >= 1 && o.n <= files.length) files(o.n - 1)
+                  else "<missing>"
         throw new IllegalStateException(
           s"fixedwidth: append-only contract violated at $path — offset " +
             s"${o.json()} expects sorted file #${o.n} to be '$name' but " +
@@ -423,14 +427,18 @@ class FwBatchWrite(spec: Seq[FixedWidthSource.FwField], path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(hconf.value)
-    if (truncate && fs.exists(dir)) {
-      // previous data stays readable until THIS job commits
-      fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
-          fs.delete(st.getPath, false)
-      }
-    }
+    // truncate ordering: snapshot the OLD visible files, make the NEW
+    // files visible FIRST, delete the snapshot LAST. A crash mid-commit
+    // then yields transient old+new duplication (re-runnable), never
+    // the zero-data window a delete-then-rename order would open.
+    // UUID-suffixed final names guarantee the two sets cannot collide.
+    val previous: Array[org.apache.hadoop.fs.Path] =
+      if (truncate && fs.exists(dir))
+        fs.listStatus(dir).collect {
+          case st if st.isFile && !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_") => st.getPath
+        }
+      else Array.empty
     messages.foreach { case FwCommitMessage(tmp, finalName) =>
       val src = new org.apache.hadoop.fs.Path(tmp)
       val dst = new org.apache.hadoop.fs.Path(dir, finalName)
@@ -438,6 +446,7 @@ class FwBatchWrite(spec: Seq[FixedWidthSource.FwField], path: String,
         throw new java.io.IOException(
           s"fixedwidth write: commit rename failed: $src -> $dst")
     }
+    previous.foreach(fs.delete(_, false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -645,6 +645,35 @@ class SinksCatalogSpec extends SparkSpec {
     assert(got2 === Seq(9L), "job abort changed visible data")
   }
 
+  test("q339 truncate commit is rename-first: a commit that dies before " +
+      "finishing leaves the PREVIOUS data intact (no zero-data window)") {
+    import graft.sources.fixedwidth._
+    val dir = tmp() + "/fwtrunc"
+    new java.io.File(dir).mkdirs()
+    val spec = FixedWidthSource.parseSpec("k:0:8:long")
+    val hc = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "part-old.fw").toPath, "00000001\n")
+    // a truncate commit whose rename FAILS (missing staged temp) must
+    // throw BEFORE any old file is deleted — delete runs strictly after
+    // all renames succeed
+    val bwT = new FwBatchWrite(spec, dir, truncate = true, hc)
+    intercept[java.io.IOException] {
+      bwT.commit(Array(FwCommitMessage(s"$dir/.tmp-does-not-exist",
+        "part-new.fw")))
+    }
+    assert(new java.io.File(dir, "part-old.fw").exists(),
+      "failed truncate commit deleted the previous data")
+    // and a SUCCESSFUL truncate commit still replaces it
+    val w = new FwWriterFactory(spec, dir, hc).createWriter(0, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(7L))
+    bwT.commit(Array(w.commit()))
+    val names = new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_"))
+    assert(!names.contains("part-old.fw") && names.size === 1)
+  }
+
   test("q339 writer fails LOUDLY on unrepresentable values: null, " +
       "over-wide, and untrimmable strings") {
     import graft.sources.fixedwidth._

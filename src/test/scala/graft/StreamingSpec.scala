@@ -1002,6 +1002,14 @@ class StreamingSpec extends SparkSpec {
         stream.planInputPartitions(FwOffset(0, None), end0)
       }
       assert(e2.getMessage.contains("append-only"))
+      // violation 3: a corrupt/hand-edited checkpoint (count 0 with a
+      // non-empty anchor — FwOffset.of never emits this) gets the
+      // contract message, not an IndexOutOfBoundsException
+      val e3 = intercept[IllegalStateException] {
+        stream.planInputPartitions(FwOffset(0, Some("x.fw")),
+          stream.latestOffset())
+      }
+      assert(e3.getMessage.contains("append-only"))
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete(); ()
     }
