@@ -993,6 +993,9 @@ object SparkEntry {
     "q369_schema_union"       -> (graft.analytics.Advanced.schemaEvolvingUnion _),
     // null-safe equality join: NULL keys match, still an equi hash join
     "q370_nullsafe_join"      -> (graft.analytics.Advanced.nullSafeJoin _),
+    // M8 elbow protocol (k sweep, WSSSE + silhouette, argmax best) made
+    // bit-exact over the deterministic Lloyd twin
+    "q371_elbow_exact"        -> (graft.ml.LloydExact.elbowExact _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

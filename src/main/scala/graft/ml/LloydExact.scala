@@ -39,9 +39,9 @@ object LloydExact {
       .select(col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("e"))
 
-  private def initCenters(pts: DataFrame): DataFrame = {
+  private def initCenters(pts: DataFrame, k: Int = K): DataFrame = {
     val w = Window.orderBy("vec_id")
-    pts.orderBy("vec_id").limit(K)
+    pts.orderBy("vec_id").limit(k)
       .select((row_number().over(w) - 1).cast(IntegerType).as("cluster"),
         col("e").as("c"))
   }
@@ -54,8 +54,8 @@ object LloydExact {
     * stats, IVF probe sides), and without truncation every reference
     * re-nests — and re-executes — the whole iteration chain. Checkpointing
     * K rows costs nothing and makes each reference an RDD scan. */
-  private[graft] def centersFor(pts: DataFrame): DataFrame = {
-    var centers = initCenters(pts)
+  private[graft] def centersFor(pts: DataFrame, k: Int = K): DataFrame = {
+    var centers = initCenters(pts, k)
     for (_ <- 0 until Iters)
       centers = recompute(assign(pts, centers)).localCheckpoint()
     centers
@@ -95,6 +95,64 @@ object LloydExact {
       .orderBy("cluster")
   }
 
+  /** k sweep shared by the q371 query and its oracle. */
+  val ElbowKs: Seq[Int] = Seq(2, 3, 4, 5)
+
+  /** q371: ORACLE-EXACT ELBOW SWEEP — the reference's M8 model-selection
+    * protocol (kmeans_clustering.py:97-139: sweep k, record WSSSE +
+    * silhouette per k, pick k by argmax silhouette) made BIT-EXACT
+    * instead of band-tested, by running it over the deterministic Lloyd
+    * twin rather than MLlib's RNG-dependent k-means||:
+    *
+    *  - per k in [[ElbowKs]]: [[centersFor]] (Iters exact rounds), then
+    *    ONE scored cross join computes every point's squared distance to
+    *    every center; a per-point rank window yields a = d² to the
+    *    assigned center (rank 1) and b = d² to the nearest OTHER center
+    *    (rank 2 — exactly min over non-assigned clusters);
+    *  - WSSSE = Σ a, through per-row 9-dp rounding into DECIMAL(28,9)
+    *    (the q183 discipline: a double is dyadic, so a round-half tie at
+    *    a decimal digit is impossible — the rounded sum is engine- and
+    *    partition-order-independent);
+    *  - silhouette: the CENTROID-BASED simplified silhouette
+    *    s = (b − a) / max(a, b) (Hruschka et al.'s O(n·k) variant — the
+    *    pairwise textbook form is O(n²) and has no 100 TB story), mean
+    *    via the same decimal routing;
+    *  - is_best = argmax silhouette, ties toward smaller k (M8's rule).
+    *
+    * Scale: k fits × (one broadcast cross join + one window keyed by
+    * vec_id + two hash aggs) over a localCheckpoint-pinned input — the
+    * sweep input is scanned once per (k, iteration), never collected. */
+  def elbowExact(s: SparkSession, dir: String): DataFrame = {
+    val pts = points(s, dir).localCheckpoint()
+    val perK = ElbowKs.map { k =>
+      val centers = centersFor(pts, k)
+      val d2 = dotp(col("e"), col("e")) -
+        lit(2.0) * dotp(col("e"), col("c")) + dotp(col("c"), col("c"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+      val ab = pts.crossJoin(broadcast(centers))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(min(when(col("rn") === 1, col("d2"))).as("a"),
+          min(when(col("rn") === 2, col("d2"))).as("b"))
+      val sil = when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+      ab.agg(
+          sum(round(col("a"), 9).cast(DecimalType(28, 9))).as("wd"),
+          (sum(round(sil, 9).cast(DecimalType(28, 9))).cast(DoubleType) /
+            count(lit(1))).as("sm"))
+        .select(lit(k).cast(IntegerType).as("k"),
+          round(col("wd").cast(DoubleType), 6).as("wssse"),
+          round(col("sm"), 9).as("silhouette"))
+    }
+    val all = perK.reduce(_ unionAll _)
+    val wBest = Window.orderBy(col("silhouette").desc, col("k"))
+    all.withColumn("is_best",
+        (row_number().over(wBest) === 1).cast(IntegerType))
+      .orderBy("k")
+  }
+
   // ---------------------------------------------------------------- oracle
   private[graft] def dotS(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -125,7 +183,8 @@ object LloydExact {
     * over an arbitrary (vec_id, e) source SQL. Multiple independent
     * chains (distinct prefixes) can share one statement — the PQ oracle
     * (TopK q201) runs one per sub-vector block. */
-  private[graft] def lloydCtesFor(srcE: String, p: String): String = {
+  private[graft] def lloydCtesFor(srcE: String, p: String,
+                                  k: Int = K): String = {
     val iterCtes = (1 to Iters).map { i =>
       val prev = if (i == 1) s"${p}c0" else s"${p}c${i - 1}"
       s"""${p}a$i AS (${assignS(s"${p}e", prev)}),
@@ -135,7 +194,7 @@ object LloydExact {
     s"""${p}e AS ($srcE),
        |${p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
        |    AS INTEGER) AS cluster, e AS c
-       |  FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT $K)),
+       |  FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT $k)),
        |$iterCtes,
        |${p}afinal AS (${assignS(s"${p}e", s"${p}c$Iters")})""".stripMargin
   }
@@ -148,11 +207,54 @@ object LloydExact {
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings""".stripMargin, "")
 
+  private val srcES =
+    """SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings""".stripMargin
+
+  // q371: same d² expression shape as the Spark side ((e·e − 2·e·c) +
+  // c·c, identical left-assoc fold), same per-row 9-dp DECIMAL routing,
+  // same argmax-silhouette/smaller-k best rule
+  private def elbowMetricS(k: Int): String = {
+    val p = s"k$k"
+    val d2 = s"${dotS("v.e", "v.e")} - 2 * ${dotS("v.e", "c.c")} + " +
+      dotS("c.c", "c.c")
+    s"""${p}m AS (
+       |  SELECT $k AS k,
+       |    round(CAST(SUM(CAST(round(a, 9) AS DECIMAL(28,9)))
+       |      AS DOUBLE), 6) AS wssse,
+       |    round(CAST(SUM(CAST(round(CASE WHEN greatest(a, b) = 0 THEN 0
+       |        ELSE (b - a) / greatest(a, b) END, 9) AS DECIMAL(28,9)))
+       |      AS DOUBLE) / COUNT(*), 9) AS silhouette
+       |  FROM (
+       |    SELECT vec_id, MIN(CASE WHEN rn = 1 THEN d2 END) AS a,
+       |      MIN(CASE WHEN rn = 2 THEN d2 END) AS b
+       |    FROM (
+       |      SELECT vec_id, d2, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d2, cluster) AS rn
+       |      FROM (SELECT v.vec_id, c.cluster, $d2 AS d2
+       |            FROM ${p}e v CROSS JOIN ${p}c$Iters c))
+       |    WHERE rn <= 2 GROUP BY vec_id))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     Map("q57_kmeans_lloyd" ->
       s"""WITH $lloydCtesS
          |SELECT a.cluster, COUNT(*) AS n,
          |  round(sqrt(${dotS("c.c", "c.c")}), 6) AS center_norm
          |FROM afinal a JOIN c$Iters c ON a.cluster = c.cluster
-         |GROUP BY a.cluster, c.c ORDER BY a.cluster""".stripMargin)
+         |GROUP BY a.cluster, c.c ORDER BY a.cluster""".stripMargin,
+      "q371_elbow_exact" -> {
+        val chains = ElbowKs.map(k =>
+          lloydCtesFor(srcES, s"k$k", k) + ",\n" + elbowMetricS(k))
+          .mkString(",\n")
+        val union = ElbowKs.map(k => s"SELECT * FROM k${k}m")
+          .mkString("\nUNION ALL\n")
+        s"""WITH $chains,
+           |u AS ($union)
+           |SELECT CAST(k AS INTEGER) AS k, wssse, silhouette,
+           |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY silhouette DESC, k)
+           |    = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_best
+           |FROM u ORDER BY k""".stripMargin
+      })
 }

@@ -20,6 +20,22 @@ class MlSpec extends SparkSpec {
     rows.toDF("label", "features")
   }
 
+  test("q371 exact elbow: one row per k, exactly one argmax-silhouette " +
+      "best, silhouettes bounded, WSSSE positive and non-increasing") {
+    val rows = LloydExact.elbowExact(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === LloydExact.ElbowKs)
+    assert(rows.map(_.getInt(3)).sum === 1, "exactly one is_best row")
+    assert(rows.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    val w = rows.map(_.getDouble(1)).toSeq
+    assert(w.forall(_ > 0))
+    assert(w.zip(w.tail).forall { case (a, b) => b <= a },
+      s"WSSSE should not increase with k under deterministic init: $w")
+    // the flagged row IS the argmax (ties toward smaller k)
+    val best = rows.filter(_.getInt(3) === 1).head
+    assert(rows.forall(r => r.getDouble(2) < best.getDouble(2) ||
+      (r.getDouble(2) == best.getDouble(2) && r.getInt(0) >= best.getInt(0))))
+  }
+
   test("KMeans elbow picks k=3 on 3 separable blobs") {
     val pts = KMeansJob.elbow(blobs, 2 to 5, maxIter = 20)
     assert(pts.map(_.k) === (2 to 5))
