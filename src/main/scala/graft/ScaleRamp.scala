@@ -75,7 +75,15 @@ object ScaleRamp {
     "recursive_components" -> "q336_recursive_cte",
     "pagerank"         -> "q341_pagerank",
     "heavy_hitters"    -> "q357_heavy_hitters",
-    "sliding_distinct" -> "q359_sliding_distinct")
+    "sliding_distinct" -> "q359_sliding_distinct",
+    // streaming-STATE families (round-14 verdict item 6): ×N events =
+    // ×N state keys (user_id is offset per copy) under a FIXED
+    // event-time horizon — the axis a production stream scales on.
+    // The claim under test: RocksDB state grows with keys on the
+    // executors while the DRIVER stays flat (retained_mb asserted).
+    "ttl_state"        -> "q297_ttl_state",
+    "timer_sessions"   -> "q264_timer_sessions",
+    "cm_stream"        -> "q270_cm_stream")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding

@@ -996,6 +996,10 @@ object SparkEntry {
     // M8 elbow protocol (k sweep, WSSSE + silhouette, argmax best) made
     // bit-exact over the deterministic Lloyd twin
     "q371_elbow_exact"        -> (graft.ml.LloydExact.elbowExact _),
+    // TPC-H Q7: nation joined twice, post-join direction disjunction
+    "q372_tpch_q7"            -> (graft.analytics.Advanced.tpchQ7 _),
+    // TPC-H Q8: conditional-aggregate market share in one pass
+    "q373_tpch_q8"            -> (graft.analytics.Advanced.tpchQ8 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

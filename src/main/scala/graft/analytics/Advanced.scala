@@ -3183,6 +3183,80 @@ object Advanced {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** q372: TPC-H Q7 (volume shipping) — bilateral trade flow between two
+    * nations: for each (supplier nation, customer nation) direction and
+    * ship year, the revenue shipped. The multi-ALIAS join stress shape:
+    * nation joins the plan TWICE (once through supplier, once through
+    * customer), which requires disambiguated aliases and tests that the
+    * optimizer broadcasts BOTH copies while the two facts (lineitem ⋈
+    * orders) hash-join on orderkey. The direction predicate
+    * (n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A) cannot be pushed into either
+    * dimension alone — it evaluates post-join, exactly as spec'd.
+    * Revenue through per-row 9-dp DECIMAL(28,9) (q183 discipline). */
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+    val d9sum = sum(round(col("l_extendedprice") *
+      (lit(1.0) - col("l_discount")), 9).cast(DecimalType(28, 9)))
+    t(s, dir, "supplier").join(t(s, dir, "lineitem"),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(n1, col("s_nationkey") === col("n1k"))
+      .join(n2, col("c_nationkey") === col("n2k"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_items"),
+        d9sum.cast(DoubleType).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q373: TPC-H Q8 (national market share) — of all ECONOMY-part
+    * revenue sold into one region per order year, the share supplied by
+    * one nation: the conditional-aggregate-over-join shape (numerator =
+    * CASE'd sum, denominator = total sum, ONE pass — never two queries
+    * diffed). Eight relations: both facts hash-join on their keys; part,
+    * customer-side nation/region, and supplier-side nation all
+    * broadcast. The share divides the two exact DECIMAL(28,9) sums and
+    * rounds at 9 dp — numerator and denominator are each partition-
+    * order-independent, so the quotient is too. */
+  def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val vol = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+      9).cast(DecimalType(28, 9))
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n1k"), col("n_regionkey").as("n1r"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n2k"), col("n_name").as("supp_nation"))
+    val base = t(s, dir, "part")
+      .filter(col("p_type") === "ECONOMY")
+      .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("n1k"))
+      .join(t(s, dir, "region"), col("n1r") === col("r_regionkey"))
+      .join(n2, col("s_nationkey") === col("n2k"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    base.groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_items"),
+        sum(when(col("supp_nation") === "NATION_2", vol)
+          .otherwise(lit(0).cast(DecimalType(28, 9)))).as("nat"),
+        sum(vol).as("tot"))
+      .select(col("o_year"), col("n_items"),
+        round(col("nat").cast(DoubleType) / col("tot").cast(DoubleType), 9)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** q358: CRYPTO-SHREDDING ERASURE AUDIT — the GDPR right-to-be-
     * forgotten mechanic for immutable 100 TB stores: payloads are
     * encrypted at rest with a PER-USER key (`aes_encrypt`, key table
@@ -3514,6 +3588,50 @@ object Advanced {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // q372: TPC-H Q7 verbatim (nation aliased twice, post-join
+    // direction disjunction, ship-year grouping)
+    "q372_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(COUNT(*) AS INTEGER) AS n_items,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // q373: TPC-H Q8 verbatim — CASE'd numerator over the same pass,
+    // exact decimal sums divided in double at the very end
+    "q373_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(COUNT(*) AS INTEGER) AS n_items,
+        |  round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount), 9)
+        |        AS DECIMAL(28,9))
+        |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 9)
+        |        AS DECIMAL(28,9))) AS DOUBLE), 9) AS mkt_share
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
     // q369: explicit NULL-padded UNION ALL mirror of unionByName
     "q369_schema_union" ->
       """WITH g1 AS (SELECT event_id, event_type,

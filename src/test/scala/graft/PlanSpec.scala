@@ -814,6 +814,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q372 TPC-H Q7: both nation aliases BROADCAST; the only " +
+      "non-broadcast join is the fact-fact lineitem-orders hash join") {
+    val plan = planOf(graft.analytics.Advanced.tpchQ7(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q373 TPC-H Q8: part/nation(x2)/region/customer/supplier all " +
+      "broadcast; numerator+denominator come from ONE aggregate, so " +
+      "the plan has exactly one pass over lineitem") {
+    val df = graft.analytics.Advanced.tpchQ8(spark, sfDir)
+    val plan = planOf(df)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 5, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one-pass: lineitem's scan appears exactly once in the plan
+    assert("lineitem".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("q352 map-literal dimension lookup: NO join operator anywhere in " +
       "the plan — the decode is a projection expression") {
     val plan = planOf(graft.analytics.Advanced
