@@ -1000,6 +1000,14 @@ object SparkEntry {
     "q372_tpch_q7"            -> (graft.analytics.Advanced.tpchQ7 _),
     // TPC-H Q8: conditional-aggregate market share in one pass
     "q373_tpch_q8"            -> (graft.analytics.Advanced.tpchQ8 _),
+    // TPC-H Q10: early-pruned fact-fact join, global top-20
+    "q374_tpch_q10"           -> (graft.analytics.Advanced.tpchQ10 _),
+    // TPC-H Q14: promo revenue share, one conditional-agg pass
+    "q375_tpch_q14"           -> (graft.analytics.Advanced.tpchQ14 _),
+    // TPC-H Q18: aggregate-HAVING-then-rejoin large-volume customers
+    "q376_tpch_q18"           -> (graft.analytics.Advanced.tpchQ18 _),
+    // TPC-H Q19: mixed-table OR-of-ANDs disjunctive predicate
+    "q377_tpch_q19"           -> (graft.analytics.Advanced.tpchQ19 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -3257,6 +3257,96 @@ object Advanced {
       .orderBy("o_year")
   }
 
+  /** q374: TPC-H Q10 (returned-item reporting) — the revenue lost to
+    * returns per customer in one quarter, top 20: the canonical
+    * fact-fact join narrowed EARLY by two pushable predicates
+    * (order-date range on orders, returnflag on lineitem — both must
+    * reach their scans), grouped on the customer grain, then a global
+    * top-k that must plan as TakeOrderedAndProject (never a full sort).
+    * Ties broken by c_custkey so the limit is deterministic. */
+  def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val d9sum = sum(round(col("l_extendedprice") *
+      (lit(1.0) - col("l_discount")), 9).cast(DecimalType(28, 9)))
+    t(s, dir, "customer").join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("l_returnflag") === "R" &&
+        col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(count(lit(1)).cast(IntegerType).as("n_items"),
+        d9sum.cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** q375: TPC-H Q14 (promotion effect) — the share of one month's
+    * revenue from PROMO parts: conditional aggregate over lineitem ⋈
+    * broadcast(part) in ONE pass (numerator and denominator from the
+    * same hash agg — never two scans diffed). The date range prunes at
+    * the lineitem scan; the quotient divides two exact decimal sums. */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val vol = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+      9).cast(DecimalType(28, 9))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-10-01").cast(TimestampType))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_items"),
+        sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0).cast(DecimalType(28, 9)))).as("promo"),
+        sum(vol).as("tot"))
+      .select(col("n_items"),
+        round(lit(100.0) * col("promo").cast(DoubleType) /
+          col("tot").cast(DoubleType), 9).as("promo_revenue_pct"))
+  }
+
+  /** q376: TPC-H Q18 (large-volume customers) — orders whose line
+    * quantities sum past a threshold, with their customer: the
+    * aggregate-HAVING-then-rejoin shape. The per-order quantity sum
+    * aggregates lineitem FIRST (map-side partials on l_orderkey — the
+    * 100 TB-safe order: filter the fact to the ~1% qualifying orders
+    * BEFORE any join), then joins orders + customer on the shrunken
+    * key set. Quantity sums are exact DECIMAL(18,4). Top 20 by total
+    * quantity, o_orderkey tiebreak. */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val qty = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    qty.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** q377: TPC-H Q19 (discounted revenue) — the OR-of-ANDs predicate
+    * over lineitem ⋈ broadcast(part): three (brand, size-range,
+    * quantity-range) disjuncts that CANNOT be split across the join
+    * (each conjunct mixes part and lineitem columns), so the planner
+    * must evaluate the disjunction post-join while still pushing the
+    * join keys — the classic predicate-shape stress test. One row:
+    * qualifying item count + revenue. */
+  def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val d9sum = sum(round(col("l_extendedprice") *
+      (lit(1.0) - col("l_discount")), 9).cast(DecimalType(28, 9)))
+    val disj =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(disj)
+      .agg(count(lit(1)).cast(IntegerType).as("n_items"),
+        d9sum.cast(DoubleType).as("revenue"))
+  }
+
   /** q358: CRYPTO-SHREDDING ERASURE AUDIT — the GDPR right-to-be-
     * forgotten mechanic for immutable 100 TB stores: payloads are
     * encrypted at rest with a PER-USER key (`aes_encrypt`, key table
@@ -3632,6 +3722,61 @@ object Advanced {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1
         |ORDER BY o_year""".stripMargin,
+    // q374: TPC-H Q10 verbatim (quarter window, returnflag R, top 20
+    // by revenue with custkey tiebreak)
+    "q374_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(COUNT(*) AS INTEGER) AS n_items,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    // q375: TPC-H Q14 verbatim — one conditional aggregate pass
+    "q375_tpch_q14" ->
+      """SELECT CAST(COUNT(*) AS INTEGER) AS n_items,
+        |  round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount), 9)
+        |        AS DECIMAL(28,9))
+        |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 9)
+        |        AS DECIMAL(28,9))) AS DOUBLE), 9) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    // q376: TPC-H Q18 verbatim — aggregate-HAVING before any join
+    "q376_tpch_q18" ->
+      """WITH q AS (
+        |  SELECT l_orderkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM q
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    // q377: TPC-H Q19 verbatim — the mixed-table OR-of-ANDs disjunction
+    "q377_tpch_q19" ->
+      """SELECT CAST(COUNT(*) AS INTEGER) AS n_items,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     // q369: explicit NULL-padded UNION ALL mirror of unionByName
     "q369_schema_union" ->
       """WITH g1 AS (SELECT event_id, event_type,

@@ -833,6 +833,20 @@ class PlanSpec extends SparkSpec {
     assert("lineitem".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("q374/q376 global top-20 plans as TakeOrderedAndProject — never " +
+      "a full global sort; q374's returnflag filter reaches the scan") {
+    val p10 = planOf(graft.analytics.Advanced.tpchQ10(spark, sfDir))
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+    assert(!p10.contains("CartesianProduct"), p10)
+    assert(p10.contains("l_returnflag"), p10) // pushed to the parquet scan
+    val p18 = planOf(graft.analytics.Advanced.tpchQ18(spark, sfDir))
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+    // the HAVING aggregate runs BELOW the joins: lineitem feeds an
+    // aggregate, not a join, so partial aggregation shrinks the fact
+    // before any exchange-to-join
+    assert(!p18.contains("CartesianProduct"), p18)
+  }
+
   test("q352 map-literal dimension lookup: NO join operator anywhere in " +
       "the plan — the decode is a projection expression") {
     val plan = planOf(graft.analytics.Advanced
