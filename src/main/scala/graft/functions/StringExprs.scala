@@ -110,6 +110,58 @@ case class JaroWinklerSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC kernel — canonical composition via the JDK's
+  * `java.text.Normalizer` (the Unicode-standard algorithm; DuckDB's
+  * `nfc_normalize` implements the same UAX#15 spec through utf8proc, so
+  * the two engines agree byte-for-byte — that agreement IS the q378
+  * oracle). The fast path: most corpus text is already NFC, and
+  * `isNormalized` is a cheap quick-check scan that avoids allocating a
+  * copy for it. */
+object UnicodeNorm {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Native Catalyst expression for Unicode NFC normalization.
+  *
+  * Why a custom Expression (SURVEY.md §2.11): text entering an LLM
+  * corpus from multiple sources mixes composed and decomposed forms
+  * ("é" vs "e"+U+0301) — identical text that hashes differently, so
+  * exact dedup, shingling, and fingerprinting all silently miss
+  * duplicates until the text is canonicalized. Spark has NO
+  * normalization builtin; a Scala UDF would box every row and break
+  * whole-stage codegen on the hottest scan of the pipeline. Like
+  * `levenshtein`/[[JaroWinklerSim]], the generated code is one static
+  * call into the kernel — the stage stays fused. */
+case class NfcNormalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string input, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    UnicodeNorm.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnicodeNorm.nfc($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
 object StringExprs {
   /** Column wrapper for [[JaroWinklerSim]]. */
   def jaroWinkler(a: Column, b: Column): Column =
@@ -119,6 +171,10 @@ object StringExprs {
   def hilbertIndex(x: Column, y: Column, order: Int): Column =
     bridge.column(HilbertIndex(bridge.expression(x), bridge.expression(y),
       order))
+
+  /** Column wrapper for [[NfcNormalize]]. */
+  def nfcNormalize(c: Column): Column =
+    bridge.column(NfcNormalize(bridge.expression(c)))
 }
 
 /** Static Hilbert xy→d kernel — the per-level compare/accumulate/

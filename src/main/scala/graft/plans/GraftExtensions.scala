@@ -171,6 +171,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    // same name and UAX#15 semantics as DuckDB's builtin — SQL text
+    // runs unchanged on either engine
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getCanonicalName,
+        "nfc_normalize"),
+      (args: Seq[Expression]) => graft.functions.NfcNormalize(args.head)))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
     // whole-operator path: TopKPerKeyNode plans to partial→final
