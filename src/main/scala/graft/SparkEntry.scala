@@ -1008,6 +1008,8 @@ object SparkEntry {
     "q376_tpch_q18"           -> (graft.analytics.Advanced.tpchQ18 _),
     // TPC-H Q19: mixed-table OR-of-ANDs disjunctive predicate
     "q377_tpch_q19"           -> (graft.analytics.Advanced.tpchQ19 _),
+    // native NFC normalization expression vs DuckDB's utf8proc builtin
+    "q378_nfc_census"         -> (graft.text.TextOps.nfcCensus _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -3175,7 +3175,71 @@ object TextOps {
       .orderBy(col("n_drawn").desc, col("tok"))
   }
 
+  /** q378: UNICODE NFC CANONICALIZATION CENSUS — the normalization
+    * pass every multi-source LLM corpus needs before exact dedup or
+    * shingling: composed and decomposed renditions of the SAME text
+    * ("é" vs "e"+U+0301, Å vs the Angstrom sign) hash differently, so
+    * un-canonicalized corpora silently miss duplicates. The corpus
+    * fixture is ASCII, so the query PLANTS deterministic non-NFC
+    * suffixes (doc_id%4 selects: none / combining acute / Angstrom
+    * singleton / combining ring + NFC-invariant fi-ligature control),
+    * normalizes through the native codegen [[graft.functions
+    * .NfcNormalize]] expression (Spark has no builtin; a UDF would
+    * break stage fusion on the corpus scan), and reports per lang: how
+    * many docs changed, the codepoint delta, and an order-independent
+    * 60-bit fingerprint of the normalized text. The DuckDB oracle runs
+    * its own utf8proc `nfc_normalize` — byte-identical fingerprints
+    * certify the two UAX#15 implementations agree on real text, not
+    * just on the census counts. One scan, one hash-agg. */
+  def nfcCensus(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4L))
+    val decorated = concat(col("text"),
+      // planted suffixes are DECOMPOSED codepoint escapes (never
+      // composed glyphs, which an editor could silently NFC-normalize):
+      // e+COMBINING ACUTE; ANGSTROM SIGN (NFC singleton); A+COMBINING
+      // RING + fi-ligature (NFC-invariant — the negative control)
+      when(m === 1, lit("e\u0301"))
+        .when(m === 2, lit("\u212B"))
+        .when(m === 3, lit("A\u030A\uFB01"))
+        .otherwise(lit("")))
+    docs(s, dir)
+      .select(col("lang"), decorated.as("dtext"))
+      .withColumn("norm",
+        graft.functions.StringExprs.nfcNormalize(col("dtext")))
+      .select(col("lang"), col("dtext"), col("norm"),
+        hex60C(md5(col("norm"))).as("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum(when(col("norm") =!= col("dtext"), 1L).otherwise(0L))
+          .cast(IntegerType).as("n_changed"),
+        sum(length(col("dtext")) - length(col("norm")))
+          .as("delta_chars"),
+        expr("bit_xor(h)").as("xor_fp"))
+      .orderBy("lang")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q378: DuckDB's utf8proc NFC vs the JDK Normalizer — same planted
+    // suffixes, same census, fingerprint over the normalized bytes
+    "q378_nfc_census" -> {
+      s"""WITH d AS (SELECT lang,
+         |    text || CASE CAST(doc_id % 4 AS INTEGER)
+         |      WHEN 1 THEN 'e' || chr(769)
+         |      WHEN 2 THEN chr(8491)
+         |      WHEN 3 THEN 'A' || chr(778) || chr(64257)
+         |      ELSE '' END AS dtext
+         |  FROM documents),
+         |n AS (SELECT lang, dtext, nfc_normalize(dtext) AS norm FROM d),
+         |h AS (SELECT lang, dtext, norm, ${hex60S("md5(norm)")} AS h
+         |  FROM n)
+         |SELECT lang, CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(CASE WHEN norm <> dtext THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS n_changed,
+         |  CAST(SUM(length(dtext) - length(norm)) AS BIGINT)
+         |    AS delta_chars,
+         |  bit_xor(h) AS xor_fp
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+    },
     // q361: identical integer sampling table + 60-bit md5 draws
     "q361_negative_sampling" ->
       s"""WITH toks AS (SELECT unnest(${tokensS("text")}) AS tok

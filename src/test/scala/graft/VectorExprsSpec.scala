@@ -85,6 +85,41 @@ class VectorExprsSpec extends SparkSpec {
       l.contains("lower_bound") && l.trim.startsWith("*(")), plan.take(500))
   }
 
+  test("NfcNormalize: golden compositions, NFC-invariant controls, null " +
+      "propagation, idempotence, SQL registration, and codegen") {
+    import spark.implicits._
+    import graft.functions.StringExprs.nfcNormalize
+    val golden = Seq(
+      ("e\u0301", "\u00E9"),           // combining acute composes
+      ("\u212B", "\u00C5"),            // Angstrom singleton maps
+      ("A\u030A", "\u00C5"),           // combining ring composes
+      ("\uFB01", "\uFB01"),            // fi-ligature: NFC-invariant
+      ("ascii only", "ascii only"),      // fast path
+      ("", ""))
+    val got = golden.toDF("a", "want")
+      .select(nfcNormalize(col("a")).as("n"), col("want"),
+        nfcNormalize(nfcNormalize(col("a"))).as("nn")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) === r.getString(1), r)
+      assert(r.getString(2) === r.getString(0), "not idempotent")
+    }
+    val nr = Seq(None: Option[String]).toDF("a")
+      .select(nfcNormalize(col("a"))).head()
+    assert(nr.isNullAt(0))
+    // registered as a SQL function with DuckDB's name (the combining
+    // mark is embedded directly \u2014 Spark's chr() is ASCII-mod-256, not
+    // codepoint-based like DuckDB's)
+    assert(spark.sql("SELECT nfc_normalize('e\u0301')").head()
+      .getString(0) === "\u00E9")
+    // inside whole-stage codegen, like the other native string exprs
+    val plan = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(nfcNormalize(col("text")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("nfc_normalize") && l.trim.stripPrefix("+- ")
+        .stripPrefix(":- ").startsWith("*(")), plan.take(800))
+  }
+
   test("JaroWinklerSim: published golden values, edge cases, and " +
       "symmetry over fixture text") {
     import spark.implicits._
