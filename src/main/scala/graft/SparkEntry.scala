@@ -1010,6 +1010,11 @@ object SparkEntry {
     "q377_tpch_q19"           -> (graft.analytics.Advanced.tpchQ19 _),
     // native NFC normalization expression vs DuckDB's utf8proc builtin
     "q378_nfc_census"         -> (graft.text.TextOps.nfcCensus _),
+    // Spark 4 VARIANT: render -> parse_json shred -> typed variant_get
+    "q379_variant_extract"    -> (graft.analytics.Advanced.variantExtract _),
+    // mergeable histogram-quantile sketch + exact interpolated twin
+    "q380_hist_quantiles"     -> ((s, d) =>
+      graft.analytics.Advanced.histQuantiles(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -3347,6 +3347,97 @@ object Advanced {
         d9sum.cast(DoubleType).as("revenue"))
   }
 
+  /** q379: VARIANT SHREDDING ROUND-TRIP — Spark 4's semi-structured
+    * VARIANT type driven end-to-end: each order renders to a NESTED
+    * JSON document (objects, an array, integer-only numerics so the
+    * text is engine-independent), `parse_json` shreds it to the binary
+    * VARIANT encoding, and typed `variant_get` paths (object field,
+    * nested field, array index, and a MISSING path through
+    * `try_variant_get` — null, never an error) extract everything back.
+    * The aggregate of the extracted values hash-matches the oracle's
+    * DIRECT computation from the columns — the certificate that the
+    * render → shred → typed-extract cycle is lossless. The engine-
+    * surface point: schema-on-read ingestion at 100 TB parses raw JSON
+    * ONCE into variant binaries; every later extraction is a cheap
+    * typed path walk, not a re-parse. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(LongType)
+    val j = to_json(struct(
+      col("o_orderkey").as("id"),
+      struct(col("o_custkey").as("key"),
+        col("o_orderpriority").as("seg")).as("cust"),
+      array(cents, pmod(col("o_orderkey"), lit(97L))).as("amounts")))
+    t(s, dir, "orders")
+      .select(parse_json(j).as("v"))
+      .select(
+        expr("variant_get(v, '$.cust.seg', 'string')").as("seg"),
+        expr("variant_get(v, '$.id', 'long')").as("id"),
+        expr("variant_get(v, '$.amounts[0]', 'long')").as("cents"),
+        expr("variant_get(v, '$.amounts[1]', 'long')").as("k97"),
+        expr("try_variant_get(v, '$.absent', 'long')").as("missing"))
+      .groupBy("seg")
+      .agg(count(lit(1)).cast(IntegerType).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("k97")).as("sum_k97"),
+        sum(pmod(col("id"), lit(1009L))).as("id_fold"),
+        sum(when(col("missing").isNull, 0L).otherwise(1L))
+          .cast(IntegerType).as("n_phantom"))
+      .orderBy("seg")
+  }
+
+  /** q380: MERGEABLE HISTOGRAM-QUANTILE SKETCH + EXACT TWIN — the
+    * quantile estimator that actually merges at 100 TB: a B-bin
+    * equi-width histogram is a per-partition partial that combines by
+    * ADDING COUNTS (one hash-agg — the property exact percentile lacks:
+    * `percentile` must see all values, histograms ship B longs per
+    * partition). Per return flag over extended price: bin counts →
+    * cumulative CDF (a ≤B-row per-key window, bounded) → p50/p90/p99 by
+    * linear interpolation inside the covering bin, reported NEXT TO the
+    * exact interpolated percentiles, so the artifact carries its own
+    * error evidence (|est − exact| ≤ bin width by construction — the
+    * spec asserts it). All arithmetic derives from integer counts and
+    * the two-point (min, max) frame, identical on both engines. */
+  def histQuantiles(s: SparkSession, dir: String, bins: Int = 64): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+      col("l_extendedprice").as("x"))
+    val bounds = li.agg(min("x").as("lo"), max("x").as("hi"))
+    val binned = li.crossJoin(broadcast(bounds))
+      .withColumn("w", (col("hi") - col("lo")) / bins)
+      .withColumn("bin", least(floor((col("x") - col("lo")) / col("w")),
+        lit(bins - 1)).cast(IntegerType))
+      .groupBy("flag", "bin")
+      .agg(count(lit(1)).as("c"), max("w").as("w"), max("lo").as("lo"))
+    val wCum = Window.partitionBy("flag").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy("flag")
+    val cdf = binned
+      .withColumn("cum0", coalesce(sum("c").over(wCum), lit(0L)))
+      .withColumn("n", sum("c").over(wN))
+    def est(q: Double) = {
+      val target = lit(q) * col("n")
+      // the UNIQUE covering bin: cumulative count crosses the target
+      // inside it (cum0 < target <= cum0 + c) — exactly one non-empty
+      // bin satisfies this, so the aggregate collapses a single value
+      max(when(col("cum0") < target && col("cum0") + col("c") >= target,
+        col("lo") + (col("bin") +
+          (target - col("cum0")) / col("c")) * col("w")))
+    }
+    val sketch = cdf.groupBy("flag")
+      .agg(max("n").as("n"),
+        round(est(0.5), 6).as("est_p50"),
+        round(est(0.9), 6).as("est_p90"),
+        round(est(0.99), 6).as("est_p99"))
+    val exact = li.groupBy("flag")
+      .agg(round(expr("percentile(x, 0.5)"), 6).as("exact_p50"),
+        round(expr("percentile(x, 0.9)"), 6).as("exact_p90"),
+        round(expr("percentile(x, 0.99)"), 6).as("exact_p99"))
+    sketch.join(exact, "flag")
+      .select(col("flag"), col("n").cast(IntegerType).as("n"),
+        col("est_p50"), col("est_p90"), col("est_p99"),
+        col("exact_p50"), col("exact_p90"), col("exact_p99"))
+      .orderBy("flag")
+  }
+
   /** q358: CRYPTO-SHREDDING ERASURE AUDIT — the GDPR right-to-be-
     * forgotten mechanic for immutable 100 TB stores: payloads are
     * encrypted at rest with a PER-USER key (`aes_encrypt`, key table
@@ -3777,6 +3868,53 @@ object Advanced {
         |    AND l_quantity BETWEEN 10 AND 20)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q379: the oracle computes DIRECTLY from columns — variant render/
+    // shred/extract must be lossless, so the two must agree
+    "q379_variant_extract" ->
+      """SELECT o_orderpriority AS seg,
+        |  CAST(COUNT(*) AS INTEGER) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(SUM(o_orderkey % 97) AS BIGINT) AS sum_k97,
+        |  CAST(SUM(o_orderkey % 1009) AS BIGINT) AS id_fold,
+        |  CAST(SUM(0) AS INTEGER) AS n_phantom
+        |FROM orders GROUP BY 1 ORDER BY seg""".stripMargin,
+    // q380: identical bin/CDF/interpolation arithmetic; exact twin via
+    // quantile_cont (the q54-verified percentile mapping)
+    "q380_hist_quantiles" -> {
+      def estS(q: String, alias: String) =
+        s"""round(MAX(CASE WHEN cum0 < $q * n AND cum0 + c >= $q * n
+           |  THEN lo + (bin + ($q * n - cum0) / c) * w END), 6)
+           |  AS $alias""".stripMargin
+      s"""WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS x
+         |  FROM lineitem),
+         |b AS (SELECT min(x) AS lo, max(x) AS hi FROM li),
+         |binned AS (SELECT flag,
+         |    CAST(least(floor((x - lo) / ((hi - lo) / 64)), 63)
+         |      AS INTEGER) AS bin,
+         |    COUNT(*) AS c, MAX((hi - lo) / 64) AS w, MAX(lo) AS lo
+         |  FROM li CROSS JOIN b GROUP BY 1, 2),
+         |cdf AS (SELECT flag, bin, c, w, lo,
+         |    COALESCE(SUM(c) OVER (PARTITION BY flag ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum0,
+         |    SUM(c) OVER (PARTITION BY flag) AS n
+         |  FROM binned),
+         |sk AS (SELECT flag, MAX(n) AS n,
+         |    ${estS("0.5", "est_p50")},
+         |    ${estS("0.9", "est_p90")},
+         |    ${estS("0.99", "est_p99")}
+         |  FROM cdf GROUP BY flag),
+         |ex AS (SELECT flag,
+         |    round(quantile_cont(x, 0.5), 6) AS exact_p50,
+         |    round(quantile_cont(x, 0.9), 6) AS exact_p90,
+         |    round(quantile_cont(x, 0.99), 6) AS exact_p99
+         |  FROM li GROUP BY flag)
+         |SELECT sk.flag, CAST(n AS INTEGER) AS n,
+         |  est_p50, est_p90, est_p99, exact_p50, exact_p90, exact_p99
+         |FROM sk JOIN ex ON sk.flag = ex.flag
+         |ORDER BY sk.flag""".stripMargin
+    },
     // q369: explicit NULL-padded UNION ALL mirror of unionByName
     "q369_schema_union" ->
       """WITH g1 AS (SELECT event_id, event_type,

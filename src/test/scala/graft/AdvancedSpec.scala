@@ -1048,4 +1048,23 @@ class AdvancedSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("q380 histogram sketch honors its error contract: every estimated " +
+      "percentile sits within ONE bin width of the exact percentile") {
+    val rows = graft.analytics.Advanced.histQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recover the bin width from the fixture bounds (64 equi-width bins)
+    val b = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .agg(org.apache.spark.sql.functions.min("l_extendedprice"),
+        org.apache.spark.sql.functions.max("l_extendedprice")).head()
+    val w = (b.getDouble(1) - b.getDouble(0)) / 64
+    rows.foreach { r =>
+      Seq(("est_p50", "exact_p50"), ("est_p90", "exact_p90"),
+        ("est_p99", "exact_p99")).foreach { case (e, x) =>
+        val err = math.abs(r.getAs[Double](e) - r.getAs[Double](x))
+        assert(err <= w + 1e-9,
+          s"flag ${r.getString(0)} $e off by $err > bin width $w")
+      }
+    }
+  }
 }
