@@ -1015,6 +1015,9 @@ object SparkEntry {
     // mergeable histogram-quantile sketch + exact interpolated twin
     "q380_hist_quantiles"     -> ((s, d) =>
       graft.analytics.Advanced.histQuantiles(s, d)),
+    // Count-Min inner-product join-size estimate vs exact self-join size
+    "q381_cm_join_size"       -> ((s, d) =>
+      graft.text.TextOps.cmJoinSize(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -3175,6 +3175,54 @@ object TextOps {
       .orderBy(col("n_drawn").desc, col("tok"))
   }
 
+  /** q381: COUNT-MIN JOIN-SIZE ESTIMATION — the Cormode–Muthukrishnan
+    * inner-product estimator: the self-join size J = Σ_k c(k)² of the
+    * events key column, estimated as min_j Σ_b S_j[b]² from the SAME
+    * d×w Count-Min sketch q257/q270 maintain — the statistic a 100 TB
+    * planner wants BEFORE running a skewed join (J is exactly the row
+    * count the join would produce; the sketch answers from d·w
+    * counters without touching the fact table twice). Reported beside
+    * the exact J with the guaranteed-one-sided overcount and relative
+    * error — at w=1024 the expected excess is J_offdiag/w, and the
+    * estimate can never undershoot (the spec asserts both).
+    *
+    * Determinism: counters are integer sums over seeded-md5 buckets
+    * (identical bytes on both engines); every square is cast to
+    * DECIMAL(38,0) BEFORE the multiply (the q344 rule — c(k)² wraps
+    * BIGINT long before 100 TB key multiplicities do).
+    *
+    * Shape at 100 TB: one key-count hash-agg, one d·w-row sketch agg,
+    * a d-row inner-product agg — nothing key-cardinality-sized ever
+    * sits on the driver. */
+  def cmJoinSize(s: SparkSession, dir: String, d: Int = 4,
+                 w: Int = 1024): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def buckets(k: Column): Column = array((0 until d).map { j =>
+      struct(lit(j).as("j"),
+        pmod(hex60C(seededMd5C(j, k)), lit(w.toLong)).as("bucket"))
+    }: _*)
+    val counts = Tables.load(s, dir, "events")
+      .select(col("user_id").cast(StringType).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // exact J + sketch build both read it
+    val exactJ = counts
+      .agg(sum(col("c").cast(d38) * col("c").cast(d38))
+        .cast(d38).as("exact_j"))
+    val est = counts
+      .select(explode(buckets(col("k"))).as("jb"), col("c"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("b"))
+      .agg(sum("c").as("counter"))
+      .groupBy("j")
+      .agg(sum(col("counter").cast(d38) * col("counter").cast(d38))
+        .as("ip"))
+      .agg(min("ip").cast(d38).as("est_j"))
+    est.crossJoin(exactJ)
+      .select(col("exact_j"), col("est_j"),
+        (col("est_j") - col("exact_j")).cast(d38).as("overcount"),
+        round((col("est_j") - col("exact_j")).cast(DoubleType) /
+          col("exact_j").cast(DoubleType), 9).as("rel_err"))
+  }
+
   /** q378: UNICODE NFC CANONICALIZATION CENSUS — the normalization
     * pass every multi-source LLM corpus needs before exact dedup or
     * shingling: composed and decomposed renditions of the SAME text
@@ -3219,6 +3267,29 @@ object TextOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q381: same seeded buckets, same integer counters, squares cast
+    // to DECIMAL(38,0) before the multiply on both engines
+    "q381_cm_join_size" -> {
+      val (d, w) = (4, 1024)
+      val bucketRows = (0 until d).map(j =>
+        s"SELECT $j AS j, (${hex60S(seededMd5S(j, "k"))}) % $w AS b, c FROM kc")
+        .mkString("\nUNION ALL\n")
+      s"""WITH kc AS (SELECT CAST(user_id AS VARCHAR) AS k,
+         |    COUNT(*) AS c FROM events GROUP BY 1),
+         |ex AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0))
+         |    * CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS exact_j
+         |  FROM kc),
+         |jb AS ($bucketRows),
+         |sk AS (SELECT j, b, SUM(c) AS counter FROM jb GROUP BY j, b),
+         |ip AS (SELECT j, SUM(CAST(counter AS DECIMAL(38,0))
+         |    * CAST(counter AS DECIMAL(38,0))) AS ip FROM sk GROUP BY j),
+         |es AS (SELECT CAST(MIN(ip) AS DECIMAL(38,0)) AS est_j FROM ip)
+         |SELECT exact_j, est_j,
+         |  CAST(est_j - exact_j AS DECIMAL(38,0)) AS overcount,
+         |  round(CAST(est_j - exact_j AS DOUBLE)
+         |    / CAST(exact_j AS DOUBLE), 9) AS rel_err
+         |FROM es CROSS JOIN ex""".stripMargin
+    },
     // q378: DuckDB's utf8proc NFC vs the JDK Normalizer — same planted
     // suffixes, same census, fingerprint over the normalized bytes
     "q378_nfc_census" -> {

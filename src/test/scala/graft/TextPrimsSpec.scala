@@ -875,6 +875,22 @@ class TextPrimsSpec extends SparkSpec {
     }
   }
 
+  test("q381 CM join-size: one-sided (estimate never undershoots the " +
+      "exact self-join size) and exact J verified on the driver") {
+    val r = graft.text.TextOps.cmJoinSize(spark, sfDir).head()
+    val exactJ = r.getDecimal(0).longValueExact()
+    val estJ = r.getDecimal(1).longValueExact()
+    assert(estJ >= exactJ, s"CM inner product undershot: $estJ < $exactJ")
+    assert(r.getDecimal(2).longValueExact() === estJ - exactJ)
+    // driver recompute of the exact self-join size from key counts
+    val counts = graft.sources.Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(counts.map(c => c * c).sum === exactJ)
+    // at w=1024 the relative overcount should be modest on the fixture
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0,
+      s"rel_err out of band: ${r.getDouble(3)}")
+  }
+
   test("q257 count-min: never undercounts, collisions overcount, " +
       "sketch recomputed on the driver at forced-collision width") {
     import spark.implicits._
