@@ -1018,6 +1018,8 @@ object SparkEntry {
     // Count-Min inner-product join-size estimate vs exact self-join size
     "q381_cm_join_size"       -> ((s, d) =>
       graft.text.TextOps.cmJoinSize(s, d)),
+    // one projection through all five sinks -> five identical fingerprints
+    "q382_format_certificate" -> (graft.sources.Sinks.formatCertificate _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1076,6 +1078,24 @@ object SparkEntry {
         |    AS sum_qty
         |FROM lineitem WHERE l_suppkey <= 60
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q382 oracle = ONE fingerprint from the original parquet, expected
+    // identically for each of the five formats
+    "q382_format_certificate" -> {
+      val rowKey = "CAST(o_orderkey AS VARCHAR) || '|' || " +
+        "CAST(o_custkey AS VARCHAR) || '|' || " +
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) " +
+        "|| '|' || o_orderpriority"
+      s"""WITH f AS (SELECT ${graft.functions.TextPrims.hex60S(
+            s"md5($rowKey)")} AS h FROM orders),
+         |g AS (SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_fp,
+         |    CAST(SUM(CAST(h % 1000000007 AS DECIMAL(38,0)))
+         |      AS DECIMAL(38,0)) AS sum_fp
+         |  FROM f)
+         |SELECT fmt AS format, n_rows, xor_fp, sum_fp
+         |FROM g CROSS JOIN (VALUES ('parquet'), ('orc'), ('csv'),
+         |  ('json'), ('fixedwidth')) v(fmt)
+         |ORDER BY format""".stripMargin
+    },
     // q322: the oracle recomputes the observed counters directly; the
     // engine side must deliver the identical values out of the
     // CollectMetrics accumulator (DECIMAL-routed sum, exact count/range)

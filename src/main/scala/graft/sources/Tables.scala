@@ -726,6 +726,59 @@ object Sinks {
     } finally Tables.rmTree(tmp)
   }
 
+  /** q382: CROSS-FORMAT CONSISTENCY CERTIFICATE — the format-migration
+    * audit a lake runs before decommissioning a copy: ONE projection of
+    * orders written through EVERY sink the engine ships (parquet, ORC,
+    * CSV, JSON lines, and the custom fixed-width DSv2 connector), each
+    * read back with its matching reader and reduced to the q365
+    * order-independent fingerprint (row count + bit-xor + modular
+    * DECIMAL sum of 60-bit row keys). Five identical fingerprint rows =
+    * the proof that every sink/source pair preserves the SAME bytes —
+    * not five separate aggregates that might each mask a different
+    * corruption. Integer-only payload (cents, keys, priority string) so
+    * no format's float rendering participates. The oracle computes the
+    * fingerprint once from the original parquet and expects it five
+    * times. */
+  def formatCertificate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.functions.TextPrims.hex60C
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q382")
+    try {
+      val src = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"),
+        col("o_orderpriority"))
+      def fp(df: DataFrame, label: String): DataFrame = {
+        val h = hex60C(md5(concat_ws("|", col("o_orderkey"),
+          col("o_custkey"), col("cents"), col("o_orderpriority"))))
+        df.select(h.as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_fp"),
+            sum(pmod(col("h"), lit(1000000007L)).cast(DecimalType(38, 0)))
+              .cast(DecimalType(38, 0)).as("sum_fp"))
+          .select(lit(label).as("format"), col("n_rows"), col("xor_fp"),
+            col("sum_fp"))
+      }
+      val fwSpec = "o_orderkey:0:12:long,o_custkey:12:12:long," +
+        "cents:24:14:long,o_orderpriority:38:16:string"
+      val fw = {
+        val p = tmp.resolve("fixedwidth").toString
+        src.write.format("graft.sources.fixedwidth.FixedWidthSource")
+          .option("spec", fwSpec).mode("overwrite").save(p)
+        fp(s.read.format("graft.sources.fixedwidth.FixedWidthSource")
+          .option("spec", fwSpec).load(p), "fixedwidth")
+      }
+      Seq("parquet", "orc", "csv", "json").map { f =>
+        val p = tmp.resolve(f).toString
+        rtWrite(src, f, p)
+        fp(rtRead(s, f, p, src.schema), f)
+      }.reduce(_ unionAll _).unionAll(fw)
+        .orderBy("format")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** Z-ORDERED parquet layout: range-partition + sort on the Morton key
     * of (`xCol`, `yCol`), then drop the key — the written files carry only
     * the original columns, with 2-D locality baked into the row-group
