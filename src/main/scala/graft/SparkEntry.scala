@@ -1020,6 +1020,9 @@ object SparkEntry {
       graft.text.TextOps.cmJoinSize(s, d)),
     // one projection through all five sinks -> five identical fingerprints
     "q382_format_certificate" -> (graft.sources.Sinks.formatCertificate _),
+    // KMV bottom-k distinct sketch: per-source + merged-union estimates
+    "q383_kmv_distinct"       -> ((s, d) =>
+      graft.text.TextOps.kmvDistinct(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

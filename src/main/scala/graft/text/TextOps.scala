@@ -3175,6 +3175,66 @@ object TextOps {
       .orderBy(col("n_drawn").desc, col("tok"))
   }
 
+  /** q383: KMV (BOTTOM-K) DISTINCT SKETCH — the k-minimum-values
+    * estimator (Bar-Yossef et al.) completing the engine's sketch
+    * family (HLL q259, Count-Min q257, Misra–Gries q357, bitmap q359,
+    * histogram q380): keep the k smallest 60-bit hashes of a set; the
+    * k-th smallest h₍ₖ₎ estimates the cardinality as
+    * (k−1)·2⁶⁰/h₍ₖ₎. Two properties make it the LAKE sketch:
+    *
+    *  - the k-smallest selection is the per-key top-k idiom, which the
+    *    engine's RewriteWindowTopK turns into bounded partial→final
+    *    heaps — ships k rows per partition, never sorts the corpus;
+    *  - MERGE = k smallest of the sketch UNION (each sketch contains
+    *    its set's k minima, so the union's minima are all present) —
+    *    the union estimate here is computed from the two k-row
+    *    sketches alone, then checked against the exact union distinct.
+    *
+    * Per 3-gram-shingle set of two sources and their union: exact
+    * distinct, the k-th hash, the KMV estimate, signed relative error.
+    * Hashes are md5-derived — identical bytes on both engines. */
+  def kmvDistinct(s: SparkSession, dir: String, k: Int = 128): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    val hashes = docs(s, dir)
+      .filter(col("source").isin("src1", "src2"))
+      .select(col("source"),
+        explode(shinglesC(tokensC(col("text")), 3)).as("sh"))
+      .distinct()
+      .select(col("source"), hex60C(md5(col("sh"))).as("h"))
+      .localCheckpoint() // sketches + exact counts both read it
+    val sketch = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k) // -> TopKPerKeyExec bounded heaps
+      .select("source", "h")
+      .localCheckpoint()
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      .orderBy("h")
+    // union sketch from the TWO k-row sketches alone (mergeability)
+    val merged = sketch.select(lit("union").as("u"), col("h")).distinct()
+      .withColumn("rn", row_number().over(wU)).filter(col("rn") <= k)
+      .select(col("u").as("scope"), col("h"))
+    val perSrc = sketch.select(col("source").as("scope"), col("h"))
+    val exact = hashes.groupBy(col("source").as("scope"))
+      .agg(countDistinct("h").as("n_exact"))
+      .unionAll(hashes.select("h").distinct()
+        .agg(count(lit(1)).as("n_exact"))
+        .select(lit("union").as("scope"), col("n_exact")))
+    val pow60 = 1152921504606846976.0 // 2^60, exact as a double
+    perSrc.unionAll(merged)
+      .groupBy("scope").agg(max("h").as("kth_hash"))
+      .join(exact, "scope")
+      .select(col("scope"), col("n_exact"),
+        col("kth_hash"),
+        round(lit((k - 1).toDouble) * pow60 /
+          col("kth_hash").cast(DoubleType), 6).as("est"),
+        round((lit((k - 1).toDouble) * pow60 /
+          col("kth_hash").cast(DoubleType) -
+          col("n_exact").cast(DoubleType)) /
+          col("n_exact").cast(DoubleType), 6).as("rel_err"))
+      .orderBy("scope")
+  }
+
   /** q381: COUNT-MIN JOIN-SIZE ESTIMATION — the Cormode–Muthukrishnan
     * inner-product estimator: the self-join size J = Σ_k c(k)² of the
     * events key column, estimated as min_j Σ_b S_j[b]² from the SAME
@@ -3267,6 +3327,37 @@ object TextOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q383: same shingles, same 60-bit hashes, same k-smallest windows
+    // (the oracle pays the sort the engine's top-k rewrite avoids)
+    "q383_kmv_distinct" -> {
+      val k = 128
+      val t = tokensS("text")
+      s"""WITH d AS (SELECT source, $t AS t FROM documents
+         |  WHERE source IN ('src1', 'src2')),
+         |sh AS (SELECT DISTINCT source, s FROM
+         |  (SELECT source, unnest(${shinglesS("t", 3)}) AS s FROM d)),
+         |hs AS (SELECT source, ${hex60S("md5(s)")} AS h FROM sh),
+         |sk AS (SELECT source, h FROM (SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM hs) WHERE rn <= $k),
+         |mg AS (SELECT 'union' AS scope, h FROM (SELECT h,
+         |    ROW_NUMBER() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= $k),
+         |alls AS (SELECT source AS scope, h FROM sk
+         |  UNION ALL SELECT scope, h FROM mg),
+         |kth AS (SELECT scope, MAX(h) AS kth_hash FROM alls
+         |  GROUP BY scope),
+         |ex AS (SELECT source AS scope, COUNT(DISTINCT h) AS n_exact
+         |    FROM hs GROUP BY source
+         |  UNION ALL SELECT 'union', COUNT(DISTINCT h) FROM hs)
+         |SELECT scope, n_exact, kth_hash,
+         |  round(${k - 1}.0 * 1152921504606846976.0
+         |    / CAST(kth_hash AS DOUBLE), 6) AS est,
+         |  round((${k - 1}.0 * 1152921504606846976.0
+         |      / CAST(kth_hash AS DOUBLE) - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE), 6) AS rel_err
+         |FROM kth JOIN ex USING (scope) ORDER BY scope""".stripMargin
+    },
     // q381: same seeded buckets, same integer counters, squares cast
     // to DECIMAL(38,0) before the multiply on both engines
     "q381_cm_join_size" -> {
