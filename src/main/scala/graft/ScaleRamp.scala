@@ -83,7 +83,13 @@ object ScaleRamp {
     // executors while the DRIVER stays flat (retained_mb asserted).
     "ttl_state"        -> "q297_ttl_state",
     "timer_sessions"   -> "q264_timer_sessions",
-    "cm_stream"        -> "q270_cm_stream")
+    "cm_stream"        -> "q270_cm_stream",
+    // round-15 sketch family: all three claim corpus-decoupled state
+    // (k-row KMV sketches, B-bin histograms, d×w CM counters) — the
+    // ramp makes the claim measurable
+    "kmv_distinct"     -> "q383_kmv_distinct",
+    "hist_quantiles"   -> "q380_hist_quantiles",
+    "cm_join_size"     -> "q381_cm_join_size")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding

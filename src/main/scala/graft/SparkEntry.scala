@@ -1023,6 +1023,11 @@ object SparkEntry {
     // KMV bottom-k distinct sketch: per-source + merged-union estimates
     "q383_kmv_distinct"       -> ((s, d) =>
       graft.text.TextOps.kmvDistinct(s, d)),
+    // hash-deterministic bootstrap CI: 60 half-samples from one md5/row
+    "q384_bootstrap_ci"       -> ((s, d) =>
+      graft.analytics.Advanced.bootstrapCi(s, d)),
+    // robust stats: exact MAD, 3-MAD outlier census, winsorized mean
+    "q385_robust_stats"       -> (graft.analytics.Advanced.robustStats _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

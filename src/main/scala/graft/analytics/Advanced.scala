@@ -3385,6 +3385,83 @@ object Advanced {
       .orderBy("seg")
   }
 
+  /** q384: DETERMINISTIC BOOTSTRAP CONFIDENCE INTERVAL — the
+    * uncertainty quantification every data-quality dashboard needs
+    * next to a mean: 60 half-sample replicas of the per-flag mean
+    * price, CI = the p05/p95 of the replica means. The resampling is
+    * HASH-DETERMINISTIC: one 60-bit md5 per row, replica b keeps the
+    * row iff BIT b of the hash is set — one hash per row buys 60
+    * pairwise-independent half-samples, no RNG, identical membership
+    * on both engines (and on any cluster size — membership is a pure
+    * row function, the production property that makes the CI
+    * reproducible across reruns). One pass: 60 conditional decimal
+    * sums + counts in a single hash-agg (never 60 scans, never an
+    * explode of rows×replicas), then a bounded 60-row-per-flag
+    * percentile. */
+  def bootstrapCi(s: SparkSession, dir: String, b: Int = 60): DataFrame = {
+    import graft.functions.TextPrims.hex60C
+    val base = t(s, dir, "orders").select(
+      col("o_orderstatus").as("flag"),
+      col("o_totalprice").as("x"),
+      hex60C(md5(col("o_orderkey").cast(StringType))).as("h"))
+    val d184 = (i: Int) =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1,
+        col("x").cast(DecimalType(18, 4))))
+    // 60 conditional sums + 60 conditional counts, one aggregate pass
+    val aggs =
+      (0 until b).map(i => d184(i).as(s"s$i")) ++
+      (0 until b).map(i => sum(when(shiftright(col("h"), i)
+        .bitwiseAND(1) === 1, 1L).otherwise(0L)).as(s"c$i")) ++
+      Seq(count(lit(1)).as("n"),
+        (sum(col("x").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1))).as("full_mean"))
+    val wide = base.groupBy("flag").agg(aggs.head, aggs.tail: _*)
+    val means = wide.select(col("flag"), col("n"), col("full_mean"),
+      explode(array((0 until b).map(i =>
+        (col(s"s$i").cast(DoubleType) / col(s"c$i"))): _*)).as("m"))
+    means.groupBy("flag")
+      .agg(max("n").cast(IntegerType).as("n"),
+        round(max("full_mean"), 6).as("full_mean"),
+        round(expr("percentile(m, 0.05)"), 6).as("boot_p05"),
+        round(expr("percentile(m, 0.95)"), 6).as("boot_p95"))
+      .orderBy("flag")
+  }
+
+  /** q385: ROBUST STATISTICS (MAD + WINSORIZED MEAN) — the
+    * outlier-resistant profile a cleaning pipeline computes where mean/
+    * stddev lie: per order status, the exact median, the median
+    * absolute deviation (a second exact percentile over |x − med| —
+    * the two-pass shape is inherent: MAD is not algebraic), the count
+    * outside med ± 3·MAD, and the mean after winsorizing at the exact
+    * p05/p95 clips. Everything derives from interpolated exact
+    * percentiles (the q54-verified engine mapping) and decimal-routed
+    * sums; the clip itself is `greatest(least(x, hi), lo)` — one
+    * branch-free expression per row. */
+  def robustStats(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderstatus").as("flag"), col("o_totalprice").as("x"))
+    val med = base.groupBy("flag")
+      .agg(expr("percentile(x, 0.5)").as("med"),
+        expr("percentile(x, 0.05)").as("p05"),
+        expr("percentile(x, 0.95)").as("p95"))
+    val joined = base.join(broadcast(med), "flag")
+    val mad = joined.groupBy("flag")
+      .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
+    joined.join(broadcast(mad), "flag")
+      .groupBy("flag")
+      .agg(count(lit(1)).cast(IntegerType).as("n"),
+        round(max("med"), 6).as("median"),
+        round(max("mad"), 6).as("mad"),
+        sum(when(abs(col("x") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).cast(IntegerType).as("n_outlier"),
+        (sum(greatest(least(col("x"), col("p95")), col("p05"))
+          .cast(DecimalType(18, 4))).cast(DoubleType) / count(lit(1)))
+          .as("wm"))
+      .select(col("flag"), col("n"), col("median"), col("mad"),
+        col("n_outlier"), round(col("wm"), 6).as("winsor_mean"))
+      .orderBy("flag")
+  }
+
   /** q380: MERGEABLE HISTOGRAM-QUANTILE SKETCH + EXACT TWIN — the
     * quantile estimator that actually merges at 100 TB: a B-bin
     * equi-width histogram is a per-partition partial that combines by
@@ -3868,6 +3945,52 @@ object Advanced {
         |    AND l_quantity BETWEEN 10 AND 20)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q384: same one-md5-per-row bit-membership, same 60 conditional
+    // decimal sums, same bounded replica-mean percentile
+    "q384_bootstrap_ci" -> {
+      val b = 60
+      val h = graft.functions.TextPrims.hex60S(
+        "md5(CAST(o_orderkey AS VARCHAR))")
+      val sums = (0 until b).map(i =>
+        s"""CAST(SUM(CASE WHEN (h >> $i) & 1 = 1
+           |  THEN CAST(x AS DECIMAL(18,4)) END) AS DOUBLE) AS s$i,
+           |SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE 0 END) AS c$i"""
+          .stripMargin).mkString(",\n")
+      val ms = (0 until b).map(i => s"s$i / c$i").mkString(", ")
+      s"""WITH base AS (SELECT o_orderstatus AS flag, o_totalprice AS x,
+         |    $h AS h FROM orders),
+         |w AS (SELECT flag, COUNT(*) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+         |      AS full_mean,
+         |$sums
+         |  FROM base GROUP BY flag),
+         |m AS (SELECT flag, n, full_mean, unnest([$ms]) AS m FROM w)
+         |SELECT flag, CAST(n AS INTEGER) AS n,
+         |  round(full_mean, 6) AS full_mean,
+         |  round(quantile_cont(m, 0.05), 6) AS boot_p05,
+         |  round(quantile_cont(m, 0.95), 6) AS boot_p95
+         |FROM m GROUP BY flag, n, full_mean ORDER BY flag""".stripMargin
+    },
+    // q385: same two-pass percentile chain (median -> MAD), same
+    // branch-free winsor clip, decimal-routed sums
+    "q385_robust_stats" ->
+      """WITH b AS (SELECT o_orderstatus AS flag, o_totalprice AS x
+        |  FROM orders),
+        |m AS (SELECT flag, quantile_cont(x, 0.5) AS med,
+        |    quantile_cont(x, 0.05) AS p05,
+        |    quantile_cont(x, 0.95) AS p95
+        |  FROM b GROUP BY flag),
+        |d AS (SELECT b.flag, x, med, p05, p95 FROM b JOIN m USING (flag)),
+        |md AS (SELECT flag, quantile_cont(abs(x - med), 0.5) AS mad
+        |  FROM d GROUP BY flag)
+        |SELECT d.flag, CAST(COUNT(*) AS INTEGER) AS n,
+        |  round(MAX(med), 6) AS median, round(MAX(mad), 6) AS mad,
+        |  CAST(SUM(CASE WHEN abs(x - med) > 3.0 * mad THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS n_outlier,
+        |  round(CAST(SUM(CAST(greatest(least(x, p95), p05)
+        |      AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS winsor_mean
+        |FROM d JOIN md ON d.flag = md.flag
+        |GROUP BY d.flag ORDER BY d.flag""".stripMargin,
     // q379: the oracle computes DIRECTLY from columns — variant render/
     // shred/extract must be lossless, so the two must agree
     "q379_variant_extract" ->

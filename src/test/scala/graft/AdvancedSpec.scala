@@ -1067,4 +1067,28 @@ class AdvancedSpec extends SparkSpec {
       }
     }
   }
+
+  test("q384/q385 statistical contracts: the bootstrap CI brackets the " +
+      "full mean; MAD outliers are rare and winsorizing pulls the mean " +
+      "toward the median") {
+    graft.analytics.Advanced.bootstrapCi(spark, sfDir).collect().foreach {
+      r =>
+        val (fm, lo, hi) = (r.getAs[Double]("full_mean"),
+          r.getAs[Double]("boot_p05"), r.getAs[Double]("boot_p95"))
+        assert(lo <= hi, r)
+        assert(lo <= fm && fm <= hi,
+          s"flag ${r.getString(0)}: CI [$lo, $hi] misses full mean $fm")
+    }
+    graft.analytics.Advanced.robustStats(spark, sfDir).collect().foreach {
+      r =>
+        val n = r.getAs[Int]("n")
+        assert(r.getAs[Double]("mad") > 0)
+        assert(r.getAs[Int]("n_outlier") <= n / 10,
+          s"3-MAD outliers should be rare: $r")
+        // winsorized mean sits between the median and the raw mean side
+        val (med, wm) = (r.getAs[Double]("median"),
+          r.getAs[Double]("winsor_mean"))
+        assert(math.abs(wm - med) < med, r)
+    }
+  }
 }
