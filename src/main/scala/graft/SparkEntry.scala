@@ -1028,6 +1028,8 @@ object SparkEntry {
       graft.analytics.Advanced.bootstrapCi(s, d)),
     // robust stats: exact MAD, 3-MAD outlier census, winsorized mean
     "q385_robust_stats"       -> (graft.analytics.Advanced.robustStats _),
+    // integer-exact CUSUM changepoint scan over daily volumes
+    "q386_cusum_changepoint"  -> (graft.analytics.Advanced.cusumChangepoint _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

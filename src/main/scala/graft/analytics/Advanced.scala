@@ -3385,6 +3385,50 @@ object Advanced {
       .orderBy("seg")
   }
 
+  /** q386: CUSUM CHANGEPOINT SCAN — the drift monitor a 100 TB
+    * ingestion runs on its daily volumes: per event type, the
+    * cumulative-sum statistic s_t = Σ_{i≤t}(x_i − x̄) peaks at the most
+    * likely level-shift day (Page's classic single-changepoint
+    * estimator). INTEGER-EXACT throughout: s_t·T = T·cum_t − t·total
+    * never forms a fractional mean, so the argmax is bit-deterministic
+    * on both engines (ties break to the earlier day). Reports the
+    * changepoint day, the scaled peak, and the before/after level means
+    * that quantify the shift. Shape: one daily hash-agg, two bounded
+    * per-type windows over |days| rows, one broadcast join back. */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+    val wT = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("t", row_number().over(wCum))
+      .withColumn("cum", sum("x").over(wCum))
+      .withColumn("total", sum("x").over(wT))
+      .withColumn("nd", count(lit(1)).over(wT))
+      .withColumn("sc", col("nd") * col("cum") - col("t") * col("total"))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("sc")).desc, col("day"))
+    val pick = scored.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("sc").as("cusum_scaled"))
+    daily.join(broadcast(pick), "event_type")
+      .groupBy("event_type")
+      .agg(max("change_day").as("change_day"),
+        max("cusum_scaled").as("cusum_scaled"),
+        count(lit(1)).cast(IntegerType).as("n_days"),
+        round(sum(when(col("day") <= col("change_day"), col("x")))
+          .cast(DoubleType) /
+          sum(when(col("day") <= col("change_day"), 1L).otherwise(0L)),
+          6).as("mean_before"),
+        round(sum(when(col("day") > col("change_day"), col("x")))
+          .cast(DoubleType) /
+          sum(when(col("day") > col("change_day"), 1L).otherwise(0L)),
+          6).as("mean_after"))
+      .orderBy("event_type")
+  }
+
   /** q384: DETERMINISTIC BOOTSTRAP CONFIDENCE INTERVAL — the
     * uncertainty quantification every data-quality dashboard needs
     * next to a mean: 60 half-sample replicas of the per-flag mean
@@ -3945,6 +3989,38 @@ object Advanced {
         |    AND l_quantity BETWEEN 10 AND 20)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q386: same integer-scaled CUSUM (nd*cum - t*total — no fractional
+    // mean ever forms), same earlier-day tie-break
+    "q386_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |sc AS (SELECT event_type, day, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS t,
+        |    SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+        |    SUM(x) OVER (PARTITION BY event_type) AS total,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM daily),
+        |s2 AS (SELECT event_type, day,
+        |    CAST(nd * cum - t * total AS BIGINT) AS sc
+        |  FROM sc),
+        |pick AS (SELECT event_type, day AS change_day,
+        |    sc AS cusum_scaled FROM (SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY event_type ORDER BY abs(sc) DESC, day) AS rn
+        |    FROM s2) WHERE rn = 1)
+        |SELECT d.event_type, MAX(change_day) AS change_day,
+        |  MAX(cusum_scaled) AS cusum_scaled,
+        |  CAST(COUNT(*) AS INTEGER) AS n_days,
+        |  round(CAST(SUM(CASE WHEN day <= change_day THEN x END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN day <= change_day THEN 1 ELSE 0 END), 6)
+        |    AS mean_before,
+        |  round(CAST(SUM(CASE WHEN day > change_day THEN x END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN day > change_day THEN 1 ELSE 0 END), 6)
+        |    AS mean_after
+        |FROM daily d JOIN pick USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // q384: same one-md5-per-row bit-membership, same 60 conditional
     // decimal sums, same bounded replica-mean percentile
     "q384_bootstrap_ci" -> {
