@@ -1091,4 +1091,29 @@ class AdvancedSpec extends SparkSpec {
         assert(math.abs(wm - med) < med, r)
     }
   }
+
+  test("q380 histogram is MERGEABLE: per-half partial histograms added " +
+      "together reproduce the full-corpus bin counts exactly") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("x"), col("l_orderkey"))
+    val b = li.agg(min("x"), max("x")).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val w = (hi - lo) / 64
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("bin", least(floor((col("x") - lit(lo)) / lit(w)),
+        lit(63)).cast("int"))
+      .groupBy("flag", "bin").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val full = hist(li)
+    val halfA = hist(li.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+    val halfB = hist(li.filter(pmod(col("l_orderkey"), lit(2)) === 1))
+    val merged = (halfA.keySet ++ halfB.keySet).map(k =>
+      k -> (halfA.getOrElse(k, 0L) + halfB.getOrElse(k, 0L))).toMap
+    assert(merged === full,
+      "adding per-half bin counts must equal the full histogram")
+    assert(full.values.sum === li.count())
+  }
 }

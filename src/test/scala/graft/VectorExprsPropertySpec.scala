@@ -128,4 +128,29 @@ class VectorExprsPropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: NfcNormalize == java.text.Normalizer over generated " +
+      "mixes of ASCII, combining marks, singletons, and ligatures") {
+    import spark.implicits._
+    // building blocks chosen to exercise composition, singleton mapping,
+    // NFC-invariant compatibility chars, and reordering of combining
+    // marks with different canonical combining classes
+    val pieces = Gen.oneOf(
+      "a", "e", "Z", " ", "\u0301", "\u030A", "\u0323", // marks (ccc 230/230/220)
+      "\u212B", "\u00C5", "\u00E9", "\uFB01", "x\u0301\u0323")
+    val strs = Gen.listOf(pieces).map(_.mkString).map(_.take(40))
+    val batch = Gen.listOfN(24, strs)
+    run(Prop.forAll(batch) { ss0 =>
+      val ss = ss0.filter(_.nonEmpty)
+      if (ss.isEmpty) true
+      else {
+        val got = ss.toDF("s")
+          .select(graft.functions.StringExprs.nfcNormalize(col("s")))
+          .collect().map(_.getString(0)).toSeq
+        val want = ss.map(s => java.text.Normalizer.normalize(
+          s, java.text.Normalizer.Form.NFC))
+        got == want
+      }
+    })
+  }
 }
