@@ -1030,6 +1030,11 @@ object SparkEntry {
     "q385_robust_stats"       -> (graft.analytics.Advanced.robustStats _),
     // integer-exact CUSUM changepoint scan over daily volumes
     "q386_cusum_changepoint"  -> (graft.analytics.Advanced.cusumChangepoint _),
+    // document-level co-occurrence PMI over a bounded top-df vocabulary
+    "q387_cooc_pmi"           -> ((s, d) =>
+      graft.text.TextOps.coocPmi(s, d)),
+    // Gini concentration + top-decile share, integer-exact rank moment
+    "q388_gini_concentration" -> (graft.analytics.Advanced.giniConcentration _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

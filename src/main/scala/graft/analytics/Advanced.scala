@@ -3385,6 +3385,80 @@ object Advanced {
       .orderBy("seg")
   }
 
+  /** q388: GINI CONCENTRATION INDEX — how concentrated revenue is
+    * across customers (the inequality audit behind every "top 1% of
+    * keys" skew story): G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over the
+    * rank-sorted per-customer revenue. INTEGER-EXACT until the final
+    * division: revenues are summed as cents (BIGINT), the rank moment
+    * Σ i·x runs in DECIMAL(38,0) with each factor cast BEFORE the
+    * multiply (the q344 rule — rank·cents exceeds BIGINT at 100 TB
+    * customer counts), and ties rank deterministically by custkey.
+    * The sort grain is CUSTOMERS (the aggregate), never line items —
+    * the same bounded-grain discipline as every ranking query here.
+    * Also reports the top-decile revenue share (the Pareto number). */
+  def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val rev = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType))
+        .as("cents"))
+    // a global `row_number().over(Window.orderBy(...))` would compile to
+    // a SinglePartition WindowExec (the q222 trap) — rank with the same
+    // two-pass range-partition machinery instead: range-partition on the
+    // sort key, collect O(#partitions) counts, stamp local indices +
+    // broadcast offsets. The customer grain is already the aggregate,
+    // but at 100 TB customers that grain is still billions of rows.
+    val (ranked, n) = globalRank(s, rev, Seq("cents", "o_custkey"))
+    val cut = n * 9 / 10 // floor(9n/10): top decile = ranks above it
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast(d38)).as("tot"),
+        sum(col("i").cast(d38) * col("cents").cast(d38)).as("iwx"),
+        sum(when(col("i") > cut, col("cents").cast(d38))).as("top_dec"))
+      .select(col("n").cast(IntegerType).as("n_customers"),
+        round(lit(2.0) * col("iwx").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("tot").cast(DoubleType)) -
+          (col("n").cast(DoubleType) + 1.0) / col("n").cast(DoubleType),
+          9).as("gini"),
+        round(col("top_dec").cast(DoubleType) /
+          col("tot").cast(DoubleType), 9).as("top_decile_share"))
+  }
+
+  /** Two-pass distributed global rank over a composite UNIQUE sort key
+    * (the [[graft.dedup.Dedup]] ntileByKey discipline, generalized):
+    * range-partition on the keys, collect per-partition counts
+    * (O(#partitions) driver rows), local sort + running-index stamp +
+    * broadcast cumulative offsets. Returns (input keys…, i) and the
+    * total row count — no SinglePartition exchange anywhere. */
+  private def globalRank(s: SparkSession, df: DataFrame,
+                         keys: Seq[String]): (DataFrame, Long) = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.select(keys.map(col): _*)
+      .repartitionByRange(parts, keys.map(col): _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+        .init.zip(counts).map { case ((_, off), (pid, _)) => pid -> off }
+        .toMap
+    val sorted = ranged.sortWithinPartitions(keys.map(col): _*)
+    val stamped = sorted.mapPartitions { it =>
+      var i = 0L
+      it.map { row =>
+        i += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      }
+    }(org.apache.spark.sql.Encoders.row(
+      sorted.schema.add("lrn", org.apache.spark.sql.types.LongType)))
+    val out = stamped
+      .withColumn("i", col("lrn") +
+        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
+      .select(keys.map(col) :+ col("i"): _*)
+    (out, n)
+  }
+
   /** q386: CUSUM CHANGEPOINT SCAN — the drift monitor a 100 TB
     * ingestion runs on its daily volumes: per event type, the
     * cumulative-sum statistic s_t = Σ_{i≤t}(x_i − x̄) peaks at the most
@@ -3989,6 +4063,32 @@ object Advanced {
         |    AND l_quantity BETWEEN 10 AND 20)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q388: same cents-integer revenue, same DECIMAL(38,0)
+    // cast-before-multiply rank moment, same floor(9n/10) decile cut
+    "q388_gini_concentration" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+        |    COUNT(*) OVER () AS nt
+        |  FROM rev),
+        |a AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS tot,
+        |    CAST(SUM(CAST(i AS DECIMAL(38,0))
+        |      * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS iwx,
+        |    CAST(SUM(CASE WHEN i > (nt * 9) // 10
+        |      THEN CAST(cents AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS top_dec
+        |  FROM r)
+        |SELECT CAST(n AS INTEGER) AS n_customers,
+        |  round(2.0 * CAST(iwx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 9) AS gini,
+        |  round(CAST(top_dec AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        |    AS top_decile_share
+        |FROM a""".stripMargin,
     // q386: same integer-scaled CUSUM (nd*cum - t*total — no fractional
     // mean ever forms), same earlier-day tie-break
     "q386_cusum_changepoint" ->

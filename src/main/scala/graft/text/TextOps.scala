@@ -3175,6 +3175,45 @@ object TextOps {
       .orderBy(col("n_drawn").desc, col("tok"))
   }
 
+  /** q387: DOCUMENT-LEVEL CO-OCCURRENCE PMI — which token pairs appear
+    * in the SAME DOCUMENT more than chance predicts: the topic/
+    * collocation signal that adjacent-bigram PMI (q-PMI's window) is
+    * blind to. Candidate-bounded the only way that scales: pairs are
+    * formed ONLY among the top-[[CoocVocab]] document-frequency tokens
+    * (a broadcast set), so the per-doc pair fanout is ≤ C(V,2) with V
+    * fixed, never corpus-sized — the same cap discipline as q361's
+    * sampling table. PMI = ln(N·c_ab/(c_a·c_b)) over PRESENCE counts
+    * (distinct per doc), ln rounded to 6 dp at the row (the q192 libm
+    * rule). One distinct-presence agg, one per-doc self-join on the
+    * bounded vocabulary, one pair hash-agg. */
+  val CoocVocab = 12
+  def coocPmi(s: SparkSession, dir: String): DataFrame = {
+    val pres = docs(s, dir)
+      .select(col("doc_id"), explode(tokensC(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .localCheckpoint() // df ranking + pair join both read it
+    val top = pres.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(CoocVocab)
+      .localCheckpoint()
+    val kept = pres.join(broadcast(top.select("tok")), "tok")
+    val n = docs(s, dir).count()
+    val a = kept.select(col("doc_id"), col("tok").as("tok_a"))
+    val b = kept.select(col("doc_id"), col("tok").as("tok_b"))
+    a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .join(broadcast(top.select(col("tok").as("tok_a"),
+        col("df").as("c_a"))), "tok_a")
+      .join(broadcast(top.select(col("tok").as("tok_b"),
+        col("df").as("c_b"))), "tok_b")
+      .select(col("tok_a"), col("tok_b"),
+        col("c_ab").cast(IntegerType).as("n_docs_both"),
+        round(log(lit(n.toDouble) * col("c_ab") /
+          (col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
   /** q383: KMV (BOTTOM-K) DISTINCT SKETCH — the k-minimum-values
     * estimator (Bar-Yossef et al.) completing the engine's sketch
     * family (HLL q259, Count-Min q257, Misra–Gries q357, bitmap q359,
@@ -3327,6 +3366,31 @@ object TextOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q387: same presence counts, same bounded top-df vocabulary, same
+    // ln-round-6 PMI shape
+    "q387_cooc_pmi" -> {
+      val t = tokensS("text")
+      s"""WITH pres AS (SELECT DISTINCT doc_id, tok FROM
+         |    (SELECT doc_id, unnest($t) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |top AS (SELECT tok, COUNT(*) AS df FROM pres GROUP BY tok
+         |  ORDER BY df DESC, tok LIMIT $CoocVocab),
+         |kept AS (SELECT doc_id, p.tok FROM pres p JOIN top USING (tok)),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |    COUNT(*) AS c_ab
+         |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id
+         |    AND a.tok < b.tok
+         |  GROUP BY 1, 2)
+         |SELECT tok_a, tok_b, CAST(c_ab AS INTEGER) AS n_docs_both,
+         |  round(ln(CAST(n AS DOUBLE) * c_ab / (ta.df * tb.df)), 6)
+         |    AS pmi
+         |FROM pairs
+         |JOIN top ta ON ta.tok = tok_a
+         |JOIN top tb ON tb.tok = tok_b
+         |CROSS JOIN nn
+         |ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""".stripMargin
+    },
     // q383: same shingles, same 60-bit hashes, same k-smallest windows
     // (the oracle pays the sort the engine's top-k rewrite avoids)
     "q383_kmv_distinct" -> {

@@ -847,6 +847,14 @@ class PlanSpec extends SparkSpec {
     assert(!p18.contains("CartesianProduct"), p18)
   }
 
+  test("q388 Gini rank has NO window operator — the global rank runs as " +
+      "the two-pass range-partition stamp, never SinglePartition") {
+    val plan = planOf(graft.analytics.Advanced
+      .giniConcentration(spark, sfDir))
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q352 map-literal dimension lookup: NO join operator anywhere in " +
       "the plan — the decode is a projection expression") {
     val plan = planOf(graft.analytics.Advanced
