@@ -1035,6 +1035,9 @@ object SparkEntry {
       graft.text.TextOps.coocPmi(s, d)),
     // Gini concentration + top-decile share, integer-exact rank moment
     "q388_gini_concentration" -> (graft.analytics.Advanced.giniConcentration _),
+    // Heaps'-law vocab growth: first-slice occurrence + bounded cum frame
+    "q389_heaps_curve"        -> ((s, d) =>
+      graft.text.TextOps.heapsCurve(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

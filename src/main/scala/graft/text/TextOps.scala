@@ -3175,6 +3175,49 @@ object TextOps {
       .orderBy(col("n_drawn").desc, col("tok"))
   }
 
+  /** q389: HEAPS'-LAW VOCABULARY GROWTH CURVE — |vocab| as a function
+    * of corpus prefix size: the statistic that sizes a tokenizer's
+    * vocabulary BEFORE training it (q165's coverage curve answers
+    * "how much text does a fixed vocab cover"; this answers the dual —
+    * "how fast does vocab grow as the corpus does"). The corpus is cut
+    * into [[HeapsSlices]] NTILE slices by doc_id (the q222-safe
+    * two-pass [[graft.dedup.Dedup.ntileByKey]] ranking — never a
+    * SinglePartition window over the corpus); each token's FIRST slice
+    * of occurrence is one hash-agg min; the cumulative curve is a
+    * bounded |slices|-row window. Reports per prefix: docs, running
+    * token count, running vocab, and the type-token ratio whose decay
+    * IS Heaps' law. */
+  val HeapsSlices = 4
+  def heapsCurve(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sliceOf = graft.dedup.Dedup.ntileByKey(
+      s, d.select("doc_id"), "doc_id", HeapsSlices)
+    val toks = d.select(col("doc_id"), explode(tokensC(col("text")))
+        .as("tok"))
+      .filter(length(col("tok")) > 0)
+      .join(sliceOf, Seq("doc_id"))
+      .localCheckpoint() // first-slice agg + per-slice census share it
+    val perSlice = toks.groupBy("slice")
+      .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("ntok"))
+    val newVocab = toks.groupBy("tok").agg(min("slice").as("fs"))
+      .groupBy(col("fs").as("slice")).agg(count(lit(1)).as("nv"))
+    // bounded |slices|-row cumulative window (constant-sized frame)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy("slice")
+    perSlice.join(newVocab, Seq("slice"), "left")
+      .withColumn("cum_docs", sum("nd").over(wCum))
+      .withColumn("cum_tokens", sum("ntok").over(wCum))
+      .withColumn("cum_vocab", sum(coalesce(col("nv"), lit(0L)))
+        .over(wCum))
+      .select(col("slice"),
+        col("cum_docs").cast(IntegerType).as("cum_docs"),
+        col("cum_tokens"),
+        col("cum_vocab"),
+        round(col("cum_vocab").cast(DoubleType) /
+          col("cum_tokens").cast(DoubleType), 9).as("type_token_ratio"))
+      .orderBy("slice")
+  }
+
   /** q387: DOCUMENT-LEVEL CO-OCCURRENCE PMI — which token pairs appear
     * in the SAME DOCUMENT more than chance predicts: the topic/
     * collocation signal that adjacent-bigram PMI (q-PMI's window) is
@@ -3366,6 +3409,36 @@ object TextOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q389: NTILE over the unique doc_id (DuckDB semantics == the
+    // engine's two-pass ntileByKey), min-slice first occurrence, same
+    // bounded cumulative frame
+    "q389_heaps_curve" -> {
+      val t = tokensS("text")
+      s"""WITH sl AS (SELECT doc_id,
+         |    NTILE($HeapsSlices) OVER (ORDER BY doc_id) AS slice
+         |  FROM documents),
+         |toks AS (SELECT d.doc_id, sl.slice, tok FROM
+         |    (SELECT doc_id, unnest($t) AS tok FROM documents) d
+         |  JOIN sl ON d.doc_id = sl.doc_id
+         |  WHERE length(tok) > 0),
+         |ps AS (SELECT slice, COUNT(DISTINCT doc_id) AS nd,
+         |    COUNT(*) AS ntok FROM toks GROUP BY slice),
+         |nv AS (SELECT fs AS slice, COUNT(*) AS nv FROM
+         |    (SELECT tok, MIN(slice) AS fs FROM toks GROUP BY tok)
+         |  GROUP BY fs)
+         |SELECT CAST(ps.slice AS INTEGER) AS slice,
+         |  CAST(SUM(nd) OVER (ORDER BY ps.slice) AS INTEGER) AS cum_docs,
+         |  CAST(SUM(ntok) OVER (ORDER BY ps.slice) AS BIGINT)
+         |    AS cum_tokens,
+         |  CAST(SUM(COALESCE(nv.nv, 0)) OVER (ORDER BY ps.slice)
+         |    AS BIGINT) AS cum_vocab,
+         |  round(CAST(SUM(COALESCE(nv.nv, 0)) OVER (ORDER BY ps.slice)
+         |      AS DOUBLE)
+         |    / CAST(SUM(ntok) OVER (ORDER BY ps.slice) AS DOUBLE), 9)
+         |    AS type_token_ratio
+         |FROM ps LEFT JOIN nv ON ps.slice = nv.slice
+         |ORDER BY ps.slice""".stripMargin
+    },
     // q387: same presence counts, same bounded top-df vocabulary, same
     // ln-round-6 PMI shape
     "q387_cooc_pmi" -> {
