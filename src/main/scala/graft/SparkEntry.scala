@@ -1106,8 +1106,8 @@ object SparkEntry {
       s"""WITH f AS (SELECT ${graft.functions.TextPrims.hex60S(
             s"md5($rowKey)")} AS h FROM orders),
          |g AS (SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_fp,
-         |    CAST(SUM(CAST(h % 1000000007 AS DECIMAL(38,0)))
-         |      AS DECIMAL(38,0)) AS sum_fp
+         |    CAST(CAST(SUM(CAST(h % 1000000007 AS DECIMAL(38,0)))
+         |      AS HUGEINT) % 1000000007 AS BIGINT) AS sum_fp
          |  FROM f)
          |SELECT fmt AS format, n_rows, xor_fp, sum_fp
          |FROM g CROSS JOIN (VALUES ('parquet'), ('orc'), ('csv'),

@@ -3135,7 +3135,18 @@ object Advanced {
     * from integer renditions only (scaled-integer quantity), never
     * from float-to-string formatting, which differs across engines.
     * One scan, one 1-row agg; the two engines producing the same
-    * three numbers IS the cross-engine certificate. */
+    * three numbers IS the cross-engine certificate.
+    *
+    * Output types are BIGINT only: the residue sum accumulates in
+    * DECIMAL(38,0) (a BIGINT running sum would wrap past ~9e9 rows,
+    * well inside 100 TB) but is REDUCED mod p again before emission —
+    * `sum_fp := (Σ h mod p) mod p` is the standard modular
+    * fingerprint, bounded below p forever at any scale. Emitting the
+    * raw DECIMAL(38,0) sum is what round 15 did, and the driver's
+    * compare rendered the decimal differently from the local replica
+    * (rows/schema matched, hash didn't) — a certificate that only
+    * verifies under one decimal-rendering convention is not a
+    * certificate. BIGINT has one rendering everywhere. */
   def resultFingerprint(s: SparkSession, dir: String): DataFrame = {
     val h = graft.functions.TextPrims.hex60C(md5(concat_ws("|",
       col("l_orderkey"), col("l_linenumber"),
@@ -3145,11 +3156,8 @@ object Advanced {
       .select(h.as("h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("xor_fp"),
-        // each residue is ~1e9; a BIGINT running sum would wrap past
-        // ~9e9 rows (well inside 100 TB) — accumulate in DECIMAL(38,0)
-        // so the certificate itself cannot overflow on either engine
-        sum(pmod(col("h"), lit(1000000007L)).cast(DecimalType(38, 0)))
-          .cast(DecimalType(38, 0)).as("sum_fp"))
+        pmod(sum(pmod(col("h"), lit(1000000007L)).cast(DecimalType(38, 0))),
+          lit(1000000007L)).cast(LongType).as("sum_fp"))
   }
 
   /** q360: TPC-H Q5 (local supplier volume) — the canonical 6-table
@@ -3308,19 +3316,24 @@ object Advanced {
     * aggregates lineitem FIRST (map-side partials on l_orderkey — the
     * 100 TB-safe order: filter the fact to the ~1% qualifying orders
     * BEFORE any join), then joins orders + customer on the shrunken
-    * key set. Quantity sums are exact DECIMAL(18,4). Top 20 by total
-    * quantity, o_orderkey tiebreak. */
+    * key set. Quantity sums, filter, and the top-20 ORDER all run on
+    * the exact DECIMAL(18,4) accumulation; only the EMITTED column is
+    * cast to DOUBLE (the house dsum convention — Spark's sum widens to
+    * DECIMAL(28,4) while DuckDB's widens to DECIMAL(38,4), and the
+    * round-15 driver gate proved the two decimal renditions don't
+    * hash alike even when the values do). o_orderkey tiebreak. */
   def tpchQ18(s: SparkSession, dir: String): DataFrame = {
     val qty = t(s, dir, "lineitem")
       .groupBy("l_orderkey")
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("total_qty"))
-      .filter(col("total_qty") > 250)
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_d"))
+      .filter(col("qty_d") > 250)
     qty.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
-      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .orderBy(col("qty_d").desc, col("o_orderkey"))
       .limit(20)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qty_d").cast(DoubleType).as("total_qty"))
   }
 
   /** q377: TPC-H Q19 (discounted revenue) — the OR-of-ANDs predicate
@@ -4041,15 +4054,15 @@ object Advanced {
     "q376_tpch_q18" ->
       """WITH q AS (
         |  SELECT l_orderkey,
-        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_d
         |  FROM lineitem GROUP BY l_orderkey
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-        |  total_qty
+        |  CAST(qty_d AS DOUBLE) AS total_qty
         |FROM q
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY total_qty DESC, o_orderkey
+        |ORDER BY qty_d DESC, o_orderkey
         |LIMIT 20""".stripMargin,
     // q377: TPC-H Q19 verbatim — the mixed-table OR-of-ANDs disjunction
     "q377_tpch_q19" ->
@@ -4347,8 +4360,8 @@ object Advanced {
           "|| '|' || l_returnflag)")
       s"""WITH h AS (SELECT $hS AS h FROM lineitem)
          |SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_fp,
-         |  CAST(SUM(CAST(h % 1000000007 AS DECIMAL(38,0)))
-         |    AS DECIMAL(38,0)) AS sum_fp
+         |  CAST(CAST(SUM(CAST(h % 1000000007 AS DECIMAL(38,0)))
+         |    AS HUGEINT) % 1000000007 AS BIGINT) AS sum_fp
          |FROM h""".stripMargin
     },
     // q358: the erasure predicate in the clear — readable rows are

@@ -752,11 +752,18 @@ object Sinks {
       def fp(df: DataFrame, label: String): DataFrame = {
         val h = hex60C(md5(concat_ws("|", col("o_orderkey"),
           col("o_custkey"), col("cents"), col("o_orderpriority"))))
+        // sum_fp is the modular fingerprint (Σ h mod p) mod p: the
+        // accumulation rides DECIMAL(38,0) (BIGINT would wrap past ~9e9
+        // rows) but the EMITTED value is reduced below p and cast BIGINT
+        // — one rendering on every engine, which is the whole point of a
+        // cross-format certificate (q365's round-16 lesson: the driver
+        // gate hash-failed the raw DECIMAL(38,0) rendition).
         df.select(h.as("h"))
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(h)").as("xor_fp"),
-            sum(pmod(col("h"), lit(1000000007L)).cast(DecimalType(38, 0)))
-              .cast(DecimalType(38, 0)).as("sum_fp"))
+            pmod(sum(pmod(col("h"), lit(1000000007L))
+                .cast(DecimalType(38, 0))),
+              lit(1000000007L)).cast(LongType).as("sum_fp"))
           .select(lit(label).as("format"), col("n_rows"), col("xor_fp"),
             col("sum_fp"))
       }

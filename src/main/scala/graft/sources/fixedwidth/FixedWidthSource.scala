@@ -439,12 +439,28 @@ class FwBatchWrite(spec: Seq[FixedWidthSource.FwField], path: String,
             !st.getPath.getName.startsWith("_") => st.getPath
         }
       else Array.empty
-    messages.foreach { case FwCommitMessage(tmp, finalName) =>
-      val src = new org.apache.hadoop.fs.Path(tmp)
-      val dst = new org.apache.hadoop.fs.Path(dir, finalName)
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(
-          s"fixedwidth write: commit rename failed: $src -> $dst")
+    // if a rename throws partway, roll back the new files made visible
+    // so far before rethrowing: otherwise a failed truncate commit
+    // leaves old files PLUS the renamed prefix both visible, and a
+    // later reader silently sees duplicated rows until a rerun.
+    val visible = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    try {
+      messages.foreach { case FwCommitMessage(tmp, finalName) =>
+        val src = new org.apache.hadoop.fs.Path(tmp)
+        val dst = new org.apache.hadoop.fs.Path(dir, finalName)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"fixedwidth write: commit rename failed: $src -> $dst")
+        visible += dst
+      }
+    } catch {
+      case e: Throwable =>
+        visible.foreach { p =>
+          try { fs.delete(p, false); () }
+          catch { case _: java.io.IOException => () } // best-effort
+        }
+        throw e
     }
     previous.foreach(fs.delete(_, false))
   }

@@ -3251,8 +3251,12 @@ object TextOps {
         col("df").as("c_b"))), "tok_b")
       .select(col("tok_a"), col("tok_b"),
         col("c_ab").cast(IntegerType).as("n_docs_both"),
+        // each df casts to DOUBLE INDIVIDUALLY before the product (the
+        // q344 rule): a BIGINT df_a*df_b wraps silently in Spark at
+        // large-corpus document frequencies while DuckDB would error
         round(log(lit(n.toDouble) * col("c_ab") /
-          (col("c_a") * col("c_b"))), 6).as("pmi"))
+          (col("c_a").cast(DoubleType) *
+            col("c_b").cast(DoubleType))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
       .limit(20)
   }
@@ -3274,7 +3278,13 @@ object TextOps {
     *
     * Per 3-gram-shingle set of two sources and their union: exact
     * distinct, the k-th hash, the KMV estimate, signed relative error.
-    * Hashes are md5-derived — identical bytes on both engines. */
+    * Hashes are md5-derived — identical bytes on both engines.
+    *
+    * Small-set rule: when a scope yields FEWER than k distinct hashes
+    * the sketch contains the entire set, so its size IS the exact
+    * cardinality — the (k−1)·2⁶⁰/h₍ₖ₎ formula would divide by a max
+    * hash that is nowhere near the k-th order statistic and wildly
+    * overshoot. Standard KMV practice; applied on both engines. */
   def kmvDistinct(s: SparkSession, dir: String, k: Int = 128): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("h")
@@ -3303,16 +3313,18 @@ object TextOps {
         .agg(count(lit(1)).as("n_exact"))
         .select(lit("union").as("scope"), col("n_exact")))
     val pow60 = 1152921504606846976.0 // 2^60, exact as a double
+    // small-set rule: a sketch with < k rows IS the whole set
+    val estC = when(col("n_sk") < k, col("n_sk").cast(DoubleType))
+      .otherwise(lit((k - 1).toDouble) * pow60 /
+        col("kth_hash").cast(DoubleType))
     perSrc.unionAll(merged)
-      .groupBy("scope").agg(max("h").as("kth_hash"))
+      .groupBy("scope").agg(count(lit(1)).as("n_sk"),
+        max("h").as("kth_hash"))
       .join(exact, "scope")
       .select(col("scope"), col("n_exact"),
         col("kth_hash"),
-        round(lit((k - 1).toDouble) * pow60 /
-          col("kth_hash").cast(DoubleType), 6).as("est"),
-        round((lit((k - 1).toDouble) * pow60 /
-          col("kth_hash").cast(DoubleType) -
-          col("n_exact").cast(DoubleType)) /
+        round(estC, 6).as("est"),
+        round((estC - col("n_exact").cast(DoubleType)) /
           col("n_exact").cast(DoubleType), 6).as("rel_err"))
       .orderBy("scope")
   }
@@ -3331,7 +3343,12 @@ object TextOps {
     * Determinism: counters are integer sums over seeded-md5 buckets
     * (identical bytes on both engines); every square is cast to
     * DECIMAL(38,0) BEFORE the multiply (the q344 rule — c(k)² wraps
-    * BIGINT long before 100 TB key multiplicities do).
+    * BIGINT long before 100 TB key multiplicities do). The EMITTED
+    * join sizes are BIGINT: accumulation stays DECIMAL(38,0) so the
+    * running sum cannot wrap, and the final ANSI cast fails loudly if
+    * a join size ever exceeds 9.2e18 rows — better than a raw
+    * DECIMAL(38,0) column whose rendering the round-15 driver gate
+    * proved engine-dependent (hash-fail on equal values).
     *
     * Shape at 100 TB: one key-count hash-agg, one d·w-row sketch agg,
     * a d-row inner-product agg — nothing key-cardinality-sized ever
@@ -3349,7 +3366,7 @@ object TextOps {
       .localCheckpoint() // exact J + sketch build both read it
     val exactJ = counts
       .agg(sum(col("c").cast(d38) * col("c").cast(d38))
-        .cast(d38).as("exact_j"))
+        .cast(LongType).as("exact_j"))
     val est = counts
       .select(explode(buckets(col("k"))).as("jb"), col("c"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("b"))
@@ -3357,10 +3374,10 @@ object TextOps {
       .groupBy("j")
       .agg(sum(col("counter").cast(d38) * col("counter").cast(d38))
         .as("ip"))
-      .agg(min("ip").cast(d38).as("est_j"))
+      .agg(min("ip").cast(LongType).as("est_j"))
     est.crossJoin(exactJ)
       .select(col("exact_j"), col("est_j"),
-        (col("est_j") - col("exact_j")).cast(d38).as("overcount"),
+        (col("est_j") - col("exact_j")).as("overcount"),
         round((col("est_j") - col("exact_j")).cast(DoubleType) /
           col("exact_j").cast(DoubleType), 9).as("rel_err"))
   }
@@ -3456,7 +3473,8 @@ object TextOps {
          |    AND a.tok < b.tok
          |  GROUP BY 1, 2)
          |SELECT tok_a, tok_b, CAST(c_ab AS INTEGER) AS n_docs_both,
-         |  round(ln(CAST(n AS DOUBLE) * c_ab / (ta.df * tb.df)), 6)
+         |  round(ln(CAST(n AS DOUBLE) * c_ab
+         |    / (CAST(ta.df AS DOUBLE) * CAST(tb.df AS DOUBLE))), 6)
          |    AS pmi
          |FROM pairs
          |JOIN top ta ON ta.tok = tok_a
@@ -3482,18 +3500,20 @@ object TextOps {
          |  FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= $k),
          |alls AS (SELECT source AS scope, h FROM sk
          |  UNION ALL SELECT scope, h FROM mg),
-         |kth AS (SELECT scope, MAX(h) AS kth_hash FROM alls
-         |  GROUP BY scope),
+         |kth AS (SELECT scope, COUNT(*) AS n_sk, MAX(h) AS kth_hash
+         |  FROM alls GROUP BY scope),
          |ex AS (SELECT source AS scope, COUNT(DISTINCT h) AS n_exact
          |    FROM hs GROUP BY source
-         |  UNION ALL SELECT 'union', COUNT(DISTINCT h) FROM hs)
-         |SELECT scope, n_exact, kth_hash,
-         |  round(${k - 1}.0 * 1152921504606846976.0
-         |    / CAST(kth_hash AS DOUBLE), 6) AS est,
-         |  round((${k - 1}.0 * 1152921504606846976.0
-         |      / CAST(kth_hash AS DOUBLE) - CAST(n_exact AS DOUBLE))
+         |  UNION ALL SELECT 'union', COUNT(DISTINCT h) FROM hs),
+         |es AS (SELECT scope, n_exact, kth_hash,
+         |    CASE WHEN n_sk < $k THEN CAST(n_sk AS DOUBLE)
+         |      ELSE ${k - 1}.0 * 1152921504606846976.0
+         |        / CAST(kth_hash AS DOUBLE) END AS e
+         |  FROM kth JOIN ex USING (scope))
+         |SELECT scope, n_exact, kth_hash, round(e, 6) AS est,
+         |  round((e - CAST(n_exact AS DOUBLE))
          |    / CAST(n_exact AS DOUBLE), 6) AS rel_err
-         |FROM kth JOIN ex USING (scope) ORDER BY scope""".stripMargin
+         |FROM es ORDER BY scope""".stripMargin
     },
     // q381: same seeded buckets, same integer counters, squares cast
     // to DECIMAL(38,0) before the multiply on both engines
@@ -3505,15 +3525,15 @@ object TextOps {
       s"""WITH kc AS (SELECT CAST(user_id AS VARCHAR) AS k,
          |    COUNT(*) AS c FROM events GROUP BY 1),
          |ex AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0))
-         |    * CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS exact_j
+         |    * CAST(c AS DECIMAL(38,0))) AS BIGINT) AS exact_j
          |  FROM kc),
          |jb AS ($bucketRows),
          |sk AS (SELECT j, b, SUM(c) AS counter FROM jb GROUP BY j, b),
          |ip AS (SELECT j, SUM(CAST(counter AS DECIMAL(38,0))
          |    * CAST(counter AS DECIMAL(38,0))) AS ip FROM sk GROUP BY j),
-         |es AS (SELECT CAST(MIN(ip) AS DECIMAL(38,0)) AS est_j FROM ip)
+         |es AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_j FROM ip)
          |SELECT exact_j, est_j,
-         |  CAST(est_j - exact_j AS DECIMAL(38,0)) AS overcount,
+         |  est_j - exact_j AS overcount,
          |  round(CAST(est_j - exact_j AS DOUBLE)
          |    / CAST(exact_j AS DOUBLE), 9) AS rel_err
          |FROM es CROSS JOIN ex""".stripMargin
