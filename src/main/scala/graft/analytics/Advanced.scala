@@ -2857,21 +2857,33 @@ object Advanced {
     * Pearson on doubled ranks equals Pearson on ranks (scale/shift
     * invariance). Closing algebra in fixed-order doubles.
     *
-    * Shape at 100 TB: two partitioned rank windows (by flag — the same
-    * sort-exchange shape as any per-key window) + one hash-agg. */
+    * Shape at 100 TB: ranking never sorts row-grain data in a per-flag
+    * window (a 3-value partition key means ~n/3 rows through ONE task —
+    * the single-reducer shape the repo eliminates everywhere else).
+    * Instead each variable collapses to (flag, value, count) group
+    * grain in a hash-agg, the doubled rank comes from [[RangeIndex]]
+    * .groupedPrefix (range-partitioned two-pass prefix sum — min_rank
+    * of a value is 1 + the count of same-flag rows below it), and the
+    * narrow rank tables hash-join back onto the fact rows before one
+    * moment hash-agg. Two range shuffles over GROUP grain + two row-
+    * grain equi-joins — every stage fully parallel. */
   def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
-    def dranks(v: String, out: String) = {
-      // doubled fractional rank: 2*min_rank + ties - 1 (integer-exact)
-      val wR = Window.partitionBy("l_returnflag").orderBy(col(v))
-      val wT = Window.partitionBy("l_returnflag", v)
-      (df: DataFrame) => df
-        .withColumn(out, lit(2) * rank().over(wR) +
-          count(lit(1)).over(wT) - lit(1))
+    def rankTable(v: String, out: String): DataFrame = {
+      val groups = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col(v))
+        .agg(count(lit(1)).as("c"))
+      // doubled fractional rank of every row carrying value v:
+      // 2*min_rank + ties - 1 = 2*(pfx+1) + c - 1 (integer-exact)
+      RangeIndex.groupedPrefix(s, groups, "l_returnflag", v, "c")
+        .select(col("l_returnflag"), col(v),
+          (lit(2) * (col("pfx") + 1) + col("c") - 1).as(out))
     }
     val ranked = t(s, dir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice")
-      .transform(dranks("l_quantity", "rx"))
-      .transform(dranks("l_extendedprice", "ry"))
+      .join(rankTable("l_quantity", "rx"),
+        Seq("l_returnflag", "l_quantity"))
+      .join(rankTable("l_extendedprice", "ry"),
+        Seq("l_returnflag", "l_extendedprice"))
     val d38 = (c: org.apache.spark.sql.Column) =>
       sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
     // overflow protection must precede the multiply: each doubled-rank
@@ -3437,39 +3449,16 @@ object Advanced {
           col("tot").cast(DoubleType), 9).as("top_decile_share"))
   }
 
-  /** Two-pass distributed global rank over a composite UNIQUE sort key
-    * (the [[graft.dedup.Dedup]] ntileByKey discipline, generalized):
-    * range-partition on the keys, collect per-partition counts
-    * (O(#partitions) driver rows), local sort + running-index stamp +
-    * broadcast cumulative offsets. Returns (input keys…, i) and the
-    * total row count — no SinglePartition exchange anywhere. */
+  /** Two-pass distributed global rank over a composite UNIQUE sort key —
+    * a thin rename over [[RangeIndex]].indexed, the repo's single home
+    * for the range-partition/offset-stamp discipline (shared with
+    * [[graft.dedup.Dedup]] ntileByKey and the q344 grouped prefix).
+    * Returns (input keys…, i) and the total row count — no
+    * SinglePartition exchange anywhere. */
   private def globalRank(s: SparkSession, df: DataFrame,
                          keys: Seq[String]): (DataFrame, Long) = {
-    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.select(keys.map(col): _*)
-      .repartitionByRange(parts, keys.map(col): _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged.groupBy("pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val offsets: Map[Int, Long] =
-      counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
-        .init.zip(counts).map { case ((_, off), (pid, _)) => pid -> off }
-        .toMap
-    val sorted = ranged.sortWithinPartitions(keys.map(col): _*)
-    val stamped = sorted.mapPartitions { it =>
-      var i = 0L
-      it.map { row =>
-        i += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
-      }
-    }(org.apache.spark.sql.Encoders.row(
-      sorted.schema.add("lrn", org.apache.spark.sql.types.LongType)))
-    val out = stamped
-      .withColumn("i", col("lrn") +
-        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
-      .select(keys.map(col) :+ col("i"): _*)
-    (out, n)
+    val (out, n) = RangeIndex.indexed(s, df, keys)
+    (out.withColumnRenamed("rn", "i"), n)
   }
 
   /** q386: CUSUM CHANGEPOINT SCAN — the drift monitor a 100 TB

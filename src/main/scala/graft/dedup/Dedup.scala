@@ -585,33 +585,15 @@ object Dedup extends org.apache.spark.internal.Logging {
   private[graft] def ntileByKey(s: SparkSession, ids: DataFrame,
                                 key: String, k: Int): DataFrame = {
     require(k > 0, s"ntileByKey needs k > 0, got $k")
-    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = ids.select(key).repartitionByRange(parts, col(key))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    // pass 1: per-partition counts → exclusive cumulative offsets
-    // (O(#partitions) rows on the driver, never O(rows))
-    val counts = ranged.groupBy("pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val offsets: Map[Int, Long] =
-      counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
-        .init.zip(counts).map { case ((_, off), (pid, _)) => pid -> off }
-        .toMap
+    // the range-partition/offset-stamp core lives ONCE, in
+    // graft.analytics.RangeIndex (shared with globalRank and the q344
+    // grouped prefix); this wrapper only adds the tile arithmetic
+    val (stamped, n) =
+      graft.analytics.RangeIndex.indexed(s, ids.select(key), Seq(key))
     // ntile(k): first n%k tiles get n/k+1 rows, the rest n/k
     val q = n / k; val r = n % k
     val qq = math.max(q, 1L) // else-branch divisor; unreachable when q == 0
-    // pass 2: local sort (no exchange) + running-index stamp + offsets
-    val sorted = ranged.sortWithinPartitions(col(key))
-    val stamped = sorted.mapPartitions { it =>
-      var i = 0L
-      it.map { row =>
-        i += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
-      }
-    }(org.apache.spark.sql.Encoders.row(sorted.schema.add("lrn", LongType)))
     stamped
-      .withColumn("rn", col("lrn") +
-        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
       .withColumn("slice",
         when(lit(n) <= k, col("rn").cast(IntegerType)) // degenerate n<=k
           .when(col("rn") <= lit(r * (q + 1)),

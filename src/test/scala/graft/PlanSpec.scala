@@ -855,6 +855,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q344 Spearman ranks WITHOUT a row-grain window: no Window " +
+      "operator and no SinglePartition exchange anywhere — the old " +
+      "rank().over(partitionBy(l_returnflag)) funneled ~n/3 lineitem " +
+      "rows through ONE task per flag") {
+    val plan = planOf(graft.analytics.Advanced.spearmanCorr(spark, sfDir))
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("q344 grouped-prefix ranks match the window-rank semantic oracle " +
+      "(doubled fractional ranks, incl. ties)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_quantity")
+    val groups = li.groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("c"))
+    val got = graft.analytics.RangeIndex
+      .groupedPrefix(spark, groups, "l_returnflag", "l_quantity", "c")
+      .select(col("l_returnflag"), col("l_quantity"),
+        (lit(2) * (col("pfx") + 1) + col("c") - 1).as("dr"))
+    val wR = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val wT = Window.partitionBy("l_returnflag", "l_quantity")
+    val want = li
+      .withColumn("dr", lit(2) * rank().over(wR) +
+        count(lit(1)).over(wT) - lit(1))
+      .select("l_returnflag", "l_quantity", "dr").distinct()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "groupedPrefix doubled ranks diverged from window ranks")
+  }
+
   test("q352 map-literal dimension lookup: NO join operator anywhere in " +
       "the plan — the decode is a projection expression") {
     val plan = planOf(graft.analytics.Advanced
