@@ -1038,6 +1038,12 @@ object SparkEntry {
     // Heaps'-law vocab growth: first-slice occurrence + bounded cum frame
     "q389_heaps_curve"        -> ((s, d) =>
       graft.text.TextOps.heapsCurve(s, d)),
+    // TPC-H Q21: triple-correlated EXISTS/NOT-EXISTS decorrelated to
+    // one lineitem scan + two shrinking aggregates
+    "q390_tpch_q21"           -> (graft.analytics.Advanced.tpchQ21 _),
+    // TPC-H Q17: correlated scalar aggregate via one part-grain
+    // pre-aggregate join, integer-exact threshold
+    "q391_tpch_q17"           -> (graft.analytics.Advanced.tpchQ17 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

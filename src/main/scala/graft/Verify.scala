@@ -47,6 +47,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // authoritative counts, printed every run so README/PERF claims
+    // can be checked against the registry instead of drifting
+    val rowsOnly = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+      .toSeq.sorted
+    println(s"[verify] registry: ${SparkEntry.queries.size} queries, " +
+      s"${SparkEntry.oracleSql.size} oracle-checked, " +
+      s"${rowsOnly.size} rows-only (${rowsOnly.mkString(", ")})")
     spark.stop()
   }
 }

@@ -3372,6 +3372,93 @@ object Advanced {
         d9sum.cast(DoubleType).as("revenue"))
   }
 
+  /** q390: TPC-H Q21 (suppliers who kept orders waiting) — the
+    * multi-correlated-EXISTS/NOT-EXISTS stress shape on ONE fact table:
+    * for finished ('F') orders, count per supplier the orders where
+    * that supplier shipped late (l_shipdate > o_orderdate + 90 days —
+    * the TESTDATA rendition of receipt>commit, which this lineitem
+    * doesn't carry), ANOTHER supplier participated (EXISTS l2), and NO
+    * other supplier was late (NOT EXISTS l3). Top suppliers of one
+    * nation by waiting count.
+    *
+    * Spark-first decorrelation: the three correlated subqueries all
+    * correlate on the SAME order, so ONE per-(order, supplier)
+    * aggregate answers EXISTS l1, and a per-ORDER window over that
+    * already-shrunken frame (count + late-supplier count over the
+    * l_orderkey partition — high-cardinality key, ~7 rows per group)
+    * answers EXISTS l2 and NOT EXISTS l3 in the same pass. lineitem
+    * is scanned ONCE (PlanSpec-asserted; a naive EXISTS translation
+    * scans it three times, and a perSupp-vs-perOrder self-join scans
+    * it twice because differing pushed filters defeat exchange
+    * reuse). The oracle runs DuckDB's genuinely CORRELATED EXISTS/NOT
+    * EXISTS form — agreement certifies the decorrelation, not just
+    * the arithmetic. Late flag is pure timestamp comparison; numwait
+    * is a count — no float anywhere. */
+  def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") +
+      expr("INTERVAL 90 DAYS")
+    val perSupp = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      // late_rows both drives the EXISTS flags (sign) and carries
+      // Q21's count grain: the spec counts l1 ROWS, so a supplier
+      // with two late lines in one order waits twice
+      .agg(sum(when(late, 1L).otherwise(0L)).as("late_rows"))
+    val wOrd = Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_late",
+        sum(when(col("late_rows") > 0, 1L).otherwise(0L)).over(wOrd))
+      .filter(col("late_rows") > 0 && col("n_supp") >= 2 &&
+        col("n_late") === 1)
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name")
+      .agg(sum("late_rows").cast(IntegerType).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** q391: TPC-H Q17 (small-quantity-order revenue) — the correlated
+    * SCALAR-aggregate subquery: items of one brand whose quantity is
+    * below 20% of that PART's average quantity, and the revenue they
+    * carry. The canonical decorrelation twin to q353: the per-part
+    * average must come from ALL of lineitem (not the brand slice), so
+    * the engine aggregates lineitem ONCE to (partkey, n, sum_qty)
+    * grain and joins the narrow aggregate back — never a per-row
+    * re-probe, never a cartesian (PlanSpec-asserted).
+    *
+    * The threshold compare is INTEGER-EXACT on both engines:
+    * l_quantity < 0.2·(sum/n) ⟺ 5·qty·n < sum over scaled-integer
+    * quantities (×10⁴), each factor cast to DECIMAL(38,0) BEFORE the
+    * product (the q344 rule — qty·n passes 2⁶³ at 100 TB part
+    * multiplicities), so no engine ever forms a fractional average.
+    * avg_yearly divides the dsum revenue by 7.0 per the spec. */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val qtyI = round(col("l_quantity") * 10000).cast(LongType)
+    val perPart = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), qtyI.as("qi"))
+      .groupBy("pk")
+      .agg(count(lit(1)).as("n_part"),
+        sum(col("qi").cast(d38)).as("sum_qi"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") <= 5)),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(lit(5).cast(d38) * qtyI.cast(d38) *
+        col("n_part").cast(d38) < col("sum_qi"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_items"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+          .cast(DoubleType) / 7.0, 9).as("avg_yearly"))
+  }
+
   /** q379: VARIANT SHREDDING ROUND-TRIP — Spark 4's semi-structured
     * VARIANT type driven end-to-end: each order renders to a NESTED
     * JSON document (objects, an array, integer-only numerics so the
@@ -4010,6 +4097,45 @@ object Advanced {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1
         |ORDER BY o_year""".stripMargin,
+    // q390: the GENUINELY CORRELATED Q21 form — DuckDB decorrelates
+    // its own way; agreement certifies the engine's one-pass
+    // aggregate rewrite, not just the arithmetic
+    "q390_tpch_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS INTEGER) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    // q391: the correlated SCALAR-aggregate Q17 form, integer-exact —
+    // 5·qty·COUNT < SUM over ×10⁴-scaled quantities, every factor
+    // DECIMAL(38,0) before the product
+    "q391_tpch_q17" ->
+      """SELECT CAST(COUNT(*) AS INTEGER) AS n_items,
+        |  round(CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / 7.0, 9) AS avg_yearly
+        |FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23' AND p_size <= 5
+        |  AND CAST(5 AS DECIMAL(38,0))
+        |      * CAST(CAST(round(l1.l_quantity * 10000) AS BIGINT)
+        |          AS DECIMAL(38,0))
+        |      * (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) FROM lineitem l2
+        |         WHERE l2.l_partkey = l1.l_partkey)
+        |    < (SELECT SUM(CAST(CAST(round(l2.l_quantity * 10000)
+        |          AS BIGINT) AS DECIMAL(38,0))) FROM lineitem l2
+        |       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     // q374: TPC-H Q10 verbatim (quarter window, returnflag R, top 20
     // by revenue with custkey tiebreak)
     "q374_tpch_q10" ->

@@ -953,6 +953,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q390 TPC-H Q21: lineitem scanned exactly ONCE — the triple " +
+      "correlated EXISTS decorrelates to one aggregate + one per-order " +
+      "window, never a re-probe or a self-join") {
+    val plan = planOf(graft.analytics.Advanced.tpchQ21(spark, sfDir))
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected 1 lineitem scan, got $scans")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // supplier + nation ride broadcasts; the fact never shuffles
+    // against a dimension
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("q391 TPC-H Q17: the correlated scalar aggregate joins the " +
+      "part-grain pre-aggregate — bounded lineitem scans, no cartesian") {
+    val plan = planOf(graft.analytics.Advanced.tpchQ17(spark, sfDir))
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected <=2 lineitem scans, got $scans")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("q227 hub top-5 plans as TakeOrderedAndProject, not a global " +
       "window over the degree frame") {
     val plan = planOf(graft.dedup.Dedup.dupGraphDegrees(spark, sfDir))
