@@ -89,7 +89,14 @@ object ScaleRamp {
     // ramp makes the claim measurable
     "kmv_distinct"     -> "q383_kmv_distinct",
     "hist_quantiles"   -> "q380_hist_quantiles",
-    "cm_join_size"     -> "q381_cm_join_size")
+    "cm_join_size"     -> "q381_cm_join_size",
+    // round-16 verdict item 4: the IVF probe family (the suite's
+    // largest un-ramped cost block) — ×N corpus vectors, FIXED query
+    // set (vec_id < 10 is offset-invariant), so the measured axis is
+    // database growth under cell-bucketed probes, the production ANN
+    // scaling story. ann_ivf covers the flat-IVF probe; ivfadc adds
+    // the PQ-compressed rerank path (bounded training + table probes)
+    "ivfadc"           -> "q235_ivfadc_recall")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding

@@ -1044,6 +1044,22 @@ object SparkEntry {
     // TPC-H Q17: correlated scalar aggregate via one part-grain
     // pre-aggregate join, integer-exact threshold
     "q391_tpch_q17"           -> (graft.analytics.Advanced.tpchQ17 _),
+    // TPC-H Q4: EXISTS -> LEFT SEMI with mixed equi+non-equi condition
+    "q392_tpch_q4"            -> (graft.analytics.Advanced.tpchQ4 _),
+    // TPC-H Q13: left-join-then-histogram, zero-order customers kept
+    "q393_tpch_q13"           -> (graft.analytics.Advanced.tpchQ13 _),
+    // TPC-H Q16: NOT IN -> broadcast anti join + distinct census
+    "q394_tpch_q16"           -> (graft.analytics.Advanced.tpchQ16 _),
+    // TPC-H Q22: integer-exact scalar-average threshold + anti join
+    "q395_tpch_q22"           -> (graft.analytics.Advanced.tpchQ22 _),
+    // TPC-H Q2: correlated MIN-equality via shrinking agg join-back
+    "q396_tpch_q2"            -> (graft.analytics.Advanced.tpchQ2 _),
+    // TPC-H Q11: group-HAVING against a global scalar, exact fraction
+    "q397_tpch_q11"           -> (graft.analytics.Advanced.tpchQ11 _),
+    // TPC-H Q15: aggregate-of-aggregate argmax on exact decimals
+    "q398_tpch_q15"           -> (graft.analytics.Advanced.tpchQ15 _),
+    // TPC-H Q20: nested-aggregate EXISTS chain -> semi-join reduction
+    "q399_tpch_q20"           -> (graft.analytics.Advanced.tpchQ20 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

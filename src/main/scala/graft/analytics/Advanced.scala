@@ -3459,6 +3459,230 @@ object Advanced {
           .cast(DoubleType) / 7.0, 9).as("avg_yearly"))
   }
 
+  /** q392: TPC-H Q4 (order priority checking) — per priority, orders of
+    * one quarter where at least ONE line shipped late (the TESTDATA
+    * late predicate, q390's): the canonical EXISTS → LEFT SEMI join
+    * shape. The semi join carries a MIXED predicate (equi key +
+    * the non-equi lateness comparison against the outer o_orderdate),
+    * which must ride the hash join as a post-probe condition — never a
+    * per-row subquery, never a cartesian. Counts only; no floats. */
+  def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    ord.join(t(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast(IntegerType).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q393: TPC-H Q13 (customer order-count distribution) — the
+    * LEFT-join-then-histogram shape: customers who never ordered MUST
+    * appear with count 0 (an inner join silently drops them — the
+    * classic distribution bug), so orders left-joins onto customer
+    * with the exclusion predicate INSIDE the join condition (putting
+    * it in WHERE would turn the left join back into inner). Two
+    * hash-aggs: per-customer count, then the count-of-counts. */
+  def tpchQ13(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").select("c_custkey")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count() skips nulls
+      .groupBy("c_count")
+      .agg(count(lit(1)).cast(IntegerType).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q394: TPC-H Q16 (parts/supplier relationship) — distinct-supplier
+    * census per (brand, size) for a part slice, EXCLUDING a supplier
+    * deny-list (the NOT IN shape → broadcast LEFT ANTI join; NOT IN
+    * over a nullable subquery is the classic three-valued-logic trap,
+    * sidestepped here because s_suppkey is a key). The supplier↔part
+    * relation comes from lineitem (this schema carries no partsupp),
+    * distinct BEFORE the count. */
+  def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val deny = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_sk"))
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#45" &&
+            col("p_type") =!= "PROMO" && col("p_size") <= 10)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(deny), col("l_suppkey") === col("bad_sk"),
+        "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").cast(IntegerType)
+        .as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** q395: TPC-H Q22 (global sales opportunity) — customers above the
+    * GLOBAL positive-balance average with no URGENT order (the
+    * TESTDATA rendition of Q22's "never ordered", which is vacuous
+    * here — every customer has orders at all SFs; urgent-free keeps a
+    * scale-stable ~50% selectivity): a scalar aggregate subquery
+    * feeding a threshold plus a NOT-EXISTS anti join. The average is
+    * never formed as a float: bal > sum/n ⟺ bal_cents·n > sum_cents
+    * over exact integers (each factor DECIMAL(38,0) before the
+    * product — the q344 rule), so the qualifying set is bit-identical
+    * on both engines. The 1-row (sum, n) aggregate broadcasts as a
+    * literal-free cross join; the filtered orders anti-join on
+    * custkey. Output per country code (nationkey mod 5): customer
+    * count + dsum of balances. */
+  def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val balC = round(col("c_acctbal") * 100).cast(LongType)
+    val cust = t(s, dir, "customer")
+      .filter(pmod(col("c_nationkey"), lit(5L)).isin(0L, 1L, 2L))
+      .select(col("c_custkey"),
+        pmod(col("c_nationkey"), lit(5L)).cast(IntegerType)
+          .as("cntrycode"),
+        col("c_acctbal"), balC.as("bal_c"))
+    val avgRow = cust.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c").cast(d38)).as("sum_c"),
+        count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(avgRow))
+      .filter(col("bal_c").cast(d38) * col("n_pos").cast(d38) >
+        col("sum_c"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).cast(IntegerType).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  /** q396: TPC-H Q2 (minimum-cost supplier) — for each part of a
+    * slice, the supplier(s) achieving the MINIMUM supply cost: the
+    * correlated `= (SELECT MIN …)` shape. Supply cost is derived from
+    * lineitem (no partsupp here): per (part, supplier), the minimum
+    * extended price in exact CENTS. The per-part minimum is a second
+    * shrinking hash-agg joined back by equality — integer equality,
+    * so no epsilon games — while supplier/nation/part ride
+    * broadcasts. Top 100 by account balance with the spec's
+    * tiebreak. */
+  def tpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(round(col("l_extendedprice") * 100).cast(LongType))
+        .as("cost_c"))
+    val minCost = ps.groupBy("pk").agg(min("cost_c").as("min_c"))
+    ps.join(minCost, Seq("pk"))
+      .filter(col("cost_c") === col("min_c"))
+      .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)),
+        col("pk") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("sk") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("pk").as("p_partkey"), col("cost_c"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** q397: TPC-H Q11 (important stock identification) — per-part value
+    * for one nation's suppliers, kept only where the part's value
+    * exceeds a FRACTION of the global total: group-HAVING against a
+    * scalar aggregate over the SAME aggregation. The engine aggregates
+    * once, derives the global total from the per-part frame (a second
+    * shrinking agg, broadcast back), and compares integer-exactly:
+    * val > total/10000 ⟺ 10000·val > total in DECIMAL(38,0) — no
+    * float fraction ever forms. Value = Σ cents·qty over exact
+    * integers. Emitted value is the decimal cast to DOUBLE (one
+    * rendering; identical on both engines since the decimal is
+    * exact). */
+  def tpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val cents = round(col("l_extendedprice") * 100).cast(LongType)
+    val qtyL = round(col("l_quantity")).cast(LongType)
+    val perPart = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(cents.cast(d38) * qtyL.cast(d38)).as("value_c"))
+    val total = perPart.agg(sum("value_c").cast(d38).as("total_c"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_c").cast(d38) * 10000 > col("total_c"))
+      .select(col("pk").as("p_partkey"),
+        col("value_c").cast(DoubleType).as("value_cents"))
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
+  /** q398: TPC-H Q15 (top supplier) — quarterly revenue per supplier,
+    * returning the supplier(s) whose revenue EQUALS the maximum: the
+    * aggregate-of-aggregate argmax (the spec's CREATE VIEW + scalar
+    * MAX). Revenue accumulates as exact DECIMAL(28,9) (q183
+    * discipline), so the equality join against the 1-row max is exact
+    * — the float-equality trap the view form invites never opens.
+    * Emitted revenue is the decimal cast to DOUBLE. */
+  def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey").as("sk"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        9).cast(DecimalType(28, 9))).as("total_rev"))
+    val mx = rev.agg(max("total_rev").as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("sk") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast(DoubleType).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q399: TPC-H Q20 (potential part promotion) — suppliers of one
+    * nation holding a DOMINANT share of some part in a name slice:
+    * the nested-aggregate semi-join chain (EXISTS over an aggregate
+    * threshold). Per (part, supplier) shipped quantity, per part
+    * total + supplier census (a second shrinking agg), dominance =
+    * MORE THAN TWICE THE FAIR SHARE (sq·n_supp > 2·tq in
+    * DECIMAL(38,0) — no fraction ever forms, and unlike a fixed
+    * percentage the fair-share multiple stays non-vacuous at every
+    * scale factor because per-part supplier counts grow with SF),
+    * then supplier LEFT SEMI joins the qualifying-supplier set.
+    * Quantities are exact integers (l_quantity is integral). */
+  def tpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val qtyL = round(col("l_quantity")).cast(LongType)
+    val sq = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").startsWith("small"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(qtyL).as("sq"))
+    val tq = sq.groupBy("pk")
+      .agg(sum("sq").as("tq"), count(lit(1)).as("ns"))
+    val qualifying = sq.join(tq, Seq("pk"))
+      .filter(col("sq").cast(d38) * col("ns").cast(d38) >
+        col("tq").cast(d38) * 2)
+      .select("sk").distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("sk"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
   /** q379: VARIANT SHREDDING ROUND-TRIP — Spark 4's semi-structured
     * VARIANT type driven end-to-end: each order renders to a NESTED
     * JSON document (objects, an array, integer-only numerics so the
@@ -4136,6 +4360,133 @@ object Advanced {
         |    < (SELECT SUM(CAST(CAST(round(l2.l_quantity * 10000)
         |          AS BIGINT) AS DECIMAL(38,0))) FROM lineitem l2
         |       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    // q392: correlated EXISTS form — DuckDB's own decorrelation vs the
+    // engine's LEFT SEMI with the mixed equi+lateness condition
+    "q392_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS INTEGER) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q393: Q13 verbatim — the exclusion predicate must live in the
+    // JOIN clause so zero-order customers survive
+    "q393_tpch_q13" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(COUNT(*) AS INTEGER) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q394: the NOT IN form the engine's anti join must equal
+    "q394_tpch_q16" ->
+      """SELECT p_brand, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS INTEGER) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size <= 10
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    // q395: scalar-average threshold integer-exact on both sides
+    // (bal_cents·n > sum_cents — no float average ever forms) +
+    // correlated NOT EXISTS
+    "q395_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CAST(c_nationkey % 5 AS INTEGER) AS cntrycode, c_acctbal,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)),
+        |a AS (SELECT CAST(SUM(CAST(bal_c AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS sum_c, COUNT(*) AS n_pos
+        |  FROM cust WHERE bal_c > 0)
+        |SELECT cntrycode, CAST(COUNT(*) AS INTEGER) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM cust CROSS JOIN a
+        |WHERE CAST(bal_c AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0))
+        |    > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderpriority = '1-URGENT')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    // q396: the genuinely correlated `= (SELECT MIN …)` Q2 form over
+    // the same lineitem-derived supply costs
+    "q396_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, pk AS p_partkey, cost_c
+        |FROM ps
+        |JOIN supplier ON sk = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON pk = p_partkey
+        |WHERE p_type = 'ECONOMY' AND p_size <= 15
+        |  AND cost_c = (SELECT MIN(ps2.cost_c) FROM ps ps2
+        |                WHERE ps2.pk = ps.pk)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // q397: HAVING against the global scalar, integer-exact fraction
+    "q397_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS pk,
+        |    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |          AS DECIMAL(38,0))
+        |      * CAST(CAST(round(l_quantity) AS BIGINT)
+        |          AS DECIMAL(38,0))) AS value_c
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5'
+        |  GROUP BY 1)
+        |SELECT pk AS p_partkey, CAST(value_c AS DOUBLE) AS value_cents
+        |FROM v
+        |WHERE CAST(value_c AS DECIMAL(38,0)) * 10000
+        |    > (SELECT CAST(SUM(value_c) AS DECIMAL(38,0)) FROM v)
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+    // q398: the view + scalar MAX Q15 form; exact-decimal equality
+    "q398_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS sk,
+        |    SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 9)
+        |      AS DECIMAL(28,9))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE)
+        |  AS total_revenue
+        |FROM revenue JOIN supplier ON sk = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // q399: nested-aggregate EXISTS chain; dominance = over 2x the
+    // fair share, with BOTH per-part aggregates correlated
+    "q399_tpch_q20" ->
+      """WITH sq AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    SUM(CAST(round(l_quantity) AS BIGINT)) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |  AND EXISTS (SELECT 1 FROM sq
+        |    WHERE sq.sk = s_suppkey
+        |      AND CAST(sq.sq AS DECIMAL(38,0)) *
+        |        (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) FROM sq s3
+        |         WHERE s3.pk = sq.pk) >
+        |        (SELECT CAST(SUM(s2.sq) AS DECIMAL(38,0)) FROM sq s2
+        |         WHERE s2.pk = sq.pk) * 2)
+        |ORDER BY s_name""".stripMargin,
     // q374: TPC-H Q10 verbatim (quarter window, returnflag R, top 20
     // by revenue with custkey tiebreak)
     "q374_tpch_q10" ->

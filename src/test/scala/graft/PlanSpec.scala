@@ -973,6 +973,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("q392-q399 TPC-H batch plan contracts: semi/anti joins stay " +
+      "hashed, dimensions broadcast, no cartesian anywhere, and every " +
+      "fact table is scanned a bounded number of times") {
+    import graft.analytics.Advanced
+    val shapes = Seq[(String, org.apache.spark.sql.DataFrame, Int)](
+      ("q392", Advanced.tpchQ4(spark, sfDir), 1),
+      ("q393", Advanced.tpchQ13(spark, sfDir), 1),
+      ("q394", Advanced.tpchQ16(spark, sfDir), 1),
+      ("q395", Advanced.tpchQ22(spark, sfDir), 1),
+      ("q396", Advanced.tpchQ2(spark, sfDir), 2),
+      ("q397", Advanced.tpchQ11(spark, sfDir), 2),
+      ("q398", Advanced.tpchQ15(spark, sfDir), 2),
+      ("q399", Advanced.tpchQ20(spark, sfDir), 2))
+    shapes.foreach { case (name, df, maxLiScans) =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name has a cartesian:\n${plan.take(1200)}")
+      val scans = "lineitem\\.parquet".r.findAllIn(plan).size
+      assert(scans <= maxLiScans,
+        s"$name scans lineitem $scans times (max $maxLiScans)")
+    }
+    // the EXISTS/NOT-IN rewrites must stay hashed semi/anti joins
+    assert(planOf(Advanced.tpchQ4(spark, sfDir)).contains("LeftSemi"))
+    assert(planOf(Advanced.tpchQ16(spark, sfDir)).contains("LeftAnti"))
+    assert(planOf(Advanced.tpchQ22(spark, sfDir)).contains("LeftAnti"))
+    assert(planOf(Advanced.tpchQ20(spark, sfDir)).contains("LeftSemi"))
+  }
+
   test("q227 hub top-5 plans as TakeOrderedAndProject, not a global " +
       "window over the degree frame") {
     val plan = planOf(graft.dedup.Dedup.dupGraphDegrees(spark, sfDir))
