@@ -8,33 +8,27 @@ import org.apache.spark.sql.types.LongType
   * machinery that replaces every `rank()/ntile()/row_number()` window
   * whose partition key is too coarse to parallelize (no partition, or a
   * 3-value flag over row grain): range-partition on the sort key, collect
-  * O(#partitions) counts on the driver, local sort (no further exchange)
-  * + running-index stamp + broadcast cumulative offsets. Used by
-  * [[Advanced]] globalRank (q388 Gini), [[graft.dedup.Dedup]] ntileByKey
-  * (q222 et al.), and the grouped weighted prefix behind q344 Spearman —
-  * keeping the q222-safe discipline in a single audited place.
+  * O(#partitions × #groups) counts on the driver, local sort (no further
+  * exchange) + running-index stamp + broadcast cumulative offsets. Used
+  * by [[Advanced]] globalRank (q388 Gini), [[graft.dedup.Dedup]]
+  * ntileByKey (q222 et al.), and the grouped weighted prefix behind q344
+  * Spearman — keeping the q222-safe discipline in a single audited place.
   *
-  * Scale contract: nothing driver-side ever exceeds O(#partitions ×
-  * #groups) rows; no SinglePartition exchange; the stamped frame keeps
-  * the range-partitioning for downstream joins. */
+  * Cost discipline: exactly ONE materialization (the range-partitioned
+  * projection is localCheckpointed because both passes read it), ONE
+  * O(#partitions × #groups) driver collect, and ONE stamping
+  * mapPartitions over the sorted partitions — the round-16 q344 bench
+  * caught a variant that checkpointed the stamped frame a second time
+  * and paid ~2× for nothing. No SinglePartition exchange anywhere. */
 object RangeIndex {
 
-  /** Core stamp: range-partition `df`'s `cols` projection on `cols`,
-    * then per partition attach `pid` and the 1-based local running index
-    * `lrn` in `cols` sort order. The returned frame is localCheckpointed
-    * (both passes read it); no global offsets yet. */
-  private def stamp(s: SparkSession, df: DataFrame,
-                    cols: Seq[String]): DataFrame = {
+  private def ranged(s: SparkSession, df: DataFrame,
+                     cols: Seq[String]): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.select(cols.map(col): _*)
+    df.select(cols.map(col): _*)
       .repartitionByRange(parts, cols.map(col): _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    val sorted = ranged.sortWithinPartitions(cols.map(col): _*)
-    sorted.mapPartitions { it =>
-      var i = 0L
-      it.map { row => i += 1; Row.fromSeq(row.toSeq :+ i) }
-    }(org.apache.spark.sql.Encoders.row(sorted.schema.add("lrn", LongType)))
   }
 
   /** Global 1..n row index over a UNIQUE composite sort key: returns
@@ -42,14 +36,22 @@ object RangeIndex {
     * uniqueness, so callers get rank semantics for free. */
   def indexed(s: SparkSession, df: DataFrame,
               cols: Seq[String]): (DataFrame, Long) = {
-    val stamped = stamp(s, df, cols).localCheckpoint()
-    val counts = stamped.groupBy("pid").agg(max("lrn").as("c")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val r = ranged(s, df, cols)
+    // pass 1: per-partition counts → exclusive cumulative offsets
+    // (O(#partitions) rows on the driver, never O(rows))
+    val counts = r.groupBy("pid").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum
     val offsets: Map[Int, Long] =
       counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
         .init.zip(counts).map { case ((_, off), (pid, _)) => pid -> off }
         .toMap
+    // pass 2: local sort (no exchange) + running-index stamp + offsets
+    val sorted = r.sortWithinPartitions(cols.map(col): _*)
+    val stamped = sorted.mapPartitions { it =>
+      var i = 0L
+      it.map { row => i += 1; Row.fromSeq(row.toSeq :+ i) }
+    }(org.apache.spark.sql.Encoders.row(sorted.schema.add("lrn", LongType)))
     val out = stamped
       .withColumn("rn", col("lrn") +
         coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
@@ -63,33 +65,16 @@ object RangeIndex {
     * a value inside its group when `w` counts rows per value — computed
     * with a range shuffle on (grp, ord) and a per-partition scan, never
     * a per-group single-task sort (the q344 lesson: Window.partitionBy
-    * on a 3-value flag IS a single-reducer sort at row grain).
-    * Driver sees O(#partitions × #groups) (pid, grp, total) rows. */
+    * on a 3-value flag IS a single-reducer sort at row grain). */
   def groupedPrefix(s: SparkSession, df: DataFrame, grp: String,
                     ord: String, w: String): DataFrame = {
-    val stamped0 = stamp(s, df, Seq(grp, ord, w))
-    // per-partition running sum of w, reset at group boundaries
-    // (partitions are (grp, ord)-range-contiguous, so each group spans
-    // a contiguous pid interval and boundaries are detectable locally)
-    val schema = stamped0.schema.add("lpfx", LongType)
-    // positional indices resolved on the driver: rows inside
-    // mapPartitions are schemaless GenericRows (no getAs-by-name)
-    val (gi, wi) =
-      (stamped0.schema.fieldIndex(grp), stamped0.schema.fieldIndex(w))
-    val local = stamped0.mapPartitions { it =>
-      var started = false; var cur: Any = null; var acc = 0L
-      it.map { row =>
-        val g = row.get(gi)
-        if (!started || cur != g) { started = true; cur = g; acc = 0L }
-        val out = Row.fromSeq(row.toSeq :+ acc)
-        acc += row.get(wi).asInstanceOf[Number].longValue()
-        out
-      }
-    }(org.apache.spark.sql.Encoders.row(schema)).localCheckpoint()
-    val totals = local.groupBy("pid", grp)
+    val r = ranged(s, df, Seq(grp, ord, w))
+    // pass 1: per-(partition, group) totals → per-(partition, group)
+    // exclusive offsets (groups are range-contiguous across pids, so
+    // an offset is the sum of the SAME group's totals on earlier pids)
+    val totals = r.groupBy("pid", grp)
       .agg(sum(col(w).cast(LongType)).as("t")).collect()
-      .map(r => (r.getInt(0), r.getAs[Any](grp), r.getLong(2)))
-    // offset(pid, g) = Σ totals of the same group on EARLIER partitions
+      .map(x => (x.getInt(0), x.get(1), x.getLong(2)))
     val offsets: Map[(Int, Any), Long] = totals.groupBy(_._2).flatMap {
       case (g, rows) =>
         val byPid = rows.sortBy(_._1)
@@ -99,13 +84,25 @@ object RangeIndex {
           (pid, g) -> off }
     }
     val bc = s.sparkContext.broadcast(offsets)
-    val (pi, li) = (schema.fieldIndex("pid"), schema.fieldIndex("lpfx"))
-    local.mapPartitions { it =>
+    // pass 2: local sort + one running-sum stamp; the accumulator
+    // resets to the broadcast offset at every group boundary
+    val sorted = r.sortWithinPartitions(col(grp), col(ord))
+    val schema = sorted.schema.add("pfx", LongType)
+    val (gi, wi, pi) = (sorted.schema.fieldIndex(grp),
+      sorted.schema.fieldIndex(w), sorted.schema.fieldIndex("pid"))
+    sorted.mapPartitions { it =>
+      var started = false; var cur: Any = null; var acc = 0L
       it.map { row =>
-        val off = bc.value.getOrElse((row.getInt(pi), row.get(gi)), 0L)
-        Row.fromSeq(row.toSeq :+ (row.getLong(li) + off))
+        val g = row.get(gi)
+        if (!started || cur != g) {
+          started = true; cur = g
+          acc = bc.value.getOrElse((row.getInt(pi), g), 0L)
+        }
+        val out = Row.fromSeq(row.toSeq :+ acc)
+        acc += row.get(wi).asInstanceOf[Number].longValue()
+        out
       }
-    }(org.apache.spark.sql.Encoders.row(schema.add("pfx", LongType)))
+    }(org.apache.spark.sql.Encoders.row(schema))
       .select(col(grp), col(ord), col(w), col("pfx"))
   }
 }
