@@ -1060,6 +1060,9 @@ object SparkEntry {
     "q398_tpch_q15"           -> (graft.analytics.Advanced.tpchQ15 _),
     // TPC-H Q20: nested-aggregate EXISTS chain -> semi-join reduction
     "q399_tpch_q20"           -> (graft.analytics.Advanced.tpchQ20 _),
+    // Spark 4 native XML (SPARK-44265) joins the round-trip family:
+    // write <line> rows, read back with the explicit schema, aggregate
+    "q400_xml_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "xml")),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1369,7 +1372,7 @@ object SparkEntry {
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
       Map("q102_orc_roundtrip" -> rtOracle, "q103_csv_roundtrip" -> rtOracle,
-        "q104_json_roundtrip" -> rtOracle)
+        "q104_json_roundtrip" -> rtOracle, "q400_xml_roundtrip" -> rtOracle)
     } ++ {
       // q105/q106 oracle = the same filtered aggregate over the ORIGINAL
       // flat parquet — hash-equality proves each pruned storage layout

@@ -240,6 +240,11 @@ object Sinks {
       case "csv" =>
         src.write.mode("overwrite").option("header", "true").csv(path)
       case "json"    => Sinks.json(src, path)
+      case "xml" =>
+        // Spark 4's built-in XML datasource (SPARK-44265): one <line>
+        // element per row; doubles render shortest-round-trip like JSON
+        src.write.mode("overwrite").option("rowTag", "line").format("xml")
+          .save(path)
       case "parquet" => src.write.mode("overwrite").parquet(path)
       case other     => sys.error(s"unsupported round-trip format: $other")
     }
@@ -249,6 +254,10 @@ object Sinks {
       case "orc"     => s.read.orc(path)
       case "csv"     => Tables.csv(s, path, schema)
       case "json"    => Tables.json(s, path, schema)
+      case "xml" =>
+        // explicit schema, never inference (SURVEY §1.3) — same discipline
+        // as the CSV/JSON leg
+        s.read.option("rowTag", "line").schema(schema).format("xml").load(path)
       case "parquet" => s.read.parquet(path)
       case other     => sys.error(s"unsupported round-trip format: $other")
     }
