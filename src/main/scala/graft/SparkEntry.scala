@@ -1063,6 +1063,9 @@ object SparkEntry {
     // Spark 4 native XML (SPARK-44265) joins the round-trip family:
     // write <line> rows, read back with the explicit schema, aggregate
     "q400_xml_roundtrip"      -> ((s, d) => graft.sources.Sinks.formatRoundTrip(s, d, "xml")),
+    // exact quantiles with NO sort and NO row shuffle: iterative
+    // monotone-histogram selection, one scan per 256-way level
+    "q401_exact_quantiles"    -> (graft.analytics.ExactQuantile.exactQuantiles _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed
@@ -1334,7 +1337,9 @@ object SparkEntry {
   ) ++ graft.streaming.EventStream.oracleSql ++
     graft.text.TextOps.oracleSql ++ graft.dedup.Dedup.oracleSql ++
     graft.similarity.Similarity.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
-    graft.analytics.Advanced.oracleSql ++ graft.ml.LloydExact.oracleSql ++
+    graft.analytics.Advanced.oracleSql ++
+    graft.analytics.ExactQuantile.oracleSql ++
+    graft.ml.LloydExact.oracleSql ++
     graft.ml.GiniStump.oracleSql ++
     graft.ml.Knn.oracleSql ++
     graft.ml.PqCodebook.oracleSql ++
