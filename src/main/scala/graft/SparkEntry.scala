@@ -1066,6 +1066,10 @@ object SparkEntry {
     // exact quantiles with NO sort and NO row shuffle: iterative
     // monotone-histogram selection, one scan per 256-way level
     "q401_exact_quantiles"    -> (graft.analytics.ExactQuantile.exactQuantiles _),
+    // interpolated Kneser-Ney bigram perplexity: the CCNet-style
+    // LM-quality filter, all stats from one bigram-type frame
+    "q402_kn_perplexity"      -> ((s, d) =>
+      graft.text.TextOps.knPerplexity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

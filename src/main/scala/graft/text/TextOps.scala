@@ -3425,7 +3425,143 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** q402: INTERPOLATED KNESER–NEY BIGRAM PERPLEXITY — the LM-quality
+    * filter one rung above q185's add-one smoothing: absolute
+    * discounting (D = 0.75, Kneser & Ney 1995; the fixed-discount form
+    * benchmarked in Chen & Goodman 1999) with the CONTINUATION-count
+    * back-off that makes KN the standard corpus-quality scorer
+    * (CCNet-style filtering ranks documents by exactly this statistic):
+    *
+    *   P(c|p) = (max(c(p,c) − D, 0) + D·N₁₊(p·)·P_cont(c)) / c(p)
+    *   P_cont(c) = (N₁₊(·c) + 1) / (N₁₊(··) + V + 1)    [+1: <unk> mass]
+    *
+    * and P(c|p) = P_cont(c) when context p was never seen in training.
+    * All counts come from ONE distinct-bigram frame (c(p,c)): c(p) and
+    * the fan-out N₁₊(p·) are a groupBy(prev) over it, the continuation
+    * count N₁₊(·c) a groupBy(cur), the pair total one global count —
+    * type-grain aggregates, corpus-size-decoupled like the BPE merge
+    * state. Scoring is two hash joins of the test bigrams against those
+    * narrow tables. Per-test-doc output: bigram count, how many bigrams
+    * fell to the back-off path (integer-exact), and perplexity.
+    *
+    * Exactness: every probability is a fixed-shape double expression
+    * over exact integers (D = 0.75 is binary-representable; association
+    * is pinned identically in the oracle SQL), log-probs round to
+    * DECIMAL(18,6) before the partition-order-independent sum — the
+    * q185 discipline. Train/test is the md5 80/20 split. */
+  def knPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hex60C(md5(col("doc_id").cast(StringType))), lit(100L))
+    val d = docs(s, dir).withColumn("is_train", bucket < 80)
+      .withColumn("tkns", tokensC(col("text")))
+    val big0 = d.select(col("doc_id"), col("source"), col("is_train"),
+        col("tkns"), posexplode(col("tkns")))
+      .withColumnRenamed("col", "cur")
+      .withColumn("prev", when(col("pos") === 0, lit("<s>"))
+        .otherwise(element_at(col("tkns"), col("pos"))))
+      .drop("tkns", "pos")
+      .localCheckpoint()
+    val train = big0.filter(col("is_train"))
+    val vocab = train.select(col("cur").as("t")).distinct()
+      .withColumn("in_v", lit(1)).localCheckpoint()
+    val vS = vocab.agg((count(lit(1)) + 1).as("v"))
+    // the ONE bigram-type frame every KN statistic derives from
+    val c2 = train.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"),
+      count(lit(1)).as("n1f"))                       // c(p), N1+(p .)
+    val n1r = c2.groupBy("cur").agg(count(lit(1)).as("n1r")) // N1+(. c)
+    val n1a = c2.agg(count(lit(1)).as("n1all"))              // N1+(. .)
+    val test = big0.filter(!col("is_train"))
+      .join(vocab.select(col("t").as("cur"), col("in_v").as("cur_in")),
+        Seq("cur"), "left")
+      .join(vocab.select(col("t").as("prev"), col("in_v").as("prev_in")),
+        Seq("prev"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("prev") === "<s>" || col("prev_in").isNotNull,
+          col("prev")).otherwise("<unk>").as("p"),
+        when(col("cur_in").isNotNull, col("cur"))
+          .otherwise("<unk>").as("c"))
+    val pcont = (coalesce(col("n1r"), lit(0L)) + 1).cast(DoubleType) /
+      (col("n1all") + col("v")).cast(DoubleType)
+    val pkn = when(col("c1").isNotNull,
+      (greatest(coalesce(col("c2"), lit(0L)).cast(DoubleType) - 0.75,
+          lit(0.0)) +
+        lit(0.75) * col("n1f").cast(DoubleType) * pcont) /
+        col("c1").cast(DoubleType))
+      .otherwise(pcont)
+    test
+      .join(c2.select(col("prev").as("p"), col("cur").as("c"), col("c2")),
+        Seq("p", "c"), "left")
+      .join(c1.select(col("prev").as("p"), col("c1"), col("n1f")),
+        Seq("p"), "left")
+      .join(n1r.select(col("cur").as("c"), col("n1r")), Seq("c"), "left")
+      .crossJoin(broadcast(vS)).crossJoin(broadcast(n1a))
+      .withColumn("lp", round(log(pkn), 6).cast(DecimalType(18, 6)))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L))
+          .cast(IntegerType).as("n_backoff"),
+        sum("lp").as("slp"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("n_backoff"),
+        round(exp(-col("slp").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType)), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q402: interpolated Kneser-Ney, association pinned to the engine's
+    // double expression shape; D=0.75 exact in binary
+    "q402_kn_perplexity" ->
+      s"""WITH d AS (SELECT doc_id, source, $T AS t,
+         |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 < 80
+         |      AS is_train
+         |  FROM documents),
+         |b0 AS (SELECT doc_id, source, is_train,
+         |    CASE WHEN i = 1 THEN '<s>' ELSE t[CAST(i - 1 AS INTEGER)] END
+         |      AS prev,
+         |    t[CAST(i AS INTEGER)] AS cur
+         |  FROM (SELECT doc_id, source, is_train, t,
+         |      unnest(range(1, len(t) + 1)) AS i FROM d)),
+         |tr AS (SELECT * FROM b0 WHERE is_train),
+         |vocab AS (SELECT DISTINCT cur AS w FROM tr),
+         |vs AS (SELECT COUNT(*) + 1 AS v FROM vocab),
+         |c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM tr
+         |  GROUP BY prev, cur),
+         |c1 AS (SELECT prev, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2
+         |  GROUP BY prev),
+         |n1r AS (SELECT cur, COUNT(*) AS n1r FROM c2 GROUP BY cur),
+         |n1a AS (SELECT COUNT(*) AS n1all FROM c2),
+         |te AS (SELECT doc_id, source,
+         |    CASE WHEN prev = '<s>' OR prev IN (SELECT w FROM vocab)
+         |      THEN prev ELSE '<unk>' END AS p,
+         |    CASE WHEN cur IN (SELECT w FROM vocab)
+         |      THEN cur ELSE '<unk>' END AS c
+         |  FROM b0 WHERE NOT is_train),
+         |sc AS (SELECT doc_id, source, c2.c2 AS cb, c1.c1 AS c1v,
+         |    c1.n1f AS n1f, n1r.n1r AS n1rv, vs.v AS v,
+         |    n1a.n1all AS n1all
+         |  FROM te CROSS JOIN vs CROSS JOIN n1a
+         |  LEFT JOIN c2 ON te.p = c2.prev AND te.c = c2.cur
+         |  LEFT JOIN c1 ON te.p = c1.prev
+         |  LEFT JOIN n1r ON te.c = n1r.cur),
+         |lp AS (SELECT doc_id, source, cb,
+         |    CAST(round(ln(CASE WHEN c1v IS NOT NULL THEN
+         |        (GREATEST(CAST(COALESCE(cb, 0) AS DOUBLE) - 0.75, 0.0)
+         |          + 0.75 * CAST(n1f AS DOUBLE)
+         |            * (CAST(COALESCE(n1rv, 0) + 1 AS DOUBLE)
+         |               / CAST(n1all + v AS DOUBLE)))
+         |          / CAST(c1v AS DOUBLE)
+         |      ELSE CAST(COALESCE(n1rv, 0) + 1 AS DOUBLE)
+         |           / CAST(n1all + v AS DOUBLE) END), 6)
+         |      AS DECIMAL(18,6)) AS lp
+         |  FROM sc)
+         |SELECT doc_id, source, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_backoff,
+         |  round(exp(-CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+         |    6) AS ppl
+         |FROM lp GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     // q389: NTILE over the unique doc_id (DuckDB semantics == the
     // engine's two-pass ntileByKey), min-slice first occurrence, same
     // bounded cumulative frame
