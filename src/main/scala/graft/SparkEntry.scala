@@ -1070,6 +1070,8 @@ object SparkEntry {
     // LM-quality filter, all stats from one bigram-type frame
     "q402_kn_perplexity"      -> ((s, d) =>
       graft.text.TextOps.knPerplexity(s, d)),
+    // MAUVE-style pairwise Jensen-Shannon drift over shared Lloyd cells
+    "q403_js_drift"           -> (graft.similarity.Similarity.jsEmbeddingDrift _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -2523,7 +2523,92 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, round(sim, 6) AS cosine
        |FROM r WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
+  /** q403: JENSEN–SHANNON EMBEDDING DRIFT — MAUVE-style two-sample
+    * distributional comparison (Pillutla et al., NeurIPS 2021 reduce
+    * both samples to a shared quantization and compare histograms):
+    * every label's embedding population is histogrammed over the SAME
+    * K deterministic Lloyd cells (the q57/q61 coarse quantizer), and
+    * every label pair gets
+    *   JS(P,Q) = ½·Σ_c [ p·ln(p/m) + q·ln(q/m) ],  m = (p+q)/2
+    * over Laplace-smoothed cell shares p = (n + 0.5)/(N + K/2) (the
+    * q205 rule — no empty-cell ln(0); the dense label×cell grid is
+    * materialized so zero-count cells still contribute). JS is
+    * symmetric and bounded by ln 2 — the drift score embedding-space
+    * monitoring wants where q205's PSI (value bins) can't see shape.
+    *
+    * Exactness: shares are fixed-shape double expressions over exact
+    * integers (+0.5 and +K/2 are binary-representable); each cell
+    * contribution rounds to 9 dp into DECIMAL(28,9) before the
+    * partition-order-independent sum (q183 discipline). Shape at
+    * 100 TB: the Lloyd fit is the q57 machinery (broadcast centers,
+    * one assignment pass); histograms are a labels×K hash-agg; the
+    * pairwise stage runs at (labels²×K) GRID grain — never row grain. */
+  def jsEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val L = graft.ml.LloydExact
+    val pts = L.points(s, dir)
+    val cells = L.assign(pts, L.centersFor(pts))
+    val lab = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      col("label"))
+    val hist = cells.join(lab, "vec_id")
+      .groupBy("label", "cluster").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid + totals + pairs all read it
+    val labels = hist.select("label").distinct()
+    val grid = labels.crossJoin(
+      s.range(L.K).select(col("id").cast(IntegerType).as("cluster")))
+    val tot = hist.groupBy("label").agg(sum("n").as("nt"))
+    val share = grid
+      .join(hist, Seq("label", "cluster"), "left")
+      .join(tot, "label")
+      .select(col("label"), col("cluster"), col("nt"),
+        ((coalesce(col("n"), lit(0L)).cast(DoubleType) + 0.5) /
+          (col("nt").cast(DoubleType) + lit(L.K / 2.0))).as("p"))
+    val a = share.select(col("label").as("label_a"), col("cluster"),
+      col("nt").as("n_a"), col("p"))
+    val b = share.select(col("label").as("label_b"), col("cluster"),
+      col("nt").as("n_b"), col("p").as("q"))
+    val m = (col("p") + col("q")) / 2.0
+    val contrib = lit(0.5) *
+      (col("p") * log(col("p") / m) + col("q") * log(col("q") / m))
+    a.join(b, "cluster")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum(round(contrib, 9).cast(DecimalType(28, 9))).as("js_d"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("js_d").cast(DoubleType), 6).as("js_nats"))
+      .orderBy("label_a", "label_b")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q403: same Lloyd cells (shared CTE chain), same smoothed shares,
+    // same contribution shape and 9-dp decimal routing
+    "q403_js_drift" -> {
+      val L = graft.ml.LloydExact
+      s"""WITH ${L.lloydCtesS},
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |h AS (SELECT l.label, a.cluster, COUNT(*) AS n
+         |  FROM afinal a JOIN lab l USING (vec_id) GROUP BY 1, 2),
+         |labs AS (SELECT DISTINCT label FROM lab),
+         |grid AS (SELECT label, CAST(c AS INTEGER) AS cluster
+         |  FROM labs CROSS JOIN (SELECT unnest(range(0, ${L.K})) AS c)),
+         |tot AS (SELECT label, CAST(SUM(n) AS BIGINT) AS nt
+         |  FROM h GROUP BY 1),
+         |sh AS (SELECT g.label, g.cluster, t.nt,
+         |    (CAST(COALESCE(h.n, 0) AS DOUBLE) + 0.5)
+         |      / (CAST(t.nt AS DOUBLE) + ${L.K / 2.0}) AS p
+         |  FROM grid g
+         |  LEFT JOIN h ON g.label = h.label AND g.cluster = h.cluster
+         |  JOIN tot t ON g.label = t.label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  MAX(a.nt) AS n_a, MAX(b.nt) AS n_b,
+         |  round(CAST(SUM(CAST(round(0.5 *
+         |      (a.p * ln(a.p / ((a.p + b.p) / 2.0))
+         |       + b.p * ln(b.p / ((a.p + b.p) / 2.0))), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS js_nats
+         |FROM sh a JOIN sh b ON a.cluster = b.cluster
+         |  AND a.label < b.label
+         |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
+    },
     // q331: identical sampled V-statistic in DuckDB (same distance
     // route, same 9-dp row rounding, same closing algebra)
     "q331_energy_distance" -> {
