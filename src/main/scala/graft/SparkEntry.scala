@@ -1072,6 +1072,13 @@ object SparkEntry {
       graft.text.TextOps.knPerplexity(s, d)),
     // MAUVE-style pairwise Jensen-Shannon drift over shared Lloyd cells
     "q403_js_drift"           -> (graft.similarity.Similarity.jsEmbeddingDrift _),
+    // Jelinek-Mercer deleted interpolation: 3 EM rounds for the mixture
+    // weight, each one hash-agg over a checkpointed scored frame
+    "q404_jm_interpolation"   -> ((s, d) =>
+      graft.text.TextOps.jmInterpolation(s, d)),
+    // binaryFile ingestion: executor-side blob export, glob-filtered
+    // (path, length, content) read-back, digest-verified lossless
+    "q405_binaryfile_source"  -> (graft.multimodal.Multimodal.binaryFileSource _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -322,9 +322,56 @@ object Multimodal {
        |    JOIN sz sb ON media_b = sb.media_id
        |  WHERE 2 * n_shared >= sa.nb + sb.nb - n_shared)""".stripMargin
 
+  /** q405: BINARY-FILE INGESTION — `spark.read.format("binaryFile")`,
+    * the standard entry point of a multimodal pipeline (a directory of
+    * image/audio blobs on object storage becomes (path, length, content)
+    * rows; at 100 TB this is THE first scan, with file-status pruning on
+    * path/length/modificationTime before any byte is read). The query
+    * round-trips a bounded media sample through real files: an
+    * executor-side foreachPartition exports each blob as `<id>.bin`
+    * (the distributed blob-store write, never a driver loop), binaryFile
+    * reads the directory back with a `*.bin` glob, and the result is
+    * (media_id parsed from the path, byte length, content md5) — the
+    * oracle computes the same digests from the original documents rows,
+    * so hash-equality proves the file sink + binaryFile source pair is
+    * byte-lossless. Staging is cleaned up after materialization. */
+  def binaryFileSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q405")
+    try {
+      val base = tmp.toString
+      fromDocuments(s, dir).filter(col("media_id") % 37 === 0)
+        .select(col("media_id"), col("content"))
+        .foreachPartition { it: java.util.Iterator[org.apache.spark.sql.Row] =>
+          while (it.hasNext) {
+            val r = it.next()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(base, s"${r.getLong(0)}.bin"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(base)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast(LongType).as("media_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("media_id")
+        .localCheckpoint()
+    } finally Tables.rmTree(tmp)
+  }
+
   /** q40 oracle: metadata extraction is SQL-expressible (md5 of utf-8 text
     * bytes = md5 of the blob). */
   def oracleSql: Map[String, String] = Map(
+    // q405: digests of the original rows; octet_length(encode(text)) =
+    // the UTF-8 byte count binaryFile reports as `length`
+    "q405_binaryfile_source" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 37 = 0
+        |ORDER BY media_id""".stripMargin,
     "q161_media_dedup_exact" ->
       s"""WITH m AS (SELECT doc_id AS media_id, text FROM documents
          |  UNION ALL SELECT doc_id + $MediaVariantOffset, text

@@ -3449,17 +3449,23 @@ object TextOps {
     * is pinned identically in the oracle SQL), log-probs round to
     * DECIMAL(18,6) before the partition-order-independent sum — the
     * q185 discipline. Train/test is the md5 80/20 split. */
-  def knPerplexity(s: SparkSession, dir: String): DataFrame = {
+  /** The 80/20 md5-split bigram stream (doc_id, source, is_train, prev,
+    * cur) shared by the q185/q402/q404 LM family. */
+  private def bigramSplit(s: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(hex60C(md5(col("doc_id").cast(StringType))), lit(100L))
     val d = docs(s, dir).withColumn("is_train", bucket < 80)
       .withColumn("tkns", tokensC(col("text")))
-    val big0 = d.select(col("doc_id"), col("source"), col("is_train"),
+    d.select(col("doc_id"), col("source"), col("is_train"),
         col("tkns"), posexplode(col("tkns")))
       .withColumnRenamed("col", "cur")
       .withColumn("prev", when(col("pos") === 0, lit("<s>"))
         .otherwise(element_at(col("tkns"), col("pos"))))
       .drop("tkns", "pos")
       .localCheckpoint()
+  }
+
+  def knPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val big0 = bigramSplit(s, dir)
     val train = big0.filter(col("is_train"))
     val vocab = train.select(col("cur").as("t")).distinct()
       .withColumn("in_v", lit(1)).localCheckpoint()
@@ -3509,7 +3515,139 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q404: JELINEK–MERCER DELETED INTERPOLATION — the EM fit for the
+    * mixture weight λ of P_mix(c|p) = λ·P₂(c|p) + (1−λ)·P₁(c) (Jelinek
+    * & Mercer 1980; the "deleted interpolation" baseline of Chen &
+    * Goodman 1999), completing the LM-smoothing ladder next to q185
+    * (add-one) and q402 (Kneser–Ney). P₂ is the bigram MLE c(p,c)/c(p)
+    * (0 for unseen pairs), P₁ the Laplace unigram (c(w)+1)/(N+V); both
+    * are stamped once per held-out bigram into ONE checkpointed scored
+    * frame, and each of 3 EM rounds is then a single hash-agg over it:
+    *
+    *   r = λ·P₂ / (λ·P₂ + (1−λ)·P₁)   (posterior of the bigram arm)
+    *   λ' = mean(r),  reported with the held-out mean log-likelihood
+    *   under the λ that ENTERED the round.
+    *
+    * λ crosses rounds as ONE collected scalar per iteration (the
+    * bounded-driver-state discipline of the Lloyd loop); responsibilities
+    * round to 9 dp and log-likelihood terms to 6 dp into DECIMALs before
+    * their partition-order-independent sums, and λ itself is pinned to
+    * 9 dp so both engines iterate on identical doubles. Shape at
+    * 100 TB: 3 × (one scan of the scored frame + a scalar agg) — the
+    * classic "EM over sufficient statistics" pattern with nothing
+    * driver-side but λ. */
+  def jmInterpolation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big0 = bigramSplit(s, dir)
+    val train = big0.filter(col("is_train"))
+    val vocab = train.select(col("cur").as("t")).distinct()
+      .withColumn("in_v", lit(1)).localCheckpoint()
+    val vS = vocab.agg((count(lit(1)) + 1).as("v"))
+    val nS = train.agg(count(lit(1)).as("n"))
+    val c2 = train.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("prev").agg(count(lit(1)).as("c1"))
+    val uni = train.groupBy("cur").agg(count(lit(1)).as("cw"))
+    val test = big0.filter(!col("is_train"))
+      .join(vocab.select(col("t").as("cur"), col("in_v").as("cur_in")),
+        Seq("cur"), "left")
+      .join(vocab.select(col("t").as("prev"), col("in_v").as("prev_in")),
+        Seq("prev"), "left")
+      .select(
+        when(col("prev") === "<s>" || col("prev_in").isNotNull,
+          col("prev")).otherwise("<unk>").as("p"),
+        when(col("cur_in").isNotNull, col("cur"))
+          .otherwise("<unk>").as("c"))
+    val p2 = when(col("c1").isNotNull,
+      coalesce(col("c2"), lit(0L)).cast(DoubleType) /
+        col("c1").cast(DoubleType)).otherwise(lit(0.0))
+    val p1 = (coalesce(col("cw"), lit(0L)) + 1).cast(DoubleType) /
+      (col("n") + col("v")).cast(DoubleType)
+    val scored = test
+      .join(c2.select(col("prev").as("p"), col("cur").as("c"), col("c2")),
+        Seq("p", "c"), "left")
+      .join(c1.select(col("prev").as("p"), col("c1")), Seq("p"), "left")
+      .join(uni.select(col("cur").as("c"), col("cw")), Seq("c"), "left")
+      .crossJoin(broadcast(vS)).crossJoin(broadcast(nS))
+      .select(p2.as("p2"), p1.as("p1"))
+      .localCheckpoint() // 3 EM rounds re-scan this one frame
+    var lam = 0.5
+    val rows = (1 to 3).map { iter =>
+      val l = lit(lam); val oml = lit(1.0 - lam)
+      val mix = l * col("p2") + oml * col("p1")
+      val r = (l * col("p2")) / (l * col("p2") + oml * col("p1"))
+      val a = scored.agg(
+        (sum(round(r, 9).cast(DecimalType(28, 9))).cast(DoubleType) /
+          count(lit(1))).as("lam_raw"),
+        (sum(round(log(mix), 6).cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("ll_raw"))
+        .select(round(col("lam_raw"), 9).as("lam"),
+          round(col("ll_raw"), 6).as("ll"))
+        .collect()(0)
+      val out = (iter, a.getDouble(0), a.getDouble(1))
+      lam = a.getDouble(0)
+      out
+    }
+    s.createDataset(rows).toDF("iter", "lambda", "avg_ll")
+      .orderBy("iter")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q404: identical scored frame (bigram/unigram MLEs), identical EM
+    // update with lambda pinned to 9 dp between rounds
+    "q404_jm_interpolation" -> {
+      val emRound = (src: String) =>
+        s"""SELECT
+           |  round(CAST(SUM(CAST(round(
+           |      (l.lam * p2) / (l.lam * p2 + (1.0 - l.lam) * p1), 9)
+           |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 9) AS lam,
+           |  round(CAST(SUM(CAST(round(
+           |      ln(l.lam * p2 + (1.0 - l.lam) * p1), 6)
+           |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS ll
+           |FROM sc CROSS JOIN $src l""".stripMargin
+      s"""WITH d AS (SELECT doc_id, source, $T AS t,
+         |    ${hex60S("md5(CAST(doc_id AS VARCHAR))")} % 100 < 80
+         |      AS is_train
+         |  FROM documents),
+         |b0 AS (SELECT doc_id, source, is_train,
+         |    CASE WHEN i = 1 THEN '<s>' ELSE t[CAST(i - 1 AS INTEGER)] END
+         |      AS prev,
+         |    t[CAST(i AS INTEGER)] AS cur
+         |  FROM (SELECT doc_id, source, is_train, t,
+         |      unnest(range(1, len(t) + 1)) AS i FROM d)),
+         |tr AS (SELECT * FROM b0 WHERE is_train),
+         |vocab AS (SELECT DISTINCT cur AS w FROM tr),
+         |vs AS (SELECT COUNT(*) + 1 AS v FROM vocab),
+         |ns AS (SELECT COUNT(*) AS n FROM tr),
+         |c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM tr
+         |  GROUP BY prev, cur),
+         |c1 AS (SELECT prev, COUNT(*) AS c1 FROM tr GROUP BY prev),
+         |uni AS (SELECT cur, COUNT(*) AS cw FROM tr GROUP BY cur),
+         |te AS (SELECT
+         |    CASE WHEN prev = '<s>' OR prev IN (SELECT w FROM vocab)
+         |      THEN prev ELSE '<unk>' END AS p,
+         |    CASE WHEN cur IN (SELECT w FROM vocab)
+         |      THEN cur ELSE '<unk>' END AS c
+         |  FROM b0 WHERE NOT is_train),
+         |sc AS (SELECT
+         |    CASE WHEN c1.c1 IS NOT NULL THEN
+         |      CAST(COALESCE(c2.c2, 0) AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+         |    ELSE 0.0 END AS p2,
+         |    CAST(COALESCE(uni.cw, 0) + 1 AS DOUBLE)
+         |      / CAST(ns.n + vs.v AS DOUBLE) AS p1
+         |  FROM te CROSS JOIN vs CROSS JOIN ns
+         |  LEFT JOIN c2 ON te.p = c2.prev AND te.c = c2.cur
+         |  LEFT JOIN c1 ON te.p = c1.prev
+         |  LEFT JOIN uni ON te.c = uni.cur),
+         |lam0 AS (SELECT CAST(0.5 AS DOUBLE) AS lam),
+         |i1 AS (${emRound("lam0")}),
+         |i2 AS (${emRound("i1")}),
+         |i3 AS (${emRound("i2")})
+         |SELECT CAST(1 AS INTEGER) AS iter, lam AS lambda, ll AS avg_ll
+         |  FROM i1
+         |UNION ALL SELECT 2, lam, ll FROM i2
+         |UNION ALL SELECT 3, lam, ll FROM i3
+         |ORDER BY iter""".stripMargin
+    },
     // q402: interpolated Kneser-Ney, association pinned to the engine's
     // double expression shape; D=0.75 exact in binary
     "q402_kn_perplexity" ->
