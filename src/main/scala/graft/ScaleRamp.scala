@@ -96,7 +96,11 @@ object ScaleRamp {
     // database growth under cell-bucketed probes, the production ANN
     // scaling story. ann_ivf covers the flat-IVF probe; ivfadc adds
     // the PQ-compressed rerank path (bounded training + table probes)
-    "ivfadc"           -> "q235_ivfadc_recall")
+    "ivfadc"           -> "q235_ivfadc_recall",
+    // round-16: exact selection claims O(log_B(range)) column scans and
+    // O(states×B) driver state at ANY row count — ×100 lineitem should
+    // cost ~1 extra histogram level, nowhere near ×100
+    "exact_quantiles"  -> "q401_exact_quantiles")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding
