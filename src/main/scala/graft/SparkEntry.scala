@@ -1079,6 +1079,9 @@ object SparkEntry {
     // binaryFile ingestion: executor-side blob export, glob-filtered
     // (path, length, content) read-back, digest-verified lossless
     "q405_binaryfile_source"  -> (graft.multimodal.Multimodal.binaryFileSource _),
+    // chi-square + G independence test over the dense lang*source grid,
+    // one corpus hash-agg then cell-grain algebra
+    "q406_chi2_independence"  -> (graft.analytics.Advanced.chiSquareIndependence _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query. Floating aggregates are routed

@@ -4228,7 +4228,84 @@ object Advanced {
       .orderBy("step")
   }
 
+  /** q406: CHI-SQUARE + G-TEST OF INDEPENDENCE — the classical
+    * contingency-table test the statistical family (q203 Welch, q208
+    * Mann–Whitney, q209/q251 KS, q384 bootstrap) was missing: is
+    * document language independent of source? Pearson's
+    * χ² = Σ (n_ij − e_ij)²/e_ij and the likelihood-ratio
+    * G = 2·Σ n_ij·ln(n_ij/e_ij) over the DENSE lang×source grid
+    * (zero-observation cells still contribute e_ij to χ²), with
+    * Cramér's V = √(χ² / (n·min(L−1, S−1))) as the effect size.
+    *
+    * Scale shape: ONE hash-agg collapses the corpus to L×S observed
+    * cells; the dense grid, the marginals, and every test statistic
+    * then live at CELL grain (≤ a few hundred rows) — the 100 TB cost
+    * is exactly one groupBy(lang, source).count. Overflow discipline:
+    * e_ij = r_i·c_j/n forms the product in DECIMAL(38,0) BEFORE the
+    * divide (the q344 rule — marginal products pass BIGINT at corpus
+    * scale); per-cell contributions round to 9 dp into DECIMAL(28,9)
+    * before the order-independent sum. */
+  def chiSquareIndependence(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val cells = t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // grid + marginals + totals all read it
+    val rowT = cells.groupBy("lang").agg(sum("nij").as("ri"))
+    val colT = cells.groupBy("source").agg(sum("nij").as("cj"))
+    val tot = cells.agg(sum("nij").as("n"),
+      countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+    val nijD = coalesce(col("nij"), lit(0L)).cast(DoubleType)
+    val e = (col("ri").cast(d38) * col("cj").cast(d38)).cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val chiC = (nijD - e) * (nijD - e) / e
+    val gC = when(col("nij").isNotNull,
+      lit(2.0) * nijD * log(nijD / e)).otherwise(lit(0.0))
+    val d289 = (c: org.apache.spark.sql.Column) =>
+      sum(round(c, 9).cast(DecimalType(28, 9))).cast(DoubleType)
+    rowT.crossJoin(colT) // dense L×S grid — cell grain, never row grain
+      .join(cells, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_docs"),
+        max((col("nl") - 1) * (col("ns") - 1)).cast(IntegerType).as("dof"),
+        d289(chiC).as("chi2_d"), d289(gC).as("g_d"),
+        max(least(col("nl") - 1, col("ns") - 1)).as("mindim"))
+      .select(col("n_docs"), col("dof"),
+        round(col("chi2_d"), 6).as("chi2"),
+        round(col("g_d"), 6).as("g_stat"),
+        round(sqrt(col("chi2_d") /
+          (col("n_docs").cast(DoubleType) *
+            col("mindim").cast(DoubleType))), 6).as("cramers_v"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q406: same dense grid, same DECIMAL(38,0) product before the
+    // divide, same 9-dp contribution routing and closing algebra
+    "q406_chi2_independence" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS nij
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, SUM(nij) AS ri FROM cells GROUP BY 1),
+        |ct AS (SELECT source, SUM(nij) AS cj FROM cells GROUP BY 1),
+        |tot AS (SELECT SUM(nij) AS n, COUNT(DISTINCT lang) AS nl,
+        |    COUNT(DISTINCT source) AS ns FROM cells),
+        |g AS (SELECT rt.lang, ct.source, rt.ri, ct.cj, c.nij,
+        |    tot.n, tot.nl, tot.ns,
+        |    CAST(CAST(rt.ri AS DECIMAL(38,0)) * CAST(ct.cj AS DECIMAL(38,0))
+        |      AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e,
+        |    CAST(COALESCE(c.nij, 0) AS DOUBLE) AS nijd
+        |  FROM rt CROSS JOIN ct CROSS JOIN tot
+        |  LEFT JOIN cells c ON rt.lang = c.lang AND ct.source = c.source)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  CAST(MAX((nl - 1) * (ns - 1)) AS INTEGER) AS dof,
+        |  round(CAST(SUM(CAST(round((nijd - e) * (nijd - e) / e, 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2,
+        |  round(CAST(SUM(CAST(round(CASE WHEN nij IS NOT NULL
+        |      THEN 2.0 * nijd * ln(nijd / e) ELSE 0.0 END, 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS g_stat,
+        |  round(sqrt(CAST(SUM(CAST(round((nijd - e) * (nijd - e) / e, 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE)
+        |    / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(LEAST(nl - 1, ns - 1))
+        |        AS DOUBLE))), 6) AS cramers_v
+        |FROM g""".stripMargin,
     // q348: the identical three-step conditional-min chain in DuckDB
     // (epoch_us route, integer gap sums, fixed-order closing division)
     "q348_event_funnel" ->
