@@ -100,7 +100,11 @@ object ScaleRamp {
     // round-16: exact selection claims O(log_B(range)) column scans and
     // O(states×B) driver state at ANY row count — ×100 lineitem should
     // cost ~1 extra histogram level, nowhere near ×100
-    "exact_quantiles"  -> "q401_exact_quantiles")
+    "exact_quantiles"  -> "q401_exact_quantiles",
+    // round-16 LM family: KN statistics are TYPE-grain (distinct-bigram
+    // frame); ×100 docs grows the token stream 100× but the model state
+    // only with vocabulary — the scan and checkpoint are the cost axis
+    "kn_perplexity"    -> "q402_kn_perplexity")
 
   /** All stageable tables; SPARK_GRAFT_SCALE_TABLES subsets for the
     * second-decade (×100) runs, where only the document/embedding
