@@ -877,11 +877,13 @@ class TextPrimsSpec extends SparkSpec {
 
   test("q381 CM join-size: one-sided (estimate never undershoots the " +
       "exact self-join size) and exact J verified on the driver") {
+    // exact_j/est_j are LongType since the round-16 engine-independent
+    // output-type pin (decimal accumulation stays internal)
     val r = graft.text.TextOps.cmJoinSize(spark, sfDir).head()
-    val exactJ = r.getDecimal(0).longValueExact()
-    val estJ = r.getDecimal(1).longValueExact()
+    val exactJ = r.getLong(0)
+    val estJ = r.getLong(1)
     assert(estJ >= exactJ, s"CM inner product undershot: $estJ < $exactJ")
-    assert(r.getDecimal(2).longValueExact() === estJ - exactJ)
+    assert(r.getLong(2) === estJ - exactJ)
     // driver recompute of the exact self-join size from key counts
     val counts = graft.sources.Tables.load(spark, sfDir, "events")
       .groupBy("user_id").count().collect().map(_.getLong(1))
