@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -49,25 +49,61 @@ object LloydExact {
   /** Deterministic centers after `Iters` exact Lloyd rounds — doubles as
     * the coarse quantizer for IVF-style ANN (Similarity.annIvf).
     *
-    * Each iteration's K-row centers frame is localCheckpoint'ed: the
-    * consumer plan references centers several times (assignment, final
-    * stats, IVF probe sides), and without truncation every reference
-    * re-nests — and re-executes — the whole iteration chain. Checkpointing
-    * K rows costs nothing and makes each reference an RDD scan. */
+    * The K-row centers live on the DRIVER between iterations (bounded by
+    * contract: K ≤ 5 everywhere): each iteration is ONE narrow-argmin +
+    * two-hash-agg pass over `pts` collected straight to the next center
+    * set — no crossJoin, no per-iteration window shuffle, no
+    * localCheckpoint job. The returned frame is a LocalRelation, so every
+    * consumer reference (assignment literals, broadcast probe sides,
+    * norms) costs zero jobs instead of an RDD scan. */
   private[graft] def centersFor(pts: DataFrame, k: Int = K): DataFrame = {
-    var centers = initCenters(pts, k)
+    var ctrs = collectCenters(initCenters(pts, k))
     for (_ <- 0 until Iters)
-      centers = recompute(assign(pts, centers)).localCheckpoint()
-    centers
+      ctrs = collectCenters(recompute(assignLit(pts, ctrs)))
+    centersDf(pts.sparkSession, ctrs)
+  }
+
+  /** Bounded collect of a (cluster, c) centers frame — K ≤ 5 rows by
+    * contract — sorted by cluster id. */
+  private[graft] def collectCenters(centers: DataFrame)
+      : Seq[(Int, Seq[Double])] =
+    centers.collect().map(r => (r.getInt(r.fieldIndex("cluster")),
+      r.getSeq[Double](r.fieldIndex("c")))).toSeq.sortBy(_._1)
+
+  /** Driver-side centers as a K-row LocalRelation (cluster, c). */
+  private[graft] def centersDf(s: SparkSession,
+                               ctrs: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    ctrs.toDF("cluster", "c")
+  }
+
+  /** Per-center squared-distance surrogate ‖c‖² − 2·e·c with `c` a
+    * LITERAL array: dotp's eval (constant-folded ‖c‖²) and codegen
+    * (per-row e·c) are the same fixed left fold, so the doubles are
+    * bit-identical to the former broadcast-column spelling. */
+  private def distLit(e: Column, c: Seq[Double]): Column = {
+    val cl = typedLit(c)
+    dotp(cl, cl) - lit(2.0) * dotp(e, cl)
   }
 
   /** Argmin assignment: (vec_id, e, cluster). */
-  private[graft] def assign(pts: DataFrame, centers: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
-    pts.crossJoin(broadcast(centers))
-      .withColumn("d", dotp(col("c"), col("c")) - lit(2.0) * dotp(col("e"), col("c")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  private[graft] def assign(pts: DataFrame, centers: DataFrame): DataFrame =
+    assignLit(pts, collectCenters(centers))
+
+  /** Zero-shuffle argmin: `least` over (d, cluster) structs is the same
+    * total order as the former `row_number().over(orderBy(d, cluster))`
+    * window — min d, ties to the smaller cluster id, -0.0 < 0.0 — as a
+    * narrow whole-stage-codegen map instead of an n·K crossJoin plus a
+    * hash exchange and sort on vec_id per call. */
+  private[graft] def assignLit(pts: DataFrame,
+                               ctrs: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(ctrs.nonEmpty, "assignLit: empty center set")
+    val packed = ctrs.map { case (id, c) =>
+      struct(distLit(col("e"), c).as("d"),
+        lit(id).cast(IntegerType).as("cluster")) }
+    val best =
+      if (packed.size == 1) packed.head else least(packed: _*)
+    pts.withColumn("cluster", best.getField("cluster"))
       .select("vec_id", "e", "cluster")
   }
 
@@ -124,18 +160,39 @@ object LloydExact {
     * sweep input is scanned once per (k, iteration), never collected. */
   def elbowExact(s: SparkSession, dir: String): DataFrame = {
     val pts = points(s, dir).localCheckpoint()
+    // the 4 k-chains are independent pure functions of pts — train them
+    // in ONE wave (the q201 codebook pattern) so the per-iteration
+    // driver round trips overlap instead of serializing 4× Iters deep
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ElbowKs.size)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val ctrsByK = try {
+      Await.result(Future.sequence(ElbowKs.map { k =>
+        Future(k -> collectCenters(centersFor(pts, k))) }),
+        Duration(10, "min")).toMap
+    } finally { pool.shutdownNow(); () }
     val perK = ElbowKs.map { k =>
-      val centers = centersFor(pts, k)
-      val d2 = dotp(col("e"), col("e")) -
-        lit(2.0) * dotp(col("e"), col("c")) + dotp(col("c"), col("c"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
-      val ab = pts.crossJoin(broadcast(centers))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2)
-        .groupBy("vec_id")
-        .agg(min(when(col("rn") === 1, col("d2"))).as("a"),
-          min(when(col("rn") === 2, col("d2"))).as("b"))
+      val ctrs = ctrsByK(k)
+      // narrow twin of the former crossJoin + rank-window pass: the k
+      // per-center d² values sort in one array; positions 1 and 2 ARE
+      // rank 1's and rank 2's d2 (the window's cluster tie-break only
+      // ordered equal VALUES, which sorting preserves). Zero exchanges
+      // until the final global aggregate.
+      def d2Lit(c: Seq[Double]): Column = {
+        val cl = typedLit(c)
+        dotp(col("e"), col("e")) - lit(2.0) * dotp(col("e"), cl) +
+          dotp(cl, cl)
+      }
+      val sortedD = array_sort(array(ctrs.map(c => d2Lit(c._2)): _*))
+      // a degenerate single-center set has no rank-2 distance (the old
+      // window spelled that as a NULL b) — guard the ANSI element_at
+      val b2 = if (ctrs.size >= 2) element_at(sortedD, 2)
+               else lit(null).cast(DoubleType)
+      val ab = pts
+        .withColumn("a", element_at(sortedD, 1))
+        .withColumn("b", b2)
       val sil = when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
         .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
       ab.agg(
