@@ -8,6 +8,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     graft.sources.Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    // diagnostic-only overrides, e.g. SPARK_GRAFT_EXTRA_CONFS=
+    //   "spark.sql.codegen.maxFields=150,spark.sql.codegen.wholeStage=false"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 1 && args(1) == "--roundtrip") roundTripBreakdown(spark, sfDir)

@@ -2340,7 +2340,12 @@ object Advanced {
     * unpivots to a row per column (q82's stack). */
   def columnProfile(s: SparkSession, dir: String,
                     approx: Boolean = true): DataFrame = {
-    val li = t(s, dir, "lineitem").select(ProfileCols.map(col): _*)
+    // fanOut ahead of the aggregate: the exact form Expands every row
+    // |columns|× before the partial distinct, and a single-split scan
+    // would run that whole expansion in ONE task; a production feed
+    // arrives in thousands of splits and this guard is a no-op.
+    val li = Tables.fanOut(t(s, dir, "lineitem"), "l_orderkey")
+      .select(ProfileCols.map(col): _*)
     val aggs = ProfileCols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as(s"null_$c"),
       (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
@@ -3831,7 +3836,11 @@ object Advanced {
     * percentile. */
   def bootstrapCi(s: SparkSession, dir: String, b: Int = 60): DataFrame = {
     import graft.functions.TextPrims.hex60C
-    val base = t(s, dir, "orders").select(
+    // fanOut BEFORE the md5 + 120-way conditional-decimal stage: a
+    // single-split orders scan would run the whole partial aggregate in
+    // ONE task (the per-row cost here is 2·b decimal CASE updates, not
+    // the scan); at production split counts this is the usual no-op.
+    val base = Tables.fanOut(t(s, dir, "orders"), "o_orderkey").select(
       col("o_orderstatus").as("flag"),
       col("o_totalprice").as("x"),
       hex60C(md5(col("o_orderkey").cast(StringType))).as("h"))

@@ -276,7 +276,13 @@ object Sinks {
     import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-rt-$format")
     try {
-      val src = Tables.load(s, dir, "lineitem").select(RtCols.map(col): _*)
+      // fanOut before the render: a single-split scan would otherwise
+      // serialize the whole text/columnar ENCODE (and the read-back
+      // parse — one output file ⇒ one scan task) through one core. At
+      // production split counts the guard no-ops; the aggregate result
+      // is file-count independent (decimal-routed sums, count, long sum).
+      val src = Tables.fanOut(Tables.load(s, dir, "lineitem"), "l_orderkey")
+        .select(RtCols.map(col): _*)
       val path = tmp.resolve("data").toString
       rtWrite(src, format, path)
       val back = rtRead(s, format, path, src.schema)
@@ -754,10 +760,13 @@ object Sinks {
     import graft.functions.TextPrims.hex60C
     val tmp = java.nio.file.Files.createTempDirectory("graft-q382")
     try {
-      val src = Tables.load(s, dir, "orders").select(
-        col("o_orderkey"), col("o_custkey"),
-        round(col("o_totalprice") * 100).cast(LongType).as("cents"),
-        col("o_orderpriority"))
+      // fanOut for the same reason as formatRoundTrip: five sequential
+      // single-task encode/parse legs otherwise ride one core each.
+      val src = Tables.fanOut(Tables.load(s, dir, "orders"), "o_orderkey")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("cents"),
+          col("o_orderpriority"))
       def fp(df: DataFrame, label: String): DataFrame = {
         val h = hex60C(md5(concat_ws("|", col("o_orderkey"),
           col("o_custkey"), col("cents"), col("o_orderpriority"))))
@@ -778,18 +787,34 @@ object Sinks {
       }
       val fwSpec = "o_orderkey:0:12:long,o_custkey:12:12:long," +
         "cents:24:14:long,o_orderpriority:38:16:string"
-      val fw = {
-        val p = tmp.resolve("fixedwidth").toString
-        src.write.format("graft.sources.fixedwidth.FixedWidthSource")
-          .option("spec", fwSpec).mode("overwrite").save(p)
-        fp(s.read.format("graft.sources.fixedwidth.FixedWidthSource")
-          .option("spec", fwSpec).load(p), "fixedwidth")
-      }
-      Seq("parquet", "orc", "csv", "json").map { f =>
-        val p = tmp.resolve(f).toString
-        rtWrite(src, f, p)
-        fp(rtRead(s, f, p, src.schema), f)
-      }.reduce(_ unionAll _).unionAll(fw)
+      // the five write→read→fingerprint legs are independent pure
+      // functions of `src` — run them in ONE wave (the q201 codebook
+      // pattern) so the sink/scan jobs overlap instead of serializing;
+      // each leg materializes inside its future (write is an action,
+      // the 1-row fingerprint pins via localCheckpoint)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val legs = try {
+        Await.result(Future.sequence(
+          Seq("parquet", "orc", "csv", "json").map { f =>
+            Future {
+              val p = tmp.resolve(f).toString
+              rtWrite(src, f, p)
+              fp(rtRead(s, f, p, src.schema), f).localCheckpoint()
+            }
+          } :+ Future {
+            val p = tmp.resolve("fixedwidth").toString
+            src.write.format("graft.sources.fixedwidth.FixedWidthSource")
+              .option("spec", fwSpec).mode("overwrite").save(p)
+            fp(s.read.format("graft.sources.fixedwidth.FixedWidthSource")
+              .option("spec", fwSpec).load(p), "fixedwidth")
+              .localCheckpoint()
+          }), Duration(10, "min"))
+      } finally { pool.shutdownNow(); () }
+      legs.reduce(_ unionAll _)
         .orderBy("format")
         .localCheckpoint()
     } finally Tables.rmTree(tmp)
