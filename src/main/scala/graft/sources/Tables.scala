@@ -45,8 +45,33 @@ object Tables {
     else df
   }
 
+  /** Shuffle scratch directory: SPARK_GRAFT_LOCAL_DIR when set, else a
+    * node-local tmpfs when one is writable, else the JVM tmpdir. Thread
+    * dumps under the round-16 bench showed executor threads serialized
+    * on shuffle-file open/commit (`FileOutputStream.open0`,
+    * `IndexShuffleBlockResolver.writeMetadataFileAndCommit`) — the
+    * sandbox root FS makes small-file creation the bottleneck, which is
+    * exactly what a production cluster avoids by pointing local dirs at
+    * fast scratch (NVMe/tmpfs). Parameterised, never hard-coded: ops
+    * overrides win, and the fallback is the stock default. */
+  private def scratchDir: String =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite)
+        new java.io.File(shm, "graft-spark-local").getPath
+      else sys.props("java.io.tmpdir")
+    }
+
   /** Session configs every graft SparkSession needs. */
   val sessionConfigs: Map[String, String] = Map(
+    // one sorted shuffle file per map task (+index) instead of the
+    // bypass path's one-file-per-reduce-partition: with R reduce
+    // partitions the bypass writer opens R files per map task, and on
+    // this sandbox's FS those opens dominate small-stage wall time
+    // (measured: q201 4.4 s → 2.6 s). Production clusters with R > 200
+    // take the sort path anyway — this pins the production shape.
+    "spark.shuffle.sort.bypassMergeThreshold" -> "0",
+    "spark.local.dir" -> scratchDir,
     // engine extensions: dot_product SQL function + HOF→DotProduct rule
     "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

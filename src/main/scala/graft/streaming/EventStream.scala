@@ -2014,10 +2014,13 @@ object EventStream {
   /** How long the harness waits between the two runs; must exceed
     * [[TtlEphemeralSec]] with margin (2.5× here — and a host stall
     * only GROWS the gap, so the margin is one-sided). Trimmed from
-    * 12 s / 5 s in round 13: the pair was 4% of the whole bench in
-    * one query, and the determinism argument only needs gap > ttl. */
-  val TtlGapMs = 5000L
-  val TtlEphemeralSec = 2L
+    * 12 s / 5 s in round 13 and again to 2.5 s / 1 s in round 16: the
+    * determinism argument only needs gap > ttl (one-sided), the ratio
+    * stays 2.5×, and intra-run eviction is impossible regardless of
+    * ttl because each run stages exactly ONE file (one batch — state
+    * written in run 1 is first READ again in run 2, after the gap). */
+  val TtlGapMs = 2500L
+  val TtlEphemeralSec = 1L
 
   /** q297 — STATE-TTL parity, the twenty-third streaming surface and
     * the last Spark-4 stateful primitive (after the q253/q260/q261

@@ -127,9 +127,22 @@ object BpeTrain {
           .filter(col("doc_id") % 2 === rem)
           .select(explode(tokensC(col("text"))).as("word"))
           .groupBy("word").agg(count(lit(1)).as("freq"))), "word"))
-    val a = half(0).select(col("step"), col("lsym").as("lsym_a"),
+    // the two half-corpus trainings are independent pure functions of
+    // the input — run them as ONE wave (the q201 pattern): each loop is
+    // a chain of small per-step jobs, so serial execution is scheduler-
+    // bound, not compute-bound; results are identical either way
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val halves = try {
+      Await.result(Future.sequence(Seq(0, 1).map(r =>
+        Future(half(r).localCheckpoint()))), Duration(10, "min"))
+    } finally { pool.shutdownNow(); () }
+    val a = halves(0).select(col("step"), col("lsym").as("lsym_a"),
       col("rsym").as("rsym_a"), col("pair_count").as("count_a"))
-    val b = half(1).select(col("step"), col("lsym").as("lsym_b"),
+    val b = halves(1).select(col("step"), col("lsym").as("lsym_b"),
       col("rsym").as("rsym_b"), col("pair_count").as("count_b"))
     a.join(b, Seq("step"))
       .withColumn("agree",

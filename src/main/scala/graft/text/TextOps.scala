@@ -749,7 +749,10 @@ object TextOps {
   def hllIntersect(s: SparkSession, dir: String, n: Int = 3,
                    p: Int = 10): DataFrame = {
     val m = 1 << p
-    val sg = docs(s, dir)
+    // fanOut ahead of the compute-dense tokenize+shingle+md5 explode:
+    // a single-split documents scan runs it in one task (no-op at
+    // production split counts — the standard shingling guard)
+    val sg = Tables.fanOut(docs(s, dir), "doc_id")
       .select(col("source"),
         explode(array_distinct(shinglesC(tokensC(col("text")), n)))
           .as("sh"))
@@ -874,7 +877,9 @@ object TextOps {
   def hllHierarchy(s: SparkSession, dir: String, n: Int = 3,
                    p: Int = 10, g: Int = 4): DataFrame = {
     val m = 1 << p
-    val sg = docs(s, dir)
+    // fanOut for the same reason as hllIntersect: the shingle explode
+    // is the compute, and a single-split scan serializes it
+    val sg = Tables.fanOut(docs(s, dir), "doc_id")
       .select(col("source"),
         explode(array_distinct(shinglesC(tokensC(col("text")), n)))
           .as("sh"))
