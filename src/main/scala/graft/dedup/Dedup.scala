@@ -1635,7 +1635,7 @@ object Dedup extends org.apache.spark.internal.Logging {
                     shards: Int = CuratedShards,
                     qualityMin: Double = AdmissionQualityMin,
                     cfg: DedupConfig = DedupConfig.Default): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q180")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q180")
     try {
       val d = docs(s, dir).select("doc_id", "source", "text").localCheckpoint()
       val comp = d.select(col("doc_id"))

@@ -336,7 +336,7 @@ object Multimodal {
     * so hash-equality proves the file sink + binaryFile source pair is
     * byte-lossless. Staging is cleaned up after materialization. */
   def binaryFileSource(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q405")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q405")
     try {
       val base = tmp.toString
       fromDocuments(s, dir).filter(col("media_id") % 37 === 0)

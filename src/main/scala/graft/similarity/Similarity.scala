@@ -297,7 +297,7 @@ object Similarity {
     * storage forever; at 100 TB the index build is the expensive pass
     * and this query certifies it never needs re-running). */
   def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q170")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q170")
     try {
       val path = tmp.resolve("ivf").toString
       ivfCells(s, dir).write.partitionBy("cluster").parquet(path)
@@ -318,7 +318,7 @@ object Similarity {
     * survivors). The GDPR-shaped operation every 100 TB index needs:
     * delete cost is O(|tombstones|), not an index rebuild. */
   def annIvfTombstones(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q262")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q262")
     try {
       val path = tmp.resolve("ivf").toString
       ivfCells(s, dir).write.partitionBy("cluster").parquet(path)
@@ -350,7 +350,7 @@ object Similarity {
     * unions two partitioned generations — the LSM-flavored layout
     * production vector stores actually run. */
   def annIvfCompacted(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q265")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q265")
     try {
       val gen0 = tmp.resolve("gen0").toString
       ivfCells(s, dir).write.partitionBy("cluster").parquet(gen0)
@@ -1416,7 +1416,7 @@ object Similarity {
     * generations are never read. */
   def annIvfUpsert(s: SparkSession, dir: String): DataFrame = {
     val L = graft.ml.LloydExact
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q277")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q277")
     try {
       val path = tmp.resolve("ivf").toString
       val pts = L.points(s, dir)
@@ -1456,7 +1456,7 @@ object Similarity {
     * continuous ingest without rebuild downtime. */
   def annIvfUpsertStream(s: SparkSession, dir: String): DataFrame = {
     val L = graft.ml.LloydExact
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q298")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q298")
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)

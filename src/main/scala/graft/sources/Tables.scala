@@ -54,12 +54,31 @@ object Tables {
     * exactly what a production cluster avoids by pointing local dirs at
     * fast scratch (NVMe/tmpfs). Parameterised, never hard-coded: ops
     * overrides win, and the fallback is the stock default. */
+  private def fastScratchBase: Option[java.io.File] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) Some(shm) else None
+  }
+
   private def scratchDir: String =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite)
-        new java.io.File(shm, "graft-spark-local").getPath
-      else sys.props("java.io.tmpdir")
+      fastScratchBase.map(new java.io.File(_, "graft-spark-local").getPath)
+        .getOrElse(sys.props("java.io.tmpdir"))
+    }
+
+  /** Per-query scratch temp dir (staging copies, stream checkpoints,
+    * sink round-trip outputs) on the SAME fast scratch as the shuffle
+    * dirs: the streaming harnesses commit offset/state/commit logs as
+    * many small files per micro-batch, and on this sandbox's root FS
+    * those creates dominate harness wall time exactly like the shuffle
+    * files did. Callers already rmTree these in their finally blocks;
+    * the fallback is the stock temp dir. */
+  private[graft] def scratchTempDir(prefix: String): java.nio.file.Path =
+    fastScratchBase match {
+      case Some(base) =>
+        val root = new java.io.File(base, "graft-tmp")
+        java.nio.file.Files.createDirectories(root.toPath)
+        java.nio.file.Files.createTempDirectory(root.toPath, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
     }
 
   /** Session configs every graft SparkSession needs. */
@@ -238,7 +257,7 @@ object Sinks {
     * file-count contract (computed n, and n ≪ input fragments). */
   def compactRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q132")
+    val tmp = Tables.scratchTempDir("graft-q132")
     try {
       val src = Tables.load(s, dir, "lineitem").select(PrunedCols.map(col): _*)
       val frag = tmp.resolve("frag").toString
@@ -299,7 +318,7 @@ object Sinks {
   def formatRoundTrip(s: SparkSession, dir: String, format: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft-rt-$format")
+    val tmp = Tables.scratchTempDir(s"graft-rt-$format")
     try {
       // fanOut before the render: a single-split scan would otherwise
       // serialize the whole text/columnar ENCODE (and the read-back
@@ -337,7 +356,7 @@ object Sinks {
     * of the input with zero row-level filtering work. */
   def partitionPrunedRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q105")
+    val tmp = Tables.scratchTempDir("graft-q105")
     try {
       val src = Tables.load(s, dir, "lineitem").select(PrunedCols.map(col): _*)
       val path = tmp.resolve("data").toString
@@ -358,7 +377,7 @@ object Sinks {
     * 100 TB. */
   def clusteredRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q106")
+    val tmp = Tables.scratchTempDir("graft-q106")
     try {
       val src = Tables.load(s, dir, "lineitem").select(PrunedCols.map(col): _*)
       val path = tmp.resolve("data").toString
@@ -452,7 +471,7 @@ object Sinks {
   def hilbertRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q323")
+    val tmp = Tables.scratchTempDir("graft-q323")
     try {
       val src = Tables.load(s, dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
@@ -499,7 +518,7 @@ object Sinks {
   def mergeSchemaRead(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q324")
+    val tmp = Tables.scratchTempDir("graft-q324")
     try {
       val path = tmp.resolve("docs").toString
       val base = Tables.load(s, dir, "documents")
@@ -540,7 +559,7 @@ object Sinks {
   def manifestPrunedScan(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q333")
+    val tmp = Tables.scratchTempDir("graft-q333")
     try {
       val path = tmp.resolve("data").toString
       Tables.load(s, dir, "lineitem")
@@ -592,7 +611,7 @@ object Sinks {
   def deletionVectorScan(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q347")
+    val tmp = Tables.scratchTempDir("graft-q347")
     try {
       val path = tmp.resolve("data").toString
       val dvPath = tmp.resolve("dv").toString
@@ -636,7 +655,7 @@ object Sinks {
   def bloomPrunedScan(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q349")
+    val tmp = Tables.scratchTempDir("graft-q349")
     try {
       val path = tmp.resolve("data").toString
       Tables.load(s, dir, "lineitem")
@@ -695,7 +714,7 @@ object Sinks {
   def fixedWidthRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q334")
+    val tmp = Tables.scratchTempDir("graft-q334")
     try {
       val path = tmp.resolve("fw").toString
       Tables.load(s, dir, "lineitem")
@@ -739,7 +758,7 @@ object Sinks {
   def fixedWidthWriteRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q339")
+    val tmp = Tables.scratchTempDir("graft-q339")
     try {
       val path = tmp.resolve("fw").toString
       val spec = "l_orderkey:0:12:long,l_suppkey:12:8:long," +
@@ -783,7 +802,7 @@ object Sinks {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     import graft.functions.TextPrims.hex60C
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q382")
+    val tmp = Tables.scratchTempDir("graft-q382")
     try {
       // fanOut for the same reason as formatRoundTrip: five sequential
       // single-task encode/parse legs otherwise ride one core each.
@@ -876,7 +895,7 @@ object Sinks {
   def zorderRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q137")
+    val tmp = Tables.scratchTempDir("graft-q137")
     try {
       val src = Tables.load(s, dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
@@ -921,7 +940,7 @@ object Sinks {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     import graft.functions.TextPrims.hex60C
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q139")
+    val tmp = Tables.scratchTempDir("graft-q139")
     try {
       val path = tmp.resolve("export").toString
       Tables.load(s, dir, "documents")

@@ -220,7 +220,7 @@ object EventStream {
     * carries the fold). */
   def ewmaStreamParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q194")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q194")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -261,7 +261,7 @@ object EventStream {
     * identical histogram computed batch-side. */
   def driftHistogramParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q212")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q212")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -431,7 +431,7 @@ object EventStream {
   private def antiJoinParityStaged(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q295")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q295")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -515,7 +515,7 @@ object EventStream {
     * [[streamingParity]], which owns the session-conf guard). */
   private def streamingParityStaged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q85")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q85")
     // EVERYTHING from here — staging writes, query start, read-back — runs
     // inside the try: a failure at any point still deletes the staged
     // events copy + checkpoint (bench runs this reps× per round, so a
@@ -600,7 +600,7 @@ object EventStream {
     * incrementally. On a live deployment the file source is the Kafka CDC
     * feed and the snapshot is the warehouse dimension table. */
   def upsertParity(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q107")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q107")
     val snap = tmp.resolve("snap").toString
     val in = tmp.resolve("in")
     java.nio.file.Files.createDirectories(in)
@@ -645,7 +645,7 @@ object EventStream {
     * pure join (no aggregation), output values are raw column values —
     * bit-exact across engines with no DECIMAL routing. */
   def intervalJoinParity(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q109")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q109")
     var q: StreamingQuery = null
     // a stream-stream join maintains FOUR keyed state stores (two per
     // side) in EVERY shuffle partition, each committing a checkpoint
@@ -691,7 +691,7 @@ object EventStream {
     * duplicate emission per extra error, or a dropped click, both
     * break the hash). */
   def semiJoinParity(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q247")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q247")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -780,7 +780,7 @@ object EventStream {
     * nothing, double-counts nothing. */
   def twsParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q253")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q253")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -927,7 +927,7 @@ object EventStream {
     * max-merge across batch boundaries loses nothing. */
   def hllStreamParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q260")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q260")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -1047,7 +1047,7 @@ object EventStream {
     * top-5-latest window per user, the ids joined newest-first. */
   def replayParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q261")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q261")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -1145,20 +1145,46 @@ object EventStream {
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[CmRow] = {
       var n = if (seen.exists()) seen.get() else 0L
+      // batch the counter adds locally and flush each TOUCHED cell once:
+      // counter adds are commutative+associative, so the post-batch state
+      // is bit-identical to per-row read-modify-write — but the store
+      // sees O(d·w) ops per batch instead of O(rows·d) (round-16 bench:
+      // per-row MapState get/put was ~3 store ops × d per event, the
+      // dominant cost of the q270/q319 harness). `delta` is bounded by
+      // the sketch size (d·w) by construction; the bucket memo is bounded
+      // below, so per-task memory stays O(sketch + bound).
+      val delta = new java.util.HashMap[java.lang.Long, Long]()
+      val pdelta = new java.util.HashMap[java.lang.Long, Long]()
+      val bcache = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      val BcacheMax = 1 << 16
       rows.foreach { e =>
         n += 1
         val uid = e.user_id
+        var cells = bcache.get(uid)
+        if (cells == null) {
+          cells = Array.tabulate(d)(j => bucketOf(j, uid))
+          if (bcache.size < BcacheMax) bcache.put(uid, cells)
+        }
         var j = 0
         while (j < d) {
-          val k = bucketOf(j, uid)
-          val cur = if (cm.containsKey(k)) cm.getValue(k) else 0L
-          cm.updateValue(k, cur + 1L)
+          val k: java.lang.Long = cells(j)
+          val cur = delta.get(k)
+          delta.put(k, (if (cur == null) 0L else cur.longValue) + 1L)
           j += 1
         }
         if (uid % 97 == 0) {
-          val cur = if (pcnt.containsKey(uid)) pcnt.getValue(uid) else 0L
-          pcnt.updateValue(uid, cur + 1L)
+          val k: java.lang.Long = uid
+          val cur = pdelta.get(k)
+          pdelta.put(k, (if (cur == null) 0L else cur.longValue) + 1L)
         }
+      }
+      delta.forEach { (k, add) =>
+        val cur = if (cm.containsKey(k)) cm.getValue(k) else 0L
+        cm.updateValue(k, cur + add)
+      }
+      pdelta.forEach { (k, add) =>
+        val cur = if (pcnt.containsKey(k)) pcnt.getValue(k) else 0L
+        pcnt.updateValue(k, cur + add)
       }
       seen.update(n)
       // materialize eagerly: state handles (cm/pcnt) must only be
@@ -1217,7 +1243,7 @@ object EventStream {
     * whose result must be materialized before return. */
   private def withRocksConfs(s: SparkSession, tmpPrefix: String)(
       body: java.nio.file.Path => DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix)
+    val tmp = graft.sources.Tables.scratchTempDir(tmpPrefix)
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -1376,7 +1402,7 @@ object EventStream {
     * with three state integers instead of one double). */
   def rateLimiterParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q284")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q284")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -1532,7 +1558,7 @@ object EventStream {
     * [[kafkaSource]] in and drop the staging. */
   def timerSessionParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q264")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q264")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -1732,7 +1758,7 @@ object EventStream {
     * must therefore be materialized (localCheckpoint) before return. */
   private def withEvoConfs(s: SparkSession, tmpPrefix: String)(
       body: java.nio.file.Path => DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix)
+    val tmp = graft.sources.Tables.scratchTempDir(tmpPrefix)
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -2053,7 +2079,7 @@ object EventStream {
     * staging. */
   def ttlStateParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q297")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q297")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -2164,7 +2190,7 @@ object EventStream {
     * is sized to the fixture (production sizes the same conf to key
     * cardinality per watermark horizon). */
   def dedupParity(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q111")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q111")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -2215,7 +2241,7 @@ object EventStream {
     * fact-stream × dim-table shape: the dim re-broadcasts per batch (and
     * can be refreshed between batches), the fact side never shuffles. */
   def streamStaticJoinParity(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q115")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q115")
     var q: StreamingQuery = null
     try {
       val in = tmp.resolve("in")
@@ -2273,7 +2299,7 @@ object EventStream {
     * this surface is the measured proof of WHY that bound is safe to
     * rely on (expired keys really do come back as new). */
   def dedupEvictionParity(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q313")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q313")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -2364,7 +2390,7 @@ object EventStream {
     * [[outerJoinParity]], which owns the session-conf guard). */
   private def outerJoinParityStaged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q135")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q135")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -2434,7 +2460,7 @@ object EventStream {
     * [[incrementalRestartParity]], which owns the session-conf guard). */
   private def incrementalRestartStaged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q143")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q143")
     var q: StreamingQuery = null
     // both runs maintain a state store per shuffle partition, and the
     // restart doubles the per-store open/commit cost — size the stateful
@@ -2524,7 +2550,7 @@ object EventStream {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val D = graft.dedup.Dedup
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q169")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q169")
     var q: StreamingQuery = null
     try {
       val in = tmp.resolve("in")
@@ -2609,7 +2635,7 @@ object EventStream {
     * routing ⇒ no watermark, no sentinel staging needed. */
   def quarantineDualSink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q147")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q147")
     var q: StreamingQuery = null
     try {
       val in = tmp.resolve("in")
@@ -2702,7 +2728,7 @@ object EventStream {
     * sessions then flush on idle instead of staying in state. */
   def sessionizeParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q130")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q130")
     var q: StreamingQuery = null
     val partsKey = "spark.sql.shuffle.partitions"
     val partsPrev = s.conf.get(partsKey)
@@ -2777,7 +2803,7 @@ object EventStream {
     val partsPrev = s.conf.get(partsKey)
     s.conf.set(noDataKey, "true")
     s.conf.set(partsKey, "8")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q234")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q234")
     var q: StreamingQuery = null
     try {
       val in = tmp.resolve("in")
@@ -3341,7 +3367,7 @@ object EventStream {
     * Every staged slice is REQUIRED non-empty before the runs (the
     * q298 lesson: an empty increment makes the restart proof vacuous). */
   def fixedWidthStreamParity(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q335")
+    val tmp = graft.sources.Tables.scratchTempDir("graft-q335")
     var q: StreamingQuery = null
     try {
       val in = tmp.resolve("in")

@@ -1007,4 +1007,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("r16 fanOut guards: the compute-dense stage of q384/q152 runs " +
+      "above an exchange, never single-split (round-16 optimization)") {
+    // the partial aggregate must sit on top of the fanOut exchange so a
+    // one-file scan cannot serialize the 120-way decimal update loop
+    // (q384) or the |columns|x Expand (q152) through one task
+    val p384 = planOf(graft.analytics.Advanced.bootstrapCi(spark, sfDir))
+    assert("Exchange hashpartitioning\\(o_orderkey".r
+      .findFirstIn(p384).isDefined, p384.take(1500))
+    val p152 = planOf(
+      graft.analytics.Advanced.columnProfile(spark, sfDir, approx = false))
+    assert("Exchange hashpartitioning\\(l_orderkey".r
+      .findFirstIn(p152).isDefined, p152.take(1500))
+  }
+
+  test("r16 shuffle scratch: sessions pin the sort-path shuffle writer " +
+      "and a writable local dir") {
+    assert(graft.sources.Tables.sessionConfigs(
+      "spark.shuffle.sort.bypassMergeThreshold") === "0")
+    val d = new java.io.File(
+      graft.sources.Tables.sessionConfigs("spark.local.dir"))
+    // the configured scratch must be creatable-writable (fallback path
+    // included) — a bad dir would fail every shuffle at session start
+    java.nio.file.Files.createDirectories(d.toPath)
+    assert(d.isDirectory && d.canWrite, d.toString)
+    // per-query scratch temp dirs are creatable and deletable
+    val t = graft.sources.Tables.scratchTempDir("graft-plan-spec")
+    assert(java.nio.file.Files.isDirectory(t))
+    java.nio.file.Files.delete(t)
+  }
 }
