@@ -2156,12 +2156,14 @@ object Dedup extends org.apache.spark.internal.Logging {
         posexplode(shinglesC(tokensC(col("text")), n)).as(Seq("pos", "sh")))
         .select(col("doc_id"), col("source"), col("pos"),
           unhex(md5(col("sh"))).as("h"))
-    def pairsWithSpan(c: DataFrame): DataFrame = {
-      // q281 keeps the gram checkpoints q237 dropped: each frame feeds
-      // a SELF-join (2 reads) and the function runs three gram builds
-      // per call — at bench scale the store beats 6 recomputes, and
-      // q281 is not a ramp family, so the ×100 heap argument is q237's
-      val grams = gramRowsOf(c).localCheckpoint()
+    // q281 keeps the gram checkpoints q237 dropped: each frame feeds
+    // a SELF-join (2 reads) — at bench scale the store beats the
+    // recomputes, and q281 is not a ramp family, so the ×100 heap
+    // argument is q237's. Takes the PRE-BUILT gram frame so the
+    // before-pass reuses the strip pass's checkpoint instead of
+    // rebuilding the identical explode+md5 frame (round-16: one of the
+    // three gram builds was a duplicate of the checkpointed `grams`).
+    def pairsFromGrams(grams: DataFrame): DataFrame = {
       grams.as("a").join(grams.as("b"),
           col("a.h") === col("b.h") && col("a.source") < col("b.source"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -2196,8 +2198,10 @@ object Dedup extends org.apache.spark.internal.Logging {
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
           x => x.getField("tk"))).as("text"))
-    val before = pairsWithSpan(orig).agg(count(lit(1)).as("n_pairs_before"))
-    val after = pairsWithSpan(rebuilt).agg(count(lit(1)).as("n_pairs_after"))
+    val before = pairsFromGrams(grams)
+      .agg(count(lit(1)).as("n_pairs_before"))
+    val after = pairsFromGrams(gramRowsOf(rebuilt).localCheckpoint())
+      .agg(count(lit(1)).as("n_pairs_after"))
     val stripped = fl.agg(
       countDistinct(col("doc_id")).as("n_docs_stripped"),
       count(lit(1)).as("n_tokens_stripped"))
