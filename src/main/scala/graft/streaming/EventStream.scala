@@ -521,6 +521,14 @@ object EventStream {
     // events copy + checkpoint (bench runs this reps× per round, so a
     // leak per failing attempt would accumulate)
     var q: StreamingQuery = null
+    // the windowed aggregation keeps one state store per shuffle
+    // partition, each committing a version per micro-batch — size the
+    // stateful shuffle to the fixture like every later surface
+    // (q109/q135/q143; production sizes this to key cardinality),
+    // restored in the finally
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
     try {
       val in = tmp.resolve("in")
       java.nio.file.Files.createDirectories(in)
@@ -568,6 +576,7 @@ object EventStream {
         .localCheckpoint()
         .orderBy("hour_start", "event_type")
     } finally {
+      s.conf.set(partsKey, partsPrev)
       // timeout path: don't leave the query running
       if (q != null && q.isActive) q.stop()
       rmTree(tmp)
